@@ -1,0 +1,315 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.pipeline.Xf
+
+/** §2.A pipeline combinators + §2.B relational core.
+  *
+  * Numeric-exactness policy (shared with every oracle in this repo): money
+  * aggregates go through DECIMAL(18,2)/(18,4) so the sum is exact and
+  * order-independent, then ROUND(..,2) and a final cast to DOUBLE —
+  * bit-identical between Spark and DuckDB. Integral-valued doubles (e.g.
+  * l_quantity) sum exactly either way but use the same decimal path for
+  * uniformity. Averages divide a decimal-exact sum cast to DOUBLE by a
+  * COUNT — one deterministic IEEE division — then round.
+  */
+object QueriesCore {
+  import Tables._
+
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. transducer-surface combinators (ref: connector_test.clj xforms)
+    "xf_map" -> ((s, d) =>
+      Xf.map(
+        col("l_orderkey"), col("l_linenumber"),
+        expr(s"CAST(ROUND($discPrice, 2) AS DOUBLE)").as("revenue"),
+        upper(col("l_returnflag")).as("flag")
+      )(lineitem(s, d))),
+
+    "xf_filter" -> ((s, d) =>
+      Xf.comp(
+        Xf.filter(expr(
+          "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+          "l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND " +
+          "l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24")),
+        Xf.map(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      )(lineitem(s, d))),
+
+    "xf_mapcat" -> ((s, d) =>
+      Xf.comp(
+        Xf.mapcat(split(lower(col("text")), " "), "token", col("doc_id")),
+        Xf.filter(col("token") =!= "")
+      )(documents(s, d))),
+
+    "xf_keep" -> ((s, d) =>
+      Xf.keep(
+        get_json_object(col("props"), "$.k").cast("int"), "k",
+        col("event_id"), col("event_type")
+      )(events(s, d))),
+
+    "xf_partition_all" -> ((s, d) =>
+      Xf.partitionAll(col("event_id"), 100)(events(s, d))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("batch_rows"),
+             sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"))),
+
+    "xf_dedupe" -> ((s, d) =>
+      Xf.comp(
+        Xf.map(col("event_type"), (col("user_id") % 97).as("bucket")),
+        Xf.dedupe()
+      )(events(s, d))),
+
+    "xf_comp" -> ((s, d) =>
+      Xf.comp(
+        Xf.filter(col("lang") === "en"),
+        Xf.mapcat(split(lower(col("text")), " "), "token", col("doc_id")),
+        Xf.keep(when(length(col("token")) > 2, col("token")), "tok")
+      )(documents(s, d))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .where(col("n") > 5)),
+
+    // ---- B. relational core
+    "q_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .where("l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+          expr("CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)").as("sum_base_price"),
+          expr(s"CAST(ROUND(SUM($discPrice), 2) AS DOUBLE)").as("sum_disc_price"),
+          expr(s"CAST(ROUND(SUM($discPrice * CAST(1.0 + l_tax AS DECIMAL(18,4))), 2) AS DOUBLE)").as("sum_charge"),
+          expr("CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)").as("avg_qty"),
+          expr("CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)").as("avg_price"),
+          expr("CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)").as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    "q_join_broadcast" -> ((s, d) =>
+      lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+             expr(s"CAST(ROUND(SUM($discPrice), 2) AS DOUBLE)").as("revenue"))),
+
+    "q_join_shuffle" -> ((s, d) =>
+      orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+             expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"))),
+
+    "q_multi_join" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .where("r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+               "AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'")
+        .groupBy("n_name")
+        .agg(expr(s"CAST(ROUND(SUM($discPrice), 2) AS DOUBLE)").as("revenue"))),
+
+    "q_semi_join" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).where("o_totalprice > 400000"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    "q_anti_join" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
+    "q_window" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rnk"),
+          lag(col("c_acctbal"), 1).over(w).as("prev_bal"))
+        .where(col("rnk") <= 5)
+    }),
+
+    "q_topk" -> ((s, d) =>
+      orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "q_union" -> ((s, d) =>
+      customer(s, d).select(col("c_name").as("name"), lit("customer").as("kind"))
+        .unionByName(
+          supplier(s, d).select(col("s_name").as("name"), lit("supplier").as("kind")))),
+
+    "q_pivot" -> ((s, d) =>
+      events(s, d)
+        .groupBy((col("user_id") % 10).cast("long").as("bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    "q_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+             count(lit(1)).as("n"))),
+
+    "q_subquery" -> ((s, d) => {
+      part(s, d).createOrReplaceTempView("graft_part")
+      s.sql(
+        """SELECT p_partkey, p_name, p_retailprice
+          |FROM graft_part
+          |WHERE p_retailprice > (SELECT ROUND(AVG(p_retailprice), 2) FROM graft_part)
+          |""".stripMargin)
+    }),
+
+    "q_sql_funcs" -> ((s, d) =>
+      orders(s, d).selectExpr(
+        "o_orderkey",
+        "SUBSTR(o_orderpriority, 1, 1) AS pri_code",
+        "UPPER(o_orderstatus) || '-' || o_orderpriority AS status_tag",
+        "CAST(YEAR(o_orderdate) AS INT) AS order_year",
+        "CAST(MONTH(o_orderdate) AS INT) AS order_month",
+        "DATE_TRUNC('month', o_orderdate) AS order_mon_start",
+        "CASE WHEN o_totalprice > 300000 THEN 'high' WHEN o_totalprice > 150000 THEN 'mid' ELSE 'low' END AS price_band",
+        "CAST(LENGTH(o_orderpriority) AS INT) AS pri_len"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "xf_map" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |CAST(ROUND($discPrice, 2) AS DOUBLE) AS revenue,
+         |UPPER(l_returnflag) AS flag FROM lineitem""".stripMargin,
+
+    "xf_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "xf_mapcat" ->
+      """SELECT doc_id, t.token FROM documents,
+        |UNNEST(string_split(lower(text), ' ')) AS t(token)
+        |WHERE t.token <> ''""".stripMargin,
+
+    "xf_keep" ->
+      """SELECT event_id, event_type,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
+
+    "xf_partition_all" ->
+      """SELECT CAST(FLOOR(event_id / 100) AS BIGINT) AS batch_id,
+        |CAST(COUNT(*) AS BIGINT) AS batch_rows,
+        |CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "xf_dedupe" ->
+      "SELECT DISTINCT event_type, user_id % 97 AS bucket FROM events",
+
+    "xf_comp" ->
+      """SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT t.token AS tok FROM documents,
+        |  UNNEST(string_split(lower(text), ' ')) AS t(token)
+        |  WHERE lang = 'en' AND LENGTH(t.token) > 2
+        |) GROUP BY tok HAVING COUNT(*) > 5""".stripMargin,
+
+    "q_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+         |CAST(ROUND(SUM($discPrice), 2) AS DOUBLE) AS sum_disc_price,
+         |CAST(ROUND(SUM($discPrice * CAST(1.0 + l_tax AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_charge,
+         |CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+         |CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_price,
+         |CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_disc,
+         |CAST(COUNT(*) AS BIGINT) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_broadcast" ->
+      s"""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |CAST(ROUND(SUM($discPrice), 2) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
+
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority,
+        |CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_multi_join" ->
+      s"""SELECT n_name, CAST(ROUND(SUM($discPrice), 2) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_window" ->
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+        |    LAG(c_acctbal, 1) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS prev_bal
+        |  FROM customer)
+        |WHERE rnk <= 5""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_union" ->
+      """SELECT c_name AS name, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name AS name, 'supplier' AS kind FROM supplier""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+        |CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_retailprice > (SELECT ROUND(AVG(p_retailprice), 2) FROM part)""".stripMargin,
+
+    "q_sql_funcs" ->
+      """SELECT o_orderkey,
+        |SUBSTR(o_orderpriority, 1, 1) AS pri_code,
+        |UPPER(o_orderstatus) || '-' || o_orderpriority AS status_tag,
+        |CAST(YEAR(o_orderdate) AS INT) AS order_year,
+        |CAST(MONTH(o_orderdate) AS INT) AS order_month,
+        |DATE_TRUNC('month', o_orderdate) AS order_mon_start,
+        |CASE WHEN o_totalprice > 300000 THEN 'high' WHEN o_totalprice > 150000 THEN 'mid' ELSE 'low' END AS price_band,
+        |CAST(LENGTH(o_orderpriority) AS INT) AS pri_len
+        |FROM orders""".stripMargin
+  )
+}
