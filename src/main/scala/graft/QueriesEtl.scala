@@ -2,10 +2,139 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.connector.DagTopology
+import graft.functions.{Envelope, Hl7, MappingSpec}
+import graft.pipeline.Xf
+import graft.sinks.CountingSink
 
-/** §2.C ETL surface — the reference's identity re-expressed Spark-first.
-  * Placeholder round-1 scaffold; filled in as operators land. */
+/** §2.C ETL surface — the reference's identity re-expressed Spark-first:
+  * JSONL parsing, record envelopes, HL7 segment parsing, declarative
+  * mapping, DAG topologies, counting sink. See each library class for the
+  * reference file:line mapping.
+  */
 object QueriesEtl {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+  import Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // json-reducer: parse JSON lines with a known schema (codegen'd from_json)
+    "etl_jsonl" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"), col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))),
+
+    // wrap-record envelope, canonical byte-stable form
+    "etl_envelope" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        Envelope.canonicalJson(
+          "record", unix_millis(col("ts")), "events",
+          concat(lit("{\"event_id\":"), col("event_id").cast("string"),
+                 lit(",\"event_type\":\""), col("event_type"), lit("\"}"))
+        ).as("envelope"))),
+
+    // HL7 build → segment split → field extraction round-trip
+    "etl_hl7" -> ((s, d) => {
+      val msg = concat(
+        lit("MSH|^~\\&|GRAFT|"), col("o_orderkey").cast("string"), lit(Hl7.SegmentSep),
+        lit("PID|1||"), col("o_custkey").cast("string"), lit("||"), col("o_orderstatus"), lit(Hl7.SegmentSep),
+        lit("OBX|1|NM|PRICE||"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string"), lit("|USD"))
+      val withSegs = Hl7.explodeSegments(
+        orders(s, d).select(col("o_orderkey"), msg.as("msg")), col("msg"))
+      withSegs.select(
+        col("o_orderkey"), col("seg_idx"),
+        Hl7.segmentId(col("seg")).as("seg_id"),
+        size(Hl7.fields(col("seg"))).as("n_fields"),
+        element_at(Hl7.fields(col("seg")), 4).as("f4"))
+    }),
+
+    // JUTE-analogue declarative mapping compiled to Catalyst expressions
+    "etl_mapping" -> ((s, d) =>
+      MappingSpec.parse(
+        """# etlp-mapper analogue: template = data, compiled to exprs
+          |id     = col: event_id
+          |type_u = expr: UPPER(event_type)
+          |k      = json: props $.k int
+          |val_r  = expr: CAST(ROUND(value, 4) AS DOUBLE)
+          |src    = lit: events
+          |""".stripMargin)(events(s, d))),
+
+    // DAG topology: one source fans out to two branches, fan-in by union
+    "etl_dag" -> ((s, d) =>
+      DagTopology.empty
+        .withSource("events", events(s, d))
+        .withXform("clicks", Xf.filter(col("event_type") === "click") >> Xf(
+          _.groupBy((col("user_id") % 10).cast("long").as("bucket"))
+            .agg(count(lit(1)).cast("double").as("val"))
+            .select(lit("clicks").as("branch"), col("bucket"), col("val"))))
+        .withXform("purchases", Xf.filter(col("event_type") === "purchase") >> Xf(
+          _.groupBy((col("user_id") % 10).cast("long").as("bucket"))
+            .agg(expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)").as("val"))
+            .select(lit("purchases").as("branch"), col("bucket"), col("val"))))
+        .withXform("merged", Xf(identity))
+        .withWorkflow("events" -> "clicks", "events" -> "purchases",
+                      "clicks" -> "merged", "purchases" -> "merged")
+        .output("merged")),
+
+    // stdout-destination analogue: count records in batches of 100
+    "etl_count_sink" -> ((s, d) => {
+      val (records, batches) = CountingSink(batchSize = 100)
+        .writeAndCount(events(s, d).where(col("event_type") === "click"))
+      import s.implicits._
+      Seq((records, batches)).toDF("records", "batches")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "etl_jsonl" ->
+      """SELECT event_id, event_type,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
+
+    "etl_envelope" ->
+      """SELECT event_id,
+        |'{"type":"record","timestamp":' || CAST(epoch_ms(ts) AS VARCHAR) ||
+        |',"version":"0.1.0","schema":"etlp_raw","source_stream":"events","data":{"event_id":'
+        | || CAST(event_id AS VARCHAR) || ',"event_type":"' || event_type || '"}}' AS envelope
+        |FROM events""".stripMargin,
+
+    "etl_hl7" ->
+      """WITH m AS (
+        |  SELECT o_orderkey,
+        |    'MSH|^~\&|GRAFT|' || CAST(o_orderkey AS VARCHAR) || chr(13) ||
+        |    'PID|1||' || CAST(o_custkey AS VARCHAR) || '||' || o_orderstatus || chr(13) ||
+        |    'OBX|1|NM|PRICE||' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|USD' AS msg
+        |  FROM orders),
+        |segs AS (
+        |  SELECT o_orderkey, i AS seg_idx, string_split(msg, chr(13))[i+1] AS seg
+        |  FROM m, range(0,3) t(i))
+        |SELECT o_orderkey, CAST(seg_idx AS INT) AS seg_idx,
+        |  string_split(seg,'|')[1] AS seg_id,
+        |  CAST(len(string_split(seg,'|')) AS INT) AS n_fields,
+        |  string_split(seg,'|')[4] AS f4
+        |FROM segs""".stripMargin,
+
+    "etl_mapping" ->
+      """SELECT event_id AS id, UPPER(event_type) AS type_u,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |CAST(ROUND(value, 4) AS DOUBLE) AS val_r,
+        |'events' AS src
+        |FROM events""".stripMargin,
+
+    "etl_dag" ->
+      """SELECT 'clicks' AS branch, CAST(user_id % 10 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS DOUBLE) AS val
+        |FROM events WHERE event_type = 'click' GROUP BY 2
+        |UNION ALL
+        |SELECT 'purchases' AS branch, CAST(user_id % 10 AS BIGINT) AS bucket,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS val
+        |FROM events WHERE event_type = 'purchase' GROUP BY 2""".stripMargin,
+
+    "etl_count_sink" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS records,
+        |CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS batches
+        |FROM events WHERE event_type = 'click'""".stripMargin
+  )
 }
