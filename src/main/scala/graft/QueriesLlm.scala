@@ -2,10 +2,250 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.{Ann, Dedup, Multimodal}
 
-/** §2.D LLM-training-data operators (dedup / ANN / text / multimodal).
-  * Placeholder round-1 scaffold; filled in as operators land. */
+/** §2.D LLM-training-data operators: dedup family, similarity search,
+  * text analysis, multimodal plumbing. Library logic lives in
+  * graft.operators / graft.functions; these entries wire it to the
+  * testdata tables with DuckDB-oracle-mirrored numerics (md5-keyed
+  * hashing and left-fold double sums are engine-portable — see
+  * functions.Hashes / functions.Vectors scaladoc).
+  */
 object QueriesLlm {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+  import Tables._
+
+  private val stop = TextAnalysis.Stopwords.toMap
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(documents(s, d), "doc_id", "text")),
+
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(documents(s, d), "doc_id", "text",
+        shingleK = 3, perms = 16, bands = 4, minMatches = 4)),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 12)),
+
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", "lang",
+        n = 2, minJaccard = 0.3)),
+
+    "dedup_embed" -> ((s, d) =>
+      Dedup.embeddingPairs(embeddings(s, d), "vec_id", "embedding",
+        minCosine = 0.3)),
+
+    "ann_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.bruteForceTopK(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 10)
+    }),
+
+    "ann_lsh" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.lshTopK(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "text_langid" -> ((s, d) => {
+      val t = documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      val hits = t.select(col("doc_id") +:
+        TextAnalysis.Stopwords.map { case (l, _) =>
+          TextAnalysis.stopwordHits("toks", l).as(s"hits_$l")
+        }: _*)
+      hits.select(col("doc_id"), TextAnalysis.predLang.as("pred_lang"),
+        col("hits_en"), col("hits_es"), col("hits_fr"), col("hits_de"),
+        col("hits_zh"))
+    }),
+
+    "text_quality" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          expr("size(toks)").as("n_tokens"),
+          expr("length(text)").as("n_chars"),
+          expr("aggregate(toks, 0, (a, x) -> a + length(x))").as("wlen_sum"),
+          expr("length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', ''))").as("punct"),
+          TextAnalysis.stopwordHits("toks", "en").as("hits_en"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+          expr("CAST(wlen_sum AS DOUBLE) / n_tokens").as("awl"),
+          expr("CAST(punct AS DOUBLE) / n_chars").as("pr"),
+          expr("CAST(hits_en AS DOUBLE) / n_tokens").as("sr"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+          expr("CAST(ROUND(awl, 4) AS DOUBLE)").as("avg_wlen"),
+          expr("CAST(ROUND(pr, 4) AS DOUBLE)").as("punct_ratio"),
+          expr("CAST(ROUND(sr, 4) AS DOUBLE)").as("stop_ratio"),
+          expr("CAST(ROUND(LEAST(1.0, n_tokens/50.0)*0.5 + (1.0-pr)*0.3 " +
+               "+ LEAST(1.0, sr*5.0)*0.2, 4) AS DOUBLE)").as("score"))
+        .withColumn("quality_bucket",
+          expr("CASE WHEN score >= 0.7 THEN 'high' WHEN score >= 0.4 THEN 'mid' ELSE 'low' END"))),
+
+    "text_tokens" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          expr("size(toks)").as("ws_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("subwords"),
+          expr("length(text)").as("n_chars"))
+        .withColumn("chars_per_token",
+          expr("CAST(ROUND(CAST(n_chars AS DOUBLE) / ws_tokens, 4) AS DOUBLE)"))),
+
+    "text_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 4)
+        .select(col("doc_id"), TextAnalysis.fingerprint("toks").as("fp"))),
+
+    "mm_features" -> ((s, d) =>
+      Multimodal.byteFeatures(
+        Multimodal.attachBinary(documents(s, d), "doc_id", "text")))
+  )
+
+  private def inList(lang: String): String =
+    stop(lang).map(w => s"'$w'").mkString(", ")
+  private def duckHits(lang: String): String =
+    s"CAST(len(list_filter(w, t -> list_contains([${inList(lang)}], t))) AS INT) AS hits_$lang"
+  private val predLangSql = {
+    val langs = TextAnalysis.Stopwords.map(_._1)
+    val cases = langs.map { l =>
+      val geAll = langs.map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+      s"WHEN $geAll AND hits_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+        |  FROM toks WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id, [list_min([md5(CAST(p AS VARCHAR)||':'||s) for s in shingles]) for p in range(0,16)] AS sig FROM sh),
+        |bands AS (
+        |  SELECT doc_id, sig, b, md5(sig[4*b+1]||sig[4*b+2]||sig[4*b+3]||sig[4*b+4]) AS bh
+        |  FROM sig, range(0,4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(ROUND(list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)])/16.0, 4) AS DOUBLE) AS est_jaccard
+        |FROM cand
+        |WHERE list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)]) >= 4""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, list_distinct([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.g, b.g)) AS inter, len(a.g) AS na, len(b.g) AS nb
+        |  FROM bg a JOIN bg b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 4) AS DOUBLE) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.3""".stripMargin,
+
+    "dedup_embed" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+        |    sqrt(list_sum([xx*xx for xx in CAST(embedding AS DOUBLE[])])) AS n
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(ROUND(list_sum([a.x[i+1]*b.x[i+1] for i in range(0,64)])/(a.n*b.n), 4) AS DOUBLE) AS cos_sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_sum([a.x[i+1]*b.x[i+1] for i in range(0,64)])/(a.n*b.n) >= 0.3""".stripMargin,
+
+    "ann_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+        |    sqrt(list_sum([xx*xx for xx in CAST(embedding AS DOUBLE[])])) AS n
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum([q.x[i+1]*c.x[i+1] for i in range(0,64)])/(q.n*c.n) AS cos
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id >= 10)
+        |SELECT query_id, neighbor_id,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |  CAST(ROUND(cos, 4) AS DOUBLE) AS cos_r
+        |FROM p
+        |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 10""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+         |h AS (
+         |  SELECT doc_id, ${TextAnalysis.Stopwords.map(l => duckHits(l._1)).mkString(",\n    ")}
+         |  FROM t)
+         |SELECT doc_id, $predLangSql AS pred_lang,
+         |  hits_en, hits_es, hits_fr, hits_de, hits_zh
+         |FROM h""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS INT) AS n_tokens,
+         |    CAST(length(text) AS INT) AS n_chars,
+         |    CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) AS wlen_sum,
+         |    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(len(list_filter(w, t2 -> list_contains([${inList("en")}], t2))) AS DOUBLE) AS hits_en
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, n_tokens, n_chars,
+         |    wlen_sum / n_tokens AS awl,
+         |    punct / n_chars AS pr,
+         |    hits_en / n_tokens AS sr
+         |  FROM m)
+         |SELECT doc_id, n_tokens, n_chars,
+         |  CAST(ROUND(awl, 4) AS DOUBLE) AS avg_wlen,
+         |  CAST(ROUND(pr, 4) AS DOUBLE) AS punct_ratio,
+         |  CAST(ROUND(sr, 4) AS DOUBLE) AS stop_ratio,
+         |  CAST(ROUND(LEAST(1.0, n_tokens/50.0)*0.5 + (1.0-pr)*0.3 + LEAST(1.0, sr*5.0)*0.2, 4) AS DOUBLE) AS score,
+         |  CASE WHEN ROUND(LEAST(1.0, n_tokens/50.0)*0.5 + (1.0-pr)*0.3 + LEAST(1.0, sr*5.0)*0.2, 4) >= 0.7 THEN 'high'
+         |       WHEN ROUND(LEAST(1.0, n_tokens/50.0)*0.5 + (1.0-pr)*0.3 + LEAST(1.0, sr*5.0)*0.2, 4) >= 0.4 THEN 'mid'
+         |       ELSE 'low' END AS quality_bucket
+         |FROM r""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(lower(text),' '), x -> x<>'')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS subwords,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(ROUND(CAST(length(text) AS DOUBLE) / len(list_filter(string_split(lower(text),' '), x -> x<>'')), 4) AS DOUBLE) AS chars_per_token
+        |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct([md5(array_to_string(w[i:i+3], ' ')) for i in range(1, len(w)-2)])) AS hs
+        |  FROM t WHERE len(w) >= 4)
+        |SELECT doc_id, array_to_string(hs[1:4], '') AS fp FROM f""".stripMargin,
+
+    "mm_features" ->
+      """SELECT doc_id AS id, 'image' AS modality,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  hex(encode(substr(text, 1, 8))) AS header_hex,
+        |  CAST(length(text) % 640 AS INT) AS width,
+        |  CAST((length(text) * 7) % 480 AS INT) AS height,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin
+  )
 }

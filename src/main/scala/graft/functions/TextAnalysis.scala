@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: tokenization,
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is a pure Catalyst expression (no UDF): row-local, fused
+  * into the scan stage by whole-stage codegen, and therefore shuffle-free
+  * and embarrassingly parallel at 100 TB — per-doc cost is O(doc length).
+  */
+object TextAnalysis {
+
+  /** whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Per-language stopword lists for the hit-count language heuristic. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "los", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "von", "mit", "den", "ist", "im", "zu"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "他", "这", "中"))
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+
+  /** stopword hits (with multiplicity) for one language list, over a
+    * token-array column named `toksCol`. */
+  def stopwordHits(toksCol: String, lang: String): Column = {
+    val ws = Stopwords.toMap.apply(lang)
+    expr(s"size(filter($toksCol, t -> t IN (${sqlList(ws)})))")
+  }
+
+  /** Language prediction: argmax of stopword hits, ties broken by list
+    * order, zero hits → 'und'. Expects hit columns named hits_<lang>. */
+  def predLang: Column = {
+    val langs = Stopwords.map(_._1)
+    val cases = langs.map { l =>
+      val geAll = langs.map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+      s"WHEN $geAll AND hits_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    expr(s"CASE $cases ELSE 'und' END")
+  }
+
+  /** BPE-ish subword count: letter runs, digit runs, single punctuation
+    * marks — a cheap, deterministic proxy for a real tokenizer's token
+    * count (the container has no tokenizer libs; the regex is the
+    * documented public approximation). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Winnowing-lite document fingerprint: the 4 lexicographically
+    * smallest md5s over distinct word 4-grams, concatenated. Two docs
+    * sharing most 4-grams collide with high probability; one changed
+    * word usually leaves >=1 of the 4 minima intact for fuzzy matching.
+    */
+  def fingerprint(toksCol: String): Column =
+    expr(
+      s"""concat_ws('', slice(array_sort(array_distinct(
+         |  transform(sequence(1, size($toksCol) - 3),
+         |            i -> md5(concat_ws(' ', slice($toksCol, i, 4)))))), 1, 4))""".stripMargin)
+}

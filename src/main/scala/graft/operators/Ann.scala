@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - [[bruteForceTopK]]: exact baseline. The query side is broadcast
+  *    (Q rows), the candidate side streams per-partition — no shuffle of
+  *    the big side; the only shuffled data is Q·N (id, cos) pairs pruned
+  *    by the per-query top-k window. Good to ~10⁴ queries × any N.
+  *  - [[lshTopK]]: the scale path — 16 deterministic hyperplanes hash
+  *    every vector to a bucket; candidates meet queries via a bucket
+  *    equi-join (key-partitioned), then exact cosine reranks inside the
+  *    bucket. Recall is tunable by planes/probes; the point is the join
+  *    is O(bucket²·buckets), never Q·N.
+  *
+  * Hyperplane weights are a deterministic LCG of (plane, dim) — pure
+  * arithmetic reproducible on any engine, no seed table to ship.
+  */
+object Ann {
+
+  /** bucket id from 16 deterministic hyperplane signs. */
+  def lshBucket(vecCol: String, planes: Int = 16, dims: Int = 64): Column =
+    expr(
+      s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) ->
+         |  acc + IF(
+         |    aggregate(sequence(0, ${dims - 1}), CAST(0.0 AS DOUBLE), (s, d) ->
+         |      s + element_at($vecCol, d + 1) *
+         |        ((CAST((CAST(1103515245 AS BIGINT) * (p * $dims + d) + 12345) % 2147483648 AS DOUBLE)
+         |          / 2147483648.0) * 2.0 - 1.0)) >= 0.0,
+         |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin)
+
+  private def ranked(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        expr("CAST(ROUND(cos, 4) AS DOUBLE)").as("cos_r"))
+  }
+
+  /** Exact top-k: for each query vector, the k candidates with highest
+    * cosine (ties by id). Queries are broadcast. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), Vectors.toDouble(col(vecCol)).as(s"x_$id"))
+        .withColumn(s"n_$id", Vectors.norm(col(s"x_$id")))
+    val q = prep(queries, "query_id")
+    val c = prep(candidates, "neighbor_id")
+    val pairs = c.join(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosinePre(col("x_query_id"), col("x_neighbor_id"),
+          col("n_query_id"), col("n_neighbor_id")).as("cos"))
+    ranked(pairs, k)
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's bucket, then
+    * exact rerank. Queries with an empty bucket return no rows (probe
+    * multiple buckets for recall at scale). */
+  def lshTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), Vectors.toDouble(col(vecCol)).as(s"x_$id"))
+        .withColumn(s"n_$id", Vectors.norm(col(s"x_$id")))
+        .withColumn(s"bkt_$id", lshBucket(s"x_$id"))
+    val q = prep(queries, "query_id")
+    val c = prep(candidates, "neighbor_id")
+    val pairs = c.join(broadcast(q), col("bkt_query_id") === col("bkt_neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosinePre(col("x_query_id"), col("x_neighbor_id"),
+          col("n_query_id"), col("n_neighbor_id")).as("cos"))
+    ranked(pairs, k)
+  }
+}

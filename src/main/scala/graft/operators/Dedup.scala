@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashes, TextAnalysis, Vectors}
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (the point of every choice here):
+  *  - Exact dedup groups on `md5(text)` — a 32-byte shuffle key — never
+  *    on the document body, so shuffle bytes are O(rows), not O(corpus).
+  *  - MinHash: the signature is computed row-locally (one narrow map,
+  *    no shuffle — see [[Hashes.minhashSignature]]); only (id, sig,
+  *    band-hash) rows shuffle for the LSH band join, which is
+  *    key-partitioned: candidates meet only inside a band bucket,
+  *    never via a cross product.
+  *  - SimHash: 64-bit sketch per doc; banding on 4×16-bit chunks makes
+  *    the candidate join key-equality too.
+  *  - N-gram Jaccard: computed via an inverted-index join (explode
+  *    n-grams → join on the gram), so cost is Σ posting-list², not N².
+  *  - Embedding pairs: exact O(N²) verifier — for the full corpus use
+  *    [[Ann.lshTopK]] as the candidate generator first.
+  *  - Hot-bucket skew (e.g. thousands of identical docs share every
+  *    band): AQE skew-join handles moderate cases; for pathological ones
+  *    cap bucket width or pre-collapse exact duplicates first (cheap).
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text with the canonical (min) id
+    * and the multiplicity. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-duplicate pairs.
+    * @return (doc_a, doc_b, est_jaccard) for candidate pairs sharing an
+    *         LSH band whose signature agreement is >= minMatches/perms. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, perms: Int = 16, bands: Int = 4,
+      minMatches: Int = 4): DataFrame = {
+    val rows = perms / bands
+    val sigs = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= shingleK)
+      .select(col("id"), Hashes.shingles("w", shingleK).as("sh"))
+      .select(col("id"), Hashes.minhashSignature("sh", perms).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(Hashes.lshBands("sig", bands, rows)).as(Seq("b", "bh")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("m", Hashes.sigMatches("sig_a", "sig_b"))
+      .where(col("m") >= minMatches)
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"CAST(ROUND(m / $perms.0, 4) AS DOUBLE)").as("est_jaccard"))
+  }
+
+  /** Per-doc SimHash signature + its 4 LSH band keys. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"), Hashes.simhash("w").as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        Hashes.simhashBand("simhash", 0).as("b0"),
+        Hashes.simhashBand("simhash", 1).as("b1"),
+        Hashes.simhashBand("simhash", 2).as("b2"),
+        Hashes.simhashBand("simhash", 3).as("b3"))
+
+  /** SimHash near-dup pairs: share >=1 of 4 bands AND hamming <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 12): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("b", "bv")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", Hashes.hamming("sim_a", "sim_b").cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity via inverted-index join. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 2, minJaccard: Double = 0.3): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("id"), col("grp"), Hashes.shingles("w", n).as("g"))
+    val counts = grams.select(col("id"), size(col("g")).as("n_g"))
+    val posting = grams.select(col("id"), col("grp"), explode(col("g")).as("gram"))
+    val inter = posting.as("a")
+      .join(posting.as("b"),
+        col("a.gram") === col("b.gram") && col("a.grp") === col("b.grp") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("ca.n_g") + col("cb.n_g") - col("inter"))).as("jac"))
+      .where(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(ROUND(jac, 4) AS DOUBLE)").as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs (exact; see scaladoc for the ANN
+    * prefilter at corpus scale). */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+        Vectors.toDouble(col(vecCol)).as("x"))
+      .withColumn("nrm", Vectors.norm(col("x")))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Vectors.cosinePre(col("a.x"), col("b.x"), col("a.nrm"), col("b.nrm"))
+          .as("cos"))
+      .where(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(ROUND(cos, 4) AS DOUBLE)").as("cos_sim"))
+  }
+}

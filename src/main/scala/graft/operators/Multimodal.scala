@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns + typed metadata, with decode/feature-extract stages.
+  *
+  * The Spark-side shape is the real design: binary payloads stay columnar
+  * (parquet BYTE_ARRAY with metadata pushdown on the typed columns), and
+  * heavy per-item decode runs in [[decodeFeaturesStub]]-style
+  * mapPartitions stages — batched per partition so a real decoder
+  * (JNI/FFmpeg/JPEG) amortizes init cost across a partition, exactly how
+  * a Pandas-UDF batch would. The decode itself is STUBBED (this container
+  * has no media libs): it derives deterministic fake features from the
+  * bytes, clearly marked below. Swap `decodeOne` for a real decoder and
+  * nothing else changes.
+  *
+  * Partitioning note for 100 TB of media: size partitions by
+  * `spark.sql.files.maxPartitionBytes` against payload size (media rows
+  * are MBs, not KBs — target O(100) rows per task), and never collect
+  * binaries to the driver.
+  */
+object Multimodal {
+
+  final case class MediaRow(id: Long, modality: String, payload: Array[Byte],
+      width: Int, height: Int, format: String)
+  final case class MediaFeatures(id: Long, modality: String, byte_len: Int,
+      width: Int, height: Int, embedding: Array[Float])
+
+  /** Wrap a text table as a media table (payload = utf-8 bytes) — the
+    * stand-in for real media ingest in this container. Metadata is
+    * deterministic from the text length. */
+  def attachBinary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      lit("image").as("modality"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      (length(col(textCol)) % 640).cast("int").as("width"),
+      ((length(col(textCol)) * 7) % 480).cast("int").as("height"),
+      lit("fake/raw").as("format"))
+
+  /** Expression-level (codegen'd) lightweight features — no decode. */
+  def byteFeatures(df: DataFrame): DataFrame =
+    df.select(col("id"), col("modality"),
+      octet_length(col("payload")).cast("int").as("byte_len"),
+      hex(col("payload").substr(1, 8)).as("header_hex"),
+      col("width"), col("height"),
+      md5(col("payload")).as("content_md5"))
+
+  // ======================================================================
+  // STUB: deterministic fake decode. A real deployment replaces this with
+  // an actual media decoder; the batching/partitioning contract is real.
+  // ======================================================================
+  private def decodeOne(r: MediaRow): MediaFeatures = {
+    val bytes = r.payload
+    // fake 4-d "embedding": byte-sum folds — deterministic, decoder-shaped
+    val emb = new Array[Float](4)
+    var i = 0
+    while (i < bytes.length) {
+      emb(i % 4) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    MediaFeatures(r.id, r.modality, bytes.length, r.width, r.height, emb)
+  }
+
+  /** Batched decode/feature-extract over media rows (mapPartitions so a
+    * real decoder's per-JVM init happens once per task, not per row). */
+  def decodeFeaturesStub(media: DataFrame): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.as(Encoders.product[MediaRow]).mapPartitions { it =>
+      // real impl: initialize decoder here, once per partition
+      it.map(decodeOne)
+    }
+  }
+}
