@@ -2,10 +2,64 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streaming
 
-/** §2.E Structured Streaming — CSP/channel analogue of the reference.
-  * Placeholder round-1 scaffold; filled in as operators land. */
+/** §2.E Structured Streaming — each entry runs real streaming code
+  * (readStream → transform → writeStream, Trigger.AvailableNow) to a
+  * memory table and returns the bounded result, which the DuckDB oracle
+  * checks against the batch-equivalent SQL. Sessionization is checked via
+  * the typed batch path (identical session logic); the
+  * flatMapGroupsWithState variant is exercised in ScalaTest.
+  */
 object QueriesStream {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window" -> ((s, d) =>
+      Streaming.runToMemory(s,
+        Streaming.windowedCounts(Streaming.eventsStream(s, d)),
+        "graft_stream_window", OutputMode.Complete())),
+
+    "stream_dedup" -> ((s, d) =>
+      Streaming.runToMemory(s,
+        Streaming.dedupKeys(Streaming.eventsStream(s, d), "1 hour",
+          "user_id", "event_type"),
+        "graft_stream_dedup", OutputMode.Append())),
+
+    "stream_session" -> ((s, d) =>
+      Streaming.sessionizeBatch(Tables.events(s, d)).toDF()
+        .select(col("user_id"), col("session_id"),
+          expr("timestamp_micros(start_us)").as("session_start"),
+          expr("timestamp_micros(end_us)").as("session_end"),
+          col("n_events")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "stream_session" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, CAST(sid AS INT) AS session_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin
+  )
 }

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming operators — the Spark-first re-expression of the
+  * reference's CSP/channel pipelines (core.async `pipeline` with
+  * transducer xforms, /root/reference/src/etlp/connector/core.clj:52-57).
+  * A channel becomes an unbounded DataFrame; backpressure, retries and
+  * state live in the engine instead of hand-rolled go-loops.
+  *
+  * Scale notes: watermarks bound all state below; windowed aggs keep one
+  * row per (window × key); sessionization state is per-key and dropped on
+  * gap timeout. `Trigger.AvailableNow` gives exactly-once batch-parity
+  * runs of the same code that serves live streams.
+  */
+object Streaming {
+
+  /** File-stream over the events table (same ns→μs rebuild as Tables). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources take a directory; scope to the one table file
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Watermarked tumbling-window aggregation per event_type. */
+  def windowedCounts(stream: DataFrame, watermark: String = "1 hour",
+      window: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)").as("sum_val"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_val"))
+
+  /** Streaming dedup on keys within the watermark horizon. */
+  def dedupKeys(stream: DataFrame, watermark: String, keys: String*): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keys)
+      .select(keys.map(col): _*)
+
+  /** Run a (bounded) streaming frame to completion into a memory table
+    * and return the result. AvailableNow processes everything currently
+    * in the source, then stops — batch-parity semantics for testing the
+    * exact code that would run live. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ---- sessionization ----------------------------------------------------
+
+  final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+  final case class Session(user_id: Long, session_id: Int,
+      start_us: Long, end_us: Long, n_events: Long)
+
+  private def toSessions(userId: Long, evs: Seq[Ev], gapUs: Long): Seq[Session] = {
+    val sorted = evs.sortBy(e => (e.ts_us, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer[Session]()
+    var sid = 0; var start = 0L; var end = 0L; var n = 0L
+    sorted.foreach { e =>
+      if (n == 0L || e.ts_us - end > gapUs) {
+        if (n > 0L) out += Session(userId, sid, start, end, n)
+        sid += 1; start = e.ts_us; n = 0L
+      }
+      end = e.ts_us; n += 1
+    }
+    if (n > 0L) out += Session(userId, sid, start, end, n)
+    out.toSeq
+  }
+
+  /** Batch sessionization via the typed API: per-user in-memory sort +
+    * gap split (deterministic ties by event_id). At cluster scale the
+    * shuffle is by user_id and per-user history must fit one task —
+    * which is what the streaming variant below avoids by keeping only
+    * O(1) state per user. */
+  def sessionizeBatch(events: DataFrame, gapUs: Long = 1800L * 1000000): Dataset[Session] = {
+    implicit val encEv = Encoders.product[Ev]
+    implicit val encS  = Encoders.product[Session]
+    implicit val encL  = Encoders.scalaLong
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroups((uid, it) => toSessions(uid, it.toSeq, gapUs).iterator)
+  }
+
+  private final case class SessState(sid: Int, startUs: Long, endUs: Long, n: Long)
+
+  /** Streaming sessionization with flatMapGroupsWithState: emits a
+    * session when the gap passes (event-time timeout), keeping O(1)
+    * state per user. Event-time order within a batch is enforced by
+    * sorting the batch's group iterator; late data beyond the watermark
+    * is dropped by the engine. */
+  def sessionizeStream(events: DataFrame, watermark: String = "1 hour",
+      gapUs: Long = 1800L * 1000000): Dataset[Session] = {
+    implicit val encEv = Encoders.product[Ev]
+    implicit val encS  = Encoders.product[Session]
+    implicit val encSt = Encoders.product[SessState]
+    implicit val encL  = Encoders.scalaLong
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          if (state.hasTimedOut) {
+            val st = state.get
+            out += Session(uid, st.sid, st.startUs, st.endUs, st.n)
+            state.remove()
+          } else {
+            var st = state.getOption.getOrElse(SessState(0, 0L, 0L, 0L))
+            it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              if (st.n == 0L || e.ts_us - st.endUs > gapUs) {
+                if (st.n > 0L) out += Session(uid, st.sid, st.startUs, st.endUs, st.n)
+                st = SessState(st.sid + 1, e.ts_us, e.ts_us, 1L)
+              } else st = st.copy(endUs = e.ts_us, n = st.n + 1)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.endUs / 1000 + gapUs / 1000)
+          }
+          out.iterator
+      }
+  }
+}
