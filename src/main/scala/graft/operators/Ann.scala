@@ -22,14 +22,16 @@ import graft.functions.Vectors
   */
 object Ann {
 
-  /** bucket id from 16 deterministic hyperplane signs. */
-  def lshBucket(vecCol: String, planes: Int = 16, dims: Int = 64): Column =
+  /** bucket id from 16 deterministic hyperplane signs (dimension-agnostic:
+    * plane weights are seeded by p*1024+d, so any vector length < 1024
+    * gets a consistent plane family). */
+  def lshBucket(vecCol: String, planes: Int = 16): Column =
     expr(
       s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) ->
          |  acc + IF(
-         |    aggregate(sequence(0, ${dims - 1}), CAST(0.0 AS DOUBLE), (s, d) ->
+         |    aggregate(sequence(0, size($vecCol) - 1), CAST(0.0 AS DOUBLE), (s, d) ->
          |      s + element_at($vecCol, d + 1) *
-         |        ((CAST((CAST(1103515245 AS BIGINT) * (p * $dims + d) + 12345) % 2147483648 AS DOUBLE)
+         |        ((CAST((CAST(1103515245 AS BIGINT) * (p * 1024 + d) + 12345) % 2147483648 AS DOUBLE)
          |          / 2147483648.0) * 2.0 - 1.0)) >= 0.0,
          |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin)
 

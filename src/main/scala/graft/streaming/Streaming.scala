@@ -66,7 +66,11 @@ object Streaming {
 
   // ---- sessionization ----------------------------------------------------
 
-  final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+  /** `ts` rides along untouched so the stream's watermark column survives
+    * the typed projection (flatMapGroupsWithState requires it); session
+    * math uses the exact-microsecond `ts_us`. */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+      event_id: Long)
   final case class Session(user_id: Long, session_id: Int,
       start_us: Long, end_us: Long, n_events: Long)
 
@@ -95,13 +99,15 @@ object Streaming {
     implicit val encS  = Encoders.product[Session]
     implicit val encL  = Encoders.scalaLong
     events
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroups((uid, it) => toSessions(uid, it.toSeq, gapUs).iterator)
   }
 
-  private final case class SessState(sid: Int, startUs: Long, endUs: Long, n: Long)
+  /** public: Janino-generated encoder code must reach the accessors. */
+  final case class SessState(sid: Int, startUs: Long, endUs: Long, cnt: Long)
 
   /** Streaming sessionization with flatMapGroupsWithState: emits a
     * session when the gap passes (event-time timeout), keeping O(1)
@@ -116,7 +122,8 @@ object Streaming {
     implicit val encL  = Encoders.scalaLong
     events
       .withWatermark("ts", watermark)
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, Session](
@@ -125,15 +132,15 @@ object Streaming {
           val out = scala.collection.mutable.ArrayBuffer[Session]()
           if (state.hasTimedOut) {
             val st = state.get
-            out += Session(uid, st.sid, st.startUs, st.endUs, st.n)
+            out += Session(uid, st.sid, st.startUs, st.endUs, st.cnt)
             state.remove()
           } else {
             var st = state.getOption.getOrElse(SessState(0, 0L, 0L, 0L))
             it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-              if (st.n == 0L || e.ts_us - st.endUs > gapUs) {
-                if (st.n > 0L) out += Session(uid, st.sid, st.startUs, st.endUs, st.n)
+              if (st.cnt == 0L || e.ts_us - st.endUs > gapUs) {
+                if (st.cnt > 0L) out += Session(uid, st.sid, st.startUs, st.endUs, st.cnt)
                 st = SessState(st.sid + 1, e.ts_us, e.ts_us, 1L)
-              } else st = st.copy(endUs = e.ts_us, n = st.n + 1)
+              } else st = st.copy(endUs = e.ts_us, cnt = st.cnt + 1)
             }
             state.update(st)
             state.setTimeoutTimestamp(st.endUs / 1000 + gapUs / 1000)

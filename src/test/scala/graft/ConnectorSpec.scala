@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.connector.{Connection, DagTopology}
+import graft.pipeline.Xf
+import graft.sinks.{CountingSink, MemorySink, ParquetSink}
+import graft.sources.{CsvSource, ParquetSource, TextLineSource}
+
+class ConnectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Connection: csv source -> xform -> parquet sink end-to-end") {
+    val dir = Files.createTempDirectory("graft-conn").toString
+    Seq("id,v", "1,10", "2,-3", "3,7").toDF("line")
+      .coalesce(1).write.mode("overwrite").text(s"$dir/in")
+    val conn = Connection(
+      CsvSource(s"$dir/in", header = true, inferSchema = true),
+      Xf.filter(col("v") > 0) >> Xf.map(col("id"), (col("v") * 2).as("v2")),
+      ParquetSink(s"$dir/out"))
+    assert(conn.check(spark).valid)
+    assert(conn.start(spark) == 2L)
+    val back = spark.read.parquet(s"$dir/out").collect()
+    assert(back.map(r => (r.getInt(0), r.getInt(1))).toSet == Set((1, 20), (3, 14)))
+  }
+
+  test("source spec/check/discover protocol") {
+    val src = ParquetSource(s"$sf0001/region.parquet")
+    assert(src.spec("type") == "parquet")
+    assert(src.check(spark).valid)
+    assert(src.discover(spark).fieldNames.contains("r_name"))
+    assert(!ParquetSource("/nonexistent/path").check(spark).valid)
+  }
+
+  test("CountingSink batch semantics mirror the stdout destination") {
+    val (records, batches) = CountingSink(100).writeAndCount(spark.range(250).toDF())
+    assert(records == 250L && batches == 3L)
+  }
+
+  test("DagTopology fan-out + fan-in builds one result") {
+    val out = DagTopology.empty
+      .withSource("src", spark.range(10).toDF("n"))
+      .withXform("evens", Xf.filter(col("n") % 2 === 0))
+      .withXform("big", Xf.filter(col("n") > 6))
+      .withXform("merged", Xf(identity))
+      .withWorkflow("src" -> "evens", "src" -> "big",
+                    "evens" -> "merged", "big" -> "merged")
+      .output("merged")
+    // evens: 0,2,4,6,8; big: 7,8,9 — union keeps duplicates like a/merge
+    assert(out.count() == 8)
+  }
+
+  test("DagTopology rejects cycles and dangling nodes") {
+    val cyclic = DagTopology.empty
+      .withSource("a", spark.range(1).toDF())
+      .withXform("b", Xf(identity))
+      .withXform("c", Xf(identity))
+      .withWorkflow("a" -> "b", "b" -> "c", "c" -> "b")
+    intercept[IllegalArgumentException](cyclic.build())
+    val dangling = DagTopology.empty
+      .withSource("a", spark.range(1).toDF())
+      .withWorkflow("a" -> "ghost")
+    intercept[IllegalArgumentException](dangling.build())
+  }
+
+  test("TextLineSource keeps the originating file per line") {
+    val dir = Files.createTempDirectory("graft-lines").toString
+    Seq("x", "y").toDF("line").coalesce(1).write.mode("overwrite").text(dir)
+    val out = TextLineSource(dir).read(spark)
+    assert(out.columns.toSeq == Seq("line", "file"))
+    assert(out.count() == 2)
+    assert(out.where(col("file").contains(dir.split("/").last)).count() == 2)
+  }
+
+  test("MemorySink registers a queryable view") {
+    MemorySink("graft_mem_test").write(spark.range(5).toDF("n"))
+    assert(spark.table("graft_mem_test").count() == 5)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today", "en"),
+    (1L, "the quick brown fox jumps over the lazy cat today", "en"),  // near-dup of 0
+    (2L, "completely different text about spark query engines here", "en"),
+    (3L, "the quick brown fox jumps over the lazy dog today", "en"),  // exact dup of 0
+    (4L, "texto totalmente distinto sobre motores de consultas", "es")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups identical texts under min id") {
+    val out = Dedup.exact(corpus, "doc_id", "text").collect()
+    assert(out.length == 4)
+    val dupGroup = out.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 0L) // keep_id is the min
+  }
+
+  test("minhash LSH finds planted near-dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: est 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash estimate is 1.0 for identical docs") {
+    val est = Dedup.minhashPairs(corpus, "doc_id", "text")
+      .where("doc_a = 0 AND doc_b = 3").head().getDouble(2)
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical docs hamming 0, near-dups closer than unrelated") {
+    val sigs = Dedup.simhashSignatures(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(hamming(0L, 3L) == 0)                   // identical docs
+    assert(hamming(0L, 1L) < hamming(0L, 2L))      // near-dup beats unrelated
+    // banded pair join surfaces the exact-dup pair
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("ngram jaccard computes the exact value") {
+    val out = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "lang",
+        n = 2, minJaccard = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((0L, 3L)) == 1.0)
+    // docs 0/1 differ in 1 of 9 distinct bigrams: |A∩B|=7, |A∪B|=11
+    assert(out((0L, 1L)) == math.rint(7.0 / 11.0 * 10000) / 10000)
+    assert(!out.contains((0L, 2L)))
+  }
+
+  test("embedding cosine pairs above threshold only") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // close to 1
+      (3L, Array(0.0f, 0.0f, 1.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Envelope, Hl7, MappingSpec}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Envelope.wrapRecord produces schema'd JSON with fixed metadata") {
+    val out = Seq((7L, "x")).toDF("ms", "payload")
+      .select(Envelope.wrapRecord(col("ms"), "s1",
+        struct(col("payload"))).as("j"))
+      .head().getString(0)
+    assert(out.contains("\"type\":\"record\""))
+    assert(out.contains("\"version\":\"0.1.0\""))
+    assert(out.contains("\"source_stream\":\"s1\""))
+    assert(out.contains("\"payload\":\"x\""))
+  }
+
+  test("Envelope.canonicalJson is byte-stable") {
+    val out = Seq((1234L, "{\"a\":1}")).toDF("ms", "data")
+      .select(Envelope.canonicalJson("log", col("ms"), "s2", col("data")).as("j"))
+      .head().getString(0)
+    assert(out ==
+      """{"type":"log","timestamp":1234,"version":"0.1.0","schema":"etlp_raw","source_stream":"s2","data":{"a":1}}""")
+  }
+
+  test("Hl7 parses segments, fields and components") {
+    val msg = "MSH|^~\\&|APP\rPID|1||42^MRN||Doe^John"
+    val df = Seq(msg).toDF("msg")
+    val segs = Hl7.explodeSegments(df, col("msg"))
+    assert(segs.count() == 2)
+    val pid = segs.where(Hl7.segmentId(col("seg")) === "PID")
+    assert(pid.select(Hl7.field(col("seg"), 3)).head().getString(0) == "42^MRN")
+    assert(pid.select(element_at(Hl7.components(Hl7.field(col("seg"), 5)), 2))
+      .head().getString(0) == "John")
+  }
+
+  test("MappingSpec compiles template rules to columns") {
+    val spec = MappingSpec.parse(
+      """# comment
+        |id   = col: a
+        |dbl  = expr: a * 2
+        |kind = lit: fixed
+        |j    = json: js $.k int
+        |""".stripMargin)
+    val out = spec(Seq((21, "{\"k\": 9}")).toDF("a", "js")).head()
+    assert(out.getInt(0) == 21 && out.getInt(1) == 42)
+    assert(out.getString(2) == "fixed" && out.getInt(3) == 9)
+  }
+
+  test("MappingSpec rejects malformed rules eagerly") {
+    intercept[IllegalArgumentException](
+      MappingSpec.parse("x = nope: y").compile)
+    intercept[IllegalArgumentException](
+      MappingSpec.parse("broken-line-without-equals").compile)
+  }
+}

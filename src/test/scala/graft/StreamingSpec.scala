@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset from epoch 0: an event exactly at the engine's initial
+  // watermark (0) is treated as late and dropped
+  private def ts(min: Long): Timestamp = new Timestamp((1440 + min) * 60000L)
+
+  private lazy val eventsDf = Seq(
+    // user 1: two sessions (gap at 40 min > 30 min)
+    (1L, ts(0), 100L), (1L, ts(10), 101L), (1L, ts(50), 102L),
+    // user 2: one session
+    (2L, ts(5), 200L), (2L, ts(20), 201L),
+    // sentinel far in the future advances the watermark
+    (9L, ts(600), 900L)
+  ).toDF("user_id", "ts", "event_id")
+
+  test("sessionizeBatch splits on gap with deterministic ordering") {
+    val out = Streaming.sessionizeBatch(eventsDf).collect()
+      .map(s => (s.user_id, s.session_id) -> s.n_events).toMap
+    assert(out((1L, 1)) == 2L && out((1L, 2)) == 1L)
+    assert(out((2L, 1)) == 2L)
+    assert(out((9L, 1)) == 1L)
+  }
+
+  test("sessionizeStream emits closed sessions with O(1) state") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    // one file → one micro-batch: events can't arrive "late" behind a
+    // watermark advanced by an earlier batch of the same bounded write
+    eventsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/ev")
+    val stream = spark.readStream
+      .schema(eventsDf.schema).parquet(s"$dir/ev")
+    val sessions = Streaming.sessionizeStream(stream, watermark = "1 minute")
+    val rows = Streaming.runToMemory(spark, sessions.toDF(),
+      "graft_sess_stream", OutputMode.Append()).collect()
+    val out = rows.map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(4)).toMap
+    withClue(rows.mkString("; ")) {
+      // users 1 and 2 are fully before the watermark → flushed by timeout
+      assert(out((1L, 1)) == 2L && out((1L, 2)) == 1L)
+      assert(out((2L, 1)) == 2L)
+    }
+  }
+
+  test("windowedCounts over a bounded stream matches the batch aggregate") {
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    val ev = Seq(
+      (ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(70), "view", 3.0)
+    ).toDF("ts", "event_type", "value")
+    ev.write.mode("overwrite").parquet(s"$dir/ev")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$dir/ev")
+    val out = Streaming.runToMemory(spark,
+      Streaming.windowedCounts(stream), "graft_win_stream",
+      OutputMode.Complete()).collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1)) -> r.getLong(2)).toMap
+    assert(out((1440L, "click")) == 2L)
+    assert(out((1500L, "view")) == 1L)
+  }
+
+  test("dedupKeys emits each key once") {
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    val ev = Seq(
+      (ts(0), 1L, "click"), (ts(1), 1L, "click"), (ts(2), 2L, "view")
+    ).toDF("ts", "user_id", "event_type")
+    ev.write.mode("overwrite").parquet(s"$dir/ev")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$dir/ev")
+    val out = Streaming.runToMemory(spark,
+      Streaming.dedupKeys(stream, "1 hour", "user_id", "event_type"),
+      "graft_dedup_stream", OutputMode.Append()).collect()
+    assert(out.length == 2)
+  }
+}

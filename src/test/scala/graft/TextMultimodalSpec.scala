@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.Multimodal
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("language ID picks the language with most stopword hits") {
+    val docs = Seq(
+      (1L, "the cat and the dog sat on the mat"),
+      (2L, "el perro y la casa de los vecinos en un lugar"),
+      (3L, "xylophone zebra quartz")
+    ).toDF("doc_id", "text")
+    val t = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val hits = t.select(col("doc_id") +: TextAnalysis.Stopwords.map {
+      case (l, _) => TextAnalysis.stopwordHits("toks", l).as(s"hits_$l") }: _*)
+    val preds = hits.select(col("doc_id"), TextAnalysis.predLang.as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en" && preds(2L) == "es" && preds(3L) == "und")
+  }
+
+  test("subword count: letter runs, digit runs, punctuation marks") {
+    val n = Seq("Ab, c3 d-4").toDF("t")
+      .select(TextAnalysis.subwordCount(col("t"))).head().getInt(0)
+    assert(n == 7) // ab , c 3 d - 4
+  }
+
+  test("fingerprint is stable and shifts partially on a 1-word edit") {
+    def fp(s: String): String =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.tokens(col("text")).as("toks"))
+        .select(TextAnalysis.fingerprint("toks")).head().getString(0)
+    val a = "one two three four five six seven eight nine ten"
+    assert(fp(a) == fp(a))
+    val b = a.replace("seven", "eleven")
+    assert(fp(a) != fp(b))
+    assert(fp(a).length == 128) // 4 x md5 hex
+  }
+
+  test("multimodal: binary payload carries exact bytes and metadata") {
+    val media = Multimodal.attachBinary(
+      Seq((5L, "hello world!")).toDF("doc_id", "text"), "doc_id", "text")
+    val feats = Multimodal.byteFeatures(media).head()
+    assert(feats.getInt(2) == 12)                       // byte_len
+    assert(feats.getString(3) == "68656C6C6F20776F")    // "hello wo" hex
+    assert(feats.getInt(4) == 12 % 640)                 // width
+  }
+
+  test("multimodal: batched decode stub produces deterministic features") {
+    val media = Multimodal.attachBinary(
+      Seq((1L, "abcd"), (2L, "abcd"), (3L, "zzzz")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val out = Multimodal.decodeFeaturesStub(media).collect()
+      .map(f => f.id -> f.embedding.toSeq).toMap
+    assert(out(1L) == out(2L))       // same bytes → same features
+    assert(out(1L) != out(3L))
+    assert(out(1L).length == 4)
+  }
+}
