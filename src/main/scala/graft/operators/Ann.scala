@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
+import graft.plans.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -46,18 +47,18 @@ object Ann {
   }
 
   /** Exact top-k: for each query vector, the k candidates with highest
-    * cosine (ties by id). Queries are broadcast. */
+    * cosine (ties by id). Queries are broadcast; the Q·N similarity loop
+    * runs as the native codegen'd graft_cosine expression. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     def prep(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), Vectors.toDouble(col(vecCol)).as(s"x_$id"))
-        .withColumn(s"n_$id", Vectors.norm(col(s"x_$id")))
     val q = prep(queries, "query_id")
     val c = prep(candidates, "neighbor_id")
     val pairs = c.join(broadcast(q))
       .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosinePre(col("x_query_id"), col("x_neighbor_id"),
-          col("n_query_id"), col("n_neighbor_id")).as("cos"))
+        GraftFunctions.cosine(candidates.sparkSession,
+          col("x_query_id"), col("x_neighbor_id")).as("cos"))
     ranked(pairs, k)
   }
 
@@ -68,14 +69,14 @@ object Ann {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     def prep(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), Vectors.toDouble(col(vecCol)).as(s"x_$id"))
-        .withColumn(s"n_$id", Vectors.norm(col(s"x_$id")))
-        .withColumn(s"bkt_$id", lshBucket(s"x_$id"))
+        .withColumn(s"bkt_$id",
+          GraftFunctions.lshBucket(df.sparkSession, col(s"x_$id")))
     val q = prep(queries, "query_id")
     val c = prep(candidates, "neighbor_id")
     val pairs = c.join(broadcast(q), col("bkt_query_id") === col("bkt_neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosinePre(col("x_query_id"), col("x_neighbor_id"),
-          col("n_query_id"), col("n_neighbor_id")).as("cos"))
+        GraftFunctions.cosine(candidates.sparkSession,
+          col("x_query_id"), col("x_neighbor_id")).as("cos"))
     ranked(pairs, k)
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.{Hashes, TextAnalysis, Vectors}
+import graft.plans.GraftFunctions
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -43,7 +44,10 @@ object Dedup {
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
       .where(size(col("w")) >= shingleK)
       .select(col("id"), Hashes.shingles("w", shingleK).as("sh"))
-      .select(col("id"), Hashes.minhashSignature("sh", perms).as("sig"))
+      // native sketch kernel (plans.MinHashSignature): same md5 scheme as
+      // Hashes.minhashSignature, ~10x the throughput of the HOF form
+      .select(col("id"),
+        GraftFunctions.minhashSig(df.sparkSession, col("sh"), perms).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(Hashes.lshBands("sig", bands, rows)).as(Seq("b", "bh")))
     val cand = banded.as("a")
@@ -64,7 +68,8 @@ object Dedup {
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("w"))
       .where(size(col("w")) > 0)
-      .select(col("doc_id"), Hashes.simhash("w").as("simhash"))
+      .select(col("doc_id"),
+        GraftFunctions.simhash64(df.sparkSession, col("w")).as("simhash"))
       .select(col("doc_id"), col("simhash"),
         Hashes.simhashBand("simhash", 0).as("b0"),
         Hashes.simhashBand("simhash", 1).as("b1"),
@@ -99,11 +104,18 @@ object Dedup {
       .where(size(col("w")) >= n)
       .select(col("id"), col("grp"), Hashes.shingles("w", n).as("g"))
     val counts = grams.select(col("id"), size(col("g")).as("n_g"))
-    val posting = grams.select(col("id"), col("grp"), explode(col("g")).as("gram"))
+    val posting = grams.select(col("id"), col("grp"), size(col("g")).as("n_g"),
+      explode(col("g")).as("gram"))
+    // lossless prune: jac >= t implies inter >= t·union, and inter <=
+    // min(na,nb), union >= max(na,nb) → min/max >= t. Dropping pairs that
+    // fail the size-ratio test can't lose any pair with jac >= t, but it
+    // cuts the pair stream feeding the aggregate.
     val inter = posting.as("a")
       .join(posting.as("b"),
         col("a.gram") === col("b.gram") && col("a.grp") === col("b.grp") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          least(col("a.n_g"), col("b.n_g")).cast("double") /
+            greatest(col("a.n_g"), col("b.n_g")) >= minJaccard)
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -122,12 +134,12 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"),
-        Vectors.toDouble(col(vecCol)).as("x"))
-      .withColumn("nrm", Vectors.norm(col("x")))
+      Vectors.toDouble(col(vecCol)).as("x"))
+    // graft_cosine: native codegen'd expression — the O(N²) pair join is
+    // exactly where interpreted higher-order lambdas would dominate
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Vectors.cosinePre(col("a.x"), col("b.x"), col("a.nrm"), col("b.nrm"))
-          .as("cos"))
+        GraftFunctions.cosine(df.sparkSession, col("a.x"), col("b.x")).as("cos"))
       .where(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"),
         expr("CAST(ROUND(cos, 4) AS DOUBLE)").as("cos_sim"))

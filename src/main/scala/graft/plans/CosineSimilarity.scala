@@ -1,0 +1,159 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst cosine similarity over two `array<double>` columns.
+  *
+  * Why a custom Expression instead of `zip_with`/`aggregate`
+  * (functions.Vectors): Spark's higher-order functions don't participate
+  * in whole-stage codegen — each pair evaluation walks an interpreted
+  * lambda tree. For pairwise similarity the expression sits inside an
+  * O(N²) candidate join, so the interpreter tax multiplies. This
+  * Expression emits one tight fused loop (dot + both norms in a single
+  * pass) via `doGenCode` and stays inside the codegen stage.
+  *
+  * Numeric parity: accumulators fold left-to-right exactly like
+  * `aggregate(zip_with(...))` and like DuckDB's `list_sum` — results are
+  * bit-identical to the oracle's, so swapping it into an oracle-checked
+  * query changes nothing but speed.
+  */
+final case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, array<double>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs.getDouble(i); val y = ys.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: both the proper `SparkSessionExtensions` path (for
+  * `spark.sql.extensions=graft.plans.GraftExtensions` at session build)
+  * and a runtime path for sessions we didn't build (the driver's). */
+object GraftFunctions {
+  val CosineName = "graft_cosine"
+
+  private def info = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, CosineName)
+
+  private def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"$CosineName expects 2 arguments")
+    CosineSimilarity(exprs.head, exprs(1))
+  }
+
+  val MinHashName = "graft_minhash_sig"
+  val SimHashName = "graft_simhash64"
+
+  /** Idempotent runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(CosineName, builder, "built-in")
+    reg.createOrReplaceTempFunction(MinHashName, exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        s"$MinHashName expects (array<string>, const int)")
+      MinHashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())
+    }, "built-in")
+    reg.createOrReplaceTempFunction(SimHashName, exprs => {
+      require(exprs.length == 1, s"$SimHashName expects 1 argument")
+      SimHash64(exprs.head)
+    }, "built-in")
+    reg.createOrReplaceTempFunction(LshName, exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        s"$LshName expects (array<double>, const int)")
+      LshBucket(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+    }, "built-in")
+  }
+
+  val LshName = "graft_lsh_bucket"
+
+  /** Native hyperplane-LSH bucket column (registers on the session). */
+  def lshBucket(spark: SparkSession, vec: Column, planes: Int = 16): Column = {
+    register(spark)
+    call_function(LshName, vec.cast("array<double>"),
+      org.apache.spark.sql.functions.lit(planes))
+  }
+
+  /** Native minhash signature column (registers on the session). */
+  def minhashSig(spark: SparkSession, shingles: Column, perms: Int): Column = {
+    register(spark)
+    call_function(MinHashName, shingles, org.apache.spark.sql.functions.lit(perms))
+  }
+
+  /** Native simhash column (registers on the session). */
+  def simhash64(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    call_function(SimHashName, tokens)
+  }
+
+  /** Column API: fused native cosine (registers on the active session).
+    * No implicit coercion on the raw expression, so cast here — a no-op
+    * when the input is already array<double>. */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(CosineName, a.cast("array<double>"), b.cast("array<double>"))
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.CosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        GraftFunctions.CosineName),
+      exprs => CosineSimilarity(exprs.head, exprs(1))))
+}

@@ -1,0 +1,186 @@
+package graft.plans
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local sketch kernels + native Catalyst expressions around them.
+  *
+  * The higher-order-function formulations in functions.Hashes are the
+  * readable reference (`transform`/`aggregate` over shingles); they are
+  * also interpreter-bound — every lambda node re-walks per element, and
+  * the md5/xxhash sub-expressions evaluate interpreted inside the HOF.
+  * At sf0.1 the minhash+simhash pair cost ~37s of a 77s bench. These
+  * expressions compute the identical values (same md5("p:shingle")
+  * keying, same xxhash64 token hashing) in tight JVM loops called once
+  * per row from generated code.
+  */
+object Sketches {
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexDigits((bytes(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexDigits(bytes(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  private def ltUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** MinHash signature: for p in 0..perms-1, min over shingles of
+    * md5(p + ":" + shingle) as lowercase hex — byte-for-byte the value
+    * the HOF form (and the DuckDB oracle) computes. Called from
+    * generated code, one call per row. */
+  def minhashSig(shingles: ArrayData, perms: Int): ArrayData = {
+    val md = md5Local.get()
+    val mins = new Array[Array[Byte]](perms)
+    val prefixes = new Array[Array[Byte]](perms)
+    var p = 0
+    while (p < perms) { prefixes(p) = (p.toString + ":").getBytes; p += 1 }
+    var i = 0
+    val n = shingles.numElements()
+    while (i < n) {
+      val s = shingles.getUTF8String(i).getBytes
+      p = 0
+      while (p < perms) {
+        md.reset()
+        md.update(prefixes(p))
+        md.update(s)
+        val d = md.digest()
+        if (mins(p) == null || ltUnsigned(d, mins(p))) mins(p) = d
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(m => if (m == null) null else hex(m)))
+  }
+
+  /** Hyperplane-LSH bucket: same deterministic LCG plane family as
+    * operators.Ann's HOF form — w(p,d) = lcg(p*1024+d) scaled to
+    * [-1,1) — evaluated in one fused loop. */
+  def lshBucket(vec: ArrayData, planes: Int): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        val seed = (1103515245L * (p * 1024 + d) + 12345L) % 2147483648L
+        s += vec.getDouble(d) * ((seed.toDouble / 2147483648.0) * 2.0 - 1.0)
+        d += 1
+      }
+      if (s >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** 64-bit SimHash over tokens (multiplicity-weighted), bit j from the
+    * sign of Σ ±1 by bit j of xxhash64(token) — same values as the SQL
+    * `xxhash64` (seed 42) formulation. */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+private[plans] trait StringArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = self.child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} expects array<string>, got ${t.simpleString}")
+  }
+}
+
+/** array<string> shingles → array<string> minhash signature (native). */
+final case class MinHashSignature(child: Expression, perms: Int)
+    extends UnaryExpression with StringArrayInput {
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.minhashSig(input.asInstanceOf[ArrayData], perms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Sketches.minhashSig($c, $perms);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<double> vector → bigint hyperplane-LSH bucket (native). */
+final case class LshBucket(child: Expression, planes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.lshBucket(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Sketches.lshBucket($c, $planes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → bigint simhash (native). */
+final case class SimHash64(child: Expression)
+    extends UnaryExpression with StringArrayInput {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Sketches.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
