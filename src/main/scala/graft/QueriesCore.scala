@@ -168,6 +168,53 @@ object QueriesCore {
           |""".stripMargin)
     }),
 
+    "q_left_join" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             expr("CAST(ROUND(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))), 2) AS DOUBLE)").as("total_spent"))),
+
+    "q_grouping_sets" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  COUNT(*) AS n
+          |FROM graft_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |""".stripMargin)
+    }),
+
+    "q_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(-2, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)").as("moving_total"),
+          count(lit(1)).over(w).cast("long").as("n_in_frame"))
+    }),
+
+    "q_string_agg" -> ((s, d) =>
+      customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(expr("concat_ws(',', array_sort(collect_list(c_name)))").as("names"),
+             count(lit(1)).as("n"))),
+
+    "q_cross_join" -> ((s, d) =>
+      region(s, d).crossJoin(nation(s, d))
+        .where(col("r_regionkey") =!= col("n_regionkey"))
+        .select("r_name", "n_name")),
+
+    "q_percentile" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(expr("CAST(ROUND(PERCENTILE(o_totalprice, 0.5), 2) AS DOUBLE)").as("median_price"),
+             expr("CAST(ROUND(PERCENTILE(o_totalprice, 0.9), 2) AS DOUBLE)").as("p90_price"))),
+
     "q_sql_funcs" -> ((s, d) =>
       orders(s, d).selectExpr(
         "o_orderkey",
@@ -300,6 +347,44 @@ object QueriesCore {
     "q_subquery" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE p_retailprice > (SELECT ROUND(AVG(p_retailprice), 2) FROM part)""".stripMargin,
+
+    "q_left_join" ->
+      """SELECT c_custkey, c_name,
+        |CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+        |CAST(ROUND(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS moving_total,
+        |CAST(COUNT(*) OVER w AS BIGINT) AS n_in_frame
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT c_nationkey,
+        |string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |WHERE r_regionkey <> n_regionkey""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS median_price,
+        |CAST(ROUND(quantile_cont(o_totalprice, 0.9), 2) AS DOUBLE) AS p90_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_sql_funcs" ->
       """SELECT o_orderkey,

@@ -78,6 +78,37 @@ object QueriesEtl {
                       "clicks" -> "merged", "purchases" -> "merged")
         .output("merged")),
 
+    // CSV connector round-trip through the correctness gate: write the
+    // table as CSV, read it back via CsvSource, aggregate — the oracle
+    // sees only the original table, so any roundtrip loss would fail it
+    "etl_csv_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_rt/csv_${d.replace('/', '_')}"
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      graft.sources.CsvSource(path, header = true, inferSchema = true)
+        .read(s)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"))
+    }),
+
+    // JSONL connector round-trip (json-reducer's format, both directions)
+    "etl_jsonl_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_rt/jsonl_${d.replace('/', '_')}"
+      Tables.events(s, d)
+        .select("event_id", "user_id", "event_type")
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("event_id", org.apache.spark.sql.types.LongType),
+        StructField("user_id", org.apache.spark.sql.types.LongType),
+        StructField("event_type", org.apache.spark.sql.types.StringType)))
+      graft.sources.JsonlSource(path, Some(schema)).read(s)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // stdout-destination analogue: count records in batches of 100
     "etl_count_sink" -> ((s, d) => {
       val (records, batches) = CountingSink(batchSize = 100)
@@ -131,6 +162,16 @@ object QueriesEtl {
         |SELECT 'purchases' AS branch, CAST(user_id % 10 AS BIGINT) AS bucket,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS val
         |FROM events WHERE event_type = 'purchase' GROUP BY 2""".stripMargin,
+
+    "etl_csv_roundtrip" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "etl_jsonl_roundtrip" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "etl_count_sink" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS records,
