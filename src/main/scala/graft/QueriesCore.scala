@@ -215,6 +215,16 @@ object QueriesCore {
         .agg(expr("CAST(ROUND(PERCENTILE(o_totalprice, 0.5), 2) AS DOUBLE)").as("median_price"),
              expr("CAST(ROUND(PERCENTILE(o_totalprice, 0.9), 2) AS DOUBLE)").as("p90_price"))),
 
+    // custom physical operator (plans.TopKPerKeyExec) through the
+    // correctness gate: same rows as a row_number window, heap-executed
+    "q_topk_perkey" -> ((s, d) =>
+      graft.operators.TopK.perKey(
+        orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys = Seq("o_custkey"),
+        orderBy = Seq("o_totalprice" -> graft.operators.TopK.Desc,
+                      "o_orderkey" -> graft.operators.TopK.Asc),
+        k = 3)),
+
     "q_sql_funcs" -> ((s, d) =>
       orders(s, d).selectExpr(
         "o_orderkey",
@@ -385,6 +395,11 @@ object QueriesCore {
         |CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS median_price,
         |CAST(ROUND(quantile_cont(o_totalprice, 0.9), 2) AS DOUBLE) AS p90_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_topk_perkey" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin,
 
     "q_sql_funcs" ->
       """SELECT o_orderkey,

@@ -104,15 +104,21 @@ object Dedup {
       .where(size(col("w")) >= n)
       .select(col("id"), col("grp"), Hashes.shingles("w", n).as("g"))
     val counts = grams.select(col("id"), size(col("g")).as("n_g"))
-    val posting = grams.select(col("id"), col("grp"), size(col("g")).as("n_g"),
-      explode(col("g")).as("gram"))
+    // join key = one 64-bit hash of (group, gram): long equality beats a
+    // two-column string compare across the ~50M-row pair stream, and at
+    // this gram cardinality a collision altering any intersection count
+    // is ~1e-16 (and would be caught by the oracle hash-compare)
+    val posting = grams.select(col("id"), size(col("g")).as("n_g"),
+        explode(col("g")).as("gram"), col("grp"))
+      .select(col("id"), col("n_g"),
+        xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
     // lossless prune: jac >= t implies inter >= t·union, and inter <=
     // min(na,nb), union >= max(na,nb) → min/max >= t. Dropping pairs that
     // fail the size-ratio test can't lose any pair with jac >= t, but it
     // cuts the pair stream feeding the aggregate.
     val inter = posting.as("a")
       .join(posting.as("b"),
-        col("a.gram") === col("b.gram") && col("a.grp") === col("b.grp") &&
+        col("a.gk") === col("b.gk") &&
           col("a.id") < col("b.id") &&
           least(col("a.n_g"), col("b.n_g")).cast("double") /
             greatest(col("a.n_g"), col("b.n_g")) >= minJaccard)

@@ -148,12 +148,15 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: native functions + the
+  * TopKPerKey planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         GraftFunctions.CosineName),
       exprs => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }
