@@ -169,6 +169,46 @@ object QueriesLlm {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_sum([a.x[i+1]*b.x[i+1] for i in range(0,64)])/(a.n*b.n) >= 0.3""".stripMargin,
 
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |hs AS (
+        |  SELECT doc_id, [('0x'||substr(md5(t),1,15))::UBIGINT for t in w] AS h
+        |  FROM toks WHERE len(w) > 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in h]) >= 0
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS simhash
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bv
+        |  FROM sig, range(0,4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sa, b.simhash AS sb
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 12""".stripMargin,
+
+    "ann_lsh" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |bk AS (
+        |  SELECT vec_id, x,
+        |    list_sum([CASE WHEN list_sum([x[d+1] * ((CAST((1103515245::BIGINT * (p * 1024 + d) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0) * 2.0 - 1.0) for d in range(0,64)]) >= 0.0
+        |              THEN CAST(2**p AS BIGINT) ELSE 0 END for p in range(0,16)]) AS bkt
+        |  FROM v),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum([q.x[i+1]*c.x[i+1] for i in range(0,64)]) /
+        |      (sqrt(list_sum([xx*xx for xx in q.x])) * sqrt(list_sum([yy*yy for yy in c.x]))) AS cos
+        |  FROM bk q JOIN bk c ON q.bkt = c.bkt AND q.vec_id < 10 AND c.vec_id >= 10)
+        |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |  CAST(ROUND(cos, 4) AS DOUBLE) AS cos_r
+        |FROM p
+        |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin,
+
     "ann_topk" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,

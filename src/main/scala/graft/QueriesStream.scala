@@ -20,6 +20,12 @@ object QueriesStream {
         Streaming.windowedCounts(Streaming.eventsStream(s, d)),
         "graft_stream_window", OutputMode.Complete())),
 
+    "stream_enrich" -> ((s, d) =>
+      Streaming.runToMemory(s,
+        Streaming.enrichedSegmentCounts(
+          Streaming.eventsStream(s, d), Tables.customer(s, d)),
+        "graft_stream_enrich", OutputMode.Complete())),
+
     "stream_dedup" -> ((s, d) =>
       Streaming.runToMemory(s,
         Streaming.dedupKeys(Streaming.eventsStream(s, d), "1 hour",
@@ -40,6 +46,13 @@ object QueriesStream {
         |CAST(COUNT(*) AS BIGINT) AS n,
         |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_enrich" ->
+      """SELECT date_trunc('day', ts) AS window_start, c_mktsegment,
+        |event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",

@@ -48,17 +48,19 @@ object Hashes {
   def sigMatches(sigA: String, sigB: String): Column =
     expr(s"size(filter(zip_with($sigA, $sigB, (x, y) -> x = y), v -> v))")
 
-  /** 64-bit SimHash over a token-array column (multiplicity-weighted). */
+  /** 60-bit SimHash over a token-array column (multiplicity-weighted).
+    * Token hash = first 15 hex digits of md5 (engine-portable; the
+    * DuckDB oracle computes the identical signature). */
   def simhash(toksCol: String): Column =
     expr(
-      s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) ->
+      s"""aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) ->
          |  acc + IF(aggregate($toksCol, 0,
-         |             (a, t) -> a + IF(((xxhash64(t) >> j) & 1) = 1, 1, -1)) >= 0,
+         |             (a, t) -> a + IF(((CAST(CONV(SUBSTR(MD5(t), 1, 15), 16, 10) AS BIGINT) >> j) & 1) = 1, 1, -1)) >= 0,
          |           shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
 
-  /** 16-bit band `i` (0..3) of a simhash column, for LSH bucketing. */
+  /** 15-bit band `i` (0..3) of a simhash column, for LSH bucketing. */
   def simhashBand(simCol: String, i: Int): Column =
-    expr(s"($simCol >> ${16 * i}) & 65535")
+    expr(s"($simCol >> ${15 * i}) & 32767")
 
   /** Hamming distance between two simhash columns. */
   def hamming(a: String, b: String): Column = expr(s"bit_count($a ^ $b)")

@@ -2,7 +2,7 @@ package graft.plans
 
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -95,17 +95,30 @@ object Sketches {
     bucket
   }
 
-  /** 64-bit SimHash over tokens (multiplicity-weighted), bit j from the
-    * sign of Σ ±1 by bit j of xxhash64(token) — same values as the SQL
-    * `xxhash64` (seed 42) formulation. */
+  /** 60-bit token hash: the first 15 hex digits of md5(token) — i.e. the
+    * big-endian first 8 digest bytes shifted right 4. md5-derived so any
+    * engine (the DuckDB oracle included) reproduces it exactly. */
+  def tokenHash60(token: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(token.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** 60-bit SimHash over tokens (multiplicity-weighted), bit j from the
+    * sign of Σ ±1 by bit j of [[tokenHash60]] — engine-portable (pure
+    * md5), so near-dup results are oracle-checkable cross-engine. */
   def simhash64(tokens: ArrayData): Long = {
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](60)
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
-      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      val h = tokenHash60(tokens.getUTF8String(i))
       var j = 0
-      while (j < 64) {
+      while (j < 60) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
         j += 1
       }
@@ -113,7 +126,7 @@ object Sketches {
     }
     var out = 0L
     var j = 0
-    while (j < 64) {
+    while (j < 60) {
       if (counts(j) >= 0) out |= (1L << j)
       j += 1
     }

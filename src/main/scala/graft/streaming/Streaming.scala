@@ -41,6 +41,21 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_val"))
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast per micro-batch — the dim is re-resolvable, so
+    * slowly-changing dims pick up updates batch to batch), then a
+    * watermarked aggregate over the enriched stream. */
+  def enrichedSegmentCounts(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), stream("user_id") === dim("c_custkey"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 day"),
+        col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)").as("sum_val"))
+      .select(col("window.start").as("window_start"), col("c_mktsegment"),
+        col("event_type"), col("n"), col("sum_val"))
+
   /** Streaming dedup on keys within the watermark horizon. */
   def dedupKeys(stream: DataFrame, watermark: String, keys: String*): DataFrame =
     stream
