@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.sinks.BucketedParquetSink
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain-join rows") {
+    // skewed fact: key 1 holds 90% of rows
+    val fact = (Seq.fill(90)(1) ++ (2 to 11)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("fk", "payload")
+    val dim = (1 to 11).map(k => (k, s"dim_$k")).toDF("dk", "name")
+    val salted = Skew.saltedJoin(fact, dim, "fk", "dk", buckets = 8)
+      .select("fk", "payload", "name").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "name").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain && salted.size == 100)
+  }
+
+  test("saltedJoin spreads a hot key over multiple salt buckets") {
+    val fact = (1 to 1000).map(i => (1, i.toLong)).toDF("fk", "payload")
+    val spread = fact
+      .withColumn("s", pmod(xxhash64(col("fk"), col("payload")), lit(8)))
+      .select("s").distinct().count()
+    assert(spread == 8) // all 8 sub-keys occupied
+  }
+
+  test("bucketed tables join without an exchange") {
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    // a dropped catalog entry does not remove the warehouse dir from a
+    // previous JVM — clear it or saveAsTable hits LOCATION_ALREADY_EXISTS
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, t))
+    }
+    val orders = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    BucketedParquetSink("graft_bkt_orders", Seq("o_orderkey"), 4,
+      sortCols = Seq("o_orderkey")).write(orders)
+    BucketedParquetSink("graft_bkt_lineitem", Seq("l_orderkey"), 4,
+      sortCols = Seq("l_orderkey")).write(lineitem)
+    // force the sort-merge path: broadcast would bypass bucketing here
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bkt_orders")
+        .join(spark.table("graft_bkt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // and it still computes the right thing
+      val expected = orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
