@@ -43,6 +43,15 @@ object QueriesLlm {
         "vec_id", "embedding", k = 10)
     }),
 
+    "ann_ivf" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.ivfTopK(
+        e.where(col("vec_id") < 10),
+        e.where(col("vec_id") >= 18),
+        e.where(col("vec_id") >= 10 && col("vec_id") < 18),
+        "vec_id", "embedding", k = 5, nprobe = 2)
+    }),
+
     "ann_lsh" -> ((s, d) => {
       val e = embeddings(s, d)
       Ann.lshTopK(
@@ -189,6 +198,31 @@ object QueriesLlm {
         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 12""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, x AS cx FROM v WHERE vec_id >= 10 AND vec_id < 18),
+        |asg AS (
+        |  SELECT vec_id, x, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(ccos, 6) DESC, cid) AS crn
+        |  FROM (
+        |    SELECT a.vec_id, a.x, c.cid,
+        |      list_sum([a.x[i+1]*c.cx[i+1] for i in range(0,64)]) /
+        |        (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([q*q for q in c.cx]))) AS ccos
+        |    FROM v a, cent c)),
+        |lists AS (SELECT vec_id AS neighbor_id, x AS nx, cid FROM asg WHERE vec_id >= 18 AND crn = 1),
+        |probes AS (SELECT vec_id AS query_id, x AS qx, cid FROM asg WHERE vec_id < 10 AND crn <= 2),
+        |p AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum([qx[i+1]*nx[i+1] for i in range(0,64)]) /
+        |      (sqrt(list_sum([p2*p2 for p2 in qx])) * sqrt(list_sum([q2*q2 for q2 in nx]))) AS cos
+        |  FROM lists JOIN probes USING (cid))
+        |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |  CAST(ROUND(cos, 4) AS DOUBLE) AS cos_r
+        |FROM p
+        |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin,
 
     "ann_lsh" ->
       """WITH v AS (

@@ -62,6 +62,39 @@ object Ann {
     ranked(pairs, k)
   }
 
+  /** IVF (inverted-file) ANN: candidates are partitioned into coarse
+    * cells by nearest centroid; a query probes its `nprobe` nearest
+    * cells and searches only those lists — the index-build is one
+    * broadcast-join pass, the search cost drops from N to
+    * N·nprobe/cells. Centroids here are a deterministic subset of the
+    * corpus (k-means would converge better but needs iterations; the
+    * cell mechanics — assignment, probing, rerank — are identical).
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val spark = candidates.sparkSession
+    def prep(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), Vectors.toDouble(col(vecCol)).as(s"x_$id"))
+    val cent = prep(centroids, "cid")
+    def assign(df: DataFrame, id: String, keep: Int) = {
+      val w = Window.partitionBy(id)
+        .orderBy(round(col("ccos"), 6).desc, col("cid").asc)
+      df.join(broadcast(cent))
+        .withColumn("ccos",
+          GraftFunctions.cosine(spark, col(s"x_$id"), col("x_cid")))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") <= keep)
+        .select(col(id), col(s"x_$id"), col("cid"))
+    }
+    val lists = assign(prep(candidates, "neighbor_id"), "neighbor_id", 1)
+    val probes = assign(prep(queries, "query_id"), "query_id", nprobe)
+    val pairs = lists.join(probes, "cid")
+      .select(col("query_id"), col("neighbor_id"),
+        GraftFunctions.cosine(spark, col("x_query_id"), col("x_neighbor_id"))
+          .as("cos"))
+    ranked(pairs, k)
+  }
+
   /** LSH-bucketed ANN: candidates restricted to the query's bucket, then
     * exact rerank. Queries with an empty bucket return no rows (probe
     * multiple buckets for recall at scale). */
