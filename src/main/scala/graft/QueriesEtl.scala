@@ -109,6 +109,28 @@ object QueriesEtl {
              countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // error-channel split: rows whose parse attempt fails flow to an
+    // error side-output as wrap-error envelopes; both sides re-unioned
+    // here (tagged) so one oracle checks the whole routing
+    "etl_error_channel" -> ((s, d) => {
+      val sp = graft.functions.ErrorChannel.split(
+        events(s, d),
+        // "parse": value must floor to a strictly positive int (FLOOR,
+        // not CAST — duckdb CAST(double AS INT) rounds, Spark truncates)
+        attempt = expr("CASE WHEN CAST(FLOOR(value) AS INT) > 0 THEN CAST(FLOOR(value) AS INT) END"),
+        resultName = "parsed",
+        ok = Seq(col("event_id")),
+        timestampMs = unix_millis(col("ts")),
+        sourceStream = "events",
+        errJson = concat(lit("{\"event_id\":"), col("event_id").cast("string"),
+          lit("}")))
+      sp.ok.select(lit("record").as("channel"),
+          col("event_id"), col("parsed"), lit(null.asInstanceOf[String]).as("envelope"))
+        .unionByName(sp.errors.select(lit("error").as("channel"),
+          lit(null.asInstanceOf[java.lang.Long]).as("event_id"),
+          lit(null.asInstanceOf[java.lang.Integer]).as("parsed"), col("envelope")))
+    }),
+
     // stdout-destination analogue: count records in batches of 100
     "etl_count_sink" -> ((s, d) => {
       val (records, batches) = CountingSink(batchSize = 100)
@@ -172,6 +194,18 @@ object QueriesEtl {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "etl_error_channel" ->
+      """SELECT 'record' AS channel, event_id,
+        |  CAST(FLOOR(value) AS INT) AS parsed, CAST(NULL AS VARCHAR) AS envelope
+        |FROM events WHERE FLOOR(value) > 0
+        |UNION ALL
+        |SELECT 'error' AS channel, CAST(NULL AS BIGINT) AS event_id,
+        |  CAST(NULL AS INT) AS parsed,
+        |  '{"type":"error","timestamp":' || CAST(epoch_ms(ts) AS VARCHAR) ||
+        |  ',"version":"0.1.0","schema":"etlp_raw","source_stream":"events","data":{"event_id":'
+        |  || CAST(event_id AS VARCHAR) || '}}' AS envelope
+        |FROM events WHERE NOT (FLOOR(value) > 0)""".stripMargin,
 
     "etl_count_sink" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS records,

@@ -29,6 +29,15 @@ object Hl7 {
   /** field column → array<string> of components. */
   def components(field: Column): Column = split(field, CompRe)
 
+  /** field column → array<string> of repetitions (`~`-separated). */
+  def repetitions(field: Column): Column = split(field, "~")
+
+  /** message → MSH-9 message type code (e.g. "ADT^A01" → "ADT").
+    * MSH numbering is shifted: MSH-1 is the field separator itself, so
+    * MSH-9 is the 9th `|`-delimited token (index 8 after the id). */
+  def messageType(msg: Column): Column =
+    element_at(components(field(element_at(segments(msg), 1), 8)), 1)
+
   /** segment id (MSH/PID/OBX/...). */
   def segmentId(segment: Column): Column = element_at(fields(segment), 1)
 

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate analytics — at 100 TB, exact `COUNT(DISTINCT)` and exact
+  * quantiles force full shuffles of the distinct values; these sketches
+  * keep fixed-size state per group and merge associatively (one partial
+  * pass + tiny final merge — same shape as any partial aggregate).
+  *
+  * These are deliberately NOT in the DuckDB-oracle set: sketch estimates
+  * are engine-specific. Correctness is spec-checked against exact
+  * answers within the configured error (ApproxSpec).
+  */
+object Approx {
+  /** HyperLogLog++ distinct count per group (relative error `rsd`). */
+  def distinctCount(df: DataFrame, groupCols: Seq[String], countCol: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(countCol), rsd).as("approx_distinct"))
+
+  /** Approximate quantiles per group (Greenwald-Khanna style sketch;
+    * `accuracy` = 1/relative-rank-error). */
+  def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val probsSql = probs.mkString("array(", ", ", ")")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile_approx($valueCol, $probsSql, $accuracy)")
+        .as("approx_quantiles"))
+  }
+
+  /** Heavy hitters: values of `itemCol` with frequency >= `support`. */
+  def frequentItems(df: DataFrame, itemCol: String,
+      support: Double = 0.01): DataFrame =
+    df.stat.freqItems(Seq(itemCol), support)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Approx
+
+class ApproxSpec extends SparkSpec {
+
+  test("HLL distinct count within rsd of exact") {
+    val events = Tables.events(spark, sf0001)
+    val approx = Approx.distinctCount(events, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(2, (n * 0.15)), s"$k: ${approx(k)} vs $n")
+    }
+  }
+
+  test("approx quantiles bracket the exact median") {
+    val orders = Tables.orders(spark, sf0001)
+    val row = Approx.quantiles(orders, Seq("o_orderpriority"),
+      "o_totalprice", Seq(0.5)).collect().head
+    val q = row.getSeq[Double](1).head
+    val exact = orders.where(col("o_orderpriority") === row.getString(0))
+      .selectExpr("percentile(o_totalprice, 0.5)").head().getDouble(0)
+    assert(math.abs(q - exact) / exact < 0.1)
+  }
+
+  test("frequent items finds every event type at low support") {
+    val out = Approx.frequentItems(Tables.events(spark, sf0001), "event_type", 0.1)
+      .head().getSeq[String](0).toSet
+    assert(Set("click", "view", "purchase", "signup", "error").subsetOf(out))
+  }
+
+  test("HL7 repetitions and message type") {
+    import spark.implicits._
+    val msg = "MSH|^~\\&|APP|FAC|||||ADT^A01|X\rPID|1||42~43"
+    val df = Seq(msg).toDF("msg")
+    assert(df.select(graft.functions.Hl7.messageType(col("msg")))
+      .head().getString(0) == "ADT")
+    val pid = graft.functions.Hl7.explodeSegments(df, col("msg"))
+      .where(graft.functions.Hl7.segmentId(col("seg")) === "PID")
+    assert(pid.select(graft.functions.Hl7.repetitions(
+        graft.functions.Hl7.field(col("seg"), 3)))
+      .head().getSeq[String](0) == Seq("42", "43"))
+  }
+}
