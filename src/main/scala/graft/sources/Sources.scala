@@ -22,7 +22,10 @@ private[sources] trait PathSource extends EtlpSource {
   def discover(spark: SparkSession): StructType = read(spark).schema
 }
 
-/** Columnar lake source (the 100 TB workhorse). */
+/** Columnar lake source (the 100 TB workhorse). `path` is any
+  * Hadoop-filesystem URI — `s3a://bucket/prefix` covers the reference's
+  * S3 source (README `create-s3-source!`) with zero extra code: listing,
+  * split planning and reads all go through the FileSystem API. */
 final case class ParquetSource(path: String) extends PathSource {
   def spec: Map[String, String] = Map("type" -> "parquet", "path" -> path)
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)

@@ -76,4 +76,23 @@ class ConnectorSpec extends SparkSpec {
     MemorySink("graft_mem_test").write(spark.range(5).toDF("n"))
     assert(spark.table("graft_mem_test").count() == 5)
   }
+
+  test("JdbcSink validates its configuration surface") {
+    import graft.sinks.JdbcSink
+    assert(JdbcSink("jdbc:postgresql://db/x", "t").check(spark).valid)
+    assert(!JdbcSink("http://not-jdbc", "t").check(spark).valid)
+    assert(!JdbcSink("jdbc:postgresql://db/x", "").check(spark).valid)
+    assert(JdbcSink("jdbc:postgresql://db/x", "t").spec("type") == "jdbc")
+  }
+
+  test("FanOutSink writes one cached frame to every sink (mult/tap)") {
+    import graft.sinks.FanOutSink
+    val dir = Files.createTempDirectory("graft-fan").toString
+    val fan = FanOutSink(Seq(
+      ParquetSink(s"$dir/a"), ParquetSink(s"$dir/b"), CountingSink(10)))
+    assert(fan.check(spark).valid)
+    assert(fan.write(spark.range(25).toDF("n")) == 25L)
+    assert(spark.read.parquet(s"$dir/a").count() == 25)
+    assert(spark.read.parquet(s"$dir/b").count() == 25)
+  }
 }
