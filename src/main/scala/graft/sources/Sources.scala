@@ -71,9 +71,8 @@ final case class JsonlSource(path: String, schema: Option[StructType] = None,
   def spec: Map[String, String] = Map("type" -> "jsonl", "path" -> path)
   def read(spark: SparkSession): DataFrame = schema match {
     case Some(s) =>
-      TextLineSource(path, recursive).read(spark)
-        .select(from_json(col("line"), s).as("rec"), col("file"))
-        .select(col("rec.*"), col("file"))
+      graft.functions.Jsonl.parseLines(
+        TextLineSource(path, recursive).read(spark), "line", s)
     case None =>
       spark.read.option("recursiveFileLookup", recursive).json(path)
         .withColumn("file", input_file_name())
