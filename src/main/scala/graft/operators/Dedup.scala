@@ -95,6 +95,62 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Exact n-gram Jaccard via AllPairs/PPJoin prefix filtering: order
+    * every doc's grams rarest-first (global doc-frequency), keep only
+    * the prefix of length n_g − ceil(t·n_g) + 1 for candidate
+    * generation — any pair with jac ≥ t must collide inside both
+    * prefixes — then verify candidates exactly with a row-local
+    * `array_intersect` over the full gram sets. The pair stream shrinks
+    * by the prefix ratio AND the frequency skew (rare grams have short
+    * posting lists); verification is a broadcast join against the
+    * per-doc gram arrays. Exact: same result set as the inverted-index
+    * count (equality spec in DedupSpec).
+    *
+    * When to use which (measured, see PLANS.md): prefix filtering wins
+    * on natural corpora where gram frequency is Zipfian (rare-gram
+    * prefixes have short posting lists); on the synthetic tiny-vocab
+    * testdata frequencies are uniform, the prefix prunes little, and
+    * its two extra shuffles (df join + rank) make [[ngramJaccardPairs]]
+    * faster — which is why the query entry uses the inverted-index
+    * form. */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 2, minJaccard: Double = 0.3): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("id"), col("grp"), Hashes.shingles("w", n).as("g"))
+    val posting = grams.select(col("id"), col("grp"), size(col("g")).as("n_g"),
+      explode(col("g")).as("gram"))
+    val gramDf = posting.groupBy("grp", "gram").agg(count(lit(1)).as("gdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("gdf").asc, col("gram").asc)
+    val prefix = posting
+      .join(gramDf, Seq("grp", "gram"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= col("n_g") - ceil(col("n_g") * minJaccard) + 1)
+      .select(col("id"), col("grp"), col("n_g"),
+        xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.gk") === col("b.gk") && col("a.id") < col("b.id") &&
+          least(col("a.n_g"), col("b.n_g")).cast("double") /
+            greatest(col("a.n_g"), col("b.n_g")) >= minJaccard)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val sets = grams.select(col("id"), col("g"))
+    cand
+      .join(broadcast(sets.as("sa")), col("doc_a") === col("sa.id"))
+      .join(broadcast(sets.as("sb")), col("doc_b") === col("sb.id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.g"), col("sb.g"))).cast("double") /
+          (size(col("sa.g")) + size(col("sb.g")) -
+            size(array_intersect(col("sa.g"), col("sb.g"))))).as("jac"))
+      .where(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(ROUND(jac, 4) AS DOUBLE)").as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity via inverted-index join. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, n: Int = 2, minJaccard: Double = 0.3): DataFrame = {

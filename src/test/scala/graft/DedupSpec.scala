@@ -57,6 +57,19 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((0L, 2L)))
   }
 
+  test("prefix-filtered jaccard equals the inverted-index result") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = norm(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "lang"))
+    val b = norm(Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", "lang"))
+    assert(a == b && a.nonEmpty)
+    // and on real data
+    val docs = Tables.documents(spark, sf0001)
+    val a2 = norm(Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang"))
+    val b2 = norm(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", "lang"))
+    assert(a2 == b2)
+  }
+
   test("embedding cosine pairs above threshold only") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
