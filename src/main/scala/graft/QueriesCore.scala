@@ -225,6 +225,18 @@ object QueriesCore {
                       "o_orderkey" -> graft.operators.TopK.Asc),
         k = 3)),
 
+    // as-of join: each event enriched with the customer's latest order
+    // at event time (union+window implementation — no pair explosion)
+    "q_asof" -> ((s, d) =>
+      graft.operators.AsOf.join(
+        events(s, d).select("event_id", "user_id", "ts"),
+        orders(s, d).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        tieBreak = "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")),
+
     "q_sql_funcs" -> ((s, d) =>
       orders(s, d).selectExpr(
         "o_orderkey",
@@ -400,6 +412,15 @@ object QueriesCore {
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin,
+
+    "q_asof" ->
+      """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1""".stripMargin,
 
     "q_sql_funcs" ->
       """SELECT o_orderkey,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for every left row, the single right row
+  * with the greatest `rightTime <= leftTime` within the same key. The
+  * canonical time-series enrichment operator Spark's API lacks.
+  *
+  * Spark-first implementation: NOT the naive
+  * `join(key && rt <= lt) + rank` — that explodes every left row by its
+  * full right history before pruning (quadratic in rows-per-key).
+  * Instead the union+window trick: interleave both sides on one
+  * timeline per key, sorted so right rows precede left rows at equal
+  * timestamps, and carry the latest right payload forward with
+  * `last(_, ignoreNulls = true)`. One shuffle by key, one sort — the
+  * same cost envelope as any windowed aggregate, linear in rows. Ties
+  * among right rows at one timestamp resolve to the largest
+  * `tieBreak` (deterministic).
+  */
+object AsOf {
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], tieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("graft_k", col(leftKey))
+      .withColumn("graft_t", unix_micros(col(leftTime).cast("timestamp")))
+      .withColumn("graft_isleft", lit(1))
+      .withColumn("graft_tie", lit(0L))
+    val lAligned = rightPayload.foldLeft(l)((df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val r = right
+      .withColumn("graft_k", col(rightKey))
+      // cast: TIMESTAMP_NTZ columns (native parquet reads) aren't
+      // accepted by unix_micros; session tz is UTC so the cast is exact
+      .withColumn("graft_t", unix_micros(col(rightTime).cast("timestamp")))
+      .withColumn("graft_isleft", lit(0))
+      .withColumn("graft_tie", col(tieBreak).cast("long"))
+    val rAligned = leftCols.foldLeft(r)((df, c) =>
+      if (rightPayload.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val cols = leftCols ++ rightPayload ++
+      Seq("graft_k", "graft_t", "graft_isleft", "graft_tie")
+    val unioned = lAligned.select(cols.map(col): _*)
+      .unionByName(rAligned.select(cols.map(col): _*))
+    // right rows first at equal time (asof is <=), then by tiebreak so
+    // last() picks the winning right row
+    val w = Window.partitionBy("graft_k")
+      .orderBy(col("graft_t").asc, col("graft_isleft").asc, col("graft_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(unioned)((df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    carried.where(col("graft_isleft") === 1)
+      .select((leftCols ++ rightPayload).map(col): _*)
+  }
+}
