@@ -105,6 +105,21 @@ object QueriesLlm {
         .withColumn("chars_per_token",
           expr("CAST(ROUND(CAST(n_chars AS DOUBLE) / ws_tokens, 4) AS DOUBLE)"))),
 
+    "text_clean" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextAnalysis.clean(col("text")).as("cleaned"))
+        .select(col("doc_id"), col("cleaned"),
+          length(col("cleaned")).as("n_clean_chars"),
+          size(TextAnalysis.tokens(col("cleaned"))).as("n_clean_tokens"))),
+
+    "text_stopword_filter" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          concat_ws(" ", TextAnalysis.removeStopwords("toks", "en")).as("kept"),
+          (size(col("toks")) -
+            size(TextAnalysis.removeStopwords("toks", "en"))).as("n_removed"))),
+
     "text_fingerprint" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
@@ -303,6 +318,21 @@ object QueriesLlm {
         |  CAST(length(text) AS INT) AS n_chars,
         |  CAST(ROUND(CAST(length(text) AS DOUBLE) / len(list_filter(string_split(lower(text),' '), x -> x<>'')), 4) AS DOUBLE) AS chars_per_token
         |FROM documents""".stripMargin,
+
+    "text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS cleaned,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_clean_chars,
+        |  CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x <> '')) AS INT) AS n_clean_tokens
+        |FROM documents""".stripMargin,
+
+    "text_stopword_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(list_filter(w, t2 -> NOT list_contains([${inList("en")}], t2)), ' ') AS kept,
+         |  CAST(len(w) - len(list_filter(w, t2 -> NOT list_contains([${inList("en")}], t2))) AS INT) AS n_removed
+         |FROM t""".stripMargin,
 
     "text_fingerprint" ->
       """WITH t AS (

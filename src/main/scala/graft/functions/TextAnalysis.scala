@@ -45,6 +45,19 @@ object TextAnalysis {
     expr(s"CASE $cases ELSE 'und' END")
   }
 
+  /** Training-corpus text cleaning: lowercase, strip non-alphanumerics
+    * to spaces, collapse runs, trim. One codegen'd expression chain. */
+  def clean(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), lit("[^a-z0-9 ]"), lit(" ")),
+      lit(" +"), lit(" ")))
+
+  /** Drop one language's stopwords from a token array. */
+  def removeStopwords(toksCol: String, lang: String): Column = {
+    val ws = Stopwords.toMap.apply(lang)
+    expr(s"filter($toksCol, t -> NOT t IN (${sqlList(ws)}))")
+  }
+
   /** BPE-ish subword count: letter runs, digit runs, single punctuation
     * marks — a cheap, deterministic proxy for a real tokenizer's token
     * count (the container has no tokenizer libs; the regex is the
