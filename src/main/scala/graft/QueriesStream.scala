@@ -35,8 +35,8 @@ object QueriesStream {
     "stream_session" -> ((s, d) =>
       Streaming.sessionizeBatch(Tables.events(s, d)).toDF()
         .select(col("user_id"), col("session_id"),
-          expr("timestamp_micros(start_us)").as("session_start"),
-          expr("timestamp_micros(end_us)").as("session_end"),
+          expr("CAST(timestamp_micros(start_us) AS TIMESTAMP_NTZ)").as("session_start"),
+          expr("CAST(timestamp_micros(end_us) AS TIMESTAMP_NTZ)").as("session_end"),
           col("n_events")))
   )
 

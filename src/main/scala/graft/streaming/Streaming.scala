@@ -38,8 +38,10 @@ object Streaming {
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)").as("sum_val"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_val"))
+      // ntz output: the oracle's date_trunc yields naive timestamps, and a
+      // tz-aware column would diverge under a tz-sensitive comparator
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("sum_val"))
 
   /** Stream-static enrichment: join the event stream against a static
     * dimension (broadcast per micro-batch — the dim is re-resolvable, so
@@ -53,8 +55,8 @@ object Streaming {
         col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)").as("sum_val"))
-      .select(col("window.start").as("window_start"), col("c_mktsegment"),
-        col("event_type"), col("n"), col("sum_val"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("c_mktsegment"), col("event_type"), col("n"), col("sum_val"))
 
   /** Streaming dedup on keys within the watermark horizon. */
   def dedupKeys(stream: DataFrame, watermark: String, keys: String*): DataFrame =

@@ -58,7 +58,12 @@ class StreamingSpec extends SparkSpec {
     val out = Streaming.runToMemory(spark,
       Streaming.windowedCounts(stream), "graft_win_stream",
       OutputMode.Complete()).collect()
-      .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1)) -> r.getLong(2)).toMap
+      .map { r =>
+        // window_start is TIMESTAMP_NTZ → LocalDateTime
+        val mins = r.getAs[java.time.LocalDateTime](0)
+          .toEpochSecond(java.time.ZoneOffset.UTC) / 60
+        (mins, r.getString(1)) -> r.getLong(2)
+      }.toMap
     assert(out((1440L, "click")) == 2L)
     assert(out((1500L, "view")) == 1L)
   }
