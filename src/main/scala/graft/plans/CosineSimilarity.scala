@@ -158,5 +158,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.CosineName),
       exprs => CosineSimilarity(exprs.head, exprs(1))))
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
   }
 }

@@ -13,10 +13,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *
   * The DataFrame idiom — `row_number() OVER (PARTITION BY k ORDER BY o)
   * <= K` — plans as WindowExec: shuffle by key, then FULL SORT of every
-  * partition, then rank + filter. At 100 TB the sort is the problem: it
-  * buffers/spills entire key groups to emit K rows each. This operator
-  * keeps an O(K) binary heap per key instead — memory bounded by
-  * K × distinct-keys-per-partition, no sort, no spill, same rows out.
+  * partition, then rank + filter. Spark 3.5+ softens this with
+  * InferWindowGroupLimit (per-group limits before/after the shuffle),
+  * but both sides of that plan still SORT their partitions. This
+  * operator keeps an O(K) binary heap per key instead — memory bounded
+  * by K × distinct-keys-per-partition, no sort at all, same rows out.
+  * [[TopKRewriteRule]] applies it automatically to the window idiom
+  * when the rank column is dropped.
   *
   * Pieces (the full custom-operator stack, SURVEY §3(c)):
   *  - [[TopKPerKey]]: logical node (keys, order, k)
