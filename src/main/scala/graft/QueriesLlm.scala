@@ -128,7 +128,12 @@ object QueriesLlm {
 
     "mm_features" -> ((s, d) =>
       Multimodal.byteFeatures(
-        Multimodal.attachBinary(documents(s, d), "doc_id", "text")))
+        Multimodal.attachBinary(documents(s, d), "doc_id", "text"))),
+
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.attachBinary(documents(s, d), "doc_id", "text"),
+        frameBytes = 256))
   )
 
   private def inList(lang: String): String =
@@ -342,6 +347,16 @@ object QueriesLlm {
         |    list_sort(list_distinct([md5(array_to_string(w[i:i+3], ' ')) for i in range(1, len(w)-2)])) AS hs
         |  FROM t WHERE len(w) >= 4)
         |SELECT doc_id, array_to_string(hs[1:4], '') AS fp FROM f""".stripMargin,
+
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, text,
+        |    CAST(CEIL(length(text) / 256.0) AS INT) AS n_frames
+        |  FROM documents)
+        |SELECT id, CAST(i AS INT) AS frame_idx,
+        |  CAST(octet_length(encode(substr(text, i*256 + 1, 256))) AS INT) AS frame_bytes,
+        |  md5(substr(text, i*256 + 1, 256)) AS frame_md5
+        |FROM m, range(0, 1000) t(i) WHERE i < n_frames""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id AS id, 'image' AS modality,

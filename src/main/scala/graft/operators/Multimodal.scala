@@ -48,6 +48,23 @@ object Multimodal {
       col("width"), col("height"),
       md5(col("payload")).as("content_md5"))
 
+  /** Frame sampling: one row per fixed-size payload chunk (the video →
+    * frame-extraction plumbing; a real decoder replaces byte-slicing
+    * with keyframe selection, the explode/schema shape is identical).
+    * Row-local posexplode — no shuffle; at 100 TB frame rows inherit
+    * the scan's partitioning. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256): DataFrame =
+    media
+      .withColumn("n_frames",
+        ceil(octet_length(col("payload")) / lit(frameBytes.toDouble)).cast("int"))
+      .select(col("id"), col("modality"), col("payload"),
+        posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("pos", "frame_idx")))
+      .select(col("id"), col("frame_idx").cast("int").as("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
+      .select(col("id"), col("frame_idx"),
+        octet_length(col("frame")).cast("int").as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+
   // ======================================================================
   // STUB: deterministic fake decode. A real deployment replaces this with
   // an actual media decoder; the batching/partitioning contract is real.
