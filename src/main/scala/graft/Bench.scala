@@ -37,19 +37,24 @@ object Bench {
 
     // best-of-2: a single sample is hostage to one GC pause / page-cache
     // miss (observed: a 1.4s query spiking to 36s once); min-of-two is
-    // the standard defense and reflects the engine, not the neighbor
+    // the standard defense and reflects the engine, not the neighbor.
+    // A query that throws records the -1 sentinel (and lands in
+    // "errors") instead of folding a near-zero elapsed time into the
+    // results as a phantom speedup.
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
-      name -> times.min
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

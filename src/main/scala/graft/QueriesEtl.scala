@@ -196,6 +196,10 @@ object QueriesEtl {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "etl_error_channel" ->
+      // NULL-safe split: a NULL `value` must land in the error channel
+      // (Spark's ErrorChannel routes NULL attempts there); plain
+      // WHERE NOT(FLOOR(value) > 0) would drop NULL rows from BOTH
+      // branches, silently losing records
       """SELECT 'record' AS channel, event_id,
         |  CAST(FLOOR(value) AS INT) AS parsed, CAST(NULL AS VARCHAR) AS envelope
         |FROM events WHERE FLOOR(value) > 0
@@ -205,7 +209,7 @@ object QueriesEtl {
         |  '{"type":"error","timestamp":' || CAST(epoch_ms(ts) AS VARCHAR) ||
         |  ',"version":"0.1.0","schema":"etlp_raw","source_stream":"events","data":{"event_id":'
         |  || CAST(event_id AS VARCHAR) || '}}' AS envelope
-        |FROM events WHERE NOT (FLOOR(value) > 0)""".stripMargin,
+        |FROM events WHERE (FLOOR(value) > 0) IS NOT TRUE""".stripMargin,
 
     "etl_count_sink" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS records,

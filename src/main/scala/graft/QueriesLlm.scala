@@ -34,7 +34,7 @@ object QueriesLlm {
 
     "dedup_embed" -> ((s, d) =>
       Dedup.embeddingPairs(embeddings(s, d), "vec_id", "embedding",
-        minCosine = 0.3)),
+        minCosine = 0.3, bands = 4, bandBits = 8)),
 
     "ann_topk" -> ((s, d) => {
       val e = embeddings(s, d)
@@ -188,15 +188,30 @@ object QueriesLlm {
         |  CAST(ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 4) AS DOUBLE) AS jaccard
         |FROM p WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.3""".stripMargin,
 
+    // banded hyperplane-LSH candidates (4 bands × 8 planes from the
+    // 32-plane LCG family) + exact-cosine rerank — mirrors
+    // Dedup.embeddingPairs exactly (the band family is deterministic
+    // arithmetic, so the candidate set is engine-portable)
     "dedup_embed" ->
       """WITH v AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
-        |    sqrt(list_sum([xx*xx for xx in CAST(embedding AS DOUBLE[])])) AS n
-        |  FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(ROUND(list_sum([a.x[i+1]*b.x[i+1] for i in range(0,64)])/(a.n*b.n), 4) AS DOUBLE) AS cos_sim
-        |FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |WHERE list_sum([a.x[i+1]*b.x[i+1] for i in range(0,64)])/(a.n*b.n) >= 0.3""".stripMargin,
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |bk AS (
+        |  SELECT vec_id,
+        |    list_sum([CASE WHEN list_sum([x[d+1] * ((CAST((1103515245::BIGINT * (p * 1024 + d) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0) * 2.0 - 1.0) for d in range(0,64)]) >= 0.0
+        |              THEN CAST(2**p AS BIGINT) ELSE 0 END for p in range(0,32)]) AS bkt
+        |  FROM v),
+        |bands AS (
+        |  SELECT vec_id, b, (bkt >> (8*b)) & 255 AS bv FROM bk, range(0,4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id),
+        |p AS (
+        |  SELECT id_a, id_b,
+        |    list_sum([va.x[i+1]*vb.x[i+1] for i in range(0,64)]) /
+        |      (sqrt(list_sum([xx*xx for xx in va.x])) * sqrt(list_sum([yy*yy for yy in vb.x]))) AS cos
+        |  FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id)
+        |SELECT id_a, id_b, CAST(ROUND(cos, 4) AS DOUBLE) AS cos_sim
+        |FROM p WHERE cos >= 0.3""".stripMargin,
 
     "dedup_simhash" ->
       """WITH toks AS (

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * same cost envelope as any windowed aggregate, linear in rows. Ties
   * among right rows at one timestamp resolve to the largest
   * `tieBreak` (deterministic).
+  *
+  * The payload travels as ONE struct column through the window, so the
+  * winning right row is selected atomically: a right row with NULL in
+  * some payload column contributes that NULL (rather than letting an
+  * older row's non-null value bleed through per-column), and the output
+  * never mixes columns from different right rows.
   */
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
@@ -25,13 +31,14 @@ object AsOf {
       leftTime: String, rightTime: String,
       rightPayload: Seq[String], tieBreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("graft_k", col(leftKey))
       .withColumn("graft_t", unix_micros(col(leftTime).cast("timestamp")))
       .withColumn("graft_isleft", lit(1))
       .withColumn("graft_tie", lit(0L))
-    val lAligned = rightPayload.foldLeft(l)((df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+      .withColumn("graft_payload", lit(null).cast(payloadStructType))
     val r = right
       .withColumn("graft_k", col(rightKey))
       // cast: TIMESTAMP_NTZ columns (native parquet reads) aren't
@@ -39,21 +46,27 @@ object AsOf {
       .withColumn("graft_t", unix_micros(col(rightTime).cast("timestamp")))
       .withColumn("graft_isleft", lit(0))
       .withColumn("graft_tie", col(tieBreak).cast("long"))
+      // the whole winning row travels as one non-null struct
+      .withColumn("graft_payload",
+        struct(rightPayload.map(c => col(c).as(c)): _*))
     val rAligned = leftCols.foldLeft(r)((df, c) =>
-      if (rightPayload.contains(c)) df
+      if (r.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val cols = leftCols ++ rightPayload ++
-      Seq("graft_k", "graft_t", "graft_isleft", "graft_tie")
-    val unioned = lAligned.select(cols.map(col): _*)
+    val cols = leftCols ++
+      Seq("graft_k", "graft_t", "graft_isleft", "graft_tie", "graft_payload")
+    val unioned = l.select(cols.map(col): _*)
       .unionByName(rAligned.select(cols.map(col): _*))
     // right rows first at equal time (asof is <=), then by tiebreak so
-    // last() picks the winning right row
+    // last() picks the winning right row; ignoreNulls skips only LEFT
+    // rows (their payload struct is NULL) — a right row's struct is
+    // always non-null, even when its fields are
     val w = Window.partitionBy("graft_k")
       .orderBy(col("graft_t").asc, col("graft_isleft").asc, col("graft_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val carried = unioned.withColumn("graft_payload",
+      last(col("graft_payload"), ignoreNulls = true).over(w))
     carried.where(col("graft_isleft") === 1)
-      .select((leftCols ++ rightPayload).map(col): _*)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col(s"graft_payload.$c").as(c)): _*)
   }
 }

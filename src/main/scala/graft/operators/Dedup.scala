@@ -10,20 +10,28 @@ import graft.plans.GraftFunctions
   * Scale design (the point of every choice here):
   *  - Exact dedup groups on `md5(text)` — a 32-byte shuffle key — never
   *    on the document body, so shuffle bytes are O(rows), not O(corpus).
-  *  - MinHash: the signature is computed row-locally (one narrow map,
-  *    no shuffle — see [[Hashes.minhashSignature]]); only (id, sig,
-  *    band-hash) rows shuffle for the LSH band join, which is
-  *    key-partitioned: candidates meet only inside a band bucket,
-  *    never via a cross product.
-  *  - SimHash: 64-bit sketch per doc; banding on 4×16-bit chunks makes
+  *  - MinHash: signatures are computed row-locally (native codegen'd
+  *    [[graft.plans.WordShingles]] + [[graft.plans.MinHashSignature]]);
+  *    exact duplicates are collapsed to one representative per distinct
+  *    text BEFORE banding, so a hot text (the classic mass-duplicated
+  *    boilerplate doc) contributes ONE row to every band bucket instead
+  *    of N — the candidate join stays key-equality and never goes
+  *    quadratic in duplicate multiplicity. The post-join `distinct`
+  *    carries only 16-byte id pairs; signatures re-attach afterwards by
+  *    key join.
+  *  - SimHash: 64-bit sketch per doc; banding on 4×15-bit chunks makes
   *    the candidate join key-equality too.
-  *  - N-gram Jaccard: computed via an inverted-index join (explode
-  *    n-grams → join on the gram), so cost is Σ posting-list², not N².
-  *  - Embedding pairs: exact O(N²) verifier — for the full corpus use
-  *    [[Ann.lshTopK]] as the candidate generator first.
-  *  - Hot-bucket skew (e.g. thousands of identical docs share every
-  *    band): AQE skew-join handles moderate cases; for pathological ones
-  *    cap bucket width or pre-collapse exact duplicates first (cheap).
+  *  - N-gram Jaccard: inverted-index join (explode n-grams → join on the
+  *    gram), so cost is Σ posting-list², not N². The pair stream is
+  *    generated through a shuffled hash join (posting lists are narrow
+  *    and uniform; hash beats sort-merge ~2× here) and partial-aggregated
+  *    map-side. For Zipfian corpora use [[ngramJaccardPairsPrefix]]: the
+  *    rarest-first PPJoin prefix keeps stopword-gram posting lists out of
+  *    candidate generation, with an optional hard `maxDf` guard.
+  *  - Embedding pairs: banded hyperplane-LSH candidate generation (band
+  *    equi-join, never all-pairs) + exact-cosine rerank; the all-pairs
+  *    form survives only as a spec-level recall verifier
+  *    ([[embeddingPairsExact]]).
   */
 object Dedup {
 
@@ -34,34 +42,69 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash+LSH near-duplicate pairs.
+    *
+    * Identical texts have identical signatures, so the sketch/band/join
+    * pipeline runs once per DISTINCT text (collapse on `md5(text)`, a
+    * 32-byte key) and pairs expand back to member ids at the end:
+    * intra-group pairs are exact duplicates (est_jaccard 1.0 by
+    * construction) and cross-group pairs inherit their representatives'
+    * signature agreement. Output is identical to sketching every row —
+    * verified by DedupSpec — but hot buckets stay linear in distinct
+    * texts.
+    *
     * @return (doc_a, doc_b, est_jaccard) for candidate pairs sharing an
     *         LSH band whose signature agreement is >= minMatches/perms. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, perms: Int = 16, bands: Int = 4,
       minMatches: Int = 4): DataFrame = {
+    val spark = df.sparkSession
     val rows = perms / bands
-    val sigs = df
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
+    // membership map: doc id -> text-group id (row-local, no text shuffled)
+    val members = df.select(col(idCol).as("id"), md5(col(textCol)).as("gid"))
+    // one signature per distinct text: sketch row-locally, collapse by gid
+    // (first(sig) is deterministic — all sigs in a group are equal)
+    val sigsAll = df
+      .select(col(idCol).as("id"), md5(col(textCol)).as("gid"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
       .where(size(col("w")) >= shingleK)
-      .select(col("id"), Hashes.shingles("w", shingleK).as("sh"))
-      // native sketch kernel (plans.MinHashSignature): same md5 scheme as
-      // Hashes.minhashSignature, ~10x the throughput of the HOF form
-      .select(col("id"),
-        GraftFunctions.minhashSig(df.sparkSession, col("sh"), perms).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+      .select(col("id"), col("gid"),
+        GraftFunctions.minhashSig(spark,
+          GraftFunctions.shingles(spark, col("w"), shingleK), perms).as("sig"))
+    val reps = sigsAll.groupBy("gid")
+      .agg(min(col("id")).as("rid"), first(col("sig")).as("sig"))
+    val banded = reps.select(col("gid"), col("rid"), col("sig"),
       posexplode(Hashes.lshBands("sig", bands, rows)).as(Seq("b", "bh")))
+    // candidate pairs: key-equality band join; distinct over ids only —
+    // the shuffle carries (gid, gid) pairs, not kilobyte signature rows
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+          col("a.rid") < col("b.rid"))
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
       .distinct()
-    cand
-      .withColumn("m", Hashes.sigMatches("sig_a", "sig_b"))
+    val sigOf = reps.select(col("gid"), col("sig"))
+    val repPairs = cand
+      .join(sigOf.as("sa"), col("gid_a") === col("sa.gid"))
+      .join(sigOf.as("sb"), col("gid_b") === col("sb.gid"))
+      .withColumn("m", Hashes.sigMatches("sa.sig", "sb.sig"))
       .where(col("m") >= minMatches)
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("gid_a"), col("gid_b"),
         expr(s"CAST(ROUND(m / $perms.0, 4) AS DOUBLE)").as("est_jaccard"))
+    // expand representatives back to member ids
+    val cross = repPairs
+      .join(members.as("ma"), col("gid_a") === col("ma.gid"))
+      .join(members.as("mb"), col("gid_b") === col("mb.gid"))
+      .select(least(col("ma.id"), col("mb.id")).as("doc_a"),
+        greatest(col("ma.id"), col("mb.id")).as("doc_b"), col("est_jaccard"))
+    // exact duplicates: every within-group pair, est = 1.0 (sketchable
+    // groups only — texts with >= shingleK tokens, mirroring the sketch)
+    val sketchable = sigsAll.select(col("id"), col("gid"))
+    val intra = sketchable.as("x")
+      .join(sketchable.as("y"),
+        col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        lit(1.0).as("est_jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Per-doc SimHash signature + its 4 LSH band keys. */
@@ -100,42 +143,58 @@ object Dedup {
     * the prefix of length n_g − ceil(t·n_g) + 1 for candidate
     * generation — any pair with jac ≥ t must collide inside both
     * prefixes — then verify candidates exactly with a row-local
-    * `array_intersect` over the full gram sets. The pair stream shrinks
-    * by the prefix ratio AND the frequency skew (rare grams have short
-    * posting lists); verification is a broadcast join against the
-    * per-doc gram arrays. Exact: same result set as the inverted-index
-    * count (equality spec in DedupSpec).
+    * `array_intersect` over the full gram sets. A positional bound
+    * tightens generation further (PPJoin): a collision at prefix ranks
+    * (i, j) can still reach overlap ⌈t/(1+t)·(na+nb)⌉ only if
+    * min(na−i, nb−j)+1 covers it. Exact: same result set as the
+    * inverted-index count (equality spec in DedupSpec).
+    *
+    * `maxDf` is the document-frequency guard for Zipfian corpora: grams
+    * with df > maxDf never enter candidate generation. The rarest-first
+    * prefix already keeps head grams out of prefixes when docs carry
+    * enough rare grams; the hard cap bounds the worst case (a doc made
+    * entirely of stopword grams). With the cap a qualifying pair is
+    * missed only if EVERY gram its two prefixes share is capped —
+    * verification stays exact for every generated candidate, so found
+    * pairs always carry true Jaccard values.
     *
     * When to use which (measured, see PLANS.md): prefix filtering wins
     * on natural corpora where gram frequency is Zipfian (rare-gram
     * prefixes have short posting lists); on the synthetic tiny-vocab
-    * testdata frequencies are uniform, the prefix prunes little, and
-    * its two extra shuffles (df join + rank) make [[ngramJaccardPairs]]
-    * faster — which is why the query entry uses the inverted-index
-    * form. */
+    * testdata frequencies are near-uniform (sf0.1: vocab 4617, df
+    * p50=43 / max=152), the prefix prunes only ~40% of Σdf², and its
+    * extra df-join makes [[ngramJaccardPairs]] faster — which is why
+    * the query entry uses the inverted-index form. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String, n: Int = 2, minJaccard: Double = 0.3): DataFrame = {
+      groupCol: String, n: Int = 2, minJaccard: Double = 0.3,
+      maxDf: Option[Long] = None): DataFrame = {
+    val spark = df.sparkSession
     val grams = df
       .select(col(idCol).as("id"), col(groupCol).as("grp"),
         TextAnalysis.tokens(col(textCol)).as("w"))
       .where(size(col("w")) >= n)
-      .select(col("id"), col("grp"), Hashes.shingles("w", n).as("g"))
+      .select(col("id"), col("grp"),
+        GraftFunctions.shingles(spark, col("w"), n).as("g"))
     val posting = grams.select(col("id"), col("grp"), size(col("g")).as("n_g"),
       explode(col("g")).as("gram"))
     val gramDf = posting.groupBy("grp", "gram").agg(count(lit(1)).as("gdf"))
+    val capped = maxDf.fold(gramDf)(t => gramDf.where(col("gdf") <= t))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("gdf").asc, col("gram").asc)
     val prefix = posting
-      .join(gramDf, Seq("grp", "gram"))
+      .join(capped, Seq("grp", "gram"))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= col("n_g") - ceil(col("n_g") * minJaccard) + 1)
-      .select(col("id"), col("grp"), col("n_g"),
+      .select(col("id"), col("grp"), col("n_g"), col("rnk"),
         xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
     val cand = prefix.as("a")
-      .join(prefix.as("b"),
+      .join(prefix.as("b").hint("shuffle_hash"),
         col("a.gk") === col("b.gk") && col("a.id") < col("b.id") &&
           least(col("a.n_g"), col("b.n_g")).cast("double") /
-            greatest(col("a.n_g"), col("b.n_g")) >= minJaccard)
+            greatest(col("a.n_g"), col("b.n_g")) >= minJaccard &&
+          (least(col("a.n_g") - col("a.rnk"), col("b.n_g") - col("b.rnk")) + 1)
+            .cast("double") >=
+            ceil((col("a.n_g") + col("b.n_g")) * (minJaccard / (1 + minJaccard))))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     val sets = grams.select(col("id"), col("g"))
@@ -154,16 +213,18 @@ object Dedup {
   /** Exact n-gram Jaccard similarity via inverted-index join. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, n: Int = 2, minJaccard: Double = 0.3): DataFrame = {
+    val spark = df.sparkSession
     val grams = df
       .select(col(idCol).as("id"), col(groupCol).as("grp"),
         TextAnalysis.tokens(col(textCol)).as("w"))
       .where(size(col("w")) >= n)
-      .select(col("id"), col("grp"), Hashes.shingles("w", n).as("g"))
+      .select(col("id"), col("grp"),
+        GraftFunctions.shingles(spark, col("w"), n).as("g"))
     val counts = grams.select(col("id"), size(col("g")).as("n_g"))
     // join key = one 64-bit hash of (group, gram): long equality beats a
-    // two-column string compare across the ~50M-row pair stream, and at
-    // this gram cardinality a collision altering any intersection count
-    // is ~1e-16 (and would be caught by the oracle hash-compare)
+    // two-column string compare across the multi-million-row pair stream,
+    // and at this gram cardinality a collision altering any intersection
+    // count is ~1e-16 (and would be caught by the oracle hash-compare)
     val posting = grams.select(col("id"), size(col("g")).as("n_g"),
         explode(col("g")).as("gram"), col("grp"))
       .select(col("id"), col("n_g"),
@@ -172,8 +233,10 @@ object Dedup {
     // min(na,nb), union >= max(na,nb) → min/max >= t. Dropping pairs that
     // fail the size-ratio test can't lose any pair with jac >= t, but it
     // cuts the pair stream feeding the aggregate.
+    // shuffle_hash: the posting table is narrow/uniform; hashing one side
+    // beats sort-merge's two 19M-row-adjacent sorts ~2× (measured sf0.1)
     val inter = posting.as("a")
-      .join(posting.as("b"),
+      .join(posting.as("b").hint("shuffle_hash"),
         col("a.gk") === col("b.gk") &&
           col("a.id") < col("b.id") &&
           least(col("a.n_g"), col("b.n_g")).cast("double") /
@@ -191,14 +254,64 @@ object Dedup {
         expr("CAST(ROUND(jac, 4) AS DOUBLE)").as("jaccard"))
   }
 
-  /** Embedding-cosine near-dup pairs (exact; see scaladoc for the ANN
-    * prefilter at corpus scale). */
+  /** Embedding-cosine near-dup pairs via banded hyperplane LSH.
+    *
+    * Candidate generation: `bands × bandBits` deterministic hyperplanes
+    * (the [[graft.plans.LshBucket]] LCG family) hash every vector to a
+    * `planes`-bit bucket; band b is the b-th `bandBits`-bit slice. Two
+    * vectors are candidates iff they agree on at least one band — a
+    * key-equality join on (band, value), never an all-pairs product.
+    * Exact cosine then reranks candidates and applies `minCosine`.
+    *
+    * The LSH stage makes this a DEFINED estimator, not an approximation
+    * of convenience: the band family is deterministic arithmetic, so any
+    * engine reproduces the exact candidate set (the DuckDB oracle does).
+    * Recall against the exact all-pairs form rises with pair cosine —
+    * band-collision probability is (1−θ/π)^bandBits per band — so true
+    * near-duplicates (cos ≥ ~0.9) are found with high probability while
+    * unrelated pairs rarely generate candidates; DedupSpec measures
+    * recall vs [[embeddingPairsExact]].
+    *
+    * Scale: shuffle keys are (band, bandValue) ints; the distinct
+    * candidate shuffle carries 16-byte id pairs; vectors re-attach by id
+    * join for the rerank. At 100 TB widen `bandBits` (bucket count 2^bits
+    * per band) to keep bucket occupancy bounded. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bands: Int = 4, bandBits: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val planes = bands * bandBits
+    require(planes <= 63, s"bands*bandBits must fit a long, got $planes")
+    val v = df.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("x"))
+    val mask = (1L << bandBits) - 1
+    val banded = v
+      .withColumn("bkt", GraftFunctions.lshBucket(spark, col("x"), planes))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("bkt"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("b", "bv")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.as("va"), col("id_a") === col("va.id"))
+      .join(v.as("vb"), col("id_b") === col("vb.id"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.cosine(spark, col("va.x"), col("vb.x")).as("cos"))
+      .where(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(ROUND(cos, 4) AS DOUBLE)").as("cos_sim"))
+  }
+
+  /** Exact all-pairs embedding-cosine (O(N²) nested-loop join): the
+    * recall oracle for [[embeddingPairs]] in specs. Never run this on a
+    * corpus — the plan is a BroadcastNestedLoopJoin by construction. */
+  def embeddingPairsExact(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       Vectors.toDouble(col(vecCol)).as("x"))
-    // graft_cosine: native codegen'd expression — the O(N²) pair join is
-    // exactly where interpreted higher-order lambdas would dominate
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         GraftFunctions.cosine(df.sparkSession, col("a.x"), col("b.x")).as("cos"))

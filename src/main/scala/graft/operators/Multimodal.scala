@@ -57,6 +57,10 @@ object Multimodal {
     media
       .withColumn("n_frames",
         ceil(octet_length(col("payload")) / lit(frameBytes.toDouble)).cast("int"))
+      // empty payloads produce no frames: without the guard,
+      // sequence(0, -1) takes Spark's implicit -1 step and yields [0, -1]
+      // — two bogus frame rows per empty document
+      .where(col("n_frames") > 0)
       .select(col("id"), col("modality"), col("payload"),
         posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("pos", "frame_idx")))
       .select(col("id"), col("frame_idx").cast("int").as("frame_idx"),

@@ -96,6 +96,7 @@ object GraftFunctions {
 
   val MinHashName = "graft_minhash_sig"
   val SimHashName = "graft_simhash64"
+  val ShinglesName = "graft_shingles"
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -116,6 +117,11 @@ object GraftFunctions {
         s"$LshName expects (array<double>, const int)")
       LshBucket(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
     }, "built-in")
+    reg.createOrReplaceTempFunction(ShinglesName, exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        s"$ShinglesName expects (array<string>, const int)")
+      WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+    }, "built-in")
   }
 
   val LshName = "graft_lsh_bucket"
@@ -125,6 +131,12 @@ object GraftFunctions {
     register(spark)
     call_function(LshName, vec.cast("array<double>"),
       org.apache.spark.sql.functions.lit(planes))
+  }
+
+  /** Native distinct word k-grams column (registers on the session). */
+  def shingles(spark: SparkSession, tokens: Column, k: Int): Column = {
+    register(spark)
+    call_function(ShinglesName, tokens, org.apache.spark.sql.functions.lit(k))
   }
 
   /** Native minhash signature column (registers on the session). */

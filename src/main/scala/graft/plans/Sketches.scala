@@ -74,6 +74,37 @@ object Sketches {
     new GenericArrayData(mins.map(m => if (m == null) null else hex(m)))
   }
 
+  /** Distinct word k-grams (space-joined, first-occurrence order) — the
+    * value-identical native form of functions.Hashes.shingles'
+    * `array_distinct(transform(sequence(...), concat_ws(slice(...))))`.
+    * That HOF chain evaluates interpreted per row; in the dedup operators
+    * it sits under a self-join (so it runs once per join SIDE) which made
+    * shingling, not joining, the dominant cost at sf0.1. */
+  def wordShingles(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    var i = 0
+    while (i <= n - k) {
+      var len = k - 1 // separators
+      var j = 0
+      while (j < k) { len += tokens.getUTF8String(i + j).numBytes(); j += 1 }
+      val out = new Array[Byte](len)
+      var pos = 0
+      j = 0
+      while (j < k) {
+        if (j > 0) { out(pos) = ' '.toByte; pos += 1 }
+        val t = tokens.getUTF8String(i + j)
+        t.writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += t.numBytes()
+        j += 1
+      }
+      seen.add(UTF8String.fromBytes(out))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
   /** Hyperplane-LSH bucket: same deterministic LCG plane family as
     * operators.Ann's HOF form — w(p,d) = lcg(p*1024+d) scaled to
     * [-1,1) — evaluated in one fused loop. */
@@ -154,6 +185,23 @@ final case class MinHashSignature(child: Expression, perms: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.Sketches.minhashSig($c, $perms);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<string> distinct word k-grams (native). */
+final case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with StringArrayInput {
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.wordShingles(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Sketches.wordShingles($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -30,11 +30,11 @@ final case class BucketedParquetSink(
 
   def check(spark: SparkSession): CheckResult = CheckResult(valid = true, "ok")
 
-  def write(df: DataFrame): Long = {
-    val w = df.write.mode(mode).format("parquet")
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(table)
-    df.sparkSession.table(table).count()
-  }
+  def write(df: DataFrame): Long =
+    SinkMetrics.writeCounted(df) { observed =>
+      val w = observed.write.mode(mode).format("parquet")
+        .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+        .saveAsTable(table)
+    }
 }

@@ -1,7 +1,22 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 import graft.connector.{CheckResult, EtlpSink}
+
+private[sinks] object SinkMetrics {
+  /** Count rows while writing, in the SAME job: an `observe()` node
+    * (CollectMetrics) rides the write's execution, so there is no second
+    * pass over the input and the value comes from the completed query —
+    * not from per-task accumulator updates, which task retries and
+    * speculative execution can double-count (transform-side accumulators
+    * have at-least-once semantics; at 100 TB retries are routine). */
+  def writeCounted(df: DataFrame)(write: DataFrame => Unit): Long = {
+    val obs = Observation()
+    write(df.observe(obs, count(lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
+  }
+}
 
 /** Sink connectors — destinations from the reference re-expressed as
   * DataFrame consumers (cf. /root/reference/src/etlp/processors/stdout.clj).
@@ -23,15 +38,12 @@ final case class ParquetSink(
     partitionBy: Seq[String] = Nil) extends EtlpSink {
   def spec: Map[String, String] = Map("type" -> "parquet", "path" -> path)
   def check(spark: SparkSession): CheckResult = CheckResult(valid = true, "ok")
-  def write(df: DataFrame): Long = {
-    val counted = df.sparkSession.sparkContext.longAccumulator("graft.rows")
-    val w = df.mapPartitions { it =>  // count while writing, single pass
-      it.map { r => counted.add(1L); r }
-    }(org.apache.spark.sql.Encoders.row(df.schema))
-      .write.mode(mode)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
-    counted.value
-  }
+  def write(df: DataFrame): Long =
+    SinkMetrics.writeCounted(df) { observed =>
+      val w = observed.write.mode(mode)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(path)
+    }
 }
 
 /** In-memory sink for tests/inspection (bounded — never use on a full
@@ -71,8 +83,9 @@ final case class JdbcSink(
     val props = new java.util.Properties()
     properties.foreach { case (k, v) => props.setProperty(k, v) }
     props.setProperty("batchsize", batchSize.toString)
-    df.write.mode(mode).jdbc(url, table, props)
-    df.count()
+    // single pass: the observe() metric rides the insert job — no
+    // re-computation of the upstream plan to report rows written
+    SinkMetrics.writeCounted(df)(_.write.mode(mode).jdbc(url, table, props))
   }
 }
 
@@ -97,9 +110,9 @@ final case class FanOutSink(sinks: Seq[EtlpSink]) extends EtlpSink {
 /** Counting sink — the reference's stdout destination keeps a running
   * `records` atom bumped per 100-row batch and logs the total
   * (processors/stdout.clj:20-33 `update-state!`/`log-state`). Here the
-  * count is a Spark accumulator merged on the driver: distributed, one
-  * pass, no collect. Batch semantics (`partition-all 100`) survive as
-  * the reported batch count. */
+  * count is one distributed `count()` action (Catalyst collapses it to
+  * partial counts merged on the driver — no collect of rows). Batch
+  * semantics (`partition-all 100`) survive as the reported batch count. */
 final case class CountingSink(batchSize: Int = 100) extends EtlpSink {
   def spec: Map[String, String] = Map("type" -> "counting", "batch" -> batchSize.toString)
   def check(spark: SparkSession): CheckResult = CheckResult(valid = true, "ok")
