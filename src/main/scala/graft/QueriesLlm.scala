@@ -45,10 +45,10 @@ object QueriesLlm {
 
     "ann_ivf" -> ((s, d) => {
       val e = embeddings(s, d)
+      val cand = e.where(col("vec_id") >= 10)
       Ann.ivfTopK(
-        e.where(col("vec_id") < 10),
-        e.where(col("vec_id") >= 18),
-        e.where(col("vec_id") >= 10 && col("vec_id") < 18),
+        e.where(col("vec_id") < 10), cand,
+        Ann.trainCentroids(cand, "vec_id", "embedding", k = 8, iters = 2),
         "vec_id", "embedding", k = 5, nprobe = 2)
     }),
 
@@ -234,19 +234,47 @@ object QueriesLlm {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 12""".stripMargin,
 
+    // unrolled 2-iteration Lloyd's (spherical k-means, k=8): seeds are the
+    // 8 lowest-id candidates; assignment argmax on round(cos,6) with cid
+    // tie-break; update is the per-dim mean folded in id order (list(x
+    // ORDER BY vec_id) then list_sum — the same left fold Spark's
+    // id-sorted aggregate() does, so centroids match bit-for-bit)
     "ann_ivf" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, x AS cx FROM v WHERE vec_id >= 10 AND vec_id < 18),
+        |c AS (SELECT vec_id, x FROM v WHERE vec_id >= 10),
+        |cent0 AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x AS cx
+        |  FROM c QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+        |asg1 AS (
+        |  SELECT vec_id, x, cid FROM (
+        |    SELECT a.vec_id, a.x, c0.cid,
+        |      list_sum([a.x[i+1]*c0.cx[i+1] for i in range(0,64)]) /
+        |        (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([q*q for q in c0.cx]))) AS cc
+        |    FROM c a, cent0 c0)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cc, 6) DESC, cid) = 1),
+        |cent1 AS (
+        |  SELECT cid, [list_sum([v2[d+1] for v2 in vs]) / len(vs) for d in range(0,64)] AS cx
+        |  FROM (SELECT cid, list(x ORDER BY vec_id) AS vs FROM asg1 GROUP BY cid)),
+        |asg2 AS (
+        |  SELECT vec_id, x, cid FROM (
+        |    SELECT a.vec_id, a.x, c1.cid,
+        |      list_sum([a.x[i+1]*c1.cx[i+1] for i in range(0,64)]) /
+        |        (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([q*q for q in c1.cx]))) AS cc
+        |    FROM c a, cent1 c1)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cc, 6) DESC, cid) = 1),
+        |cent2 AS (
+        |  SELECT cid, [list_sum([v2[d+1] for v2 in vs]) / len(vs) for d in range(0,64)] AS cx
+        |  FROM (SELECT cid, list(x ORDER BY vec_id) AS vs FROM asg2 GROUP BY cid)),
         |asg AS (
         |  SELECT vec_id, x, cid,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(ccos, 6) DESC, cid) AS crn
         |  FROM (
-        |    SELECT a.vec_id, a.x, c.cid,
-        |      list_sum([a.x[i+1]*c.cx[i+1] for i in range(0,64)]) /
-        |        (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([q*q for q in c.cx]))) AS ccos
-        |    FROM v a, cent c)),
-        |lists AS (SELECT vec_id AS neighbor_id, x AS nx, cid FROM asg WHERE vec_id >= 18 AND crn = 1),
+        |    SELECT a.vec_id, a.x, c2.cid,
+        |      list_sum([a.x[i+1]*c2.cx[i+1] for i in range(0,64)]) /
+        |        (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([q*q for q in c2.cx]))) AS ccos
+        |    FROM v a, cent2 c2)),
+        |lists AS (SELECT vec_id AS neighbor_id, x AS nx, cid FROM asg WHERE vec_id >= 10 AND crn = 1),
         |probes AS (SELECT vec_id AS query_id, x AS qx, cid FROM asg WHERE vec_id < 10 AND crn <= 2),
         |p AS (
         |  SELECT query_id, neighbor_id,

@@ -62,13 +62,57 @@ object Ann {
     ranked(pairs, k)
   }
 
+  /** Spherical k-means (Lloyd's) centroid training, as DataFrame ops:
+    * assignment is a broadcast join + per-vector argmax window, the
+    * update is a per-cell mean. Everything is deterministic so any
+    * engine reproduces the centroids bit-for-bit:
+    *  - seeds are the `k` lowest-id vectors (TakeOrderedAndProject — a
+    *    per-partition top-k merge, no global sort; at corpus scale seed
+    *    from a sample instead);
+    *  - assignment ties break on rounded cosine then cell id;
+    *  - the mean folds members in id order (left fold, like a serial
+    *    sum), so float addition order is fixed — not a partial-agg tree
+    *    whose shape depends on partitioning. Cells are small multiples
+    *    of k rows after the groupBy, so the fold is off the hot path.
+    * Cosine assignment + unnormalized mean = spherical k-means (cosine
+    * ignores the mean's norm), monotone in the usual Lloyd sense.
+    * Cells that lose all members drop out (both engines identically).
+    *
+    * @return (idCol = cell id 0..k-1, vecCol = centroid) — directly
+    *         usable as [[ivfTopK]]'s `centroids` input. */
+  def trainCentroids(candidates: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    val spark = candidates.sparkSession
+    val v = candidates.select(col(idCol).as("id"),
+      Vectors.toDouble(col(vecCol)).as("x"))
+    var cent = v.orderBy(col("id")).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("id"))) - 1).cast("int"))
+      .select(col("cid"), col("x").as("cx"))
+    for (_ <- 1 to iters) {
+      val wAssign = Window.partitionBy("id")
+        .orderBy(round(col("ccos"), 6).desc, col("cid").asc)
+      val assigned = v.join(broadcast(cent))
+        .withColumn("ccos", GraftFunctions.cosine(spark, col("x"), col("cx")))
+        .withColumn("crn", row_number().over(wAssign))
+        .where(col("crn") === 1)
+        .select(col("cid"), col("id"), col("x"))
+      cent = assigned.groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("id"), col("x")))).as("vs"))
+        .select(col("cid"), expr(
+          """transform(sequence(0, size(element_at(vs, 1).x) - 1),
+            |  d -> aggregate(vs, 0.0D, (a, p) -> a + element_at(p.x, d + 1))
+            |       / size(vs))""".stripMargin).as("cx"))
+    }
+    cent.select(col("cid").as(idCol), col("cx").as(vecCol))
+  }
+
   /** IVF (inverted-file) ANN: candidates are partitioned into coarse
     * cells by nearest centroid; a query probes its `nprobe` nearest
     * cells and searches only those lists — the index-build is one
     * broadcast-join pass, the search cost drops from N to
-    * N·nprobe/cells. Centroids here are a deterministic subset of the
-    * corpus (k-means would converge better but needs iterations; the
-    * cell mechanics — assignment, probing, rerank — are identical).
+    * N·nprobe/cells. Pass [[trainCentroids]] output (or any centroid
+    * table) as `centroids`.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {

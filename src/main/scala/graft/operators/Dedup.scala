@@ -57,6 +57,42 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, perms: Int = 16, bands: Int = 4,
       minMatches: Int = 4): DataFrame = {
+    val st = minhashStages(df, idCol, textCol, shingleK, perms, bands)
+    val (members, sigsAll, reps, cand) =
+      (st.members, st.sigs, st.reps, st.candidates)
+    val sigOf = reps.select(col("gid"), col("sig"))
+    val repPairs = cand
+      .join(sigOf.as("sa"), col("gid_a") === col("sa.gid"))
+      .join(sigOf.as("sb"), col("gid_b") === col("sb.gid"))
+      .withColumn("m", Hashes.sigMatches("sa.sig", "sb.sig"))
+      .where(col("m") >= minMatches)
+      .select(col("gid_a"), col("gid_b"),
+        expr(s"CAST(ROUND(m / $perms.0, 4) AS DOUBLE)").as("est_jaccard"))
+    // expand representatives back to member ids
+    val cross = repPairs
+      .join(members.as("ma"), col("gid_a") === col("ma.gid"))
+      .join(members.as("mb"), col("gid_b") === col("mb.gid"))
+      .select(least(col("ma.id"), col("mb.id")).as("doc_a"),
+        greatest(col("ma.id"), col("mb.id")).as("doc_b"), col("est_jaccard"))
+    // exact duplicates: every within-group pair, est = 1.0 (sketchable
+    // groups only — texts with >= shingleK tokens, mirroring the sketch)
+    val sketchable = sigsAll.select(col("id"), col("gid"))
+    val intra = sketchable.as("x")
+      .join(sketchable.as("y"),
+        col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        lit(1.0).as("est_jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** The staged internals of [[minhashPairs]], exposed so specs can bound
+    * intermediate cardinalities (e.g. hot-bucket candidate counts). */
+  private[graft] final case class MinhashStages(
+      members: DataFrame, sigs: DataFrame, reps: DataFrame,
+      candidates: DataFrame)
+
+  private[graft] def minhashStages(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, perms: Int, bands: Int): MinhashStages = {
     val spark = df.sparkSession
     val rows = perms / bands
     // membership map: doc id -> text-group id (row-local, no text shuffled)
@@ -82,29 +118,7 @@ object Dedup {
           col("a.rid") < col("b.rid"))
       .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
       .distinct()
-    val sigOf = reps.select(col("gid"), col("sig"))
-    val repPairs = cand
-      .join(sigOf.as("sa"), col("gid_a") === col("sa.gid"))
-      .join(sigOf.as("sb"), col("gid_b") === col("sb.gid"))
-      .withColumn("m", Hashes.sigMatches("sa.sig", "sb.sig"))
-      .where(col("m") >= minMatches)
-      .select(col("gid_a"), col("gid_b"),
-        expr(s"CAST(ROUND(m / $perms.0, 4) AS DOUBLE)").as("est_jaccard"))
-    // expand representatives back to member ids
-    val cross = repPairs
-      .join(members.as("ma"), col("gid_a") === col("ma.gid"))
-      .join(members.as("mb"), col("gid_b") === col("mb.gid"))
-      .select(least(col("ma.id"), col("mb.id")).as("doc_a"),
-        greatest(col("ma.id"), col("mb.id")).as("doc_b"), col("est_jaccard"))
-    // exact duplicates: every within-group pair, est = 1.0 (sketchable
-    // groups only — texts with >= shingleK tokens, mirroring the sketch)
-    val sketchable = sigsAll.select(col("id"), col("gid"))
-    val intra = sketchable.as("x")
-      .join(sketchable.as("y"),
-        col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
-        lit(1.0).as("est_jaccard"))
-    cross.unionByName(intra)
+    MinhashStages(members, sigsAll, reps, cand)
   }
 
   /** Per-doc SimHash signature + its 4 LSH band keys. */

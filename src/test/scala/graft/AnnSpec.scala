@@ -40,4 +40,47 @@ class AnnSpec extends SparkSpec {
     val top = out.minBy(_.getInt(2))
     assert(top.getLong(1) == 10L && top.getDouble(3) == 1.0)
   }
+
+  test("trainCentroids: Lloyd's improves the assignment objective") {
+    val e = Tables.embeddings(spark, sf0001)
+    val cand = e.where(col("vec_id") >= 10)
+    def seedCentroids = { // iteration zero: the k lowest-id vectors
+      import org.apache.spark.sql.expressions.Window
+      cand.orderBy("vec_id").limit(8)
+        .withColumn("cid",
+          (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+        .select(col("cid").as("vec_id"), col("embedding"))
+    }
+    def objective(cent: org.apache.spark.sql.DataFrame): Double = {
+      val c = cent.select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cx"))
+      cand.select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+        .join(broadcast(c))
+        .select(col("vec_id"),
+          graft.plans.GraftFunctions.cosine(spark, col("x"), col("cx")).as("cc"))
+        .groupBy("vec_id").agg(max("cc").as("best"))
+        .agg(avg("best")).head().getDouble(0)
+    }
+    val trained = Ann.trainCentroids(cand, "vec_id", "embedding", k = 8, iters = 2)
+    assert(trained.count() <= 8)
+    // spherical k-means is monotone: trained centroids fit at least as
+    // well as the deterministic seeds they started from
+    assert(objective(trained) >= objective(seedCentroids) - 1e-9)
+  }
+
+  test("ivfTopK with trained centroids: recall vs brute force") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs2 = e.where(col("vec_id") < 10)
+    val cand = e.where(col("vec_id") >= 10)
+    val cent = Ann.trainCentroids(cand, "vec_id", "embedding", k = 8, iters = 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.bruteForceTopK(qs2, cand, "vec_id", "embedding", 5))
+    val ivf = pairs(Ann.ivfTopK(qs2, cand, cent, "vec_id", "embedding",
+      k = 5, nprobe = 4))
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // nprobe=4 of 8 cells on random synthetic vectors: half the corpus
+    // searched; recall must beat the random-subset floor by a wide margin
+    assert(recall >= 0.5, s"recall $recall over ${exact.size} exact pairs")
+  }
 }

@@ -80,4 +80,77 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("minhash hot bucket: N identical docs produce zero rep candidates") {
+    // the classic corpus pathology — one boilerplate text duplicated en
+    // masse. Pre-collapse means the band join sees ONE representative per
+    // distinct text, so candidate pairs are bounded by distinct texts
+    // (here: 3 texts -> at most 3 rep pairs), not by N².
+    val n = 200
+    val hot = (0L until n.toLong).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog today")) ++
+      Seq((n + 0L, "the quick brown fox jumps over the lazy cat today"),
+        (n + 1L, "completely different text about spark query engines"))
+    val df = hot.toDF("doc_id", "text")
+    val stages = Dedup.minhashStages(df, "doc_id", "text",
+      shingleK = 3, perms = 16, bands = 4)
+    assert(stages.reps.count() == 3)          // one rep per distinct text
+    assert(stages.candidates.count() <= 3)    // never the ~20k of N²/2
+    // and the full operator still reports every duplicate pair
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text")
+    assert(pairs.where("est_jaccard = 1.0").count() == n.toLong * (n - 1) / 2)
+  }
+
+  test("embedding LSH plan is an equi-join, never a nested-loop product") {
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(d => (((i * 31 + d * 7) % 13) - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"))
+    assert(!plan.contains("CartesianProduct"))
+    // the exact verifier, by contrast, IS the nested-loop form
+    val exact = Dedup.embeddingPairsExact(vecs, "vec_id", "embedding", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("BroadcastNestedLoop") || exact.contains("CartesianProduct"))
+  }
+
+  test("embedding LSH recall on planted near-duplicates") {
+    // planted pairs at cos ~0.99: band collision probability per band is
+    // (1 - theta/pi)^bandBits, miss-all-4-bands odds ~1e-3 per pair —
+    // deterministic here because the vectors are fixed.
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(32)(rnd.nextGaussian())
+    val rows = (0 until 40).flatMap { i =>
+      val v = Array.fill(32)(rnd.nextGaussian())
+      val dup = v.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      Seq((i * 2L, v.map(_.toFloat)), (i * 2L + 1L, dup))
+    } :+ (1000L, base.map(_.toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.where("cos_sim >= 0.95").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.embeddingPairsExact(df, "vec_id", "embedding", 0.9))
+    val lsh = pairSet(Dedup.embeddingPairs(df, "vec_id", "embedding", 0.9))
+    assert(exact.nonEmpty)
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} true pairs")
+  }
+
+  test("ngram prefix maxDf guard: generous cap exact, tight cap sound") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val uncapped = norm(Dedup.ngramJaccardPairsPrefix(
+      corpus, "doc_id", "text", "lang"))
+    // a cap above every df changes nothing
+    val generous = norm(Dedup.ngramJaccardPairsPrefix(
+      corpus, "doc_id", "text", "lang", maxDf = Some(1000L)))
+    assert(generous == uncapped)
+    // a tight cap may drop pairs but never fabricates or mis-scores one:
+    // survivors carry the exact verified jaccard
+    val tight = norm(Dedup.ngramJaccardPairsPrefix(
+      corpus, "doc_id", "text", "lang", maxDf = Some(2L)))
+    assert(tight.keySet.subsetOf(uncapped.keySet))
+    tight.foreach { case (k, v) => assert(v == uncapped(k)) }
+  }
 }
