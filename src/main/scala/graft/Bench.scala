@@ -49,12 +49,58 @@ object Bench {
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
+    // ---- E-group steady-state: rows/sec through streaming pipelines.
+    // The per-query numbers above time AvailableNow micro-batch runs over
+    // the small sf tables, which is mostly setup cost; this pushes a
+    // fixed 2M-row staged stream through the same operators across
+    // multiple micro-batches so the number measures sustained throughput.
+    val tput = try streamThroughput(spark) catch { case _: Throwable => "{}" }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      s""""errors":${failed.mkString("[", ",", "]")},"stream_tput":$tput,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Stage a deterministic 2M-row event stream as 8 parquet files, then
+    * run it through windowedCounts and sessionizeStream with
+    * maxFilesPerTrigger=2 (4 micro-batches) — rows/sec across batches,
+    * not one-batch setup latency. Returns a JSON object string. */
+  private def streamThroughput(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val rows = 2000000L
+    val users = 50000L
+    val dir = "/tmp/graft_bench_stream/in"
+    spark.range(rows).select(
+      col("id").as("event_id"),
+      (col("id") % users).as("user_id"),
+      // per-user event every 60s → live sessions; epoch 2000-01-01
+      expr(s"timestamp_micros(946684800000000 + (id div $users) * 60000000)").as("ts"),
+      expr("CAST(id % 5 AS STRING)").as("event_type"),
+      expr("CAST((id % 1000) / 10.0 AS DOUBLE)").as("value"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def timed(name: String, f: DataFrame => DataFrame): Double = {
+      spark.streams.active.foreach(_.stop())
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(dir)
+      val t0 = System.nanoTime()
+      val q = f(in).writeStream.format("memory").queryName(s"tput_$name")
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val winSec = timed("window",
+      graft.streaming.Streaming.windowedCounts(_, "1 hour", "1 hour"))
+    val sesSec = timed("session",
+      graft.streaming.Streaming.sessionizeStream(_).toDF)
+    def rps(sec: Double): Long = (rows / sec).toLong
+    s"""{"rows":$rows,"window_sec":$winSec,"window_rows_per_sec":${rps(winSec)},""" +
+      s""""session_sec":$sesSec,"session_rows_per_sec":${rps(sesSec)}}"""
   }
 }

@@ -237,6 +237,34 @@ object QueriesCore {
         tieBreak = "o_orderkey")
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")),
 
+    // window-function depth: lead / ntile / percent_rank / cume_dist over
+    // one partition+sort — a single window exchange serves all four
+    "q_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          lead(col("c_acctbal"), 1).over(w).as("next_bal"),
+          ntile(4).over(w).as("quartile"),
+          expr("CAST(ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment " +
+            "ORDER BY c_acctbal DESC, c_custkey), 6) AS DOUBLE)").as("pct_rank"),
+          expr("CAST(ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment " +
+            "ORDER BY c_acctbal DESC, c_custkey), 6) AS DOUBLE)").as("cum_dist"))
+    }),
+
+    // RANGE frames: value-range (peers included by distance, not row
+    // count) and a time-interval trailing window — the two frame kinds
+    // ROWS BETWEEN can't express
+    "q_window_range" -> ((s, d) =>
+      orders(s, d).selectExpr(
+        "o_custkey", "o_orderkey",
+        "CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice " +
+          "RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_price_band",
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_totalprice RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS band_total",
+        "CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
+          "RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_30d")),
+
     "q_sql_funcs" -> ((s, d) =>
       orders(s, d).selectExpr(
         "o_orderkey",
@@ -421,6 +449,26 @@ object QueriesCore {
         |  FROM events e LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |LEAD(c_acctbal, 1) OVER w AS next_bal,
+        |CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank,
+        |CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cum_dist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(COUNT(*) OVER wp AS BIGINT) AS n_price_band,
+        |CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wp, 2) AS DOUBLE) AS band_total,
+        |CAST(COUNT(*) OVER wt AS BIGINT) AS n_trailing_30d
+        |FROM orders
+        |WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |              RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW),
+        |       wt AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |              RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_sql_funcs" ->
       """SELECT o_orderkey,

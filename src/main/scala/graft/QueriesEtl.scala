@@ -61,6 +61,33 @@ object QueriesEtl {
           |src    = lit: events
           |""".stripMargin)(events(s, d))),
 
+    // full-depth JUTE analogue: nested struct output, $if conditional,
+    // $let binding, $map loop — one YAML template compiled to a single
+    // Catalyst expression tree (Jute.columns), vs the reference's
+    // per-record interpreted jute.core/compile
+    "etl_mapping_nested" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id") +: graft.functions.Jute.columns(
+          """env:
+            |  meta:
+            |    lang: "$ lang"
+            |    n_tokens: "$ CAST(size(split(text, ' ')) AS BIGINT)"
+            |  id: "$ doc_id"
+            |tag:
+            |  $if: "lang = 'en'"
+            |  $then: english
+            |  $else: other
+            |head_upper:
+            |  $let:
+            |    toks: "$ slice(split(text, ' '), 1, 3)"
+            |  $body:
+            |    $map: "$ toks"
+            |    $as: t
+            |    $body: "$ upper(t)"
+            |""".stripMargin): _*)
+        .select(col("doc_id"), to_json(col("env")).as("env_json"),
+          col("tag"), concat_ws(" ", col("head_upper")).as("head_upper"))),
+
     // DAG topology: one source fans out to two branches, fan-in by union
     "etl_dag" -> ((s, d) =>
       DagTopology.empty
@@ -131,6 +158,33 @@ object QueriesEtl {
           lit(null.asInstanceOf[java.lang.Integer]).as("parsed"), col("envelope")))
     }),
 
+    // processor registry through the correctness gate: assemble an app
+    // from two named processors (etlp.core/init analogue), dispatch
+    // check + start commands by name, emit the ExecResults — the start
+    // counts must equal the oracle's direct filters over events
+    "etl_registry" -> ((s, d) => {
+      import graft.connector.{Connection, EtlpApp, ProcessorDef}
+      import graft.sources.FnSource
+      val src =
+        FnSource(Map("type" -> "table", "table" -> "events"), events(_, d))
+      val app = EtlpApp.init(Seq(
+        ProcessorDef("p_clicks", _ => Connection(
+          src, Xf.filter(col("event_type") === "click"), CountingSink())),
+        ProcessorDef("p_purchases", opts => Connection(
+          src,
+          Xf.filter(col("event_type") === "purchase" &&
+            col("value") >= opts.getOrElse("min_value", "0").toDouble),
+          CountingSink()))))
+      val rows = Seq(
+        app.exec(s, "p_clicks", "check"),
+        app.exec(s, "p_clicks", "start"),
+        app.exec(s, "p_purchases", "check"),
+        app.exec(s, "p_purchases", "start", Map("min_value" -> "0.5")))
+      import s.implicits._
+      rows.map(r => (r.processor, r.command, r.ok, r.records))
+        .toDF("processor", "command", "ok", "n_records")
+    }),
+
     // stdout-destination analogue: count records in batches of 100
     "etl_count_sink" -> ((s, d) => {
       val (records, batches) = CountingSink(batchSize = 100)
@@ -176,6 +230,17 @@ object QueriesEtl {
         |'events' AS src
         |FROM events""".stripMargin,
 
+    "etl_mapping_nested" ->
+      """SELECT doc_id,
+        |to_json(struct_pack(
+        |  meta := struct_pack(lang := lang,
+        |                      n_tokens := len(string_split(text, ' '))),
+        |  id := doc_id)) AS env_json,
+        |CASE WHEN lang = 'en' THEN 'english' ELSE 'other' END AS tag,
+        |array_to_string(list_transform(string_split(text, ' ')[1:3],
+        |                               t -> upper(t)), ' ') AS head_upper
+        |FROM documents""".stripMargin,
+
     "etl_dag" ->
       """SELECT 'clicks' AS branch, CAST(user_id % 10 AS BIGINT) AS bucket,
         |  CAST(COUNT(*) AS DOUBLE) AS val
@@ -210,6 +275,19 @@ object QueriesEtl {
         |  ',"version":"0.1.0","schema":"etlp_raw","source_stream":"events","data":{"event_id":'
         |  || CAST(event_id AS VARCHAR) || '}}' AS envelope
         |FROM events WHERE (FLOOR(value) > 0) IS NOT TRUE""".stripMargin,
+
+    "etl_registry" ->
+      """SELECT 'p_clicks' AS processor, 'check' AS command, TRUE AS ok,
+        |  CAST(0 AS BIGINT) AS n_records
+        |UNION ALL
+        |SELECT 'p_clicks', 'start', TRUE,
+        |  (SELECT COUNT(*) FROM events WHERE event_type = 'click')
+        |UNION ALL
+        |SELECT 'p_purchases', 'check', TRUE, CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'p_purchases', 'start', TRUE,
+        |  (SELECT COUNT(*) FROM events
+        |   WHERE event_type = 'purchase' AND value >= 0.5)""".stripMargin,
 
     "etl_count_sink" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS records,

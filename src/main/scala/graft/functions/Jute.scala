@@ -1,0 +1,109 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.expr
+import scala.jdk.CollectionConverters._
+
+/** JUTE-style declarative transformation templates, compiled to Catalyst.
+  *
+  * The reference fetches YAML JUTE templates and compiles them to
+  * record-transforming closures run per record in an interpreter
+  * (/root/reference/src/etlp/utils/mapper.clj:28-38 `resolve-jute-template`
+  * — yaml parse → jute.core/compile). Spark-first re-expression: the
+  * template compiles ONCE, on the driver, to a single SQL expression
+  * tree, so the "interpreter" is whole-stage codegen — nested structure
+  * construction, conditionals and loops all run as vectorized Catalyst
+  * expressions, constant-folded and prunable like any hand-written
+  * column.
+  *
+  * Template language (YAML or JSON, mirroring JUTE's shapes):
+  *  - mapping            → named struct (field order preserved)
+  *  - sequence           → array
+  *  - `"$ <sql>"` string → SQL expression over the input columns
+  *  - other scalars      → literals
+  *  - `{$if: <sql>, $then: T, $else: T}` → conditional (else optional →
+  *    NULL, like JUTE's absent else)
+  *  - `{$map: <array sql>, $as: x, $body: T}` → per-element transform;
+  *    `$body` may reference the lambda variable `x`
+  *  - `{$let: {k: T...}, $body: T}` → named bindings usable as
+  *    variables in `$body` (compiled via a transform over a 1-element
+  *    array, so bindings evaluate once per row)
+  *
+  * The top level is usually a mapping of output column name → template;
+  * [[columns]] turns that into `Column`s for a `select`.
+  */
+object Jute {
+
+  private val yaml = new ObjectMapper(new YAMLFactory())
+  private val json = new ObjectMapper()
+
+  /** Parse a YAML (or JSON — YAML is a superset) template. */
+  def parse(template: String): JsonNode = yaml.readTree(template)
+
+  def parseJson(template: String): JsonNode = json.readTree(template)
+
+  /** Top-level mapping → one Column per output field. */
+  def columns(template: String): Seq[Column] = {
+    val root = parse(template)
+    require(root.isObject, "top-level JUTE template must be a mapping")
+    root.properties().asScala.toSeq.map { e =>
+      expr(compileSql(e.getValue)).as(e.getKey)
+    }
+  }
+
+  /** One Column from a (sub-)template. */
+  def column(template: String): Column = expr(compileSql(parse(template)))
+
+  /** Compile a template node to a SQL expression string. Strings are the
+    * composition medium because SQL lambdas (`x -> body`) bind variables
+    * lexically by name — exactly the template's scoping — and one final
+    * `expr()` hands the whole tree to Catalyst in a single parse. */
+  private[functions] def compileSql(node: JsonNode): String = node match {
+    case _ if node.isTextual =>
+      val s = node.asText
+      if (s.startsWith("$ ")) s"(${s.drop(2)})"
+      else "'" + s.replace("'", "''") + "'"
+    case _ if node.isIntegralNumber => s"CAST(${node.asLong} AS BIGINT)"
+    case _ if node.isNumber         => s"CAST(${node.asDouble}D AS DOUBLE)"
+    case _ if node.isBoolean        => node.asBoolean.toString
+    case _ if node.isNull           => "NULL"
+    case _ if node.isArray =>
+      node.elements().asScala.map(compileSql).mkString("array(", ", ", ")")
+    case _ if node.isObject && node.has("$if") =>
+      val cond = exprBody(node.get("$if"), "$if")
+      val thenB = compileSql(node.get("$then"))
+      val elseB = Option(node.get("$else")).map(compileSql).getOrElse("NULL")
+      s"(CASE WHEN ($cond) THEN $thenB ELSE $elseB END)"
+    case _ if node.isObject && node.has("$map") =>
+      val arr = exprBody(node.get("$map"), "$map")
+      val as = Option(node.get("$as")).map(_.asText).getOrElse("it")
+      val body = compileSql(node.get("$body"))
+      s"transform(($arr), $as -> $body)"
+    case _ if node.isObject && node.has("$let") =>
+      // each binding becomes a 1-element transform whose lambda variable
+      // IS the binding name — true lexical scoping (later bindings and
+      // the body see earlier ones), each value evaluated once per row
+      val binds = node.get("$let").properties().asScala.toSeq
+      val body = compileSql(node.get("$body"))
+      binds.foldRight(body) { case (e, acc) =>
+        s"element_at(transform(array(${compileSql(e.getValue)}), ${e.getKey} -> $acc), 1)"
+      }
+    case _ if node.isObject =>
+      node.properties().asScala.toSeq
+        .map(e => s"'${e.getKey.replace("'", "''")}', ${compileSql(e.getValue)}")
+        .mkString("named_struct(", ", ", ")")
+    case other =>
+      throw new IllegalArgumentException(s"unsupported template node: $other")
+  }
+
+  /** Directive bodies ($if/$map) are SQL whether or not they carry the
+    * `$ ` marker — matching JUTE, where directive values are always
+    * expressions. */
+  private def exprBody(node: JsonNode, directive: String): String = {
+    require(node != null && node.isTextual, s"$directive needs a SQL string")
+    val s = node.asText
+    if (s.startsWith("$ ")) s.drop(2) else s
+  }
+}

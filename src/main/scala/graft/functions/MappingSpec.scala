@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   *  - `"json: <col> <path> [<type>]"` — JSON path extraction (e.g.
   *     `json: props $.k int`), the etlp-mapper bread-and-butter
   *  - `"lit: <value>"` — string literal
+  *  - `"jute: <template>"` — nested JUTE-style template (inline
+  *     JSON/YAML flow syntax) compiled by [[Jute]]: nested structs,
+  *     `$if` conditionals, `$map` loops, `$let` bindings
   */
 final case class MappingSpec(fields: Seq[(String, String)]) {
   def compile: Seq[Column] = fields.map { case (target, rule) =>
@@ -38,6 +41,7 @@ object MappingSpec {
       case "expr" => expr(body)
       case "col"  => col(body)
       case "lit"  => lit(body)
+      case "jute" => Jute.column(body)
       case "json" =>
         body.split("\\s+") match {
           case Array(c, path)     => get_json_object(col(c), path)

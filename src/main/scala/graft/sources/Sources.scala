@@ -98,24 +98,140 @@ final case class DirectorySource(
   }
 }
 
-/** Async HTTP bulk-export source — protocol port of the reference's
-  * AsyncHTTPResource (processors/http.clj:19-95: start → poll check →
-  * list → download). This environment is zero-egress, so transport is
-  * pluggable: `fetch` maps a resource URL to a local staging path, and
-  * the default stub treats the URL as a path. The Spark-side shape is
-  * the real design: the *listing* becomes a DataFrame, and each listed
-  * resource is read by a distributed scan — the driver never downloads
-  * payload bytes (at 100 TB the driver only sees metadata).
+/** Process-stdin source — the reference's stdin processor
+  * (/root/reference/src/etlp/processors/stdin.clj: `lines-reducible`
+  * over `*in*`). Driver-side by nature: stdin exists only on the
+  * submitting process, so lines are read once there and parallelized
+  * out; `maxLines` bounds driver memory. On a cluster, land stdin to
+  * files and use [[TextLineSource]] — this source exists for parity
+  * with the reference's pipe-into-the-process dev workflow. Reads via
+  * `Console.in` so tests can inject input with `Console.withIn`. */
+final case class StdinSource(maxLines: Int = 1000000) extends EtlpSource {
+  def spec: Map[String, String] = Map("type" -> "stdin")
+  def check(spark: SparkSession): CheckResult = CheckResult(valid = true, "ok")
+  def discover(spark: SparkSession): StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("line",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType)))
+  def read(spark: SparkSession): DataFrame = {
+    val lines = Iterator.continually(Console.in.readLine())
+      .takeWhile(_ != null).take(maxLines).toSeq
+    import spark.implicits._
+    lines.toDF("line").select(col("line"), lit("stdin").as("file"))
+  }
+}
+
+/** Source defined by a producer function — the registry's `process-fn`
+  * closure analogue (a processor may close over config/mappings and
+  * synthesize its frame however it likes). */
+final case class FnSource(
+    spec: Map[String, String],
+    producer: SparkSession => DataFrame) extends EtlpSource {
+  def check(spark: SparkSession): CheckResult =
+    try { producer(spark).schema; CheckResult(valid = true, "ok") }
+    catch { case e: Exception => CheckResult(valid = false, String.valueOf(e.getMessage)) }
+  def discover(spark: SparkSession): StructType = producer(spark).schema
+  def read(spark: SparkSession): DataFrame = producer(spark)
+}
+
+/** Transport verbs of the reference's async bulk-export protocol
+  * (processors/http.clj:12-16 `AsyncHTTP`: start / check / list! /
+  * download). Implementations own the wire; the source owns the state
+  * machine. Zero-egress environment: [[FsBulkTransport]] is the
+  * reference implementation (a filesystem-backed job), and a real HTTP
+  * transport would implement the same four verbs with a client —
+  * download is intentionally NOT a transport verb here, because at
+  * 100 TB payload bytes must flow executor-side (a distributed scan of
+  * the listed resources), never through the driver.
+  */
+trait BulkTransport extends Serializable {
+  /** Kick off the export job (`prefer: respond-async` POST in the
+    * reference); returns the job's status location (Content-Location). */
+  def start(apiUrl: String): String
+  /** One status poll: (httpStatus, progress) — 202 while running
+    * (X-Progress header), 200 when the export is complete. */
+  def check(location: String): (Int, String)
+  /** List the completed job's output resources. */
+  def list(location: String): Seq[String]
+}
+
+/** Filesystem-backed bulk "server": the job is a directory of staged
+  * resource files; readiness is simulated by requiring `readyAfterPolls`
+  * status probes before reporting 200 — which exercises the real
+  * poll loop (the reference polls every 5 s on status 202,
+  * processors/http.clj:42-61) without a network. */
+final class FsBulkTransport(readyAfterPolls: Int = 0) extends BulkTransport {
+  private val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+  def pollCount: Int = polls.get()
+  def start(apiUrl: String): String = apiUrl
+  def check(location: String): (Int, String) = {
+    val n = polls.incrementAndGet()
+    if (n > readyAfterPolls) (200, "complete")
+    else (202, s"${(n * 100) / (readyAfterPolls + 1)}%")
+  }
+  def list(location: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(location)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+      .filterNot(_.split('/').last.startsWith("_")).sorted
+  }
+}
+
+/** Async HTTP bulk-export source — the reference's AsyncHTTPResource
+  * flow (processors/http.clj:19-95): start → poll check until 200 →
+  * list → read. Spark-first split of responsibilities: the driver runs
+  * only the *control* loop (start/poll/list — metadata), and the
+  * *data* path is a distributed scan over the listed resources, so
+  * payload never transits the driver (the reference's `download` slurps
+  * the body into driver memory — a non-starter at 100 TB).
   */
 final case class HttpBulkSource(
     apiUrl: String,
     format: String = "jsonl",
-    fetch: String => String = identity) extends EtlpSource {
+    transport: BulkTransport,
+    pollIntervalMs: Long = 5000,
+    maxPolls: Int = 120) extends EtlpSource {
   def spec: Map[String, String] = Map("type" -> "http-bulk", "url" -> apiUrl)
-  /** start+poll collapse to a single readiness probe in the stub. */
-  def check(spark: SparkSession): CheckResult =
-    DirectorySource(fetch(apiUrl), format).check(spark)
+
+  /** Drive the control-plane state machine to completion; returns the
+    * listed resource paths. Fails (rather than hangs) after `maxPolls`. */
+  def awaitListing(): Seq[String] = {
+    val location = transport.start(apiUrl)
+    var status = 0
+    var n = 0
+    while (status != 200) {
+      val (s, progress) = transport.check(location)
+      status = s
+      n += 1
+      if (status == 404) throw new java.io.FileNotFoundException(location)
+      if (status != 200) {
+        if (n >= maxPolls) throw new IllegalStateException(
+          s"bulk job not ready after $n polls (last: $status $progress)")
+        Thread.sleep(pollIntervalMs)
+      }
+    }
+    transport.list(location)
+  }
+
+  def check(spark: SparkSession): CheckResult = {
+    val (s, progress) = transport.check(transport.start(apiUrl))
+    if (s == 200 || s == 202) CheckResult(valid = true, s"$s $progress")
+    else CheckResult(valid = false, s"status $s")
+  }
   def discover(spark: SparkSession): StructType = read(spark).schema
-  def read(spark: SparkSession): DataFrame =
-    DirectorySource(fetch(apiUrl), format).read(spark)
+  def read(spark: SparkSession): DataFrame = {
+    val resources = awaitListing()
+    require(resources.nonEmpty, s"bulk job listed no resources: $apiUrl")
+    val r = spark.read
+    format match {
+      case "jsonl"   => r.json(resources: _*).withColumn("file", input_file_name())
+      case "text"    => r.text(resources: _*)
+                          .select(col("value").as("line"), input_file_name().as("file"))
+      case "csv"     => r.option("header", "true").csv(resources: _*)
+      case "parquet" => r.parquet(resources: _*)
+      case other     => throw new IllegalArgumentException(s"format: $other")
+    }
+  }
 }

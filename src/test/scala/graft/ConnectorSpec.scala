@@ -2,10 +2,10 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.connector.{Connection, DagTopology}
+import graft.connector.{Connection, DagTopology, EtlpApp, ProcessorDef}
 import graft.pipeline.Xf
 import graft.sinks.{CountingSink, MemorySink, ParquetSink}
-import graft.sources.{CsvSource, ParquetSource, TextLineSource}
+import graft.sources.{CsvSource, FnSource, ParquetSource, TextLineSource}
 
 class ConnectorSpec extends SparkSpec {
   import spark.implicits._
@@ -83,6 +83,36 @@ class ConnectorSpec extends SparkSpec {
     assert(!JdbcSink("http://not-jdbc", "t").check(spark).valid)
     assert(!JdbcSink("jdbc:postgresql://db/x", "").check(spark).valid)
     assert(JdbcSink("jdbc:postgresql://db/x", "t").spec("type") == "jdbc")
+  }
+
+  test("EtlpApp registry: register two processors, dispatch by name") {
+    def rangeSrc(n: Int) =
+      FnSource(Map("type" -> "range"), _.range(n).toDF("n"))
+    val app = EtlpApp.init(Seq(
+      ProcessorDef("evens", _ => Connection(
+        rangeSrc(10), Xf.filter(col("n") % 2 === 0), CountingSink())),
+      ProcessorDef("top", opts => Connection(
+        rangeSrc(10),
+        Xf.filter(col("n") >= opts.getOrElse("min", "0").toInt),
+        CountingSink()))))
+    assert(app.processors == Set("evens", "top"))
+    // check command: config-level validation, no data read
+    assert(app.exec(spark, "evens", "check").ok)
+    // start command: runs the flow, reports records through the sink
+    assert(app.exec(spark, "evens", "start").records == 5L)
+    // per-invocation options reach the processor's build fn
+    assert(app.exec(spark, "top", "start", Map("min" -> "7")).records == 3L)
+    // discover command surfaces the source schema
+    assert(app.exec(spark, "top", "discover").detail.contains("n"))
+  }
+
+  test("EtlpApp rejects unknown processors, commands, duplicate names") {
+    val app = EtlpApp.init(Seq(ProcessorDef("p", _ => Connection(
+      FnSource(Map.empty, _.range(1).toDF("n")), Xf(identity), CountingSink()))))
+    intercept[IllegalArgumentException](app.exec(spark, "ghost", "start"))
+    intercept[IllegalArgumentException](app.exec(spark, "p", "explode"))
+    intercept[IllegalArgumentException](EtlpApp.init(Seq(
+      ProcessorDef("p", _ => null), ProcessorDef("p", _ => null))))
   }
 
   test("FanOutSink writes one cached frame to every sink (mult/tap)") {

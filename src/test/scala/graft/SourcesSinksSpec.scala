@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Envelope
 import graft.pipeline.Xf
 import graft.sinks.ParquetSink
-import graft.sources.{DirectorySource, HttpBulkSource, JsonlSource}
+import graft.sources.{DirectorySource, FsBulkTransport, HttpBulkSource, JsonlSource, StdinSource}
 
 class SourcesSinksSpec extends SparkSpec {
   import spark.implicits._
@@ -29,15 +29,41 @@ class SourcesSinksSpec extends SparkSpec {
     assert(out.select(sum("a")).head().getLong(0) == 3L)
   }
 
-  test("HttpBulkSource stub maps the listing to a distributed scan") {
+  test("HttpBulkSource drives start -> poll -> list -> distributed read") {
     val dir = Files.createTempDirectory("graft-http").toString
-    Seq("""{"x": 10}""").toDF("l").coalesce(1).write.text(s"$dir/batch1")
-    val src = HttpBulkSource("https://api.example/export", "jsonl",
-      fetch = _ => dir)
+    Seq("""{"x": 10}""", """{"x": 5}""").toDF("l")
+      .coalesce(1).write.text(s"$dir/staged")
+    // flatten the staged files into the job dir like an export would
+    val staged = new java.io.File(s"$dir/staged").listFiles()
+      .filter(_.getName.endsWith(".txt"))
+    staged.zipWithIndex.foreach { case (f, i) =>
+      Files.move(f.toPath, java.nio.file.Paths.get(s"$dir/out_$i.jsonl"))
+    }
+    val transport = new FsBulkTransport(readyAfterPolls = 3)
+    val src = HttpBulkSource("file://" + dir, "jsonl", transport,
+      pollIntervalMs = 1, maxPolls = 10)
     assert(src.spec("type") == "http-bulk")
-    assert(src.check(spark).valid)
-    assert(src.discover(spark).fieldNames.contains("x"))
-    assert(src.read(spark).select(sum("x")).head().getLong(0) == 10L)
+    assert(src.check(spark).valid) // first poll: 202 + progress
+    val out = src.read(spark)
+    // the 202 loop really ran: 1 check() + (3 - 1) more polls + final 200
+    assert(transport.pollCount >= 4)
+    assert(out.select(sum("x")).head().getLong(0) == 15L)
+    assert(out.columns.contains("file"))
+  }
+
+  test("HttpBulkSource fails after maxPolls instead of hanging") {
+    val transport = new FsBulkTransport(readyAfterPolls = 100)
+    val src = HttpBulkSource("file:///nonexistent", "jsonl", transport,
+      pollIntervalMs = 1, maxPolls = 3)
+    val e = intercept[IllegalStateException](src.awaitListing())
+    assert(e.getMessage.contains("not ready after 3 polls"))
+  }
+
+  test("StdinSource reads lines from Console.in on the driver") {
+    val in = new java.io.ByteArrayInputStream("a\nb\nc\n".getBytes)
+    val out = Console.withIn(in)(StdinSource(maxLines = 2).read(spark))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(out.schema.fieldNames.toSeq == Seq("line", "file"))
   }
 
   test("ParquetSink partitionBy writes a partitioned layout") {
