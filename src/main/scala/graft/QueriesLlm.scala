@@ -56,7 +56,7 @@ object QueriesLlm {
       val e = embeddings(s, d)
       Ann.lshTopK(
         e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
-        "vec_id", "embedding", k = 5)
+        "vec_id", "embedding", k = 5, probes = 4)
     }),
 
     "text_langid" -> ((s, d) => {
@@ -119,6 +119,17 @@ object QueriesLlm {
           concat_ws(" ", TextAnalysis.removeStopwords("toks", "en")).as("kept"),
           (size(col("toks")) -
             size(TextAnalysis.removeStopwords("toks", "en"))).as("n_removed"))),
+
+    // PII scrubbing — emails + long digit runs masked, per-class counts
+    // kept for corpus reporting; pure row-local codegen'd regex
+    "text_pii_mask" -> ((s, d) => {
+      val (emails, nums) = TextAnalysis.piiCounts(col("text"))
+      documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.maskPii(col("text")).as("masked"),
+        emails.as("n_emails"),
+        nums.as("n_longnums"))
+    }),
 
     "text_fingerprint" -> ((s, d) =>
       documents(s, d)
@@ -287,6 +298,9 @@ object QueriesLlm {
         |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
         |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin,
 
+    // multi-probe: each query searches its own bucket plus the 4
+    // buckets one bit-flip away on planes 0..3 — mirrors
+    // Ann.lshTopK(probes = 4)
     "ann_lsh" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
@@ -295,11 +309,15 @@ object QueriesLlm {
         |    list_sum([CASE WHEN list_sum([x[d+1] * ((CAST((1103515245::BIGINT * (p * 1024 + d) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0) * 2.0 - 1.0) for d in range(0,64)]) >= 0.0
         |              THEN CAST(2**p AS BIGINT) ELSE 0 END for p in range(0,16)]) AS bkt
         |  FROM v),
+        |bkq AS (
+        |  SELECT vec_id, x,
+        |    unnest([bkt] || [xor(bkt, CAST(2**p AS BIGINT)) for p in range(0,4)]) AS probe
+        |  FROM bk WHERE vec_id < 10),
         |p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    list_sum([q.x[i+1]*c.x[i+1] for i in range(0,64)]) /
         |      (sqrt(list_sum([xx*xx for xx in q.x])) * sqrt(list_sum([yy*yy for yy in c.x]))) AS cos
-        |  FROM bk q JOIN bk c ON q.bkt = c.bkt AND q.vec_id < 10 AND c.vec_id >= 10)
+        |  FROM bkq q JOIN bk c ON q.probe = c.bkt AND c.vec_id >= 10)
         |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
         |  CAST(ROUND(cos, 4) AS DOUBLE) AS cos_r
         |FROM p
@@ -381,6 +399,15 @@ object QueriesLlm {
          |  array_to_string(list_filter(w, t2 -> NOT list_contains([${inList("en")}], t2)), ' ') AS kept,
          |  CAST(len(w) - len(list_filter(w, t2 -> NOT list_contains([${inList("en")}], t2))) AS INT) AS n_removed
          |FROM t""".stripMargin,
+
+    "text_pii_mask" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS masked,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_longnums
+        |FROM documents""".stripMargin,
 
     "text_fingerprint" ->
       """WITH t AS (

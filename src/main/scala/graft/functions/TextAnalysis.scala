@@ -65,6 +65,25 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** PII patterns shared by [[maskPii]] and [[piiCounts]] — the regex
+    * subset (character classes, bounded repetition) behaves identically
+    * under Java regex and RE2-family engines, so masks are
+    * engine-portable. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{6,}"
+
+  /** Scrub emails and long digit runs (phone/account/SSN-shaped) from a
+    * training corpus — row-local codegen'd regex, shuffle-free. */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+      lit(LongNumRe), lit("<NUM>"))
+
+  /** How many of each PII class were present (for filtering/reporting). */
+  def piiCounts(text: Column): (Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+    size(regexp_extract_all(text, lit(LongNumRe), lit(0))))
+
   /** Winnowing-lite document fingerprint: the 4 lexicographically
     * smallest md5s over distinct word 4-grams, concatenated. Two docs
     * sharing most 4-grams collide with high probability; one changed

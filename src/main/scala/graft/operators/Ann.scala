@@ -139,18 +139,33 @@ object Ann {
     ranked(pairs, k)
   }
 
-  /** LSH-bucketed ANN: candidates restricted to the query's bucket, then
-    * exact rerank. Queries with an empty bucket return no rows (probe
-    * multiple buckets for recall at scale). */
+  /** LSH-bucketed ANN: candidates restricted to the query's bucket(s),
+    * then exact rerank.
+    *
+    * `probes` > 0 enables multi-probe: each query additionally searches
+    * the buckets at Hamming distance 1 on the first `probes` planes
+    * (classic multi-probe LSH — near neighbors that straddle one
+    * hyperplane land one bit-flip away). Recall rises with probes while
+    * the join stays a key-partitioned equi-join: the QUERY side fans
+    * out ×(probes+1) (queries are the small side and broadcast), the
+    * candidate side — the 100 TB side — is never replicated. Probe
+    * buckets are distinct values, so no pair dedup is needed before the
+    * rerank. */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, probes: Int = 0): DataFrame = {
     def prep(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), Vectors.toDouble(col(vecCol)).as(s"x_$id"))
         .withColumn(s"bkt_$id",
           GraftFunctions.lshBucket(df.sparkSession, col(s"x_$id")))
-    val q = prep(queries, "query_id")
+    val q0 = prep(queries, "query_id")
+    val q =
+      if (probes == 0) q0.withColumn("probe_bkt", col("bkt_query_id"))
+      else q0.withColumn("probe_bkt", explode(expr(
+        s"""concat(array(bkt_query_id),
+           |  transform(sequence(0, ${probes - 1}),
+           |    p -> bkt_query_id ^ shiftleft(CAST(1 AS BIGINT), p)))""".stripMargin)))
     val c = prep(candidates, "neighbor_id")
-    val pairs = c.join(broadcast(q), col("bkt_query_id") === col("bkt_neighbor_id"))
+    val pairs = c.join(broadcast(q), col("probe_bkt") === col("bkt_neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         GraftFunctions.cosine(candidates.sparkSession,
           col("x_query_id"), col("x_neighbor_id")).as("cos"))

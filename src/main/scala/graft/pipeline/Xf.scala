@@ -56,6 +56,17 @@ object Xf {
   def dedupe(cols: String*): Xf =
     Xf(df => if (cols.isEmpty) df.distinct() else df.dropDuplicates(cols))
 
+  /** Deterministic ~pct% sample by multiplicative hashing of a key
+    * (Knuth's 2654435761). Unlike `DataFrame.sample`/rand(), the kept
+    * set is a pure function of the key: reproducible across engines,
+    * task retries and reruns (a training-data pipeline must be able to
+    * regenerate the exact same sample), and the predicate pushes down
+    * to the scan like any filter. */
+  def sampleHash(key: Column, pct: Int): Xf = {
+    require(pct >= 0 && pct <= 100, s"pct must be 0..100: $pct")
+    filter((key * lit(2654435761L)) % 100 < lit(pct))
+  }
+
   /** take n with a deterministic order. */
   def take(n: Int, order: Column*): Xf = Xf(_.orderBy(order: _*).limit(n))
 

@@ -9,7 +9,7 @@ import graft.connector.{CheckResult, EtlpSink}
   * At 100 TB the same fact↔fact join runs daily; paying one bucketed
   * write turns every subsequent join on `bucketCols` into a zip of
   * pre-partitioned buckets (SortMergeJoin with NO Exchange — verified
-  * by plan assertion in BucketingSpec). Bucket count should match the
+  * by plan assertion in ScaleOpsSpec). Bucket count should match the
   * cluster's target parallelism for the table (e.g. table-size /
   * 256 MB), and both join sides must agree on it.
   *

@@ -41,6 +41,21 @@ class AnnSpec extends SparkSpec {
     assert(top.getLong(1) == 10L && top.getDouble(3) == 1.0)
   }
 
+  test("multi-probe lshTopK: recall never drops, usually rises") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs2 = e.where(col("vec_id") < 10)
+    val cand = e.where(col("vec_id") >= 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.bruteForceTopK(qs2, cand, "vec_id", "embedding", 5))
+    val single = pairs(Ann.lshTopK(qs2, cand, "vec_id", "embedding", 5))
+    val multi = pairs(Ann.lshTopK(qs2, cand, "vec_id", "embedding", 5, probes = 8))
+    def recall(s: Set[(Long, Long)]) = (s & exact).size.toDouble / exact.size
+    // probing Hamming-1 buckets only widens the candidate set
+    assert(recall(multi) >= recall(single))
+    assert(multi.size >= single.size)
+  }
+
   test("trainCentroids: Lloyd's improves the assignment objective") {
     val e = Tables.embeddings(spark, sf0001)
     val cand = e.where(col("vec_id") >= 10)

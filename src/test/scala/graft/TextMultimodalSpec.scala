@@ -39,6 +39,17 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fp(a).length == 128) // 4 x md5 hex
   }
 
+  test("maskPii scrubs emails and long digit runs, counts each class") {
+    import graft.functions.TextAnalysis
+    val df = Seq("write bob.smith+x@corp.example.com or call 5551234567 ext 12")
+      .toDF("text")
+    val (emails, nums) = TextAnalysis.piiCounts(col("text"))
+    val r = df.select(TextAnalysis.maskPii(col("text")).as("m"),
+      emails.as("e"), nums.as("n")).head()
+    assert(r.getString(0) == "write <EMAIL> or call <NUM> ext 12")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1)
+  }
+
   test("multimodal: binary payload carries exact bytes and metadata") {
     val media = Multimodal.attachBinary(
       Seq((5L, "hello world!")).toDF("doc_id", "text"), "doc_id", "text")

@@ -18,6 +18,17 @@ class XfSpec extends SparkSpec {
     assert(Xf.filter(col("v") > 0)(df).count() == 2)
   }
 
+  test("sampleHash is deterministic and roughly proportional") {
+    val ids = spark.range(10000).toDF("id")
+    val once = Xf.sampleHash(col("id"), 10)(ids).collect().map(_.getLong(0)).toSet
+    val twice = Xf.sampleHash(col("id"), 10)(ids).collect().map(_.getLong(0)).toSet
+    assert(once == twice) // pure function of the key, not rand()
+    assert(once.size > 500 && once.size < 1500) // ~10% of 10k
+    assert(Xf.sampleHash(col("id"), 0)(ids).count() == 0)
+    assert(Xf.sampleHash(col("id"), 100)(ids).count() == 10000)
+    intercept[IllegalArgumentException](Xf.sampleHash(col("id"), 101))
+  }
+
   test("mapcat explodes one row to many") {
     val out = Xf.mapcat(split(col("words"), " "), "w", col("id"))(df)
     assert(out.count() == 6)
