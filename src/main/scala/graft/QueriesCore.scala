@@ -227,6 +227,28 @@ object QueriesCore {
         .where(col("r_regionkey") =!= col("n_regionkey"))
         .select("r_name", "n_name")),
 
+    // set operators: INTERSECT/EXCEPT with set (distinct) semantics
+    "q_set_ops" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val su = supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.intersect(su).withColumn("which", lit("both"))
+        .unionByName(c.except(su).withColumn("which", lit("customer_only")))
+    }),
+
+    // correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    // Catalyst decorrelates it (no per-customer re-execution)
+    "q_lateral_topk" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("graft_lat_customer")
+      orders(s, d).createOrReplaceTempView("graft_lat_orders")
+      s.sql(
+        """SELECT c_custkey, o_orderkey, o_totalprice
+          |FROM graft_lat_customer,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+          |         WHERE o_custkey = c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+          |""".stripMargin)
+    }),
+
     "q_percentile" -> ((s, d) =>
       orders(s, d)
         .groupBy("o_orderpriority")
@@ -457,6 +479,24 @@ object QueriesCore {
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |WHERE r_regionkey <> n_regionkey""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT nationkey, 'both' AS which FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS which FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey FROM supplier)""".stripMargin,
+
+    "q_lateral_topk" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)""".stripMargin,
 
     "q_percentile" ->
       """SELECT o_orderpriority,

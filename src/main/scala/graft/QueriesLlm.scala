@@ -36,6 +36,13 @@ object QueriesLlm {
       Dedup.embeddingPairs(embeddings(s, d), "vec_id", "embedding",
         minCosine = 0.3, bands = 4, bandBits = 8)),
 
+    // pairwise near-dups -> clusters: min-label propagation (iterative
+    // key-partitioned joins) against a recursive-CTE DuckDB oracle
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 12),
+        "doc_a", "doc_b")),
+
     "ann_topk" -> ((s, d) => {
       val e = embeddings(s, d)
       Ann.bruteForceTopK(
@@ -244,6 +251,37 @@ object QueriesLlm {
         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 12""".stripMargin,
+
+    // same simhash band/hamming pipeline as dedup_simhash, then
+    // connected components as a recursive CTE (min reachable id per
+    // node = the cluster's canonical id — mirrors label propagation's
+    // fixpoint exactly)
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |hs AS (
+        |  SELECT doc_id, [('0x'||substr(md5(t),1,15))::UBIGINT for t in w] AS h
+        |  FROM toks WHERE len(w) > 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in h]) >= 0
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS simhash
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bv
+        |  FROM sig, range(0,4) t(b)),
+        |pr AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+        |nodes AS (SELECT DISTINCT doc_a AS n FROM pr UNION SELECT doc_b FROM pr),
+        |e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach AS (
+        |  SELECT n AS node, n AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.d AS node, reach.lbl FROM reach JOIN e ON e.s = reach.node)
+        |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin,
 
     // unrolled 2-iteration Lloyd's (spherical k-means, k=8): seeds are the
     // 8 lowest-id candidates; assignment argmax on round(cos,6) with cid

@@ -319,6 +319,59 @@ object Dedup {
         expr("CAST(ROUND(cos, 4) AS DOUBLE)").as("cos_sim"))
   }
 
+  /** Connected components over a near-duplicate pair stream: every doc
+    * in the pair graph gets its cluster's canonical (min) id — the step
+    * that turns pairwise near-dup detection into "keep one per cluster"
+    * (pairs alone over-delete: a~b and b~c must not drop both b and c
+    * independently of a).
+    *
+    * Spark-first: min-label propagation with pointer jumping, as
+    * iterative DataFrame joins. Each round does (a) one-hop neighbor
+    * propagation (edges⋈labels, min-aggregate by destination) and
+    * (b) path halving — label := min(label, label(label)) via a
+    * self-join of the label table — so convergence is O(log n) rounds
+    * even on a pathological chain, not O(diameter) (the same doubling
+    * that makes small-star/large-star CC practical at web scale). Every
+    * round's result is `localCheckpoint`ed: iterative plans otherwise
+    * accumulate lineage and the driver's plan/codegen work grows without
+    * bound (observed: heap exhaustion within a few rounds). The only
+    * driver-side value per round is the changed-label count — the graph
+    * itself never leaves the executors (contrast a driver union-find,
+    * which dies at corpus scale).
+    *
+    * @return (doc_id, cluster_id) for every doc appearing in `pairs`. */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val fromNbr = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val hop = labels.unionByName(fromNbr)
+        .groupBy("node").agg(min("label").as("label"))
+      // pointer jumping: chase one indirection (labels are node ids, so
+      // every label has a row in `hop`) and keep the smaller
+      val jump = hop.select(col("node").as("pnode"), col("label").as("plabel"))
+      val next = hop.join(jump, col("label") === col("pnode"))
+        .select(col("node"), least(col("label"), col("plabel")).as("label"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .where(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact all-pairs embedding-cosine (O(N²) nested-loop join): the
     * recall oracle for [[embeddingPairs]] in specs. Never run this on a
     * corpus — the plan is a BroadcastNestedLoopJoin by construction. */

@@ -137,6 +137,21 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall over ${exact.size} true pairs")
   }
 
+  test("duplicateClusters: transitive closure to canonical min ids") {
+    import graft.operators.Dedup
+    // two components: a 6-node chain (needs multiple propagation rounds)
+    // and a triangle; node 100 is isolated (no pairs → no row)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(out(_) == 1L))
+    assert((20L to 22L).forall(out(_) == 20L))
+    assert(out.size == 9)
+  }
+
   test("ngram prefix maxDf guard: generous cap exact, tight cap sound") {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
