@@ -372,6 +372,18 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Apply [[duplicateClusters]] output to a corpus: drop every doc
+    * that belongs to a cluster but is not its canonical id. Docs in no
+    * cluster (never paired) pass through untouched — a left-anti join
+    * against the non-canonical members, key-partitioned on the id. */
+  def keepCanonical(df: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val losers = clusters
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    df.join(losers, df(idCol) === losers("doc_id"), "left_anti")
+  }
+
   /** Exact all-pairs embedding-cosine (O(N²) nested-loop join): the
     * recall oracle for [[embeddingPairs]] in specs. Never run this on a
     * corpus — the plan is a BroadcastNestedLoopJoin by construction. */

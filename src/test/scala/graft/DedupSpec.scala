@@ -152,6 +152,17 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 9)
   }
 
+  test("keepCanonical drops cluster losers, keeps unpaired docs") {
+    import graft.operators.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "solo"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.keepCanonical(corpus, "doc_id", clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 9L))
+  }
+
   test("ngram prefix maxDf guard: generous cap exact, tight cap sound") {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
