@@ -305,6 +305,22 @@ object QueriesCore {
         "CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
           "RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_30d")),
 
+    // approx sketches: engine-specific estimates, so no DuckDB hash
+    // oracle — these take the driver's rows-only check; accuracy vs
+    // exact answers is spec-enforced (ApproxSpec)
+    "approx_distinct" -> ((s, d) =>
+      graft.operators.Approx.distinctCount(
+        events(s, d), Seq("event_type"), "user_id")),
+
+    "approx_quantiles" -> ((s, d) =>
+      graft.operators.Approx.quantiles(
+        orders(s, d), Seq("o_orderpriority"), "o_totalprice", Seq(0.5, 0.9))),
+
+    "approx_freq" -> ((s, d) =>
+      graft.operators.Approx.frequentItems(
+        events(s, d).select((col("user_id") % 50).as("hot_key")),
+        "hot_key", support = 0.05)),
+
     "q_sql_funcs" -> ((s, d) =>
       orders(s, d).selectExpr(
         "o_orderkey",
