@@ -54,7 +54,13 @@ object Bench {
     // the small sf tables, which is mostly setup cost; this pushes a
     // fixed 2M-row staged stream through the same operators across
     // multiple micro-batches so the number measures sustained throughput.
-    val tput = try streamThroughput(spark) catch { case _: Throwable => "{}" }
+    val tput = try streamThroughput(spark) catch {
+      // surface the failure in the JSON (the per-query loop does the
+      // same via the -1 sentinel) — an empty object would be
+      // indistinguishable from "not applicable"
+      case e: Throwable =>
+        s"""{"error":"${String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)}"}"""
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

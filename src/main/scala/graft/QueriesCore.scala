@@ -366,7 +366,7 @@ object QueriesCore {
 
     "xf_sample" ->
       """SELECT event_id, user_id, event_type FROM events
-        |WHERE (event_id * 2654435761) % 100 < 10""".stripMargin,
+        |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10""".stripMargin,
 
     "q_join_skew" ->
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,

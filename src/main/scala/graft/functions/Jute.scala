@@ -60,11 +60,25 @@ object Jute {
     * composition medium because SQL lambdas (`x -> body`) bind variables
     * lexically by name — exactly the template's scoping — and one final
     * `expr()` hands the whole tree to Catalyst in a single parse. */
+  /** Escape a string for a Spark SQL single-quoted literal: backslashes
+    * first (Spark's default parser processes \t, \n, ... escapes inside
+    * literals), then quote doubling. */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+  /** Required directive operand — a missing `$then`/`$body` must be a
+    * template error naming the directive, not an NPE mid-recursion. */
+  private def operand(node: JsonNode, key: String): JsonNode = {
+    val v = node.get(key)
+    require(v != null, s"directive needs a $key operand: $node")
+    v
+  }
+
   private[functions] def compileSql(node: JsonNode): String = node match {
     case _ if node.isTextual =>
       val s = node.asText
       if (s.startsWith("$ ")) s"(${s.drop(2)})"
-      else "'" + s.replace("'", "''") + "'"
+      else sqlLit(s)
     case _ if node.isIntegralNumber => s"CAST(${node.asLong} AS BIGINT)"
     case _ if node.isNumber         => s"CAST(${node.asDouble}D AS DOUBLE)"
     case _ if node.isBoolean        => node.asBoolean.toString
@@ -73,26 +87,26 @@ object Jute {
       node.elements().asScala.map(compileSql).mkString("array(", ", ", ")")
     case _ if node.isObject && node.has("$if") =>
       val cond = exprBody(node.get("$if"), "$if")
-      val thenB = compileSql(node.get("$then"))
+      val thenB = compileSql(operand(node, "$then"))
       val elseB = Option(node.get("$else")).map(compileSql).getOrElse("NULL")
       s"(CASE WHEN ($cond) THEN $thenB ELSE $elseB END)"
     case _ if node.isObject && node.has("$map") =>
       val arr = exprBody(node.get("$map"), "$map")
       val as = Option(node.get("$as")).map(_.asText).getOrElse("it")
-      val body = compileSql(node.get("$body"))
+      val body = compileSql(operand(node, "$body"))
       s"transform(($arr), $as -> $body)"
     case _ if node.isObject && node.has("$let") =>
       // each binding becomes a 1-element transform whose lambda variable
       // IS the binding name — true lexical scoping (later bindings and
       // the body see earlier ones), each value evaluated once per row
       val binds = node.get("$let").properties().asScala.toSeq
-      val body = compileSql(node.get("$body"))
+      val body = compileSql(operand(node, "$body"))
       binds.foldRight(body) { case (e, acc) =>
         s"element_at(transform(array(${compileSql(e.getValue)}), ${e.getKey} -> $acc), 1)"
       }
     case _ if node.isObject =>
       node.properties().asScala.toSeq
-        .map(e => s"'${e.getKey.replace("'", "''")}', ${compileSql(e.getValue)}")
+        .map(e => s"${sqlLit(e.getKey)}, ${compileSql(e.getValue)}")
         .mkString("named_struct(", ", ", ")")
     case other =>
       throw new IllegalArgumentException(s"unsupported template node: $other")

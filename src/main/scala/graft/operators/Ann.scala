@@ -153,6 +153,8 @@ object Ann {
     * rerank. */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= 16,
+      s"probes must be 0..16 (one per hyperplane): $probes")
     def prep(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), Vectors.toDouble(col(vecCol)).as(s"x_$id"))
         .withColumn(s"bkt_$id",

@@ -366,9 +366,18 @@ object Dedup {
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .where(col("n.label") =!= col("o.label"))
         .count()
+      // free the superseded generation's checkpoint blocks — otherwise
+      // executor storage grows by one full label-table copy per round
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
       labels = next
       iter += 1
     }
+    // an unconverged exit would silently split one true component into
+    // several clusters (keepCanonical then under-deletes) — fail instead
+    if (changed > 0) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters")
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edges)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

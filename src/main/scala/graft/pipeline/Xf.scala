@@ -56,15 +56,21 @@ object Xf {
   def dedupe(cols: String*): Xf =
     Xf(df => if (cols.isEmpty) df.distinct() else df.dropDuplicates(cols))
 
-  /** Deterministic ~pct% sample by multiplicative hashing of a key
-    * (Knuth's 2654435761). Unlike `DataFrame.sample`/rand(), the kept
-    * set is a pure function of the key: reproducible across engines,
-    * task retries and reruns (a training-data pipeline must be able to
-    * regenerate the exact same sample), and the predicate pushes down
-    * to the scan like any filter. */
+  /** Deterministic ~pct% sample by hashing the key (first 8 hex chars
+    * of md5 over its decimal string → uniform bucket in [0,100)).
+    * Unlike `DataFrame.sample`/rand(), the kept set is a pure function
+    * of the key: reproducible across engines, task retries and reruns
+    * (a training-data pipeline must be able to regenerate the exact
+    * same sample), and the predicate evaluates in the scan stage like
+    * any filter. md5 (not a multiplicative residue trick) so striped or
+    * clustered id spaces still sample proportionally, any integer range
+    * is safe (no overflow under ANSI mode), and DuckDB reproduces the
+    * bucket bit-for-bit. */
   def sampleHash(key: Column, pct: Int): Xf = {
     require(pct >= 0 && pct <= 100, s"pct must be 0..100: $pct")
-    filter((key * lit(2654435761L)) % 100 < lit(pct))
+    val bucket =
+      conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    filter(bucket < lit(pct))
   }
 
   /** take n with a deterministic order. */

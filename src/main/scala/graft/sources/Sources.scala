@@ -195,10 +195,17 @@ final case class HttpBulkSource(
     maxPolls: Int = 120) extends EtlpSource {
   def spec: Map[String, String] = Map("type" -> "http-bulk", "url" -> apiUrl)
 
+  /** The export job is started AT MOST ONCE per source instance —
+    * `check`, `discover` and `read` all poll the same job location
+    * (the reference's verbs operate on one Content-Location too);
+    * without this, a routine check→discover→read flow would kick off
+    * three server-side export jobs. Driver-only state (`@transient`):
+    * executors never talk to the control plane. */
+  @transient private lazy val location: String = transport.start(apiUrl)
+
   /** Drive the control-plane state machine to completion; returns the
     * listed resource paths. Fails (rather than hangs) after `maxPolls`. */
   def awaitListing(): Seq[String] = {
-    val location = transport.start(apiUrl)
     var status = 0
     var n = 0
     while (status != 200) {
@@ -216,7 +223,7 @@ final case class HttpBulkSource(
   }
 
   def check(spark: SparkSession): CheckResult = {
-    val (s, progress) = transport.check(transport.start(apiUrl))
+    val (s, progress) = transport.check(location)
     if (s == 200 || s == 202) CheckResult(valid = true, s"$s $progress")
     else CheckResult(valid = false, s"status $s")
   }

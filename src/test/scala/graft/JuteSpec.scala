@@ -82,4 +82,18 @@ class JuteSpec extends SparkSpec {
   test("top-level template must be a mapping") {
     intercept[IllegalArgumentException](Jute.columns("[1,2,3]"))
   }
+
+  test("backslashes in literals survive Spark's escape processing") {
+    val out = df.select(Jute.column("""{"p": "C:\\temp\\new"}""").as("v"))
+    assert(out.select("v.p").head().getString(0) == "C:\\temp\\new")
+  }
+
+  test("missing directive operands are template errors, not NPEs") {
+    val bad1 = intercept[IllegalArgumentException](
+      Jute.column("""{"$if": "score > 0"}"""))
+    assert(bad1.getMessage.contains("$then"))
+    val bad2 = intercept[IllegalArgumentException](
+      Jute.column("""{"$map": "$ split(name, ' ')"}"""))
+    assert(bad2.getMessage.contains("$body"))
+  }
 }
