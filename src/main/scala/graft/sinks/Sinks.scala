@@ -62,10 +62,11 @@ final case class MemorySink(viewName: String) extends EtlpSink {
   * (README `create-postgres-destination!`: pg-config + table + column
   * specs). Spark-first: `df.write.jdbc` partitions the insert across
   * executors; `batchSize` controls rows per round-trip (the reference's
-  * `partition-all` batching analogue). Zero-egress environment note:
-  * there is no database or JDBC driver in this container, so the write
-  * path cannot be exercised here — spec/check cover the configuration
-  * surface, and the write is the standard Spark JDBC path. */
+  * `partition-all` batching analogue). No Postgres exists in this
+  * zero-egress container, but the write path IS exercised end-to-end
+  * against embedded Derby (ships with Spark) in ConnectorSpec —
+  * create-table, batched inserts, append/overwrite modes, and the
+  * observe()-metric row count all run for real. */
 final case class JdbcSink(
     url: String,
     table: String,
