@@ -101,9 +101,13 @@ object Bench {
       q.awaitTermination()
       (System.nanoTime() - t0) / 1e9
     }
-    val winSec = timed("window",
+    // best-of-2, like the per-query loop: one sample is hostage to a
+    // GC pause or state-store cold start
+    def best2(name: String, f: DataFrame => DataFrame): Double =
+      (1 to 2).map(_ => timed(name, f)).min
+    val winSec = best2("window",
       graft.streaming.Streaming.windowedCounts(_, "1 hour", "1 hour"))
-    val sesSec = timed("session",
+    val sesSec = best2("session",
       graft.streaming.Streaming.sessionizeStream(_).toDF)
     def rps(sec: Double): Long = (rows / sec).toLong
     s"""{"rows":$rows,"window_sec":$winSec,"window_rows_per_sec":${rps(winSec)},""" +

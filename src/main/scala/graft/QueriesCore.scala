@@ -305,6 +305,43 @@ object QueriesCore {
         "CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
           "RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_30d")),
 
+    // unpivot/melt — wide measures to long (the inverse of q_pivot);
+    // one Expand node, no shuffle
+    "q_unpivot" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          variableColumnName = "measure",
+          valueColumnName = "value")),
+
+    // second-moment statistics with decimal-exact accumulation: stddev
+    // and correlation from DECIMAL sums of x, y, x², y², xy — one
+    // deterministic IEEE evaluation per group at the end, so the values
+    // hash-match across engines (built-in corr()/stddev() accumulate in
+    // partition order and cannot)
+    "q_stats" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("SUM(CAST(l_quantity AS DECIMAL(18,2)))").as("sx"),
+          expr("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))").as("sy"),
+          expr("SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))").as("sxx"),
+          expr("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))").as("syy"),
+          expr("SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))").as("sxy"))
+        .selectExpr(
+          "l_returnflag", "n",
+          "CAST(ROUND(CAST(sx AS DOUBLE) / n, 4) AS DOUBLE) AS avg_qty",
+          "CAST(ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 4) AS DOUBLE) AS stddev_qty",
+          "CAST(ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / " +
+            "(SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * " +
+            " SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 4) AS DOUBLE) AS corr_qty_price")),
+
     // approx sketches: engine-specific estimates, so no DuckDB hash
     // oracle — these take the driver's rows-only check; accuracy vs
     // exact answers is spec-enforced (ApproxSpec)
@@ -495,6 +532,33 @@ object QueriesCore {
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |WHERE r_regionkey <> n_regionkey""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount',
+        |       CAST(l_discount AS DOUBLE) FROM lineitem""".stripMargin,
+
+    "q_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(ROUND(CAST(sx AS DOUBLE) / n, 4) AS DOUBLE) AS avg_qty,
+        |  CAST(ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 4) AS DOUBLE) AS stddev_qty,
+        |  CAST(ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |    (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+        |     SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 4) AS DOUBLE) AS corr_qty_price
+        |FROM m""".stripMargin,
 
     "q_set_ops" ->
       """SELECT nationkey, 'both' AS which FROM (
