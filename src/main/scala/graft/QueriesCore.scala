@@ -305,6 +305,27 @@ object QueriesCore {
         "CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
           "RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_30d")),
 
+    // point-in-interval range join through the gate: the oracle is the
+    // NAIVE inequality join, the Spark plan is the binned equi-join
+    // (OSS Spark would otherwise nest-loop a pure range condition)
+    "q_range_join" -> ((s, d) => {
+      // purchase attribution: every event landing in the 2 h after a
+      // purchase by the same user
+      val win = events(s, d).where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"),
+          col("ts").as("w_start"),
+          expr("ts + INTERVAL '2' HOUR").as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(
+        events(s, d).select("event_id", "user_id", "event_type", "ts"), win,
+        leftKey = "user_id", rightKey = "p_user",
+        timeCol = "ts", startCol = "w_start", endCol = "w_end",
+        binMicros = 2L * 3600 * 1000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("purchase_id")).as("n_windows"))
+    }),
+
     // unpivot/melt — wide measures to long (the inverse of q_pivot);
     // one Expand node, no shuffle
     "q_unpivot" -> ((s, d) =>
@@ -532,6 +553,14 @@ object QueriesCore {
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |WHERE r_regionkey <> n_regionkey""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |CAST(COUNT(DISTINCT p.event_id) AS BIGINT) AS n_windows
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id AND p.event_type = 'purchase'
+        | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 2 HOUR
+        |GROUP BY e.event_type""".stripMargin,
 
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,

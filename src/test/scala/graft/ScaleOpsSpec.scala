@@ -29,6 +29,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spread == 8) // all 8 sub-keys occupied
   }
 
+  test("RangeJoin equals the naive inequality join, without a nested loop") {
+    import graft.operators.RangeJoin
+    val events = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "ts")
+    val win = Tables.events(spark, sf0001)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("w_start"), expr("ts + INTERVAL '2' HOUR").as("w_end"))
+    val binned = RangeJoin.pointInInterval(events, win,
+      "user_id", "p_user", "ts", "w_start", "w_end",
+      binMicros = 2L * 3600 * 1000000L)
+    val naive = events.join(win,
+      col("user_id") === col("p_user") &&
+        col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+    val b = binned.select("event_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val n = naive.select("event_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(b == n && b.nonEmpty)
+    // each qualifying pair meets exactly once (no dedup in the operator)
+    assert(b.distinct.size == b.size)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("bucketed tables join without an exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
