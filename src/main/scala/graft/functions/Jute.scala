@@ -112,6 +112,34 @@ object Jute {
       throw new IllegalArgumentException(s"unsupported template node: $other")
   }
 
+  /** etlp-mapper registry client analogue — the reference GETs
+    * `<base-url>/mappings/<id>` per alias, unwraps the response's
+    * `content.yaml`, compiles it, and records a per-alias error string
+    * on any failure instead of failing the whole batch
+    * (/root/reference/src/etlp/utils/mapper.clj:40-48 `fetch-mappings`,
+    * :7-24 `get-mapping`). Transport is pluggable (`fetch`) for the
+    * zero-egress environment — a filesystem- or test-map-backed fetch
+    * exercises the same unwrap/compile/error paths a real HTTP client
+    * would.
+    *
+    * @param specs alias → mapping id
+    * @return alias → Right(compiled output columns) | Left(error) */
+  def fetchMappings(baseUrl: String, specs: Map[String, String],
+      fetch: String => String): Map[String, Either[String, Seq[Column]]] =
+    specs.map { case (alias, id) =>
+      val url = s"$baseUrl/mappings/$id"
+      alias -> (try {
+        val body = json.readTree(fetch(url))
+        val yamlNode = body.at("/content/yaml")
+        require(!yamlNode.isMissingNode && yamlNode.isTextual,
+          s"response carries no content.yaml: $url")
+        Right(columns(yamlNode.asText))
+      } catch {
+        case e: Exception => Left(
+          s"Error fetching mapping for alias: $alias, mapping-id: $id, ${e.getMessage}")
+      })
+    }
+
   /** Directive bodies ($if/$map) are SQL whether or not they carry the
     * `$ ` marker — matching JUTE, where directive values are always
     * expressions. */

@@ -83,6 +83,23 @@ class JuteSpec extends SparkSpec {
     intercept[IllegalArgumentException](Jute.columns("[1,2,3]"))
   }
 
+  test("fetchMappings compiles served templates, isolates failures") {
+    // fake mapper service: one good template, one missing, one malformed
+    val served = Map(
+      "http://mapper/mappings/13" ->
+        """{"content": {"yaml": "up: \"$ upper(name)\"\nid: \"$ id\""}}""",
+      "http://mapper/mappings/16" -> """{"status": "no yaml here"}""")
+    def fetch(url: String): String =
+      served.getOrElse(url, throw new java.io.FileNotFoundException(url))
+    val out = graft.functions.Jute.fetchMappings("http://mapper",
+      Map("adt" -> "13", "bad" -> "16", "gone" -> "404"), fetch)
+    val cols = out("adt").toOption.get
+    val r = df.select(cols: _*).where(col("id") === 1L).head()
+    assert(r.getString(0) == "ALICE SMITH" && r.getLong(1) == 1L)
+    assert(out("bad").left.exists(_.contains("mapping-id: 16")))
+    assert(out("gone").left.exists(_.contains("mapping-id: 404")))
+  }
+
   test("backslashes in literals survive Spark's escape processing") {
     val out = df.select(Jute.column("""{"p": "C:\\temp\\new"}""").as("v"))
     assert(out.select("v.p").head().getString(0) == "C:\\temp\\new")
