@@ -59,7 +59,10 @@ object Bench {
       // same via the -1 sentinel) — an empty object would be
       // indistinguishable from "not applicable"
       case e: Throwable =>
-        s"""{"error":"${String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)}"}"""
+        // strip quotes, backslashes and ALL control chars — one raw
+        // control byte would invalidate the whole single-line JSON
+        s"""{"error":"${String.valueOf(e.getMessage)
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)}"}"""
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

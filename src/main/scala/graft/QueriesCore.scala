@@ -57,8 +57,9 @@ object QueriesCore {
         .agg(count(lit(1)).as("batch_rows"),
              sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"))),
 
-    // deterministic multiplicative-hash sample — same rows on any
-    // engine/retry (rand()-based sampling is not reproducible)
+    // deterministic md5-bucket sample — same rows on any engine/retry
+    // (rand()-based sampling is not reproducible, and residue tricks
+    // like key*const%100 break on striped ids / ANSI overflow)
     "xf_sample" -> ((s, d) =>
       Xf.comp(
         Xf.sampleHash(col("event_id"), pct = 10),

@@ -372,12 +372,17 @@ object Dedup {
       labels = next
       iter += 1
     }
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edges)
     // an unconverged exit would silently split one true component into
     // several clusters (keepCanonical then under-deletes) — fail instead
-    if (changed > 0) throw new IllegalStateException(
-      s"duplicateClusters did not converge in $maxIters rounds " +
-        s"($changed labels still changing) — raise maxIters")
-    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edges)
+    // (after freeing the edge checkpoint, so a same-session retry does
+    // not accumulate leaked generations)
+    if (changed > 0) {
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — raise maxIters")
+    }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

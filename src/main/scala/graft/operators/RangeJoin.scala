@@ -33,6 +33,9 @@ object RangeJoin {
       timeCol: String, startCol: String, endCol: String,
       binMicros: Long): DataFrame = {
     require(binMicros > 0, s"binMicros must be positive: $binMicros")
+    require(!left.columns.contains("graft_bin") &&
+      !right.columns.contains("graft_bin"),
+      "inputs must not already carry a graft_bin column")
     val bin = lit(binMicros)
     // NTZ-tolerant epoch: unix_micros takes TIMESTAMP only; a cast from
     // TIMESTAMP_NTZ is stable under the fixed UTC session timezone

@@ -195,31 +195,44 @@ final case class HttpBulkSource(
     maxPolls: Int = 120) extends EtlpSource {
   def spec: Map[String, String] = Map("type" -> "http-bulk", "url" -> apiUrl)
 
-  /** The export job is started AT MOST ONCE per source instance —
-    * `check`, `discover` and `read` all poll the same job location
-    * (the reference's verbs operate on one Content-Location too);
-    * without this, a routine check→discover→read flow would kick off
-    * three server-side export jobs. Driver-only state (`@transient`):
-    * executors never talk to the control plane. */
-  @transient private lazy val location: String = transport.start(apiUrl)
+  /** The export job is started AT MOST ONCE per source instance while
+    * it stays alive — `check`, `discover` and `read` all poll the same
+    * job location (the reference's verbs operate on one
+    * Content-Location too); without this, a routine check→discover→read
+    * flow would kick off three server-side export jobs. A 404 (job
+    * expired/GC'd server-side) clears the memo so the next verb starts
+    * a FRESH job instead of failing forever. Driver-only state
+    * (`@transient`): executors never talk to the control plane. */
+  @transient private var memoLocation: Option[String] = None
+  private def location: String = synchronized {
+    memoLocation.getOrElse {
+      val l = transport.start(apiUrl)
+      memoLocation = Some(l)
+      l
+    }
+  }
 
   /** Drive the control-plane state machine to completion; returns the
     * listed resource paths. Fails (rather than hangs) after `maxPolls`. */
   def awaitListing(): Seq[String] = {
+    val loc = location
     var status = 0
     var n = 0
     while (status != 200) {
-      val (s, progress) = transport.check(location)
+      val (s, progress) = transport.check(loc)
       status = s
       n += 1
-      if (status == 404) throw new java.io.FileNotFoundException(location)
+      if (status == 404) {
+        synchronized { memoLocation = None } // expired job: restart next call
+        throw new java.io.FileNotFoundException(loc)
+      }
       if (status != 200) {
         if (n >= maxPolls) throw new IllegalStateException(
           s"bulk job not ready after $n polls (last: $status $progress)")
         Thread.sleep(pollIntervalMs)
       }
     }
-    transport.list(location)
+    transport.list(loc)
   }
 
   def check(spark: SparkSession): CheckResult = {

@@ -16,9 +16,16 @@ object GraftSqlBridge {
     * the cache manager, so `Dataset.unpersist` cannot reach it; an
     * iterative algorithm that checkpoints per round (lineage truncation)
     * must free superseded generations or storage grows by one full copy
-    * per round. No-op for non-checkpointed plans. */
+    * per round.
+    *
+    * Deliberately matches ONLY a frame whose plan root IS the
+    * checkpoint's LogicalRDD (what `localCheckpoint()` returns) — a
+    * frame merely DERIVED from a checkpoint must not free its
+    * ancestor's blocks, because truncated lineage makes them
+    * unrecoverable for every other frame sharing that checkpoint.
+    * No-op for any other plan shape. */
   def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
       case _ => ()
