@@ -1,0 +1,49 @@
+package graft
+
+/** Inventory-wide plan-hygiene gate: no query may plan an all-pairs
+  * join. A BroadcastNestedLoopJoin or CartesianProduct is the one plan
+  * shape that cannot run at 100 TB, and it can sneak in silently — a
+  * join whose equi-condition gets rewritten away, a range predicate
+  * without a binned key, a lost broadcast hint — while results stay
+  * correct on test-scale data. Asserting over EVERY SparkEntry query
+  * keeps the SURVEY §5 claim ("the only cross join is the cross-join
+  * query") true by construction as the inventory grows.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  // The only sanctioned all-pairs shapes, each with a structurally
+  // bounded build side:
+  //  - q_cross_join IS the cross-join capability row;
+  //  - ann_topk broadcasts the QUERY set (bounded by the caller) against
+  //    the candidate scan — the documented exact Q·N baseline whose
+  //    scale paths are ann_lsh/ann_ivf (both equi-joins, NOT listed);
+  //  - ann_ivf's centroid assignment broadcasts k=8 centroid rows —
+  //    every vector must score all k centroids by definition.
+  // Everything else must be key-partitioned or broadcast-hash.
+  private val allPairsAllowed = Set("q_cross_join", "ann_topk", "ann_ivf")
+
+  // streaming frames cannot be explained without starting a query; their
+  // batch-equivalent shapes are covered by the stream_* batch oracles
+  private def explainable(name: String): Boolean =
+    !name.startsWith("stream_")
+
+  test("no query plans BroadcastNestedLoopJoin or CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => explainable(name) && !allPairsAllowed(name) }
+      .flatMap { case (name, fn) =>
+        val plan =
+          try fn(spark, sf0001).queryExecution.executedPlan.toString
+          catch { case e: Throwable => s"EXPLAIN FAILED: ${e.getMessage}" }
+        if (plan.contains("BroadcastNestedLoopJoin") ||
+            plan.contains("CartesianProduct") ||
+            plan.startsWith("EXPLAIN FAILED"))
+          Some(name -> plan.linesIterator
+            .filter(l => l.contains("NestedLoop") || l.contains("Cartesian") ||
+              l.startsWith("EXPLAIN FAILED"))
+            .take(2).mkString(" | "))
+        else None
+      }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, l) => s"$n: $l" }.mkString("\n"))
+  }
+}
