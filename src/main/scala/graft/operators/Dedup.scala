@@ -335,9 +335,9 @@ object Dedup {
     * round's result is `localCheckpoint`ed: iterative plans otherwise
     * accumulate lineage and the driver's plan/codegen work grows without
     * bound (observed: heap exhaustion within a few rounds). The only
-    * driver-side value per round is the changed-label count — the graph
-    * itself never leaves the executors (contrast a driver union-find,
-    * which dies at corpus scale).
+    * driver-side value per round is the exact label sum used for the
+    * convergence test — the graph itself never leaves the executors
+    * (contrast a driver union-find, which dies at corpus scale).
     *
     * @return (doc_id, cluster_id) for every doc appearing in `pairs`. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
@@ -349,9 +349,18 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // convergence via the label-sum invariant: every round takes a MIN
+    // over a superset of each node's current label, so labels are
+    // per-node non-increasing — the (exact, decimal) sum is unchanged
+    // iff every label is. One aggregate on the new table replaces a
+    // join of consecutive generations (one fewer shuffle per round).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
+    var changed = true
+    while (changed && iter < maxIters) {
       val fromNbr = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
       val hop = labels.unionByName(fromNbr)
@@ -362,10 +371,9 @@ object Dedup {
       val next = hop.join(jump, col("label") === col("pnode"))
         .select(col("node"), least(col("label"), col("plabel")).as("label"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .where(col("n.label") =!= col("o.label"))
-        .count()
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       // free the superseded generation's checkpoint blocks — otherwise
       // executor storage grows by one full label-table copy per round
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
@@ -377,11 +385,11 @@ object Dedup {
     // several clusters (keepCanonical then under-deletes) — fail instead
     // (after freeing the edge checkpoint, so a same-session retry does
     // not accumulate leaked generations)
-    if (changed > 0) {
+    if (changed) {
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
       throw new IllegalStateException(
-        s"duplicateClusters did not converge in $maxIters rounds " +
-          s"($changed labels still changing) — raise maxIters")
+        s"duplicateClusters did not converge in $maxIters rounds — " +
+          "raise maxIters")
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
