@@ -15,6 +15,10 @@ run / fork := true
 // contract is ONE raw JSON line on stdout, and sbt's default logger
 // would prefix it with "[info] " (breaking line-oriented parsers).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's "[success] Total time: ..." epilogue would land AFTER
+// that JSON line, so a last-line parser reads the epilogue instead of
+// the metrics (observed: driver BENCH parsed=null in rounds 1-3).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -194,6 +194,14 @@ object QueriesCore {
         .agg(count(col("o_orderkey")).as("n_orders"),
              expr("CAST(ROUND(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))), 2) AS DOUBLE)").as("total_spent"))),
 
+    // CUBE: all 2^k grouping combinations — completes the rollup /
+    // grouping-sets family (one Expand node, still a two-phase agg)
+    "q_cube" -> ((s, d) =>
+      lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+             count(lit(1)).as("n"))),
+
     "q_grouping_sets" -> ((s, d) => {
       lineitem(s, d).createOrReplaceTempView("graft_lineitem")
       s.sql(
@@ -529,6 +537,12 @@ object QueriesCore {
         |CAST(ROUND(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+/** §2.D corpus-assembly queries: document chunking, sequence packing,
+  * weighted source mixing, export sharding — the stages that turn a
+  * cleaned/deduped corpus into training shards (operators.Corpus).
+  *
+  * Oracle numerics: every hash decision is the md5-per-mille bucket
+  * family (engine-portable bit-for-bit); every token count is the same
+  * lowercase-whitespace tokenization both sides; aggregates are integer
+  * counts/sums (no float drift possible).
+  */
+object QueriesCorpus {
+  import Tables._
+
+  /** Target language mix: upsample English, downsample the tail — the
+    * shape of every real pretraining mixture spec. */
+  private val langRates = Seq(
+    "en" -> 0.9, "es" -> 0.5, "fr" -> 0.5, "de" -> 0.25, "zh" -> 0.1)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sliding-window chunking: 32-token windows, stride 24 (8-token
+    // overlap) — row-local explode, no shuffle
+    "text_chunk" -> ((s, d) =>
+      Corpus.chunkTokens(documents(s, d), "doc_id", "text",
+        chunkSize = 32, stride = 24)),
+
+    // fixed-budget sequence packing: 512-token bins filled in doc-id
+    // order within 8 hash shards — one key-partitioned window
+    "corpus_pack" -> ((s, d) =>
+      Corpus.packSequences(documents(s, d), "doc_id", "text",
+        budgetTokens = 512, shards = 8)),
+
+    // weighted language mixing: deterministic per-mille keep decision
+    // per doc; broadcast rate table, row-local filter
+    "corpus_mix" -> ((s, d) =>
+      Corpus.mixWeighted(documents(s, d), "doc_id", "lang", langRates)
+        .select("doc_id", "lang", "source")),
+
+    // export sharding balance: 16 hash shards, per-shard doc/token totals
+    "corpus_shards" -> ((s, d) =>
+      Corpus.shardStats(documents(s, d), "doc_id", "text", shards = 16))
+  )
+
+  private val toksCte =
+    "SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents"
+
+  val oracle: Map[String, String] = Map(
+    "text_chunk" ->
+      s"""WITH t AS ($toksCte),
+         |c AS (SELECT doc_id, w, CAST(CEIL(len(w)/24.0) AS INT) AS nc
+         |      FROM t WHERE len(w) > 0)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(len(w[(i*24+1):(i*24+32)]) AS INT) AS n_chunk_tokens,
+         |  array_to_string(w[(i*24+1):(i*24+32)], ' ') AS chunk_text
+         |FROM c, range(0, 64) r(i) WHERE i < nc""".stripMargin,
+
+    "corpus_pack" ->
+      s"""WITH t AS ($toksCte),
+         |s AS (
+         |  SELECT doc_id, len(w) AS n_tok,
+         |    CAST(('0x'||substr(md5('pack:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 8 AS INT) AS shard
+         |  FROM t WHERE len(w) > 0),
+         |c AS (
+         |  SELECT shard, doc_id, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                     ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM s)
+         |SELECT shard, CAST(FLOOR((cum - n_tok)/512.0) AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tokens_packed,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+         |FROM c GROUP BY shard, bin""".stripMargin,
+
+    "corpus_mix" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000 <
+        |  CASE lang WHEN 'en' THEN 900 WHEN 'es' THEN 500 WHEN 'fr' THEN 500
+        |            WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
+
+    "corpus_shards" ->
+      s"""WITH t AS ($toksCte)
+         |SELECT
+         |  CAST(('0x'||substr(md5('shard:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 16 AS INT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(w)) AS BIGINT) AS tokens,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+         |FROM t GROUP BY 1""".stripMargin
+  )
+}

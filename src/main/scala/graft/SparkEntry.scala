@@ -16,11 +16,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesEtl.queries ++ QueriesLlm.queries ++
-      QueriesStream.queries
+      QueriesCorpus.queries ++ QueriesStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     QueriesCore.oracle ++ QueriesEtl.oracle ++ QueriesLlm.oracle ++
-      QueriesStream.oracle
+      QueriesCorpus.oracle ++ QueriesStream.oracle
 }

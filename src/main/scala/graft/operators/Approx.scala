@@ -20,13 +20,19 @@ object Approx {
       .agg(approx_count_distinct(col(countCol), rsd).as("approx_distinct"))
 
   /** Approximate quantiles per group (Greenwald-Khanna style sketch;
-    * `accuracy` = 1/relative-rank-error). */
+    * `accuracy` = 1/relative-rank-error). One output row per
+    * (group, prob) — scalar columns, so downstream consumers (and the
+    * correctness gate's sort-then-hash compare) never handle arrays. */
   def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
       probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
     val probsSql = probs.mkString("array(", ", ", ")")
     df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile_approx($valueCol, $probsSql, $accuracy)")
-        .as("approx_quantiles"))
+      .agg(expr(s"percentile_approx($valueCol, $probsSql, $accuracy)").as("qs"))
+      .select(groupCols.map(col) :+
+        posexplode(col("qs")).as(Seq("pi", "q_approx")): _*)
+      .select(groupCols.map(col) :+
+        element_at(lit(probs.toArray), col("pi") + 1).as("prob") :+
+        col("q_approx"): _*)
   }
 
   /** Heavy hitters: values of `itemCol` with frequency >= `support`. */

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Corpus-assembly operators: the steps between "cleaned, deduped
+  * documents" and "training shards" in an LLM data pipeline — chunking
+  * long documents into model-window pieces, packing short ones into
+  * fixed-token-budget bins, mixing heterogeneous sources at target
+  * ratios, and sharding the result for parallel export.
+  *
+  * Scale design:
+  *  - Chunking is a row-local explode (zero shuffle): chunk rows inherit
+  *    the scan's partitioning, cost is O(corpus bytes).
+  *  - Packing partitions by a deterministic hash shard and runs ONE
+  *    key-partitioned window per shard — never a global (single
+  *    partition) cumulative sum. At cluster scale set `shards` to a
+  *    small multiple of the writer parallelism.
+  *  - Mixing and sharding are pure row-local filters/projections off the
+  *    same md5-bucket family as [[graft.pipeline.Xf.sampleHash]]:
+  *    reproducible across engines, retries and years (a training mix
+  *    must be exactly regenerable), uniform on clustered/striped id
+  *    spaces, ANSI-overflow-safe.
+  */
+object Corpus {
+
+  /** Deterministic bucket in [0, buckets): first 8 md5 hex chars of
+    * "salt:key" as an integer. The salt decorrelates independent
+    * sampling stages over the same key space (a doc sampled into the
+    * mix must not be the same doc every downstream hash keeps). */
+  def hashBucket(key: Column, salt: String, buckets: Int): Column =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Sliding-window token chunking: one output row per (doc, chunk),
+    * chunk i covering tokens [i*stride, i*stride + chunkSize). With
+    * stride < chunkSize consecutive chunks overlap by chunkSize−stride
+    * tokens (context continuity at window boundaries); the tail chunk is
+    * short. Empty docs emit nothing. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0),
+          ceil(size(col("w")) / lit(stride.toDouble)).cast("int") - 1))
+          .as(Seq("p", "ci")))
+      .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+        slice(col("w"), col("ci") * stride + 1, lit(chunkSize)).as("ch"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ch")).cast("int").as("n_chunk_tokens"),
+        array_join(col("ch"), " ").as("chunk_text"))
+  }
+
+  /** Sequence packing: fill fixed `budgetTokens` bins with whole docs,
+    * in deterministic doc-id order within each hash shard. A doc's bin
+    * is the number of whole budgets consumed before it (start-offset
+    * packing: floor(preceding-tokens / budget)), so bin assignment is a
+    * pure function of the shard's token prefix sums — no sequential
+    * packer, one window + one aggregate per shard. Docs longer than the
+    * budget overflow their bin (real packers truncate or chunk first —
+    * compose with [[chunkTokens]]).
+    *
+    * @return per-bin stats (shard, bin, n_docs, tokens_packed,
+    *         first_doc, last_doc). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int, shards: Int): DataFrame = {
+    require(budgetTokens > 0 && shards > 0)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).as("n_tok"))
+      .where(col("n_tok") > 0)
+      .withColumn("shard", hashBucket(col("doc_id"), "pack", shards).cast("int"))
+      .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tok")) / lit(budgetTokens.toDouble)).cast("long"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("tokens_packed"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Weighted source mixing: keep each row with probability
+    * rate(class) — deterministically, by per-mille md5 bucket of the id,
+    * so the mixture is exactly reproducible (and auditable: the keep
+    * decision for any row can be recomputed from its id alone). Classes
+    * without a rate drop entirely (inner join against the broadcast
+    * rate table). Rates quantize to per-mille. */
+  def mixWeighted(df: DataFrame, idCol: String, classCol: String,
+      rates: Seq[(String, Double)]): DataFrame = {
+    require(rates.nonEmpty && rates.forall { case (_, r) => r >= 0 && r <= 1 },
+      "rates must be in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.map { case (c, r) => (c, (r * 1000).round.toInt) }
+      .toDF(classCol, "keep_permille")
+    df.join(broadcast(rateDf), classCol)
+      .where(hashBucket(col(idCol), "mix", 1000) < col("keep_permille"))
+      .drop("keep_permille")
+  }
+
+  /** Deterministic export sharding with balance stats: shard =
+    * md5-bucket(id) % shards; reports per-shard doc and token totals
+    * (the check that no shard is hot before a parallel write fans out —
+    * pair with sinks.BucketedParquetSink for the write itself). */
+  def shardStats(df: DataFrame, idCol: String, textCol: String,
+      shards: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).as("n_tok"))
+      .withColumn("shard", hashBucket(col("doc_id"), "shard", shards).cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+}

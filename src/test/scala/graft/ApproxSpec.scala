@@ -21,7 +21,7 @@ class ApproxSpec extends SparkSpec {
     val orders = Tables.orders(spark, sf0001)
     val row = Approx.quantiles(orders, Seq("o_orderpriority"),
       "o_totalprice", Seq(0.5)).collect().head
-    val q = row.getSeq[Double](1).head
+    val q = row.getDouble(2)
     val exact = orders.where(col("o_orderpriority") === row.getString(0))
       .selectExpr("percentile(o_totalprice, 0.5)").head().getDouble(0)
     assert(math.abs(q - exact) / exact < 0.1)

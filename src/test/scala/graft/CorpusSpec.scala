@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "en", ("w " * 100).trim),       // 100 tokens -> 5 chunks at stride 24
+    (2L, "en", "a b c"),                 // 3 tokens -> 1 chunk
+    (3L, "zh", ""),                      // empty -> no chunks, no pack row
+    (4L, "de", ("x " * 24).trim),        // exactly one stride
+    (5L, "fr", "solo")
+  ).toDF("doc_id", "lang", "text")
+
+  test("chunkTokens: counts, overlap, tail truncation, empty docs") {
+    val out = Corpus.chunkTokens(docs, "doc_id", "text", chunkSize = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).length == 5)                       // ceil(100/24)
+    assert(byDoc(1L).count(_._3 == 32) == 3)            // full windows
+    assert(byDoc(1L).find(_._2 == 4).get._3 == 4)       // tail: 100-96
+    assert(byDoc(2L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0, 3, "a b c")))
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).length == 1 && byDoc(4L).head._3 == 24)
+    // overlap: chunk 1 of doc 1 starts at token 24 (0-based), i.e. the
+    // last 8 tokens of chunk 0 are its first 8
+    val c0 = byDoc(1L).find(_._2 == 0).get._4.split(" ")
+    val c1 = byDoc(1L).find(_._2 == 1).get._4.split(" ")
+    assert(c0.takeRight(8).sameElements(c1.take(8)))
+  }
+
+  test("chunkTokens rejects bad params") {
+    intercept[IllegalArgumentException](
+      Corpus.chunkTokens(docs, "doc_id", "text", chunkSize = 8, stride = 9))
+  }
+
+  test("packSequences: bins fill to budget, totals conserved") {
+    val many = spark.range(1000)
+      .select(col("id").as("doc_id"), lit("t " * 10).as("text")) // 10 tokens each
+    val out = Corpus.packSequences(many, "doc_id", "text",
+      budgetTokens = 100, shards = 4).collect()
+    val total = out.map(_.getLong(3)).sum
+    assert(total == 10000L) // every token packed exactly once
+    // with uniform 10-token docs every non-tail bin packs exactly 100
+    // tokens / 10 docs
+    val byShard = out.groupBy(_.getInt(0))
+    assert(byShard.size == 4)
+    byShard.foreach { case (_, bins) =>
+      val maxBin = bins.map(_.getLong(1)).max
+      bins.filter(_.getLong(1) < maxBin).foreach { b =>
+        assert(b.getLong(3) == 100L && b.getLong(2) == 10L)
+      }
+    }
+    // deterministic: same input -> identical bin table
+    val again = Corpus.packSequences(many, "doc_id", "text", 100, 4).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("mixWeighted: rate-0 drops all, rate-1 keeps all, mid is proportional") {
+    val many = spark.range(4000).select(col("id").as("doc_id"),
+      (when(col("id") % 2 === 0, "en").otherwise("zh")).as("lang"))
+    val out = Corpus.mixWeighted(many, "doc_id", "lang",
+      Seq("en" -> 1.0, "zh" -> 0.25))
+    val n = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("en") == 2000L)
+    assert(n("zh") > 300 && n("zh") < 700) // ~500
+    // unknown class drops (inner join against the rate table)
+    val dropped = Corpus.mixWeighted(many, "doc_id", "lang", Seq("en" -> 0.0))
+    assert(dropped.count() == 0)
+  }
+
+  test("shardStats: every doc in exactly one shard, tokens conserved") {
+    val out = Corpus.shardStats(docs, "doc_id", "text", shards = 16).collect()
+    assert(out.map(_.getLong(1)).sum == 5L)       // n_docs sums to all docs
+    assert(out.map(_.getLong(2)).sum == 128L)     // 100+3+0+24+1 tokens
+  }
+}
