@@ -138,6 +138,21 @@ object QueriesEtl {
              countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // ORC connector round-trip: the second columnar lake format (Hive
+    // estates) — write, read back via OrcSource, aggregate; the oracle
+    // sees only the original parquet table, so any type/value drift
+    // through the ORC writer/vectorized reader fails the hash
+    "etl_orc_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_rt/orc_${d.replace('/', '_')}"
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").orc(path)
+      graft.sources.OrcSource(path).read(s)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)").as("sum_price"))
+    }),
+
     // error-channel split: rows whose parse attempt fails flow to an
     // error side-output as wrap-error envelopes; both sides re-unioned
     // here (tagged) so one oracle checks the whole routing
@@ -261,6 +276,11 @@ object QueriesEtl {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "etl_orc_roundtrip" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "etl_error_channel" ->
       // NULL-safe split: a NULL `value` must land in the error channel

@@ -32,6 +32,20 @@ object QueriesStream {
           "user_id", "event_type"),
         "graft_stream_dedup", OutputMode.Append())),
 
+    // stream-stream interval join: the purchase-attribution shape of
+    // q_range_join, run as a real watermarked two-stream join (state
+    // evicted as the watermark passes); the bounded join result is
+    // aggregated batch-side. Same oracle as the batch range join — the
+    // streaming operator must agree with the binned equi-join exactly.
+    "stream_join" -> ((s, d) => {
+      val joined = Streaming.purchaseAttribution(
+        Streaming.eventsStream(s, d), Streaming.eventsStream(s, d))
+      Streaming.runToMemory(s, joined, "graft_stream_join", OutputMode.Append())
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("purchase_id")).as("n_windows"))
+    }),
+
     "stream_session" -> ((s, d) =>
       Streaming.sessionizeBatch(Tables.events(s, d)).toDF()
         .select(col("user_id"), col("session_id"),
@@ -56,6 +70,14 @@ object QueriesStream {
 
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "stream_join" ->
+      """SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |CAST(COUNT(DISTINCT p.event_id) AS BIGINT) AS n_windows
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id AND p.event_type = 'purchase'
+        | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 2 HOUR
+        |GROUP BY e.event_type""".stripMargin,
 
     "stream_session" ->
       """WITH d AS (

@@ -31,6 +31,14 @@ final case class ParquetSource(path: String) extends PathSource {
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
+/** ORC source — the other first-class columnar lake format (vectorized
+  * reader, predicate pushdown and column pruning like parquet; the right
+  * interchange point for Hive-era estates migrating to this engine). */
+final case class OrcSource(path: String) extends PathSource {
+  def spec: Map[String, String] = Map("type" -> "orc", "path" -> path)
+  def read(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
 final case class CsvSource(
     path: String,
     header: Boolean = true,

@@ -65,6 +65,32 @@ object Streaming {
       .dropDuplicates(keys)
       .select(keys.map(col): _*)
 
+  /** Stream-stream interval join (purchase attribution): every event
+    * landing within `windowHours` after a purchase by the same user.
+    * Both sides carry watermarks and the join condition bounds event
+    * time on both ends, so the engine evicts buffered state as the
+    * watermark passes — the state store holds only `windowHours` +
+    * watermark of history per side, regardless of stream length. Inner
+    * join results emit as soon as both sides arrive (no watermark wait).
+    *
+    * Pass two INDEPENDENT source frames over the same stream (each gets
+    * its own file-source offsets); the caller aggregates the bounded
+    * result batch-side. */
+  def purchaseAttribution(events: DataFrame, purchases: DataFrame,
+      windowHours: Int = 2, watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val e = events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", watermark)
+    e.join(p,
+      col("user_id") === col("p_user") &&
+        col("ts") >= col("p_ts") &&
+        col("ts") <= col("p_ts") + expr(s"INTERVAL $windowHours HOURS"))
+  }
+
   /** Run a (bounded) streaming frame to completion into a memory table
     * and return the result. AvailableNow processes everything currently
     * in the source, then stops — batch-parity semantics for testing the

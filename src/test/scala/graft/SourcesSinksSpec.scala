@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Envelope
 import graft.pipeline.Xf
 import graft.sinks.ParquetSink
-import graft.sources.{DirectorySource, FsBulkTransport, HttpBulkSource, JsonlSource, StdinSource}
+import graft.sources.{DirectorySource, FsBulkTransport, HttpBulkSource, JsonlSource, OrcSource, StdinSource}
 
 class SourcesSinksSpec extends SparkSpec {
   import spark.implicits._
@@ -93,6 +93,20 @@ class SourcesSinksSpec extends SparkSpec {
     val out = Xf.take(2, col("id").desc)(spark.range(10).toDF("id"))
       .collect().map(_.getLong(0)).toSeq
     assert(out == Seq(9L, 8L))
+  }
+
+  test("OrcSource round-trips values and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5))
+      .toDF("id", "k", "v").write.orc(s"$dir/t")
+    val src = OrcSource(s"$dir/t")
+    assert(src.check(spark).valid && src.spec("type") == "orc")
+    assert(!OrcSource(s"$dir/missing").check(spark).valid)
+    val out = src.read(spark).where(col("k") === "a")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // predicate reaches the ORC scan (vectorized reader w/ pushdown)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,a)"))
   }
 
   test("JsonlSource without schema infers and keeps the file column") {

@@ -68,6 +68,33 @@ class StreamingSpec extends SparkSpec {
     assert(out((1500L, "view")) == 1L)
   }
 
+  test("purchaseAttribution stream-stream join matches the batch join") {
+    val dir = Files.createTempDirectory("graft-stream4").toString
+    val ev = Seq(
+      (ts(0), 1L, "purchase", 10L),
+      (ts(30), 1L, "click", 11L),    // within 2 h of purchase 10
+      (ts(200), 1L, "view", 12L),    // beyond 2 h
+      (ts(30), 2L, "click", 20L),    // other user — no purchase
+      (ts(5), 1L, "purchase", 13L)   // second window for user 1
+    ).toDF("ts", "user_id", "event_type", "event_id")
+    ev.write.mode("overwrite").parquet(s"$dir/ev")
+    def stream = spark.readStream.schema(ev.schema).parquet(s"$dir/ev")
+    val out = Streaming.runToMemory(spark,
+      Streaming.purchaseAttribution(stream, stream),
+      "graft_join_stream", OutputMode.Append())
+    val batch = ev.as("e").join(ev.as("p"),
+      col("e.user_id") === col("p.user_id") &&
+        col("p.event_type") === "purchase" &&
+        col("e.ts") >= col("p.ts") &&
+        col("e.ts") <= col("p.ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("e.event_id"), col("p.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.select("event_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // p10 catches {e10,e11,e13}; p13 catches {e11,e13} (e10 precedes it)
+    assert(got == batch && got.size == 5)
+  }
+
   test("dedupKeys emits each key once") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     val ev = Seq(
