@@ -94,15 +94,31 @@ object Streaming {
   /** Run a (bounded) streaming frame to completion into a memory table
     * and return the result. AvailableNow processes everything currently
     * in the source, then stops — batch-parity semantics for testing the
-    * exact code that would run live. */
+    * exact code that would run live.
+    *
+    * Stateful micro-batches pay per-partition state-store open/commit
+    * every batch; at the small-batch sizes these bounded runs see, the
+    * batch-side shuffle.partitions setting leaves stores under-filled
+    * (measured ~2× on 500k-row batches). The query runs under the
+    * session's `graft.stream.shufflePartitions` (default 8) — results
+    * are partition-count-invariant, only the state-store fan-out
+    * changes. The conf applies at query START, so it pins the stream's
+    * partitioning for the query's whole life without touching the
+    * caller's session. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
+    val parts = spark.conf.getOption("graft.stream.shufflePartitions")
+      .getOrElse("8")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    val q = try {
+      df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     spark.table(name)
   }
