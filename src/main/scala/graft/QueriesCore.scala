@@ -314,6 +314,20 @@ object QueriesCore {
         "CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
           "RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_30d")),
 
+    // window value-picking: first/last/nth over an explicit frame —
+    // last_value needs the full-partition frame (the default frame ends
+    // at CURRENT ROW, a classic silent-wrong-answer trap both engines
+    // agree on only when the frame is spelled out)
+    "q_window_pick" -> ((s, d) =>
+      orders(s, d).selectExpr(
+        "o_custkey", "o_orderkey",
+        "FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order",
+        "LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order",
+        "NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order")),
+
     // point-in-interval range join through the gate: the oracle is the
     // NAIVE inequality join, the Spark plan is the binned equi-join
     // (OSS Spark would otherwise nest-loop a pure range condition)
@@ -661,6 +675,15 @@ object QueriesCore {
         |              RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW),
         |       wt AS (PARTITION BY o_custkey ORDER BY o_orderdate
         |              RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_window_pick" ->
+      """SELECT o_custkey, o_orderkey,
+        |FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |LAST_VALUE(o_orderkey) OVER w AS last_order,
+        |NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
 
     "q_sql_funcs" ->
       """SELECT o_orderkey,

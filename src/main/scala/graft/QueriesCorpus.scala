@@ -42,7 +42,20 @@ object QueriesCorpus {
 
     // export sharding balance: 16 hash shards, per-shard doc/token totals
     "corpus_shards" -> ((s, d) =>
-      Corpus.shardStats(documents(s, d), "doc_id", "text", shards = 16))
+      Corpus.shardStats(documents(s, d), "doc_id", "text", shards = 16)),
+
+    // corpus reporting: per-language doc/token totals and token-count
+    // quantiles — the dataset card a training run starts from
+    "corpus_stats" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"),
+          size(graft.functions.TextAnalysis.tokens(col("text"))).as("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("tokens"),
+          expr("CAST(ROUND(CAST(SUM(CAST(n_tok AS BIGINT)) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)").as("mean_tok"),
+          expr("CAST(ROUND(PERCENTILE(n_tok, 0.5), 2) AS DOUBLE)").as("p50_tok"),
+          expr("CAST(ROUND(PERCENTILE(n_tok, 0.9), 2) AS DOUBLE)").as("p90_tok")))
   )
 
   private val toksCte =
@@ -81,6 +94,18 @@ object QueriesCorpus {
         |WHERE ('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000 <
         |  CASE lang WHEN 'en' THEN 900 WHEN 'es' THEN 500 WHEN 'fr' THEN 500
         |            WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
+
+    "corpus_stats" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(lower(text),' '), x -> x<>'')) AS n_tok
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        |  CAST(ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS mean_tok,
+        |  CAST(ROUND(quantile_cont(n_tok, 0.5), 2) AS DOUBLE) AS p50_tok,
+        |  CAST(ROUND(quantile_cont(n_tok, 0.9), 2) AS DOUBLE) AS p90_tok
+        |FROM t GROUP BY lang""".stripMargin,
 
     "corpus_shards" ->
       s"""WITH t AS ($toksCte)
