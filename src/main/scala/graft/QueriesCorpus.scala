@@ -62,14 +62,17 @@ object QueriesCorpus {
     "SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents"
 
   val oracle: Map[String, String] = Map(
+    // range bound 4096 = docs up to ~98k tokens (corpus max is 100);
+    // chunk count mirrors Corpus.chunkTokens: 1 + ceil(max(len-32,0)/24)
     "text_chunk" ->
       s"""WITH t AS ($toksCte),
-         |c AS (SELECT doc_id, w, CAST(CEIL(len(w)/24.0) AS INT) AS nc
+         |c AS (SELECT doc_id, w,
+         |        1 + CAST(CEIL(GREATEST(len(w) - 32, 0)/24.0) AS INT) AS nc
          |      FROM t WHERE len(w) > 0)
          |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
          |  CAST(len(w[(i*24+1):(i*24+32)]) AS INT) AS n_chunk_tokens,
          |  array_to_string(w[(i*24+1):(i*24+32)], ' ') AS chunk_text
-         |FROM c, range(0, 64) r(i) WHERE i < nc""".stripMargin,
+         |FROM c, range(0, 4096) r(i) WHERE i < nc""".stripMargin,
 
     "corpus_pack" ->
       s"""WITH t AS ($toksCte),

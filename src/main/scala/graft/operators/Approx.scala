@@ -28,8 +28,11 @@ object Approx {
     val probsSql = probs.mkString("array(", ", ", ")")
     df.groupBy(groupCols.map(col): _*)
       .agg(expr(s"percentile_approx($valueCol, $probsSql, $accuracy)").as("qs"))
+      // _outer: a group whose values are all NULL has a NULL sketch —
+      // keep it as one (group, NULL, NULL) row instead of dropping the
+      // group from the output entirely
       .select(groupCols.map(col) :+
-        posexplode(col("qs")).as(Seq("pi", "q_approx")): _*)
+        posexplode_outer(col("qs")).as(Seq("pi", "q_approx")): _*)
       .select(groupCols.map(col) :+
         element_at(lit(probs.toArray), col("pi") + 1).as("prob") :+
         col("q_approx"): _*)

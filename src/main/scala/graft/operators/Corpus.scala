@@ -37,8 +37,13 @@ object Corpus {
   /** Sliding-window token chunking: one output row per (doc, chunk),
     * chunk i covering tokens [i*stride, i*stride + chunkSize). With
     * stride < chunkSize consecutive chunks overlap by chunkSize−stride
-    * tokens (context continuity at window boundaries); the tail chunk is
-    * short. Empty docs emit nothing. */
+    * tokens (context continuity at window boundaries); the tail chunk
+    * may be short. Chunk count is 1 + ceil(max(len−chunkSize,0)/stride)
+    * — windows stop once the doc is covered, so no chunk is ever a
+    * strict suffix of its predecessor (a naive ceil(len/stride) emits a
+    * fully-redundant tail window whenever the remainder fits inside the
+    * overlap — duplicated text, the very thing the dedup stages remove).
+    * Empty docs emit nothing. */
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
@@ -48,7 +53,8 @@ object Corpus {
       .where(size(col("w")) > 0)
       .select(col("doc_id"), col("w"),
         posexplode(sequence(lit(0),
-          ceil(size(col("w")) / lit(stride.toDouble)).cast("int") - 1))
+          ceil(greatest(size(col("w")) - chunkSize, lit(0)) / lit(stride.toDouble))
+            .cast("int")))
           .as(Seq("p", "ci")))
       .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
         slice(col("w"), col("ci") * stride + 1, lit(chunkSize)).as("ch"))
@@ -64,7 +70,10 @@ object Corpus {
     * pure function of the shard's token prefix sums — no sequential
     * packer, one window + one aggregate per shard. Docs longer than the
     * budget overflow their bin (real packers truncate or chunk first —
-    * compose with [[chunkTokens]]).
+    * compose with [[chunkTokens]]). `idCol` must be unique: it is the
+    * window sort key, and a tie would make the prefix sums (hence bin
+    * assignment) run-dependent — exactly the reproducibility this
+    * operator promises.
     *
     * @return per-bin stats (shard, bin, n_docs, tokens_packed,
     *         first_doc, last_doc). */
@@ -97,6 +106,10 @@ object Corpus {
       rates: Seq[(String, Double)]): DataFrame = {
     require(rates.nonEmpty && rates.forall { case (_, r) => r >= 0 && r <= 1 },
       "rates must be in [0,1]")
+    require(rates.map(_._1).distinct.size == rates.size,
+      // a duplicated class would fan out every row of that class through
+      // the inner join — duplicated docs in a training mixture
+      s"duplicate class keys in rates: ${rates.map(_._1).diff(rates.map(_._1).distinct).distinct.mkString(",")}")
     val spark = df.sparkSession
     import spark.implicits._
     val rateDf = rates.map { case (c, r) => (c, (r * 1000).round.toInt) }

@@ -102,23 +102,29 @@ object Streaming {
     * (measured ~2× on 500k-row batches). The query runs under the
     * session's `graft.stream.shufflePartitions` (default 8) — results
     * are partition-count-invariant, only the state-store fan-out
-    * changes. The conf applies at query START, so it pins the stream's
-    * partitioning for the query's whole life without touching the
-    * caller's session. */
+    * changes. StreamExecution clones the session conf synchronously
+    * inside start(), so the set→restore window pins the stream's
+    * partitioning for its whole life — but the session-level mutation IS
+    * briefly visible to other threads on the same session, hence the
+    * `synchronized` (serializes concurrent runToMemory calls); batch
+    * work that must plan concurrently should run on its own
+    * `newSession()`. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
-    val parts = spark.conf.getOption("graft.stream.shufflePartitions")
-      .getOrElse("8")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.streams.active.filter(_.name == name).foreach(_.stop())
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
-    val q = try {
-      df.writeStream
-        .format("memory").queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val q = spark.synchronized {
+      val parts = spark.conf.getOption("graft.stream.shufflePartitions")
+        .getOrElse("8")
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.streams.active.filter(_.name == name).foreach(_.stop())
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        df.writeStream
+          .format("memory").queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     q.awaitTermination()
     spark.table(name)
   }

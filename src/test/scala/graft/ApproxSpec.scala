@@ -27,6 +27,15 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(q - exact) / exact < 0.1)
   }
 
+  test("quantiles keeps all-NULL groups as a NULL row") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", None))
+      .toDF("g", "v")
+    val out = Approx.quantiles(df, Seq("g"), "v", Seq(0.5)).collect()
+      .map(r => r.getString(0) -> r.isNullAt(2)).toMap
+    assert(out == Map("a" -> false, "b" -> true)) // b present, NULL quantile
+  }
+
   test("frequent items finds every event type at low support") {
     val out = Approx.frequentItems(Tables.events(spark, sf0001), "event_type", 0.1)
       .head().getSeq[String](0).toSet

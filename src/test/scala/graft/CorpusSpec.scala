@@ -7,10 +7,10 @@ class CorpusSpec extends SparkSpec {
   import spark.implicits._
 
   private def docs = Seq(
-    (1L, "en", ("w " * 100).trim),       // 100 tokens -> 5 chunks at stride 24
+    (1L, "en", ("w " * 100).trim),       // 100 tokens -> 4 chunks (1+ceil(68/24))
     (2L, "en", "a b c"),                 // 3 tokens -> 1 chunk
     (3L, "zh", ""),                      // empty -> no chunks, no pack row
-    (4L, "de", ("x " * 24).trim),        // exactly one stride
+    (4L, "de", ("x " * 24).trim),        // fits one window -> 1 chunk
     (5L, "fr", "solo")
   ).toDF("doc_id", "lang", "text")
 
@@ -18,9 +18,10 @@ class CorpusSpec extends SparkSpec {
     val out = Corpus.chunkTokens(docs, "doc_id", "text", chunkSize = 32, stride = 24)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
     val byDoc = out.groupBy(_._1)
-    assert(byDoc(1L).length == 5)                       // ceil(100/24)
+    assert(byDoc(1L).length == 4)                       // 1 + ceil((100-32)/24)
     assert(byDoc(1L).count(_._3 == 32) == 3)            // full windows
-    assert(byDoc(1L).find(_._2 == 4).get._3 == 4)       // tail: 100-96
+    assert(byDoc(1L).find(_._2 == 3).get._3 == 28)      // tail: 100-72, no
+                                                        // suffix-only window
     assert(byDoc(2L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0, 3, "a b c")))
     assert(!byDoc.contains(3L))
     assert(byDoc(4L).length == 1 && byDoc(4L).head._3 == 24)
@@ -56,6 +57,12 @@ class CorpusSpec extends SparkSpec {
     // deterministic: same input -> identical bin table
     val again = Corpus.packSequences(many, "doc_id", "text", 100, 4).collect()
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("mixWeighted rejects duplicate class keys (join fan-out guard)") {
+    intercept[IllegalArgumentException](
+      Corpus.mixWeighted(docs, "doc_id", "lang",
+        Seq("en" -> 0.9, "en" -> 0.5)))
   }
 
   test("mixWeighted: rate-0 drops all, rate-1 keeps all, mid is proportional") {
