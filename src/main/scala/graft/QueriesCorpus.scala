@@ -44,6 +44,16 @@ object QueriesCorpus {
     "corpus_shards" -> ((s, d) =>
       Corpus.shardStats(documents(s, d), "doc_id", "text", shards = 16)),
 
+    // test-set decontamination: a deterministic 5% of docs play the
+    // held-out benchmark; corpus docs sharing any 8-gram with them are
+    // flagged with the distinct-shared-gram count (flag-then-drop input)
+    "corpus_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      val isBench = Corpus.hashBucket(col("doc_id"), "bench", 100) < 5
+      Corpus.decontaminate(
+        docs.where(!isBench), docs.where(isBench), "doc_id", "text", n = 8)
+    }),
+
     // corpus reporting: per-language doc/token totals and token-count
     // quantiles — the dataset card a training run starts from
     "corpus_stats" -> ((s, d) =>
@@ -97,6 +107,26 @@ object QueriesCorpus {
         |WHERE ('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000 <
         |  CASE lang WHEN 'en' THEN 900 WHEN 'es' THEN 500 WHEN 'fr' THEN 500
         |            WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
+
+    // 8-gram i covers w[i : i+7] (1-based inclusive slice), i ranges
+    // 1 .. len-7; gram identity is the gram STRING here vs xxhash64 in
+    // Spark — counts agree unless a 64-bit collision (~1e-16)
+    "corpus_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)])) AS gram
+        |  FROM t WHERE len(w) >= 8),
+        |b AS (
+        |  SELECT DISTINCT gram FROM g
+        |  WHERE ('0x'||substr(md5('bench:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 5),
+        |c AS (
+        |  SELECT doc_id, gram FROM g
+        |  WHERE ('0x'||substr(md5('bench:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 >= 5)
+        |SELECT doc_id, CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_shared
+        |FROM c JOIN b USING (gram) GROUP BY doc_id""".stripMargin,
 
     "corpus_stats" ->
       """WITH t AS (

@@ -119,6 +119,36 @@ object Corpus {
       .drop("keep_permille")
   }
 
+  /** Test-set decontamination: corpus docs sharing at least one word
+    * `n`-gram with any benchmark document, with the count of distinct
+    * shared grams (the usual flag-then-drop / flag-then-audit input).
+    *
+    * Scale: both sides reduce to (id, gram-hash) pairs — the benchmark
+    * gram set is distinct-collapsed and is tiny next to the corpus
+    * (benchmarks are at most ~10⁷ grams), so Spark broadcasts it and
+    * the corpus side streams through a hash join inside the scan stage;
+    * the only shuffle is the final per-doc aggregate. Gram identity is
+    * a 64-bit xxhash64 — collision odds at corpus scale are ~1e-16 and
+    * a collision only inflates `n_shared` by one, it cannot drop a
+    * contaminated doc. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n > 0)
+    val spark = corpus.sparkSession
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("id"),
+        explode(array_distinct(
+          graft.plans.GraftFunctions.shingles(spark, col("w"), n))).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("gk"))
+    val benchGrams = grams(benchmark).select("gk").distinct()
+    grams(corpus)
+      .join(broadcast(benchGrams), "gk")
+      .groupBy(col("id").as(idCol))
+      .agg(count_distinct(col("gk")).as("n_shared"))
+  }
+
   /** Deterministic export sharding with balance stats: shard =
     * md5-bucket(id) % shards; reports per-shard doc and token totals
     * (the check that no shard is hot before a parallel write fans out —

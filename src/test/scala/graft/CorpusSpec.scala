@@ -79,6 +79,18 @@ class CorpusSpec extends SparkSpec {
     assert(dropped.count() == 0)
   }
 
+  test("decontaminate flags only docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x alpha beta gamma delta epsilon y"), // contains the bench 5-gram
+      (2L, "totally different words live here now")
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L)))
+  }
+
   test("shardStats: every doc in exactly one shard, tokens conserved") {
     val out = Corpus.shardStats(docs, "doc_id", "text", shards = 16).collect()
     assert(out.map(_.getLong(1)).sum == 5L)       // n_docs sums to all docs
