@@ -44,6 +44,25 @@ object QueriesCorpus {
     "corpus_shards" -> ((s, d) =>
       Corpus.shardStats(documents(s, d), "doc_id", "text", shards = 16)),
 
+    // the whole corpus pipeline as ONE gate query: exact-dedup (keep
+    // min-id per distinct text) → PII-mask → weighted language mix →
+    // dataset-card stats. Proves the stages COMPOSE — one logical plan,
+    // every stage's semantics still oracle-exact through the chain
+    "corpus_pipeline" -> ((s, d) => {
+      val docs = documents(s, d)
+      val keep = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val masked = docs.join(keep, "doc_id")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextAnalysis.maskPii(col("text")).as("text"))
+      Corpus.mixWeighted(masked, "doc_id", "lang", langRates)
+        .select(col("lang"),
+          size(graft.functions.TextAnalysis.tokens(col("text"))).as("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("tokens"))
+    }),
+
     // test-set decontamination: a deterministic 5% of docs play the
     // held-out benchmark; corpus docs sharing any 8-gram with them are
     // flagged with the distinct-shared-gram count (flag-then-drop input)
@@ -107,6 +126,24 @@ object QueriesCorpus {
         |WHERE ('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000 <
         |  CASE lang WHEN 'en' THEN 900 WHEN 'es' THEN 500 WHEN 'fr' THEN 500
         |            WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE 0 END""".stripMargin,
+
+    "corpus_pipeline" ->
+      """WITH keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |masked AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g') AS text
+        |  FROM documents JOIN keep USING (doc_id)),
+        |mixed AS (
+        |  SELECT * FROM masked
+        |  WHERE ('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000 <
+        |    CASE lang WHEN 'en' THEN 900 WHEN 'es' THEN 500 WHEN 'fr' THEN 500
+        |              WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE 0 END)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(lower(text),' '), x -> x<>''))) AS BIGINT) AS tokens
+        |FROM mixed GROUP BY lang""".stripMargin,
 
     // 8-gram i covers w[i : i+7] (1-based inclusive slice), i ranges
     // 1 .. len-7; gram identity is the gram STRING here vs xxhash64 in
