@@ -336,8 +336,10 @@ object Dedup {
     * accumulate lineage and the driver's plan/codegen work grows without
     * bound (observed: heap exhaustion within a few rounds). The only
     * driver-side value per round is the exact label sum used for the
-    * convergence test — the graph itself never leaves the executors
-    * (contrast a driver union-find, which dies at corpus scale).
+    * convergence test, collected as an `observe()` metric on the
+    * checkpoint job itself (one Spark job per round, not two) — the
+    * graph never leaves the executors (contrast a driver union-find,
+    * which dies at corpus scale).
     *
     * @return (doc_id, cluster_id) for every doc appearing in `pairs`. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
@@ -346,18 +348,26 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
     // convergence via the label-sum invariant: every round takes a MIN
     // over a superset of each node's current label, so labels are
     // per-node non-increasing — the (exact, decimal) sum is unchanged
-    // iff every label is. One aggregate on the new table replaces a
-    // join of consecutive generations (one fewer shuffle per round).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
-    var prevSum = labelSum(labels)
+    // iff every label is. The sum rides the checkpoint materialization
+    // job as an observe() metric, so each round runs exactly ONE job
+    // (previously checkpoint + a separate aggregate action per round).
+    var obsId = 0
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      obsId += 1
+      val obs = org.apache.spark.sql.Observation(s"cc_labelsum_$obsId")
+      val ck = df
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("lsum"))
+        .localCheckpoint() // eager: runs the job, so obs.get is ready
+      val s = Option(obs.get("lsum").asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
+      (ck, s)
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
     var iter = 0
     var changed = true
     while (changed && iter < maxIters) {
@@ -368,10 +378,9 @@ object Dedup {
       // pointer jumping: chase one indirection (labels are node ids, so
       // every label has a row in `hop`) and keep the smaller
       val jump = hop.select(col("node").as("pnode"), col("label").as("plabel"))
-      val next = hop.join(jump, col("label") === col("pnode"))
-        .select(col("node"), least(col("label"), col("plabel")).as("label"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+      val (next, nextSum) = checkpointWithSum(
+        hop.join(jump, col("label") === col("pnode"))
+          .select(col("node"), least(col("label"), col("plabel")).as("label")))
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
       // free the superseded generation's checkpoint blocks — otherwise
