@@ -12,9 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Catalyst prune the very work being measured (a projection-only query
   * optimizes to a row-count scan).
   */
-object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+/** The bench/profiling session config, shared by [[Bench]] and
+  * [[RunOne]] so single-query A/B runs measure the same engine setup
+  * the driver's bench does. */
+object BenchSession {
+  def build(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,6 +27,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+object Bench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = BenchSession.build()
 
     def run(df: DataFrame): Unit = df.queryExecution.toRdd.foreach(_ => ())
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{Hashes, TextAnalysis, Vectors}
 import graft.plans.GraftFunctions
@@ -224,7 +224,19 @@ object Dedup {
         expr("CAST(ROUND(jac, 4) AS DOUBLE)").as("jaccard"))
   }
 
-  /** Exact n-gram Jaccard similarity via inverted-index join. */
+  /** Exact n-gram Jaccard similarity via inverted-index join.
+    *
+    * The pair stream is Σdf² rows, so every byte per row and every
+    * post-aggregate join is paid millions of times. Two compactions:
+    * (1) the join key is one 64-bit hash of (group, gram) — long
+    * equality beats a two-column string compare, and a collision
+    * altering an intersection count is ~1e-16 (and would be caught by
+    * the oracle hash-compare); (2) each posting row packs (id, n_g)
+    * into ONE long (`id << 20 | n_g`), so the pair aggregate's group
+    * keys carry both gram-set sizes and the Jaccard denominator needs
+    * NO re-join against a per-doc counts table — two whole joins gone.
+    * Requires id < 2^43 and n_g < 2^20; checked per doc (raise_error),
+    * not per posting row. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, n: Int = 2, minJaccard: Double = 0.3): DataFrame = {
     val spark = df.sparkSession
@@ -234,35 +246,38 @@ object Dedup {
       .where(size(col("w")) >= n)
       .select(col("id"), col("grp"),
         GraftFunctions.shingles(spark, col("w"), n).as("g"))
-    val counts = grams.select(col("id"), size(col("g")).as("n_g"))
-    // join key = one 64-bit hash of (group, gram): long equality beats a
-    // two-column string compare across the multi-million-row pair stream,
-    // and at this gram cardinality a collision altering any intersection
-    // count is ~1e-16 (and would be caught by the oracle hash-compare)
-    val posting = grams.select(col("id"), size(col("g")).as("n_g"),
+    val posting = grams
+      .select(col("id"), size(col("g")).cast("long").as("n_g"),
         explode(col("g")).as("gram"), col("grp"))
-      .select(col("id"), col("n_g"),
+      .select(
+        when(col("id") < 0L || col("id") >= (1L << 43) ||
+             col("n_g") >= (1L << 20),
+          expr("raise_error('ngramJaccardPairs: id/n_g out of packable range')")
+            .cast("long"))
+          .otherwise(shiftleft(col("id"), 20).bitwiseOR(col("n_g"))).as("pk"),
         xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
+    // a.pk < b.pk ⟺ a.id < b.id: id occupies the high bits, and equal
+    // ids (same doc, same n_g) compare equal, which < excludes.
     // lossless prune: jac >= t implies inter >= t·union, and inter <=
     // min(na,nb), union >= max(na,nb) → min/max >= t. Dropping pairs that
     // fail the size-ratio test can't lose any pair with jac >= t, but it
     // cuts the pair stream feeding the aggregate.
     // shuffle_hash: the posting table is narrow/uniform; hashing one side
     // beats sort-merge's two 19M-row-adjacent sorts ~2× (measured sf0.1)
+    def ng(c: Column): Column = c.bitwiseAND(lit((1L << 20) - 1))
     val inter = posting.as("a")
       .join(posting.as("b").hint("shuffle_hash"),
         col("a.gk") === col("b.gk") &&
-          col("a.id") < col("b.id") &&
-          least(col("a.n_g"), col("b.n_g")).cast("double") /
-            greatest(col("a.n_g"), col("b.n_g")) >= minJaccard)
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+          col("a.pk") < col("b.pk") &&
+          least(ng(col("a.pk")), ng(col("b.pk"))).cast("double") /
+            greatest(ng(col("a.pk")), ng(col("b.pk"))) >= minJaccard)
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(counts.as("ca"), col("doc_a") === col("ca.id"))
-      .join(counts.as("cb"), col("doc_b") === col("cb.id"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(shiftrightunsigned(col("pa"), 20).as("doc_a"),
+        shiftrightunsigned(col("pb"), 20).as("doc_b"),
         (col("inter").cast("double") /
-          (col("ca.n_g") + col("cb.n_g") - col("inter"))).as("jac"))
+          (ng(col("pa")) + ng(col("pb")) - col("inter"))).as("jac"))
       .where(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(ROUND(jac, 4) AS DOUBLE)").as("jaccard"))
