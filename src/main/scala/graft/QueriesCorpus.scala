@@ -73,6 +73,18 @@ object QueriesCorpus {
         docs.where(!isBench), docs.where(isBench), "doc_id", "text", n = 8)
     }),
 
+    // TF-IDF keyword extraction: top-3 scoring terms per doc (smoothed
+    // idf; ranking on the ROUNDED score, term tie-break — deterministic
+    // across engines)
+    "corpus_tfidf" -> ((s, d) =>
+      Corpus.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)),
+
+    // deterministic per-language eyeball sample: exactly 20 docs per
+    // lang in md5 order — reproducible on any engine or task retry
+    "corpus_sample" -> ((s, d) =>
+      Corpus.samplePerGroup(documents(s, d), "doc_id", "lang", n = 20)
+        .select("lang", "sample_rank", "doc_id")),
+
     // corpus reporting: per-language doc/token totals and token-count
     // quantiles — the dataset card a training run starts from
     "corpus_stats" -> ((s, d) =>
@@ -176,6 +188,35 @@ object QueriesCorpus {
         |  CAST(ROUND(quantile_cont(n_tok, 0.5), 2) AS DOUBLE) AS p50_tok,
         |  CAST(ROUND(quantile_cont(n_tok, 0.9), 2) AS DOUBLE) AS p90_tok
         |FROM t GROUP BY lang""".stripMargin,
+
+    "corpus_tfidf" ->
+      s"""WITH t AS ($toksCte),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS term FROM t WHERE len(w) > 0)
+         |  GROUP BY doc_id, term),
+         |dfq AS (SELECT term, COUNT(*) AS n_docs_term FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM t WHERE len(w) > 0),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |    CAST(ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfq.n_docs_term + 1)), 4)
+         |      AS DOUBLE) AS tfidf
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (
+         |  SELECT doc_id, term, tf, tfidf, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+         |  FROM sc)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, tfidf
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "corpus_sample" ->
+      """SELECT lang, CAST(rn AS INT) AS sample_rank, doc_id
+        |FROM (SELECT lang, doc_id, row_number() OVER (
+        |        PARTITION BY lang
+        |        ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)) ASC,
+        |                 doc_id ASC) AS rn
+        |      FROM documents)
+        |WHERE rn <= 20""".stripMargin,
 
     "corpus_shards" ->
       s"""WITH t AS ($toksCte)

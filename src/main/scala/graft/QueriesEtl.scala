@@ -208,7 +208,33 @@ object QueriesEtl {
         .writeAndCount(events(s, d).where(col("event_type") === "click"))
       import s.implicits._
       Seq((records, batches)).toDF("records", "batches")
-    })
+    }),
+
+    // upsert compaction: current-state view of the append-only events
+    // changelog — latest record per (user_id, event_type), one
+    // key-partitioned window with map-side WindowGroupLimit pruning
+    "etl_upsert" -> ((s, d) =>
+      graft.operators.Changelog.latestByKey(
+        events(s, d), Seq("user_id", "event_type"),
+        Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), expr("CAST(ROUND(value, 4) AS DOUBLE)").as("val_r"))),
+
+    // SCD type-2: purchase history per user as validity intervals
+    // (version, valid_from, valid_to, is_current)
+    "etl_scd2" -> ((s, d) =>
+      graft.operators.Changelog.scd2(
+        events(s, d).where(col("event_type") === "purchase"),
+        Seq("user_id"), "ts", Seq(col("event_id").asc))
+        .select(col("user_id"), col("version"), col("event_id"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+
+    // data-quality profile card: per-column rows/nulls/exact-distinct/
+    // min/max in one aggregate pass (Expand + two-phase agg, one shuffle)
+    "etl_profile" -> ((s, d) =>
+      graft.operators.Profile.columnProfile(
+        orders(s, d),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -314,6 +340,44 @@ object QueriesEtl {
     "etl_count_sink" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS records,
         |CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS batches
-        |FROM events WHERE event_type = 'click'""".stripMargin
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    "etl_upsert" ->
+      """SELECT user_id, event_type, event_id, ts,
+        |  CAST(ROUND(value, 4) AS DOUBLE) AS val_r
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "etl_scd2" ->
+      """SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+        |  event_id, ts AS valid_from, lead(ts) OVER w AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
+    // min/max render via printf for the double column — raw
+    // double→VARCHAR casts disagree between engines (Java flips to
+    // scientific notation at 1e7); integers/strings cast natively
+    "etl_profile" ->
+      """SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+        |  CAST(MAX(o_custkey) AS VARCHAR) AS max_s FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |  COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |  COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+        |  MAX(o_orderpriority) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |  COUNT(DISTINCT o_totalprice), printf('%.4f', MIN(o_totalprice)),
+        |  printf('%.4f', MAX(o_totalprice)) FROM orders""".stripMargin
   )
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog/CDC compaction: the two standard ways an ETL system turns
+  * an append-only change stream into a queryable state — upsert (latest
+  * record per key) and SCD type-2 (validity intervals per key). The
+  * reference's connectors ship records into append-only destinations
+  * (cf. /root/reference/src/etlp/core.clj:115-146 — sinks only append);
+  * compaction-on-read is how downstream queries see "current state"
+  * without a mutable store.
+  *
+  * Scale: both operators are ONE key-partitioned window each — a single
+  * hash shuffle on the key columns, no joins, no driver state. Spark
+  * plans `row_number() <= 1` with WindowGroupLimit, so the upsert keeps
+  * only each partial group's head on the map side before the exchange;
+  * at 100 TB the shuffle carries ~one row per key per input partition,
+  * not the full changelog.
+  */
+object Changelog {
+  /** Latest record per key: keep the row ranked first by `ordering`
+    * (pass descending columns, e.g. `Seq(col("ts").desc, col("id").desc)`
+    * — include a unique tie-breaker so the winner is deterministic). */
+  def latestByKey(df: DataFrame, keyCols: Seq[String],
+      ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** SCD type-2 intervals: each change row becomes a version with
+    * `version` (1-based per key), `valid_from` = its `tsCol`,
+    * `valid_to` = the next version's `tsCol` (NULL while current) and
+    * `is_current`. `tieBreak` orders simultaneous changes (same ts)
+    * deterministically. */
+  def scd2(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieBreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc +: tieBreak: _*)
+    df.withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

@@ -163,4 +163,69 @@ object Corpus {
         sum(col("n_tok").cast("long")).as("tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
+
+  /** TF-IDF keyword extraction: the top-`k` highest-scoring terms per
+    * document, tf(d,t) · ln((N+1)/(df(t)+1)) with add-one smoothing (no
+    * term can hit a zero denominator, idf stays finite on a term that
+    * appears everywhere).
+    *
+    * Scale: tf is one (doc, term) aggregate; document frequency is one
+    * (term) aggregate over tf's output (already one row per doc-term —
+    * never recounts raw tokens); N rides in as a broadcast single-row
+    * cross join (a scalar, not a shuffle); the idf join keys on the
+    * term. The final per-doc top-k is `row_number() <= k`, which Spark
+    * executes with map-side WindowGroupLimit pruning. Nothing in the
+    * plan is ever all-pairs and every shuffle key is a term or doc id.
+    *
+    * Ranking happens on the score ROUNDED to 4 decimals (then term asc
+    * as tie-break): ranking raw doubles would let a last-ulp `ln`
+    * difference between engines flip an ordering; after rounding,
+    * near-equal scores become exactly equal and the term tie-break
+    * decides deterministically everywhere. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+    val tf = toks
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("n_docs_term"))
+    // scalar N rides a broadcast cross join whose build side is
+    // STRUCTURALLY one row (a global aggregate) — the nested-loop shape
+    // is a map-side constant attach here, sanctioned by name in
+    // PlanHygieneSpec like ann_ivf's k-row centroid broadcast. (A
+    // constant-equi-key "hash join" disguise doesn't survive Catalyst:
+    // constant folding rewrites it straight back to the nested loop.)
+    val nDocs = toks.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log((col("n_docs") + 1).cast("double") /
+          (col("n_docs_term") + 1)))
+      .withColumn("tfidf", expr("CAST(ROUND(score, 4) AS DOUBLE)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"), col("term"),
+        col("tf"), col("tfidf"))
+  }
+
+  /** Deterministic fixed-size sample per group: the first `n` rows of
+    * each group in md5 order — a reproducible "eyeball sample" per
+    * language/source for corpus QA. Unlike `TABLESAMPLE`/`rand()`, any
+    * engine (and any retry of any task) draws the same rows; unlike
+    * [[mixWeighted]]'s rate-based keep this guarantees an exact count
+    * per group (when the group has at least `n` rows). One window
+    * shuffle on the group key, map-side-pruned via WindowGroupLimit. */
+  def samplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(concat(lit("sample:"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("int"))
+      .where(col("sample_rank") <= n)
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Column profiling: the data-quality card an ETL run emits before
+  * anyone trains on or joins against a fresh drop — per column: row
+  * count, null count, exact distinct count, min and max. The reference
+  * surfaces only row totals at its sinks (stdout destination,
+  * cf. /root/reference/src/etlp/core.clj:115-146); this is the
+  * per-column generalization a 100 TB ingest actually needs to catch
+  * schema drift and null storms before they propagate.
+  *
+  * Shape: ONE aggregate over the input produces a single wide row
+  * (every stat for every column as separate agg expressions); a
+  * row-local explode then pivots it to one row per column. The exact
+  * distinct counts make Catalyst plan an Expand (input ×k for k
+  * profiled columns) feeding one two-phase aggregate — a single shuffle
+  * whose width is the stat row, not the data. For quick looks at
+  * petabyte scale swap `count(distinct)` for `approx_count_distinct`
+  * (see [[Approx.distinctCount]]); the gate query keeps exact counts so
+  * the oracle can hash-match.
+  *
+  * min/max are rendered as strings so one output schema fits every
+  * column type: floating columns print as `%.4f` (printf semantics are
+  * engine-portable where raw double→string formatting is not — Java
+  * flips to scientific notation at 1e7, DuckDB does not), everything
+  * else casts through its natural string form.
+  */
+object Profile {
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val isFloating = df.schema.fields.map(f =>
+      f.name -> (f.dataType == DoubleType || f.dataType == FloatType)).toMap
+    def render(c: String, agg: String): org.apache.spark.sql.Column = {
+      val a = expr(s"$agg($c)")
+      // format_string renders a NULL arg as the string "null" (Java
+      // Formatter semantics); an all-null column must profile as NULL
+      if (isFloating(c))
+        when(a.isNull, lit(null)).otherwise(format_string("%.4f", a))
+      else a.cast("string")
+    }
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        render(c, "min").as(s"__mn_$c"),
+        render(c, "max").as(s"__mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stats = array(cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("__rows").as("n_rows"),
+      (col("__rows") - col(s"__nn_$c")).as("n_null"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__mn_$c").as("min_s"),
+      col(s"__mx_$c").as("max_s"))): _*)
+    wide.select(explode(stats).as("p")).select("p.*")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Changelog, Profile}
+
+class ChangelogProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def changelog = Seq(
+    // (key, ts, id, value) — key "a" updated three times, tie at ts=20
+    ("a", 10L, 1L, 1.0),
+    ("a", 20L, 2L, 2.0),
+    ("a", 20L, 3L, 3.0), // same ts as id=2: id tie-break must pick 3
+    ("b", 5L, 4L, 4.0)
+  ).toDF("k", "ts", "id", "v")
+
+  test("latestByKey keeps exactly one deterministic winner per key") {
+    val out = Changelog.latestByKey(changelog, Seq("k"),
+        Seq(col("ts").desc, col("id").desc))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(("a", 3L, 3.0), ("b", 4L, 4.0)))
+  }
+
+  test("scd2 intervals chain and exactly one current version per key") {
+    val out = Changelog.scd2(changelog, Seq("k"), "ts", Seq(col("id").asc))
+      .select("k", "version", "id", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    val a = out.filter(_._1 == "a").sortBy(_._2)
+    assert(a.map(_._3).toSeq == Seq(1L, 2L, 3L)) // ts asc, id tie-break asc
+    // each version's valid_to is the next version's valid_from
+    assert(a.init.zip(a.tail).forall { case (p, n) => p._5 == n._4 })
+    assert(out.count(_._6) == 2) // one current row per key
+    assert(a.last._6 && a.last._5 == -1L)
+  }
+
+  private def profiled = Seq[(java.lang.Long, String, java.lang.Double)](
+    (1L, "x", 1.5), (2L, "y", 2.5), (2L, null, null), (3L, "x", 12345678.9)
+  ).toDF("num", "str", "dbl")
+
+  test("columnProfile: exact nulls/distinct and portable min/max rendering") {
+    val rows = Profile.columnProfile(profiled, Seq("num", "str", "dbl"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(rows("num") == ((4L, 0L, 3L, "1", "3")))
+    assert(rows("str") == ((4L, 1L, 2L, "x", "y")))
+    // doubles render via %.4f — no scientific notation at 1e7+
+    assert(rows("dbl") == ((4L, 1L, 3L, "1.5000", "12345678.9000")))
+  }
+
+  test("columnProfile: all-null column profiles as zero-distinct, null extremes") {
+    val df = Seq[(Int, Option[Double])]((1, None), (2, None)).toDF("a", "b")
+    val r = Profile.columnProfile(df, Seq("b")).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 0L)
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+}

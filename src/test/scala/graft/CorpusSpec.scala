@@ -96,4 +96,49 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum == 5L)       // n_docs sums to all docs
     assert(out.map(_.getLong(2)).sum == 128L)     // 100+3+0+24+1 tokens
   }
+
+  test("tfidfTopTerms: smoothed idf ranks rare terms above common ones") {
+    val corpus = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "c d")
+    ).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // N=3; df(a)=2, df(b)=1 → idf(a)=ln(4/3)≈0.2877, idf(b)=ln(2)≈0.6931
+    // doc1 scores: b = 0.6931 beats a = 2·0.2877 = 0.5754
+    assert(doc1.map(t => (t._2, t._3)).toSeq == Seq((1, "b"), (2, "a")))
+    assert(doc1.head._5 == 0.6931 && doc1.last._5 == 0.5754)
+    // doc3: c and d both tf=1; d rarer → ranks first
+    val doc3 = out.filter(_._1 == 3L).sortBy(_._2)
+    assert(doc3.map(_._3).toSeq == Seq("d", "c"))
+  }
+
+  test("tfidfTopTerms: equal rounded scores tie-break by term asc") {
+    // two terms with identical tf and df → identical score
+    val corpus = Seq((1L, "z q"), (2L, "z q")).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq == Seq("q", "z"))
+  }
+
+  test("samplePerGroup: exact n per large group, all rows of small groups") {
+    val many = spark.range(500).select(col("id").as("doc_id"),
+      (when(col("id") % 10 === 0, "rare").otherwise("common")).as("lang"))
+    val out = Corpus.samplePerGroup(many, "doc_id", "lang", n = 30)
+    val n = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n == Map("common" -> 30L, "rare" -> 30L))
+    val tiny = Corpus.samplePerGroup(
+      many.where(col("doc_id") < 25), "doc_id", "lang", n = 30)
+    assert(tiny.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("common" -> 22L, "rare" -> 3L))
+    // deterministic: same rows on a re-run, ranks dense 1..n
+    val a = out.orderBy("lang", "sample_rank").collect().map(_.toSeq)
+    val b = Corpus.samplePerGroup(many, "doc_id", "lang", n = 30)
+      .orderBy("lang", "sample_rank").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
 }
