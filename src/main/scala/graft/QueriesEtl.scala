@@ -234,7 +234,38 @@ object QueriesEtl {
     "etl_profile" -> ((s, d) =>
       graft.operators.Profile.columnProfile(
         orders(s, d),
-        Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")))
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))),
+
+    // declarative expectations suite: per-rule violation counts in ONE
+    // aggregate pass (all rules codegen'd into the same scan stage)
+    "etl_dq_rules" -> ((s, d) =>
+      graft.operators.Quality.checkRules(lineitem(s, d), Seq(
+        "qty_positive" -> "l_quantity > 0",
+        "qty_max_45" -> "l_quantity <= 45",
+        "price_positive" -> "l_extendedprice > 0",
+        "flag_domain" -> "l_returnflag IN ('A','N','R')",
+        "ship_after_1992" -> "l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'"))),
+
+    // schema evolution: two parquet drops written under different
+    // schema versions (v2 adds o_totalprice), read back as ONE dataset
+    // via mergeSchema — v1 rows surface the new column as NULL; the
+    // oracle sees only the original table, so the merged read must
+    // reconstruct exactly the original values and null pattern
+    "etl_schema_evolve" -> ((s, d) => {
+      val path = s"/tmp/graft_rt/evolve_${d.replace('/', '_')}"
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$path/v1")
+      o.where(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$path/v2")
+      graft.sources.ParquetSource(s"$path/*", mergeSchema = true).read(s)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_totalprice")).as("n_price"),
+          expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)")
+            .as("sum_price"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -357,6 +388,40 @@ object QueriesEtl {
         |  (lead(ts) OVER w IS NULL) AS is_current
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
+    // IS NOT TRUE mirrors Quality.checkRules' null-counts-as-violation
+    "etl_dq_rules" ->
+      """SELECT 'qty_positive' AS rule, CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |  CAST(COUNT(*) FILTER (WHERE (l_quantity > 0) IS NOT TRUE) AS BIGINT) AS n_violations,
+        |  COUNT(*) FILTER (WHERE (l_quantity > 0) IS NOT TRUE) = 0 AS passed
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'qty_max_45', COUNT(*),
+        |  COUNT(*) FILTER (WHERE (l_quantity <= 45) IS NOT TRUE),
+        |  COUNT(*) FILTER (WHERE (l_quantity <= 45) IS NOT TRUE) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'price_positive', COUNT(*),
+        |  COUNT(*) FILTER (WHERE (l_extendedprice > 0) IS NOT TRUE),
+        |  COUNT(*) FILTER (WHERE (l_extendedprice > 0) IS NOT TRUE) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'flag_domain', COUNT(*),
+        |  COUNT(*) FILTER (WHERE (l_returnflag IN ('A','N','R')) IS NOT TRUE),
+        |  COUNT(*) FILTER (WHERE (l_returnflag IN ('A','N','R')) IS NOT TRUE) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'ship_after_1992', COUNT(*),
+        |  COUNT(*) FILTER (WHERE (l_shipdate >= TIMESTAMP '1992-01-01 00:00:00') IS NOT TRUE),
+        |  COUNT(*) FILTER (WHERE (l_shipdate >= TIMESTAMP '1992-01-01 00:00:00') IS NOT TRUE) = 0
+        |FROM lineitem""".stripMargin,
+
+    "etl_schema_evolve" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT) AS n_price,
+        |  CAST(ROUND(SUM(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS sum_price
+        |FROM orders""".stripMargin,
 
     // min/max render via printf for the double column — raw
     // double→VARCHAR casts disagree between engines (Java flips to

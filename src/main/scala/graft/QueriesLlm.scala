@@ -36,6 +36,17 @@ object QueriesLlm {
       Dedup.embeddingPairs(embeddings(s, d), "vec_id", "embedding",
         minCosine = 0.3, bands = 4, bandBits = 8)),
 
+    // incremental ingest dedup: a deterministic 20% of docs play the
+    // fresh batch, probed against the remaining 80% "corpus" — the band
+    // join crosses sides only (never fresh×fresh / existing×existing)
+    "dedup_delta" -> ((s, d) => {
+      val docs = documents(s, d)
+      val isFresh =
+        graft.operators.Corpus.hashBucket(col("doc_id"), "delta", 5) === 0
+      Dedup.deltaMinhash(docs.where(!isFresh), docs.where(isFresh),
+        "doc_id", "text")
+    }),
+
     // pairwise near-dups -> clusters: min-label propagation (iterative
     // key-partitioned joins) against a recursive-CTE DuckDB oracle
     "dedup_clusters" -> ((s, d) =>
@@ -188,6 +199,27 @@ object QueriesLlm {
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b,
+        |  CAST(ROUND(list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)])/16.0, 4) AS DOUBLE) AS est_jaccard
+        |FROM cand
+        |WHERE list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)]) >= 4""".stripMargin,
+
+    "dedup_delta" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+        |  FROM toks WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id, [list_min([md5(CAST(p AS VARCHAR)||':'||s) for s in shingles]) for p in range(0,16)] AS sig FROM sh),
+        |lab AS (
+        |  SELECT doc_id, sig, ('0x'||substr(md5('delta:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 5 = 0 AS fresh FROM sig),
+        |bands AS (
+        |  SELECT doc_id, sig, fresh, b, md5(sig[4*b+1]||sig[4*b+2]||sig[4*b+3]||sig[4*b+4]) AS bh
+        |  FROM lab, range(0,4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.fresh AND NOT b.fresh)
+        |SELECT doc_id, dup_of,
         |  CAST(ROUND(list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)])/16.0, 4) AS DOUBLE) AS est_jaccard
         |FROM cand
         |WHERE list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)]) >= 4""".stripMargin,

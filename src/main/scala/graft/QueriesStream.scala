@@ -51,7 +51,26 @@ object QueriesStream {
         .select(col("user_id"), col("session_id"),
           expr("CAST(timestamp_micros(start_us) AS TIMESTAMP_NTZ)").as("session_start"),
           expr("CAST(timestamp_micros(end_us) AS TIMESTAMP_NTZ)").as("session_end"),
-          col("n_events")))
+          col("n_events"))),
+
+    // streaming upsert materialization: events re-staged as 4 files,
+    // streamed one file per micro-batch, each batch MERGEd into a
+    // versioned parquet target via foreachBatch — the final target must
+    // equal the batch upsert (same oracle as etl_upsert) regardless of
+    // how rows were split across batches
+    "stream_upsert" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/upsert_${d.replace('/', '_')}"
+      Tables.events(s, d).repartition(4)
+        .write.mode("overwrite").parquet(s"$root/stage")
+      val schema = s.read.parquet(s"$root/stage").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/stage")
+      Streaming.upsertStream(s, stream,
+          Seq("user_id", "event_type"), Seq("ts", "event_id"),
+          s"$root/target")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), expr("CAST(ROUND(value, 4) AS DOUBLE)").as("val_r"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -78,6 +97,15 @@ object QueriesStream {
         |  ON e.user_id = p.user_id AND p.event_type = 'purchase'
         | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 2 HOUR
         |GROUP BY e.event_type""".stripMargin,
+
+    "stream_upsert" ->
+      """SELECT user_id, event_type, event_id, ts,
+        |  CAST(ROUND(value, 4) AS DOUBLE) AS val_r
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
 
     "stream_session" ->
       """WITH d AS (

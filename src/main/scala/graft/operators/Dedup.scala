@@ -85,6 +85,48 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Incremental (delta) near-dup: candidate pairs between a FRESH
+    * batch and an EXISTING corpus — the nightly-ingest shape, where
+    * re-pairing the whole corpus (minhashPairs over existing ∪ fresh)
+    * would redo almost all its work to answer a question only about the
+    * delta. The band join crosses sides only: never fresh×fresh (run
+    * [[minhashPairs]] on the batch for that) and never
+    * existing×existing.
+    *
+    * Scale: the existing side's sketch+banding is the part a production
+    * pipeline persists between runs; per run the probe side is only the
+    * delta, the join is the same key-equality (band, hash) join as
+    * [[minhashPairs]], and the candidate `distinct` carries id pairs
+    * only. Returns (doc_id ∈ fresh, dup_of ∈ existing, est_jaccard ≥
+    * minMatches/perms). */
+  def deltaMinhash(existing: DataFrame, fresh: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3, perms: Int = 16, bands: Int = 4,
+      minMatches: Int = 4): DataFrame = {
+    val spark = existing.sparkSession
+    val rows = perms / bands
+    def sketch(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= shingleK)
+      .select(col("id"), GraftFunctions.minhashSig(spark,
+        GraftFunctions.shingles(spark, col("w"), shingleK), perms).as("sig"))
+    def banded(df: DataFrame): DataFrame = df.select(col("id"),
+      posexplode(Hashes.lshBands("sig", bands, rows)).as(Seq("b", "bh")))
+    val e = sketch(existing)
+    val f = sketch(fresh)
+    val cand = banded(f).as("a")
+      .join(banded(e).as("b"),
+        col("a.b") === col("b.b") && col("a.bh") === col("b.bh"))
+      .select(col("a.id").as("doc_id"), col("b.id").as("dup_of"))
+      .distinct()
+    cand
+      .join(f.as("sa"), col("doc_id") === col("sa.id"))
+      .join(e.as("sb"), col("dup_of") === col("sb.id"))
+      .withColumn("m", Hashes.sigMatches("sa.sig", "sb.sig"))
+      .where(col("m") >= minMatches)
+      .select(col("doc_id"), col("dup_of"),
+        expr(s"CAST(ROUND(m / $perms.0, 4) AS DOUBLE)").as("est_jaccard"))
+  }
+
   /** The staged internals of [[minhashPairs]], exposed so specs can bound
     * intermediate cardinalities (e.g. hot-bucket candidate counts). */
   private[graft] final case class MinhashStages(

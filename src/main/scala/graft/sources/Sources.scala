@@ -26,9 +26,15 @@ private[sources] trait PathSource extends EtlpSource {
   * Hadoop-filesystem URI — `s3a://bucket/prefix` covers the reference's
   * S3 source (README `create-s3-source!`) with zero extra code: listing,
   * split planning and reads all go through the FileSystem API. */
-final case class ParquetSource(path: String) extends PathSource {
+final case class ParquetSource(path: String, mergeSchema: Boolean = false)
+    extends PathSource {
   def spec: Map[String, String] = Map("type" -> "parquet", "path" -> path)
-  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  // mergeSchema: reconcile files written under evolving schemas (new
+  // nullable columns arrive as NULL in old files). Off by default — the
+  // merge pass reads every file's footer up front, which a fixed-schema
+  // 100 TB scan shouldn't pay.
+  def read(spark: SparkSession): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
 }
 
 /** ORC source — the other first-class columnar lake format (vectorized

@@ -213,4 +213,50 @@ object Streaming {
           out.iterator
       }
   }
+
+  // ---- streaming upsert materialization ----------------------------------
+
+  /** Streaming upsert: every micro-batch MERGEs into a keyed parquet
+    * target via foreachBatch — after the stream drains, the target
+    * holds exactly the latest record per key across all batches
+    * ([[graft.operators.Changelog.latestByKey]] semantics). The merge
+    * is associative (max-by-ordering), so the result is independent of
+    * how rows split into micro-batches.
+    *
+    * The target is versioned (`target/v<n>`): each batch writes
+    * compact(previous version ∪ batch) to the next version directory —
+    * the plain-filesystem analogue of a transactional table format's
+    * MERGE INTO (which is where this would land on a production lake;
+    * parquet dirs can't be atomically replaced in place, versions can).
+    * Returns the final compacted state. Batch cost is
+    * O(|state| + |batch|) — at scale you'd partition the target by a
+    * key prefix and rewrite only touched partitions; the per-batch
+    * compaction plan (one window, WindowGroupLimit) is that same plan
+    * per partition.
+    */
+  def upsertStream(spark: SparkSession, stream: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String],
+      targetRoot: String): DataFrame = {
+    import graft.operators.Changelog
+    val ordering = orderCols.map(c => col(c).desc)
+    var version = -1L
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val prev =
+            if (version < 0) None
+            else Some(spark.read.parquet(s"$targetRoot/v$version"))
+          val all = prev.map(_.unionByName(batch.toDF())).getOrElse(batch.toDF())
+          Changelog.latestByKey(all, keyCols, ordering)
+            .write.mode("overwrite").parquet(s"$targetRoot/v${version + 1}")
+          version += 1
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(version >= 0, s"upsertStream: no data arrived for $targetRoot")
+    spark.read.parquet(s"$targetRoot/v$version")
+  }
 }

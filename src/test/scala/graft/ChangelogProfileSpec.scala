@@ -56,4 +56,31 @@ class ChangelogProfileSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 0L)
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
+
+  test("checkRules: NULL predicate results count as violations") {
+    import graft.operators.Quality
+    val df = Seq[(java.lang.Long, String)](
+      (5L, "a"), (-1L, "b"), (null, "c")
+    ).toDF("v", "tag")
+    val out = Quality.checkRules(df, Seq(
+        "v_pos" -> "v > 0", "tag_known" -> "tag IN ('a','b','c')"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("v_pos") == ((3L, 2L, false)))     // -1 fails, NULL counts too
+    assert(out("tag_known") == ((3L, 0L, true)))
+  }
+
+  test("checkRules: empty input passes every rule with zero counts") {
+    import graft.operators.Quality
+    val df = Seq((1L, "a")).toDF("v", "tag").where("v < 0")
+    val r = Quality.checkRules(df, Seq("v_pos" -> "v > 0")).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getBoolean(3)) == ((0L, 0L, true)))
+  }
+
+  test("checkRules rejects duplicate rule names") {
+    import graft.operators.Quality
+    val df = Seq((1L, "a")).toDF("v", "tag")
+    intercept[IllegalArgumentException](
+      Quality.checkRules(df, Seq("r" -> "v > 0", "r" -> "v < 9")))
+  }
 }

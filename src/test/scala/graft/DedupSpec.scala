@@ -179,4 +179,34 @@ class DedupSpec extends SparkSpec {
     assert(tight.keySet.subsetOf(uncapped.keySet))
     tight.foreach { case (k, v) => assert(v == uncapped(k)) }
   }
+
+  test("deltaMinhash crosses sides only and agrees with the full pairing") {
+    import spark.implicits._
+    val mk = (id: Long, base: String) => (id, base)
+    val existing = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog"),
+      mk(2L, "completely unrelated text about spark joins here"),
+      mk(3L, "another corpus document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      mk(10L, "the quick brown fox jumps over the lazy dog"),   // dup of 1
+      mk(11L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+      mk(12L, "fresh text sharing nothing with the corpus docs"),
+      mk(13L, "the quick brown fox jumps over the lazy dog")    // dup of 1 AND 10
+    ).toDF("doc_id", "text")
+    val out = Dedup.deltaMinhash(existing, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every hit is fresh → existing; fresh×fresh (10,13) must NOT appear
+    assert(out.forall { case (a, b, _) => a >= 10L && b < 10L })
+    assert(out.count { case (a, b, _) => (a == 10L || a == 13L) && b == 1L } == 2)
+    assert(out.forall { case (a, _, est) => est >= 4 / 16.0 })
+    // exact dups carry a full-agreement estimate
+    assert(out.filter(t => t._1 == 10L && t._2 == 1L).head._3 == 1.0)
+    // agreement with minhashPairs on the union, restricted to cross pairs
+    val full = Dedup.minhashPairs(existing.unionByName(fresh), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a < 10L) != (b < 10L) }
+      .map { case (a, b, e) => (math.max(a, b), math.min(a, b), e) }.toSet
+    assert(out.toSet == full)
+  }
 }

@@ -107,4 +107,26 @@ class StreamingSpec extends SparkSpec {
       "graft_dedup_stream", OutputMode.Append()).collect()
     assert(out.length == 2)
   }
+
+  test("upsertStream: merged target is independent of micro-batch split") {
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    val changelog = Seq(
+      ("a", ts(0), 1L, 1.0), ("a", ts(10), 2L, 2.0), ("a", ts(10), 3L, 3.0),
+      ("b", ts(5), 4L, 4.0), ("b", ts(50), 5L, 5.0), ("c", ts(1), 6L, 6.0)
+    ).toDF("k", "ts", "id", "v")
+    val expect = graft.operators.Changelog
+      .latestByKey(changelog, Seq("k"), Seq(col("ts").desc, col("id").desc))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(expect == Set(("a", 3L, 3.0), ("b", 5L, 5.0), ("c", 6L, 6.0)))
+    for ((files, tag) <- Seq((1, "one"), (3, "many"))) {
+      changelog.repartition(files)
+        .write.mode("overwrite").parquet(s"$dir/$tag/stage")
+      val stream = spark.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/$tag/stage")
+      val got = Streaming.upsertStream(spark, stream,
+          Seq("k"), Seq("ts", "id"), s"$dir/$tag/target")
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == expect, s"split=$tag")
+    }
+  }
 }
