@@ -220,6 +220,16 @@ object QueriesEtl {
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("ts"), expr("CAST(ROUND(value, 4) AS DOUBLE)").as("val_r"))),
 
+    // CDC apply with tombstones: the latest event per user decides the
+    // user's materialized state; users whose latest event is an 'error'
+    // tombstone drop out (a later event would resurrect them)
+    "etl_cdc_apply" -> ((s, d) =>
+      graft.operators.Changelog.applyCdc(
+        events(s, d), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc),
+        isDelete = col("event_type") === "error")
+        .select("user_id", "event_id", "event_type", "ts")),
+
     // SCD type-2: purchase history per user as validity intervals
     // (version, valid_from, valid_to, is_current)
     "etl_scd2" -> ((s, d) =>
@@ -381,6 +391,14 @@ object QueriesEtl {
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "etl_cdc_apply" ->
+      """SELECT user_id, event_id, event_type, ts
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "etl_scd2" ->
       """SELECT user_id, CAST(row_number() OVER w AS INT) AS version,

@@ -31,6 +31,16 @@ object Changelog {
       .drop("__rn")
   }
 
+  /** Apply a CDC changelog with tombstones: the latest operation per
+    * key wins, and a key whose latest operation is a delete disappears
+    * from the materialized state. `isDelete` is evaluated on the
+    * winning row only — a delete followed by a later re-insert
+    * resurrects the key, matching MERGE semantics. Same single-window
+    * plan as [[latestByKey]]; the tombstone filter is row-local. */
+  def applyCdc(df: DataFrame, keyCols: Seq[String], ordering: Seq[Column],
+      isDelete: Column): DataFrame =
+    latestByKey(df, keyCols, ordering).where(!isDelete)
+
   /** SCD type-2 intervals: each change row becomes a version with
     * `version` (1-based per key), `valid_from` = its `tsCol`,
     * `valid_to` = the next version's `tsCol` (NULL while current) and

@@ -21,6 +21,18 @@ class ChangelogProfileSpec extends SparkSpec {
     assert(out == Set(("a", 3L, 3.0), ("b", 4L, 4.0)))
   }
 
+  test("applyCdc: tombstone wins, later re-insert resurrects") {
+    val log = Seq(
+      ("a", 10L, 1L, "U"), ("a", 20L, 2L, "D"),              // a: deleted
+      ("b", 5L, 3L, "U"), ("b", 6L, 4L, "D"), ("b", 9L, 5L, "U"), // b: back
+      ("c", 1L, 6L, "U")
+    ).toDF("k", "ts", "id", "op")
+    val out = Changelog.applyCdc(log, Seq("k"),
+        Seq(col("ts").desc, col("id").desc), isDelete = col("op") === "D")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(out == Set(("b", 5L), ("c", 6L)))
+  }
+
   test("scd2 intervals chain and exactly one current version per key") {
     val out = Changelog.scd2(changelog, Seq("k"), "ts", Seq(col("id").asc))
       .select("k", "version", "id", "valid_from", "valid_to", "is_current")
