@@ -386,6 +386,27 @@ object QueriesCore {
             "(SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * " +
             " SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 4) AS DOUBLE) AS corr_qty_price")),
 
+    // fixed-width histogram with edge clamping — one two-phase agg
+    "q_histogram" -> ((s, d) =>
+      graft.operators.Analytics.histogram(orders(s, d), "o_totalprice",
+        lo = 0.0, width = 50000.0, buckets = 12)),
+
+    // gap-filled hourly series per event_type: per-key sequence()
+    // explode builds each key's own calendar (no global-grid cross join)
+    "q_timeseries_fill" -> ((s, d) =>
+      graft.operators.Analytics.fillGaps(events(s, d), "event_type", "ts",
+        "value", unit = "HOUR")),
+
+    // strict-order funnel signup → click → purchase: per-stage frontier
+    // joins, one row per surviving user per stage
+    "q_funnel" -> ((s, d) =>
+      graft.operators.Analytics.funnel(events(s, d), "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"))),
+
+    // weekly cohort retention relative to each user's first-event day
+    "q_retention" -> ((s, d) =>
+      graft.operators.Analytics.retention(events(s, d), "user_id", "ts")),
+
     // approx sketches: engine-specific estimates, so no DuckDB hash
     // oracle — these take the driver's rows-only check; accuracy vs
     // exact answers is spec-enforced (ApproxSpec)
@@ -694,6 +715,54 @@ object QueriesCore {
         |DATE_TRUNC('month', o_orderdate) AS order_mon_start,
         |CASE WHEN o_totalprice > 300000 THEN 'high' WHEN o_totalprice > 150000 THEN 'mid' ELSE 'low' END AS price_band,
         |CAST(LENGTH(o_orderpriority) AS INT) AS pri_len
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT bucket, CAST(0.0 + bucket * 50000.0 AS DOUBLE) AS bucket_lo,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 50000.0), 0), 11) AS INT) AS bucket
+        |      FROM orders WHERE o_totalprice IS NOT NULL)
+        |GROUP BY bucket""".stripMargin,
+
+    "q_timeseries_fill" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, date_trunc('hour', ts) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT k, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM (SELECT k, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY k))
+        |SELECT g.k AS event_type, g.bucket,
+        |  COALESCE(b.n, 0) AS n, COALESCE(b.sum_v, 0.0) AS sum_v
+        |FROM g LEFT JOIN b ON g.k = b.k AND g.bucket = b.bucket""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS ft FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS ft FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.ft
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS ft FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.ft
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 0 AS stage_idx, 'signup' AS stage,
+        |  CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT 1, 'click', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+        |UNION ALL
+        |SELECT 2, 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, date_trunc('day', ts) AS day FROM events),
+        |c AS (SELECT u, min(day) AS cohort_day FROM ev GROUP BY u)
+        |SELECT cohort_day,
+        |  CAST(FLOOR(datediff('day', cohort_day, day) / 7) AS INT) AS week_offset,
+        |  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+        |FROM ev JOIN c USING (u) GROUP BY 1, 2""".stripMargin
   )
 }

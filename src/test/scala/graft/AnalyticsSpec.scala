@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Long, m: Long = 0): Timestamp =
+    new Timestamp((h * 60 + m) * 60000L)
+
+  test("histogram clamps edges and skips empty buckets") {
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.9, 100.0, 250.0)
+      .toDF("v")
+    val out = Analytics.histogram(df, "v", lo = 0.0, width = 10.0, buckets = 10)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out(0) == ((0.0, 3L)))  // -5 clamps up, 0.0 and 9.9 in range
+    assert(out(1) == ((10.0, 1L)))
+    assert(out(2) == ((20.0, 1L)))
+    assert(out(9) == ((90.0, 3L))) // 99.9 in range; 100 and 250 clamp down
+    assert(out.size == 4)          // buckets 3..8 absent, not zero rows
+  }
+
+  test("fillGaps zero-fills only within each key's own active range") {
+    val df = Seq(
+      ("a", ts(0, 10), 1.0), ("a", ts(0, 20), 2.0), ("a", ts(3, 5), 3.0),
+      ("b", ts(10, 0), 4.0)
+    ).toDF("k", "t", "v")
+    val out = Analytics.fillGaps(df, "k", "t", "v", unit = "HOUR")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000,
+        r.getLong(2), r.getDouble(3)))
+    val a = out.filter(_._1 == "a").sortBy(_._2)
+    // a spans hours 0..3 → 4 rows, hours 1-2 zero-filled
+    assert(a.map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((0L, 2L, 3.0), (1L, 0L, 0.0), (2L, 0L, 0.0), (3L, 1L, 3.0)))
+    // b: single hour, no backfill into a's range
+    assert(out.filter(_._1 == "b").map(t => (t._2, t._3)).toSeq ==
+      Seq((10L, 1L)))
+  }
+
+  test("funnel counts only strictly-ordered stage progressions") {
+    val df = Seq(
+      // u1 completes in order
+      (1L, ts(1), "s"), (1L, ts(2), "c"), (1L, ts(3), "p"),
+      // u2: click BEFORE signup, converts via the later click
+      (2L, ts(2), "s"), (2L, ts(1), "c"), (2L, ts(4), "c"), (2L, ts(5), "p"),
+      // u3: purchase before click → stops at click
+      (3L, ts(1), "s"), (3L, ts(3), "c"), (3L, ts(2), "p"),
+      // u4 never signs up
+      (4L, ts(1), "c"), (4L, ts(2), "p")
+    ).toDF("u", "t", "stage")
+    val out = Analytics.funnel(df, "u", "t", "stage", Seq("s", "c", "p"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((0, "s", 3L), (1, "c", 3L), (2, "p", 2L)))
+  }
+
+  test("retention buckets users by weeks since their own first day") {
+    val day = 24L
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(3 * day)), (1L, ts(8 * day)),   // w0, w0, w1
+      (2L, ts(7 * day)), (2L, ts(21 * day))                // later cohort: w0, w2
+    ).toDF("u", "t")
+    val out = Analytics.retention(df, "u", "t")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime / (day * 3600000), r.getInt(1),
+        r.getLong(2))).toSet
+    assert(out == Set((0L, 0, 1L), (0L, 1, 1L), (7L, 0, 1L), (7L, 2, 1L)))
+  }
+}
