@@ -79,6 +79,12 @@ object QueriesCorpus {
     "corpus_tfidf" -> ((s, d) =>
       Corpus.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)),
 
+    // unigram-LM quality score: mean token log-prob under the corpus's
+    // own term distribution (per-term log-probs rounded then summed as
+    // exact decimals — float association order cannot leak out)
+    "corpus_lm_score" -> ((s, d) =>
+      Corpus.lmScore(documents(s, d), "doc_id", "text")),
+
     // deterministic per-language eyeball sample: exactly 20 docs per
     // lang in md5 order — reproducible on any engine or task retry
     "corpus_sample" -> ((s, d) =>
@@ -208,6 +214,20 @@ object QueriesCorpus {
          |  FROM sc)
          |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, tfidf
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    "corpus_lm_score" ->
+      s"""WITH t AS ($toksCte),
+         |tk AS (SELECT doc_id, unnest(w) AS term FROM t WHERE len(w) > 0),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM tk GROUP BY 1, 2),
+         |lm AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY 1),
+         |tot AS (SELECT SUM(ctf) AS total_tok FROM lm)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+         |  CAST(ROUND(CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf), 4) AS DOUBLE) AS lm_score
+         |FROM (SELECT tf.doc_id, tf.tf,
+         |        CAST(ROUND(LN(CAST(ctf AS DOUBLE) / total_tok), 6) AS DECIMAL(18,6)) AS lp
+         |      FROM tf JOIN lm USING (term) CROSS JOIN tot)
+         |GROUP BY doc_id""".stripMargin,
 
     "corpus_sample" ->
       """SELECT lang, CAST(rn AS INT) AS sample_rank, doc_id

@@ -43,7 +43,11 @@ object Analytics {
       unit: String = "HOUR"): DataFrame = {
     require(Set("HOUR", "DAY")(unit.toUpperCase), s"unsupported unit $unit")
     val u = unit.toUpperCase
-    val bucketed = df.select(col(keyCol).as("k"),
+    // explicit: a NULL timestamp belongs to no bucket (it would
+    // otherwise aggregate under a NULL bucket and then vanish in the
+    // grid join — dropping it up front makes the semantics visible)
+    val bucketed = df.where(col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"),
         date_trunc(u, col(tsCol)).as("bucket"),
         col(valueCol).as("v"))
       .groupBy("k", "bucket")

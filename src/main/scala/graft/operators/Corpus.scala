@@ -212,6 +212,39 @@ object Corpus {
         col("tf"), col("tfidf"))
   }
 
+  /** Unigram language-model quality score: each doc's mean token
+    * log-probability under the corpus's own unigram distribution
+    * (p(term) = corpus term count / total tokens). The crude-but-real
+    * ancestor of perplexity-based quality gating: gibberish and
+    * boilerplate-free rare-token soup score far below fluent text drawn
+    * from the corpus distribution.
+    *
+    * Determinism across engines: each term's log-prob is rounded to 6
+    * decimals FIRST, and per-doc totals sum those as exact
+    * DECIMAL(18,6) — float summation order (Spark partial aggregates
+    * vs the oracle's sequential sum) can never show up in the output.
+    * One (doc, term) aggregate, one term aggregate, one scalar total
+    * (1-row broadcast), a term-keyed join back, a per-doc aggregate —
+    * every shuffle key is a term or a doc id. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"), explode(col("w")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val lm = tf.groupBy("term").agg(sum(col("tf")).as("ctf"))
+    val total = lm.agg(sum(col("ctf")).as("total_tok"))
+    tf.join(lm, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
+        expr("CAST(ROUND(LN(CAST(ctf AS DOUBLE) / total_tok), 6) AS DECIMAL(18,6))")
+          .as("lp"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tok"),
+        expr("CAST(ROUND(CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf), 4) AS DOUBLE)")
+          .as("lm_score"))
+  }
+
   /** Deterministic fixed-size sample per group: the first `n` rows of
     * each group in md5 order — a reproducible "eyeball sample" per
     * language/source for corpus QA. Unlike `TABLESAMPLE`/`rand()`, any

@@ -33,7 +33,7 @@ object Profile {
     val isFloating = df.schema.fields.map(f =>
       f.name -> (f.dataType == DoubleType || f.dataType == FloatType)).toMap
     def render(c: String, agg: String): org.apache.spark.sql.Column = {
-      val a = expr(s"$agg($c)")
+      val a = expr(s"$agg(`$c`)")
       // format_string renders a NULL arg as the string "null" (Java
       // Formatter semantics); an all-null column must profile as NULL
       if (isFloating(c))

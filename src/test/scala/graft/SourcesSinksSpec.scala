@@ -115,4 +115,24 @@ class SourcesSinksSpec extends SparkSpec {
     val out = JsonlSource(s"$dir/f").read(spark)
     assert(out.columns.contains("file") && out.select("z").head().getString(0) == "q")
   }
+
+  test("gzip-compressed JSONL round-trips through the same sources") {
+    // Hadoop codecs decompress by extension — a .json.gz drop needs no
+    // config on the read side. (Gzip is NOT splittable: one file = one
+    // task, so a compressed lake should arrive as many medium files,
+    // never one giant archive — that's the write side's coalesce knob.)
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-gz").toString
+    val src = Tables.events(spark, sf0001).select("event_id", "event_type")
+    src.write.option("compression", "gzip").json(s"$dir/gz")
+    assert(new java.io.File(s"$dir/gz").listFiles()
+      .exists(_.getName.endsWith(".json.gz")))
+    val back = JsonlSource(s"$dir/gz", Some(src.schema)).read(spark)
+    assert(back.count() == src.count())
+    val a = back.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = src.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }
