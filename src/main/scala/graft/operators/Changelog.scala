@@ -35,11 +35,14 @@ object Changelog {
     * key wins, and a key whose latest operation is a delete disappears
     * from the materialized state. `isDelete` is evaluated on the
     * winning row only — a delete followed by a later re-insert
-    * resurrects the key, matching MERGE semantics. Same single-window
+    * resurrects the key, matching MERGE semantics. A NULL `isDelete`
+    * result (e.g. a NULL op column) counts as NOT-a-delete — an
+    * ambiguous row must not silently erase a key. Same single-window
     * plan as [[latestByKey]]; the tombstone filter is row-local. */
   def applyCdc(df: DataFrame, keyCols: Seq[String], ordering: Seq[Column],
       isDelete: Column): DataFrame =
-    latestByKey(df, keyCols, ordering).where(!isDelete)
+    latestByKey(df, keyCols, ordering)
+      .where(!coalesce(isDelete, lit(false)))
 
   /** SCD type-2 intervals: each change row becomes a version with
     * `version` (1-based per key), `valid_from` = its `tsCol`,

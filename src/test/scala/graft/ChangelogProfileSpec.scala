@@ -25,12 +25,13 @@ class ChangelogProfileSpec extends SparkSpec {
     val log = Seq(
       ("a", 10L, 1L, "U"), ("a", 20L, 2L, "D"),              // a: deleted
       ("b", 5L, 3L, "U"), ("b", 6L, 4L, "D"), ("b", 9L, 5L, "U"), // b: back
-      ("c", 1L, 6L, "U")
+      ("c", 1L, 6L, "U"),
+      ("d", 1L, 7L, null)  // NULL op: ambiguous ≠ delete — key survives
     ).toDF("k", "ts", "id", "op")
     val out = Changelog.applyCdc(log, Seq("k"),
         Seq(col("ts").desc, col("id").desc), isDelete = col("op") === "D")
       .collect().map(r => (r.getString(0), r.getLong(2))).toSet
-    assert(out == Set(("b", 5L), ("c", 6L)))
+    assert(out == Set(("b", 5L), ("c", 6L), ("d", 7L)))
   }
 
   test("scd2 intervals chain and exactly one current version per key") {
