@@ -286,6 +286,26 @@ object QueriesCore {
         tieBreak = "o_orderkey")
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")),
 
+    // forward as-of with tolerance: each click's NEXT purchase by the
+    // same user within 2 hours (attribution) — same union+window plan
+    // on the negated timeline, tolerance nulls the payload of matches
+    // beyond the horizon
+    "q_asof_fwd" -> ((s, d) => {
+      val ev = events(s, d)
+      graft.operators.AsOf.join(
+        ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"), col("value")),
+        leftKey = "user_id", rightKey = "p_user",
+        leftTime = "ts", rightTime = "p_ts",
+        rightPayload = Seq("purchase_id", "value"), tieBreak = "purchase_id",
+        direction = "forward", toleranceUs = Some(7200000000L))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          expr("CAST(ROUND(value, 4) AS DOUBLE)").as("p_val"))
+    }),
+
     // window-function depth: lead / ntile / percent_rank / cume_dist over
     // one partition+sort — a single window exchange serves all four
     "q_window_funcs" -> ((s, d) => {
@@ -675,6 +695,18 @@ object QueriesCore {
         |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_asof_fwd" ->
+      """SELECT event_id, user_id, purchase_id,
+        |  CAST(ROUND(value, 4) AS DOUBLE) AS p_val FROM (
+        |  SELECT c.event_id, c.user_id, p.event_id AS purchase_id, p.value,
+        |    ROW_NUMBER() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.ts ASC, p.event_id DESC) AS rn
+        |  FROM events c LEFT JOIN events p
+        |    ON c.user_id = p.user_id AND p.event_type = 'purchase'
+        |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        |  WHERE c.event_type = 'click')
         |WHERE rn = 1""".stripMargin,
 
     "q_window_funcs" ->

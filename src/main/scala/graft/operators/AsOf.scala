@@ -4,9 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (point-in-time) join — for every left row, the single right row
-  * with the greatest `rightTime <= leftTime` within the same key. The
-  * canonical time-series enrichment operator Spark's API lacks.
+/** As-of (point-in-time) join — for every left row, the single closest
+  * right row within the same key: the greatest `rightTime <= leftTime`
+  * (`direction = "backward"`, the default) or the smallest
+  * `rightTime >= leftTime` (`"forward"`), optionally bounded by a
+  * `toleranceUs` horizon (a match farther than the tolerance yields
+  * NULL payload, the left row still emits — pandas merge_asof
+  * semantics). The canonical time-series enrichment operator Spark's
+  * API lacks.
   *
   * Spark-first implementation: NOT the naive
   * `join(key && rt <= lt) + rank` — that explodes every left row by its
@@ -17,25 +22,39 @@ import org.apache.spark.sql.functions._
   * `last(_, ignoreNulls = true)`. One shuffle by key, one sort — the
   * same cost envelope as any windowed aggregate, linear in rows. Ties
   * among right rows at one timestamp resolve to the largest
-  * `tieBreak` (deterministic).
+  * `tieBreak` (deterministic). The forward direction is the backward
+  * algorithm on the NEGATED timeline — same plan, no second code path.
   *
   * The payload travels as ONE struct column through the window, so the
   * winning right row is selected atomically: a right row with NULL in
   * some payload column contributes that NULL (rather than letting an
   * older row's non-null value bleed through per-column), and the output
-  * never mixes columns from different right rows.
+  * never mixes columns from different right rows. The struct also
+  * carries the winner's timestamp, which is what the tolerance check
+  * reads — it must test the WINNING row's distance, not "any row
+  * existed within range".
   */
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightPayload: Seq[String], tieBreak: String): DataFrame = {
+      rightPayload: Seq[String], tieBreak: String,
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward")(direction),
+      s"direction must be backward|forward, got $direction")
+    toleranceUs.foreach(t => require(t >= 0, "tolerance must be >= 0"))
+    // forward = backward on the negated timeline
+    val sign = if (direction == "backward") 1L else -1L
     val leftCols = left.columns.toSeq
     val payloadStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("graft_rt",
+        org.apache.spark.sql.types.LongType) +:
       rightPayload.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("graft_k", col(leftKey))
-      .withColumn("graft_t", unix_micros(col(leftTime).cast("timestamp")))
+      .withColumn("graft_t",
+        lit(sign) * unix_micros(col(leftTime).cast("timestamp")))
       .withColumn("graft_isleft", lit(1))
       .withColumn("graft_tie", lit(0L))
       .withColumn("graft_payload", lit(null).cast(payloadStructType))
@@ -43,12 +62,14 @@ object AsOf {
       .withColumn("graft_k", col(rightKey))
       // cast: TIMESTAMP_NTZ columns (native parquet reads) aren't
       // accepted by unix_micros; session tz is UTC so the cast is exact
-      .withColumn("graft_t", unix_micros(col(rightTime).cast("timestamp")))
+      .withColumn("graft_t",
+        lit(sign) * unix_micros(col(rightTime).cast("timestamp")))
       .withColumn("graft_isleft", lit(0))
       .withColumn("graft_tie", col(tieBreak).cast("long"))
       // the whole winning row travels as one non-null struct
       .withColumn("graft_payload",
-        struct(rightPayload.map(c => col(c).as(c)): _*))
+        struct(col("graft_t").as("graft_rt") +:
+          rightPayload.map(c => col(c).as(c)): _*))
     val rAligned = leftCols.foldLeft(r)((df, c) =>
       if (r.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
@@ -56,16 +77,23 @@ object AsOf {
       Seq("graft_k", "graft_t", "graft_isleft", "graft_tie", "graft_payload")
     val unioned = l.select(cols.map(col): _*)
       .unionByName(rAligned.select(cols.map(col): _*))
-    // right rows first at equal time (asof is <=), then by tiebreak so
-    // last() picks the winning right row; ignoreNulls skips only LEFT
-    // rows (their payload struct is NULL) — a right row's struct is
-    // always non-null, even when its fields are
+    // right rows first at equal time (asof includes equality), then by
+    // tiebreak so last() picks the winning right row; ignoreNulls skips
+    // only LEFT rows (their payload struct is NULL) — a right row's
+    // struct is always non-null, even when its fields are
     val w = Window.partitionBy("graft_k")
       .orderBy(col("graft_t").asc, col("graft_isleft").asc, col("graft_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("graft_payload",
       last(col("graft_payload"), ignoreNulls = true).over(w))
-    carried.where(col("graft_isleft") === 1)
+    // on the (possibly negated) timeline the winner's distance is
+    // always graft_t - winner.graft_rt >= 0, for both directions
+    val withinTol = toleranceUs.fold(lit(true))(t =>
+      col("graft_t") - col("graft_payload.graft_rt") <= t)
+    val gated = carried.withColumn("graft_payload",
+      when(withinTol, col("graft_payload"))
+        .otherwise(lit(null).cast(payloadStructType)))
+    gated.where(col("graft_isleft") === 1)
       .select(leftCols.map(col) ++
         rightPayload.map(c => col(s"graft_payload.$c").as(c)): _*)
   }

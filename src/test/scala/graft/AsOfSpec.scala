@@ -40,6 +40,39 @@ class AsOfSpec extends SparkSpec {
     assert(out.getLong(3) == 9L && out.getString(4) == "b")
   }
 
+  test("forward direction picks the earliest right row at or after left") {
+    val quotes = Seq(
+      (1L, ts(0), 101L, 10.0), (1L, ts(10), 102L, 11.0), (1L, ts(30), 103L, 9.0)
+    ).toDF("qk", "qt", "quote_id", "price")
+    val trades = Seq(
+      (1L, ts(10), 9001L),  // exactly at a quote → that quote (>=)
+      (1L, ts(11), 9002L),  // between → the ts(30) quote
+      (1L, ts(99), 9003L)   // after all → null
+    ).toDF("tk", "tt", "trade_id")
+    val out = AsOf.join(trades, quotes, "tk", "qk", "tt", "qt",
+        Seq("quote_id", "price"), "quote_id", direction = "forward")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(9001L) == Some(102L))
+    assert(out(9002L) == Some(103L))
+    assert(out(9003L).isEmpty)
+  }
+
+  test("tolerance nulls matches beyond the horizon, keeps the left row") {
+    val quotes = Seq((1L, ts(0), 101L), (1L, ts(60), 102L))
+      .toDF("qk", "qt", "quote_id")
+    val trades = Seq(
+      (1L, ts(5), 9001L),   // 5 min after quote 101 → within 10-min tol
+      (1L, ts(30), 9002L),  // 30 min after 101 → beyond tol → null
+      (1L, ts(65), 9003L)   // 5 min after 102 → within
+    ).toDF("tk", "tt", "trade_id")
+    val out = AsOf.join(trades, quotes, "tk", "qk", "tt", "qt",
+        Seq("quote_id"), "quote_id", toleranceUs = Some(10L * 60 * 1000000))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out == Map(9001L -> Some(101L), 9002L -> None, 9003L -> Some(102L)))
+  }
+
   test("plan is one shuffle + window, no pair-exploding join") {
     val right = Seq((1L, ts(0), 5L)).toDF("rk", "rt", "rid")
     val left = Seq((1L, ts(1), 7L)).toDF("lk", "lt", "lid")
