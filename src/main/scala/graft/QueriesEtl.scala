@@ -392,13 +392,15 @@ object QueriesEtl {
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
 
+    // IS NOT TRUE mirrors applyCdc's NULL-tombstone guard: a NULL
+    // event_type must KEEP its key on both engines
     "etl_cdc_apply" ->
       """SELECT user_id, event_id, event_type, ts
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
-        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+        |WHERE rn = 1 AND (event_type = 'error') IS NOT TRUE""".stripMargin,
 
     "etl_scd2" ->
       """SELECT user_id, CAST(row_number() OVER w AS INT) AS version,

@@ -15,10 +15,11 @@ import org.apache.spark.sql.DataFrame
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse(
+    val pos = args.filterNot(_.startsWith("--")) // flags are positionless
+    val name = pos.headOption.getOrElse(
       sys.error("usage: RunOne <queryName> [sfDir] [iters] [--explain]"))
-    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val iters = args.lift(2).map(_.toInt).getOrElse(3)
+    val sfDir = pos.lift(1).getOrElse("/root/testdata/sf0.1")
+    val iters = pos.lift(2).map(_.toInt).getOrElse(3)
     val explain = args.contains("--explain")
 
     val spark = BenchSession.build()

@@ -43,10 +43,11 @@ object Analytics {
       unit: String = "HOUR"): DataFrame = {
     require(Set("HOUR", "DAY")(unit.toUpperCase), s"unsupported unit $unit")
     val u = unit.toUpperCase
-    // explicit: a NULL timestamp belongs to no bucket (it would
-    // otherwise aggregate under a NULL bucket and then vanish in the
-    // grid join — dropping it up front makes the semantics visible)
-    val bucketed = df.where(col(tsCol).isNotNull)
+    // explicit: a NULL timestamp belongs to no bucket, and a NULL key
+    // owns no series (they would otherwise aggregate normally but
+    // never re-match the grid's null-rejecting equi-join — every
+    // bucket of the NULL key would report 0 instead of its real count)
+    val bucketed = df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol).as("k"),
         date_trunc(u, col(tsCol)).as("bucket"),
         col(valueCol).as("v"))

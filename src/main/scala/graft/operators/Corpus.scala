@@ -197,7 +197,11 @@ object Corpus {
     // PlanHygieneSpec like ann_ivf's k-row centroid broadcast. (A
     // constant-equi-key "hash join" disguise doesn't survive Catalyst:
     // constant folding rewrites it straight back to the nested loop.)
-    val nDocs = toks.agg(count(lit(1)).as("n_docs"))
+    // N derives from tf — counting toks directly would re-run the full
+    // text scan + tokenize, since Catalyst doesn't dedupe the shared
+    // uncached subplan; every non-empty doc has >= 1 tf row, so the
+    // distinct doc count over tf is exactly |non-empty docs|
+    val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
     tf.join(dfreq, "term")

@@ -277,26 +277,30 @@ object Dedup {
     * into ONE long (`id << 20 | n_g`), so the pair aggregate's group
     * keys carry both gram-set sizes and the Jaccard denominator needs
     * NO re-join against a per-doc counts table — two whole joins gone.
-    * Requires id < 2^43 and n_g < 2^20; checked per doc (raise_error),
-    * not per posting row. */
+    * Requires a numeric id with 0 <= id < 2^43 and n_g < 2^20; the
+    * id casts to LONG before the guard and the shift (an IntegerType
+    * id would otherwise wrap inside shiftleft at 2^11 with the 2^43
+    * guard never firing), and the guard+pack evaluate once per DOC on
+    * the pre-explode gram rows, not per posting row. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, n: Int = 2, minJaccard: Double = 0.3): DataFrame = {
     val spark = df.sparkSession
     val grams = df
-      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+      .select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"),
         TextAnalysis.tokens(col(textCol)).as("w"))
       .where(size(col("w")) >= n)
       .select(col("id"), col("grp"),
         GraftFunctions.shingles(spark, col("w"), n).as("g"))
     val posting = grams
-      .select(col("id"), size(col("g")).cast("long").as("n_g"),
-        explode(col("g")).as("gram"), col("grp"))
       .select(
-        when(col("id") < 0L || col("id") >= (1L << 43) ||
-             col("n_g") >= (1L << 20),
+        when(col("id").isNull || col("id") < 0L || col("id") >= (1L << 43) ||
+             size(col("g")).cast("long") >= (1L << 20),
           expr("raise_error('ngramJaccardPairs: id/n_g out of packable range')")
             .cast("long"))
-          .otherwise(shiftleft(col("id"), 20).bitwiseOR(col("n_g"))).as("pk"),
+          .otherwise(shiftleft(col("id"), 20)
+            .bitwiseOR(size(col("g")).cast("long"))).as("pk"),
+        col("grp"), explode(col("g")).as("gram"))
+      .select(col("pk"),
         xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
     // a.pk < b.pk ⟺ a.id < b.id: id occupies the high bits, and equal
     // ids (same doc, same n_g) compare equal, which < excludes.

@@ -28,7 +28,9 @@ private[sources] trait PathSource extends EtlpSource {
   * split planning and reads all go through the FileSystem API. */
 final case class ParquetSource(path: String, mergeSchema: Boolean = false)
     extends PathSource {
-  def spec: Map[String, String] = Map("type" -> "parquet", "path" -> path)
+  def spec: Map[String, String] =
+    Map("type" -> "parquet", "path" -> path,
+      "mergeSchema" -> mergeSchema.toString)
   // mergeSchema: reconcile files written under evolving schemas (new
   // nullable columns arrive as NULL in old files). Off by default — the
   // merge pass reads every file's footer up front, which a fixed-schema

@@ -40,6 +40,15 @@ class AnalyticsSpec extends SparkSpec {
       Seq((10L, 1L)))
   }
 
+  test("fillGaps drops NULL keys instead of zeroing their series") {
+    val df = Seq[(Option[String], Timestamp, Double)](
+      (Some("a"), ts(0), 1.0), (None, ts(0), 5.0), (None, ts(1), 7.0)
+    ).toDF("k", "t", "v")
+    val out = Analytics.fillGaps(df, "k", "t", "v", unit = "HOUR").collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "a" && out.head.getLong(2) == 1L)
+  }
+
   test("funnel counts only strictly-ordered stage progressions") {
     val df = Seq(
       // u1 completes in order

@@ -180,6 +180,21 @@ class DedupSpec extends SparkSpec {
     tight.foreach { case (k, v) => assert(v == uncapped(k)) }
   }
 
+  test("ngram pair packing is type-safe: int ids beyond 2^11 stay exact") {
+    import spark.implicits._
+    // IntegerType ids past the 20-bit shift boundary: without the
+    // explicit long cast, shiftleft wraps in int space and pairs garble
+    val base = "alpha beta gamma delta"
+    val corpus = Seq(
+      (100000, "en", base), (200000, "en", base + " extra"),
+      (300000, "en", "unrelated words entirely here")
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "lang",
+        n = 2, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((100000L, 200000L)))
+  }
+
   test("deltaMinhash crosses sides only and agrees with the full pairing") {
     import spark.implicits._
     val mk = (id: Long, base: String) => (id, base)
