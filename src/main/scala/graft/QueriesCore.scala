@@ -443,6 +443,17 @@ object QueriesCore {
         events(s, d).select((col("user_id") % 50).as("hot_key")),
         "hot_key", support = 0.05)),
 
+    // incremental-stats pattern: per-(type, day) HLL sketches persist;
+    // the month's distinct-user answer is a union of stored sketches,
+    // never a rescan of history (rows-only gate; merge-vs-direct
+    // equality and accuracy are spec-pinned in ApproxSpec)
+    "approx_mergeable" -> ((s, d) => {
+      val daily = graft.operators.Approx.distinctSketches(
+        events(s, d).withColumn("day", date_trunc("DAY", col("ts"))),
+        Seq("event_type", "day"), "user_id")
+      graft.operators.Approx.unionEstimate(daily, Seq("event_type"))
+    }),
+
     "q_sql_funcs" -> ((s, d) =>
       orders(s, d).selectExpr(
         "o_orderkey",

@@ -42,4 +42,24 @@ object Approx {
   def frequentItems(df: DataFrame, itemCol: String,
       support: Double = 0.01): DataFrame =
     df.stat.freqItems(Seq(itemCol), support)
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL): one
+    * BINARY sketch per group that [[unionEstimate]] can merge later.
+    * This is the incremental-stats pattern a 100 TB pipeline lives on:
+    * sketch each day's partition once, PERSIST the kilobyte sketches,
+    * and answer "distinct users this quarter?" by unioning 90 stored
+    * sketches — history is never rescanned. Union is exact over the
+    * sketch lattice: merging per-day sketches yields byte-identical
+    * estimates to sketching the concatenated data (spec-pinned). */
+  def distinctSketches(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"hll_sketch_agg(`$valueCol`)").as("sketch"))
+
+  /** Merge persisted sketches down to `groupCols` and estimate. */
+  def unionEstimate(sketches: DataFrame, groupCols: Seq[String],
+      sketchCol: String = "sketch"): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"hll_sketch_estimate(hll_union_agg(`$sketchCol`))")
+        .as("est_distinct"))
 }

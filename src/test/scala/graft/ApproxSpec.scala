@@ -42,6 +42,26 @@ class ApproxSpec extends SparkSpec {
     assert(Set("click", "view", "purchase", "signup", "error").subsetOf(out))
   }
 
+  test("mergeable HLL: union of per-shard sketches == direct sketch, near exact") {
+    import graft.operators.Approx
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100000)
+      .select((col("id") % 4).cast("string").as("g"),
+        (col("id") % 7919).as("v"),          // 7919 distinct per group
+        (col("id") % 10).as("shard"))
+    // sketch per (g, shard), then union down to g
+    val merged = Approx.unionEstimate(
+        Approx.distinctSketches(df, Seq("g", "shard"), "v"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // direct: sketch each g in one pass
+    val direct = Approx.unionEstimate(
+        Approx.distinctSketches(df, Seq("g"), "v"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct) // union is exact over the sketch lattice
+    merged.values.foreach(est =>
+      assert(math.abs(est - 7919.0) / 7919.0 < 0.05, s"est=$est"))
+  }
+
   test("HL7 repetitions and message type") {
     import spark.implicits._
     val msg = "MSH|^~\\&|APP|FAC|||||ADT^A01|X\rPID|1||42~43"
