@@ -216,6 +216,33 @@ object Corpus {
         col("tf"), col("tfidf"))
   }
 
+  /** Export the corpus to `shards` deterministic shard directories
+    * (`path/shard=N/...`) and return a MANIFEST built by re-reading
+    * what actually landed on disk — per shard: docs, tokens, id range.
+    * The manifest is the post-write verification a training run trusts
+    * (it describes the files, not the plan that produced them); shard
+    * assignment is the same salted md5 bucket as [[shardStats]], so a
+    * pre-write balance check predicts exactly this layout.
+    *
+    * Scale: the write is one pass partitioned by the shard column
+    * (each task appends to its shard dirs — no extra shuffle unless
+    * the caller repartitions by shard first for file-count control);
+    * the manifest pass scans only (shard, doc_id, n_tok). */
+  def exportShards(df: DataFrame, idCol: String, textCol: String,
+      shards: Int, path: String): DataFrame = {
+    val spark = df.sparkSession
+    df.withColumn("shard",
+        hashBucket(col(idCol), "shard", shards).cast("int"))
+      .withColumn("n_tok", size(TextAnalysis.tokens(col(textCol))))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    spark.read.parquet(path)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+
   /** Unigram language-model quality score: each doc's mean token
     * log-probability under the corpus's own unigram distribution
     * (p(term) = corpus term count / total tokens). The crude-but-real

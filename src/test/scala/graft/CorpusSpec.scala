@@ -97,6 +97,23 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum == 128L)     // 100+3+0+24+1 tokens
   }
 
+  test("exportShards: manifest describes what landed, matches shardStats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val manifest = Corpus.exportShards(docs, "doc_id", "text",
+        shards = 4, path = s"$dir/out")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // same bucketing as the pre-write balance check
+    val predicted = Corpus.shardStats(docs, "doc_id", "text", shards = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(manifest == predicted)
+    // the files themselves agree with the manifest
+    val disk = spark.read.parquet(s"$dir/out")
+    assert(disk.count() == manifest.values.map(_._1).sum)
+    assert(disk.select("shard").distinct().count() == manifest.size)
+  }
+
   test("tfidfTopTerms: smoothed idf ranks rare terms above common ones") {
     val corpus = Seq(
       (1L, "a a b"), (2L, "a c"), (3L, "c d")

@@ -129,4 +129,26 @@ class StreamingSpec extends SparkSpec {
       assert(got == expect, s"split=$tag")
     }
   }
+
+  test("upsertStream replay is idempotent: re-merging all input converges") {
+    // the MERGE is latestByKey, which is idempotent across replays: an
+    // at-least-once restart re-feeds already-merged rows, and
+    // compact(finalState ∪ anyReplayedInput) must equal finalState
+    val dir = Files.createTempDirectory("graft-upsert-replay").toString
+    val changelog = Seq(
+      ("a", ts(0), 1L, 1.0), ("a", ts(9), 2L, 2.0), ("b", ts(3), 3L, 3.0)
+    ).toDF("k", "ts", "id", "v")
+    changelog.repartition(2).write.mode("overwrite").parquet(s"$dir/stage")
+    val stream = spark.readStream.schema(changelog.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/stage")
+    val state = Streaming.upsertStream(spark, stream,
+      Seq("k"), Seq("ts", "id"), s"$dir/target")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+    val replayed = graft.operators.Changelog.latestByKey(
+      state.unionByName(changelog),
+      Seq("k"), Seq(col("ts").desc, col("id").desc))
+    assert(rows(replayed) == rows(state))
+    assert(rows(state) == Set(("a", 2L, 2.0), ("b", 3L, 3.0)))
+  }
 }
