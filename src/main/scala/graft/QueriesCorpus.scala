@@ -79,6 +79,12 @@ object QueriesCorpus {
     "corpus_tfidf" -> ((s, d) =>
       Corpus.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)),
 
+    // boilerplate detection: 4-grams shared by >= 3 distinct docs are
+    // boilerplate candidates; per-doc exposure count + ratio
+    "corpus_boilerplate" -> ((s, d) =>
+      Corpus.boilerplate(documents(s, d), "doc_id", "text",
+        n = 4, minDocs = 3)),
+
     // unigram-LM quality score: mean token log-prob under the corpus's
     // own term distribution (per-term log-probs rounded then summed as
     // exact decimals — float association order cannot leak out)
@@ -214,6 +220,22 @@ object QueriesCorpus {
          |  FROM sc)
          |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, tfidf
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    // gram identity is the 4-gram STRING here vs xxhash64 in Spark —
+    // counts agree unless a 64-bit collision (~1e-16)
+    "corpus_boilerplate" ->
+      s"""WITH t AS ($toksCte),
+         |g AS (
+         |  SELECT doc_id,
+         |    len(list_distinct([array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)])) AS n_grams,
+         |    unnest(list_distinct([array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)])) AS gram
+         |  FROM t WHERE len(w) >= 4),
+         |hot AS (
+         |  SELECT gram FROM (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1)
+         |  WHERE df >= 3)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler_grams,
+         |  CAST(ROUND(COUNT(*) / CAST(ANY_VALUE(n_grams) AS DOUBLE), 4) AS DOUBLE) AS boiler_ratio
+         |FROM g JOIN hot USING (gram) GROUP BY doc_id""".stripMargin,
 
     "corpus_lm_score" ->
       s"""WITH t AS ($toksCte),

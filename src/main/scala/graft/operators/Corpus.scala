@@ -216,6 +216,41 @@ object Corpus {
         col("tf"), col("tfidf"))
   }
 
+  /** Boilerplate detection: n-grams appearing in at least `minDocs`
+    * DISTINCT documents are boilerplate candidates (headers, footers,
+    * license blurbs, navigation chrome — C4-style cleanup targets);
+    * each doc reports how many distinct boilerplate grams it carries
+    * and its boilerplate exposure ratio (flag-then-strip input).
+    *
+    * Scale: same inverted-gram shape as [[decontaminate]] — grams
+    * reduce to 64-bit hashes, the df aggregate is key-partitioned on
+    * the gram, and the boilerplate gram set (df >= threshold is by
+    * definition a small head) broadcasts back against the corpus
+    * stream; never all-pairs. */
+  def boilerplate(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Long = 3): DataFrame = {
+    require(n > 0 && minDocs > 1)
+    val spark = df.sparkSession
+    val grams = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("id"),
+        array_distinct(
+          graft.plans.GraftFunctions.shingles(spark, col("w"), n)).as("gs"))
+      .select(col("id"), size(col("gs")).as("n_grams"),
+        explode(col("gs")).as("gram"))
+      .select(col("id"), col("n_grams"), xxhash64(col("gram")).as("gk"))
+    val hot = grams.groupBy("gk")
+      .agg(count(lit(1)).as("df"))   // grams are distinct per doc
+      .where(col("df") >= minDocs)
+      .select("gk")
+    grams.join(broadcast(hot), "gk")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_boiler_grams"),
+        expr("CAST(ROUND(COUNT(*) / CAST(FIRST(n_grams) AS DOUBLE), 4) AS DOUBLE)")
+          .as("boiler_ratio"))
+  }
+
   /** Export the corpus to `shards` deterministic shard directories
     * (`path/shard=N/...`) and return a MANIFEST built by re-reading
     * what actually landed on disk — per shard: docs, tokens, id range.

@@ -97,6 +97,22 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum == 128L)     // 100+3+0+24+1 tokens
   }
 
+  test("boilerplate flags only docs sharing hot grams, ratio in (0,1]") {
+    val footer = "contact us at example dot com today"
+    val corpus = Seq(
+      (1L, s"unique words here one. $footer"),
+      (2L, s"other text entirely two. $footer"),
+      (3L, s"third document body three. $footer"),
+      (4L, "nothing shared with anyone at all here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.boilerplate(corpus, "doc_id", "text", n = 4, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    // the footer contributes the same distinct 4-gram count to each doc
+    assert(out.map(_._2).distinct.length == 1)
+    out.foreach(t => assert(t._3 > 0.0 && t._3 <= 1.0))
+  }
+
   test("exportShards: manifest describes what landed, matches shardStats") {
     val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
     val manifest = Corpus.exportShards(docs, "doc_id", "text",
