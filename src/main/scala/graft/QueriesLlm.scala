@@ -54,6 +54,12 @@ object QueriesLlm {
         Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 12),
         "doc_a", "doc_b")),
 
+    // per-label centroid vectors in long form — the k-means update step
+    // as a first-class op (class means / drift summaries)
+    "embed_centroid" -> ((s, d) =>
+      graft.functions.Vectors.centroids(embeddings(s, d), "label",
+        "embedding")),
+
     "ann_topk" -> ((s, d) => {
       val e = embeddings(s, d)
       Ann.bruteForceTopK(
@@ -320,6 +326,16 @@ object QueriesLlm {
     // tie-break; update is the per-dim mean folded in id order (list(x
     // ORDER BY vec_id) then list_sum — the same left fold Spark's
     // id-sorted aggregate() does, so centroids match bit-for-bit)
+    // bounded-range lateral (same pattern as text_chunk's oracle) —
+    // this DuckDB build lacks WITH ORDINALITY
+    "embed_centroid" ->
+      """SELECT label, CAST(i AS INT) AS dim,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 4) + 0.0 AS DOUBLE) AS c
+        |FROM embeddings, range(0, 4096) r(i)
+        |WHERE embedding IS NOT NULL AND i < len(embedding)
+        |GROUP BY 1, 2""".stripMargin,
+
     "ann_ivf" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
