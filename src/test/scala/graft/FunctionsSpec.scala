@@ -55,4 +55,20 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       MappingSpec.parse("broken-line-without-equals").compile)
   }
+
+  test("Vectors.centroids: exact means per (group, dim), no negative zero") {
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 4.0f)),
+      ("b", Seq(10.0f, -1e-9f)), // tiny negative mean must print as 0.0
+      ("c", null.asInstanceOf[Seq[Float]])
+    ).toDF("g", "vec")
+    val out = graft.functions.Vectors.centroids(df, "g", "vec")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("a", 0)) == ((2L, 2.0)) && out(("a", 1)) == ((2L, 3.0)))
+    assert(out(("b", 0)) == ((1L, 10.0)))
+    val bz = out(("b", 1))._2
+    assert(bz == 0.0 && (1.0 / bz) > 0, s"got $bz (negative zero?)")
+    assert(!out.keySet.exists(_._1 == "c")) // null vectors drop
+  }
 }
