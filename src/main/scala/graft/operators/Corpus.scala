@@ -139,8 +139,9 @@ object Corpus {
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
       .where(size(col("w")) >= n)
       .select(col("id"),
-        explode(array_distinct(
-          graft.plans.GraftFunctions.shingles(spark, col("w"), n))).as("gram"))
+        // shingles() already returns DISTINCT grams per doc
+        explode(
+          graft.plans.GraftFunctions.shingles(spark, col("w"), n)).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("gk"))
     val benchGrams = grams(benchmark).select("gk").distinct()
     grams(corpus)
@@ -155,14 +156,12 @@ object Corpus {
     * pair with sinks.BucketedParquetSink for the write itself). */
   def shardStats(df: DataFrame, idCol: String, textCol: String,
       shards: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        size(TextAnalysis.tokens(col(textCol))).as("n_tok"))
-      .withColumn("shard", hashBucket(col("doc_id"), "shard", shards).cast("int"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tok").cast("long")).as("tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
+    manifestAgg(
+      df.select(col(idCol).as("doc_id"),
+          size(TextAnalysis.tokens(col(textCol))).as("n_tok"))
+        .withColumn("shard",
+          hashBucket(col("doc_id"), "shard", shards).cast("int")),
+      "doc_id")
 
   /** TF-IDF keyword extraction: the top-`k` highest-scoring terms per
     * document, tf(d,t) · ln((N+1)/(df(t)+1)) with add-one smoothing (no
@@ -222,11 +221,15 @@ object Corpus {
     * each doc reports how many distinct boilerplate grams it carries
     * and its boilerplate exposure ratio (flag-then-strip input).
     *
-    * Scale: same inverted-gram shape as [[decontaminate]] — grams
-    * reduce to 64-bit hashes, the df aggregate is key-partitioned on
-    * the gram, and the boilerplate gram set (df >= threshold is by
-    * definition a small head) broadcasts back against the corpus
-    * stream; never all-pairs. */
+    * Scale: grams reduce to 64-bit hashes and the corpus is tokenized
+    * and shingled exactly ONCE — document frequency computes as a
+    * window count over the gram-partitioned stream (one shuffle on the
+    * gram key), then the per-doc rollup is a second keyed aggregate.
+    * A separate df-aggregate joined back (the [[decontaminate]] shape)
+    * would re-run the shingle stage: Catalyst does not dedupe shared
+    * uncached subplans. Never all-pairs. (The native shingles
+    * expression already returns DISTINCT grams per doc, so the window
+    * count is document frequency by construction.) */
   def boilerplate(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Long = 3): DataFrame = {
     require(n > 0 && minDocs > 1)
@@ -235,16 +238,14 @@ object Corpus {
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
       .where(size(col("w")) >= n)
       .select(col("id"),
-        array_distinct(
-          graft.plans.GraftFunctions.shingles(spark, col("w"), n)).as("gs"))
+        graft.plans.GraftFunctions.shingles(spark, col("w"), n).as("gs"))
       .select(col("id"), size(col("gs")).as("n_grams"),
         explode(col("gs")).as("gram"))
       .select(col("id"), col("n_grams"), xxhash64(col("gram")).as("gk"))
-    val hot = grams.groupBy("gk")
-      .agg(count(lit(1)).as("df"))   // grams are distinct per doc
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy("gk")
+    grams
+      .withColumn("df", count(lit(1)).over(wdf))
       .where(col("df") >= minDocs)
-      .select("gk")
-    grams.join(broadcast(hot), "gk")
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_boiler_grams"),
         expr("CAST(ROUND(COUNT(*) / CAST(FIRST(n_grams) AS DOUBLE), 4) AS DOUBLE)")
@@ -266,17 +267,26 @@ object Corpus {
   def exportShards(df: DataFrame, idCol: String, textCol: String,
       shards: Int, path: String): DataFrame = {
     val spark = df.sparkSession
-    df.withColumn("shard",
+    val staged = df.withColumn("shard",
         hashBucket(col(idCol), "shard", shards).cast("int"))
       .withColumn("n_tok", size(TextAnalysis.tokens(col(textCol))))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
-    spark.read.parquet(path)
-      .groupBy("shard")
+    staged.write.mode("overwrite").partitionBy("shard").parquet(path)
+    // explicit schema: a zero-row export writes no part files, and
+    // schema inference over an empty dir throws — an empty corpus must
+    // yield an empty manifest, not a crashed job
+    manifestAgg(spark.read.schema(staged.schema).parquet(path), idCol)
+  }
+
+  /** The per-shard stats aggregate shared by [[shardStats]] (pre-write
+    * prediction) and [[exportShards]] (post-write manifest): keeping it
+    * one definition is what guarantees prediction == manifest,
+    * field for field. Expects (shard, `idCol`, n_tok) columns. */
+  private def manifestAgg(df: DataFrame, idCol: String): DataFrame =
+    df.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok").cast("long")).as("tokens"),
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
-  }
 
   /** Unigram language-model quality score: each doc's mean token
     * log-probability under the corpus's own unigram distribution
