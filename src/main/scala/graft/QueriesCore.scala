@@ -306,6 +306,25 @@ object QueriesCore {
           expr("CAST(ROUND(value, 4) AS DOUBLE)").as("p_val"))
     }),
 
+    // nearest as-of: closest purchase either side of each click within
+    // 2 hours — both directional candidates computed in ONE sorted
+    // window pass, row-local pick (tie prefers the backward candidate)
+    "q_asof_near" -> ((s, d) => {
+      val ev = events(s, d)
+      graft.operators.AsOf.joinNearest(
+        ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"), col("value")),
+        leftKey = "user_id", rightKey = "p_user",
+        leftTime = "ts", rightTime = "p_ts",
+        rightPayload = Seq("purchase_id", "value"), tieBreak = "purchase_id",
+        toleranceUs = Some(7200000000L))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          expr("CAST(ROUND(value, 4) AS DOUBLE)").as("p_val"))
+    }),
+
     // window-function depth: lead / ntile / percent_rank / cume_dist over
     // one partition+sort — a single window exchange serves all four
     "q_window_funcs" -> ((s, d) => {
@@ -717,6 +736,23 @@ object QueriesCore {
         |  FROM events c LEFT JOIN events p
         |    ON c.user_id = p.user_id AND p.event_type = 'purchase'
         |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        |  WHERE c.event_type = 'click')
+        |WHERE rn = 1""".stripMargin,
+
+    // tie discipline mirrors joinNearest: distance, then backward-
+    // preferred, then largest id backward / smallest id forward
+    "q_asof_near" ->
+      """SELECT event_id, user_id, purchase_id, p_val FROM (
+        |  SELECT c.event_id, c.user_id, p.event_id AS purchase_id,
+        |    CAST(ROUND(p.value, 4) AS DOUBLE) AS p_val,
+        |    ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY
+        |      ABS(epoch_us(p.ts) - epoch_us(c.ts)) ASC,
+        |      CASE WHEN p.ts <= c.ts THEN 1 ELSE 0 END DESC,
+        |      CASE WHEN p.ts <= c.ts THEN -p.event_id ELSE p.event_id END ASC
+        |    ) AS rn
+        |  FROM events c LEFT JOIN events p
+        |    ON c.user_id = p.user_id AND p.event_type = 'purchase'
+        |   AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts + INTERVAL 2 HOUR
         |  WHERE c.event_type = 'click')
         |WHERE rn = 1""".stripMargin,
 

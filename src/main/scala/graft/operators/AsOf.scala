@@ -97,4 +97,83 @@ object AsOf {
       .select(leftCols.map(col) ++
         rightPayload.map(c => col(s"graft_payload.$c").as(c)): _*)
   }
+
+  /** Nearest as-of: the right row minimizing |rightTime − leftTime|
+    * within the same key (merge_asof's third direction), optionally
+    * bounded by `toleranceUs`. ONE shuffle+sort computes BOTH
+    * directional candidates over the same interleaved frame — the
+    * backward candidate is `last(payload)` over
+    * (unboundedPreceding, currentRow), the forward candidate is
+    * `first(payload)` over (currentRow, unboundedFollowing) — then a
+    * row-local comparison picks the closer one. No second pass, no
+    * join, no pair explosion.
+    *
+    * Tie rules (deterministic, mirrored by the oracle): equal distance
+    * prefers the backward candidate; among right rows at one
+    * timestamp, backward resolves to the LARGEST `tieBreak`, forward
+    * to the SMALLEST. A right row exactly at the left time is a
+    * backward candidate at distance 0 (it sorts before the left row,
+    * so the strictly-following forward frame never sees it — which is
+    * fine: nothing can beat distance 0 through the backward branch). */
+  def joinNearest(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], tieBreak: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    toleranceUs.foreach(t => require(t >= 0, "tolerance must be >= 0"))
+    val leftCols = left.columns.toSeq
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("graft_rt",
+        org.apache.spark.sql.types.LongType) +:
+      rightPayload.map(c => right.schema(c).copy(name = c)))
+    val l = left
+      .withColumn("graft_k", col(leftKey))
+      .withColumn("graft_t", unix_micros(col(leftTime).cast("timestamp")))
+      .withColumn("graft_isleft", lit(1))
+      .withColumn("graft_tie", lit(0L))
+      .withColumn("graft_payload", lit(null).cast(payloadStructType))
+    val r = right
+      .withColumn("graft_k", col(rightKey))
+      .withColumn("graft_t", unix_micros(col(rightTime).cast("timestamp")))
+      .withColumn("graft_isleft", lit(0))
+      .withColumn("graft_tie", col(tieBreak).cast("long"))
+      .withColumn("graft_payload",
+        struct(col("graft_t").as("graft_rt") +:
+          rightPayload.map(c => col(c).as(c)): _*))
+    val rAligned = leftCols.foldLeft(r)((df, c) =>
+      if (r.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val cols = leftCols ++
+      Seq("graft_k", "graft_t", "graft_isleft", "graft_tie", "graft_payload")
+    val unioned = l.select(cols.map(col): _*)
+      .unionByName(rAligned.select(cols.map(col): _*))
+    val order = Seq(col("graft_t").asc, col("graft_isleft").asc,
+      col("graft_tie").asc)
+    val wb = Window.partitionBy("graft_k").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("graft_k").orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def gate(p: Column, dist: Column): Column = {
+      val inTol = toleranceUs.fold(lit(true))(t => dist <= t)
+      when(p.isNotNull && inTol, p).otherwise(lit(null).cast(payloadStructType))
+    }
+    val picked = unioned
+      .withColumn("graft_bp",
+        last(col("graft_payload"), ignoreNulls = true).over(wb))
+      .withColumn("graft_fp",
+        first(col("graft_payload"), ignoreNulls = true).over(wf))
+      .where(col("graft_isleft") === 1)
+      .withColumn("graft_bp",
+        gate(col("graft_bp"), col("graft_t") - col("graft_bp.graft_rt")))
+      .withColumn("graft_fp",
+        gate(col("graft_fp"), col("graft_fp.graft_rt") - col("graft_t")))
+      .withColumn("graft_pick",
+        when(col("graft_bp").isNull, col("graft_fp"))
+          .when(col("graft_fp").isNull, col("graft_bp"))
+          .when(col("graft_fp.graft_rt") - col("graft_t") <
+                col("graft_t") - col("graft_bp.graft_rt"), col("graft_fp"))
+          .otherwise(col("graft_bp"))) // tie → backward
+    picked.select(leftCols.map(col) ++
+      rightPayload.map(c => col(s"graft_pick.$c").as(c)): _*)
+  }
 }

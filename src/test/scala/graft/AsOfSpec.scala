@@ -73,6 +73,35 @@ class AsOfSpec extends SparkSpec {
     assert(out == Map(9001L -> Some(101L), 9002L -> None, 9003L -> Some(102L)))
   }
 
+  test("nearest picks the closer side; equal distance prefers backward") {
+    val quotes = Seq(
+      (1L, ts(0), 101L), (1L, ts(20), 102L)
+    ).toDF("qk", "qt", "quote_id")
+    val trades = Seq(
+      (1L, ts(5), 9001L),   // 5 back vs 15 fwd → backward (101)
+      (1L, ts(14), 9002L),  // 14 back vs 6 fwd → forward (102)
+      (1L, ts(10), 9003L),  // tie 10/10 → backward (101)
+      (1L, ts(20), 9004L),  // exact hit → 102 at distance 0
+      (1L, ts(90), 9005L),  // 70 past the last quote: beyond 30-min tol
+      (2L, ts(0), 9006L)    // keyless → null
+    ).toDF("tk", "tt", "trade_id")
+    val out = AsOf.joinNearest(trades, quotes, "tk", "qk", "tt", "qt",
+        Seq("quote_id"), "quote_id", toleranceUs = Some(30L * 60 * 1000000))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out == Map(9001L -> Some(101L), 9002L -> Some(102L),
+      9003L -> Some(101L), 9004L -> Some(102L), 9005L -> None,
+      9006L -> None))
+  }
+
+  test("nearest plan is one window pass, no join") {
+    val right = Seq((1L, ts(0), 5L)).toDF("rk", "rt", "rid")
+    val left = Seq((1L, ts(1), 7L)).toDF("lk", "lt", "lid")
+    val plan = AsOf.joinNearest(left, right, "lk", "rk", "lt", "rt",
+      Seq("rid"), "rid").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("plan is one shuffle + window, no pair-exploding join") {
     val right = Seq((1L, ts(0), 5L)).toDF("rk", "rt", "rid")
     val left = Seq((1L, ts(1), 7L)).toDF("lk", "lt", "lid")
