@@ -442,6 +442,13 @@ object QueriesCore {
       graft.operators.Analytics.funnel(events(s, d), "user_id", "ts",
         "event_type", Seq("signup", "click", "purchase"))),
 
+    // time-bounded funnel: each step must convert within 12 hours of
+    // the previous step's entry
+    "q_funnel_windowed" -> ((s, d) =>
+      graft.operators.Analytics.funnel(events(s, d), "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"),
+        maxGapUs = Some(43200000000L))),
+
     // weekly cohort retention relative to each user's first-event day
     "q_retention" -> ((s, d) =>
       graft.operators.Analytics.retention(events(s, d), "user_id", "ts")),
@@ -827,6 +834,27 @@ object QueriesCore {
         |s2 AS (
         |  SELECT e.user_id, min(e.ts) AS ft FROM events e
         |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.ft
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 0 AS stage_idx, 'signup' AS stage,
+        |  CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT 1, 'click', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+        |UNION ALL
+        |SELECT 2, 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)""".stripMargin,
+
+    "q_funnel_windowed" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS ft FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS ft FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.ft
+        |   AND e.ts <= s0.ft + INTERVAL 12 HOUR
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS ft FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.ft
+        |   AND e.ts <= s1.ft + INTERVAL 12 HOUR
         |  WHERE e.event_type = 'purchase' GROUP BY 1)
         |SELECT 0 AS stage_idx, 'signup' AS stage,
         |  CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users

@@ -67,16 +67,23 @@ object Analytics {
   /** Ordered-stage funnel: stage k counts users whose earliest
     * qualifying stage-k event is STRICTLY AFTER their earliest
     * qualifying stage-(k-1) event (classic strict-order funnel).
+    * `maxGapUs` bounds each step: with it set, stage k's event must
+    * also land within that horizon of the stage-(k-1) entry — the
+    * "converted within N hours per step" product-analytics form.
     * Returns (stage_idx, stage, n_users).
     *
     * One key-partitioned aggregate per stage, chained by equi-joins on
     * the user — stage k's frontier is (user, ts of entry), so each join
     * carries one row per surviving user. */
   def funnel(df: DataFrame, userCol: String, tsCol: String, stageCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String], maxGapUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty && stages.distinct.size == stages.size)
+    maxGapUs.foreach(g => require(g > 0, "maxGapUs must be positive"))
     val ev = df.select(col(userCol).as("u"), col(tsCol).as("t"),
       col(stageCol).as("s"))
+    def inWindow(t: Column, ft: Column): Column =
+      maxGapUs.fold(t > ft)(g =>
+        t > ft && unix_micros(t) <= unix_micros(ft) + g)
     // one lazily-built frontier per stage; the result is a UNION of
     // their counts — a single plan, no driver-side actions while
     // composing (stage counts per level, not per row)
@@ -85,7 +92,7 @@ object Analytics {
         .groupBy("u").agg(min(col("t")).as("ft"))) { (front, stage) =>
       ev.where(col("s") === stage)
         .join(front, "u")
-        .where(col("t") > col("ft"))
+        .where(inWindow(col("t"), col("ft")))
         .groupBy("u").agg(min(col("t")).as("ft"))
     }
     frontiers.zip(stages).zipWithIndex.map { case ((front, stage), i) =>

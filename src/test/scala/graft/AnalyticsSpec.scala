@@ -65,6 +65,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set((0, "s", 3L), (1, "c", 3L), (2, "p", 2L)))
   }
 
+  test("funnel maxGap bounds each step relative to the previous entry") {
+    val df = Seq(
+      (1L, ts(0), "s"), (1L, ts(0, 30), "c"), (1L, ts(1), "p"),  // all in window
+      (2L, ts(0), "s"), (2L, ts(3), "c"),                        // click too late
+      (3L, ts(0), "s"), (3L, ts(0, 30), "c"), (3L, ts(4), "p")   // purchase late
+    ).toDF("u", "t", "stage")
+    val out = Analytics.funnel(df, "u", "t", "stage", Seq("s", "c", "p"),
+        maxGapUs = Some(60L * 60 * 1000000)) // 1 hour per step
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(out == Set((0, 3L), (1, 2L), (2, 1L)))
+  }
+
   test("retention buckets users by weeks since their own first day") {
     val day = 24L
     val df = Seq(
