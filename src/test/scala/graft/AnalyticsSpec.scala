@@ -40,6 +40,18 @@ class AnalyticsSpec extends SparkSpec {
       Seq((10L, 1L)))
   }
 
+  test("fillGaps DAY unit: one row per day across each key's range") {
+    val day = 24L
+    val df = Seq(("a", ts(0), 1.0), ("a", ts(3 * day, 30), 2.0))
+      .toDF("k", "t", "v")
+    val out = Analytics.fillGaps(df, "k", "t", "v", unit = "DAY")
+      .collect().map(r => (r.getTimestamp(1).getTime / (day * 3600000), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 1L), (1L, 0L), (2L, 0L), (3L, 1L)))
+    intercept[IllegalArgumentException](
+      Analytics.fillGaps(df, "k", "t", "v", unit = "WEEK"))
+  }
+
   test("fillGaps drops NULL keys instead of zeroing their series") {
     val df = Seq[(Option[String], Timestamp, Double)](
       (Some("a"), ts(0), 1.0), (None, ts(0), 5.0), (None, ts(1), 7.0)
