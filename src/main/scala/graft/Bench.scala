@@ -75,12 +75,35 @@ object Bench {
             .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)}"}"""
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver's tail capture keeps only the LAST 2000 chars of stdout;
+    // a 105-entry per-query map is ~4 KB and truncates mid-object (4 rounds
+    // of parsed:null). So: full per-query map → BENCH_DETAIL.json on disk,
+    // and the final stdout line stays well under 1 KB — totals, errors,
+    // stream throughput, and a small headline subset of the queries map so
+    // the line still matches the {"metric",...,"queries"} contract.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qmap = results.toMap
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":${failed.mkString("[", ",", "]")},"stream_tput":$tput,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val detailPath = "BENCH_DETAIL.json"
+    val detailJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":$detail,"errors":${failed.mkString("[", ",", "]")},""" +
+        s""""stream_tput":$tput,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detailJson) finally w.close()
+    } catch { case _: Throwable => () } // detail file is best-effort
+    val headline = Seq("q_agg", "q_multi_join", "q_window", "dedup_minhash",
+      "dedup_ngram", "ann_topk", "corpus_pipeline", "etl_hl7")
+      .filter(qmap.contains)
+    val qs = headline.map(k => "\"" + k + "\":" + fmt(qmap(k)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""queries":$qs,"errors":${failed.mkString("[", ",", "]")},""" +
+      s""""stream_tput":$tput,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 

@@ -258,11 +258,22 @@ object QueriesCore {
           |""".stripMargin)
     }),
 
+    // oracle-exact PERCENTILE is right at test scale; its value-map
+    // aggregation buffer is a memory cliff on big groups — the at-scale
+    // default is q_percentile_binned below (same interpolated result,
+    // O(1) buffers)
     "q_percentile" -> ((s, d) =>
       orders(s, d)
         .groupBy("o_orderpriority")
         .agg(expr("CAST(ROUND(PERCENTILE(o_totalprice, 0.5), 2) AS DOUBLE)").as("median_price"),
              expr("CAST(ROUND(PERCENTILE(o_totalprice, 0.9), 2) AS DOUBLE)").as("p90_price"))),
+
+    // binned two-pass exact percentile: identical order statistics with
+    // counter-only buffers (operators/Percentile.scala) — the big-input
+    // plan q_percentile's scaladoc points to
+    "q_percentile_binned" -> ((s, d) =>
+      graft.operators.Percentile.binned(
+        orders(s, d), "o_orderpriority", "o_totalprice", Seq(0.5, 0.9))),
 
     // custom physical operator (plans.TopKPerKeyExec) through the
     // correctness gate: same rows as a row_number window, heap-executed
@@ -718,6 +729,15 @@ object QueriesCore {
       """SELECT o_orderpriority,
         |CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS median_price,
         |CAST(ROUND(quantile_cont(o_totalprice, 0.9), 2) AS DOUBLE) AS p90_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_percentile_binned" ->
+      """SELECT o_orderpriority, CAST(0.5 AS DOUBLE) AS p,
+        |  CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS pv
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, CAST(0.9 AS DOUBLE) AS p,
+        |  CAST(ROUND(quantile_cont(o_totalprice, 0.9), 2) AS DOUBLE) AS pv
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_topk_perkey" ->

@@ -323,9 +323,9 @@ object QueriesLlm {
 
     // unrolled 2-iteration Lloyd's (spherical k-means, k=8): seeds are the
     // 8 lowest-id candidates; assignment argmax on round(cos,6) with cid
-    // tie-break; update is the per-dim mean folded in id order (list(x
-    // ORDER BY vec_id) then list_sum — the same left fold Spark's
-    // id-sorted aggregate() does, so centroids match bit-for-bit)
+    // tie-break; update is the per-dim round(·,9)-then-DECIMAL(38,9)-sum
+    // mean — exact arithmetic, so it matches Spark's two-phase aggregate
+    // bit-for-bit regardless of either engine's summation order
     // bounded-range lateral (same pattern as text_chunk's oracle) —
     // this DuckDB build lacks WITH ORDINALITY
     "embed_centroid" ->
@@ -351,8 +351,8 @@ object QueriesLlm {
         |    FROM c a, cent0 c0)
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cc, 6) DESC, cid) = 1),
         |cent1 AS (
-        |  SELECT cid, [list_sum([v2[d+1] for v2 in vs]) / len(vs) for d in range(0,64)] AS cx
-        |  FROM (SELECT cid, list(x ORDER BY vec_id) AS vs FROM asg1 GROUP BY cid)),
+        |  SELECT cid, [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,64)] AS cx
+        |  FROM (SELECT cid, list(x) AS vs FROM asg1 GROUP BY cid)),
         |asg2 AS (
         |  SELECT vec_id, x, cid FROM (
         |    SELECT a.vec_id, a.x, c1.cid,
@@ -361,8 +361,8 @@ object QueriesLlm {
         |    FROM c a, cent1 c1)
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cc, 6) DESC, cid) = 1),
         |cent2 AS (
-        |  SELECT cid, [list_sum([v2[d+1] for v2 in vs]) / len(vs) for d in range(0,64)] AS cx
-        |  FROM (SELECT cid, list(x ORDER BY vec_id) AS vs FROM asg2 GROUP BY cid)),
+        |  SELECT cid, [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,64)] AS cx
+        |  FROM (SELECT cid, list(x) AS vs FROM asg2 GROUP BY cid)),
         |asg AS (
         |  SELECT vec_id, x, cid,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(ccos, 6) DESC, cid) AS crn

@@ -81,9 +81,13 @@ object Analytics {
     maxGapUs.foreach(g => require(g > 0, "maxGapUs must be positive"))
     val ev = df.select(col(userCol).as("u"), col(tsCol).as("t"),
       col(stageCol).as("s"))
+    // cast: TIMESTAMP_NTZ columns (native parquet reads) aren't accepted
+    // by unix_micros; session tz is UTC so the cast is exact (same
+    // discipline as AsOf.join)
     def inWindow(t: Column, ft: Column): Column =
       maxGapUs.fold(t > ft)(g =>
-        t > ft && unix_micros(t) <= unix_micros(ft) + g)
+        t > ft && unix_micros(t.cast("timestamp")) <=
+          unix_micros(ft.cast("timestamp")) + g)
     // one lazily-built frontier per stage; the result is a UNION of
     // their counts — a single plan, no driver-side actions while
     // composing (stage counts per level, not per row)

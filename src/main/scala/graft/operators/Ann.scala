@@ -64,19 +64,26 @@ object Ann {
 
   /** Spherical k-means (Lloyd's) centroid training, as DataFrame ops:
     * assignment is a broadcast join + per-vector argmax window, the
-    * update is a per-cell mean. Everything is deterministic so any
-    * engine reproduces the centroids bit-for-bit:
+    * update is a per-(cell, dimension) mean. Everything is deterministic
+    * so any engine reproduces the centroids bit-for-bit:
     *  - seeds are the `k` lowest-id vectors (TakeOrderedAndProject — a
     *    per-partition top-k merge, no global sort; at corpus scale seed
     *    from a sample instead);
     *  - assignment ties break on rounded cosine then cell id;
-    *  - the mean folds members in id order (left fold, like a serial
-    *    sum), so float addition order is fixed — not a partial-agg tree
-    *    whose shape depends on partitioning. Cells are small multiples
-    *    of k rows after the groupBy, so the fold is off the hot path.
+    *  - the mean rounds each component to 9 decimals and sums as
+    *    DECIMAL(38,9) — exact integer arithmetic, so the result is
+    *    independent of partial-aggregate tree shape AND identical to
+    *    any other engine applying the same round-then-decimal-sum.
+    * The update is a plain two-phase aggregate over (cid, dim) rows:
+    * posexplode is row-local, every aggregation buffer holds one
+    * (count, decimal-sum) pair — cell population never materializes in
+    * memory, so the step survives cells of any size (the previous
+    * collect_list-per-cell fold held ~N/k vectors in one buffer).
     * Cosine assignment + unnormalized mean = spherical k-means (cosine
     * ignores the mean's norm), monotone in the usual Lloyd sense.
     * Cells that lose all members drop out (both engines identically).
+    * The ROUND(·, 9) perturbs each summand by <5e-10 — far inside the
+    * round(cos, 6) assignment/ranking granularity downstream.
     *
     * @return (idCol = cell id 0..k-1, vecCol = centroid) — directly
     *         usable as [[ivfTopK]]'s `centroids` input. */
@@ -97,12 +104,18 @@ object Ann {
         .withColumn("crn", row_number().over(wAssign))
         .where(col("crn") === 1)
         .select(col("cid"), col("id"), col("x"))
-      cent = assigned.groupBy("cid")
-        .agg(sort_array(collect_list(struct(col("id"), col("x")))).as("vs"))
-        .select(col("cid"), expr(
-          """transform(sequence(0, size(element_at(vs, 1).x) - 1),
-            |  d -> aggregate(vs, 0.0D, (a, p) -> a + element_at(p.x, d + 1))
-            |       / size(vs))""".stripMargin).as("cx"))
+      // per-(cid, dim) two-phase mean; the only shuffle keys are
+      // (cid, dim) and the final per-cell reassembly collects at most
+      // `dim` (count, mean) pairs — bounded by vector width, not N.
+      cent = assigned
+        .select(col("cid"), posexplode(col("x")).as(Seq("d", "v")))
+        .groupBy("cid", "d")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(v, 9) AS DECIMAL(38,9))")).as("s"))
+        .withColumn("m", expr("CAST(s AS DOUBLE) / n"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cid"), expr("transform(dm, p -> p.m)").as("cx"))
     }
     cent.select(col("cid").as(idCol), col("cx").as(vecCol))
   }

@@ -100,12 +100,16 @@ object AsOf {
 
   /** Nearest as-of: the right row minimizing |rightTime − leftTime|
     * within the same key (merge_asof's third direction), optionally
-    * bounded by `toleranceUs`. ONE shuffle+sort computes BOTH
-    * directional candidates over the same interleaved frame — the
-    * backward candidate is `last(payload)` over
-    * (unboundedPreceding, currentRow), the forward candidate is
-    * `first(payload)` over (currentRow, unboundedFollowing) — then a
-    * row-local comparison picks the closer one. No second pass, no
+    * bounded by `toleranceUs`. ONE shuffle computes BOTH directional
+    * candidates: each is `last(payload)` over a running
+    * (unboundedPreceding, currentRow) frame — the backward candidate on
+    * the ascending timeline, the forward candidate on the DESCENDING
+    * one — then a row-local comparison picks the closer one. Two sorts
+    * share the single key exchange. Running frames matter here: Spark's
+    * UnboundedFollowing frame re-aggregates from each row to partition
+    * end (O(n²) per key), so the forward candidate is expressed as a
+    * reversed running frame instead of `first() over (currentRow,
+    * unboundedFollowing)` — linear CPU on hot keys. No second pass, no
     * join, no pair explosion.
     *
     * Tie rules (deterministic, mirrored by the oracle): equal distance
@@ -147,12 +151,20 @@ object AsOf {
       Seq("graft_k", "graft_t", "graft_isleft", "graft_tie", "graft_payload")
     val unioned = l.select(cols.map(col): _*)
       .unionByName(rAligned.select(cols.map(col): _*))
-    val order = Seq(col("graft_t").asc, col("graft_isleft").asc,
-      col("graft_tie").asc)
-    val wb = Window.partitionBy("graft_k").orderBy(order: _*)
+    val wb = Window.partitionBy("graft_k")
+      .orderBy(col("graft_t").asc, col("graft_isleft").asc,
+        col("graft_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy("graft_k").orderBy(order: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the forward frame, reversed: descending (t, isleft, tie) puts a
+    // left row BEFORE the right rows at its own timestamp (isleft 1 > 0
+    // desc) — so, exactly like the ascending forward frame, an equal-time
+    // right row is only a backward candidate — and last() lands on the
+    // SMALLEST tieBreak among equal-time right rows (tie desc), matching
+    // the documented forward tie rule.
+    val wf = Window.partitionBy("graft_k")
+      .orderBy(col("graft_t").desc, col("graft_isleft").desc,
+        col("graft_tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def gate(p: Column, dist: Column): Column = {
       val inTol = toleranceUs.fold(lit(true))(t => dist <= t)
       when(p.isNotNull && inTol, p).otherwise(lit(null).cast(payloadStructType))
@@ -161,7 +173,7 @@ object AsOf {
       .withColumn("graft_bp",
         last(col("graft_payload"), ignoreNulls = true).over(wb))
       .withColumn("graft_fp",
-        first(col("graft_payload"), ignoreNulls = true).over(wf))
+        last(col("graft_payload"), ignoreNulls = true).over(wf))
       .where(col("graft_isleft") === 1)
       .withColumn("graft_bp",
         gate(col("graft_bp"), col("graft_t") - col("graft_bp.graft_rt")))

@@ -253,10 +253,16 @@ object Dedup {
             ceil((col("a.n_g") + col("b.n_g")) * (minJaccard / (1 + minJaccard))))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+    // rerank re-attaches the full gram sets by KEY-PARTITIONED joins on
+    // the candidate ids — the per-doc gram-set table is corpus-sized, so
+    // broadcasting it would bound executor memory by the corpus, not the
+    // candidate set (the same re-attach shape minhashPairs uses);
+    // shuffle_hash: candidate side is the small, pre-distinct side
     val sets = grams.select(col("id"), col("g"))
-    cand
-      .join(broadcast(sets.as("sa")), col("doc_a") === col("sa.id"))
-      .join(broadcast(sets.as("sb")), col("doc_b") === col("sb.id"))
+    cand.hint("shuffle_hash")
+      .join(sets.as("sa"), col("doc_a") === col("sa.id"))
+      .hint("shuffle_hash")
+      .join(sets.as("sb"), col("doc_b") === col("sb.id"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa.g"), col("sb.g"))).cast("double") /
           (size(col("sa.g")) + size(col("sb.g")) -
@@ -281,7 +287,15 @@ object Dedup {
     * id casts to LONG before the guard and the shift (an IntegerType
     * id would otherwise wrap inside shiftleft at 2^11 with the 2^43
     * guard never firing), and the guard+pack evaluate once per DOC on
-    * the pre-explode gram rows, not per posting row. */
+    * the pre-explode gram rows, not per posting row.
+    *
+    * CONTRACT (changed in r4 when the packed key replaced the re-join):
+    * `doc_a`/`doc_b` are always BIGINT — the ids are unpacked with
+    * shiftrightunsigned, NOT the input id type — and non-numeric or
+    * negative ids, which the pre-r4 form accepted, now raise. Callers
+    * needing the original id type re-join on the BIGINT ids or cast;
+    * string ids first map through a dense numeric id (zipWithIndex-style
+    * dictionary), which at corpus scale they should already have. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, n: Int = 2, minJaccard: Double = 0.3): DataFrame = {
     val spark = df.sparkSession

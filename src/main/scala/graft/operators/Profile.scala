@@ -40,20 +40,25 @@ object Profile {
         when(a.isNull, lit(null)).otherwise(format_string("%.4f", a))
       else a.cast("string")
     }
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        render(c, "min").as(s"__mn_$c"),
-        render(c, "max").as(s"__mx_$c"))
+    // internal stat columns are indexed POSITIONALLY (__nn_0, ...), not
+    // by profiled-column name: a column named `a.b` would break col()
+    // resolution of the derived name (the `$c(...)` agg input itself is
+    // backtick-quoted above, which is enough on that side)
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(s"`$c`")).as(s"__nn_$i"),
+        countDistinct(col(s"`$c`")).as(s"__nd_$i"),
+        render(c, "min").as(s"__mn_$i"),
+        render(c, "max").as(s"__mx_$i"))
     }
     val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    val stats = array(cols.map(c => struct(
+    val stats = array(cols.zipWithIndex.map { case (c, i) => struct(
       lit(c).as("col_name"),
       col("__rows").as("n_rows"),
-      (col("__rows") - col(s"__nn_$c")).as("n_null"),
-      col(s"__nd_$c").as("n_distinct"),
-      col(s"__mn_$c").as("min_s"),
-      col(s"__mx_$c").as("max_s"))): _*)
+      (col("__rows") - col(s"__nn_$i")).as("n_null"),
+      col(s"__nd_$i").as("n_distinct"),
+      col(s"__mn_$i").as("min_s"),
+      col(s"__mx_$i").as("max_s"))
+    }: _*)
     wide.select(explode(stats).as("p")).select("p.*")
   }
 }

@@ -22,18 +22,21 @@ object Quality {
     require(rules.nonEmpty, "checkRules: empty rule list")
     require(rules.map(_._1).distinct.size == rules.size,
       "checkRules: duplicate rule names")
-    val aggs = rules.map { case (name, pred) =>
+    // internal columns are indexed POSITIONALLY (__v_0, __v_1, ...), not
+    // by rule name: a caller's rule name may contain dots/backticks that
+    // break col() resolution, or collide with a real __v_* input column
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
       // outer coalesce: sum over ZERO rows is NULL — an empty input has
       // zero violations, and `passed` must be a real boolean
       coalesce(sum(when(!coalesce(expr(pred), lit(false)), 1L).otherwise(0L)),
-        lit(0L)).as(s"__v_$name")
+        lit(0L)).as(s"__v_$i")
     }
     val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    val out = array(rules.map { case (name, _) => struct(
+    val out = array(rules.zipWithIndex.map { case ((name, _), i) => struct(
       lit(name).as("rule"),
       col("__rows").as("n_checked"),
-      col(s"__v_$name").as("n_violations"),
-      (col(s"__v_$name") === 0L).as("passed"))
+      col(s"__v_$i").as("n_violations"),
+      (col(s"__v_$i") === 0L).as("passed"))
     }: _*)
     wide.select(explode(out).as("r")).select("r.*")
   }

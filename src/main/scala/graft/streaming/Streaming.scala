@@ -233,6 +233,13 @@ object Streaming {
     * key prefix and rewrite only touched partitions; the per-batch
     * compaction plan (one window, WindowGroupLimit) is that same plan
     * per partition.
+    *
+    * Superseded version directories are pruned after each successful
+    * write (v_{n} and v_{n-1} are kept: the previous version is the
+    * rollback point if the job dies mid-write of the next one), so disk
+    * holds at most two state copies, not one per batch. An empty stream
+    * yields an empty DataFrame of the stream's schema — no target
+    * directory is created, and no error.
     */
   def upsertStream(spark: SparkSession, stream: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String],
@@ -250,13 +257,24 @@ object Streaming {
           Changelog.latestByKey(all, keyCols, ordering)
             .write.mode("overwrite").parquet(s"$targetRoot/v${version + 1}")
           version += 1
+          // prune superseded state copies: keep v_n (current) and
+          // v_{n-1} (rollback point while v_{n+1} is mid-write)
+          if (version >= 2) {
+            val stale = new java.io.File(s"$targetRoot/v${version - 2}")
+            if (stale.isDirectory) {
+              stale.listFiles().foreach(_.delete())
+              stale.delete()
+            }
+          }
         }
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    require(version >= 0, s"upsertStream: no data arrived for $targetRoot")
-    spark.read.parquet(s"$targetRoot/v$version")
+    if (version < 0) // empty stream: empty state, not an error
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
+    else spark.read.parquet(s"$targetRoot/v$version")
   }
 }

@@ -83,6 +83,62 @@ class AnnSpec extends SparkSpec {
     assert(objective(trained) >= objective(seedCentroids) - 1e-9)
   }
 
+  test("trainCentroids parity: decimal-exact mean == id-ordered fold") {
+    // The r4 verdict flagged the original update step — collect_list of
+    // ALL member vectors per cell, then a left fold in id order — as a
+    // memory cliff (one agg buffer holds ~N/k of the corpus). The fix
+    // sums ROUND(v, 9) as DECIMAL(38,9) per (cid, dim): exact integer
+    // arithmetic, order-independent, constant-size buffers. This spec
+    // pins the behavioral equivalence: the old fold (reproduced here as
+    // the reference) and the shipped implementation agree on every
+    // centroid component to well inside the round(cos, 6) granularity
+    // every downstream consumer applies.
+    val e = Tables.embeddings(spark, sf0001)
+    val cand = e.where(col("vec_id") >= 10)
+    def foldCentroids(iters: Int) = { // the pre-r5 implementation
+      import org.apache.spark.sql.expressions.Window
+      val v = cand.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("x"))
+      var cent = v.orderBy(col("id")).limit(8)
+        .withColumn("cid",
+          (row_number().over(Window.orderBy(col("id"))) - 1).cast("int"))
+        .select(col("cid"), col("x").as("cx"))
+      for (_ <- 1 to iters) {
+        val w = Window.partitionBy("id")
+          .orderBy(round(col("ccos"), 6).desc, col("cid").asc)
+        val assigned = v.join(broadcast(cent))
+          .withColumn("ccos",
+            graft.plans.GraftFunctions.cosine(spark, col("x"), col("cx")))
+          .withColumn("crn", row_number().over(w))
+          .where(col("crn") === 1)
+          .select(col("cid"), col("id"), col("x"))
+        cent = assigned.groupBy("cid")
+          .agg(sort_array(collect_list(struct(col("id"), col("x")))).as("vs"))
+          .select(col("cid"), expr(
+            """transform(sequence(0, size(element_at(vs, 1).x) - 1),
+              |  d -> aggregate(vs, 0.0D, (a, p) -> a + element_at(p.x, d + 1))
+              |       / size(vs))""".stripMargin).as("cx"))
+      }
+      cent
+    }
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cid"), posexplode(col("cx")).as(Seq("d", "v")))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val old = flat(foldCentroids(2))
+    val neu = flat(Ann.trainCentroids(cand, "vec_id", "embedding", k = 8,
+      iters = 2).select(col("vec_id").as("cid"), col("embedding").as("cx")))
+    assert(neu.keySet == old.keySet)
+    neu.foreach { case (k2, v) =>
+      assert(math.abs(v - old(k2)) < 1e-7, s"component $k2: $v vs ${old(k2)}")
+    }
+    // and the shipped plan never aggregates whole vectors into one
+    // buffer: no collect_list over the vector column survives
+    val plan = Ann.trainCentroids(cand, "vec_id", "embedding", k = 8,
+      iters = 2).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list(struct(id"),
+      "per-cell vector collect_list resurfaced in the training plan")
+  }
+
   test("ivfTopK with trained centroids: recall vs brute force") {
     val e = Tables.embeddings(spark, sf0001)
     val qs2 = e.where(col("vec_id") < 10)

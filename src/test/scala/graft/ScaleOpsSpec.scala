@@ -141,4 +141,39 @@ class ScaleOpsSpec extends SparkSpec {
       assert(joined.count() == expected)
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("binned percentile matches PERCENTILE exactly, without its buffer") {
+    import graft.operators.Percentile
+    val orders = Tables.orders(spark, sf0001)
+    val got = Percentile.binned(orders, "o_orderpriority", "o_totalprice",
+        Seq(0.5, 0.9), bins = 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val want = orders.groupBy("o_orderpriority")
+      .agg(expr("CAST(ROUND(PERCENTILE(o_totalprice, 0.5), 2) AS DOUBLE)").as("m"),
+        expr("CAST(ROUND(PERCENTILE(o_totalprice, 0.9), 2) AS DOUBLE)").as("p90"))
+      .collect().flatMap(r => Seq(
+        (r.getString(0), 0.5) -> r.getDouble(1),
+        (r.getString(0), 0.9) -> r.getDouble(2))).toMap
+    assert(got == want, s"binned $got vs exact $want")
+    // the at-scale plan must never contain the value-map PERCENTILE
+    // aggregate — buffers stay counters, order statistics come from a
+    // spillable window sort
+    val plan = Percentile.binned(orders, "o_orderpriority", "o_totalprice",
+      Seq(0.5)).queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("percentile("), plan)
+  }
+
+  test("binned percentile: degenerate and single-row groups") {
+    import graft.operators.Percentile
+    import spark.implicits._
+    val df = Seq(
+      ("a", 5.0), ("a", 5.0), ("a", 5.0), // mn == mx
+      ("b", 1.0),                         // n == 1
+      ("c", 1.0), ("c", 2.0), ("c", 3.0), ("c", 4.0)
+    ).toDF("g", "v")
+    val got = Percentile.binned(df, "g", "v", Seq(0.5), bins = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == Map("a" -> 5.0, "b" -> 1.0, "c" -> 2.5))
+  }
 }
