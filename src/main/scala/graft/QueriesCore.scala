@@ -378,6 +378,26 @@ object QueriesCore {
         "NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order")),
 
+    // IGNORE NULLS window forms — the gap-filling idiom: carry the last
+    // non-null observation forward (last_value over a running frame) and
+    // reach across null runs with lag/lead IGNORE NULLS. Gaps are
+    // synthesized by nulling out one event_type's value so every branch
+    // (null at partition head, mid-run, tail) occurs in the data
+    "q_window_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", lit(null))
+            .otherwise(col("value")).as("v"))
+        .select(col("event_id"), col("user_id"),
+          last(col("v"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("filled"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+          lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_nn"))
+    }),
+
     // point-in-interval range join through the gate: the oracle is the
     // NAIVE inequality join, the Spark plan is the binned equi-join
     // (OSS Spark would otherwise nest-loop a pure range condition)
@@ -802,6 +822,21 @@ object QueriesCore {
         |              RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW),
         |       wt AS (PARTITION BY o_custkey ORDER BY o_orderdate
         |              RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_window_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_id AS eid,
+        |    CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, eid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  lag(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, eid) AS prev_nn,
+        |  lead(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, eid) AS next_nn
+        |FROM e""".stripMargin,
 
     "q_window_pick" ->
       """SELECT o_custkey, o_orderkey,

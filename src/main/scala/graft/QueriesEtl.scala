@@ -275,6 +275,30 @@ object QueriesEtl {
           count(col("o_totalprice")).as("n_price"),
           expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)")
             .as("sum_price"))
+    }),
+
+    // dynamic partition overwrite — the daily-recompute write pattern:
+    // seed the partitioned table (static overwrite), then MERGE one
+    // partition's recomputed rows through PartitionOverwriteSink; every
+    // other partition's files must survive untouched, so the read-back
+    // equals "orders with one priority's prices doubled" (which is what
+    // the oracle recomputes from scratch)
+    "etl_partition_overwrite" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/popw_${d.replace('/', '_')}"
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      graft.sinks.ParquetSink(root,
+        partitionBy = Seq("o_orderpriority")).write(base)
+      val patch = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderpriority"))
+      graft.sinks.PartitionOverwriteSink(root,
+        partitionBy = Seq("o_orderpriority")).write(patch)
+      s.read.parquet(root)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority").cast("string").as("o_orderpriority"))
     })
   )
 
@@ -441,6 +465,14 @@ object QueriesEtl {
         |  CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT) AS n_price,
         |  CAST(ROUND(SUM(CASE WHEN o_orderkey % 2 = 1
         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS sum_price
+        |FROM orders""".stripMargin,
+
+    // doubling is an exact fp op, so no rounding is needed on either side
+    "etl_partition_overwrite" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT'
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
         |FROM orders""".stripMargin,
 
     // min/max render via printf for the double column — raw

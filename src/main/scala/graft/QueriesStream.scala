@@ -53,6 +53,27 @@ object QueriesStream {
           expr("CAST(timestamp_micros(end_us) AS TIMESTAMP_NTZ)").as("session_end"),
           col("n_events"))),
 
+    // engine-native session_window sessionization, run as a REAL
+    // Append-mode stream: one sentinel event per user far beyond the
+    // data's range advances the watermark past every real session's end
+    // (Append emits a session only once the watermark passes it; the
+    // post-data no-data micro-batch then flushes state), and the
+    // sentinel sessions are filtered back out of the bounded result
+    "stream_session_native" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/sessnat_${d.replace('/', '_')}"
+      val ev = Tables.events(s, d).select("user_id", "ts", "event_id")
+      val sentinels = ev.select(col("user_id")).distinct()
+        .withColumn("ts", lit("2030-01-01 00:00:00").cast("timestamp"))
+        .withColumn("event_id", lit(-1L))
+      ev.unionByName(sentinels).write.mode("overwrite").parquet(root)
+      val schema = s.read.parquet(root).schema
+      val stream = s.readStream.schema(schema).parquet(root)
+      Streaming.runToMemory(s,
+          Streaming.sessionWindowNative(stream),
+          "graft_stream_session_native", OutputMode.Append())
+        .where(col("session_start") < lit("2029-01-01").cast("timestamp_ntz"))
+    }),
+
     // streaming upsert materialization: events re-staged as 4 files,
     // streamed one file per micro-batch, each batch MERGEd into a
     // versioned parquet target via foreachBatch — the final target must
@@ -106,6 +127,27 @@ object QueriesStream {
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    // session_window merges an event exactly `gap` after its
+    // predecessor (merge condition: next start <= previous end), the
+    // same `diff > gap` split as the fMGWS oracle; end = last event+gap
+    "stream_session_native" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "stream_session" ->
       """WITH d AS (

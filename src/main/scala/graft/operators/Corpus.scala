@@ -260,17 +260,26 @@ object Corpus {
     * assignment is the same salted md5 bucket as [[shardStats]], so a
     * pre-write balance check predicts exactly this layout.
     *
-    * Scale: the write is one pass partitioned by the shard column
-    * (each task appends to its shard dirs — no extra shuffle unless
-    * the caller repartitions by shard first for file-count control);
-    * the manifest pass scans only (shard, doc_id, n_tok). */
+    * Scale: the write repartitions by the shard column first, so each
+    * shard's rows land in ONE task and each task writes ONE shard —
+    * without that, every task can open up to `shards` writers and the
+    * export degrades into a small-file explosion (tasks × shards files)
+    * that throttles the downstream training reader on listing and
+    * footer I/O. `maxRecordsPerFile` re-splits oversized shards into
+    * bounded files inside the same task. File count per shard:
+    * max(1, ⌈rows/maxRecordsPerFile⌉), by construction. The manifest
+    * pass scans only (shard, doc_id, n_tok). */
   def exportShards(df: DataFrame, idCol: String, textCol: String,
-      shards: Int, path: String): DataFrame = {
+      shards: Int, path: String,
+      maxRecordsPerFile: Long = 5000000L): DataFrame = {
     val spark = df.sparkSession
     val staged = df.withColumn("shard",
         hashBucket(col(idCol), "shard", shards).cast("int"))
       .withColumn("n_tok", size(TextAnalysis.tokens(col(textCol))))
-    staged.write.mode("overwrite").partitionBy("shard").parquet(path)
+    staged.repartition(col("shard"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard").parquet(path)
     // explicit schema: a zero-row export writes no part files, and
     // schema inference over an empty dir throws — an empty corpus must
     // yield an empty manifest, not a crashed job

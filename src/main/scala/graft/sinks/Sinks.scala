@@ -46,6 +46,42 @@ final case class ParquetSink(
     }
 }
 
+/** Dynamic-partition-overwrite sink — INSERT OVERWRITE of only the
+  * partitions present in the batch: the write-side sibling of the
+  * changelog family (upsert/CDC/SCD2). A daily re-run replaces just the
+  * recomputed day's directory and leaves every other partition's files
+  * untouched — at 100 TB the difference between rewriting a table and
+  * rewriting 1/365th of it. Implemented with Spark's
+  * `partitionOverwriteMode=dynamic` (set for this write only, previous
+  * value restored), so concurrent readers of untouched partitions are
+  * never disturbed. `maxRecordsPerFile` bounds output file size; the
+  * input should arrive repartitioned by the partition columns for
+  * file-count control (see Corpus.exportShards for the same
+  * discipline). */
+final case class PartitionOverwriteSink(
+    path: String,
+    partitionBy: Seq[String],
+    maxRecordsPerFile: Long = 0L) extends EtlpSink {
+  require(partitionBy.nonEmpty,
+    "PartitionOverwriteSink needs partition columns (for a full-table " +
+      "overwrite use ParquetSink)")
+  def spec: Map[String, String] =
+    Map("type" -> "parquet-partition-overwrite", "path" -> path,
+      "partitions" -> partitionBy.mkString(","))
+  def check(spark: SparkSession): CheckResult = CheckResult(valid = true, "ok")
+  def write(df: DataFrame): Long = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try SinkMetrics.writeCounted(df) { observed =>
+      observed.write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(partitionBy: _*).parquet(path)
+    } finally spark.conf.set(key, prev)
+  }
+}
+
 /** In-memory sink for tests/inspection (bounded — never use on a full
   * table at scale; that is what ParquetSink is for). */
 final case class MemorySink(viewName: String) extends EtlpSink {

@@ -47,20 +47,89 @@ final case class OrcSource(path: String) extends PathSource {
   def read(spark: SparkSession): DataFrame = spark.read.orc(path)
 }
 
+/** CSV source with first-class malformed-row handling. `mode` is the
+  * standard reader policy — PERMISSIVE (default: bad rows surface with
+  * nulls and, when `corruptColumn` is set, the raw line in that
+  * column), DROPMALFORMED (silently drop), FAILFAST (abort the scan on
+  * the first bad row). With `corruptColumn` set under PERMISSIVE the
+  * source becomes an error-channel feed: `where(col(c).isNotNull)` is
+  * the dead-letter stream, `where(col(c).isNull)` the clean one (the
+  * reference's wrap-error routing, cf. /root/reference/src/etlp/
+  * core.clj) — all three policies stay one distributed scan, nothing
+  * driver-side. The corrupt column requires an explicit `schema` (it is
+  * appended automatically; Spark only populates it when the schema
+  * declares it). */
 final case class CsvSource(
     path: String,
     header: Boolean = true,
     inferSchema: Boolean = false,
     schema: Option[StructType] = None,
-    delimiter: String = ",") extends PathSource {
+    delimiter: String = ",",
+    mode: String = "PERMISSIVE",
+    corruptColumn: Option[String] = None) extends PathSource {
+  require(Set("PERMISSIVE", "DROPMALFORMED", "FAILFAST")(mode.toUpperCase),
+    s"mode must be PERMISSIVE|DROPMALFORMED|FAILFAST: $mode")
+  require(corruptColumn.isEmpty || schema.nonEmpty,
+    "corruptColumn needs an explicit schema (Spark populates " +
+      "columnNameOfCorruptRecord only when the schema declares it)")
   def spec: Map[String, String] =
-    Map("type" -> "csv", "path" -> path, "header" -> header.toString)
+    Map("type" -> "csv", "path" -> path, "header" -> header.toString,
+      "mode" -> mode.toUpperCase) ++
+      corruptColumn.map("corruptColumn" -> _)
   def read(spark: SparkSession): DataFrame = {
-    val r = spark.read
+    val r0 = spark.read
       .option("header", header)
       .option("delimiter", delimiter)
       .option("inferSchema", inferSchema)
-    schema.fold(r)(r.schema).csv(path)
+      .option("mode", mode.toUpperCase)
+    val r = corruptColumn.fold(r0)(c =>
+      r0.option("columnNameOfCorruptRecord", c))
+    val withCorrupt = (schema, corruptColumn) match {
+      case (Some(s), Some(c)) => Some(s.add(c,
+        org.apache.spark.sql.types.StringType, nullable = true))
+      case _ => schema
+    }
+    withCorrupt.fold(r)(r.schema).csv(path)
+  }
+}
+
+/** Object-store source — the reference README's headline example reads
+  * S3 (`create-s3-source!` with s3-config/bucket/prefix). On Spark an
+  * object store is just another Hadoop filesystem: `s3a://bucket/prefix`
+  * (or gs://, abfss://, file://) flows through the same listing / split
+  * planning / scan machinery as HDFS, so this source adds exactly what
+  * the reference's config surface has — bucket+prefix addressing and a
+  * per-source reader-options map (credentials and endpoint belong in
+  * the cluster's Hadoop conf, e.g. `fs.s3a.*`; per-source OPTIONS here
+  * are format-reader options like mergeSchema/header). Zero-egress
+  * environments exercise it against `file://` — the code path is
+  * identical, only the scheme differs. */
+final case class ObjectStoreSource(
+    bucket: String,
+    prefix: String,
+    scheme: String = "s3a",
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty) extends PathSource {
+  require(bucket.nonEmpty, "empty bucket")
+  def path: String = {
+    val p = prefix.stripPrefix("/")
+    // file:// has no bucket authority — the "bucket" is the root dir
+    if (scheme == "file") s"file:///${bucket.stripPrefix("/")}/$p"
+    else s"$scheme://$bucket/$p"
+  }
+  def spec: Map[String, String] =
+    Map("type" -> "object-store", "scheme" -> scheme, "bucket" -> bucket,
+      "prefix" -> prefix, "format" -> format) ++ options
+  def read(spark: SparkSession): DataFrame = {
+    val r = spark.read.options(options)
+    format match {
+      case "parquet" => r.parquet(path)
+      case "orc"     => r.orc(path)
+      case "csv"     => r.csv(path)
+      case "jsonl" | "json" => r.json(path)
+      case "text"    => r.text(path)
+      case other     => throw new IllegalArgumentException(s"format: $other")
+    }
   }
 }
 

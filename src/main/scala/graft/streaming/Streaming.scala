@@ -214,6 +214,39 @@ object Streaming {
       }
   }
 
+  /** Sessionization via the engine-native `session_window` aggregate —
+    * the declarative sibling of [[sessionizeStream]]'s
+    * flatMapGroupsWithState loop. Output: one row per (user, session)
+    * with start, end (= last event + gap, session_window's exclusive
+    * upper bound) and event count.
+    *
+    * State-size comparison (PLANS.md): session_window keeps ONE
+    * aggregation buffer per open session — (start, end, count) — and
+    * the engine merges windows on ingest; fMGWS keeps one user-defined
+    * state object per KEY plus the group-sort pass per micro-batch.
+    * Same asymptotics, but session_window's buffer is engine-managed
+    * (RocksDB-spillable, no Encoder round-trip) and the merge is
+    * codegen'd — prefer it whenever the session logic is "gap rule +
+    * aggregates"; fMGWS remains for session logic a window merge can't
+    * express (e.g. per-session event sequences, custom eviction).
+    *
+    * Boundary semantics (spec-pinned): an event at exactly `gap` after
+    * the previous one MERGES into the session — the engine merges when
+    * the next window's start <= the previous window's end — which is
+    * the same `diff > gap` split rule [[sessionizeStream]] applies, so
+    * both sessionizers share one oracle shape (ends differ: here
+    * end = last event + gap; fMGWS reports the last event itself). */
+  def sessionWindowNative(events: DataFrame, watermark: String = "1 hour",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+
   // ---- streaming upsert materialization ----------------------------------
 
   /** Streaming upsert: every micro-batch MERGEs into a keyed parquet

@@ -128,6 +128,15 @@ class CorpusSpec extends SparkSpec {
     val disk = spark.read.parquet(s"$dir/out")
     assert(disk.count() == manifest.values.map(_._1).sum)
     assert(disk.select("shard").distinct().count() == manifest.size)
+    // small-file control: the pre-write repartition(shard) puts each
+    // shard's rows in ONE task, so each shard dir holds exactly one
+    // data file (maxRecordsPerFile far above the row count here) — no
+    // tasks×shards explosion
+    new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("shard=")).foreach { d =>
+        val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(parts == 1, s"${d.getName}: $parts part files")
+      }
   }
 
   test("tfidfTopTerms: smoothed idf ranks rare terms above common ones") {

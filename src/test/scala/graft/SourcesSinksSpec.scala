@@ -135,4 +135,100 @@ class SourcesSinksSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("ObjectStoreSource: bucket/prefix addressing over a file:// stand-in") {
+    import graft.sources.ObjectStoreSource
+    val dir = Files.createTempDirectory("graft-objstore").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "k")
+      .write.parquet(s"$dir/lake/raw/t1")
+    // the reference README's create-s3-source! shape: bucket + prefix +
+    // per-source reader options; file:// exercises the identical
+    // FileSystem code path in a zero-egress environment
+    val src = ObjectStoreSource(bucket = dir.stripPrefix("/"),
+      prefix = "lake/raw/t1", scheme = "file")
+    assert(src.spec("type") == "object-store" && src.spec("bucket").nonEmpty)
+    assert(src.check(spark).valid)
+    assert(!ObjectStoreSource(dir.stripPrefix("/"), "lake/raw/missing",
+      scheme = "file").check(spark).valid)
+    assert(src.discover(spark).fieldNames.toSeq == Seq("id", "k"))
+    assert(src.read(spark).count() == 2)
+    // s3a path assembly (unexecutable here, but the URI must be right)
+    assert(ObjectStoreSource("bkt", "pre/fix").path == "s3a://bkt/pre/fix")
+    // reader options pass through (mergeSchema reconciles two drops)
+    Seq((3L, "z", 9.9)).toDF("id", "k", "w")
+      .write.parquet(s"$dir/lake/raw/t1_v2")
+    val merged = ObjectStoreSource(dir.stripPrefix("/"), "lake/raw/*",
+      scheme = "file", options = Map("mergeSchema" -> "true",
+        "recursiveFileLookup" -> "true")).read(spark)
+    assert(merged.columns.contains("w") && merged.count() == 3)
+  }
+
+  test("CsvSource malformed-row policies: permissive routes, drop drops, failfast throws") {
+    import graft.sources.CsvSource
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft-csvbad").toString
+    Seq("id,name,score", "1,alice,10", "2,bob,notanumber", "3,carol,30")
+      .toDF("l").coalesce(1).write.text(s"$dir/raw")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", LongType)))
+    // PERMISSIVE + corrupt column: bad row surfaces with the raw line —
+    // the error-channel split (clean vs dead-letter) is two filters
+    val src = CsvSource(s"$dir/raw", header = true, schema = Some(schema),
+      corruptColumn = Some("_corrupt_record"))
+    assert(src.spec("mode") == "PERMISSIVE")
+    val all = src.read(spark).cache()
+    val bad = all.where(col("_corrupt_record").isNotNull)
+    val good = all.where(col("_corrupt_record").isNull)
+    assert(bad.count() == 1 &&
+      bad.head().getAs[String]("_corrupt_record").contains("notanumber"))
+    assert(good.count() == 2 &&
+      good.select(sum("score")).head().getLong(0) == 40L)
+    all.unpersist()
+    // DROPMALFORMED: the bad row silently disappears. collect(), not
+    // count() — a zero-column count never parses values, so malformed
+    // rows aren't detected and the count includes them (documented CSV
+    // behavior under column pruning)
+    val dropped = CsvSource(s"$dir/raw", header = true,
+      schema = Some(schema), mode = "DROPMALFORMED").read(spark)
+    assert(dropped.collect().length == 2)
+    // FAILFAST: the scan aborts on the bad row
+    val ff = CsvSource(s"$dir/raw", header = true, schema = Some(schema),
+      mode = "FAILFAST").read(spark)
+    intercept[org.apache.spark.SparkException](ff.collect())
+    // guard rails
+    intercept[IllegalArgumentException](
+      CsvSource(s"$dir/raw", mode = "WHATEVER"))
+    intercept[IllegalArgumentException](
+      CsvSource(s"$dir/raw", corruptColumn = Some("_c")))
+  }
+
+  test("PartitionOverwriteSink rewrites only the partitions in the batch") {
+    import graft.sinks.PartitionOverwriteSink
+    val dir = Files.createTempDirectory("graft-popw").toString
+    val day1 = Seq(("2024-01-01", 1L, 10.0), ("2024-01-02", 2L, 20.0))
+      .toDF("day", "id", "v")
+    ParquetSink(s"$dir/t", partitionBy = Seq("day")).write(day1)
+    val before = new java.io.File(s"$dir/t/day=2024-01-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // recompute ONLY day 2: its partition is replaced, day 1's files
+    // must survive byte-identically (same part files on disk)
+    val patch = Seq(("2024-01-02", 2L, 99.0), ("2024-01-02", 3L, 33.0))
+      .toDF("day", "id", "v")
+    val modeBefore =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    val n = PartitionOverwriteSink(s"$dir/t", Seq("day")).write(patch)
+    assert(n == 2)
+    val after = new java.io.File(s"$dir/t/day=2024-01-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(after == before, "untouched partition was rewritten")
+    val back = spark.read.parquet(s"$dir/t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(back == Set((1L, 10.0), (2L, 99.0), (3L, 33.0)))
+    // the conf flip is scoped to the write: session value restored
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      == modeBefore)
+    intercept[IllegalArgumentException](
+      PartitionOverwriteSink(s"$dir/t", Nil))
+  }
 }

@@ -130,6 +130,76 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionWindowNative: gap split, boundary merge, end = last + gap") {
+    val dir = Files.createTempDirectory("graft-sessnat").toString
+    // user 3 probes the boundary: an event exactly 30 min after its
+    // predecessor MERGES (session_window merges when the next window's
+    // start <= the previous window's end) — the same `diff > gap` split
+    // the fMGWS sessionizer applies
+    val ev = eventsDf.unionByName(
+      Seq((3L, ts(100), 300L), (3L, ts(130), 301L))
+        .toDF("user_id", "ts", "event_id"))
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/ev")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$dir/ev")
+    val rows = Streaming.runToMemory(spark,
+        Streaming.sessionWindowNative(stream, watermark = "1 minute"),
+        "graft_sessnat_stream", OutputMode.Append()).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)) ->
+        ((r.getAs[java.time.LocalDateTime](2), r.getLong(3))))
+      .toMap
+    def t(min: Long) = java.time.LocalDateTime
+      .ofEpochSecond((1440 + min) * 60, 0, java.time.ZoneOffset.UTC)
+    withClue(rows.mkString("; ")) {
+      // user 1: sessions [0,10] (2 events) and [50] — ends carry +30min
+      assert(rows((1L, t(0))) == ((t(40), 2L)))
+      assert(rows((1L, t(50))) == ((t(80), 1L)))
+      assert(rows((2L, t(5))) == ((t(50), 2L)))
+      // the 30-min boundary merges: one 2-event session ending 130+30
+      assert(rows((3L, t(100))) == ((t(160), 2L)))
+    }
+  }
+
+  test("upsertStream prunes superseded versions, keeps a rollback point") {
+    val dir = Files.createTempDirectory("graft-upsert-prune").toString
+    val changelog = Seq(
+      ("a", ts(0), 1L, 1.0), ("a", ts(10), 2L, 2.0), ("b", ts(3), 3L, 3.0),
+      ("c", ts(4), 4L, 4.0)
+    ).toDF("k", "ts", "id", "v")
+    changelog.repartition(4).write.mode("overwrite").parquet(s"$dir/stage")
+    val stream = spark.readStream.schema(changelog.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/stage")
+    Streaming.upsertStream(spark, stream,
+      Seq("k"), Seq("ts", "id"), s"$dir/target")
+    val versions = new java.io.File(s"$dir/target").listFiles()
+      .filter(_.getName.startsWith("v")).map(_.getName).sorted.toSeq
+    // several non-empty micro-batches ran (file count after repartition
+    // may be < 4 if a partition came up empty); whatever was written,
+    // only the final state and its rollback predecessor survive
+    assert(versions.length == 2, versions.toString)
+    val top = versions.map(_.stripPrefix("v").toInt).max
+    assert(versions.toSet == Set(s"v${top - 1}", s"v$top"))
+    val state = spark.read.parquet(s"$dir/target/v$top")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(state == Set(("a", 2L, 2.0), ("b", 3L, 3.0), ("c", 4L, 4.0)))
+  }
+
+  test("upsertStream over an empty stream yields empty state, not an error") {
+    val dir = Files.createTempDirectory("graft-upsert-empty").toString
+    val changelog = Seq(("a", ts(0), 1L, 1.0)).toDF("k", "ts", "id", "v")
+    // stage dir exists but holds no files matching the schema write
+    changelog.where(lit(false))
+      .write.mode("overwrite").parquet(s"$dir/stage")
+    val stream = spark.readStream.schema(changelog.schema)
+      .parquet(s"$dir/stage")
+    val state = Streaming.upsertStream(spark, stream,
+      Seq("k"), Seq("ts", "id"), s"$dir/target")
+    // names+types match the stream schema (nullability differs: the
+    // parquet-backed stream schema is all-nullable)
+    assert(state.isEmpty)
+    assert(state.schema.map(f => (f.name, f.dataType)) ==
+      changelog.schema.map(f => (f.name, f.dataType)))
+  }
+
   test("upsertStream replay is idempotent: re-merging all input converges") {
     // the MERGE is latestByKey, which is idempotent across replays: an
     // at-least-once restart re-feeds already-merged rows, and
