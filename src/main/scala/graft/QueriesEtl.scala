@@ -88,6 +88,37 @@ object QueriesEtl {
         .select(col("doc_id"), to_json(col("env")).as("env_json"),
           col("tag"), concat_ws(" ", col("head_upper")).as("head_upper"))),
 
+    // the JUTE long tail: $switch dispatch, $reduce fold, $defs/$call
+    // template functions (inline-expanded) and $call of a SQL builtin —
+    // the whole template still compiles to ONE Project over the scan
+    "etl_mapping_full" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id") +: graft.functions.Jute.columns(
+          """$defs:
+            |  clip:
+            |    $args: [s, n]
+            |    $body: "$ substring(s, 1, n)"
+            |lang_class:
+            |  $switch: "$ lang"
+            |  en: english
+            |  es: spanish
+            |  $default: other
+            |tok_chars:
+            |  $reduce: "$ split(text, ' ')"
+            |  $acc: a
+            |  $as: t
+            |  $start: "$ CAST(0 AS BIGINT)"
+            |  $body: "$ a + length(t)"
+            |head12:
+            |  $call: clip
+            |  $args: ["$ text", "$ 12"]
+            |upper_head:
+            |  $call: upper
+            |  $args:
+            |    - $call: clip
+            |      $args: ["$ text", "$ 5"]
+            |""".stripMargin): _*)),
+
     // DAG topology: one source fans out to two branches, fan-in by union
     "etl_dag" -> ((s, d) =>
       DagTopology.empty
@@ -347,6 +378,16 @@ object QueriesEtl {
         |CASE WHEN lang = 'en' THEN 'english' ELSE 'other' END AS tag,
         |array_to_string(list_transform(string_split(text, ' ')[1:3],
         |                               t -> upper(t)), ' ') AS head_upper
+        |FROM documents""".stripMargin,
+
+    "etl_mapping_full" ->
+      """SELECT doc_id,
+        |CASE lang WHEN 'en' THEN 'english' WHEN 'es' THEN 'spanish'
+        |     ELSE 'other' END AS lang_class,
+        |CAST(list_sum([length(t) for t in string_split(text, ' ')])
+        |     AS BIGINT) AS tok_chars,
+        |substring(text, 1, 12) AS head12,
+        |upper(substring(text, 1, 5)) AS upper_head
         |FROM documents""".stripMargin,
 
     "etl_dag" ->

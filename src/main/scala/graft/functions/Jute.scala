@@ -30,11 +30,29 @@ import scala.jdk.CollectionConverters._
   *  - `{$let: {k: T...}, $body: T}` → named bindings usable as
   *    variables in `$body` (compiled via a transform over a 1-element
   *    array, so bindings evaluate once per row)
+  *  - `{$switch: <sql>, <case>: T, ..., $default: T}` → string-compare
+  *    dispatch on the subject expression (cases are the literal YAML
+  *    keys; missing `$default` → NULL, like JUTE)
+  *  - `{$reduce: <array sql>, $acc: a, $as: x, $start: T, $body: T}` →
+  *    left fold over the array (`aggregate` in Spark SQL); `$acc`
+  *    defaults to `acc`, `$as` to `it`
+  *  - `{$call: <name>, $args: [T...]}` → invoke a template function
+  *    from the top-level `$defs` block (inline-expanded with args bound
+  *    lexically, like `$let`) or, when the name is not defined there,
+  *    any SQL function of that name
+  *  - `$defs:` (top level) → named template functions:
+  *    `{<name>: {$args: [p...], $body: T}}` — JUTE's `$fn`, hoisted to
+  *    the template head so definitions compile once and expand at each
+  *    call site (recursive definitions are rejected: a Catalyst
+  *    expression tree is finite)
   *
   * The top level is usually a mapping of output column name → template;
   * [[columns]] turns that into `Column`s for a `select`.
   */
 object Jute {
+
+  /** name → (positional params, body template) from a `$defs` block. */
+  private type Defs = Map[String, (Seq[String], JsonNode)]
 
   private val yaml = new ObjectMapper(new YAMLFactory())
   private val json = new ObjectMapper()
@@ -44,17 +62,40 @@ object Jute {
 
   def parseJson(template: String): JsonNode = json.readTree(template)
 
-  /** Top-level mapping → one Column per output field. */
+  /** Top-level mapping → one Column per output field (a `$defs` block,
+    * if present, contributes template functions, not a column). */
   def columns(template: String): Seq[Column] = {
     val root = parse(template)
     require(root.isObject, "top-level JUTE template must be a mapping")
-    root.properties().asScala.toSeq.map { e =>
-      expr(compileSql(e.getValue)).as(e.getKey)
+    val defs = parseDefs(root)
+    root.properties().asScala.toSeq.filterNot(_.getKey == "$defs").map { e =>
+      expr(compileSql(e.getValue, defs)).as(e.getKey)
     }
   }
 
   /** One Column from a (sub-)template. */
   def column(template: String): Column = expr(compileSql(parse(template)))
+
+  private def parseDefs(root: JsonNode): Defs =
+    Option(root.get("$defs")).map { d =>
+      require(d.isObject, "$defs must be a mapping of name -> function")
+      d.properties().asScala.map { e =>
+        val v = e.getValue
+        val params = Option(v.get("$args"))
+          .map(_.elements().asScala.map(a => ident(a.asText, "$args")).toSeq)
+          .getOrElse(Nil)
+        e.getKey -> ((params, operand(v, "$body")))
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Lambda-variable / function names splice into SQL text — restrict
+    * them to identifiers so a template can't smuggle expression syntax
+    * through a binding name. */
+  private def ident(s: String, where: String): String = {
+    require(s.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"$where name must be an identifier: '$s'")
+    s
+  }
 
   /** Compile a template node to a SQL expression string. Strings are the
     * composition medium because SQL lambdas (`x -> body`) bind variables
@@ -74,7 +115,8 @@ object Jute {
     v
   }
 
-  private[functions] def compileSql(node: JsonNode): String = node match {
+  private[functions] def compileSql(node: JsonNode, defs: Defs = Map.empty,
+      expanding: List[String] = Nil): String = node match {
     case _ if node.isTextual =>
       val s = node.asText
       if (s.startsWith("$ ")) s"(${s.drop(2)})"
@@ -84,29 +126,76 @@ object Jute {
     case _ if node.isBoolean        => node.asBoolean.toString
     case _ if node.isNull           => "NULL"
     case _ if node.isArray =>
-      node.elements().asScala.map(compileSql).mkString("array(", ", ", ")")
+      node.elements().asScala.map(compileSql(_, defs, expanding))
+        .mkString("array(", ", ", ")")
     case _ if node.isObject && node.has("$if") =>
       val cond = exprBody(node.get("$if"), "$if")
-      val thenB = compileSql(operand(node, "$then"))
-      val elseB = Option(node.get("$else")).map(compileSql).getOrElse("NULL")
+      val thenB = compileSql(operand(node, "$then"), defs, expanding)
+      val elseB = Option(node.get("$else"))
+        .map(compileSql(_, defs, expanding)).getOrElse("NULL")
       s"(CASE WHEN ($cond) THEN $thenB ELSE $elseB END)"
     case _ if node.isObject && node.has("$map") =>
       val arr = exprBody(node.get("$map"), "$map")
-      val as = Option(node.get("$as")).map(_.asText).getOrElse("it")
-      val body = compileSql(operand(node, "$body"))
+      val as = ident(Option(node.get("$as")).map(_.asText).getOrElse("it"), "$as")
+      val body = compileSql(operand(node, "$body"), defs, expanding)
       s"transform(($arr), $as -> $body)"
+    case _ if node.isObject && node.has("$reduce") =>
+      // left fold: JUTE's $reduce is Spark's aggregate() higher-order
+      // function — start value's type fixes the accumulator type
+      val arr = exprBody(node.get("$reduce"), "$reduce")
+      val acc = ident(Option(node.get("$acc")).map(_.asText)
+        .getOrElse("acc"), "$acc")
+      val as = ident(Option(node.get("$as")).map(_.asText).getOrElse("it"), "$as")
+      val start = compileSql(operand(node, "$start"), defs, expanding)
+      val body = compileSql(operand(node, "$body"), defs, expanding)
+      s"aggregate(($arr), $start, ($acc, $as) -> $body)"
+    case _ if node.isObject && node.has("$switch") =>
+      // string-compare dispatch: YAML case keys vs the subject cast to
+      // STRING (JUTE switches on scalar equality; strings make the
+      // comparison type-stable for every scalar subject)
+      val subject = exprBody(node.get("$switch"), "$switch")
+      val cases = node.properties().asScala.toSeq
+        .filterNot(_.getKey.startsWith("$"))
+      require(cases.nonEmpty, s"$$switch with no cases: $node")
+      val default = Option(node.get("$default"))
+        .map(compileSql(_, defs, expanding)).getOrElse("NULL")
+      val whens = cases.map(e =>
+        s"WHEN ${sqlLit(e.getKey)} THEN ${compileSql(e.getValue, defs, expanding)}")
+        .mkString(" ")
+      s"(CASE CAST(($subject) AS STRING) $whens ELSE $default END)"
+    case _ if node.isObject && node.has("$call") =>
+      val name = node.get("$call").asText
+      val args = Option(node.get("$args"))
+        .map(_.elements().asScala.toSeq).getOrElse(Nil)
+        .map(compileSql(_, defs, expanding))
+      defs.get(name) match {
+        case Some((params, body)) =>
+          // inline expansion with args bound like $let bindings; the
+          // expansion stack rejects recursion (no finite expression)
+          require(!expanding.contains(name),
+            s"recursive $$call of '$name' (via ${expanding.reverse.mkString(" -> ")})")
+          require(params.length == args.length,
+            s"$$call $name expects ${params.length} args, got ${args.length}")
+          val compiled = compileSql(body, defs, name :: expanding)
+          params.zip(args).foldRight(compiled) { case ((p, a), inner) =>
+            s"element_at(transform(array($a), $p -> $inner), 1)"
+          }
+        case None =>
+          s"${ident(name, "$call")}(${args.mkString(", ")})"
+      }
     case _ if node.isObject && node.has("$let") =>
       // each binding becomes a 1-element transform whose lambda variable
       // IS the binding name — true lexical scoping (later bindings and
       // the body see earlier ones), each value evaluated once per row
       val binds = node.get("$let").properties().asScala.toSeq
-      val body = compileSql(operand(node, "$body"))
+      val body = compileSql(operand(node, "$body"), defs, expanding)
       binds.foldRight(body) { case (e, acc) =>
-        s"element_at(transform(array(${compileSql(e.getValue)}), ${e.getKey} -> $acc), 1)"
+        s"element_at(transform(array(${compileSql(e.getValue, defs, expanding)}), " +
+          s"${ident(e.getKey, "$let")} -> $acc), 1)"
       }
     case _ if node.isObject =>
       node.properties().asScala.toSeq
-        .map(e => s"${sqlLit(e.getKey)}, ${compileSql(e.getValue)}")
+        .map(e => s"${sqlLit(e.getKey)}, ${compileSql(e.getValue, defs, expanding)}")
         .mkString("named_struct(", ", ", ")")
     case other =>
       throw new IllegalArgumentException(s"unsupported template node: $other")

@@ -113,4 +113,87 @@ class JuteSpec extends SparkSpec {
       Jute.column("""{"$map": "$ split(name, ' ')"}"""))
     assert(bad2.getMessage.contains("$body"))
   }
+
+  test("$switch dispatches on string cases with and without $default") {
+    val out = df.select(Jute.columns(
+      """cls:
+        |  $switch: "$ lang"
+        |  en: english
+        |  fr: french
+        |  $default: other
+        |nodefault:
+        |  $switch: "$ lang"
+        |  en: "$ score"
+        |""".stripMargin): _*)
+    val rows = out.collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(rows == Set(("english", Some(30.0)), ("french", None)))
+    intercept[IllegalArgumentException](
+      Jute.column("""{"$switch": "$ lang", "$default": "x"}"""))
+  }
+
+  test("$reduce folds left with named accumulator and element") {
+    val out = df.select(Jute.column(
+      """$reduce: "$ split(name, ' ')"
+        |$acc: a
+        |$as: w
+        |$start: "$ CAST(0 AS BIGINT)"
+        |$body: "$ a + length(w)"
+        |""".stripMargin).as("chars"))
+    // 'alice smith' -> 10, 'bob' -> 3 (separator not counted)
+    assert(out.collect().map(_.getLong(0)).toSet == Set(10L, 3L))
+  }
+
+  test("$defs/$call: template functions expand inline, builtins pass through") {
+    val out = df.select(Jute.columns(
+      """$defs:
+        |  initials:
+        |    $args: [full]
+        |    $body:
+        |      $map: "$ split(full, ' ')"
+        |      $as: w
+        |      $body: "$ upper(substring(w, 1, 1))"
+        |mono:
+        |  $call: initials
+        |  $args: ["$ name"]
+        |shout:
+        |  $call: upper
+        |  $args: ["$ name"]
+        |""".stripMargin): _*)
+    val rows = out.collect()
+      .map(r => (r.getSeq[String](0), r.getString(1))).toSet
+    assert(rows == Set((Seq("A", "S"), "ALICE SMITH"), (Seq("B"), "BOB")))
+    // arity is checked at compile time
+    val bad = intercept[IllegalArgumentException](df.select(Jute.columns(
+      """$defs:
+        |  f:
+        |    $args: [a, b]
+        |    $body: "$ a + b"
+        |x:
+        |  $call: f
+        |  $args: ["$ score"]
+        |""".stripMargin): _*))
+    assert(bad.getMessage.contains("expects 2 args"))
+    // recursion cannot produce a finite expression tree — rejected
+    val rec = intercept[IllegalArgumentException](df.select(Jute.columns(
+      """$defs:
+        |  loop:
+        |    $args: [a]
+        |    $body:
+        |      $call: loop
+        |      $args: ["$ a"]
+        |x:
+        |  $call: loop
+        |  $args: ["$ score"]
+        |""".stripMargin): _*))
+    assert(rec.getMessage.contains("recursive"))
+  }
+
+  test("lambda and function names must be identifiers (no SQL splicing)") {
+    val bad = intercept[IllegalArgumentException](
+      Jute.column("""{"$map": "$ split(name, ' ')", "$as": "x) + (1", "$body": "$ x"}"""))
+    assert(bad.getMessage.contains("identifier"))
+    val badCall = intercept[IllegalArgumentException](
+      Jute.column("""{"$call": "upper(name); drop", "$args": []}"""))
+    assert(badCall.getMessage.contains("identifier"))
+  }
 }
