@@ -54,6 +54,25 @@ object QueriesLlm {
         Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 12),
         "doc_a", "doc_b")),
 
+    // dedup MATERIALIZATION: pairs → clusters → kept corpus (cluster
+    // canonicals + never-paired docs) — the step that actually shrinks
+    // the training set, applied end-to-end through the gate
+    "dedup_keep" -> ((s, d) => {
+      val docs = documents(s, d)
+      val clusters = Dedup.duplicateClusters(
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12),
+        "doc_a", "doc_b")
+      Dedup.keepCanonical(docs, "doc_id", clusters)
+        .select("doc_id", "lang")
+    }),
+
+    // Gopher-style repetition signals: duplicate-token fraction, top
+    // bigram share, longest same-token run — the filters that catch
+    // keyword stuffing and templated boilerplate
+    "text_repetition" -> ((s, d) =>
+      graft.operators.TextStats.repetitionSignals(
+        documents(s, d), "doc_id", "text")),
+
     // per-label centroid vectors in long form — the k-means update step
     // as a first-class op (class means / drift summaries)
     "embed_centroid" -> ((s, d) =>
@@ -320,6 +339,68 @@ object QueriesLlm {
         |  SELECT e.d AS node, reach.lbl FROM reach JOIN e ON e.s = reach.node)
         |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY node""".stripMargin,
+
+    // same simhash+CC pipeline as dedup_clusters, then the keep rule:
+    // a doc survives iff it is unpaired or its cluster's canonical id
+    "dedup_keep" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |hs AS (
+        |  SELECT doc_id, [('0x'||substr(md5(t),1,15))::UBIGINT for t in w] AS h
+        |  FROM toks WHERE len(w) > 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in h]) >= 0
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS simhash
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bv
+        |  FROM sig, range(0,4) t(b)),
+        |pr AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+        |nodes AS (SELECT DISTINCT doc_a AS n FROM pr UNION SELECT doc_b FROM pr),
+        |e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach AS (
+        |  SELECT n AS node, n AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.d AS node, reach.lbl FROM reach JOIN e ON e.s = reach.node),
+        |cl AS (SELECT node AS cdoc, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.cdoc
+        |WHERE cl.cdoc IS NULL OR cl.cluster_id = d.doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |tt AS (SELECT doc_id, w FROM t WHERE len(w) > 0),
+        |base AS (
+        |  SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |    CAST(ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS DOUBLE) AS dup_word_frac
+        |  FROM tt),
+        |bgc AS (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+        |    FROM tt) GROUP BY doc_id, g),
+        |bga AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+        |  CAST(SUM(c) AS BIGINT) AS n_bigrams FROM bgc GROUP BY doc_id),
+        |runs AS (
+        |  SELECT doc_id, CAST(MAX(run) AS BIGINT) AS max_run FROM (
+        |    SELECT doc_id, tok, isl, COUNT(*) AS run FROM (
+        |      SELECT doc_id, i AS pos, w[i] AS tok,
+        |        i - ROW_NUMBER() OVER (PARTITION BY doc_id, w[i] ORDER BY i) AS isl
+        |      FROM tt, range(1, 4097) r(i) WHERE i <= len(w))
+        |    GROUP BY doc_id, tok, isl)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.dup_word_frac,
+        |  COALESCE(g.top_bigram_n, 0) AS top_bigram_n,
+        |  COALESCE(g.n_bigrams, 0) AS n_bigrams,
+        |  CASE WHEN COALESCE(g.n_bigrams, 0) > 0
+        |       THEN CAST(ROUND(CAST(g.top_bigram_n AS DOUBLE) / g.n_bigrams, 4) AS DOUBLE)
+        |  END AS top_bigram_frac,
+        |  r.max_run
+        |FROM base b LEFT JOIN bga g USING (doc_id) JOIN runs r USING (doc_id)""".stripMargin,
 
     // unrolled 2-iteration Lloyd's (spherical k-means, k=8): seeds are the
     // 8 lowest-id candidates; assignment argmax on round(cos,6) with cid

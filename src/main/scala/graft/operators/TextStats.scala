@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Repetition-based quality signals — the Gopher-rules family: highly
+  * repetitive documents (boilerplate, keyword stuffing, templated spam)
+  * are filtered from training corpora by thresholds over per-doc
+  * repetition fractions. Line/paragraph variants collapse to these
+  * token/bigram forms on single-line documents.
+  *
+  * Per document: token count, duplicate-token fraction
+  * (1 − distinct/total), most-frequent-bigram count and fraction of
+  * all bigrams, and the longest same-token run.
+  *
+  * Scale shape: the duplicate fraction is row-local; bigram stats are
+  * a (doc, bigram) count aggregate — shuffle keys are doc-local, so
+  * partitions stay balanced regardless of corpus size; the run length
+  * uses the gaps-and-islands window per (doc, token), again doc-local
+  * keys. Nothing global, nothing driver-side; document text itself
+  * never shuffles (bigram rows carry the doc id + the gram).
+  */
+object TextStats {
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = df
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+
+    val base = t.select(col("doc_id"),
+      size(col("w")).as("n_tokens"),
+      expr("""CAST(ROUND(1.0 - CAST(size(array_distinct(w)) AS DOUBLE)
+              | / size(w), 4) AS DOUBLE)""".stripMargin)
+        .as("dup_word_frac"),
+      col("w"))
+
+    // bigram multiset per doc (transform keeps duplicates — shingle
+    // SETS would undercount exactly the repetition being measured).
+    // The size guard matters: sequence(1, 0) DESCENDS in Spark, it is
+    // not empty, so a 1-token doc would index past the array
+    val bigrams = t
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) < 2 THEN array()
+          |ELSE transform(sequence(1, size(w) - 1),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END"""
+          .stripMargin)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+
+    // longest same-token run: gaps-and-islands on (doc, token) — a run
+    // of k equal tokens shares one (pos − rank) island id
+    val runs = t
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .withColumn("isl", col("pos") - row_number()
+        .over(Window.partitionBy("doc_id", "tok").orderBy(col("pos"))))
+      .groupBy("doc_id", "tok", "isl").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max(col("run")).as("max_run"))
+
+    base.drop("w")
+      .join(bigrams, Seq("doc_id"), "left") // 1-token docs: no bigrams
+      .join(runs, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_word_frac"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          expr("CAST(ROUND(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 4) AS DOUBLE)"))
+          .as("top_bigram_frac"),
+        col("max_run"))
+  }
+}

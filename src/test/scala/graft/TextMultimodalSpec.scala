@@ -59,6 +59,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(feats.getInt(4) == 12 % 640)                 // width
   }
 
+  test("repetitionSignals: hand-computed fractions, runs, 1-token edge") {
+    import graft.operators.TextStats
+    val docs = Seq(
+      // tokens [a,a,a,b,a,b]: 6 tokens, 2 distinct → dup 0.6667;
+      // bigrams [aa,aa,ab,ba,ab] → top 2 of 5 → 0.4; longest run 3
+      (1L, "a a a b a b"),
+      (2L, "unique words only here"), // no repeats: dup 0, top frac 1/3
+      (3L, "solo")                    // 1 token: no bigrams, NULL frac
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]), r.getLong(6)))).toMap
+    assert(out(1L) == ((6, 0.6667, 2L, 5L, Some(0.4), 3L)))
+    assert(out(2L) == ((4, 0.0, 1L, 3L, Some(0.3333), 1L)))
+    assert(out(3L) == ((1, 0.0, 0L, 0L, None, 1L)))
+  }
+
   test("multimodal: batched decode stub produces deterministic features") {
     val media = Multimodal.attachBinary(
       Seq((1L, "abcd"), (2L, "abcd"), (3L, "zzzz")).toDF("doc_id", "text"),
