@@ -484,6 +484,34 @@ object QueriesCore {
     "q_retention" -> ((s, d) =>
       graft.operators.Analytics.retention(events(s, d), "user_id", "ts")),
 
+    // sweep-line peak concurrency: 30-minute intervals per event_type,
+    // +1/−1 boundary walk with a keyed running sum
+    "q_concurrency" -> ((s, d) =>
+      graft.operators.Analytics.maxConcurrent(events(s, d), "event_type",
+        "ts", durationUs = 1800000000L)),
+
+    // longest consecutive-day activity streak per user (gaps & islands)
+    "q_streaks" -> ((s, d) =>
+      graft.operators.Analytics.streaks(events(s, d), "user_id", "ts")),
+
+    // first-/last-touch revenue attribution for purchases, one keyed
+    // window pass computes both models
+    "q_attribution" -> ((s, d) =>
+      graft.operators.Analytics.attribution(events(s, d), "user_id", "ts",
+        "event_type", "value", conversionType = "purchase",
+        tieBreak = "event_id")),
+
+    // robust per-type outlier flags from decimal-exact mean/stddev
+    "q_outliers" -> ((s, d) =>
+      graft.operators.Analytics.outliers(events(s, d), "event_type",
+        "event_id", "value", z = 3.0)),
+
+    // exact trailing 7-day distinct users per day: bounded 7× fan-out
+    // + dedupe, never a per-row distinct-set window buffer
+    "q_trailing_distinct" -> ((s, d) =>
+      graft.operators.Analytics.trailingDistinct(events(s, d), "user_id",
+        "ts", days = 7)),
+
     // approx sketches: engine-specific estimates, so no DuckDB hash
     // oracle — these take the driver's rows-only check; accuracy vs
     // exact answers is spec-enforced (ApproxSpec)
@@ -925,6 +953,91 @@ object QueriesCore {
         |SELECT cohort_day,
         |  CAST(FLOOR(datediff('day', cohort_day, day) / 7) AS INT) AS week_offset,
         |  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
-        |FROM ev JOIN c USING (u) GROUP BY 1, 2""".stripMargin
+        |FROM ev JOIN c USING (u) GROUP BY 1, 2""".stripMargin,
+
+    // sweep line on epoch-µs boundary points; the default RANGE frame
+    // reads each (t, d) tie group's post-group sum in both engines
+    "q_concurrency" ->
+      """WITH base AS (SELECT event_type AS k, epoch_us(ts) AS t FROM events),
+        |pts AS (
+        |  SELECT k, t, 1 AS d FROM base
+        |  UNION ALL
+        |  SELECT k, t + 1800000000, -1 FROM base),
+        |r AS (SELECT k, SUM(d) OVER (PARTITION BY k ORDER BY t, d) AS run
+        |      FROM pts)
+        |SELECT k AS event_type, CAST(MAX(run) AS INT) AS max_concurrent,
+        |  CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+        |FROM r GROUP BY k""".stripMargin,
+
+    "q_streaks" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |isl AS (
+        |  SELECT u, day - CAST(ROW_NUMBER() OVER
+        |    (PARTITION BY u ORDER BY day) AS INT) AS isl FROM du),
+        |runs AS (SELECT u, isl, COUNT(*) AS len FROM isl GROUP BY u, isl)
+        |SELECT u AS user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(MAX(len) AS INT) AS max_streak
+        |FROM runs GROUP BY u""".stripMargin,
+
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_type, value, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+        |  FROM events),
+        |m AS (
+        |  SELECT *,
+        |    first_value(CASE WHEN isp = 0 THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, isp, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+        |    last_value(CASE WHEN isp = 0 THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, isp, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM t),
+        |p AS (SELECT * FROM m WHERE isp = 1)
+        |SELECT model, channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT 'first_touch' AS model, COALESCE(ft, '(none)') AS channel,
+        |    value FROM p
+        |  UNION ALL
+        |  SELECT 'last_touch', COALESCE(lt, '(none)'), value FROM p)
+        |GROUP BY model, channel""".stripMargin,
+
+    // mean/stddev from the same decimal-exact sums as q_stats, so the
+    // flagged set is identical across engines
+    "q_outliers" ->
+      """WITH r0 AS (
+        |  SELECT event_type AS k, event_id AS id, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT k, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,6))) AS sx,
+        |    SUM(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6))) AS sxx
+        |  FROM r0 GROUP BY k),
+        |sp AS (
+        |  SELECT k, CAST(sx AS DOUBLE) / n AS mean,
+        |    SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS sd
+        |  FROM st WHERE n > 1),
+        |fl AS (
+        |  SELECT r0.k, r0.id, r0.v, (r0.v - sp.mean) / sp.sd AS zs
+        |  FROM r0 JOIN sp ON r0.k = sp.k WHERE sp.sd > 0)
+        |SELECT k AS event_type, id AS event_id, v AS value,
+        |  CAST(ROUND(zs, 4) AS DOUBLE) AS z_score
+        |FROM fl WHERE ABS(zs) > 3.0""".stripMargin,
+
+    "q_trailing_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |ex AS (
+        |  SELECT DISTINCT u, rday FROM (
+        |    SELECT u, unnest(generate_series(day,
+        |      day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS rday FROM du)),
+        |cnt AS (SELECT rday, CAST(COUNT(*) AS BIGINT) AS n_active
+        |        FROM ex GROUP BY rday)
+        |SELECT d.day, c.n_active
+        |FROM (SELECT DISTINCT day FROM du) d JOIN cnt c ON c.rday = d.day""".stripMargin
   )
 }

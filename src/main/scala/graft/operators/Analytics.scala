@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators: histogram, time-series gap filling,
@@ -104,6 +105,144 @@ object Analytics {
         .select(lit(i).as("stage_idx"), lit(stage).as("stage"),
           col("n_users"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** Peak concurrency per key (sweep line): each row opens an interval
+    * [ts, ts + `durationUs` µs); the result is the maximum number of
+    * simultaneously open intervals per key. Classic +1/−1 boundary
+    * walk: union the start (+1) and end (−1) points, running-sum in
+    * time order, take the max.
+    *
+    * Half-open semantics: an interval ending exactly when another
+    * starts does NOT overlap it — the (t, delta) sort puts −1 before
+    * +1 at equal t. The running frame is the default RANGE frame, so
+    * every row in a (t, delta) tie group reads the sum AFTER the whole
+    * group — the max is well-defined with no dependence on intra-group
+    * order (within a group all deltas share a sign, so the extremum
+    * sits at a group boundary either way).
+    *
+    * Scale: the window partitions by the key — per-key time sort, no
+    * global ordering, 2 rows per input row. A global (keyless)
+    * concurrency count would need a cross-partition prefix sum; keyed
+    * is the shape that holds at 100 TB. */
+  def maxConcurrent(df: DataFrame, keyCol: String, tsCol: String,
+      durationUs: Long): DataFrame = {
+    require(durationUs > 0, "durationUs must be positive")
+    val base = df.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol).cast("timestamp")).as("t"))
+    val pts = base.select(col("k"), col("t"), lit(1).as("d"))
+      .unionByName(base.select(col("k"),
+        (col("t") + durationUs).as("t"), lit(-1).as("d")))
+    val w = Window.partitionBy("k").orderBy(col("t").asc, col("d").asc)
+    pts.withColumn("run", sum(col("d")).over(w))
+      .groupBy(col("k").as(keyCol))
+      .agg(max(col("run")).cast("int").as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+  }
+
+  /** Longest consecutive-day activity streak per user (gaps and
+    * islands): distinct active days, then `day − row_number` is
+    * constant within a consecutive run — count per island, max per
+    * user. All shuffles keyed by the user; nothing global. */
+  def streaks(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val du = df.where(col(tsCol).isNotNull)
+      .select(col(userCol).as("u"),
+        date_trunc("DAY", col(tsCol)).cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy("u").orderBy(col("day"))
+    du.withColumn("isl", date_sub(col("day"), row_number().over(w)))
+      .groupBy("u", "isl").agg(count(lit(1)).as("len"))
+      .groupBy(col("u").as(userCol))
+      .agg(sum(col("len")).cast("long").as("n_active_days"),
+        max(col("len")).cast("int").as("max_streak"))
+  }
+
+  /** First-/last-touch revenue attribution: each conversion's value is
+    * credited to the earliest (first-touch) and latest (last-touch)
+    * non-conversion event at-or-before it for the same user, then
+    * revenue aggregates per (model, channel). Conversions with no
+    * prior touch credit the sentinel channel `(none)`.
+    *
+    * ONE key-partitioned window pass computes both candidates — the
+    * running first/last over (unboundedPreceding, 1 preceding) with
+    * touches ordered before conversions at equal timestamps (the
+    * "touch at conversion instant still counts" rule) — then one
+    * two-phase aggregate. No join, no per-conversion probe. The
+    * revenue sum follows the repo's decimal-exact money policy. */
+  def attribution(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, conversionType: String,
+      tieBreak: String): DataFrame = {
+    val isConv = (col(typeCol) === conversionType).cast("int")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, isConv.asc, col(tieBreak).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(isConv === 0, col(typeCol))
+    val tagged = df
+      .withColumn("graft_ft", first(touch, ignoreNulls = true).over(w))
+      .withColumn("graft_lt", last(touch, ignoreNulls = true).over(w))
+      .where(isConv === 1)
+    def side(model: String, c: Column): DataFrame = tagged.select(
+      lit(model).as("model"),
+      coalesce(c, lit("(none)")).as("channel"),
+      col(valueCol).as("v"))
+    side("first_touch", col("graft_ft"))
+      .unionByName(side("last_touch", col("graft_lt")))
+      .groupBy("model", "channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        expr("CAST(ROUND(SUM(CAST(v AS DECIMAL(18,6))), 2) AS DOUBLE)")
+          .as("revenue"))
+  }
+
+  /** Z-score outliers per key: rows where |value − mean| > `z` σ of
+    * their key's distribution. Mean/stddev come from decimal-exact
+    * sums (the q_stats discipline — order-independent, so the flagged
+    * set is deterministic and cross-engine identical); the per-key
+    * stats table is tiny and broadcast-joins back to the rows. One
+    * scan + one two-phase aggregate + one broadcast join. */
+  def outliers(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, z: Double = 3.0): DataFrame = {
+    require(z > 0, "z must be positive")
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), col(idCol).as("id"),
+        col(valueCol).cast("double").as("v"))
+    val stats = rows.groupBy("k").agg(
+        count(lit(1)).as("n"),
+        expr("SUM(CAST(v AS DECIMAL(18,6)))").as("sx"),
+        expr("SUM(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))").as("sxx"))
+      .where(col("n") > 1)
+      .selectExpr("k", "CAST(sx AS DOUBLE) / n AS mean",
+        "SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS sd")
+      .where(col("sd") > 0)
+    rows.join(broadcast(stats), "k")
+      .withColumn("zs", (col("v") - col("mean")) / col("sd"))
+      .where(abs(col("zs")) > z)
+      .select(col("k").as(keyCol), col("id").as(idCol), col("v").as(valueCol),
+        expr("CAST(ROUND(zs, 4) AS DOUBLE)").as("z_score"))
+  }
+
+  /** Trailing-window distinct actors: for each day present in the
+    * data, the count of distinct users active in the trailing `days`-
+    * day window ending that day. Exact, with BOUNDED fan-out: each
+    * distinct (user, day) row contributes to exactly `days` report
+    * days (a row-local sequence explode), then one dedupe and one
+    * count — never a collect_set over a sliding frame, whose buffer
+    * would hold a window's whole distinct set per row. For windows too
+    * wide to fan out, the mergeable-HLL path ([[graft.operators.Approx]])
+    * is the documented alternative. */
+  def trailingDistinct(df: DataFrame, userCol: String, tsCol: String,
+      days: Int = 7): DataFrame = {
+    require(days >= 1 && days <= 90, "days must be in [1, 90]")
+    val du = df.where(col(tsCol).isNotNull)
+      .select(col(userCol).as("u"),
+        date_trunc("DAY", col(tsCol)).as("day"))
+      .distinct()
+    val contrib = du.select(col("u"), explode(expr(
+        s"sequence(day, day + INTERVAL ${days - 1} DAYS, INTERVAL 1 DAY)"))
+        .as("rday"))
+      .distinct()
+    contrib.groupBy("rday").agg(count(lit(1)).as("n_active"))
+      .join(du.select(col("day")).distinct(), col("rday") === col("day"))
+      .select(col("day"), col("n_active"))
   }
 
   /** Cohort retention: cohort = day of the user's first event; a user

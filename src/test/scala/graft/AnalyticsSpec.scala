@@ -89,6 +89,84 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set((0, 3L), (1, 2L), (2, 1L)))
   }
 
+  test("maxConcurrent: half-open intervals, an end never overlaps a start") {
+    val df = Seq(
+      // k=a, 60-min intervals: [0,60) [30,90) [45,105) → peak 3;
+      // [105,165) starts exactly as [45,105) ends → no overlap there
+      ("a", ts(0)), ("a", ts(0, 30)), ("a", ts(0, 45)), ("a", ts(1, 45)),
+      // k=b: two disjoint intervals → peak 1
+      ("b", ts(0)), ("b", ts(5))
+    ).toDF("k", "t")
+    val out = Analytics.maxConcurrent(df, "k", "t", 3600000000L)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out("a") == ((3, 4L)))
+    assert(out("b") == ((1, 2L)))
+  }
+
+  test("streaks: islands split on missing days, totals count active days") {
+    val day = 24L
+    val df = Seq(
+      // u1 active days 0,1,2, 5,6 → max streak 3, 5 active days
+      (1L, ts(0)), (1L, ts(0, 30)), (1L, ts(day)), (1L, ts(2 * day)),
+      (1L, ts(5 * day)), (1L, ts(6 * day)),
+      (2L, ts(9 * day)) // single day
+    ).toDF("u", "t")
+    val out = Analytics.streaks(df, "u", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((5L, 3)))
+    assert(out(2L) == ((1L, 1)))
+  }
+
+  test("attribution: first/last touch models, same-instant touch counts") {
+    val df = Seq(
+      // u1: view → click → buy(10): first=view, last=click
+      (1L, ts(0), "view", 0.0, 1L), (1L, ts(1), "click", 0.0, 2L),
+      (1L, ts(2), "buy", 10.0, 3L),
+      // u2: touch at the buy instant (smaller id) still counts as last
+      (2L, ts(0), "view", 0.0, 4L), (2L, ts(1), "click", 0.0, 5L),
+      (2L, ts(1), "buy", 5.0, 6L),
+      // u3: no touches → (none)
+      (3L, ts(0), "buy", 2.5, 7L)
+    ).toDF("u", "t", "et", "v", "id")
+    val out = Analytics.attribution(df, "u", "t", "et", "v", "buy", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(("first_touch", "view")) == ((2L, 15.0)))
+    assert(out(("last_touch", "click")) == ((2L, 15.0)))
+    assert(out(("first_touch", "(none)")) == ((1L, 2.5)))
+    assert(out(("last_touch", "(none)")) == ((1L, 2.5)))
+    assert(out.size == 4)
+  }
+
+  test("outliers: z-score flags, degenerate groups dropped") {
+    val base = (1 to 20).map(i => ("a", i.toLong, 10.0)) // sd = 0 → dropped
+    val spread = (1 to 20).map(i => ("b", 100L + i, if (i == 20) 1000.0 else 10.0))
+    val df = (base ++ spread ++ Seq(("c", 999L, 5.0))) // n=1 → dropped
+      .toDF("k", "id", "v")
+    val out = Analytics.outliers(df, "k", "id", "v", z = 3.0).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("b", 120L)))
+    assert(out.head.getDouble(3) > 4.0) // the lone spike is far out
+  }
+
+  test("trailingDistinct: window counts carry users forward, real days only") {
+    val day = 24L
+    val df = Seq(
+      (1L, ts(0)), (2L, ts(0)),          // day 0: users 1,2
+      (1L, ts(2 * day)),                 // day 2: user 1 again
+      (3L, ts(9 * day))                  // day 9: window covers days 3..9
+    ).toDF("u", "t")
+    val out = Analytics.trailingDistinct(df, "u", "t", days = 7)
+      .collect()
+      .map(r => r.getTimestamp(0).getTime / (day * 3600000) -> r.getLong(1))
+      .toMap
+    // only days present in the data appear
+    assert(out.keySet == Set(0L, 2L, 9L))
+    assert(out(0L) == 2L) // users 1,2
+    assert(out(2L) == 2L) // users 1,2 still within 7 days
+    assert(out(9L) == 1L) // user 3 alone; users 1/2 expired (last: day 2)
+  }
+
   test("retention buckets users by weeks since their own first day") {
     val day = 24L
     val df = Seq(
