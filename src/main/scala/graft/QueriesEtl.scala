@@ -287,6 +287,47 @@ object QueriesEtl {
         "flag_domain" -> "l_returnflag IN ('A','N','R')",
         "ship_after_1992" -> "l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'"))),
 
+    // entity resolution: blocked pairwise fuzzy match (Levenshtein ≤ 2
+    // within nation+segment blocks); the blocking key bounds the
+    // quadratic stage and a runtime guard enforces it
+    "er_match" -> ((s, d) =>
+      graft.operators.Er.fuzzyMatchPairs(Tables.customer(s, d),
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+        maxDistance = 2)),
+
+    // snapshot reconciliation: one full-outer keyed join reports every
+    // added / removed / changed key between two loads; output is
+    // proportional to churn, not table size
+    "etl_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val oldSnap = o.where(col("o_orderkey") % 50 =!= 1)
+      val newSnap = o.where(col("o_orderkey") % 50 =!= 2)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 50 === 3, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 50 === 3, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      graft.operators.Reconcile.diff(oldSnap, newSnap, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+    }),
+
+    // incremental aggregate maintenance: fold a new batch's partials
+    // into stored per-key state without rescanning history; exact
+    // because every measure is a monoid over decimal/min/max
+    "etl_incr_agg" -> ((s, d) => {
+      import graft.operators.IncrementalAgg
+      val ev = events(s, d)
+      val cut = expr("TIMESTAMP '2024-01-20 00:00:00'")
+      val state = IncrementalAgg.partials(
+        ev.where(col("ts") < cut), Seq("event_type"), "value")
+      val delta = IncrementalAgg.partials(
+        ev.where(col("ts") >= cut), Seq("event_type"), "value")
+      IncrementalAgg.finish(
+        IncrementalAgg.merge(Seq(state, delta), Seq("event_type")),
+        Seq("event_type"))
+    }),
+
     // schema evolution: two parquet drops written under different
     // schema versions (v2 adds o_totalprice), read back as ONE dataset
     // via mergeSchema — v1 rows surface the new column as NULL; the
@@ -500,6 +541,63 @@ object QueriesEtl {
         |  COUNT(*) FILTER (WHERE (l_shipdate >= TIMESTAMP '1992-01-01 00:00:00') IS NOT TRUE),
         |  COUNT(*) FILTER (WHERE (l_shipdate >= TIMESTAMP '1992-01-01 00:00:00') IS NOT TRUE) = 0
         |FROM lineitem""".stripMargin,
+
+    "er_match" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS id, c_name AS nm, c_nationkey, c_mktsegment
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS INT) AS distance
+        |FROM t a JOIN t b
+        |  ON a.c_nationkey = b.c_nationkey
+        |  AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.id < b.id
+        |WHERE levenshtein(a.nm, b.nm) <= 2""".stripMargin,
+
+    "etl_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 50 <> 1),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 50 = 3 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 50 = 3 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 50 <> 2),
+        |j AS (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN concat_ws(',',
+        |            CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |                 THEN 'o_orderstatus' END,
+        |            CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |                 THEN 'o_totalprice' END,
+        |            CASE WHEN a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        |                 THEN 'o_orderpriority' END) <> ''
+        |         THEN 'changed' END AS status,
+        |    concat_ws(',',
+        |      CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |           THEN 'o_orderstatus' END,
+        |      CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |           THEN 'o_totalprice' END,
+        |      CASE WHEN a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        |           THEN 'o_orderpriority' END) AS cw
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, status,
+        |  CASE WHEN status = 'changed' THEN cw ELSE '' END AS changed_cols
+        |FROM j WHERE status IS NOT NULL""".stripMargin,
+
+    "etl_incr_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_v,
+        |  MIN(CAST(value AS DOUBLE)) AS min_v,
+        |  MAX(CAST(value AS DOUBLE)) AS max_v,
+        |  CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*), 4) AS DOUBLE) AS avg_v
+        |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin,
 
     "etl_schema_evolve" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -73,6 +73,21 @@ object QueriesLlm {
       graft.operators.TextStats.repetitionSignals(
         documents(s, d), "doc_id", "text")),
 
+    // PageRank over the near-dup pair graph (3 fixed iterations):
+    // centrality inside a duplicate cluster separates the template
+    // document from its leaf variants; fixed-point BIGINT nano-units
+    // keep pr bit-identical across engines and partitionings
+    "graph_pagerank" -> ((s, d) => {
+      val pairs = Dedup.simhashPairs(documents(s, d), "doc_id", "text",
+          maxHamming = 12)
+        .select("doc_a", "doc_b")
+      val edges = pairs.unionByName(pairs.select(
+        col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      graft.operators.Graph.pageRank(edges, "doc_a", "doc_b",
+          iterations = 3, damping = 0.85)
+        .select(col("node").as("doc_id"), col("pr_nano"), col("pr"))
+    }),
+
     // per-label centroid vectors in long form — the k-means update step
     // as a first-class op (class means / drift summaries)
     "embed_centroid" -> ((s, d) =>
@@ -339,6 +354,66 @@ object QueriesLlm {
         |  SELECT e.d AS node, reach.lbl FROM reach JOIN e ON e.s = reach.node)
         |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY node""".stripMargin,
+
+    // same simhash pair CTE as dedup_clusters, then 3 unrolled PageRank
+    // iterations in BIGINT nano-units; the only float ops are one IEEE
+    // damped-update expression per iteration (double literals forced —
+    // DuckDB parses bare 0.85/1.0 as DECIMAL, whose exact 0.15 diverges
+    // from IEEE 1.0-0.85) rounded to an INTEGER, which both engines
+    // round identically; per-destination sums are exact integer sums
+    "graph_pagerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |hs AS (
+        |  SELECT doc_id, [('0x'||substr(md5(t),1,15))::UBIGINT for t in w] AS h
+        |  FROM toks WHERE len(w) > 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in h]) >= 0
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS simhash
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bv
+        |  FROM sig, range(0,4) t(b)),
+        |prs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |      UNION ALL SELECT doc_b, doc_a FROM prs),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        |nodes AS (SELECT src AS node FROM deg),
+        |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        |p0 AS (SELECT node,
+        |    CAST(ROUND(CAST(1000000000 AS DOUBLE) / (SELECT n FROM cnt)) AS BIGINT) AS pr_n
+        |  FROM nodes),
+        |i1 AS (
+        |  SELECT nd.node, CAST(ROUND(
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(1000000000 AS DOUBLE) / (SELECT n FROM cnt)
+        |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.sv, 0) AS DOUBLE)) AS BIGINT) AS pr_n
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst, SUM(CAST(ROUND(CAST(p.pr_n AS DOUBLE) / d.outdeg) AS BIGINT)) AS sv
+        |    FROM p0 p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+        |    GROUP BY e.dst) s ON s.dst = nd.node),
+        |i2 AS (
+        |  SELECT nd.node, CAST(ROUND(
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(1000000000 AS DOUBLE) / (SELECT n FROM cnt)
+        |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.sv, 0) AS DOUBLE)) AS BIGINT) AS pr_n
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst, SUM(CAST(ROUND(CAST(p.pr_n AS DOUBLE) / d.outdeg) AS BIGINT)) AS sv
+        |    FROM i1 p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+        |    GROUP BY e.dst) s ON s.dst = nd.node),
+        |i3 AS (
+        |  SELECT nd.node, CAST(ROUND(
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(1000000000 AS DOUBLE) / (SELECT n FROM cnt)
+        |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.sv, 0) AS DOUBLE)) AS BIGINT) AS pr_n
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst, SUM(CAST(ROUND(CAST(p.pr_n AS DOUBLE) / d.outdeg) AS BIGINT)) AS sv
+        |    FROM i2 p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+        |    GROUP BY e.dst) s ON s.dst = nd.node)
+        |SELECT node AS doc_id, pr_n AS pr_nano,
+        |  CAST(pr_n AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS pr
+        |FROM i3""".stripMargin,
 
     // same simhash+CC pipeline as dedup_clusters, then the keep rule:
     // a doc survives iff it is unpaired or its cluster's canonical id

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Er, Graph}
+
+class ErGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fuzzyMatchPairs: matches within blocks only, ordered, thresholded") {
+    val df = Seq(
+      (1L, "smith john", "NY"), (2L, "smith jonn", "NY"), // lev 1 → match
+      (3L, "smith john", "CA"),                           // other block
+      (4L, "doe jane", "NY"),                             // lev > 2 from smiths
+      (5L, "doe janet", "NY")                             // lev 1 from doe jane
+    ).toDF("id", "name", "state")
+    val out = Er.fuzzyMatchPairs(df, "id", "name", Seq("state"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 2L, 1), (4L, 5L, 1)))
+  }
+
+  test("fuzzyMatchPairs: NULL block values pair with no one") {
+    val df = Seq(
+      (1L, "a", Some("x")), (2L, "a", Some("x")),
+      (3L, "a", None: Option[String]), (4L, "a", None: Option[String])
+    ).toDF("id", "name", "blk")
+    val out = Er.fuzzyMatchPairs(df, "id", "name", Seq("blk"), 0).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("fuzzyMatchPairs: oversize block fails fast with the block named") {
+    val df = (1 to 10).map(i => (i.toLong, s"n$i", "big")).toDF("id", "name", "b")
+    val ex = intercept[Exception] {
+      Er.fuzzyMatchPairs(df, "id", "name", Seq("b"), 1, maxBlock = 5).collect()
+    }
+    assert(ex.getMessage.contains("exceeds maxBlock"))
+  }
+
+  test("pageRank: symmetric pair ranks equal, hub outranks leaves") {
+    // star: 1 - 2, 1 - 3, 1 - 4 (undirected) plus isolated pair 5 - 6
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("a", "b")
+    val edges = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b")))
+    val pr = Graph.pageRank(edges, "a", "b", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(pr.size == 6)
+    assert(pr(1L) > pr(2L))                  // hub beats leaf
+    assert(pr(2L) == pr(3L) && pr(3L) == pr(4L)) // symmetric leaves tie
+    assert(pr(5L) == pr(6L))                 // isolated pair symmetric
+    assert(pr(1L) > pr(5L))
+    // probability mass stays ~1 (rounding noise only)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank: result is independent of input partitioning") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+      .toDF("a", "b")
+    val edges = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b")))
+    val one = Graph.pageRank(edges.repartition(1), "a", "b", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = Graph.pageRank(edges.repartition(7), "a", "b", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == many)
+  }
+
+  test("pageRank: guards on empty graph and bad parameters") {
+    val e = Seq.empty[(Long, Long)].toDF("a", "b")
+    intercept[IllegalArgumentException](Graph.pageRank(e, "a", "b", 3))
+    val ok = Seq((1L, 2L), (2L, 1L)).toDF("a", "b")
+    intercept[IllegalArgumentException](Graph.pageRank(ok, "a", "b", 0))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(ok, "a", "b", 3, damping = 1.0))
+  }
+}
