@@ -16,6 +16,10 @@ import graft.operators.Corpus
 object QueriesCorpus {
   import Tables._
 
+  private lazy val enStopList: String =
+    graft.functions.TextAnalysis.Stopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString(", ")
+
   /** Target language mix: upsample English, downsample the tail — the
     * shape of every real pretraining mixture spec. */
   private val langRates = Seq(
@@ -96,6 +100,16 @@ object QueriesCorpus {
     "corpus_sample" -> ((s, d) =>
       Corpus.samplePerGroup(documents(s, d), "doc_id", "lang", n = 20)
         .select("lang", "sample_rank", "doc_id")),
+
+    // percentile-based quality cut: drop each language's worst quartile
+    // by composite quality score; thresholds from the bounded-memory
+    // binned percentile, broadcast back for a one-scan filter
+    "corpus_quality_filter" -> ((s, d) =>
+      Corpus.qualityGate(
+        graft.operators.TextStats.qualityScored(
+          documents(s, d), "doc_id", "text", "lang"),
+        "lang", "score", p = 0.25)
+        .select("doc_id", "lang", "score", "q_threshold")),
 
     // corpus reporting: per-language doc/token totals and token-count
     // quantiles — the dataset card a training run starts from
@@ -259,6 +273,34 @@ object QueriesCorpus {
         |                 doc_id ASC) AS rn
         |      FROM documents)
         |WHERE rn <= 20""".stripMargin,
+
+    // score formula copied verbatim from the text_quality oracle (the
+    // cross-engine-pinned form); threshold = quantile_cont per lang,
+    // the same interpolated statistic Percentile.binned computes
+    "corpus_quality_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    list_filter(string_split(lower(text),' '), x -> x<>'') AS w
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(w) AS INT) AS n_tokens,
+         |    CAST(length(text) AS INT) AS n_chars,
+         |    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(len(list_filter(w, t2 -> list_contains([${enStopList}], t2))) AS DOUBLE) AS hits_en
+         |  FROM t),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(ROUND(LEAST(1.0, n_tokens/50.0)*0.5 + (1.0 - punct/n_chars)*0.3
+         |      + LEAST(1.0, (hits_en/n_tokens)*5.0)*0.2, 4) AS DOUBLE) AS score
+         |  FROM m),
+         |thr AS (
+         |  SELECT lang, CAST(ROUND(quantile_cont(score, 0.25), 6) AS DOUBLE)
+         |    AS q_threshold
+         |  FROM sc GROUP BY lang)
+         |SELECT sc.doc_id, sc.lang, sc.score, thr.q_threshold
+         |FROM sc JOIN thr USING (lang)
+         |WHERE sc.score >= thr.q_threshold""".stripMargin,
 
     "corpus_shards" ->
       s"""WITH t AS ($toksCte)

@@ -117,6 +117,12 @@ object QueriesLlm {
         "vec_id", "embedding", k = 5, probes = 4)
     }),
 
+    // kNN graph: every vector's 5 nearest neighbors via a multi-probe
+    // LSH bucket SELF-join (no broadcast side — queries == corpus)
+    "ann_knn_graph" -> ((s, d) =>
+      Ann.knnGraph(embeddings(s, d), "vec_id", "embedding",
+        k = 5, probes = 3)),
+
     "text_langid" -> ((s, d) => {
       val t = documents(s, d)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
@@ -535,7 +541,7 @@ object QueriesLlm {
         |      (sqrt(list_sum([p2*p2 for p2 in qx])) * sqrt(list_sum([q2*q2 for q2 in nx]))) AS cos
         |  FROM lists JOIN probes USING (cid))
         |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
-        |  CAST(ROUND(cos, 4) AS DOUBLE) AS cos_r
+        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
         |FROM p
         |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
         |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin,
@@ -561,7 +567,30 @@ object QueriesLlm {
         |      (sqrt(list_sum([xx*xx for xx in q.x])) * sqrt(list_sum([yy*yy for yy in c.x]))) AS cos
         |  FROM bkq q JOIN bk c ON q.probe = c.bkt AND c.vec_id >= 10)
         |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
-        |  CAST(ROUND(cos, 4) AS DOUBLE) AS cos_r
+        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
+        |FROM p
+        |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin,
+
+    "ann_knn_graph" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |bk AS (
+        |  SELECT vec_id, x,
+        |    list_sum([CASE WHEN list_sum([x[d+1] * ((CAST((1103515245::BIGINT * (p * 1024 + d) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0) * 2.0 - 1.0) for d in range(0,64)]) >= 0.0
+        |              THEN CAST(2**p AS BIGINT) ELSE 0 END for p in range(0,16)]) AS bkt
+        |  FROM v),
+        |bkq AS (
+        |  SELECT vec_id, x,
+        |    unnest([bkt] || [xor(bkt, CAST(2**p AS BIGINT)) for p in range(0,3)]) AS probe
+        |  FROM bk),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum([q.x[i+1]*c.x[i+1] for i in range(0,64)]) /
+        |      (sqrt(list_sum([xx*xx for xx in q.x])) * sqrt(list_sum([yy*yy for yy in c.x]))) AS cos
+        |  FROM bkq q JOIN bk c ON q.probe = c.bkt AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
         |FROM p
         |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
         |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin,
@@ -577,7 +606,7 @@ object QueriesLlm {
         |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id >= 10)
         |SELECT query_id, neighbor_id,
         |  CAST(ROW_NUMBER() OVER w AS INT) AS rank,
-        |  CAST(ROUND(cos, 4) AS DOUBLE) AS cos_r
+        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
         |FROM p
         |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
         |QUALIFY ROW_NUMBER() OVER w <= 10""".stripMargin,

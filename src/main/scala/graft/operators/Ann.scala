@@ -43,7 +43,10 @@ object Ann {
       .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        expr("CAST(ROUND(cos, 4) AS DOUBLE)").as("cos_r"))
+        // + 0.0 normalizes IEEE negative zero: ROUND of a tiny negative
+        // cosine yields -0.0, which hash-compares unequal to the
+        // oracle's 0.0 (shows up only at larger SFs)
+        expr("CAST(ROUND(cos, 4) + 0.0 AS DOUBLE)").as("cos_r"))
   }
 
   /** Exact top-k: for each query vector, the k candidates with highest
@@ -164,6 +167,44 @@ object Ann {
     * candidate side — the 100 TB side — is never replicated. Probe
     * buckets are distinct values, so no pair dedup is needed before the
     * rerank. */
+  /** kNN GRAPH over one table: every vector's k nearest neighbors
+    * among all the others — the input to embedding-space clustering,
+    * label propagation, and graph-based dedup. Same multi-probe LSH
+    * candidate generation as [[lshTopK]], but as a bucket SELF-join:
+    * with queries == corpus there is no small side to broadcast, so
+    * both sides shuffle by bucket key once and meet co-partitioned —
+    * the shape that survives a corpus-sized query set (broadcasting
+    * the probe side here would be the classic 100 TB OOM). The probe
+    * side fans out ×(probes+1) before its shuffle; the candidate side
+    * is never replicated. Self-pairs are excluded; rank/cos follow the
+    * [[lshTopK]] contract, so results are deterministic (rounded-cos,
+    * id tie-break). */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      probes: Int = 2): DataFrame = {
+    require(probes >= 0 && probes <= 16,
+      s"probes must be 0..16 (one per hyperplane): $probes")
+    val spark = df.sparkSession
+    val base = df
+      .select(col(idCol).as("nid"), Vectors.toDouble(col(vecCol)).as("x"))
+      .withColumn("bkt", GraftFunctions.lshBucket(spark, col("x")))
+    // sequence(0, -1) DESCENDS in Spark, so probes = 0 needs its own
+    // branch rather than an empty transform
+    val probeExpr =
+      if (probes == 0) array(col("bkt"))
+      else expr(
+        s"""concat(array(bkt),
+           |  transform(sequence(0, ${probes - 1}),
+           |    p -> bkt ^ shiftleft(CAST(1 AS BIGINT), p)))""".stripMargin)
+    val probed = base.select(col("nid").as("query_id"), col("x").as("xq"),
+      explode(probeExpr).as("probe_bkt"))
+    val pairs = base
+      .join(probed,
+        col("probe_bkt") === col("bkt") && col("query_id") =!= col("nid"))
+      .select(col("query_id"), col("nid").as("neighbor_id"),
+        GraftFunctions.cosine(spark, col("xq"), col("x")).as("cos"))
+    ranked(pairs, k)
+  }
+
   def lshTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, probes: Int = 0): DataFrame = {
     require(probes >= 0 && probes <= 16,

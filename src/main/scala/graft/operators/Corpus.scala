@@ -346,4 +346,26 @@ object Corpus {
     df.withColumn("sample_rank", row_number().over(w).cast("int"))
       .where(col("sample_rank") <= n)
   }
+
+  /** Percentile-based quality curation: keep rows whose `scoreCol` is
+    * at/above their group's p-quantile — "drop the worst quartile per
+    * language", the standard corpus-quality cut, with the threshold
+    * adapting to each group's own distribution instead of one global
+    * constant.
+    *
+    * Thresholds come from [[Percentile.binned]] (bounded-memory
+    * two-pass exact percentile — O(1) aggregation buffers at any group
+    * size, unlike the value-map PERCENTILE aggregate), and the
+    * per-group threshold table is one row per group — broadcast back,
+    * so the filter costs one scan. Returns the input rows that survive,
+    * plus their group's `q_threshold`. */
+  def qualityGate(df: DataFrame, groupCol: String, scoreCol: String,
+      p: Double, bins: Int = 4096): DataFrame = {
+    require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
+    val thr = Percentile.binned(df, groupCol, scoreCol, Seq(p), bins,
+        roundTo = 6)
+      .select(col(groupCol), col("pv").as("q_threshold"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .where(col(scoreCol) >= col("q_threshold"))
+  }
 }

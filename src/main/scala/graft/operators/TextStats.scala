@@ -23,6 +23,29 @@ import graft.functions.TextAnalysis
   * never shuffles (bigram rows carry the doc id + the gram).
   */
 object TextStats {
+  /** (doc_id, lang, score): the composite quality score of the
+    * `text_quality` surface — length term + punctuation term + stopword
+    * term, rounded to 4 — with the language carried through so
+    * per-language curation ([[Corpus.qualityGate]]) can group on it.
+    * All row-local, zero shuffle. */
+  def qualityScored(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        col(textCol).as("text"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        expr("size(toks)").as("n_tokens"),
+        expr("length(text)").as("n_chars"),
+        expr("length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', ''))")
+          .as("punct"),
+        TextAnalysis.stopwordHits("toks", "en").as("hits_en"))
+      .select(col("doc_id"), col("lang"),
+        expr("""CAST(ROUND(
+            LEAST(1.0, n_tokens/50.0)*0.5
+            + (1.0 - CAST(punct AS DOUBLE) / n_chars)*0.3
+            + LEAST(1.0, (CAST(hits_en AS DOUBLE) / n_tokens)*5.0)*0.2,
+          4) AS DOUBLE)""").as("score"))
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val t = df

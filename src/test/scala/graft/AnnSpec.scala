@@ -56,6 +56,29 @@ class AnnSpec extends SparkSpec {
     assert(multi.size >= single.size)
   }
 
+  test("knnGraph: self-join kNN — no self pairs, deterministic, symmetric-ish") {
+    // identical vectors are guaranteed bucket collisions (LSH is
+    // deterministic), so the in-bucket graph edges are certain; the
+    // lone vector 5 may legitimately find no candidate
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 1.0f)),
+      (5L, Array(-1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.knnGraph(vecs, "vec_id", "embedding", k = 2, probes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.forall { case (q, n, _) => q != n })      // no self edges
+    assert(out.groupBy(_._1).values.forall(_.length <= 2))
+    val top1 = out.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    assert(top1(1L) == 2L && top1(2L) == 1L)
+    assert(top1(3L) == 4L && top1(4L) == 3L)
+    // partitioning must not change the graph
+    val again = Ann.knnGraph(vecs.repartition(5), "vec_id", "embedding",
+      k = 2, probes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == out.toSet)
+  }
+
   test("trainCentroids: Lloyd's improves the assignment objective") {
     val e = Tables.embeddings(spark, sf0001)
     val cand = e.where(col("vec_id") >= 10)

@@ -183,4 +183,20 @@ class CorpusSpec extends SparkSpec {
       .orderBy("lang", "sample_rank").collect().map(_.toSeq)
     assert(a.sameElements(b))
   }
+
+  test("qualityGate: per-group quantile thresholds, boundary kept") {
+    import spark.implicits._
+    // group a: scores 1..8 → p25 threshold (interpolated at rank
+    // 0.25*7 = 1.75) = 2.75 → keeps 3..8; group b: all equal → all kept
+    val df = ((1 to 8).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 4).map(i => ("b", 100L + i, 5.0))).toDF("lang", "id", "score")
+    val out = Corpus.qualityGate(df, "lang", "score", p = 0.25)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == ((3 to 8).map(i => ("a", i.toLong)).toSet ++
+      (1 to 4).map(i => ("b", 100L + i)).toSet))
+    val thr = Corpus.qualityGate(df, "lang", "score", p = 0.25)
+      .select("lang", "q_threshold").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(thr == Map("a" -> 2.75, "b" -> 5.0))
+  }
 }
