@@ -512,6 +512,12 @@ object QueriesCore {
       graft.operators.Analytics.trailingDistinct(events(s, d), "user_id",
         "ts", days = 7)),
 
+    // first-order Markov transition matrix over each user's event
+    // stream — one keyed lag window, then a states² aggregate
+    "q_transitions" -> ((s, d) =>
+      graft.operators.Analytics.transitions(events(s, d), "user_id",
+        "ts", "event_type", tieCol = "event_id")),
+
     // approx sketches: engine-specific estimates, so no DuckDB hash
     // oracle — these take the driver's rows-only check; accuracy vs
     // exact answers is spec-enforced (ApproxSpec)
@@ -968,6 +974,21 @@ object QueriesCore {
         |SELECT k AS event_type, CAST(MAX(run) AS INT) AS max_concurrent,
         |  CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
         |FROM r GROUP BY k""".stripMargin,
+
+    "q_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev AS prev_state, event_type AS next_state,
+        |    COUNT(*) AS n
+        |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_state, next_state, n,
+        |  CAST(ROUND(CAST(n AS DOUBLE) /
+        |    SUM(n) OVER (PARTITION BY prev_state), 6) AS DOUBLE) AS p
+        |FROM c""".stripMargin,
 
     "q_streaks" ->
       """WITH du AS (

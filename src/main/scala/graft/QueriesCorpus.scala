@@ -111,6 +111,24 @@ object QueriesCorpus {
         "lang", "score", p = 0.25)
         .select("doc_id", "lang", "score", "q_threshold")),
 
+    // BM25 retrieval: top-10 docs for a 3-term probe — the
+    // decontamination / corpus-QA search primitive; only query-term
+    // token rows survive past the scan stage
+    "corpus_bm25" -> ((s, d) =>
+      Corpus.bm25(documents(s, d), "doc_id", "text",
+        queryTerms = Seq("vector", "stream", "hash"), topK = 10)),
+
+    // bigram-LM fluency: mean negative log-prob of each doc's adjacent
+    // token pairs under the corpus's own smoothed bigram distribution
+    "corpus_perplexity" -> ((s, d) =>
+      Corpus.bigramNll(documents(s, d), "doc_id", "text")),
+
+    // BPE merge-step statistics: top adjacent-char-pair frequencies
+    // weighted by token frequency (tokenizer-fit QA); pair extraction
+    // runs over the vocab-sized distinct-token table, not the corpus
+    "corpus_bpe_pairs" -> ((s, d) =>
+      Corpus.bpePairs(documents(s, d), "text", topK = 50)),
+
     // corpus reporting: per-language doc/token totals and token-count
     // quantiles — the dataset card a training run starts from
     "corpus_stats" -> ((s, d) =>
@@ -301,6 +319,63 @@ object QueriesCorpus {
          |SELECT sc.doc_id, sc.lang, sc.score, thr.q_threshold
          |FROM sc JOIN thr USING (lang)
          |WHERE sc.score >= thr.q_threshold""".stripMargin,
+
+    // formula text kept literally identical to Corpus.bm25 (constants
+    // included) so both engines evaluate the same IEEE expression
+    // before the ROUND(…, 6) → DECIMAL summation
+    "corpus_bm25" ->
+      s"""WITH t AS ($toksCte),
+         |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t WHERE len(w) > 0),
+         |s AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl FROM d),
+         |tfc AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(w) AS term FROM t)
+         |  WHERE term IN ('vector', 'stream', 'hash') GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+         |con AS (
+         |  SELECT doc_id, CAST(ROUND(
+         |    LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |    (tf * (1.2 + 1.0)) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(tot_dl AS DOUBLE) / n_docs))),
+         |  6) AS DECIMAL(18,6)) AS contrib
+         |  FROM tfc JOIN dfq USING (term) JOIN d USING (doc_id) CROSS JOIN s),
+         |sc AS (
+         |  SELECT doc_id, CAST(ROUND(CAST(SUM(contrib) AS DOUBLE), 4) AS DOUBLE) AS bm25
+         |  FROM con GROUP BY doc_id)
+         |SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank, doc_id, bm25
+         |FROM sc WINDOW w AS (ORDER BY bm25 DESC, doc_id)
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "corpus_perplexity" ->
+      s"""WITH t AS ($toksCte),
+         |bg AS (
+         |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+         |  FROM t WHERE len(w) >= 2),
+         |dtf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM dtf GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |vo AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t)),
+         |nl AS (
+         |  SELECT doc_id, tf,
+         |    CAST(ROUND(-LN((CAST(c2 AS DOUBLE) + 1.0) / (c1 + v)), 6) AS DECIMAL(18,6)) AS nl
+         |  FROM dtf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vo)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |  CAST(ROUND(CAST(SUM(nl * tf) AS DOUBLE) / SUM(tf), 4) AS DOUBLE) AS nll
+         |FROM nl GROUP BY doc_id""".stripMargin,
+
+    "corpus_bpe_pairs" ->
+      s"""WITH t AS ($toksCte),
+         |tc AS (
+         |  SELECT term, COUNT(*) AS ctf FROM (SELECT unnest(w) AS term FROM t)
+         |  GROUP BY 1),
+         |pr AS (
+         |  SELECT pair, CAST(SUM(ctf) AS BIGINT) AS n FROM (
+         |    SELECT ctf, unnest([substr(term, i, 2) for i in range(1, length(term))]) AS pair
+         |    FROM tc WHERE length(term) >= 2)
+         |  GROUP BY 1)
+         |SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank, pair, n
+         |FROM pr WINDOW w AS (ORDER BY n DESC, pair)
+         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     "corpus_shards" ->
       s"""WITH t AS ($toksCte)

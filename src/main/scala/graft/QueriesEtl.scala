@@ -371,6 +371,17 @@ object QueriesEtl {
       s.read.parquet(root)
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority").cast("string").as("o_orderpriority"))
+    }),
+
+    // incremental dim load with dense surrogate keys: names already
+    // keyed (seen on partkeys < 50) keep their keys; new names get
+    // fresh keys above the max — two-level md5-bucket rank, never a
+    // single-task global sort
+    "etl_surrogate_key" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val existing = graft.operators.Keys.surrogate(
+        part.where(col("p_partkey") < 50), "p_name")
+      graft.operators.Keys.assignNew(existing, part, "p_name")
     })
   )
 
@@ -605,6 +616,29 @@ object QueriesEtl {
         |  CAST(ROUND(SUM(CASE WHEN o_orderkey % 2 = 1
         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS sum_price
         |FROM orders""".stripMargin,
+
+    // the two-level rank (md5 bucket → in-bucket row_number → bucket
+    // offset) is replicated literally: surrogate keys are defined by
+    // that computation, so the oracle runs it too, twice (existing then
+    // fresh above the max)
+    "etl_surrogate_key" ->
+      """WITH ex0 AS (SELECT DISTINCT p_name AS nat FROM part WHERE p_partkey < 50),
+        |b0 AS (SELECT nat, ('0x'||substr(md5('sk:'||nat),1,8))::BIGINT % 64 AS gb FROM ex0),
+        |o0 AS (SELECT gb, COUNT(*) AS bn FROM b0 GROUP BY gb),
+        |c0 AS (SELECT gb, COALESCE(SUM(bn) OVER (ORDER BY gb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff FROM o0),
+        |r0 AS (SELECT nat, gb, ROW_NUMBER() OVER (PARTITION BY gb ORDER BY nat) AS rn FROM b0),
+        |ex AS (SELECT nat, CAST(boff + rn AS BIGINT) AS sk FROM r0 JOIN c0 USING (gb)),
+        |mx AS (SELECT COALESCE(MAX(sk), 0) AS mx FROM ex),
+        |f0 AS (SELECT DISTINCT p_name AS nat FROM part
+        |       WHERE p_name NOT IN (SELECT nat FROM ex)),
+        |b1 AS (SELECT nat, ('0x'||substr(md5('sk:'||nat),1,8))::BIGINT % 64 AS gb FROM f0),
+        |o1 AS (SELECT gb, COUNT(*) AS bn FROM b1 GROUP BY gb),
+        |c1 AS (SELECT gb, COALESCE(SUM(bn) OVER (ORDER BY gb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff FROM o1),
+        |r1 AS (SELECT nat, gb, ROW_NUMBER() OVER (PARTITION BY gb ORDER BY nat) AS rn FROM b1),
+        |fr AS (SELECT nat, CAST(boff + rn + (SELECT mx FROM mx) AS BIGINT) AS sk
+        |       FROM r1 JOIN c1 USING (gb))
+        |SELECT nat AS p_name, sk FROM ex
+        |UNION ALL SELECT nat, sk FROM fr""".stripMargin,
 
     // doubling is an exact fp op, so no rounding is needed on either side
     "etl_partition_overwrite" ->

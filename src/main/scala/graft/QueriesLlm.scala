@@ -88,6 +88,17 @@ object QueriesLlm {
         .select(col("node").as("doc_id"), col("pr_nano"), col("pr"))
     }),
 
+    // triangle count + clustering coefficient per node on the same
+    // near-dup pair graph — degree-oriented wedge join (O(m^1.5) under
+    // any skew), cluster-tightness QA for the dedup keep-rule
+    "graph_triangles" -> ((s, d) =>
+      graft.operators.Graph.triangles(
+        Dedup.simhashPairs(documents(s, d), "doc_id", "text",
+          maxHamming = 12),
+        "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("degree"),
+          col("n_triangles"), col("clustering"))),
+
     // per-label centroid vectors in long form — the k-means update step
     // as a first-class op (class means / drift summaries)
     "embed_centroid" -> ((s, d) =>
@@ -122,6 +133,15 @@ object QueriesLlm {
     "ann_knn_graph" -> ((s, d) =>
       Ann.knnGraph(embeddings(s, d), "vec_id", "embedding",
         k = 5, probes = 3)),
+
+    // radius search: every candidate within a cosine threshold of each
+    // probe — the unbounded-fan-out contract top-k can't express
+    "ann_range" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.rangeSearch(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", minCosine = 0.2)
+    }),
 
     "text_langid" -> ((s, d) => {
       val t = documents(s, d)
@@ -366,6 +386,48 @@ object QueriesLlm {
     // damped-update expression per iteration (double literals forced —
     // DuckDB parses bare 0.85/1.0 as DECIMAL, whose exact 0.15 diverges
     // from IEEE 1.0-0.85) rounded to an INTEGER, which both engines
+    // same simhash pair graph as graph_pagerank; triangles enumerate
+    // once each as ordered (a < b < c) edge triples — algorithm-
+    // independent counts, so the naive SQL join checks the oriented
+    // Spark plan exactly
+    "graph_triangles" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |hs AS (
+        |  SELECT doc_id, [('0x'||substr(md5(t),1,15))::UBIGINT for t in w] AS h
+        |  FROM toks WHERE len(w) > 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in h]) >= 0
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS simhash
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bv
+        |  FROM sig, range(0,4) t(b)),
+        |prs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+        |tri AS (
+        |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        |  FROM prs e1
+        |  JOIN prs e2 ON e2.doc_a = e1.doc_b
+        |  JOIN prs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT doc_a AS node FROM prs
+        |    UNION ALL SELECT doc_b FROM prs) GROUP BY node),
+        |tpn AS (
+        |  SELECT node, COUNT(*) AS n_triangles FROM (
+        |    SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node)
+        |SELECT deg.node AS doc_id, degree,
+        |  CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CAST(ROUND(CASE WHEN degree < 2 THEN 0.0
+        |    ELSE 2.0 * COALESCE(n_triangles, 0) /
+        |         (CAST(degree AS DOUBLE) * (degree - 1)) END, 4) AS DOUBLE)
+        |    AS clustering
+        |FROM deg LEFT JOIN tpn USING (node)""".stripMargin,
+
     // round identically; per-destination sums are exact integer sums
     "graph_pagerank" ->
       """WITH toks AS (
@@ -610,6 +672,19 @@ object QueriesLlm {
         |FROM p
         |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
         |QUALIFY ROW_NUMBER() OVER w <= 10""".stripMargin,
+
+    "ann_range" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+        |    sqrt(list_sum([xx*xx for xx in CAST(embedding AS DOUBLE[])])) AS n
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum([q.x[i+1]*c.x[i+1] for i in range(0,64)])/(q.n*c.n) AS cos
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id >= 10)
+        |SELECT query_id, neighbor_id,
+        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
+        |FROM p WHERE ROUND(cos, 6) >= 0.2""".stripMargin,
 
     "text_langid" ->
       s"""WITH t AS (

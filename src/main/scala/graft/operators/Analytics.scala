@@ -260,4 +260,27 @@ object Analytics {
       .groupBy("cohort_day", "week_offset")
       .agg(countDistinct(col("u")).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over each key's ordered event
+    * stream: for every (previous state, next state) pair, the count and
+    * the row-normalized transition probability — "after viewing, 40% of
+    * users purchase". The per-stream step extraction is one keyed
+    * window (lag over (ts, tie)); the matrix itself is a tiny
+    * states×states aggregate, so the normalizing window over
+    * `prev_state` runs on result-sized data. `tieCol` makes the order
+    * total when timestamps collide — without it, equal-ts rows would
+    * make lag() partition-order-dependent. */
+  def transitions(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.withColumn("graft_prev", lag(col(stateCol), 1).over(w))
+      .where(col("graft_prev").isNotNull)
+      .groupBy(col("graft_prev").as("prev_state"),
+        col(stateCol).as("next_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", expr(
+        """CAST(ROUND(CAST(n AS DOUBLE) /
+          |  SUM(n) OVER (PARTITION BY prev_state), 6) AS DOUBLE)""".stripMargin))
+  }
 }

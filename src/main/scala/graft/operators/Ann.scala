@@ -65,6 +65,32 @@ object Ann {
     ranked(pairs, k)
   }
 
+  /** RADIUS (range) search: every (query, candidate) pair whose cosine
+    * similarity clears `minCosine` — the "find everything near this
+    * centroid / probe" primitive that backs threshold-based near-dup
+    * sweeps, where top-k's fixed cutoff is the wrong contract (a dup
+    * cluster of 200 needs 200 hits, not 10).
+    *
+    * Same scale shape as [[bruteForceTopK]]: only the (small) query set
+    * broadcasts; the corpus side streams through the codegen'd cosine
+    * and the threshold filter without ever shuffling. The filter
+    * compares the cosine ROUNDED to 6 decimals against the threshold —
+    * a raw-double compare would let a last-ulp engine difference flip
+    * membership for a pair sitting exactly on the boundary. */
+  def rangeSearch(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    def prep(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), Vectors.toDouble(col(vecCol)).as(s"x_$id"))
+    val q = prep(queries, "query_id")
+    prep(candidates, "neighbor_id").join(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftFunctions.cosine(candidates.sparkSession,
+          col("x_query_id"), col("x_neighbor_id")).as("cos"))
+      .where(round(col("cos"), 6) >= minCosine)
+      .select(col("query_id"), col("neighbor_id"),
+        expr("CAST(ROUND(cos, 4) + 0.0 AS DOUBLE)").as("cos_r"))
+  }
+
   /** Spherical k-means (Lloyd's) centroid training, as DataFrame ops:
     * assignment is a broadcast join + per-vector argmax window, the
     * update is a per-(cell, dimension) mean. Everything is deterministic

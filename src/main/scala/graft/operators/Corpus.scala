@@ -368,4 +368,112 @@ object Corpus {
     df.join(broadcast(thr), Seq(groupCol))
       .where(col(scoreCol) >= col("q_threshold"))
   }
+
+  /** BM25 retrieval: the `topK` documents scoring highest against a bag
+    * of query terms (Okapi BM25, the idf·saturated-tf form Lucene
+    * ships) — benchmark-decontamination probes and "find me docs about
+    * X" corpus QA both reduce to this.
+    *
+    * Scale: tokens filter to the query terms IMMEDIATELY after the
+    * explode, so only query-term occurrences ever aggregate or shuffle
+    * (the corpus-sized token stream dies in the scan stage); document
+    * length is a row-local size(); N and avgdl ride one 1-row broadcast
+    * (sanctioned scalar attach); per-term df is a |queryTerms|-row
+    * broadcast. The final top-k is orderBy+limit — Spark executes that
+    * as TakeOrderedAndProject (per-partition heap + driver merge of k
+    * rows), never a global sort; the rank window then runs over k rows.
+    * Cross-engine: per-term contributions round to 6 decimals and sum
+    * as DECIMAL(18,6) (the [[lmScore]] discipline). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val toks = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+    val dl = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val scal = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = toks.select(col("doc_id"), explode(col("w")).as("term"))
+      .where(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"), expr(
+        s"""CAST(ROUND(
+           |  LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+           |  (tf * ($k1 + 1.0)) /
+           |  (tf + $k1 * (1.0 - $b + $b * dl / (CAST(tot_dl AS DOUBLE) / n_docs))),
+           |6) AS DECIMAL(18,6))""".stripMargin).as("contrib"))
+      .groupBy("doc_id")
+      .agg(expr("CAST(ROUND(CAST(SUM(contrib) AS DOUBLE), 4) AS DOUBLE)")
+        .as("bm25"))
+    scored.orderBy(col("bm25").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("int"))
+      .select("rank", "doc_id", "bm25")
+  }
+
+  /** Bigram language-model fluency score: each document's mean negative
+    * log-probability of its adjacent token pairs under the corpus's own
+    * add-one-smoothed bigram distribution, P(w2|w1) = (c(w1,w2)+1) /
+    * (c(w1)+V). The sequence-aware upgrade of [[lmScore]]: token-soup
+    * documents that fool unigram scoring (right words, wrong order)
+    * light up here. nll is ln-perplexity — monotone in it — so
+    * thresholds transfer; exp() is left to the caller because its
+    * last-ulp behavior differs between engines while ln+round does not.
+    *
+    * Scale: bigram extraction is a row-local zip_with of two shifted
+    * slices (zero shuffle, no posexplode+window); everything after is
+    * keyed on (w1, w2) or w1 — bigram-vocab-sized aggregates, never
+    * corpus-wide rows. V is one scalar (sanctioned 1-row broadcast).
+    * Cross-engine: ROUND(ln, 6) then DECIMAL(18,6) sums. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("w"))
+    val dtf = toks.where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+          |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val c2 = dtf.groupBy("w1", "w2").agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vocab = toks.select(explode(col("w")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    dtf.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("tf"), expr(
+        "CAST(ROUND(-LN((CAST(c2 AS DOUBLE) + 1.0) / (c1 + v)), 6) AS DECIMAL(18,6))")
+        .as("nl"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        expr("CAST(ROUND(CAST(SUM(nl * tf) AS DOUBLE) / SUM(tf), 4) AS DOUBLE)")
+          .as("nll"))
+  }
+
+  /** BPE merge-step statistics: corpus-wide frequency of adjacent
+    * character pairs inside tokens, weighted by token frequency — the
+    * exact count a byte-pair-encoding trainer computes to pick its next
+    * merge, exposed as the top-`topK` table (tokenizer fit/coverage QA
+    * against a new corpus).
+    *
+    * Scale: pair extraction runs over the DISTINCT-token table (vocab,
+    * not corpus, sized — each token's count rides along and weights the
+    * sum), pairs are 2-char keys, and the top-k is TakeOrderedAndProject
+    * over the tiny pair table. One corpus-wide aggregate total. */
+  def bpePairs(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    val terms = df.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ctf"))
+    val pairs = terms.where(length(col("term")) >= 2)
+      .select(col("ctf"), explode(expr(
+        "transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("ctf")).as("n"))
+    pairs.orderBy(col("n").desc, col("pair").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("pair").asc)).cast("int"))
+      .select("rank", "pair", "n")
+  }
 }

@@ -179,4 +179,31 @@ class AnalyticsSpec extends SparkSpec {
         r.getLong(2))).toSet
     assert(out == Set((0L, 0, 1L), (0L, 1, 1L), (7L, 0, 1L), (7L, 2, 1L)))
   }
+
+  test("transitions: per-key lag pairs, row-normalized probabilities") {
+    // u1: A B A B → A→B, B→A, A→B; u2: A A B → A→A, A→B
+    val df = Seq(
+      (1L, ts(1), "A", 1L), (1L, ts(2), "B", 2L),
+      (1L, ts(3), "A", 3L), (1L, ts(4), "B", 4L),
+      (2L, ts(1), "A", 5L), (2L, ts(2), "A", 6L), (2L, ts(3), "B", 7L)
+    ).toDF("u", "t", "st", "id")
+    val out = Analytics.transitions(df, "u", "t", "st", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      ("A", "B") -> ((3L, 0.75)), ("A", "A") -> ((1L, 0.25)),
+      ("B", "A") -> ((1L, 1.0))))
+  }
+
+  test("transitions: equal timestamps resolve by the tie column") {
+    // both events at the same ts: id order decides X→Y, not partition luck
+    val df = Seq((1L, ts(1), "X", 1L), (1L, ts(1), "Y", 2L))
+      .toDF("u", "t", "st", "id")
+    val a = Analytics.transitions(df.repartition(1), "u", "t", "st", "id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val b = Analytics.transitions(df.repartition(5), "u", "t", "st", "id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(a == Seq(("X", "Y")) && b == Seq(("X", "Y")))
+  }
 }

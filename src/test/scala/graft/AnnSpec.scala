@@ -177,4 +177,20 @@ class AnnSpec extends SparkSpec {
     // searched; recall must beat the random-subset floor by a wide margin
     assert(recall >= 0.5, s"recall $recall over ${exact.size} exact pairs")
   }
+
+  test("rangeSearch: threshold membership on the rounded cosine") {
+    val qs = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cs = Seq(
+      (10L, Array(1.0f, 0.0f)),   // cos 1.0
+      (11L, Array(0.8f, 0.6f)),   // cos 0.8
+      (12L, Array(0.0f, 1.0f)),   // cos 0.0
+      (13L, Array(-1.0f, 0.0f))   // cos -1.0
+    ).toDF("vec_id", "embedding")
+    val out = Ann.rangeSearch(qs, cs, "vec_id", "embedding", minCosine = 0.5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(10L -> 1.0, 11L -> 0.8))
+    // no self-exclusion semantics and no rank cap: threshold 0 widens
+    val all = Ann.rangeSearch(qs, cs, "vec_id", "embedding", minCosine = -1.0)
+    assert(all.count() == 4)
+  }
 }

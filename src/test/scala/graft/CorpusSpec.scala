@@ -199,4 +199,43 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(thr == Map("a" -> 2.75, "b" -> 5.0))
   }
+
+  test("bm25: term-bearing docs only, tf and length drive the ranking") {
+    val df = Seq(
+      (1L, "vector vector vector pad pad"),     // 3 hits, short
+      (2L, "vector pad pad pad pad pad pad pad pad pad"), // 1 hit, long
+      (3L, "pad pad pad pad"),                  // no query terms
+      (4L, "vector vector pad")                 // 2 hits, shortest
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25(df, "doc_id", "text", Seq("vector"), topK = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(!out.exists(_._2 == 3L))               // scoreless docs absent
+    assert(out.map(_._1).toSeq == (1 to out.length).toSeq)
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted.reverse)
+    // saturated tf + length normalization: 3-hit short doc beats
+    // 1-hit long doc
+    assert(out.head._2 == 1L && out.last._2 == 2L)
+  }
+
+  test("bigramNll: repeated common bigrams score lower nll than rare ones") {
+    val df = Seq(
+      (1L, "a b a b a b"),     // bigrams all from the corpus's densest mass
+      (2L, "a b a b a b"),
+      (3L, "x y z w q r")      // six singleton bigrams
+    ).toDF("doc_id", "text")
+    val out = Corpus.bigramNll(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val m = out.map(t => t._1 -> t._3).toMap
+    assert(out.forall(_._2 == 5L))               // len 6 → 5 adjacent pairs
+    assert(m(1L) == m(2L))                       // identical docs tie
+    assert(m(1L) < m(3L))                        // fluent beats token soup
+  }
+
+  test("bpePairs: token-frequency-weighted char-pair counts, ranked") {
+    // terms: "ab"×2, "abc"×1 → pair ab: 2 + 1 = 3, bc: 1; 1-char terms drop
+    val df = Seq((1L, "ab ab abc x")).toDF("doc_id", "text")
+    val out = Corpus.bpePairs(df, "text", topK = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toList
+    assert(out == List((1, "ab", 3L), (2, "bc", 1L)))
+  }
 }

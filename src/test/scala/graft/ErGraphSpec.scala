@@ -63,6 +63,37 @@ class ErGraphSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("triangles: K4 + path, any edge orientation, duplicates dropped") {
+    // K4 on 1-4 (one edge given twice, one reversed) and a path 5-6-7:
+    // every K4 node sits in C(3,2)=3 triangles at degree 3 → clustering
+    // 1.0; the path closes nothing → clustering 0.0
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
+      (2L, 3L),                       // duplicate
+      (5L, 6L), (7L, 6L)
+    ).toDF("a", "b")
+    val out = Graph.triangles(pairs, "a", "b").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    (1L to 4L).foreach { n => assert(out(n) == ((3L, 3L, 1.0)), s"node $n") }
+    assert(out(5L) == ((1L, 0L, 0.0)))
+    assert(out(6L) == ((2L, 0L, 0.0)))
+    assert(out(7L) == ((1L, 0L, 0.0)))
+  }
+
+  test("triangles: independent of partitioning; hub skew handled") {
+    // hub 0 connected to 1..20, plus one closing edge 1-2: exactly one
+    // triangle (0,1,2) despite the degree-20 hub
+    val pairs = ((1L to 20L).map(i => (0L, i)) :+ (1L, 2L)).toDF("a", "b")
+    val t1 = Graph.triangles(pairs.repartition(1), "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val t7 = Graph.triangles(pairs.repartition(7), "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(t1 == t7)
+    assert(t1.filter(_._3 > 0).map(t => t._1 -> t._3) ==
+      Set(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("pageRank: guards on empty graph and bad parameters") {
     val e = Seq.empty[(Long, Long)].toDF("a", "b")
     intercept[IllegalArgumentException](Graph.pageRank(e, "a", "b", 3))

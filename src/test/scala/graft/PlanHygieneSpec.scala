@@ -19,13 +19,18 @@ class PlanHygieneSpec extends SparkSpec {
   //    scale paths are ann_lsh/ann_ivf (both equi-joins, NOT listed);
   //  - ann_ivf's centroid assignment broadcasts k=8 centroid rows —
   //    every vector must score all k centroids by definition;
-  //  - corpus_tfidf / corpus_lm_score attach a scalar (1-row global
-  //    aggregate, broadcast) to a keyed stream — a nested "loop" over
-  //    exactly one build row, i.e. a map-side constant attach.
+  //  - corpus_tfidf / corpus_lm_score / corpus_bm25 / corpus_perplexity
+  //    / etl_surrogate_key attach a scalar (1-row global aggregate,
+  //    broadcast) to a keyed stream — a nested "loop" over exactly one
+  //    build row, i.e. a map-side constant attach;
+  //  - ann_range broadcasts the caller-bounded query set against the
+  //    candidate scan, like ann_topk (radius variant of the same
+  //    contract).
   // Everything else must be key-partitioned or broadcast-hash.
   private val allPairsAllowed =
     Set("q_cross_join", "ann_topk", "ann_ivf", "corpus_tfidf",
-      "corpus_lm_score")
+      "corpus_lm_score", "corpus_bm25", "corpus_perplexity",
+      "etl_surrogate_key", "ann_range")
 
   // streaming frames cannot be explained without starting a query; their
   // batch-equivalent shapes are covered by the stream_* batch oracles
