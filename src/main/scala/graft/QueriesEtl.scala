@@ -287,12 +287,20 @@ object QueriesEtl {
         "flag_domain" -> "l_returnflag IN ('A','N','R')",
         "ship_after_1992" -> "l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'"))),
 
-    // entity resolution: blocked pairwise fuzzy match (Levenshtein ≤ 2
-    // within nation+segment blocks); the blocking key bounds the
-    // quadratic stage and a runtime guard enforces it
+    // entity resolution: blocked pairwise fuzzy match (Levenshtein ≤ 2).
+    // The block key includes a name prefix (all but the last 2 chars) —
+    // the "zip+surname-prefix" shape whose CARDINALITY GROWS with the
+    // data, keeping Σ|block|² linear; nation+segment alone is a fixed
+    // 125-block key whose in-block quadratic returns at scale (measured:
+    // 0.3s → 5.0s across one 10× step). Prefix blocking trades recall
+    // for that bound (a pair differing inside the prefix is never
+    // compared) — the standard ER contract, mirrored by the oracle.
     "er_match" -> ((s, d) =>
-      graft.operators.Er.fuzzyMatchPairs(Tables.customer(s, d),
-        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+      graft.operators.Er.fuzzyMatchPairs(
+        Tables.customer(s, d).withColumn("name_blk",
+          expr("substring(c_name, 1, length(c_name) - 2)")),
+        "c_custkey", "c_name",
+        Seq("c_nationkey", "c_mktsegment", "name_blk"),
         maxDistance = 2)),
 
     // snapshot reconciliation: one full-outer keyed join reports every
@@ -555,13 +563,15 @@ object QueriesEtl {
 
     "er_match" ->
       """WITH t AS (
-        |  SELECT c_custkey AS id, c_name AS nm, c_nationkey, c_mktsegment
+        |  SELECT c_custkey AS id, c_name AS nm, c_nationkey, c_mktsegment,
+        |    substr(c_name, 1, length(c_name) - 2) AS name_blk
         |  FROM customer)
         |SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(levenshtein(a.nm, b.nm) AS INT) AS distance
         |FROM t a JOIN t b
         |  ON a.c_nationkey = b.c_nationkey
         |  AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.name_blk = b.name_blk
         |  AND a.id < b.id
         |WHERE levenshtein(a.nm, b.nm) <= 2""".stripMargin,
 

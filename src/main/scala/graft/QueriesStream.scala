@@ -20,6 +20,13 @@ object QueriesStream {
         Streaming.windowedCounts(Streaming.eventsStream(s, d)),
         "graft_stream_window", OutputMode.Complete())),
 
+    // sliding windows: every event lands in window/slide = 4 windows —
+    // the moving-average shape tumbling windows can't express
+    "stream_sliding" -> ((s, d) =>
+      Streaming.runToMemory(s,
+        Streaming.slidingCounts(Streaming.eventsStream(s, d)),
+        "graft_stream_sliding", OutputMode.Complete())),
+
     "stream_enrich" -> ((s, d) =>
       Streaming.runToMemory(s,
         Streaming.enrichedSegmentCounts(
@@ -100,6 +107,18 @@ object QueriesStream {
         |CAST(COUNT(*) AS BIGINT) AS n,
         |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // reconstruct the 4 overlapping 2h/30m windows per event: starts
+    // are the 4 slide-aligned points in (ts - 2h, ts], epoch-0 aligned
+    // like Spark's window()
+    "stream_sliding" ->
+      """SELECT
+        |  make_timestamp(((epoch_us(ts) // 1800000000) - i) * 1800000000)
+        |    AS window_start,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events, range(0, 4) r(i)
+        |GROUP BY 1, 2""".stripMargin,
 
     "stream_enrich" ->
       """SELECT date_trunc('day', ts) AS window_start, c_mktsegment,

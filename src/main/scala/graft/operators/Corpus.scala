@@ -358,14 +358,23 @@ object Corpus {
     * size, unlike the value-map PERCENTILE aggregate), and the
     * per-group threshold table is one row per group — broadcast back,
     * so the filter costs one scan. Returns the input rows that survive,
-    * plus their group's `q_threshold`. */
+    * plus their group's `q_threshold`.
+    *
+    * The input is localCheckpoint-materialized first: the percentile
+    * passes plus the final filter scan it 4×, and Catalyst does not
+    * dedupe a shared uncached subplan — with a scoring pipeline
+    * upstream (tokenize + regex, the normal caller) that re-runs the
+    * expensive stage each time. The materialized rows are just
+    * (group, score, carried cols) — a fraction of corpus bytes on
+    * executor-local disk (measured at sf0.1: 1.9s → 1.1s). */
   def qualityGate(df: DataFrame, groupCol: String, scoreCol: String,
       p: Double, bins: Int = 4096): DataFrame = {
     require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
-    val thr = Percentile.binned(df, groupCol, scoreCol, Seq(p), bins,
+    val scored = df.localCheckpoint()
+    val thr = Percentile.binned(scored, groupCol, scoreCol, Seq(p), bins,
         roundTo = 6)
       .select(col(groupCol), col("pv").as("q_threshold"))
-    df.join(broadcast(thr), Seq(groupCol))
+    scored.join(broadcast(thr), Seq(groupCol))
       .where(col(scoreCol) >= col("q_threshold"))
   }
 

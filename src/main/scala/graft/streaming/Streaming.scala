@@ -43,6 +43,26 @@ object Streaming {
       .select(col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n"), col("sum_val"))
 
+  /** Watermarked SLIDING-window aggregation: each event contributes to
+    * window/slide overlapping windows (here 2h/30m → 4). State cost is
+    * window/slide live aggregate buffers per (window, key) — still
+    * bounded by the watermark horizon, NOT by input size; the fan-out
+    * happens inside the stateful aggregate's window assignment, never
+    * as a materialized row explosion. Complete-mode output matches the
+    * batch oracle's per-offset window reconstruction exactly (windows
+    * align to epoch 0, Spark's default startTime). */
+  def slidingCounts(stream: DataFrame, watermark: String = "1 hour",
+      window: String = "2 hours", slide: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)").as("sum_val"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("sum_val"))
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension (broadcast per micro-batch — the dim is re-resolvable, so
     * slowly-changing dims pick up updates batch to batch), then a

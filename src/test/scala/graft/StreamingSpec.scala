@@ -68,6 +68,30 @@ class StreamingSpec extends SparkSpec {
     assert(out((1500L, "view")) == 1L)
   }
 
+  test("slidingCounts: each event lands in exactly window/slide windows") {
+    val dir = Files.createTempDirectory("graft-stream-sl").toString
+    // one event: with 2h windows sliding 30m it must appear in 4
+    // windows, the latest starting at its own 30m-aligned slot
+    val ev = Seq((ts(65), "click", 2.0)).toDF("ts", "event_type", "value")
+    ev.write.mode("overwrite").parquet(s"$dir/ev")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$dir/ev")
+    val out = Streaming.runToMemory(spark,
+      Streaming.slidingCounts(stream), "graft_sliding_stream",
+      OutputMode.Complete()).collect()
+      .map { r =>
+        val mins = r.getAs[java.time.LocalDateTime](0)
+          .toEpochSecond(java.time.ZoneOffset.UTC) / 60
+        (mins, r.getString(1), r.getLong(2))
+      }
+    // event at minute 1505 (day 1 + 65 min) → 30m-aligned window
+    // starts 1410, 1440, 1470, 1500
+    assert(out.length == 4)
+    assert(out.forall { case (_, t, n) => t == "click" && n == 1L })
+    val starts = out.map(_._1).sorted
+    assert(starts.zip(starts.tail).forall { case (a, b) => b - a == 30 })
+    assert(starts.last <= 1505 && starts.last > 1505 - 30)
+  }
+
   test("purchaseAttribution stream-stream join matches the batch join") {
     val dir = Files.createTempDirectory("graft-stream4").toString
     val ev = Seq(
