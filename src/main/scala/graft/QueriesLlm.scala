@@ -66,6 +66,20 @@ object QueriesLlm {
         .select("doc_id", "lang")
     }),
 
+    // SEMANTIC dedup end-to-end (SemDeDup-style): embedding LSH pairs
+    // → connected components → keep the min-id representative of each
+    // semantic cluster; unpaired vectors pass through. The embedding
+    // sibling of dedup_keep's simhash pipeline.
+    "dedup_embed_keep" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val clusters = Dedup.duplicateClusters(
+        Dedup.embeddingPairs(e, "vec_id", "embedding", minCosine = 0.3,
+          bands = 4, bandBits = 8),
+        "id_a", "id_b")
+      Dedup.keepCanonical(e, "vec_id", clusters)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // Gopher-style repetition signals: duplicate-token fraction, top
     // bigram share, longest same-token run — the filters that catch
     // keyword stuffing and templated boilerplate
@@ -328,6 +342,39 @@ object QueriesLlm {
         |  FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id)
         |SELECT id_a, id_b, CAST(ROUND(cos, 4) AS DOUBLE) AS cos_sim
         |FROM p WHERE cos >= 0.3""".stripMargin,
+
+    // dedup_embed's candidate CTE + dedup_clusters' recursive CC + the
+    // keep rule, over the embeddings table
+    "dedup_embed_keep" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |bk AS (
+        |  SELECT vec_id,
+        |    list_sum([CASE WHEN list_sum([x[d+1] * ((CAST((1103515245::BIGINT * (p * 1024 + d) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0) * 2.0 - 1.0) for d in range(0,64)]) >= 0.0
+        |              THEN CAST(2**p AS BIGINT) ELSE 0 END for p in range(0,32)]) AS bkt
+        |  FROM v),
+        |bands AS (
+        |  SELECT vec_id, b, (bkt >> (8*b)) & 255 AS bv FROM bk, range(0,4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id),
+        |pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      list_sum([va.x[i+1]*vb.x[i+1] for i in range(0,64)]) /
+        |        (sqrt(list_sum([xx*xx for xx in va.x])) * sqrt(list_sum([yy*yy for yy in vb.x]))) AS cos
+        |    FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id)
+        |  WHERE cos >= 0.3),
+        |nodes AS (SELECT DISTINCT id_a AS n FROM pr UNION SELECT id_b FROM pr),
+        |e AS (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+        |reach AS (
+        |  SELECT n AS node, n AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.d AS node, reach.lbl FROM reach JOIN e ON e.s = reach.node),
+        |cl AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        |losers AS (SELECT node FROM cl WHERE node <> cluster_id)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT node FROM losers)""".stripMargin,
 
     "dedup_simhash" ->
       """WITH toks AS (

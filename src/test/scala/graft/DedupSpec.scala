@@ -224,4 +224,20 @@ class DedupSpec extends SparkSpec {
       .map { case (a, b, e) => (math.max(a, b), math.min(a, b), e) }.toSet
     assert(out.toSet == full)
   }
+
+  test("semantic dedup end-to-end: pairs → CC → min-id survivors") {
+    // two identical pairs (guaranteed LSH collisions, cos 1.0) and one
+    // unpaired vector: survivors are each pair's min id + the loner
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (5L, Array(0.0f, 1.0f)), (9L, Array(0.0f, 1.0f)),
+      (7L, Array(-1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val clusters = Dedup.duplicateClusters(
+      Dedup.embeddingPairs(vecs, "vec_id", "embedding", minCosine = 0.9),
+      "id_a", "id_b")
+    val kept = Dedup.keepCanonical(vecs, "vec_id", clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 7L))
+  }
 }
