@@ -164,6 +164,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("percentile("), plan)
   }
 
+  test("bm25: term filter precedes the aggregate; top-k is a heap, not a sort") {
+    import graft.operators.Corpus
+    val docs = Tables.documents(spark, sf0001)
+    val qe = Corpus.bm25(docs, "doc_id", "text", Seq("vector", "hash"), 5)
+      .queryExecution
+    // the corpus-sized token stream must die at the scan stage: the IN
+    // filter sits under the tf aggregate, not above it
+    assert(qe.optimizedPlan.toString.contains("IN (vector,hash)"))
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition heaps
+    // + k-row driver merge); a global Sort here would be the scale bug
+    assert(qe.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("knnGraph: bucket self-join co-partitions, never nested-loops") {
+    import graft.operators.Ann
+    val e = Tables.embeddings(spark, sf0001)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast: this is the shape the join takes when both
+      // sides are corpus-sized (the query set IS the corpus here)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Ann.knnGraph(e, "vec_id", "embedding", k = 3, probes = 2)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(500))
+      assert(plan.contains("hashpartitioning(bkt") &&
+        plan.contains("hashpartitioning(probe_bkt"), plan.take(500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("surrogate keys: the data-path window is keyed; only the " +
+      "bucket-offset table single-partitions") {
+    import graft.operators.Keys
+    val plan = Keys.surrogate(Tables.part(spark, sf0001), "p_name")
+      .queryExecution.executedPlan.toString
+    // per-bucket row_number is partitioned by the bucket key — the rank
+    // over the key set runs in parallel
+    assert("windowspecdefinition\\(gb#\\d+L, nat#".r
+      .findFirstIn(plan).isDefined, plan.take(800))
+    // exactly one SinglePartition exchange: the <= buckets-row offsets
+    // cumulative — metadata, never the key set
+    assert("Exchange SinglePartition".r.findAllIn(plan).size == 1,
+      plan.take(800))
+  }
+
   test("binned percentile: degenerate and single-row groups") {
     import graft.operators.Percentile
     import spark.implicits._
