@@ -512,6 +512,25 @@ object QueriesCore {
       graft.operators.Analytics.trailingDistinct(events(s, d), "user_id",
         "ts", days = 7)),
 
+    // interval×interval overlap join (purchase 2h windows ∩ click 1h
+    // windows per user) — binned equi-join, each pair kept once in the
+    // later-start bin; the naive form is a nested loop
+    "q_interval_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_start"), expr("ts + INTERVAL 2 HOUR").as("p_end"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_start"), expr("ts + INTERVAL 1 HOUR").as("c_end"))
+      graft.operators.RangeJoin.intervalOverlap(p, c, "user_id", "c_user",
+          "p_start", "p_end", "c_start", "c_end", binMicros = 3600000000L)
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          (unix_micros(least(col("p_end"), col("c_end")).cast("timestamp")) -
+            unix_micros(greatest(col("p_start"), col("c_start"))
+              .cast("timestamp"))).as("overlap_us"))
+    }),
+
     // first-order Markov transition matrix over each user's event
     // stream — one keyed lag window, then a states² aggregate
     "q_transitions" -> ((s, d) =>
@@ -974,6 +993,19 @@ object QueriesCore {
         |SELECT k AS event_type, CAST(MAX(run) AS INT) AS max_concurrent,
         |  CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
         |FROM r GROUP BY k""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS ps,
+        |    ts + INTERVAL 2 HOUR AS pe
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS cs,
+        |    ts + INTERVAL 1 HOUR AS ce
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, purchase_id, click_id,
+        |  epoch_us(LEAST(pe, ce)) - epoch_us(GREATEST(ps, cs)) AS overlap_us
+        |FROM p JOIN c ON p.user_id = c.user_id AND ps < ce AND cs < pe""".stripMargin,
 
     "q_transitions" ->
       """WITH s AS (

@@ -51,4 +51,42 @@ object RangeJoin {
           lb(timeCol) >= rb(startCol) && lb(timeCol) <= rb(endCol))
       .drop("graft_bin")
   }
+
+  /** Interval×interval OVERLAP join: `left ⋈ right` on key equality and
+    * `[lStart, lEnd) ∩ [rStart, rEnd) ≠ ∅` (half-open; touching
+    * intervals do not overlap). The session-stitching / ad-exposure ∩
+    * visit primitive — a different contract from [[pointInInterval]]
+    * (both sides extended).
+    *
+    * Both sides explode to the bins they cover and meet on (key, bin).
+    * An overlapping pair shares EVERY bin its intersection covers, so a
+    * naive equi-join would duplicate it; instead of a post-join DISTINCT
+    * (a second shuffle over the result), the join keeps a pair only in
+    * the bin containing the LATER START — exactly one bin per pair, by
+    * construction inside the intersection. Exact: same result set as
+    * the naive inequality join (the oracle runs the naive form).
+    * Explode factor and bin sizing follow [[pointInInterval]]. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binMicros: Long): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive: $binMicros")
+    require(!left.columns.contains("graft_bin") &&
+      !right.columns.contains("graft_bin"),
+      "inputs must not already carry a graft_bin column")
+    val bin = lit(binMicros)
+    def us(c: Column) = unix_micros(c.cast("timestamp"))
+    def binned(df: DataFrame, s: String, e: String) =
+      df.withColumn("graft_bin",
+        explode(sequence(floor(us(col(s)) / bin), floor(us(col(e)) / bin))))
+    val lb = binned(left, lStart, lEnd)
+    val rb = binned(right, rStart, rEnd)
+    lb.join(rb,
+        lb("graft_bin") === rb("graft_bin") &&
+          lb(leftKey) === rb(rightKey) &&
+          lb(lStart) < rb(rEnd) && rb(rStart) < lb(lEnd) &&
+          floor(greatest(us(lb(lStart)), us(rb(rStart))) / bin) ===
+            lb("graft_bin"))
+      .drop("graft_bin")
+  }
 }

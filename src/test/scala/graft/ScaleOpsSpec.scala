@@ -55,6 +55,33 @@ class ScaleOpsSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("intervalOverlap equals the naive overlap join, one row per pair") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("ps"), expr("ts + INTERVAL 2 HOUR").as("pe"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"),
+        col("ts").as("cs"), expr("ts + INTERVAL 1 HOUR").as("ce"))
+    val binned = RangeJoin.intervalOverlap(p, c, "user_id", "cu",
+        "ps", "pe", "cs", "ce", binMicros = 3600000000L)
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naive = p.join(c, col("user_id") === col("cu") &&
+        col("ps") < col("ce") && col("cs") < col("pe"))
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // set equality AND multiplicity: the later-start-bin rule must
+    // yield each overlapping pair exactly once, with no DISTINCT node
+    assert(binned.sorted.toSeq == naive.sorted.toSeq)
+    val plan = RangeJoin.intervalOverlap(p, c, "user_id", "cu",
+      "ps", "pe", "cs", "ce", 3600000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
   test("bucketed tables join without an exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
