@@ -2,21 +2,28 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated testdata layout: one parquet per table
   * under an sf directory.
   *
-  * The testdata was written with INT64 TIMESTAMP(NANOS) (pandas
-  * datetime64[ns]), which Spark's parquet reader rejects by default
-  * (PARQUET_TYPE_ILLEGAL). We flip
-  * `spark.sql.legacy.parquet.nanosAsLong` (runtime-settable session conf)
-  * so those columns arrive as epoch-nanos LONGs, then rebuild proper
-  * TimestampType values via `timestamp_micros(ns div 1000)` — lossless
-  * here (the data carries no sub-microsecond residue) and identical to
-  * DuckDB's ns→us semantics used by the oracle.
+  * Timestamp normalization — the driver's generator has shipped two
+  * physical encodings across rounds, and the loaders accept both:
+  *  - INT64 TIMESTAMP(NANOS) (pandas datetime64[ns]), which Spark's
+  *    parquet reader rejects by default (PARQUET_TYPE_ILLEGAL). We flip
+  *    `spark.sql.legacy.parquet.nanosAsLong` (runtime-settable session
+  *    conf) so those columns arrive as epoch-nanos LONGs, then rebuild
+  *    TimestampType via `timestamp_micros(ns div 1000)` — lossless (no
+  *    sub-microsecond residue in the data).
+  *  - TIMESTAMP(MICROS) without the UTC-adjusted flag, which Spark 4
+  *    infers as TIMESTAMP_NTZ. Half the engine rejects NTZ where it
+  *    requires session-zoned TIMESTAMP (`unix_millis`, stream
+  *    watermarks), so we cast NTZ → TIMESTAMP at load. Under the fixed
+  *    UTC session timezone the wall-clock fields are preserved
+  *    verbatim, which is exactly how the DuckDB oracle reads the same
+  *    files (its TIMESTAMP is zoneless).
   *
-  * Scale note: the conversion is a row-local projection fused into the
+  * Scale note: both conversions are row-local projections fused into the
   * scan stage; column pruning and predicate pushdown on the remaining
   * columns are unaffected.
   */
@@ -33,9 +40,13 @@ object Tables {
     catch { case _: Throwable => () }
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     tsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      if (df.schema(c).dataType == LongType)
-        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-      else df
+      df.schema(c).dataType match {
+        case LongType =>
+          df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        case TimestampNTZType =>
+          df.withColumn(c, expr(s"CAST($c AS TIMESTAMP)"))
+        case _ => df
+      }
     }
   }
 

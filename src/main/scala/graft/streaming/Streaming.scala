@@ -17,16 +17,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
-  /** File-stream over the events table (same ns→μs rebuild as Tables). */
+  /** File-stream over the events table (same timestamp normalization as
+    * Tables: LONG epoch-nanos → timestamp_micros, TIMESTAMP_NTZ → cast to
+    * session-zoned TIMESTAMP — watermarks require TimestampType). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file-stream sources take a directory; scope to the one table file
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window aggregation per event_type. */
