@@ -573,7 +573,118 @@ object QueriesCore {
         "CAST(MONTH(o_orderdate) AS INT) AS order_month",
         "DATE_TRUNC('month', o_orderdate) AS order_mon_start",
         "CASE WHEN o_totalprice > 300000 THEN 'high' WHEN o_totalprice > 150000 THEN 'mid' ELSE 'low' END AS price_band",
-        "CAST(LENGTH(o_orderpriority) AS INT) AS pri_len"))
+        "CAST(LENGTH(o_orderpriority) AS INT) AS pri_len")),
+
+    // FULL OUTER join — the snapshot-coverage shape (who has orders /
+    // who is missing): orders pre-aggregate per custkey BEFORE the join,
+    // so the full-outer meets two key-partitioned sides of bounded width
+    // and the join itself is a plain SMJ on the shared partitioning
+    "q_full_join" -> ((s, d) => {
+      val c = customer(s, d).where(col("c_acctbal") > 0)
+        .select("c_custkey", "c_mktsegment")
+      val o = orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)")
+            .as("spend"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+            .when(col("o_custkey").isNull, "customer_only")
+            .otherwise("order_only").as("coverage"),
+          col("c_mktsegment"), col("n_orders"), col("spend"))
+    }),
+
+    // exact MEDIAN + MODE per group: one two-phase aggregate. The value
+    // buffer caveat from q_percentile applies to exact median at scale —
+    // q_percentile_binned is the documented big-input path; mode's
+    // buffer is one count per DISTINCT value (here 2), always bounded
+    // by the value domain. The lo/hi cut sits far from a tie on this
+    // data (≥2:1 margin at every SF), so mode is well-defined
+    // cross-engine.
+    "q_mode_median" -> ((s, d) =>
+      events(s, d)
+        .withColumn("band",
+          when(col("value") < 55, "lo").otherwise("hi"))
+        .groupBy("event_type")
+        .agg(
+          expr("CAST(ROUND(MEDIAN(value), 6) AS DOUBLE)").as("med_val"),
+          expr("MODE(band)").as("mode_band"),
+          count(lit(1)).as("n"))),
+
+    // regex surface: extract-all + count, group capture, global replace,
+    // boolean match — all row-local codegen'd expressions fused into the
+    // scan; nothing here shuffles
+    "q_regex_funcs" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z]{5,}', 0)) AS INT)")
+          .as("n_long"),
+        expr("regexp_extract(text, '^([a-z]+)', 1)").as("first_tok"),
+        expr("regexp_replace(SUBSTR(text, 1, 40), '[aeiou]', '_')")
+          .as("devoweled"),
+        expr("text RLIKE 'spark .* window'").as("mentions"))),
+
+    // higher-order array functions over the embedding column — the
+    // Array[Float] surface ANN is built on: fold (aggregate), filter,
+    // exists, array_max. The fold goes ROUND→DECIMAL per element so the
+    // sum is order-independent and engine-exact (float → double widening
+    // is value-preserving; the decimal sum has one canonical answer).
+    "q_array_funcs" -> ((s, d) =>
+      embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        expr("CAST(size(embedding) AS INT)").as("dim"),
+        expr("CAST(aggregate(embedding, CAST(0 AS DECIMAL(28,9)), " +
+          "(a, x) -> CAST(a + CAST(ROUND(CAST(x AS DOUBLE), 7) AS DECIMAL(28,9)) " +
+          "AS DECIMAL(28,9))) AS DOUBLE)").as("sum_r"),
+        expr("CAST(size(filter(embedding, x -> x > 0)) AS INT)").as("n_pos"),
+        expr("CAST(ROUND(CAST(array_max(embedding) AS DOUBLE), 6) AS DOUBLE)")
+          .as("max_v"),
+        expr("exists(embedding, x -> x > 2.5)").as("has_big"))),
+
+    // Z-order (Morton) codes for multi-column layout clustering: the
+    // bit-interleave is pure codegen'd int64 arithmetic (no UDF), and
+    // the oracle reproduces it with the same shift-or chain — see
+    // functions/ZOrder.scala for the clusterBy writer built on this
+    "q_zorder" -> ((s, d) =>
+      orders(s, d).where(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 65536).cast("long").as("x"),
+          (datediff(col("o_orderdate"), to_date(lit("1992-01-01"))) % 65536)
+            .cast("long").as("y"))
+        .withColumn("zval",
+          graft.functions.ZOrder.interleave16(col("x"), col("y")))),
+
+    // bucketed co-located join: both sides written bucketed-by-key
+    // (8 buckets) and read back through the catalog — the SMJ consumes
+    // the bucket partitioning directly, so the ONLY exchange in the
+    // plan is the post-join re-agg by priority. This is the 100 TB
+    // fact-join shape: bucket once at load, join forever shuffle-free
+    // (ScaleOpsSpec pins the single-exchange plan).
+    "q_join_bucketed" -> ((s, d) => {
+      val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+      val (to, tl) = (s"graft_bo_$suffix", s"graft_bl_$suffix")
+      // a stale warehouse dir from a previous JVM has no catalog entry,
+      // so saveAsTable would CREATE into a non-empty location — clear
+      // both (same discipline as ScaleOpsSpec's bucketed-join spec)
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq(to, tl).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, t))
+      }
+      graft.sinks.BucketedParquetSink(to, Seq("o_orderkey"), 8,
+        sortCols = Seq("o_orderkey"))
+        .write(orders(s, d).select("o_orderkey", "o_orderpriority"))
+      graft.sinks.BucketedParquetSink(tl, Seq("l_orderkey"), 8,
+        sortCols = Seq("l_orderkey"))
+        .write(lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+      s.table(to).hint("merge")
+        .join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          expr(s"CAST(ROUND(SUM($discPrice), 2) AS DOUBLE)").as("revenue"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -1091,6 +1202,76 @@ object QueriesCore {
         |cnt AS (SELECT rday, CAST(COUNT(*) AS BIGINT) AS n_active
         |        FROM ex GROUP BY rday)
         |SELECT d.day, c.n_active
-        |FROM (SELECT DISTINCT day FROM du) d JOIN cnt c ON c.rday = d.day""".stripMargin
+        |FROM (SELECT DISTINCT day FROM du) d JOIN cnt c ON c.rday = d.day""".stripMargin,
+
+    "q_full_join" ->
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+        |  CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL
+        |         THEN 'both'
+        |       WHEN o.o_custkey IS NULL THEN 'customer_only'
+        |       ELSE 'order_only' END AS coverage,
+        |  c.c_mktsegment, o.n_orders, o.spend
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer
+        |      WHERE c_acctbal > 0) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |      AS spend
+        |  FROM orders GROUP BY 1) o ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "q_mode_median" ->
+      """SELECT event_type,
+        |  CAST(ROUND(MEDIAN(value), 6) AS DOUBLE) AS med_val,
+        |  MODE(CASE WHEN value < 55 THEN 'lo' ELSE 'hi' END) AS mode_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_regex_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS INT) AS n_long,
+        |  regexp_extract(text, '^([a-z]+)', 1) AS first_tok,
+        |  regexp_replace(SUBSTR(text, 1, 40), '[aeiou]', '_', 'g')
+        |    AS devoweled,
+        |  regexp_matches(text, 'spark .* window') AS mentions
+        |FROM documents""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id, label,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(ROUND(CAST(x AS DOUBLE), 7) AS DECIMAL(28,9))))
+        |    AS DOUBLE) AS sum_r,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  CAST(ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS DOUBLE)
+        |    AS max_v,
+        |  len(list_filter(embedding, x -> x > 2.5)) > 0 AS has_big
+        |FROM embeddings""".stripMargin,
+
+    // the identical Morton spread chain, unrolled; masks are the
+    // decimal forms of 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555
+    "q_zorder" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_custkey % 65536 AS BIGINT) AS x,
+        |    CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+        |         % 65536 AS BIGINT) AS y
+        |  FROM orders WHERE o_orderkey < 2000),
+        |s1 AS (SELECT *, ((x | (x << 8)) & 16711935) AS xa,
+        |               ((y | (y << 8)) & 16711935) AS ya FROM b),
+        |s2 AS (SELECT *, ((xa | (xa << 4)) & 252645135) AS xb,
+        |               ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+        |s3 AS (SELECT *, ((xb | (xb << 2)) & 858993459) AS xc,
+        |               ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+        |s4 AS (SELECT *, ((xc | (xc << 1)) & 1431655765) AS xd,
+        |               ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
+        |SELECT o_orderkey, x, y, xd | (yd << 1) AS zval FROM s4""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(1.0 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }

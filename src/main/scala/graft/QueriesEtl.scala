@@ -390,7 +390,26 @@ object QueriesEtl {
       val existing = graft.operators.Keys.surrogate(
         part.where(col("p_partkey") < 50), "p_name")
       graft.operators.Keys.assignNew(existing, part, "p_name")
-    })
+    }),
+
+    // whole-table content checksum per group — the load-reconciliation
+    // primitive: 60-bit md5 row checksums folded through order-free
+    // aggregates (decimal-exact SUM + BIT_XOR), so "source == target"
+    // is one scan on each system and a tiny comparison, with no row
+    // transfer. Doubles enter via a fixed-decimal render (quantities
+    // are integral; money is 2dp) — raw double text is engine-dependent
+    "etl_checksum" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("graft_ck", graft.functions.Hashes.rowChecksum(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(12,0)").cast("string"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING)"),
+          col("l_returnflag"), col("l_linestatus")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(SUM(CAST(graft_ck AS DECIMAL(38,0))) AS STRING)")
+            .as("sum_ck"),
+          expr("BIT_XOR(graft_ck)").as("xor_ck")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -678,6 +697,24 @@ object QueriesEtl {
         |UNION ALL
         |SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
         |  COUNT(DISTINCT o_totalprice), printf('%.4f', MIN(o_totalprice)),
-        |  printf('%.4f', MAX(o_totalprice)) FROM orders""".stripMargin
+        |  printf('%.4f', MAX(o_totalprice)) FROM orders""".stripMargin,
+
+    // the oracle recomputes the identical 60-bit checksum: md5 of the
+    // same '|'-joined canonical string, first 15 hex digits as a hex
+    // cast — engine-portable by construction
+    "etl_checksum" ->
+      """WITH ck AS (
+        |  SELECT l_returnflag,
+        |    ('0x' || substr(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR) || '|' ||
+        |      CAST(CAST(l_quantity AS DECIMAL(12,0)) AS VARCHAR) || '|' ||
+        |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+        |      l_returnflag || '|' || l_linestatus), 1, 15))::BIGINT AS c
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(c AS DECIMAL(38,0))) AS VARCHAR) AS sum_ck,
+        |  BIT_XOR(c) AS xor_ck
+        |FROM ck GROUP BY l_returnflag""".stripMargin
   )
 }

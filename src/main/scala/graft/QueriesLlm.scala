@@ -242,7 +242,34 @@ object QueriesLlm {
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.attachBinary(documents(s, d), "doc_id", "text"),
-        frameBytes = 256))
+        frameBytes = 256)),
+
+    // crawl-URL dedup: synthesize each doc's messy source URL (case
+    // noise, default port, per-doc tracking params, fragment), then
+    // canonicalize and group — duplicate groups are docs whose URLs
+    // normalize identically. Every normalization rule is load-bearing
+    // here: the raw strings are pairwise-distinct (utm_/fragment carry
+    // doc-unique noise), so raw exact-dedup finds NOTHING and the
+    // canonical groups (path + surviving sorted params) find
+    // ceil(n/20)-sized families. Canonicalization is row-local
+    // (scan-stage codegen); the only shuffle keys on the canonical URL
+    "text_url_normalize" -> ((s, d) => {
+      val urls = documents(s, d).select(col("doc_id"),
+        expr("""concat('HTTPS://WWW.Example.COM:443/d/',
+               |  CAST(doc_id % 10 AS STRING),
+               |  '?utm_source=', source,
+               |  '&z=', CAST(doc_id % 2 AS STRING),
+               |  '&utm_doc=', CAST(doc_id AS STRING),
+               |  CASE WHEN doc_id % 5 = 0
+               |       THEN concat('#', lang) ELSE '' END)
+               |""".stripMargin).as("url"))
+      urls
+        .withColumn("canonical",
+          graft.functions.TextAnalysis.canonicalizeUrl("url"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .where(col("n_docs") > 1)
+    })
   )
 
   private def inList(lang: String): String =
@@ -828,6 +855,39 @@ object QueriesLlm {
         |  CAST(length(text) % 640 AS INT) AS width,
         |  CAST((length(text) * 7) % 480 AS INT) AS height,
         |  md5(text) AS content_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // the oracle replicates the canonicalization rule-for-rule (same
+    // regexes, same utm_ strip + sort) over the same synthesized URLs
+    "text_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Example.COM:443/d/' || CAST(doc_id % 10 AS VARCHAR)
+        |    || '?utm_source=' || source
+        |    || '&z=' || CAST(doc_id % 2 AS VARCHAR)
+        |    || '&utm_doc=' || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 5 = 0 THEN '#' || lang ELSE '' END AS url
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, url,
+        |    list_sort(list_filter(
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      p -> p <> '' AND substr(p, 1, 4) <> 'utm_')) AS kept
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    || '://'
+        |    || regexp_replace(lower(regexp_extract(url,
+        |         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |         ':(80|443)$', '')
+        |    || regexp_extract(url,
+        |         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+        |    || CASE WHEN len(kept) = 0 THEN ''
+        |            ELSE '?' || array_to_string(kept, '&') END AS canonical
+        |  FROM k)
+        |SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS keep_doc
+        |FROM c GROUP BY canonical HAVING COUNT(*) > 1""".stripMargin
   )
 }

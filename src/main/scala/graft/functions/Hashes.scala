@@ -64,4 +64,17 @@ object Hashes {
 
   /** Hamming distance between two simhash columns. */
   def hamming(a: String, b: String): Column = expr(s"bit_count($a ^ $b)")
+
+  /** 60-bit row checksum: md5 of a '|'-joined canonical string, first 15
+    * hex digits as a BIGINT. Feed it to order-free aggregates (decimal
+    * SUM, BIT_XOR) for a whole-table content checksum that any engine
+    * reproduces — the cross-system reconciliation primitive ("did the
+    * load land bit-identical") that row counts can't provide. Row-local;
+    * checksumming 100 TB is a scan plus one two-phase aggregate.
+    *
+    * Canonicalization is the caller's contract: pass columns already
+    * rendered to stable strings (ints, pre-rounded decimals — never raw
+    * doubles, whose text form is engine-dependent). */
+  def rowChecksum(cols: Column*): Column =
+    conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10).cast("long")
 }

@@ -94,4 +94,30 @@ object TextAnalysis {
       s"""concat_ws('', slice(array_sort(array_distinct(
          |  transform(sequence(1, size($toksCol) - 3),
          |            i -> md5(concat_ws(' ', slice($toksCol, i, 4)))))), 1, 4))""".stripMargin)
+
+  /** Canonical URL for crawl dedup — the web-corpus primitive: the same
+    * page arrives under case-varied hosts, default ports, tracking
+    * params in shuffled order, and fragments; exact-dedup on the raw
+    * string misses all of it. Normalization (RFC 3986 §6 plus the
+    * standard utm_* strip):
+    *   - scheme and host lowercased; default :80/:443 port dropped
+    *   - fragment dropped
+    *   - utm_* query params dropped; survivors sorted for order
+    *     independence; empty query → no '?'
+    * One row-local chain of regexp/split/sort expressions — codegen'd,
+    * shuffle-free; canonicalizing 100 TB of crawl is a scan. The
+    * `urlCol` must be a parseable absolute URL (scheme://host...). */
+  def canonicalizeUrl(urlCol: String): Column = {
+    val scheme = s"lower(regexp_extract($urlCol, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    // host[:port] = authority up to the first /, ?, or #
+    val hostRaw = s"lower(regexp_extract($urlCol, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    val host = s"regexp_replace($hostRaw, ':(80|443)$$', '')"
+    val path = s"regexp_extract($urlCol, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+    val query = s"regexp_extract($urlCol, '\\\\?([^#]*)', 1)"
+    val kept =
+      s"array_sort(filter(split($query, '&'), p -> p != '' AND substr(p, 1, 4) != 'utm_'))"
+    expr(
+      s"""concat($scheme, '://', $host, $path,
+         |  IF(size($kept) = 0, '', concat('?', array_join($kept, '&'))))""".stripMargin)
+  }
 }

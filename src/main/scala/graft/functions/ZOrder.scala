@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) curve utilities for multi-dimensional data layout.
+  *
+  * At warehouse scale, file-level min/max statistics only prune scans on
+  * the column the data happens to be sorted by. Sorting by the
+  * interleaved bits of SEVERAL columns (the Z-order curve) keeps every
+  * participating column locally clustered, so predicates on ANY of them
+  * skip most files — the standard layout-optimization trick in lakehouse
+  * table formats, reconstructed here from the public Morton-code
+  * literature as plain Catalyst arithmetic.
+  *
+  * [[interleave16]] builds the Morton code of two 16-bit coordinates
+  * with the classic shift-or "bit spreading" chain (4 mask steps per
+  * coordinate, all int64 ops) — one codegen'd row-local expression, no
+  * UDF, reproducible by any engine with bitwise ops (the DuckDB oracle
+  * runs the identical arithmetic). [[clusterBy]] range-partitions and
+  * sorts by the code: the shuffle is ONE range exchange (sampled
+  * boundaries), identical in shape to a global ORDER BY, after which
+  * each output file covers a tight Z-range ⇒ tight min/max on both
+  * coordinates.
+  */
+object ZOrder {
+
+  /** Spread the low 16 bits of `v` to even bit positions (Morton):
+    * bit i moves to bit 2i. Magic-mask shift-or chain, all BIGINT ops. */
+  private def spread16(v: Column): Column = {
+    val x0 = v.bitwiseAND(lit(0xFFFFL))
+    val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333L))
+    (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of two 16-bit coordinates: x in even bits, y in
+    * odd. Callers bucket wider domains down to 16 bits first (e.g.
+    * `pmod(hash, 65536)` or a range quantile) — layout clustering needs
+    * locality, not full precision. */
+  def interleave16(x: Column, y: Column): Column =
+    spread16(x.cast("long"))
+      .bitwiseOR(shiftleft(spread16(y.cast("long")), 1))
+
+  /** Rewrite `df` into a Z-clustered layout on (x, y): range-partition
+    * by the Morton code into `numFiles` tasks and sort inside each.
+    * One range exchange; every output file then holds a contiguous
+    * Z-range, giving tight per-file min/max on BOTH columns. */
+  def clusterBy(df: DataFrame, x: Column, y: Column,
+      numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    df.withColumn("graft_z", interleave16(x, y))
+      .repartitionByRange(numFiles, col("graft_z"))
+      .sortWithinPartitions("graft_z")
+      .drop("graft_z")
+  }
+}

@@ -71,4 +71,24 @@ class FunctionsSpec extends SparkSpec {
     assert(bz == 0.0 && (1.0 / bz) > 0, s"got $bz (negative zero?)")
     assert(!out.keySet.exists(_._1 == "c")) // null vectors drop
   }
+
+  test("canonicalizeUrl: case, default ports, utm params, fragments") {
+    def canon(urls: String*): Seq[String] =
+      urls.toDF("u")
+        .select(graft.functions.TextAnalysis.canonicalizeUrl("u"))
+        .collect().toSeq.map(_.getString(0))
+    // the same page under four kinds of crawl noise → one canonical form
+    assert(canon(
+      "HTTPS://WWW.Example.COM:443/a/b?z=1&utm_source=x#frag",
+      "https://www.example.com/a/b?utm_campaign=y&z=1",
+      "https://www.example.com:443/a/b?z=1",
+      "https://www.example.com/a/b?z=1#other"
+    ).distinct == Seq("https://www.example.com/a/b?z=1"))
+    // non-default port survives; param order normalizes; empty query
+    // drops its '?'; http default port 80 also drops
+    assert(canon("http://Host:8080/p?b=2&a=1") ==
+      Seq("http://host:8080/p?a=1&b=2"))
+    assert(canon("http://host:80/p?utm_x=1") == Seq("http://host/p"))
+    assert(canon("https://host/") == Seq("https://host/"))
+  }
 }

@@ -248,4 +248,80 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(got == Map("a" -> 5.0, "b" -> 1.0, "c" -> 2.5))
   }
+
+  test("interleave16 matches a reference Morton implementation") {
+    import graft.functions.ZOrder
+    import spark.implicits._
+    def mortonRef(x: Int, y: Int): Long = {
+      var z = 0L
+      (0 until 16).foreach { i =>
+        z |= ((x.toLong >> i) & 1L) << (2 * i)
+        z |= ((y.toLong >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val cases = Seq((0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321),
+      (65535, 0), (255, 256))
+    val got = cases.toDF("x", "y")
+      .select(ZOrder.interleave16(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == cases.map { case (x, y) => mortonRef(x, y) })
+  }
+
+  test("clusterBy yields range-disjoint, internally sorted z-partitions") {
+    import graft.functions.ZOrder
+    val df = Tables.orders(spark, sf0001)
+    val clustered = ZOrder.clusterBy(df,
+      col("o_custkey") % 65536,
+      datediff(col("o_orderdate"), to_date(lit("1992-01-01"))) % 65536,
+      numFiles = 4)
+    // recompute z on the clustered output and take per-partition ranges
+    val z = ZOrder.interleave16(col("o_custkey") % 65536,
+      datediff(col("o_orderdate"), to_date(lit("1992-01-01"))) % 65536)
+    val ranges = clustered
+      .select(spark_partition_id().as("pid"), z.as("z"))
+      .groupBy("pid").agg(min("z").as("mn"), max("z").as("mx"))
+      .orderBy("mn")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.nonEmpty && ranges.length <= 4)
+    // disjoint: each partition's min exceeds the previous partition's max
+    ranges.sliding(2).foreach {
+      case Array((_, mxA), (mnB, _)) => assert(mxA <= mnB,
+        s"overlapping z-ranges: $ranges")
+      case _ => ()
+    }
+    // the layout payoff: per-file min/max on BOTH source columns are
+    // tighter than the global range (files can be skipped on either)
+    val spans = clustered
+      .select(spark_partition_id().as("pid"),
+        (col("o_custkey") % 65536).as("x"))
+      .groupBy("pid").agg((max("x") - min("x")).as("span"))
+      .collect().map(_.getLong(1))
+    val globalSpan = df.select(
+        (max(col("o_custkey") % 65536) - min(col("o_custkey") % 65536)))
+      .head().getLong(0)
+    assert(spans.exists(_ < globalSpan),
+      s"no partition has a tighter custkey span than global $globalSpan")
+  }
+
+  test("q_join_bucketed: the only exchange is the post-join aggregate") {
+    val df = QueriesCore.queries("q_join_bucketed")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected 1 exchange (final agg), got $exchanges:\n$plan")
+  }
+
+  test("rowChecksum aggregates are order- and partitioning-independent") {
+    import graft.functions.Hashes
+    val base = Tables.lineitem(spark, sf0001)
+    def sums(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ck", Hashes.rowChecksum(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag")))
+      .agg(sum(col("ck").cast("decimal(38,0)")).as("s"),
+        expr("BIT_XOR(ck)").as("x"))
+      .head()
+    assert(sums(base) == sums(base.repartition(13).sortWithinPartitions("l_quantity")))
+  }
 }
