@@ -642,6 +642,17 @@ object QueriesCore {
           .as("max_v"),
         expr("exists(embedding, x -> x > 2.5)").as("has_big"))),
 
+    // predicate-aggregate surface (count_if / bool_and / bool_or /
+    // count distinct) — one two-phase aggregate, domain-bounded buffers
+    "q_agg_predicates" -> ((s, d) =>
+      events(s, d).groupBy("event_type")
+        .agg(
+          expr("COUNT_IF(value > 50)").as("n_high"),
+          expr("BOOL_AND(value >= 0)").as("all_nonneg"),
+          expr("BOOL_OR(value > 99)").as("any_extreme"),
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))),
+
     // Z-order (Morton) codes for multi-column layout clustering: the
     // bit-interleave is pure codegen'd int64 arithmetic (no UDF), and
     // the oracle reproduces it with the same shift-or chain — see
@@ -1246,6 +1257,15 @@ object QueriesCore {
         |    AS max_v,
         |  len(list_filter(embedding, x -> x > 2.5)) > 0 AS has_big
         |FROM embeddings""".stripMargin,
+
+    "q_agg_predicates" ->
+      """SELECT event_type,
+        |  CAST(COUNT_IF(value > 50) AS BIGINT) AS n_high,
+        |  BOOL_AND(value >= 0) AS all_nonneg,
+        |  BOOL_OR(value > 99) AS any_extreme,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // the identical Morton spread chain, unrolled; masks are the
     // decimal forms of 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555

@@ -101,6 +101,16 @@ object QueriesCorpus {
       Corpus.samplePerGroup(documents(s, d), "doc_id", "lang", n = 20)
         .select("lang", "sample_rank", "doc_id")),
 
+    // weight-proportional sampling: longer docs kept with higher
+    // probability (u(md5) < n_chars/max) — deterministic importance
+    // sampling, per-row gradient that per-class mix rates can't express
+    "corpus_weighted_sample" -> ((s, d) =>
+      Corpus.sampleWeighted(documents(s, d), "doc_id", "n_chars")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_chars").as("chars_kept"),
+          min("doc_id").as("first_doc"))),
+
     // percentile-based quality cut: drop each language's worst quartile
     // by composite quality score; thresholds from the bounded-memory
     // binned percentile, broadcast back for a one-scan filter
@@ -291,6 +301,18 @@ object QueriesCorpus {
         |                 doc_id ASC) AS rn
         |      FROM documents)
         |WHERE rn <= 20""".stripMargin,
+
+    "corpus_weighted_sample" ->
+      """WITH m AS (SELECT MAX(CAST(n_chars AS DOUBLE)) AS wmax
+        |           FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+        |  MIN(doc_id) AS first_doc
+        |FROM documents, m
+        |WHERE ('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+        |         1, 8))::BIGINT / 4294967296.0
+        |      < CAST(n_chars AS DOUBLE) / wmax
+        |GROUP BY source""".stripMargin,
 
     // score formula copied verbatim from the text_quality oracle (the
     // cross-engine-pinned form); threshold = quantile_cont per lang,

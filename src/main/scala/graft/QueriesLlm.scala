@@ -142,6 +142,16 @@ object QueriesLlm {
         "vec_id", "embedding", k = 5, probes = 4)
     }),
 
+    // SQ8 scalar quantization + asymmetric search: full-precision
+    // queries against the byte-quantized corpus (4x memory cut) — the
+    // oracle replicates the quantize→dequantize→score arithmetic
+    "ann_sq" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.sqTopK(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
     // kNN graph: every vector's 5 nearest neighbors via a multi-probe
     // LSH bucket SELF-join (no broadcast side — queries == corpus)
     "ann_knn_graph" -> ((s, d) =>
@@ -746,6 +756,38 @@ object QueriesLlm {
         |FROM p
         |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
         |QUALIFY ROW_NUMBER() OVER w <= 10""".stripMargin,
+
+    "ann_sq" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |st AS (
+        |  SELECT t.i AS d, min(x[t.i]) AS mn, max(x[t.i]) AS mx
+        |  FROM v, range(1, 65) t(i) WHERE vec_id >= 10 GROUP BY 1),
+        |pr AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+        |       FROM st),
+        |c AS (
+        |  SELECT vec_id,
+        |    [mns[i] + round(CASE WHEN mxs[i] = mns[i] THEN 0.0
+        |       ELSE (x[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0 END)
+        |       * (mxs[i] - mns[i]) / 255.0
+        |     for i in range(1, 65)] AS dq
+        |  FROM v, pr WHERE vec_id >= 10),
+        |n AS (SELECT vec_id, dq,
+        |        sqrt(list_sum([y*y for y in dq])) AS nn FROM c),
+        |q AS (SELECT vec_id, x,
+        |        sqrt(list_sum([y*y for y in x])) AS nq FROM v
+        |      WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_sum([q.x[i+1]*n.dq[i+1] for i in range(0,64)])/(q.nq*n.nn)
+        |      AS cos
+        |  FROM q, n)
+        |SELECT query_id, neighbor_id,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
+        |FROM p
+        |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin,
 
     "ann_range" ->
       """WITH v AS (

@@ -253,4 +253,52 @@ object Ann {
           col("x_query_id"), col("x_neighbor_id")).as("cos"))
     ranked(pairs, k)
   }
+
+  /** Scalar quantization (SQ8): compress each vector to one byte per
+    * dimension against per-dimension [min, max] ranges learned from the
+    * corpus — the standard 4× memory cut (float32 → uint8) that lets an
+    * in-memory ANN index hold 4× more vectors before sharding.
+    *
+    * Returns the input plus `sq_code` (array<int>, the byte codes) and
+    * `sq_dq` (array<double>, the dequantized reconstruction used for
+    * scoring). Plan shape: the range stats are ONE posexplode aggregate
+    * whose buffer is a (min, max) pair per dimension — never a vector
+    * set — collapsed to a single broadcastable param row; quantization
+    * itself is a row-local codegen'd transform. Nothing here is bounded
+    * by corpus size except the one dim-keyed stats aggregate.
+    *
+    * Dims where max == min carry zero information and encode as 0. */
+  def sqQuantize(df: DataFrame, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val stats = df
+      .select(posexplode(Vectors.toDouble(col(vecCol))).as(Seq("d", "v")))
+      .groupBy("d").agg(min("v").as("mn"), max("v").as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(d, mn))), s -> s.mn)")
+          .as("sq_mns"),
+        expr("transform(array_sort(collect_list(struct(d, mx))), s -> s.mx)")
+          .as("sq_mxs"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("sq_code", expr(
+        s"""transform(sequence(0, size($vecCol) - 1), d -> CAST(ROUND(
+           |  IF(sq_mxs[d] = sq_mns[d], 0.0D,
+           |     (CAST($vecCol[d] AS DOUBLE) - sq_mns[d])
+           |       / (sq_mxs[d] - sq_mns[d]) * 255.0D), 0) AS INT))""".stripMargin))
+      .withColumn("sq_dq", expr(
+        s"""transform(sequence(0, size($vecCol) - 1),
+           |  d -> sq_mns[d] + CAST(sq_code[d] AS DOUBLE)
+           |         * (sq_mxs[d] - sq_mns[d]) / 255.0D)""".stripMargin))
+      .drop("sq_mns", "sq_mxs")
+  }
+
+  /** Asymmetric top-k over SQ8 codes: exact (full-precision) queries
+    * scored against dequantized candidates — the ADC setup. Same
+    * broadcast/stream shape as [[bruteForceTopK]]; the quantized
+    * corpus is what would actually sit in memory at scale. */
+  def sqTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val dq = sqQuantize(candidates, vecCol)
+      .select(col(idCol), col("sq_dq").as(vecCol))
+    bruteForceTopK(queries, dq, idCol, vecCol, k)
+  }
 }

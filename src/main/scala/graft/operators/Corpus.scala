@@ -119,6 +119,30 @@ object Corpus {
       .drop("keep_permille")
   }
 
+  /** Weight-proportional deterministic sampling: keep each row with
+    * probability `weightCol / max(weightCol)` — importance sampling by a
+    * per-row continuous quality/length score, where [[mixWeighted]]'s
+    * per-class rate table can't express the gradient. The coin flip is
+    * md5-uniform in the row id: u = (first 8 md5 hex digits) / 2^32,
+    * keep iff u < w / wmax — exact integer-derived u, one IEEE division
+    * per side, so ANY engine recomputes the identical kept set (and any
+    * task retry draws the same rows; rand() could never gate-check).
+    *
+    * Scale: wmax is a 1-row aggregate attached by broadcast (sanctioned
+    * scalar cross-join); the keep predicate is row-local in the scan
+    * stage. One pass, no shuffle of the data itself. */
+  def sampleWeighted(df: DataFrame, idCol: String,
+      weightCol: String): DataFrame = {
+    val wmax = df.agg(max(col(weightCol).cast("double")).as("graft_wmax"))
+    df.crossJoin(broadcast(wmax))
+      .where(
+        (conv(substring(md5(concat(lit("wsample:"),
+            col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+          / lit(4294967296.0)) <
+        col(weightCol).cast("double") / col("graft_wmax"))
+      .drop("graft_wmax")
+  }
+
   /** Test-set decontamination: corpus docs sharing at least one word
     * `n`-gram with any benchmark document, with the count of distinct
     * shared grams (the usual flag-then-drop / flag-then-audit input).

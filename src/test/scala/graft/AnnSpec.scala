@@ -193,4 +193,40 @@ class AnnSpec extends SparkSpec {
     val all = Ann.rangeSearch(qs, cs, "vec_id", "embedding", minCosine = -1.0)
     assert(all.count() == 4)
   }
+
+  test("sqQuantize: codes in [0,255], reconstruction within half a step") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = Ann.sqQuantize(e, "embedding")
+    val checks = q.select(
+      expr("size(filter(sq_code, c -> c < 0 OR c > 255))").as("oob"),
+      // |x - dq| <= (mx-mn)/255/2 per dim; global ranges bound (mx-mn)
+      expr("""size(filter(sequence(0, size(embedding) - 1),
+             |  d -> abs(CAST(embedding[d] AS DOUBLE) - sq_dq[d]) > 0.5))
+             |""".stripMargin).as("far"))
+      .agg(sum("oob").as("oob"), sum("far").as("far")).head()
+    assert(checks.getLong(0) == 0, "quantization codes out of byte range")
+    // embeddings span a few units per dim: half a quantization step is
+    // well under 0.5, so any larger reconstruction error is a bug
+    assert(checks.getLong(1) == 0, "reconstruction error exceeds bound")
+  }
+
+  test("sqTopK: high recall vs exact top-k; plan never collects vectors") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs = e.where(col("vec_id") < 10)
+    val cand = e.where(col("vec_id") >= 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.bruteForceTopK(qs, cand, "vec_id", "embedding", 5))
+    val sq = pairs(Ann.sqTopK(qs, cand, "vec_id", "embedding", 5))
+    // SQ8 keeps ~8 significant bits per dim: neighbor sets should be
+    // nearly identical on few-unit-scale vectors
+    val recall = (sq & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall $recall over ${exact.size} pairs")
+    // the stats aggregate buffers (min,max) pairs keyed by dim — never
+    // a collect_list of vectors (the ann_ivf r4 trap)
+    val plan = Ann.sqQuantize(e, "embedding")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list(embedding"), plan)
+  }
 }

@@ -25,12 +25,18 @@ class PlanHygieneSpec extends SparkSpec {
   //    build row, i.e. a map-side constant attach;
   //  - ann_range broadcasts the caller-bounded query set against the
   //    candidate scan, like ann_topk (radius variant of the same
-  //    contract).
+  //    contract);
+  //  - ann_sq: the per-dim quantization params are ONE broadcast row
+  //    (scalar attach) and the ADC search is the ann_topk broadcast
+  //    shape over the dequantized corpus;
+  //  - corpus_weighted_sample attaches the 1-row global max-weight
+  //    scalar, same constant-attach shape as corpus_tfidf.
   // Everything else must be key-partitioned or broadcast-hash.
   private val allPairsAllowed =
     Set("q_cross_join", "ann_topk", "ann_ivf", "corpus_tfidf",
       "corpus_lm_score", "corpus_bm25", "corpus_perplexity",
-      "etl_surrogate_key", "ann_range")
+      "etl_surrogate_key", "ann_range", "ann_sq",
+      "corpus_weighted_sample")
 
   // streaming frames cannot be explained without starting a query; their
   // batch-equivalent shapes are covered by the stream_* batch oracles
