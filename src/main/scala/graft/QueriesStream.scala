@@ -39,6 +39,17 @@ object QueriesStream {
           "user_id", "event_type"),
         "graft_stream_dedup", OutputMode.Append())),
 
+    // watermark-BOUNDED dedup state (dropDuplicatesWithinWatermark):
+    // the horizon covers the whole bounded dataset here, so the result
+    // equals DISTINCT — while the state contract (one horizon of keys,
+    // not the all-time universe) is what survives an infinite stream
+    "stream_dedup_wm" -> ((s, d) =>
+      Streaming.runToMemory(s,
+        Streaming.dedupKeysWithinWatermark(
+          Streaming.eventsStream(s, d), "87600 hours",
+          "user_id", "event_type"),
+        "graft_stream_dedup_wm", OutputMode.Append())),
+
     // stream-stream interval join: the purchase-attribution shape of
     // q_range_join, run as a real watermarked two-stream join (state
     // evicted as the watermark passes); the bounded join result is
@@ -128,6 +139,9 @@ object QueriesStream {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "stream_dedup_wm" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
     "stream_join" ->

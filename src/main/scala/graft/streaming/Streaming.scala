@@ -93,6 +93,22 @@ object Streaming {
       .dropDuplicates(keys)
       .select(keys.map(col): _*)
 
+  /** Streaming dedup whose STATE is watermark-bounded even though event
+    * time is not part of the key: `dropDuplicatesWithinWatermark` holds
+    * a key's fingerprint only until the watermark passes its first-seen
+    * time + horizon. Plain `dropDuplicates(keys)` (above) keeps the
+    * ALL-TIME key universe in the state store — unbounded on an
+    * infinite stream; this variant's state is one horizon of keys, the
+    * shape that actually runs forever at ingest scale. Contract: a
+    * duplicate inside the horizon drops; one arriving after it may
+    * re-emit (the standard at-least-once ingestion trade). */
+  def dedupKeysWithinWatermark(stream: DataFrame, watermark: String,
+      keys: String*): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .select(keys.map(col): _*)
+
   /** Stream-stream interval join (purchase attribution): every event
     * landing within `windowHours` after a purchase by the same user.
     * Both sides carry watermarks and the join condition bounds event
