@@ -304,12 +304,13 @@ object QueriesCorpus {
 
     "corpus_weighted_sample" ->
       """WITH m AS (SELECT MAX(CAST(n_chars AS DOUBLE)) AS wmax
-        |           FROM documents)
+        |           FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
         |  MIN(doc_id) AS first_doc
         |FROM documents, m
-        |WHERE ('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+        |WHERE CAST(n_chars AS DOUBLE) > 0
+        |  AND ('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
         |         1, 8))::BIGINT / 4294967296.0
         |      < CAST(n_chars AS DOUBLE) / wmax
         |GROUP BY source""".stripMargin,

@@ -700,17 +700,19 @@ object QueriesEtl {
         |  printf('%.4f', MAX(o_totalprice)) FROM orders""".stripMargin,
 
     // the oracle recomputes the identical 60-bit checksum: md5 of the
-    // same '|'-joined canonical string, first 15 hex digits as a hex
+    // same '|'-joined canonical string (NULL slots render as the same
+    // chr(1) sentinel the operator uses), first 15 hex digits as a hex
     // cast — engine-portable by construction
     "etl_checksum" ->
       """WITH ck AS (
         |  SELECT l_returnflag,
         |    ('0x' || substr(md5(
-        |      CAST(l_orderkey AS VARCHAR) || '|' ||
-        |      CAST(l_linenumber AS VARCHAR) || '|' ||
-        |      CAST(CAST(l_quantity AS DECIMAL(12,0)) AS VARCHAR) || '|' ||
-        |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
-        |      l_returnflag || '|' || l_linestatus), 1, 15))::BIGINT AS c
+        |      IFNULL(CAST(l_orderkey AS VARCHAR), chr(1)) || '|' ||
+        |      IFNULL(CAST(l_linenumber AS VARCHAR), chr(1)) || '|' ||
+        |      IFNULL(CAST(CAST(l_quantity AS DECIMAL(12,0)) AS VARCHAR), chr(1)) || '|' ||
+        |      IFNULL(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), chr(1)) || '|' ||
+        |      IFNULL(l_returnflag, chr(1)) || '|' ||
+        |      IFNULL(l_linestatus, chr(1))), 1, 15))::BIGINT AS c
         |  FROM lineitem)
         |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CAST(c AS DECIMAL(38,0))) AS VARCHAR) AS sum_ck,

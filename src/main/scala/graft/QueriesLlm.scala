@@ -920,9 +920,13 @@ object QueriesLlm {
         |  SELECT doc_id,
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
         |    || '://'
-        |    || regexp_replace(lower(regexp_extract(url,
-        |         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-        |         ':(80|443)$', '')
+        |    || CASE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |         WHEN 'http' THEN regexp_replace(lower(regexp_extract(url,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$', '')
+        |         WHEN 'https' THEN regexp_replace(lower(regexp_extract(url,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':443$', '')
+        |         ELSE lower(regexp_extract(url,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) END
         |    || regexp_extract(url,
         |         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
         |    || CASE WHEN len(kept) = 0 THEN ''

@@ -72,9 +72,19 @@ object Hashes {
     * load land bit-identical") that row counts can't provide. Row-local;
     * checksumming 100 TB is a scan plus one two-phase aggregate.
     *
+    * NULLs are position-preserving: each column renders as
+    * `IFNULL(value, CHR(1))`, never silently skipped — a bare
+    * `concat_ws` drops NULL slots, so ('x', NULL, 'z') and ('x', 'z',
+    * NULL) would checksum identically, which is exactly the difference
+    * a reconciliation checksum exists to catch. (A literal string equal
+    * to the 0x01 sentinel still collides with NULL; control characters
+    * do not appear in sane data — document, don't pay for.)
+    *
     * Canonicalization is the caller's contract: pass columns already
     * rendered to stable strings (ints, pre-rounded decimals — never raw
     * doubles, whose text form is engine-dependent). */
-  def rowChecksum(cols: Column*): Column =
-    conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10).cast("long")
+  def rowChecksum(cols: Column*): Column = {
+    val safe = cols.map(c => coalesce(c.cast("string"), lit("\u0001")))
+    conv(substring(md5(concat_ws("|", safe: _*)), 1, 15), 16, 10).cast("long")
+  }
 }

@@ -57,6 +57,11 @@ object Jute {
   private val yaml = new ObjectMapper(new YAMLFactory())
   private val json = new ObjectMapper()
 
+  /** Fresh-name source for hygienic $call expansion (names under the
+    * reserved __graft_a prefix; [[ident]] rejects user identifiers
+    * starting with it). */
+  private val freshId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Parse a YAML (or JSON — YAML is a superset) template. */
   def parse(template: String): JsonNode = yaml.readTree(template)
 
@@ -94,6 +99,8 @@ object Jute {
   private def ident(s: String, where: String): String = {
     require(s.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"$where name must be an identifier: '$s'")
+    require(!s.startsWith("__graft_a"),
+      s"$where name '$s' uses the reserved __graft_a prefix")
     s
   }
 
@@ -177,8 +184,21 @@ object Jute {
           require(params.length == args.length,
             s"$$call $name expects ${params.length} args, got ${args.length}")
           val compiled = compileSql(body, defs, name :: expanding)
-          params.zip(args).foldRight(compiled) { case ((p, a), inner) =>
-            s"element_at(transform(array($a), $p -> $inner), 1)"
+          // Hygienic expansion (rename-apart): naively nesting
+          // `transform(array(argN), paramN -> ...)` compiles later args
+          // INSIDE earlier params' lambda scopes, so an arg referencing
+          // an outer $let binding (or column) that shares a name with an
+          // earlier param would silently capture that param's value.
+          // Instead args first bind to FRESH reserved names (no user
+          // identifier may start with __graft_a), then params bind to
+          // those — every arg now compiles outside every param's scope.
+          val fresh = params.map(_ => s"__graft_a${freshId.getAndIncrement()}")
+          val paramsBound = params.zip(fresh).foldRight(compiled) {
+            case ((p, f), inner) =>
+              s"element_at(transform(array($f), $p -> $inner), 1)"
+          }
+          fresh.zip(args).foldRight(paramsBound) { case ((f, a), inner) =>
+            s"element_at(transform(array($a), $f -> $inner), 1)"
           }
         case None =>
           s"${ident(name, "$call")}(${args.mkString(", ")})"

@@ -109,9 +109,15 @@ object TextAnalysis {
     * `urlCol` must be a parseable absolute URL (scheme://host...). */
   def canonicalizeUrl(urlCol: String): Column = {
     val scheme = s"lower(regexp_extract($urlCol, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    // host[:port] = authority up to the first /, ?, or #
+    // host[:port] = authority up to the first /, ?, or #. Only the
+    // SCHEME'S OWN default port drops (RFC 3986 §6): http://h:443 is a
+    // distinct origin from http://h and must survive canonicalization.
     val hostRaw = s"lower(regexp_extract($urlCol, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
-    val host = s"regexp_replace($hostRaw, ':(80|443)$$', '')"
+    val host = s"""CASE WHEN $scheme = 'http'
+                  |       THEN regexp_replace($hostRaw, ':80$$', '')
+                  |     WHEN $scheme = 'https'
+                  |       THEN regexp_replace($hostRaw, ':443$$', '')
+                  |     ELSE $hostRaw END""".stripMargin
     val path = s"regexp_extract($urlCol, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
     val query = s"regexp_extract($urlCol, '\\\\?([^#]*)', 1)"
     val kept =

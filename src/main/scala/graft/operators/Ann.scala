@@ -213,16 +213,8 @@ object Ann {
     val base = df
       .select(col(idCol).as("nid"), Vectors.toDouble(col(vecCol)).as("x"))
       .withColumn("bkt", GraftFunctions.lshBucket(spark, col("x")))
-    // sequence(0, -1) DESCENDS in Spark, so probes = 0 needs its own
-    // branch rather than an empty transform
-    val probeExpr =
-      if (probes == 0) array(col("bkt"))
-      else expr(
-        s"""concat(array(bkt),
-           |  transform(sequence(0, ${probes - 1}),
-           |    p -> bkt ^ shiftleft(CAST(1 AS BIGINT), p)))""".stripMargin)
     val probed = base.select(col("nid").as("query_id"), col("x").as("xq"),
-      explode(probeExpr).as("probe_bkt"))
+      explode(probeBuckets("bkt", probes)).as("probe_bkt"))
     val pairs = base
       .join(probed,
         col("probe_bkt") === col("bkt") && col("query_id") =!= col("nid"))
@@ -230,6 +222,19 @@ object Ann {
         GraftFunctions.cosine(spark, col("xq"), col("x")).as("cos"))
     ranked(pairs, k)
   }
+
+  /** Home bucket + single-bit-flip probe buckets as ONE array column —
+    * the probe scheme shared by [[lshTopK]] and [[knnGraph]] (and
+    * mirrored by their oracles); keeping it in one place means a future
+    * probe-scheme change cannot desynchronize the two ANN surfaces.
+    * `sequence(0, -1)` DESCENDS in Spark, so probes = 0 takes its own
+    * branch rather than an empty transform. */
+  private def probeBuckets(bktCol: String, probes: Int): Column =
+    if (probes == 0) array(col(bktCol))
+    else expr(
+      s"""concat(array($bktCol),
+         |  transform(sequence(0, ${probes - 1}),
+         |    p -> $bktCol ^ shiftleft(CAST(1 AS BIGINT), p)))""".stripMargin)
 
   def lshTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, probes: Int = 0): DataFrame = {
@@ -240,12 +245,8 @@ object Ann {
         .withColumn(s"bkt_$id",
           GraftFunctions.lshBucket(df.sparkSession, col(s"x_$id")))
     val q0 = prep(queries, "query_id")
-    val q =
-      if (probes == 0) q0.withColumn("probe_bkt", col("bkt_query_id"))
-      else q0.withColumn("probe_bkt", explode(expr(
-        s"""concat(array(bkt_query_id),
-           |  transform(sequence(0, ${probes - 1}),
-           |    p -> bkt_query_id ^ shiftleft(CAST(1 AS BIGINT), p)))""".stripMargin)))
+    val q = q0.withColumn("probe_bkt",
+      explode(probeBuckets("bkt_query_id", probes)))
     val c = prep(candidates, "neighbor_id")
     val pairs = c.join(broadcast(q), col("probe_bkt") === col("bkt_neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

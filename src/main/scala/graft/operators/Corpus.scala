@@ -130,11 +130,18 @@ object Corpus {
     *
     * Scale: wmax is a 1-row aggregate attached by broadcast (sanctioned
     * scalar cross-join); the keep predicate is row-local in the scan
-    * stage. One pass, no shuffle of the data itself. */
+    * stage. One pass, no shuffle of the data itself.
+    *
+    * Rows with weight <= 0 (or NULL) are never kept, and wmax is the
+    * max over POSITIVE weights only. Without this clamp an all-negative
+    * weight column (a log-prob score, say) makes wmax negative and
+    * w/wmax INVERTS the gradient — the worst rows would be kept most
+    * often, silently. */
   def sampleWeighted(df: DataFrame, idCol: String,
       weightCol: String): DataFrame = {
-    val wmax = df.agg(max(col(weightCol).cast("double")).as("graft_wmax"))
-    df.crossJoin(broadcast(wmax))
+    val pos = df.where(col(weightCol).cast("double") > 0)
+    val wmax = pos.agg(max(col(weightCol).cast("double")).as("graft_wmax"))
+    pos.crossJoin(broadcast(wmax))
       .where(
         (conv(substring(md5(concat(lit("wsample:"),
             col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")

@@ -38,24 +38,36 @@ object Er {
     require(maxBlock > 1, "maxBlock must be > 1")
     val t = df.select(col(idCol).as("id") +: col(nameCol).as("nm") +:
       blockCols.map(col): _*)
-    val oversize = t.groupBy(blockCols.map(col): _*)
+    // The guard joins back on the BLOCK COLUMNS themselves (never a
+    // concat key: concat_ws both skips NULL slots and leaves separator
+    // chars in values ambiguous, so ('a/b','c') and ('a','b/c') would
+    // collide and fail a healthy block). NULL-keyed rows are excluded
+    // up front — a NULL block value equi-joins nothing in stage 2, so
+    // no quadratic stage exists for it and it must not trip the guard.
+    val nonNull = blockCols.map(col(_).isNotNull).reduce(_ && _)
+    val oversize = t.where(nonNull)
+      .groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("graft_bn"))
       .where(col("graft_bn") > maxBlock)
-      .select(concat_ws("/", blockCols.map(col): _*).as("graft_bk"),
-        col("graft_bn"))
-    val guarded = t.join(broadcast(oversize),
-        concat_ws("/", blockCols.map(col): _*) === col("graft_bk"), "left")
+      .select(blockCols.map(c => col(c).as(s"graft_g_$c")) :+
+        col("graft_bn"): _*)
+    val guardOn = blockCols.map(k => col(k) === col(s"graft_g_$k"))
+      .reduce(_ && _)
+    val guarded = t.join(broadcast(oversize), guardOn, "left")
       .select(col("id") +:
         when(col("graft_bn").isNotNull, expr(
-          "raise_error(concat('fuzzyMatchPairs: block ', graft_bk, " +
+          "raise_error(concat('fuzzyMatchPairs: block ', " +
+            s"concat_ws('/', ${blockCols.mkString(", ")}), " +
             "' exceeds maxBlock with ', CAST(graft_bn AS STRING), ' rows'))"))
           .otherwise(col("nm")).as("nm") +:
         blockCols.map(col): _*)
     val on = blockCols.map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     guarded.as("a").join(guarded.as("b"), on)
-      .where(levenshtein(col("a.nm"), col("b.nm")) <= maxDistance)
+      // compute the O(len²) edit distance ONCE per candidate pair —
+      // filtering on a recomputed copy would double the hot-stage CPU
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         levenshtein(col("a.nm"), col("b.nm")).as("distance"))
+      .where(col("distance") <= maxDistance)
   }
 }

@@ -23,15 +23,22 @@ import org.apache.spark.sql.functions._
   * re-read. State is one row per key — bytes, not data. */
 object IncrementalAgg {
   /** Per-key partial aggregates of `valueCol`: (keys…, n, sum_v
-    * DECIMAL(18,6), min_v, max_v). NULL values count toward no
-    * measure. */
+    * DECIMAL(38,6), min_v, max_v). NULL values count toward no
+    * measure.
+    *
+    * The stored sum is DECIMAL(38,6) — 32 integer digits — NOT the
+    * input's (18,6): this state lives forever and keeps growing, and a
+    * narrower cast would overflow to NULL silently under non-ANSI SQL
+    * once the lifetime sum passes 1e12, corrupting the state with no
+    * error (1e12 is a perfectly realistic lifetime byte/revenue total;
+    * 1e32 is not). */
   def partials(df: DataFrame, keyCols: Seq[String], valueCol: String)
       : DataFrame = {
     require(keyCols.nonEmpty, "partials: need at least one key column")
     df.where(col(valueCol).isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(18,6)")).cast("decimal(18,6)")
+        sum(col(valueCol).cast("decimal(18,6)")).cast("decimal(38,6)")
           .as("sum_v"),
         min(col(valueCol).cast("double")).as("min_v"),
         max(col(valueCol).cast("double")).as("max_v"))
@@ -44,7 +51,7 @@ object IncrementalAgg {
     parts.reduce(_.unionByName(_))
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("n")).cast("long").as("n"),
-        sum(col("sum_v")).cast("decimal(18,6)").as("sum_v"),
+        sum(col("sum_v")).cast("decimal(38,6)").as("sum_v"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
   }

@@ -90,5 +90,9 @@ class FunctionsSpec extends SparkSpec {
       Seq("http://host:8080/p?a=1&b=2"))
     assert(canon("http://host:80/p?utm_x=1") == Seq("http://host/p"))
     assert(canon("https://host/") == Seq("https://host/"))
+    // only the scheme's OWN default port drops (RFC 3986 §6):
+    // http://h:443 and https://h:80 are distinct origins, not defaults
+    assert(canon("http://host:443/p") == Seq("http://host:443/p"))
+    assert(canon("https://host:80/p") == Seq("https://host:80/p"))
   }
 }

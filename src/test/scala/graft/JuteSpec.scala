@@ -188,6 +188,31 @@ class JuteSpec extends SparkSpec {
     assert(rec.getMessage.contains("recursive"))
   }
 
+  test("$call expansion is hygienic: args never capture earlier params") {
+    // f(a, b) = a - b, called as f(1, a) where the OUTER $let binds
+    // a = 10: the second arg's `a` must read the $let binding (→ 1-10 =
+    // -9), not f's first parameter (an unhygienic expansion substitutes
+    // it, yielding 1-1 = 0)
+    val out2 = df.select(Jute.columns(
+      """$defs:
+        |  f:
+        |    $args: [a, b]
+        |    $body: "$ a - b"
+        |x:
+        |  $let:
+        |    a: "$ 10"
+        |  $body:
+        |    $call: f
+        |    $args: ["$ 1", "$ a"]
+        |""".stripMargin): _*)
+    assert(out2.select("x").head().getInt(0) == -9,
+      "arg `a` was captured by f's first parameter")
+    // reserved fresh-name prefix is rejected for user identifiers
+    val bad = intercept[IllegalArgumentException](Jute.column(
+      """{"$let": {"__graft_a0": "$ 1"}, "$body": "$ __graft_a0"}"""))
+    assert(bad.getMessage.contains("reserved"))
+  }
+
   test("lambda and function names must be identifiers (no SQL splicing)") {
     val bad = intercept[IllegalArgumentException](
       Jute.column("""{"$map": "$ split(name, ' ')", "$as": "x) + (1", "$body": "$ x"}"""))
