@@ -642,6 +642,18 @@ object QueriesCore {
           .as("max_v"),
         expr("exists(embedding, x -> x > 2.5)").as("has_big"))),
 
+    // recursive-CTE workload (org rollup / BOM explosion) without
+    // recursive SQL: pointer-DOUBLING closure over a parent forest
+    // (custkey -> custkey div 10), ⌈log₂ depth⌉ keyed self-joins
+    // instead of depth sequential passes; oracle = DuckDB's real
+    // WITH RECURSIVE over the same edges
+    "q_hierarchy" -> ((s, d) => {
+      val edges = customer(s, d).where(col("c_custkey") >= 10)
+        .select(col("c_custkey").as("node"),
+          expr("CAST(c_custkey DIV 10 AS BIGINT)").as("parent"))
+      graft.operators.Graph.hierarchyClosure(edges, "node", "parent")
+    }),
+
     // predicate-aggregate surface (count_if / bool_and / bool_or /
     // count distinct) — one two-phase aggregate, domain-bounded buffers
     "q_agg_predicates" -> ((s, d) =>
@@ -1257,6 +1269,19 @@ object QueriesCore {
         |    AS max_v,
         |  len(list_filter(embedding, x -> x > 2.5)) > 0 AS has_big
         |FROM embeddings""".stripMargin,
+
+    "q_hierarchy" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT node, node AS root, 0 AS depth FROM (
+        |    SELECT DISTINCT c_custkey // 10 AS node FROM customer
+        |    WHERE c_custkey >= 10
+        |    EXCEPT
+        |    SELECT c_custkey FROM customer WHERE c_custkey >= 10) roots
+        |  UNION ALL
+        |  SELECT c.c_custkey AS node, r.root, r.depth + 1
+        |  FROM customer c JOIN r ON c.c_custkey // 10 = r.node
+        |  WHERE c.c_custkey >= 10)
+        |SELECT node, root, CAST(depth AS INT) AS depth FROM r""".stripMargin,
 
     "q_agg_predicates" ->
       """SELECT event_type,

@@ -102,4 +102,30 @@ class ErGraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pageRank(ok, "a", "b", 3, damping = 1.0))
   }
+
+  test("hierarchyClosure: roots, depths, forests; cycles fail loudly") {
+    // forest: chain 1<-2<-3<-4<-5 plus a second tree 10<-11, 10<-12
+    val edges = Seq(
+      (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L),
+      (11L, 10L), (12L, 10L)
+    ).toDF("child", "parent")
+    val out = Graph.hierarchyClosure(edges, "child", "parent")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 0)), 2L -> ((1L, 1)), 3L -> ((1L, 2)),
+      4L -> ((1L, 3)), 5L -> ((1L, 4)),
+      10L -> ((10L, 0)), 11L -> ((10L, 1)), 12L -> ((10L, 1))))
+    // depth 16 chain converges in ~5 doubling rounds, well under the cap
+    val deep = (2L to 17L).map(i => (i, i - 1)).toDF("child", "parent")
+    val deepOut = Graph.hierarchyClosure(deep, "child", "parent")
+      .where(col("node") === 17L).head()
+    assert(deepOut.getLong(1) == 1L && deepOut.getInt(2) == 16)
+    // a cycle pointer-doubles into a STABLE self-pointer at nonzero
+    // distance (not non-convergence!) — the post-loop check must catch
+    // it rather than silently reporting cycle members as their own roots
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("child", "parent")
+    val err = intercept[IllegalArgumentException](
+      Graph.hierarchyClosure(cyc, "child", "parent", maxRounds = 5))
+    assert(err.getMessage.contains("cycle"))
+  }
 }
