@@ -48,20 +48,21 @@ object QueriesLlm {
     }),
 
     // pairwise near-dups -> clusters: min-label propagation (iterative
-    // key-partitioned joins) against a recursive-CTE DuckDB oracle
+    // key-partitioned joins) against a recursive-CTE DuckDB oracle.
+    // Gid-level end-to-end: CC runs over one representative per
+    // distinct text, membership expands once at the end — duplicate
+    // multiplicity never reaches the iterative rounds
     "dedup_clusters" -> ((s, d) =>
-      Dedup.duplicateClusters(
-        Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 12),
-        "doc_a", "doc_b")),
+      Dedup.simhashClusters(documents(s, d), "doc_id", "text",
+        maxHamming = 12)),
 
     // dedup MATERIALIZATION: pairs → clusters → kept corpus (cluster
     // canonicals + never-paired docs) — the step that actually shrinks
     // the training set, applied end-to-end through the gate
     "dedup_keep" -> ((s, d) => {
       val docs = documents(s, d)
-      val clusters = Dedup.duplicateClusters(
-        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12),
-        "doc_a", "doc_b")
+      val clusters = Dedup.simhashClusters(docs, "doc_id", "text",
+        maxHamming = 12)
       Dedup.keepCanonical(docs, "doc_id", clusters)
         .select("doc_id", "lang")
     }),
@@ -72,10 +73,10 @@ object QueriesLlm {
     // sibling of dedup_keep's simhash pipeline.
     "dedup_embed_keep" -> ((s, d) => {
       val e = embeddings(s, d)
-      val clusters = Dedup.duplicateClusters(
-        Dedup.embeddingPairs(e, "vec_id", "embedding", minCosine = 0.3,
-          bands = 4, bandBits = 8),
-        "id_a", "id_b")
+      // gid-level CC (one rep per distinct vector value, membership
+      // joined once post-clustering) — no member-expanded pair stream
+      val clusters = Dedup.embeddingClusters(e, "vec_id", "embedding",
+        minCosine = 0.3, bands = 4, bandBits = 8)
       Dedup.keepCanonical(e, "vec_id", clusters)
         .select(col("vec_id"), col("label"))
     }),

@@ -20,7 +20,9 @@ import graft.plans.GraftFunctions
   *    carries only 16-byte id pairs; signatures re-attach afterwards by
   *    key join.
   *  - SimHash: 64-bit sketch per doc; banding on 4×15-bit chunks makes
-  *    the candidate join key-equality too.
+  *    the candidate join key-equality too, and (like minhash) bands run
+  *    over one representative per distinct text — duplicate multiplicity
+  *    never reaches a band bucket.
   *  - N-gram Jaccard: inverted-index join (explode n-grams → join on the
   *    gram), so cost is Σ posting-list², not N². The pair stream is
   *    generated through a shuffled hash join (posting lists are narrow
@@ -58,31 +60,84 @@ object Dedup {
       shingleK: Int = 3, perms: Int = 16, bands: Int = 4,
       minMatches: Int = 4): DataFrame = {
     val st = minhashStages(df, idCol, textCol, shingleK, perms, bands)
-    val (members, sigsAll, reps, cand) =
-      (st.members, st.sigs, st.reps, st.candidates)
-    val sigOf = reps.select(col("gid"), col("sig"))
-    val repPairs = cand
-      .join(sigOf.as("sa"), col("gid_a") === col("sa.gid"))
-      .join(sigOf.as("sb"), col("gid_b") === col("sb.gid"))
-      .withColumn("m", Hashes.sigMatches("sa.sig", "sb.sig"))
-      .where(col("m") >= minMatches)
-      .select(col("gid_a"), col("gid_b"),
-        expr(s"CAST(ROUND(m / $perms.0, 4) AS DOUBLE)").as("est_jaccard"))
+    val repPairs = minhashGidPairsFrom(st, perms, minMatches)
     // expand representatives back to member ids
     val cross = repPairs
-      .join(members.as("ma"), col("gid_a") === col("ma.gid"))
-      .join(members.as("mb"), col("gid_b") === col("mb.gid"))
+      .join(st.members.as("ma"), col("gid_a") === col("ma.gid"))
+      .join(st.members.as("mb"), col("gid_b") === col("mb.gid"))
       .select(least(col("ma.id"), col("mb.id")).as("doc_a"),
         greatest(col("ma.id"), col("mb.id")).as("doc_b"), col("est_jaccard"))
     // exact duplicates: every within-group pair, est = 1.0 (sketchable
     // groups only — texts with >= shingleK tokens, mirroring the sketch)
-    val sketchable = sigsAll.select(col("id"), col("gid"))
+    val sketchable = st.sigs.select(col("id"), col("gid"))
     val intra = sketchable.as("x")
       .join(sketchable.as("y"),
         col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         lit(1.0).as("est_jaccard"))
     cross.unionByName(intra)
+  }
+
+  /** Gid-level MinHash near-dup pairs: one row per pair of DISTINCT
+    * texts — (gid_a, gid_b, est_jaccard) with gid = md5(text) — plus
+    * no expansion at all. Pair-consuming pipelines that only need
+    * clusters (pairs → CC → keep) should consume THIS together with
+    * [[minhashMembership]] and expand once after clustering:
+    * member-level pairs are intra-group N²/2 and cross-group Na×Nb
+    * rows, which at web-crawl duplicate multiplicities (10⁵-10⁶×) is
+    * the quadratic [[minhashPairs]]' expansion contract re-introduces.
+    * Use [[minhashClusters]] for the full gid-level pipeline. */
+  def minhashPairsByGroup(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, perms: Int = 16, bands: Int = 4,
+      minMatches: Int = 4): DataFrame =
+    minhashGidPairsFrom(
+      minhashStages(df, idCol, textCol, shingleK, perms, bands),
+      perms, minMatches)
+      .select("gid_a", "gid_b", "est_jaccard")
+
+  /** The (doc id → text-group id) membership map paired with
+    * [[minhashPairsByGroup]] — row-local, no text bytes shuffled. */
+  def minhashMembership(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), md5(col(textCol)).as("gid"))
+
+  /** (gid_a, gid_b, rid_a, rid_b, est_jaccard) rep-level pairs from
+    * staged internals: signatures re-attach by key join (they are
+    * ~512-byte arrays — too wide to ride the candidate distinct). */
+  private def minhashGidPairsFrom(st: MinhashStages, perms: Int,
+      minMatches: Int): DataFrame = {
+    val sigOf = st.reps.select(col("gid"), col("sig"))
+    st.candidates
+      .join(sigOf.as("sa"), col("gid_a") === col("sa.gid"))
+      .join(sigOf.as("sb"), col("gid_b") === col("sb.gid"))
+      .withColumn("m", Hashes.sigMatches("sa.sig", "sb.sig"))
+      .where(col("m") >= minMatches)
+      .select(col("gid_a"), col("gid_b"), col("rid_a"), col("rid_b"),
+        expr(s"CAST(ROUND(m / $perms.0, 4) AS DOUBLE)").as("est_jaccard"))
+  }
+
+  /** MinHash duplicate clusters WITHOUT member expansion: connected
+    * components over one representative node per distinct text (cross
+    * pairs + one self-edge per multi-member sketchable gid — exact
+    * duplicates always qualify, their signatures agree on all perms),
+    * membership joined back exactly once. Identical output to
+    * `duplicateClusters(minhashPairs(...))`. */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, perms: Int = 16, bands: Int = 4,
+      minMatches: Int = 4): DataFrame = {
+    require(minMatches <= perms, "minMatches must be <= perms")
+    val st = minhashStages(df, idCol, textCol, shingleK, perms, bands)
+    val cross = minhashGidPairsFrom(st, perms, minMatches)
+      .select(col("rid_a").as("a"), col("rid_b").as("b"))
+    val self = st.sigs.groupBy("gid").agg(min(col("id")).as("rid"),
+        count(lit(1)).as("n_members"))
+      .where(col("n_members") > 1)
+      .select(col("rid").as("a"), col("rid").as("b"))
+    val repClusters = duplicateClusters(cross.unionByName(self), "a", "b")
+    st.sigs.select(col("id"), col("gid"))
+      .join(st.reps.select(col("gid"), col("rid")), "gid")
+      .join(repClusters, col("rid") === repClusters("doc_id"))
+      .select(col("id").as("doc_id"), col("cluster_id"))
   }
 
   /** Incremental (delta) near-dup: candidate pairs between a FRESH
@@ -153,12 +208,13 @@ object Dedup {
     val banded = reps.select(col("gid"), col("rid"), col("sig"),
       posexplode(Hashes.lshBands("sig", bands, rows)).as(Seq("b", "bh")))
     // candidate pairs: key-equality band join; distinct over ids only —
-    // the shuffle carries (gid, gid) pairs, not kilobyte signature rows
+    // the shuffle carries (gid, rid) pairs, not kilobyte signature rows
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
           col("a.rid") < col("b.rid"))
-      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
+        col("a.rid").as("rid_a"), col("b.rid").as("rid_b"))
       .distinct()
     MinhashStages(members, sigsAll, reps, cand)
   }
@@ -175,23 +231,104 @@ object Dedup {
         Hashes.simhashBand("simhash", 2).as("b2"),
         Hashes.simhashBand("simhash", 3).as("b3"))
 
-  /** SimHash near-dup pairs: share >=1 of 4 bands AND hamming <= maxHamming. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 12): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-        .as(Seq("b", "bv")))
-    banded.as("a")
+  /** The staged internals of the simhash family — the [[minhashStages]]
+    * discipline applied to the 64-bit sketch path: exact duplicates
+    * collapse to one representative per distinct text (`gid =
+    * md5(text)`) BEFORE banding, so a text duplicated N times (web
+    * boilerplate at 10⁵-10⁶×) contributes ONE row per band bucket and
+    * the candidate join stays linear in DISTINCT texts, never N²/2 in
+    * duplicate multiplicity. Identical texts have identical token
+    * streams, hence identical simhashes, so collapsing loses nothing.
+    * Exposed to specs for intermediate-cardinality bounds. */
+  private[graft] final case class SimhashStages(
+      members: DataFrame, // (id, gid) per sketchable doc — the membership map
+      reps: DataFrame,    // (gid, rid = min member id, simhash, n_members)
+      gidPairs: DataFrame // (gid_a, gid_b, rid_a, rid_b, hamming) cross-gid
+  )
+
+  private[graft] def simhashStages(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int): SimhashStages = {
+    val spark = df.sparkSession
+    val sigs = df
+      .select(col(idCol).as("id"), md5(col(textCol)).as("gid"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("id"), col("gid"),
+        GraftFunctions.simhash64(spark, col("w")).as("simhash"))
+    val members = sigs.select(col("id"), col("gid"))
+    // first(simhash) is deterministic: all sketches in a gid are equal
+    val reps = sigs.groupBy("gid")
+      .agg(min(col("id")).as("rid"), first(col("simhash")).as("simhash"),
+        count(lit(1)).as("n_members"))
+    val banded = reps.select(col("gid"), col("rid"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        Hashes.simhashBand("simhash", b)): _*)).as(Seq("b", "bv")))
+    // candidate join is key-equality on (band, value) over REPRESENTATIVES;
+    // the 8-byte simhash rides through the distinct (cheaper than two
+    // re-attach joins — contrast the ~512-byte minhash signatures, which
+    // re-join instead)
+    val gidPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.rid") < col("b.rid"))
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
+        col("a.rid").as("rid_a"), col("b.rid").as("rid_b"),
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
       .distinct()
       .withColumn("hamming", Hashes.hamming("sim_a", "sim_b").cast("int"))
       .where(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("gid_a", "gid_b", "rid_a", "rid_b", "hamming")
+    SimhashStages(members, reps, gidPairs)
+  }
+
+  /** SimHash near-dup pairs: share >=1 of 4 bands AND hamming <=
+    * maxHamming. Candidate generation is rep-collapsed per distinct
+    * text ([[simhashStages]]); the output contract re-expands to all
+    * member-id pairs — intra-group pairs (exact duplicates, hamming 0
+    * by construction) plus cross-group pairs inheriting their
+    * representatives' hamming. The expansion is inherently O(members²)
+    * per duplicate group: it is the documented small-multiplicity API.
+    * Cluster-level consumers should stay on gids via
+    * [[simhashClusters]], which expands exactly once at the end. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 12): DataFrame = {
+    val st = simhashStages(df, idCol, textCol, maxHamming)
+    val cross = st.gidPairs
+      .join(st.members.as("ma"), col("gid_a") === col("ma.gid"))
+      .join(st.members.as("mb"), col("gid_b") === col("mb.gid"))
+      .select(least(col("ma.id"), col("mb.id")).as("doc_a"),
+        greatest(col("ma.id"), col("mb.id")).as("doc_b"), col("hamming"))
+    val intra = st.members.as("x")
+      .join(st.members.as("y"),
+        col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(intra)
+  }
+
+  /** Duplicate clusters from the simhash pair graph WITHOUT member
+    * expansion: connected components run over representative ids (one
+    * node per distinct text — cross-gid candidate pairs plus one
+    * self-edge per multi-member gid), and doc-level membership joins
+    * back exactly ONCE at the end. Identical output to
+    * `duplicateClusters(simhashPairs(...))` — the component structure
+    * over docs is the gid-component structure expanded, and the
+    * cluster label (min member id) equals the min representative id —
+    * but a text duplicated N times costs N rows only in the final
+    * join, never in the iterative CC rounds. */
+  def simhashClusters(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 12): DataFrame = {
+    val st = simhashStages(df, idCol, textCol, maxHamming)
+    val cross = st.gidPairs.select(col("rid_a").as("a"), col("rid_b").as("b"))
+    // multi-member gids must enter the node set even with no cross-gid
+    // pair: their members pair with each other (hamming 0)
+    val self = st.reps.where(col("n_members") > 1)
+      .select(col("rid").as("a"), col("rid").as("b"))
+    val repClusters = duplicateClusters(cross.unionByName(self), "a", "b")
+    st.members
+      .join(st.reps.select(col("gid"), col("rid")), "gid")
+      .join(repClusters, col("rid") === repClusters("doc_id"))
+      .select(col("id").as("doc_id"), col("cluster_id"))
   }
 
   /** Exact n-gram Jaccard via AllPairs/PPJoin prefix filtering: order
@@ -367,31 +504,118 @@ object Dedup {
     * per band) to keep bucket occupancy bounded. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, bands: Int = 4, bandBits: Int = 8): DataFrame = {
+    val st = embeddingStages(df, idCol, vecCol, minCosine, bands, bandBits)
+    val cross = st.gidPairs
+      .join(st.members.as("ma"), col("gid_a") === col("ma.gid"))
+      .join(st.members.as("mb"), col("gid_b") === col("mb.gid"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"), col("cos"))
+    // exact-duplicate vectors: every within-group pair; cos is the
+    // rep's self-cosine (identical member vectors → identical value,
+    // and sqrt(s)·sqrt(s) ≠ s in IEEE, so it is computed, not lit(1.0))
+    val selfCos = st.reps.where(col("n_members") > 1)
+      .withColumn("cos",
+        GraftFunctions.cosine(df.sparkSession, col("x"), col("x")))
+      .where(col("cos") >= minCosine) // guards the zero vector (NaN cos)
+      .select(col("gid"), col("cos"))
+    val intra = selfCos
+      .join(st.members.as("x"), "gid")
+      .join(st.members.as("y"),
+        col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cos"))
+    cross.unionByName(intra)
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(ROUND(cos, 4) AS DOUBLE)").as("cos_sim"))
+  }
+
+  /** The staged internals of the embedding-LSH family: exact-duplicate
+    * VECTORS collapse to one representative per distinct value (gid =
+    * md5 of the canonical decimal rendering — 128-bit, no birthday
+    * collisions at corpus scale) before banding, the [[simhashStages]]
+    * discipline on the vector side. */
+  private[graft] final case class EmbedStages(
+      members: DataFrame, // (id, gid) — membership map
+      reps: DataFrame,    // (gid, rid, x, n_members)
+      gidPairs: DataFrame // (gid_a, gid_b, rid_a, rid_b, cos >= minCosine)
+  )
+
+  private[graft] def embeddingStages(df: DataFrame, idCol: String,
+      vecCol: String, minCosine: Double, bands: Int,
+      bandBits: Int): EmbedStages = {
     val spark = df.sparkSession
     val planes = bands * bandBits
     require(planes <= 63, s"bands*bandBits must fit a long, got $planes")
-    val v = df.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("x"))
+    val v = df
+      .select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("x"))
+      .withColumn("gid",
+        md5(concat_ws(",", expr("transform(x, d -> CAST(d AS STRING))"))))
+    val members = v.select(col("id"), col("gid"))
+    val reps = v.groupBy("gid").agg(min(col("id")).as("rid"),
+      first(col("x")).as("x"), count(lit(1)).as("n_members"))
     val mask = (1L << bandBits) - 1
-    val banded = v
+    val banded = reps
       .withColumn("bkt", GraftFunctions.lshBucket(spark, col("x"), planes))
-      .select(col("id"),
+      .select(col("gid"), col("rid"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("bkt"), b * bandBits).bitwiseAND(lit(mask))): _*))
           .as(Seq("b", "bv")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          col("a.rid") < col("b.rid"))
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
+        col("a.rid").as("rid_a"), col("b.rid").as("rid_b"))
       .distinct()
-    cand
-      .join(v.as("va"), col("id_a") === col("va.id"))
-      .join(v.as("vb"), col("id_b") === col("vb.id"))
-      .select(col("id_a"), col("id_b"),
+    val vg = reps.select(col("gid"), col("x"))
+    val gidPairs = cand
+      .join(vg.as("va"), col("gid_a") === col("va.gid"))
+      .join(vg.as("vb"), col("gid_b") === col("vb.gid"))
+      .select(col("gid_a"), col("gid_b"), col("rid_a"), col("rid_b"),
         GraftFunctions.cosine(spark, col("va.x"), col("vb.x")).as("cos"))
       .where(col("cos") >= minCosine)
-      .select(col("id_a"), col("id_b"),
+    EmbedStages(members, reps, gidPairs)
+  }
+
+  /** Gid-level embedding near-dup pairs — the no-expansion contract
+    * ([[minhashPairsByGroup]]'s sibling): (gid_a, gid_b, cos_sim) per
+    * pair of distinct vector VALUES. Pair with [[embeddingMembership]]
+    * or go straight to [[embeddingClusters]]. */
+  def embeddingPairsByGroup(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bands: Int = 4, bandBits: Int = 8): DataFrame =
+    embeddingStages(df, idCol, vecCol, minCosine, bands, bandBits).gidPairs
+      .select(col("gid_a"), col("gid_b"),
         expr("CAST(ROUND(cos, 4) AS DOUBLE)").as("cos_sim"))
+
+  /** The (id → vector-value group id) membership map for
+    * [[embeddingPairsByGroup]] — row-local. */
+  def embeddingMembership(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        Vectors.toDouble(col(vecCol)).as("x"))
+      .select(col("id"),
+        md5(concat_ws(",", expr("transform(x, d -> CAST(d AS STRING))")))
+          .as("gid"))
+
+  /** Embedding (SemDeDup-style) duplicate clusters WITHOUT member
+    * expansion: CC over representative ids of distinct vector values,
+    * one membership join at the end. Identical output to
+    * `duplicateClusters(embeddingPairs(...))`. */
+  def embeddingClusters(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bands: Int = 4, bandBits: Int = 8): DataFrame = {
+    val st = embeddingStages(df, idCol, vecCol, minCosine, bands, bandBits)
+    val cross = st.gidPairs.select(col("rid_a").as("a"), col("rid_b").as("b"))
+    // duplicated vectors pair with themselves iff their self-cosine
+    // clears the threshold (it always does except the NaN zero vector,
+    // which the expanded form also drops)
+    val self = st.reps.where(col("n_members") > 1)
+      .where(GraftFunctions.cosine(df.sparkSession, col("x"), col("x"))
+        >= minCosine)
+      .select(col("rid").as("a"), col("rid").as("b"))
+    val repClusters = duplicateClusters(cross.unionByName(self), "a", "b")
+    st.members
+      .join(st.reps.select(col("gid"), col("rid")), "gid")
+      .join(repClusters, col("rid") === repClusters("doc_id"))
+      .select(col("id").as("doc_id"), col("cluster_id"))
   }
 
   /** Connected components over a near-duplicate pair stream: every doc

@@ -240,4 +240,68 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 5L, 7L))
   }
+
+  test("simhash hot bucket: banding is rep-collapsed under 100x duplication") {
+    // a text duplicated N times contributes ONE row per band bucket —
+    // candidate pairs stay bounded by distinct texts, never N²/2
+    val n = 100
+    val rows = (0 until n).flatMap(i => Seq(
+      (i * 2 + 0L, "mass duplicated boilerplate text block shared across the crawl"),
+      (i * 2 + 1L, "the quick brown fox jumps over the lazy dog today"))) :+
+      ((9999L, "one unique little document unlike any other in this corpus"))
+    val df = rows.toDF("doc_id", "text")
+    val st = Dedup.simhashStages(df, "doc_id", "text", maxHamming = 12)
+    assert(st.reps.count() == 3)    // one rep per distinct text
+    assert(st.gidPairs.count() <= 3) // bounded by distinct-text pairs
+    // the expanded contract still reports every exact-dup pair
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 12)
+    assert(pairs.where("hamming = 0").count() >= 2L * n * (n - 1) / 2)
+  }
+
+  test("gid-level clusters equal member-expanded clusters (simhash/minhash/embedding)") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, sf0001)
+    // simhash: gid-level CC + one membership join == doc-level CC
+    val simExpanded = Dedup.duplicateClusters(
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12),
+      "doc_a", "doc_b")
+    assert(norm(Dedup.simhashClusters(docs, "doc_id", "text", maxHamming = 12))
+      == norm(simExpanded))
+    // minhash
+    val mhExpanded = Dedup.duplicateClusters(
+      Dedup.minhashPairs(docs, "doc_id", "text"), "doc_a", "doc_b")
+    assert(norm(Dedup.minhashClusters(docs, "doc_id", "text"))
+      == norm(mhExpanded))
+    // embedding (with planted exact-duplicate vectors)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.05f)), (5L, Array(0.0f, 1.0f)),
+      (9L, Array(0.0f, 1.0f)), (7L, Array(-1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val emExpanded = Dedup.duplicateClusters(
+      Dedup.embeddingPairs(vecs, "vec_id", "embedding", minCosine = 0.9),
+      "id_a", "id_b")
+    assert(norm(Dedup.embeddingClusters(vecs, "vec_id", "embedding",
+      minCosine = 0.9)) == norm(emExpanded))
+  }
+
+  test("embedding stages rep-collapse duplicated vectors before banding") {
+    val n = 100
+    val dupVec = Array(0.5f, 1.0f, -0.25f)
+    val rows = (0L until n.toLong).map(i => (i, dupVec)) :+
+      ((999L, Array(1.0f, 0.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val st = Dedup.embeddingStages(df, "vec_id", "embedding",
+      minCosine = 0.3, bands = 4, bandBits = 8)
+    assert(st.reps.count() == 2)   // one rep per distinct vector VALUE
+    // gid pairs carry no member expansion: at most 1 cross pair here
+    assert(st.gidPairs.count() <= 1)
+    // while the expanded API still reports all N²/2 exact-dup pairs
+    assert(Dedup.embeddingPairs(df, "vec_id", "embedding", 0.99)
+      .where("cos_sim >= 0.999").count() == n.toLong * (n - 1) / 2)
+    // and gid-level pairs API agrees with membership expansion
+    val gidPairs = Dedup.embeddingPairsByGroup(df, "vec_id", "embedding", 0.3)
+    assert(gidPairs.count() == st.gidPairs.count())
+  }
 }
