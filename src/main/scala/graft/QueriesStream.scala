@@ -99,6 +99,10 @@ object QueriesStream {
     // how rows were split across batches
     "stream_upsert" -> ((s, d) => {
       val root = s"/tmp/graft_rt/upsert_${d.replace('/', '_')}"
+      // the bucketed target merges into what exists — start from a
+      // clean slate so a previous run's state can't leak in
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$root/target"))
       Tables.events(s, d).repartition(4)
         .write.mode("overwrite").parquet(s"$root/stage")
       val schema = s.read.parquet(s"$root/stage").schema

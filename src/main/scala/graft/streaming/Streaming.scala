@@ -293,6 +293,58 @@ object Streaming {
 
   // ---- streaming upsert materialization ----------------------------------
 
+  /** The partition column every upsert target is bucketed by. */
+  private[graft] val UpsertBucketCol = "graft_kb"
+
+  /** MERGE one batch into a key-bucketed parquet target, rewriting ONLY
+    * the buckets the batch touches.
+    *
+    * The target is partitioned by `graft_kb = pmod(xxhash64(keys), n)`;
+    * a batch (a) computes its touched bucket set (≤ nBuckets ints to
+    * the driver — never key values), (b) reads back just those buckets
+    * (partition pruning: untouched buckets contribute zero input
+    * splits), (c) re-compacts state ∪ batch per key
+    * ([[graft.operators.Changelog.latestByKey]] — one window,
+    * WindowGroupLimit), and (d) dynamic-partition-overwrites only the
+    * touched bucket directories ([[graft.sinks.PartitionOverwriteSink]]
+    * — the same machinery as the etl_partition_overwrite daily
+    * recompute). Untouched bucket files are not read, not rewritten,
+    * not even listed by the write — per-batch cost is
+    * O(|touched-bucket state| + |batch|), not O(|state|). Size
+    * nBuckets so one bucket ≈ a few HDFS blocks: 100 TB of state at
+    * nBuckets = 2¹⁴ puts ~6 GB behind each bucket, so a batch touching
+    * 1% of keys rewrites ~1% of the table.
+    *
+    * Durability: dynamic partition overwrite commits per partition via
+    * the Hadoop committer (task temp dirs + rename), the
+    * plain-filesystem analogue of MERGE INTO; on a production lake
+    * this sink becomes a transactional table format commit and the
+    * bucketing column becomes its clustering key. */
+  private[graft] def upsertBatch(spark: SparkSession, batch: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String], targetRoot: String,
+      nBuckets: Int = 16): Unit = {
+    import graft.operators.Changelog
+    val kb = pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets))
+    val withKb = batch.withColumn(UpsertBucketCol, kb)
+    val touched = withKb.select(UpsertBucketCol).distinct()
+      .collect().map(_.getLong(0)) // bounded by nBuckets, never key data
+    val fs = new org.apache.hadoop.fs.Path(targetRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev =
+      if (fs.exists(new org.apache.hadoop.fs.Path(targetRoot)))
+        Some(spark.read.parquet(targetRoot)
+          .where(col(UpsertBucketCol).isin(touched: _*))
+          // partition col reads back as INT; restore the LONG the
+          // batch side computes so unionByName keeps one type
+          .withColumn(UpsertBucketCol, col(UpsertBucketCol).cast("long"))
+          .select(withKb.columns.map(col): _*))
+      else None
+    val all = prev.map(_.unionByName(withKb)).getOrElse(withKb)
+    val merged = Changelog.latestByKey(all, keyCols, orderCols.map(col(_).desc))
+    graft.sinks.PartitionOverwriteSink(targetRoot, Seq(UpsertBucketCol))
+      .write(merged)
+  }
+
   /** Streaming upsert: every micro-batch MERGEs into a keyed parquet
     * target via foreachBatch — after the stream drains, the target
     * holds exactly the latest record per key across all batches
@@ -300,58 +352,33 @@ object Streaming {
     * is associative (max-by-ordering), so the result is independent of
     * how rows split into micro-batches.
     *
-    * The target is versioned (`target/v<n>`): each batch writes
-    * compact(previous version ∪ batch) to the next version directory —
-    * the plain-filesystem analogue of a transactional table format's
-    * MERGE INTO (which is where this would land on a production lake;
-    * parquet dirs can't be atomically replaced in place, versions can).
-    * Returns the final compacted state. Batch cost is
-    * O(|state| + |batch|) — at scale you'd partition the target by a
-    * key prefix and rewrite only touched partitions; the per-batch
-    * compaction plan (one window, WindowGroupLimit) is that same plan
-    * per partition.
-    *
-    * Superseded version directories are pruned after each successful
-    * write (v_{n} and v_{n-1} are kept: the previous version is the
-    * rollback point if the job dies mid-write of the next one), so disk
-    * holds at most two state copies, not one per batch. An empty stream
-    * yields an empty DataFrame of the stream's schema — no target
-    * directory is created, and no error.
+    * State maintenance is PARTITION-PRUNED ([[upsertBatch]]): the
+    * target is bucketed by a key hash and each batch rewrites only the
+    * buckets it touches — per-batch cost scales with the batch's key
+    * locality, not the accumulated state size. An empty stream yields
+    * an empty DataFrame of the stream's schema — no target directory
+    * is created, and no error.
     */
   def upsertStream(spark: SparkSession, stream: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String],
-      targetRoot: String): DataFrame = {
-    import graft.operators.Changelog
-    val ordering = orderCols.map(c => col(c).desc)
-    var version = -1L
+      targetRoot: String, nBuckets: Int = 16): DataFrame = {
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) {
-          val prev =
-            if (version < 0) None
-            else Some(spark.read.parquet(s"$targetRoot/v$version"))
-          val all = prev.map(_.unionByName(batch.toDF())).getOrElse(batch.toDF())
-          Changelog.latestByKey(all, keyCols, ordering)
-            .write.mode("overwrite").parquet(s"$targetRoot/v${version + 1}")
-          version += 1
-          // prune superseded state copies: keep v_n (current) and
-          // v_{n-1} (rollback point while v_{n+1} is mid-write)
-          if (version >= 2) {
-            val stale = new java.io.File(s"$targetRoot/v${version - 2}")
-            if (stale.isDirectory) {
-              stale.listFiles().foreach(_.delete())
-              stale.delete()
-            }
-          }
-        }
+        if (!batch.isEmpty)
+          upsertBatch(spark, batch.toDF(), keyCols, orderCols, targetRoot,
+            nBuckets)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    if (version < 0) // empty stream: empty state, not an error
+    val fs = new org.apache.hadoop.fs.Path(targetRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(targetRoot)))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
-    else spark.read.parquet(s"$targetRoot/v$version")
+    else
+      spark.read.parquet(targetRoot)
+        .drop(UpsertBucketCol)
   }
 }

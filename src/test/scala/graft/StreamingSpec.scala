@@ -183,28 +183,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("upsertStream prunes superseded versions, keeps a rollback point") {
-    val dir = Files.createTempDirectory("graft-upsert-prune").toString
-    val changelog = Seq(
-      ("a", ts(0), 1L, 1.0), ("a", ts(10), 2L, 2.0), ("b", ts(3), 3L, 3.0),
-      ("c", ts(4), 4L, 4.0)
-    ).toDF("k", "ts", "id", "v")
-    changelog.repartition(4).write.mode("overwrite").parquet(s"$dir/stage")
-    val stream = spark.readStream.schema(changelog.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$dir/stage")
-    Streaming.upsertStream(spark, stream,
-      Seq("k"), Seq("ts", "id"), s"$dir/target")
-    val versions = new java.io.File(s"$dir/target").listFiles()
-      .filter(_.getName.startsWith("v")).map(_.getName).sorted.toSeq
-    // several non-empty micro-batches ran (file count after repartition
-    // may be < 4 if a partition came up empty); whatever was written,
-    // only the final state and its rollback predecessor survive
-    assert(versions.length == 2, versions.toString)
-    val top = versions.map(_.stripPrefix("v").toInt).max
-    assert(versions.toSet == Set(s"v${top - 1}", s"v$top"))
-    val state = spark.read.parquet(s"$dir/target/v$top")
+  test("upsertBatch rewrites only touched buckets; others survive byte-identically") {
+    val dir = Files.createTempDirectory("graft-upsert-buckets").toString
+    val target = s"$dir/target"
+    // seed state across many buckets
+    val b1 = (0L until 64L).map(i => (s"k$i", ts(0), i, i.toDouble))
+      .toDF("k", "ts", "id", "v")
+    Streaming.upsertBatch(spark, b1, Seq("k"), Seq("ts", "id"), target,
+      nBuckets = 16)
+    def snapshot(): Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(target)
+      val it = java.nio.file.Files.walk(root).iterator()
+      val m = scala.collection.mutable.Map[String, (Long, Long)]()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.toString.endsWith(".parquet")) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          m(root.relativize(p).toString) =
+            (bytes.length.toLong, java.util.Arrays.hashCode(bytes).toLong)
+        }
+      }
+      m.toMap
+    }
+    val before = snapshot()
+    assert(before.nonEmpty)
+    // one-key batch → exactly one touched bucket
+    val touched = spark.range(1)
+      .select(pmod(xxhash64(lit("k3")), lit(16))).head().getLong(0)
+    val b2 = Seq(("k3", ts(10), 999L, 9.0)).toDF("k", "ts", "id", "v")
+    Streaming.upsertBatch(spark, b2, Seq("k"), Seq("ts", "id"), target,
+      nBuckets = 16)
+    val after = snapshot()
+    // every file outside the touched bucket dir survives byte-identical
+    val untouchedBefore = before.filter(!_._1.contains(s"graft_kb=$touched"))
+    val untouchedAfter = after.filter(!_._1.contains(s"graft_kb=$touched"))
+    assert(untouchedBefore == untouchedAfter)
+    // the touched bucket WAS rewritten
+    assert(before.filter(_._1.contains(s"graft_kb=$touched")) !=
+      after.filter(_._1.contains(s"graft_kb=$touched")))
+    // and the merged state is correct
+    val state = spark.read.parquet(target)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
-    assert(state == Set(("a", 2L, 2.0), ("b", 3L, 3.0), ("c", 4L, 4.0)))
+    assert(state.contains(("k3", 999L, 9.0)))
+    assert(state.size == 64)
   }
 
   test("upsertStream over an empty stream yields empty state, not an error") {
