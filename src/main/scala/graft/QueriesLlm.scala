@@ -103,6 +103,19 @@ object QueriesLlm {
         .select(col("node").as("doc_id"), col("pr_nano"), col("pr"))
     }),
 
+    // PageRank on a DIRECTED graph with true sinks (customer →
+    // order: order nodes have no out-edges), exercising the
+    // dangling-mass redistribution: each iteration the sinks' total
+    // rank respreads uniformly, so rank is conserved instead of
+    // leaking — the crawl/citation-graph shape. Order node ids are
+    // offset into a disjoint range so key spaces can't collide.
+    "graph_pagerank_sinks" -> ((s, d) =>
+      graft.operators.Graph.pageRank(
+        orders(s, d).select(col("o_custkey").as("src"),
+          (col("o_orderkey") + 10000000L).as("dst")),
+        "src", "dst", iterations = 3, damping = 0.85)
+        .select(col("node"), col("pr_nano"), col("pr"))),
+
     // triangle count + clustering coefficient per node on the same
     // near-dup pair graph — degree-oriented wedge join (O(m^1.5) under
     // any skew), cluster-tightness QA for the dedup keep-rule

@@ -32,11 +32,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
   /** `edges`: directed (src, dst) pairs, pre-deduplicated; pass both
-    * directions for an undirected graph. Nodes = distinct sources
-    * (every node of an undirected graph is a source; a directed sink
-    * with no out-edges is out of scope for this variant — add
-    * self-loops or pass the node list through `edges` to include it).
-    * Returns (node, pr_nano BIGINT, pr DOUBLE = pr_nano / 1e9). */
+    * directions for an undirected graph. Nodes = distinct src ∪ dst —
+    * sinks (nodes with no out-edges) are first-class: each iteration
+    * their total mass redistributes uniformly over all nodes (the
+    * standard dangling-node formulation), so rank is conserved up to
+    * rounding and a sink-heavy graph (every crawl/citation graph) gets
+    * correct ranks instead of leaking mass. The dangling sum is an
+    * exact integer aggregate that rides the iteration's plan as a
+    * broadcast scalar — no extra driver action per round; the per-node
+    * share rounds once to an integer (`ds`), identically in any
+    * engine. On a symmetric graph every node has out-edges, the
+    * dangling sum is 0 and this reduces exactly to the non-dangling
+    * update. Returns (node, pr_nano BIGINT, pr DOUBLE = pr_nano/1e9). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
@@ -50,7 +57,9 @@ object Graph {
       .localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
-    val nodes = deg.select(col("src").as("node")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     var pr = nodes.withColumn("pr_n",
@@ -63,10 +72,17 @@ object Graph {
           round(col("pr_n").cast("double") / col("outdeg"))
             .cast("long").as("c"))
       val sums = contrib.groupBy("dst").agg(sum(col("c")).as("sv"))
+      // sink mass this round: one exact integer scalar, broadcast back
+      // into the same plan (no separate action)
+      val dang = pr.join(deg, pr("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr_n")), lit(0L)).as("dang_n"))
       pr = nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("node"),
           round(lit((1.0 - damping) * 1.0e9 / n) +
-            lit(damping) * coalesce(col("sv"), lit(0L)).cast("double"))
+            lit(damping) * (coalesce(col("sv"), lit(0L)) +
+              round(col("dang_n").cast("double") / lit(n.toDouble))
+                .cast("long")).cast("double"))
             .cast("long").as("pr_n"))
         .localCheckpoint()
     }
