@@ -24,6 +24,16 @@ object BenchSession {
       .config("spark.sql.session.timeZone", "UTC")
       // testdata files are small; cap split size so scans parallelize
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // coalesce post-shuffle partitions by SIZE, not parallelism:
+      // with the default (true), AQE keeps >= defaultParallelism
+      // near-empty reduce tasks on small shuffles — for iterative
+      // plans (CC label propagation, pageRank: one shuffle-heavy job
+      // per round) the 32x task-scheduling overhead dominates wall
+      // time. False is also the setting Spark's own docs recommend
+      // once advisoryPartitionSize is tuned; at real scale partitions
+      // are size-bound either way, so this only removes toy-scale
+      // latency, it does not change the 100 TB plan shape.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -285,7 +285,8 @@ object QueriesLlm {
                |  '&z=', CAST(doc_id % 2 AS STRING),
                |  '&utm_doc=', CAST(doc_id AS STRING),
                |  CASE WHEN doc_id % 5 = 0
-               |       THEN concat('#', lang) ELSE '' END)
+               |       THEN concat('#sec?x=', CAST(doc_id AS STRING))
+               |       ELSE '' END)
                |""".stripMargin).as("url"))
       urls
         .withColumn("canonical",
@@ -922,12 +923,13 @@ object QueriesLlm {
         |    || '?utm_source=' || source
         |    || '&z=' || CAST(doc_id % 2 AS VARCHAR)
         |    || '&utm_doc=' || CAST(doc_id AS VARCHAR)
-        |    || CASE WHEN doc_id % 5 = 0 THEN '#' || lang ELSE '' END AS url
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN '#sec?x=' || CAST(doc_id AS VARCHAR) ELSE '' END AS url
         |  FROM documents),
         |k AS (
         |  SELECT doc_id, url,
         |    list_sort(list_filter(
-        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      string_split(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '&'),
         |      p -> p <> '' AND substr(p, 1, 4) <> 'utm_')) AS kept
         |  FROM u),
         |c AS (

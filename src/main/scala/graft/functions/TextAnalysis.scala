@@ -119,7 +119,11 @@ object TextAnalysis {
                   |       THEN regexp_replace($hostRaw, ':443$$', '')
                   |     ELSE $hostRaw END""".stripMargin
     val path = s"regexp_extract($urlCol, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
-    val query = s"regexp_extract($urlCol, '\\\\?([^#]*)', 1)"
+    // anchor to the pre-fragment region: [^#?]* consumes up to the
+    // FIRST '?' or '#', so a '?' that only appears inside the fragment
+    // (http://h/p#sec?x=1) never matches — the fragment, '?' included,
+    // is dropped whole
+    val query = s"regexp_extract($urlCol, '^[^#?]*\\\\?([^#]*)', 1)"
     val kept =
       s"array_sort(filter(split($query, '&'), p -> p != '' AND substr(p, 1, 4) != 'utm_'))"
     expr(

@@ -530,9 +530,14 @@ object Dedup {
 
   /** The staged internals of the embedding-LSH family: exact-duplicate
     * VECTORS collapse to one representative per distinct value (gid =
-    * md5 of the canonical decimal rendering — 128-bit, no birthday
-    * collisions at corpus scale) before banding, the [[simhashStages]]
-    * discipline on the vector side. */
+    * md5 of the packed IEEE-754 bytes, [[graft.plans.Sketches.vecDigest]]
+    * — 128-bit, no birthday collisions at corpus scale, null-element
+    * safe) before banding, the [[simhashStages]] discipline on the
+    * vector side. `reps` — the distinct-vector corpus that every
+    * downstream stage (banding self-join, cosine re-attach joins,
+    * cluster self-edges, final membership join) scans — is
+    * `localCheckpoint`ed once, so the scan+digest+shuffle pipeline runs
+    * one time instead of once per consumer. */
   private[graft] final case class EmbedStages(
       members: DataFrame, // (id, gid) — membership map
       reps: DataFrame,    // (gid, rid, x, n_members)
@@ -547,11 +552,11 @@ object Dedup {
     require(planes <= 63, s"bands*bandBits must fit a long, got $planes")
     val v = df
       .select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("x"))
-      .withColumn("gid",
-        md5(concat_ws(",", expr("transform(x, d -> CAST(d AS STRING))"))))
+      .withColumn("gid", GraftFunctions.vecDigest(spark, col("x")))
     val members = v.select(col("id"), col("gid"))
     val reps = v.groupBy("gid").agg(min(col("id")).as("rid"),
       first(col("x")).as("x"), count(lit(1)).as("n_members"))
+      .localCheckpoint()
     val mask = (1L << bandBits) - 1
     val banded = reps
       .withColumn("bkt", GraftFunctions.lshBucket(spark, col("x"), planes))
@@ -593,8 +598,7 @@ object Dedup {
     df.select(col(idCol).as("id"),
         Vectors.toDouble(col(vecCol)).as("x"))
       .select(col("id"),
-        md5(concat_ws(",", expr("transform(x, d -> CAST(d AS STRING))")))
-          .as("gid"))
+        GraftFunctions.vecDigest(df.sparkSession, col("x")).as("gid"))
 
   /** Embedding (SemDeDup-style) duplicate clusters WITHOUT member
     * expansion: CC over representative ids of distinct vector values,
@@ -643,9 +647,14 @@ object Dedup {
     * @return (doc_id, cluster_id) for every doc appearing in `pairs`. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
+    // pre-partition by the per-round join key before checkpointing:
+    // localCheckpoint preserves the hash partitioning, so the edge
+    // table — the BIG side at corpus scale, constant across rounds —
+    // shuffles once here instead of once per round
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint()
     // convergence via the label-sum invariant: every round takes a MIN
     // over a superset of each node's current label, so labels are
@@ -670,15 +679,23 @@ object Dedup {
     var iter = 0
     var changed = true
     while (changed && iter < maxIters) {
+      val tRound = System.nanoTime()
       val fromNbr = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
       val hop = labels.unionByName(fromNbr)
         .groupBy("node").agg(min("label").as("label"))
-      // pointer jumping: chase one indirection (labels are node ids, so
-      // every label has a row in `hop`) and keep the smaller
+      // pointer jumping: chase TWO indirections (labels are node ids,
+      // so every label has a row in `hop`) keeping the min at each
+      // step — quadruples effective compression per round vs a single
+      // jump, and the second join reuses the first's `jump`-side
+      // exchange (same subplan), so it costs one extra join inside the
+      // same job rather than a whole extra round (edges join + groupBy
+      // + checkpoint)
       val jump = hop.select(col("node").as("pnode"), col("label").as("plabel"))
+      val j1 = hop.join(jump, col("label") === col("pnode"))
+        .select(col("node"), least(col("label"), col("plabel")).as("label"))
       val (next, nextSum) = checkpointWithSum(
-        hop.join(jump, col("label") === col("pnode"))
+        j1.join(jump, col("label") === col("pnode"))
           .select(col("node"), least(col("label"), col("plabel")).as("label")))
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
@@ -687,6 +704,8 @@ object Dedup {
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
       labels = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"CC_ROUND $iter%d ${(System.nanoTime() - tRound) / 1e9}%.3f s")
     }
     org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edges)
     // an unconverged exit would silently split one true component into
@@ -699,6 +718,7 @@ object Dedup {
         s"duplicateClusters did not converge in $maxIters rounds — " +
           "raise maxIters")
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"CC_ROUNDS $iter")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -122,6 +122,18 @@ object GraftFunctions {
         s"$ShinglesName expects (array<string>, const int)")
       WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
     }, "built-in")
+    reg.createOrReplaceTempFunction(VecDigestName, exprs => {
+      require(exprs.length == 1, s"$VecDigestName expects 1 argument")
+      VecDigest(exprs.head)
+    }, "built-in")
+  }
+
+  val VecDigestName = "graft_vec_digest"
+
+  /** Native packed-bytes vector value digest (registers on the session). */
+  def vecDigest(spark: SparkSession, vec: Column): Column = {
+    register(spark)
+    call_function(VecDigestName, vec.cast("array<double>"))
   }
 
   val LshName = "graft_lsh_bucket"

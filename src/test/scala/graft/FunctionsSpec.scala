@@ -94,5 +94,10 @@ class FunctionsSpec extends SparkSpec {
     // http://h:443 and https://h:80 are distinct origins, not defaults
     assert(canon("http://host:443/p") == Seq("http://host:443/p"))
     assert(canon("https://host:80/p") == Seq("https://host:80/p"))
+    // a '?' INSIDE the fragment is fragment, not query: the whole
+    // fragment drops (regression: '\?([^#]*)' grabbed 'x=1' here)
+    assert(canon("http://host/p#sec?x=1") == Seq("http://host/p"))
+    assert(canon("http://host/p?a=1#sec?x=2&utm_z=3") ==
+      Seq("http://host/p?a=1"))
   }
 }
