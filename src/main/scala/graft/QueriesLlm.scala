@@ -950,6 +950,61 @@ object QueriesLlm {
         |  FROM k)
         |SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(doc_id) AS keep_doc
-        |FROM c GROUP BY canonical HAVING COUNT(*) > 1""".stripMargin
+        |FROM c GROUP BY canonical HAVING COUNT(*) > 1""".stripMargin,
+
+    // graph_pagerank's unrolled-iteration oracle plus the dangling-mass
+    // term: per iteration the sink nodes' exact integer rank sum
+    // divides by n, rounds ONCE to an integer share, and that share
+    // joins each node's neighbor sum inside the damped update —
+    // identical expression order to Graph.pageRank's nano-unit contract
+    "graph_pagerank_sinks" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS src, o_orderkey + 10000000 AS dst FROM orders),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        |p0 AS (SELECT node,
+        |    CAST(ROUND(CAST(1000000000 AS DOUBLE) / (SELECT n FROM cnt)) AS BIGINT) AS pr_n
+        |  FROM nodes),
+        |d1 AS (SELECT COALESCE(SUM(pr_n), 0) AS dang FROM p0
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |i1 AS (
+        |  SELECT nd.node, CAST(ROUND(
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(1000000000 AS DOUBLE) / (SELECT n FROM cnt)
+        |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.sv, 0)
+        |          + CAST(ROUND(CAST((SELECT dang FROM d1) AS DOUBLE)
+        |                 / CAST((SELECT n FROM cnt) AS DOUBLE)) AS BIGINT) AS DOUBLE)) AS BIGINT) AS pr_n
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst, SUM(CAST(ROUND(CAST(p.pr_n AS DOUBLE) / d.outdeg) AS BIGINT)) AS sv
+        |    FROM p0 p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+        |    GROUP BY e.dst) s ON s.dst = nd.node),
+        |d2 AS (SELECT COALESCE(SUM(pr_n), 0) AS dang FROM i1
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |i2 AS (
+        |  SELECT nd.node, CAST(ROUND(
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(1000000000 AS DOUBLE) / (SELECT n FROM cnt)
+        |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.sv, 0)
+        |          + CAST(ROUND(CAST((SELECT dang FROM d2) AS DOUBLE)
+        |                 / CAST((SELECT n FROM cnt) AS DOUBLE)) AS BIGINT) AS DOUBLE)) AS BIGINT) AS pr_n
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst, SUM(CAST(ROUND(CAST(p.pr_n AS DOUBLE) / d.outdeg) AS BIGINT)) AS sv
+        |    FROM i1 p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+        |    GROUP BY e.dst) s ON s.dst = nd.node),
+        |d3 AS (SELECT COALESCE(SUM(pr_n), 0) AS dang FROM i2
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |i3 AS (
+        |  SELECT nd.node, CAST(ROUND(
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(1000000000 AS DOUBLE) / (SELECT n FROM cnt)
+        |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.sv, 0)
+        |          + CAST(ROUND(CAST((SELECT dang FROM d3) AS DOUBLE)
+        |                 / CAST((SELECT n FROM cnt) AS DOUBLE)) AS BIGINT) AS DOUBLE)) AS BIGINT) AS pr_n
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst, SUM(CAST(ROUND(CAST(p.pr_n AS DOUBLE) / d.outdeg) AS BIGINT)) AS sv
+        |    FROM i2 p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+        |    GROUP BY e.dst) s ON s.dst = nd.node)
+        |SELECT node, pr_n AS pr_nano,
+        |  CAST(pr_n AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS pr
+        |FROM i3""".stripMargin
   )
 }

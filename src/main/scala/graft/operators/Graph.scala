@@ -43,7 +43,12 @@ object Graph {
     * share rounds once to an integer (`ds`), identically in any
     * engine. On a symmetric graph every node has out-edges, the
     * dangling sum is 0 and this reduces exactly to the non-dangling
-    * update. Returns (node, pr_nano BIGINT, pr DOUBLE = pr_nano/1e9). */
+    * update. BEHAVIOR CHANGE vs the pre-dangling version: the node
+    * universe was formerly distinct src only — on a directed graph
+    * callers now also get rows for pure-sink nodes, and every rank
+    * shifts because n (hence the teleport term) grows; symmetric-graph
+    * callers are unaffected (src ∪ dst = src there). Returns
+    * (node, pr_nano BIGINT, pr DOUBLE = pr_nano/1e9). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && iterations <= 20,

@@ -94,6 +94,78 @@ class ErGraphSpec extends SparkSpec {
       Set(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  /** Local fixed-point replica of pageRank's exact nano-unit contract
+    * (same expression order, same double→integer rounding points) —
+    * the cross-check that pins the dangling-mass arithmetic. */
+  private def prReplica(edges: Seq[(Long, Long)], iters: Int,
+      d: Double): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var pr = nodes.map(v => v -> math.round(1.0e9 / n)).toMap
+    for (_ <- 1 to iters) {
+      val sums = edges.groupBy(_._2).map { case (t, es) =>
+        t -> es.map { case (s, _) => math.round(pr(s).toDouble / outdeg(s)) }.sum
+      }
+      val dang = nodes.filterNot(outdeg.contains).map(pr).sum
+      val ds = math.round(dang.toDouble / n)
+      pr = nodes.map(v => v -> math.round((1.0 - d) * 1.0e9 / n +
+        d * (sums.getOrElse(v, 0L) + ds).toDouble)).toMap
+    }
+    pr
+  }
+
+  test("pageRank: sinks redistribute mass; rank is conserved") {
+    // directed: 3 -> 1, 1 -> {10, 11}, 2 -> 10; 10 and 11 are true
+    // sinks (no out-edges), 3 is a source
+    val es = Seq((3L, 1L), (1L, 10L), (1L, 11L), (2L, 10L))
+    val out = Graph.pageRank(es.toDF("src", "dst"), "src", "dst",
+        iterations = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node universe = src ∪ dst, sinks included
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    // bit-exact vs the local replica of the integer contract
+    assert(out == prReplica(es, 3, 0.85))
+    // dangling redistribution conserves total mass up to per-step
+    // integer rounding (without it, the sinks leak ~their whole rank)
+    assert(math.abs(out.values.sum - 1000000000L) < 100L)
+    // the double-sink 10 outranks the single-parent sink 11
+    assert(out(10L) > out(11L))
+  }
+
+  test("pageRank: sink-free graph reduces to the non-dangling update") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
+    val es = pairs ++ pairs.map(_.swap)
+    val out = Graph.pageRank(es.toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == prReplica(es, 3, 0.85))
+    // replica with the dangling term hard-dropped agrees: dang == 0
+    val noDangReplica = {
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      val n = nodes.size
+      val outdeg = es.groupBy(_._1).map { case (s, g) => s -> g.size }
+      var pr = nodes.map(v => v -> math.round(1.0e9 / n)).toMap
+      for (_ <- 1 to 3) {
+        val sums = es.groupBy(_._2).map { case (t, g) =>
+          t -> g.map { case (s, _) => math.round(pr(s).toDouble / outdeg(s)) }.sum
+        }
+        pr = nodes.map(v => v -> math.round(0.15 * 1.0e9 / n +
+          0.85 * sums.getOrElse(v, 0L).toDouble)).toMap
+      }
+      pr
+    }
+    assert(out == noDangReplica)
+  }
+
+  test("pageRank: sink graph result independent of input partitioning") {
+    val es = Seq((3L, 1L), (1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val one = Graph.pageRank(es.repartition(1), "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = Graph.pageRank(es.repartition(7), "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == many)
+  }
+
   test("pageRank: guards on empty graph and bad parameters") {
     val e = Seq.empty[(Long, Long)].toDF("a", "b")
     intercept[IllegalArgumentException](Graph.pageRank(e, "a", "b", 3))
