@@ -172,12 +172,17 @@ object Graph {
     * "done" bookkeeping.
     *
     * `edges`: (childCol, parentCol), one row per NON-root node; roots
-    * appear only as parents. Cycles are detected and fail loudly: a
-    * cycle of length L pointer-doubles into STABLE self-pointers at
-    * distance ≥ L (anc == node, dist > 0 — a shape no true root can
-    * have, since roots enter at dist 0), so convergence alone would
-    * silently report every cycle member as its own root; the post-loop
-    * check turns that into an error naming the count. */
+    * appear only as parents. Cycles fail loudly, via one of two shapes
+    * depending on the cycle's length: a cycle whose length divides
+    * some 2^r pointer-doubles into STABLE self-pointers at nonzero
+    * distance (anc == node, dist > 0 — a shape no true root can have,
+    * since roots enter at dist 0), caught by the post-loop check; any
+    * other length (e.g. an odd cycle) never stabilizes — pointers
+    * orbit the cycle forever — so the loop exhausts maxRounds and the
+    * non-convergence error fires. Both paths throw; neither silently
+    * mislabels cycle members, but only the first can NAME the cycle
+    * nodes, which is why the non-convergence message also points at
+    * cycles as a likely cause. */
   def hierarchyClosure(edges: DataFrame, childCol: String,
       parentCol: String, maxRounds: Int = 20): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 40, "maxRounds must be in [1,40]")
@@ -204,8 +209,10 @@ object Graph {
       round += 1
     }
     require(changed == 0,
-      s"hierarchyClosure: no convergence after $maxRounds doubling rounds " +
-        "(deeper tree than 2^maxRounds?)")
+      s"hierarchyClosure: no convergence after $maxRounds doubling rounds — " +
+        "either the hierarchy is deeper than 2^maxRounds (raise maxRounds) " +
+        "or the parent edges contain a cycle (cycles whose length divides " +
+        "no 2^r never stabilize under pointer doubling)")
     val cyclic = state.where(col("anc") === col("node") && col("dist") > 0)
       .count()
     require(cyclic == 0,

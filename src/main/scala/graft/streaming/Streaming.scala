@@ -319,11 +319,26 @@ object Streaming {
     * the Hadoop committer (task temp dirs + rename), the
     * plain-filesystem analogue of MERGE INTO; on a production lake
     * this sink becomes a transactional table format commit and the
-    * bucketing column becomes its clustering key. */
+    * bucketing column becomes its clustering key.
+    *
+    * INVARIANT this read-then-overwrite depends on
+    * (`partitionOverwriteMode=dynamic` + the default FileOutputCommitter):
+    * the new bucket contents are fully staged under the job's temp dir
+    * BEFORE any old bucket directory is deleted at commit, so reading a
+    * bucket and overwriting the same path in one job never reads its
+    * own output. The crash window is the commit itself: a JVM death
+    * MID-commit (after a bucket's delete, before its rename) loses that
+    * bucket's prior state with no recovery copy — acceptable for a
+    * re-drivable batch/stream (re-run the batch), but a lake deployment
+    * should swap this sink for a transactional table format whose
+    * commit is atomic. */
   private[graft] def upsertBatch(spark: SparkSession, batch: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String], targetRoot: String,
       nBuckets: Int = 16): Unit = {
     import graft.operators.Changelog
+    require(!batch.columns.contains(UpsertBucketCol),
+      s"upsert: column name '$UpsertBucketCol' is reserved for the " +
+        "target's bucketing partition column — rename it in the input")
     val kb = pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets))
     val withKb = batch.withColumn(UpsertBucketCol, kb)
     val touched = withKb.select(UpsertBucketCol).distinct()

@@ -199,5 +199,13 @@ class ErGraphSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](
       Graph.hierarchyClosure(cyc, "child", "parent", maxRounds = 5))
     assert(err.getMessage.contains("cycle"))
+    // an ODD-length cycle never stabilizes under pointer doubling —
+    // the loop exhausts maxRounds instead; that error must ALSO name
+    // cycles as a cause, not just suggest a deeper tree
+    val odd = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("child", "parent")
+    val errOdd = intercept[IllegalArgumentException](
+      Graph.hierarchyClosure(odd, "child", "parent", maxRounds = 5))
+    assert(errOdd.getMessage.contains("no convergence") &&
+      errOdd.getMessage.contains("cycle"))
   }
 }

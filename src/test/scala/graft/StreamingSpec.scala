@@ -228,6 +228,16 @@ class StreamingSpec extends SparkSpec {
     assert(state.size == 64)
   }
 
+  test("upsertBatch refuses a batch that already has the reserved bucket column") {
+    val dir = Files.createTempDirectory("graft-upsert-reserved").toString
+    val bad = Seq(("k1", ts(0), 1L, 0L)).toDF("k", "ts", "id", "graft_kb")
+    val err = intercept[IllegalArgumentException](
+      Streaming.upsertBatch(spark, bad, Seq("k"), Seq("ts", "id"),
+        s"$dir/target", nBuckets = 4))
+    assert(err.getMessage.contains("graft_kb") &&
+      err.getMessage.contains("reserved"))
+  }
+
   test("upsertStream over an empty stream yields empty state, not an error") {
     val dir = Files.createTempDirectory("graft-upsert-empty").toString
     val changelog = Seq(("a", ts(0), 1L, 1.0)).toDF("k", "ts", "id", "v")
