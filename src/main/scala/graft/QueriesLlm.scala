@@ -268,6 +268,17 @@ object QueriesLlm {
         Multimodal.attachBinary(documents(s, d), "doc_id", "text"),
         frameBytes = 256)),
 
+    // image near-dup by 60-bit perceptual hash (aHash over the payload
+    // bytes as a 1-D grayscale strip, exact integer thresholding):
+    // exact-duplicate payloads rep-collapse before the 4×15-bit band
+    // join — the simhash discipline on the binary side. The oracle
+    // rebuilds the same hash from character codepoints (the synthetic
+    // corpus is pure ASCII, so codepoints == payload bytes).
+    "mm_phash_dedup" -> ((s, d) =>
+      Multimodal.phashPairs(
+        Multimodal.attachBinary(documents(s, d), "doc_id", "text"),
+        maxHamming = 12)),
+
     // crawl-URL dedup: synthesize each doc's messy source URL (case
     // noise, default port, per-doc tracking params, fragment), then
     // canonicalize and group — duplicate groups are docs whose URLs
@@ -913,6 +924,35 @@ object QueriesLlm {
         |  CAST((length(text) * 7) % 480 AS INT) AS height,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    // member-level banding == the engine's rep-collapse + expansion:
+    // identical payloads share every band (hamming 0 always passes),
+    // and cross pairs band identically per member. ASCII fixture ⇒
+    // unicode(char) == payload byte; integer cross-multiplies mirror
+    // Sketches.phash60 exactly
+    "mm_phash_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id AS id, text, length(text) AS L,
+        |    [unicode(substr(text, i, 1)) for i in range(1, length(text)+1)] AS h
+        |  FROM documents WHERE length(text) > 0),
+        |cells AS (
+        |  SELECT id, text, L, list_sum(h) AS tot,
+        |    [COALESCE(list_sum(h[(j*L//60)+1 : ((j+1)*L)//60]), 0) for j in range(0,60)] AS cs,
+        |    [((j+1)*L)//60 - (j*L//60) for j in range(0,60)] AS cc
+        |  FROM b),
+        |sig AS (
+        |  SELECT id,
+        |    list_sum([CASE WHEN cc[j+1] > 0 AND cs[j+1]*L >= tot*cc[j+1]
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS ph
+        |  FROM cells),
+        |bands AS (
+        |  SELECT id, ph, b, (ph >> (15*b)) & 32767 AS bv
+        |  FROM sig, range(0,4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.ph AS pa, b.ph AS pb
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 12""".stripMargin,
 
     // the oracle replicates the canonicalization rule-for-rule (same
     // regexes, same utm_ strip + sort) over the same synthesized URLs

@@ -255,6 +255,17 @@ object Dedup {
       .where(size(col("w")) > 0)
       .select(col("id"), col("gid"),
         GraftFunctions.simhash64(spark, col("w")).as("simhash"))
+    bandedSketchStages(sigs, maxHamming)
+  }
+
+  /** The sketch-agnostic half of [[simhashStages]]: rep-collapse +
+    * 4×15-bit banding + hamming filter over ANY (id, gid, simhash)
+    * frame where gid keys exact-duplicate inputs and simhash is a
+    * ≤60-bit sketch. Shared by the text simhash family and the
+    * binary-payload perceptual-hash family
+    * ([[Multimodal.phashPairs]]). */
+  private[graft] def bandedSketchStages(sigs: DataFrame,
+      maxHamming: Int): SimhashStages = {
     val members = sigs.select(col("id"), col("gid"))
     // first(simhash) is deterministic: all sketches in a gid are equal
     val reps = sigs.groupBy("gid")
@@ -291,8 +302,14 @@ object Dedup {
     * Cluster-level consumers should stay on gids via
     * [[simhashClusters]], which expands exactly once at the end. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 12): DataFrame = {
-    val st = simhashStages(df, idCol, textCol, maxHamming)
+      maxHamming: Int = 12): DataFrame =
+    expandSketchPairs(simhashStages(df, idCol, textCol, maxHamming))
+
+  /** Member expansion for any [[SimhashStages]]: cross-gid pairs
+    * inherit their representatives' hamming, intra-gid pairs (exact
+    * duplicates) get hamming 0 — the documented small-multiplicity
+    * API shared by the simhash and phash families. */
+  private[graft] def expandSketchPairs(st: SimhashStages): DataFrame = {
     val cross = st.gidPairs
       .join(st.members.as("ma"), col("gid_a") === col("ma.gid"))
       .join(st.members.as("mb"), col("gid_b") === col("mb.gid"))

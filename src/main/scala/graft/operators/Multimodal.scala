@@ -69,6 +69,41 @@ object Multimodal {
         octet_length(col("frame")).cast("int").as("frame_bytes"),
         md5(col("frame")).as("frame_md5"))
 
+  /** Perceptual hashes per media row: 60-bit aHash + dHash over the
+    * raw payload bytes ([[graft.plans.Sketches.phash60]] /
+    * [[Sketches.dhash60]] — codegen'd, row-local, scan-stage). A real
+    * deployment inserts the decoder (codec → grayscale buffer) before
+    * this; the hash arithmetic is the real thing either way. */
+  def phashFeatures(media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    media.select(col(idCol).as("id"),
+      graft.plans.GraftFunctions.phash60(spark, col(payloadCol)).as("ahash"),
+      graft.plans.GraftFunctions.dhash60(spark, col(payloadCol)).as("dhash"))
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: exact-duplicate
+    * payloads collapse to one representative (gid = md5(payload))
+    * BEFORE 4×15-bit banding over the aHash — the
+    * [[Dedup.simhashStages]] rep-collapse discipline, so a meme
+    * reposted 10⁶ times costs one banding row, never 10¹² candidate
+    * pairs. Output: (id_a, id_b, hamming) for pairs sharing ≥1 band
+    * with aHash hamming ≤ maxHamming, plus hamming-0 rows for every
+    * exact-duplicate pair (the documented small-multiplicity
+    * expansion; cluster consumers should band on gids). */
+  def phashPairs(media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload", maxHamming: Int = 12): DataFrame = {
+    val spark = media.sparkSession
+    val sigs = media
+      .where(octet_length(col(payloadCol)) > 0)
+      .select(col(idCol).as("id"), md5(col(payloadCol)).as("gid"),
+        graft.plans.GraftFunctions.phash60(spark, col(payloadCol))
+          .as("simhash"))
+    Dedup.expandSketchPairs(Dedup.bandedSketchStages(sigs, maxHamming))
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        col("hamming"))
+  }
+
   // ======================================================================
   // STUB: deterministic fake decode. A real deployment replaces this with
   // an actual media decoder; the batching/partitioning contract is real.

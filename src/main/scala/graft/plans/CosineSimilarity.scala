@@ -126,6 +126,29 @@ object GraftFunctions {
       require(exprs.length == 1, s"$VecDigestName expects 1 argument")
       VecDigest(exprs.head)
     }, "built-in")
+    reg.createOrReplaceTempFunction(PHashName, exprs => {
+      require(exprs.length == 1, s"$PHashName expects 1 argument")
+      PHash60(exprs.head)
+    }, "built-in")
+    reg.createOrReplaceTempFunction(DHashName, exprs => {
+      require(exprs.length == 1, s"$DHashName expects 1 argument")
+      DHash60(exprs.head)
+    }, "built-in")
+  }
+
+  val PHashName = "graft_phash60"
+  val DHashName = "graft_dhash60"
+
+  /** Native 60-bit average-hash over a binary column. */
+  def phash60(spark: SparkSession, payload: Column): Column = {
+    register(spark)
+    call_function(PHashName, payload)
+  }
+
+  /** Native 60-bit difference-hash over a binary column. */
+  def dhash60(spark: SparkSession, payload: Column): Column = {
+    register(spark)
+    call_function(DHashName, payload)
   }
 
   val VecDigestName = "graft_vec_digest"

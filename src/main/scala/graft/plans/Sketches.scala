@@ -155,6 +155,71 @@ object Sketches {
     hex(md.digest(buf))
   }
 
+  /** 60-bit average-hash (aHash) over a raw byte buffer treated as a
+    * 1-D grayscale strip: the buffer splits into 60 equal cells
+    * (cell j = bytes [⌊jL/60⌋, ⌊(j+1)L/60⌋)), bit j is 1 iff cell j's
+    * mean ≥ the global mean. Comparisons are exact integer
+    * cross-multiplies (cellSum·L ≥ total·cellCnt — no floats), so any
+    * engine reproduces the hash bit-for-bit. 60 bits (not the
+    * classical 64) keeps every intermediate in signed-64 range on both
+    * sides, the [[simhash64]] discipline, and lets the phash ride the
+    * same 4×15-bit banding helpers. Safe for payloads up to ~10⁸
+    * bytes (255·L² < 2⁶³). Empty buffer → 0. The DECODE step
+    * (image codec → pixel buffer) is the multimodal stub; this kernel
+    * is the real arithmetic a decoded grayscale buffer would get. */
+  def phash60(bytes: Array[Byte]): Long = {
+    val L = bytes.length
+    if (L == 0) return 0L
+    val cellSum = new Array[Long](60)
+    val cellCnt = new Array[Long](60)
+    var total = 0L
+    var j = 0
+    while (j < 60) {
+      var i = (j.toLong * L / 60).toInt
+      val end = ((j + 1).toLong * L / 60).toInt
+      cellCnt(j) = end - i
+      while (i < end) { cellSum(j) += bytes(i) & 0xff; i += 1 }
+      total += cellSum(j)
+      j += 1
+    }
+    var out = 0L
+    j = 0
+    while (j < 60) {
+      if (cellCnt(j) > 0 && cellSum(j) * L >= total * cellCnt(j))
+        out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  /** 60-bit difference-hash (dHash), [[phash60]]'s gradient sibling:
+    * 61 cells, bit j is 1 iff cell j+1's mean strictly exceeds cell
+    * j's — exact integer cross-multiply, empty cells count as mean 0
+    * via sum 0 / cnt 0 (0 > s·0 is false, s·c > 0·c is true iff
+    * s,c > 0). Captures byte-gradient structure that aHash's global
+    * threshold misses. Empty buffer → 0. */
+  def dhash60(bytes: Array[Byte]): Long = {
+    val L = bytes.length
+    if (L == 0) return 0L
+    val s = new Array[Long](61)
+    val c = new Array[Long](61)
+    var j = 0
+    while (j < 61) {
+      var i = (j.toLong * L / 61).toInt
+      val end = ((j + 1).toLong * L / 61).toInt
+      c(j) = end - i
+      while (i < end) { s(j) += bytes(i) & 0xff; i += 1 }
+      j += 1
+    }
+    var out = 0L
+    j = 0
+    while (j < 60) {
+      if (s(j + 1) * c(j) > s(j) * c(j + 1)) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
   /** 60-bit token hash: the first 15 hex digits of md5(token) — i.e. the
     * big-endian first 8 digest bytes shifted right 4. md5-derived so any
     * engine (the DuckDB oracle included) reproduces it exactly. */
@@ -275,6 +340,48 @@ final case class VecDigest(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.Sketches.vecDigest($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+private[plans] trait BinaryInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = self.child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} expects binary, got ${t.simpleString}")
+  }
+}
+
+/** binary payload → bigint 60-bit average-hash (native). */
+final case class PHash60(child: Expression)
+    extends UnaryExpression with BinaryInput {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash60"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.phash60(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Sketches.phash60($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** binary payload → bigint 60-bit difference-hash (native). */
+final case class DHash60(child: Expression)
+    extends UnaryExpression with BinaryInput {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.dhash60(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Sketches.dhash60($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

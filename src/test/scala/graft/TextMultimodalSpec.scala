@@ -77,6 +77,58 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(3L) == ((1, 0.0, 0L, 0L, None, 1L)))
   }
 
+  test("phash60/dhash60: hand-computed hashes, empty payload → 0") {
+    // 60 bytes 0..59: cell j = byte j, global mean 29.5 → bits 30..59
+    val inc60 = Array.tabulate[Byte](60)(_.toByte)
+    // 61 bytes strictly increasing: every dHash gradient bit fires
+    val inc61 = Array.tabulate[Byte](61)(_.toByte)
+    val df = Seq((1L, inc60), (2L, inc61), (3L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val out = Multimodal.phashFeatures(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == (1L << 60) - (1L << 30))
+    assert(out(2L)._2 == (1L << 60) - 1)
+    assert(out(3L) == ((0L, 0L)))
+    // constant buffer: every cell mean == global mean → all aHash bits
+    // set (>= threshold), no dHash bit set (no strict increase)
+    val const = Seq((9L, Array.fill[Byte](120)(7))).toDF("id", "payload")
+    val c = Multimodal.phashFeatures(const).head()
+    assert(c.getLong(1) == (1L << 60) - 1 && c.getLong(2) == 0L)
+  }
+
+  test("phashPairs: exact dups collapse to one rep; intra pairs hamming 0") {
+    // payload A duplicated 3×, near-A (one byte nudged), and far B
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    // uppercase one word: its cells' byte means drop by 32 — flips a
+    // few aHash bits (hamming 8) but stays within banding reach
+    val nearA = a.replace("and again", "AND AGAIN")
+    val b = "z" * 60
+    val media = Multimodal.attachBinary(
+      Seq((1L, a), (2L, a), (3L, a), (4L, nearA), (5L, b))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    // rep-collapse bound: 3 distinct payloads → 3 banding reps
+    val sigs = media.select(col("id"), md5(col("payload")).as("gid"),
+      graft.plans.GraftFunctions.phash60(spark, col("payload")).as("simhash"))
+    val st = graft.operators.Dedup.bandedSketchStages(sigs, maxHamming = 12)
+    assert(st.reps.count() == 3)
+    val pairs = Multimodal.phashPairs(media, maxHamming = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // the 3 exact copies yield C(3,2)=3 intra pairs at hamming 0
+    assert(pairs((1L, 2L)) == 0 && pairs((1L, 3L)) == 0 &&
+      pairs((2L, 3L)) == 0)
+    // near-A pairs with EVERY member of the A group at exactly the
+    // feature-level aHash hamming distance
+    val f = Multimodal.phashFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expH = java.lang.Long.bitCount(f(1L) ^ f(4L))
+    assert(expH > 0 && expH <= 12, s"fixture drifted: hamming $expH")
+    assert(pairs.get((1L, 4L)).contains(expH) &&
+      pairs.get((2L, 4L)).contains(expH) &&
+      pairs.get((3L, 4L)).contains(expH))
+    // far B pairs with nothing
+    assert(!pairs.keySet.exists(k => k._1 == 5L || k._2 == 5L))
+  }
+
   test("multimodal: batched decode stub produces deterministic features") {
     val media = Multimodal.attachBinary(
       Seq((1L, "abcd"), (2L, "abcd"), (3L, "zzzz")).toDF("doc_id", "text"),
