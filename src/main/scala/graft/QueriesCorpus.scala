@@ -139,6 +139,13 @@ object QueriesCorpus {
     "corpus_bpe_pairs" -> ((s, d) =>
       Corpus.bpePairs(documents(s, d), "text", topK = 50)),
 
+    // BPE ENCODE: apply the fixed ordered merge table to the top-200
+    // vocab terms — piece sequences + counts; the encode runs once per
+    // DISTINCT term (vocab-sized). The oracle replays the identical
+    // replace chain (generated from the same Scala merge table).
+    "corpus_bpe_encode" -> ((s, d) =>
+      Corpus.bpeEncodeVocab(documents(s, d), "text", topK = 200)),
+
     // corpus reporting: per-language doc/token totals and token-count
     // quantiles — the dataset card a training run starts from
     "corpus_stats" -> ((s, d) =>
@@ -155,6 +162,14 @@ object QueriesCorpus {
 
   private val toksCte =
     "SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents"
+
+  // the oracle's replace chain, generated from the SAME merge table the
+  // engine applies — the two sides cannot drift
+  private val bpeReplaceChain: String =
+    Corpus.DefaultMerges.foldLeft(
+      "' ' || array_to_string([substr(term, i, 1) for i in range(1, length(term)+1)], ' ')") {
+      case (acc, (x, y)) => s"replace($acc, ' $x $y', ' $x$y')"
+    }
 
   val oracle: Map[String, String] = Map(
     // range bound 4096 = docs up to ~98k tokens (corpus max is 100);
@@ -399,6 +414,19 @@ object QueriesCorpus {
          |SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank, pair, n
          |FROM pr WINDOW w AS (ORDER BY n DESC, pair)
          |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    "corpus_bpe_encode" ->
+      s"""WITH t AS ($toksCte),
+         |tc AS (
+         |  SELECT term, COUNT(*) AS ctf FROM (SELECT unnest(w) AS term FROM t)
+         |  GROUP BY 1),
+         |enc AS (
+         |  SELECT term, ctf, $bpeReplaceChain AS e FROM tc)
+         |SELECT CAST(ROW_NUMBER() OVER win AS INT) AS rank, term,
+         |  CAST(ctf AS BIGINT) AS ctf, substr(e, 2) AS pieces,
+         |  CAST(length(e) - length(replace(e, ' ', '')) AS INT) AS n_pieces
+         |FROM enc WINDOW win AS (ORDER BY ctf DESC, term)
+         |ORDER BY ctf DESC, term LIMIT 200""".stripMargin,
 
     "corpus_shards" ->
       s"""WITH t AS ($toksCte)

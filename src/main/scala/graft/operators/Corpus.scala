@@ -503,6 +503,77 @@ object Corpus {
     * not corpus, sized — each token's count rides along and weights the
     * sum), pairs are 2-char keys, and the top-k is TakeOrderedAndProject
     * over the tiny pair table. One corpus-wide aggregate total. */
+  /** A small fixed English merge table for [[bpeEncodeVocab]] — the
+    * shape a trained tokenizer ships (ordered: earlier merges apply
+    * first and can feed later ones, e.g. t+h → th+e). */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "u", "e" -> "n",
+    "a" -> "t", "e" -> "s", "o" -> "r", "in" -> "g", "a" -> "l",
+    "s" -> "t")
+
+  /** Symbol-separator encoding of one term under an ordered merge
+    * table — BPE ENCODE (apply-merges), the inference-time sibling of
+    * [[bpePairs]]' trainer statistics. A term's symbol list rides as a
+    * single string, every symbol prefixed by one space (" c a t");
+    * merge (x, y) is the literal string replace " x y" → " xy", whose
+    * left-to-right non-overlapping scan IS leftmost-greedy BPE merge
+    * application ("aaa" + (a,a) → [aa, a]), and the space prefix stops
+    * matches from crossing symbol boundaries ("ab c" can never match
+    * " b c"). The whole chain is built-in string functions — one
+    * codegen'd expression, no UDF — and DuckDB's replace has the same
+    * scan semantics, so the oracle replays the identical chain. */
+  def bpeSymbols(termCol: String, merges: Seq[(String, String)]): Column = {
+    val init = concat(lit(" "), array_join(
+      expr(s"transform(sequence(1, length($termCol))," +
+        s" i -> substring($termCol, i, 1))"), " "))
+    merges.foldLeft(init) { case (acc, (x, y)) =>
+      call_function("replace", acc, lit(s" $x $y"), lit(s" $x$y"))
+    }
+  }
+
+  /** The encoded vocabulary: top-`topK` corpus terms by frequency with
+    * their BPE piece sequence and piece count under `merges`.
+    *
+    * Scale: the encode runs over the DISTINCT-token table (vocab-, not
+    * corpus-sized — the [[bpePairs]] discipline); topK is
+    * TakeOrderedAndProject over the tiny vocab. */
+  def bpeEncodeVocab(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)] = DefaultMerges,
+      topK: Int = 200): DataFrame = {
+    val terms = df.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ctf"))
+    val enc = terms.withColumn("e", bpeSymbols("term", merges))
+      .select(col("term"), col("ctf"),
+        expr("substring(e, 2)").as("pieces"),
+        (length(col("e")) - length(call_function("replace", col("e"),
+          lit(" "), lit("")))).cast("int").as("n_pieces"))
+    enc.orderBy(col("ctf").desc, col("term").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("ctf").desc, col("term").asc)).cast("int"))
+      .select("rank", "term", "ctf", "pieces", "n_pieces")
+  }
+
+  /** Per-document BPE token counts under `merges`: real tokenizer
+    * token budgets for packing/chunking instead of whitespace-word
+    * counts. Corpus tokens join the vocab-sized encode table on the
+    * term — the join key is the term string, broadcast-friendly for
+    * any real vocab (≤ a few 100k terms). */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val vocab = df.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .distinct()
+      .withColumn("e", bpeSymbols("term", merges))
+      .select(col("term"),
+        (length(col("e")) - length(call_function("replace", col("e"),
+          lit(" "), lit("")))).cast("long").as("n_pieces"))
+    toks.join(broadcast(vocab), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_bpe_tokens"))
+  }
+
   def bpePairs(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
     val terms = df.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("ctf"))

@@ -238,4 +238,36 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toList
     assert(out == List((1, "ab", 3L), (2, "bc", 1L)))
   }
+
+  test("bpeEncodeVocab: ordered merges chain, leftmost-greedy overlap") {
+    // default merges: t+h → th+e chain; i+n before in+g; a+n before an+d
+    val df = Seq((1L, "the then and ing x")).toDF("doc_id", "text")
+    val out = Corpus.bpeEncodeVocab(df, "text", topK = 10)
+      .collect().map(r => r.getString(1) -> ((r.getString(3), r.getInt(4))))
+      .toMap
+    assert(out("the") == (("the", 1)))   // t h e → th e → the
+    assert(out("then") == (("the n", 2)))
+    assert(out("and") == (("and", 1)))   // a n d → an d → and
+    assert(out("ing") == (("ing", 1)))   // i n g → in g → ing
+    assert(out("x") == (("x", 1)))       // single char: no merge applies
+    // leftmost-greedy on overlapping occurrences: aaa + (a,a) → [aa, a]
+    val odd = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val o = Corpus.bpeEncodeVocab(odd, "text",
+      merges = Seq("a" -> "a"), topK = 1).head()
+    assert(o.getString(3) == "aa a" && o.getInt(4) == 2)
+    // merge must not fire across symbol boundaries: term "abc" with
+    // merge (b,c) applies, but AFTER (a,b) has fused ab the b is gone
+    val ab = Corpus.bpeEncodeVocab(Seq((1L, "abc")).toDF("doc_id", "text"),
+      "text", merges = Seq("a" -> "b", "b" -> "c"), topK = 1).head()
+    assert(ab.getString(3) == "ab c" && ab.getInt(4) == 2)
+  }
+
+  test("bpeTokenCounts: per-doc piece budget over the vocab join") {
+    val df = Seq((1L, "the then the"), (2L, "x")).toDF("doc_id", "text")
+    val out = Corpus.bpeTokenCounts(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == ((3L, 4L)))  // the(1) + then(2) + the(1)
+    assert(out(2L) == ((1L, 1L)))
+  }
 }
