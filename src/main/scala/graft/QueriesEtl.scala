@@ -184,6 +184,24 @@ object QueriesEtl {
              expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)").as("sum_price"))
     }),
 
+    // Avro connector round-trip: standard object-container files via
+    // the avro core lib (no spark-avro module on this classpath) —
+    // write per-partition containers, read back via streaming decode,
+    // aggregate; exercises long/string/double/date through the Avro
+    // type mapping. Oracle sees only the original parquet table.
+    "etl_avro_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_rt/avro_${d.replace('/', '_')}"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+      graft.sources.AvroSink(path).write(src)
+      graft.sources.AvroSource(path).read(s)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)").as("sum_price"),
+             date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("max_date"))
+    }),
+
     // error-channel split: rows whose parse attempt fails flow to an
     // error side-output as wrap-error envelopes; both sides re-unioned
     // here (tagged) so one oracle checks the whole routing
@@ -492,6 +510,12 @@ object QueriesEtl {
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "etl_avro_roundtrip" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+        |strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "etl_error_channel" ->
       // NULL-safe split: a NULL `value` must land in the error channel

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{count, lit}
 import graft.connector.{CheckResult, EtlpSink}
 
-private[sinks] object SinkMetrics {
+private[graft] object SinkMetrics {
   /** Count rows while writing, in the SAME job: an `observe()` node
     * (CollectMetrics) rides the write's execution, so there is no second
     * pass over the input and the value comes from the completed query —
