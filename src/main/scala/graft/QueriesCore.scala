@@ -494,6 +494,12 @@ object QueriesCore {
     "q_streaks" -> ((s, d) =>
       graft.operators.Analytics.streaks(events(s, d), "user_id", "ts")),
 
+    // batch gap sessionization (30-min gap): lag→flag→running-sum→two
+    // user-keyed roll-ups, all on one shuffle by user
+    "q_sessionize" -> ((s, d) =>
+      graft.operators.Analytics.sessionize(events(s, d), "user_id", "ts",
+        gapUs = 1800000000L)),
+
     // first-/last-touch revenue attribution for purchases, one keyed
     // window pass computes both models
     "q_attribution" -> ((s, d) =>
@@ -1175,6 +1181,26 @@ object QueriesCore {
         |SELECT u AS user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
         |  CAST(MAX(len) AS INT) AS max_streak
         |FROM runs GROUP BY u""".stripMargin,
+
+    "q_sessionize" ->
+      // ROWS frame here vs Spark's default RANGE frame: equivalent,
+      // because within a tie group only the first-ordered row can
+      // carry new_s=1 (later ties see gap 0), so the cumulative sum
+      // agrees for every tie order
+      """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS t
+        |  FROM events WHERE ts IS NOT NULL),
+        |s AS (SELECT u, t,
+        |  CASE WHEN t - LAG(t) OVER (PARTITION BY u ORDER BY t) IS NULL
+        |       OR t - LAG(t) OVER (PARTITION BY u ORDER BY t) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s FROM b),
+        |s2 AS (SELECT u, t, SUM(new_s) OVER (PARTITION BY u ORDER BY t
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |g AS (SELECT u, sid, COUNT(*) AS len, MAX(t) - MIN(t) AS dur_us
+        |  FROM s2 GROUP BY u, sid)
+        |SELECT u AS user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(MAX(len) AS INT) AS max_session_events,
+        |  CAST(FLOOR(SUM(dur_us) / 1000000) AS BIGINT) AS total_session_s
+        |FROM g GROUP BY u""".stripMargin,
 
     "q_attribution" ->
       """WITH t AS (

@@ -111,6 +111,15 @@ object QueriesCorpus {
           sum("n_chars").as("chars_kept"),
           min("doc_id").as("first_doc"))),
 
+    // deterministic stratified train/val/test split: assignment is a
+    // pure row-local function of doc_id (md5 bucket), reproducible
+    // across engines/retries/layouts where randomSplit is not
+    "corpus_split" -> ((s, d) =>
+      Corpus.stratifiedSplit(documents(s, d), "doc_id", "split",
+          Seq("train" -> 80, "val" -> 90, "test" -> 100))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))),
+
     // percentile-based quality cut: drop each language's worst quartile
     // by composite quality score; thresholds from the bounded-memory
     // binned percentile, broadcast back for a one-scan filter
@@ -329,6 +338,17 @@ object QueriesCorpus {
         |         1, 8))::BIGINT / 4294967296.0
         |      < CAST(n_chars AS DOUBLE) / wmax
         |GROUP BY source""".stripMargin,
+
+    "corpus_split" ->
+      """WITH s AS (SELECT lang, n_chars,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM (SELECT lang, n_chars,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 100 AS b FROM documents))
+        |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM s GROUP BY lang, split""".stripMargin,
 
     // score formula copied verbatim from the text_quality oracle (the
     // cross-engine-pinned form); threshold = quantile_cont per lang,

@@ -88,6 +88,13 @@ object QueriesLlm {
       graft.operators.TextStats.repetitionSignals(
         documents(s, d), "doc_id", "text")),
 
+    // cross-document duplicate 5-gram fraction (RefinedWeb-style
+    // contamination signal): inverted index keyed by the 128-bit
+    // n-gram hash — only (doc_id, hash) pairs ever shuffle
+    "text_dup_ngrams" -> ((s, d) =>
+      graft.operators.TextStats.duplicateNgramFraction(
+        documents(s, d), "doc_id", "text", n = 5)),
+
     // PageRank over the near-dup pair graph (3 fixed iterations):
     // centrality inside a duplicate cluster separates the template
     // document from its leaf variants; fixed-point BIGINT nano-units
@@ -623,6 +630,21 @@ object QueriesLlm {
         |SELECT d.doc_id, d.lang
         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.cdoc
         |WHERE cl.cdoc IS NULL OR cl.cluster_id = d.doc_id""".stripMargin,
+
+    "text_dup_ngrams" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |  UNNEST(generate_series(1, len(t) - 4)) AS i
+        |  FROM toks WHERE len(t) >= 5),
+        |ng AS (SELECT DISTINCT doc_id,
+        |  md5(array_to_string(t[i:i+4], ' ')) AS g FROM idx),
+        |cnt AS (SELECT g, COUNT(*) AS nd FROM ng GROUP BY g)
+        |SELECT ng.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |  CAST(ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS dup_frac
+        |FROM ng JOIN cnt USING (g) GROUP BY ng.doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (

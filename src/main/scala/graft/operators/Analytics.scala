@@ -283,4 +283,34 @@ object Analytics {
         """CAST(ROUND(CAST(n AS DOUBLE) /
           |  SUM(n) OVER (PARTITION BY prev_state), 6) AS DOUBLE)""".stripMargin))
   }
+
+  /** Batch gap sessionization (the batch sibling of the streaming
+    * session window): per key, a new session starts when the gap to
+    * the previous event exceeds `gapUs`; sessions then roll up to one
+    * row per key. All three passes — the lag window, the per-session
+    * aggregate, the per-key aggregate — are keyed by the user column,
+    * so the whole operator is ONE shuffle by key followed by local
+    * aggregation (the session/user groupBys reuse the window's hash
+    * partitioning). Durations stay in integral microseconds until the
+    * final floor-divide to seconds: no fp drift across engines. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      gapUs: Long): DataFrame = {
+    require(gapUs > 0, "gapUs must be positive")
+    val base = df.where(col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("t"))
+    val w = Window.partitionBy("u").orderBy(col("t").asc)
+    // gap to previous event; ties (equal t) yield gap 0 regardless of
+    // tie order, so no deterministic tiebreak column is needed
+    val sess = base
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy("u", "sid")
+      .agg(count(lit(1)).as("len"), (max(col("t")) - min(col("t"))).as("dur_us"))
+    sess.groupBy(col("u").as(userCol))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        max(col("len")).cast("int").as("max_session_events"),
+        floor(sum(col("dur_us")) / 1000000L).cast("long").as("total_session_s"))
+  }
 }

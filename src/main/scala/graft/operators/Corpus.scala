@@ -587,4 +587,27 @@ object Corpus {
         Window.orderBy(col("n").desc, col("pair").asc)).cast("int"))
       .select("rank", "pair", "n")
   }
+
+  /** Deterministic stratified train/val/test split: each row's split
+    * is a pure function of its id (md5 bucket 0..99, [[hashBucket]]),
+    * so the assignment is reproducible across engines, runs, retries
+    * and data re-partitioning — the property `randomSplit` cannot give
+    * (its sampling is per-partition and changes when the input layout
+    * does). Entirely row-local: evaluates inside the scan's codegen
+    * stage, no shuffle; downstream writers partition by the new
+    * column. `cuts` are cumulative upper bounds over named splits,
+    * e.g. Seq("train" → 80, "val" → 90, "test" → 100). */
+  def stratifiedSplit(df: DataFrame, idCol: String, salt: String,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100,
+      s"cuts must end at 100, got $cuts")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted &&
+      cuts.map(_._2).distinct == cuts.map(_._2),
+      s"cuts must be strictly increasing, got $cuts")
+    val b = hashBucket(col(idCol), salt, 100)
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, ub), rest) => when(b < ub, name).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
 }

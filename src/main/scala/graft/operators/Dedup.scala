@@ -667,12 +667,26 @@ object Dedup {
     // pre-partition by the per-round join key before checkpointing:
     // localCheckpoint preserves the hash partitioning, so the edge
     // table — the BIG side at corpus scale, constant across rounds —
-    // shuffles once here instead of once per round
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // shuffles once here instead of once per round. The partition
+    // COUNT is sized from the measured edge count (the count rides the
+    // first checkpoint as an observe metric): a fixed
+    // spark.sql.shuffle.partitions would pin EVERY per-round join to
+    // that task count — hundreds of near-empty tasks per round on a
+    // small graph (8+ rounds × 4 stages × 32 tasks dominated local
+    // wall time), while at corpus scale partitions stay size-bound
+    // (~2M edges each) up to the configured shuffle-partition cap.
+    val obs0 = org.apache.spark.sql.Observation()
+    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .repartition(col("src"))
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
+    val nEdges = obs0.get("n").asInstanceOf[Long]
+    val maxParts =
+      pairs.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val nParts = math.max(1L, math.min(maxParts, nEdges / 2000000L + 1)).toInt
+    val edges = e0.repartition(nParts, col("src")).localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(e0)
     // convergence via the label-sum invariant: every round takes a MIN
     // over a superset of each node's current label, so labels are
     // per-node non-increasing — the (exact, decimal) sum is unchanged
@@ -693,27 +707,35 @@ object Dedup {
     var (labels, prevSum) = checkpointWithSum(
       edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")))
-    var iter = 0
-    var changed = true
-    while (changed && iter < maxIters) {
-      val tRound = System.nanoTime()
+    // one propagation round, as pure transformations: one-hop neighbor
+    // min, then pointer jumping — chase TWO indirections (labels are
+    // node ids, so every label has a row in `hop`) keeping the min at
+    // each step; the second jump join reuses the first's `jump`-side
+    // exchange (same subplan), so it costs one extra join inside the
+    // same job rather than a whole extra round
+    def round(labels: DataFrame): DataFrame = {
       val fromNbr = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
       val hop = labels.unionByName(fromNbr)
         .groupBy("node").agg(min("label").as("label"))
-      // pointer jumping: chase TWO indirections (labels are node ids,
-      // so every label has a row in `hop`) keeping the min at each
-      // step — quadruples effective compression per round vs a single
-      // jump, and the second join reuses the first's `jump`-side
-      // exchange (same subplan), so it costs one extra join inside the
-      // same job rather than a whole extra round (edges join + groupBy
-      // + checkpoint)
       val jump = hop.select(col("node").as("pnode"), col("label").as("plabel"))
       val j1 = hop.join(jump, col("label") === col("pnode"))
         .select(col("node"), least(col("label"), col("plabel")).as("label"))
-      val (next, nextSum) = checkpointWithSum(
-        j1.join(jump, col("label") === col("pnode"))
-          .select(col("node"), least(col("label"), col("plabel")).as("label")))
+      j1.join(jump, col("label") === col("pnode"))
+        .select(col("node"), least(col("label"), col("plabel")).as("label"))
+    }
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIters) {
+      val tRound = System.nanoTime()
+      // ONE round per checkpoint + convergence check. (Measured
+      // alternatives at sf0.1: unrolling round(round(_)) per
+      // checkpoint halves the job count but the inner round's `hop`
+      // subtree has three consumers, and without guaranteed exchange
+      // reuse the doubled-depth plan re-executes it — net slower; a
+      // two-edge-hop round similarly paid more in extra shuffles than
+      // it saved in rounds.)
+      val (next, nextSum) = checkpointWithSum(round(labels))
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
       // free the superseded generation's checkpoint blocks — otherwise

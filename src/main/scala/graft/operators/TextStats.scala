@@ -94,4 +94,34 @@ object TextStats {
           .as("top_bigram_frac"),
         col("max_run"))
   }
+
+  /** Cross-document duplicate n-gram fraction (the RefinedWeb/C4-style
+    * corpus contamination signal the per-doc repetition stats can't
+    * see): for each doc, the fraction of its DISTINCT word n-grams
+    * that also occur in at least one other document. Shape: per-doc
+    * n-gram extraction is row-local; only (doc_id, md5(ngram)) pairs
+    * shuffle — the inverted index is keyed by the 128-bit n-gram hash,
+    * never the text — then one count per hash and one doc-keyed
+    * roll-up. Docs shorter than `n` tokens emit no n-grams and are
+    * absent from the output (both engines agree). */
+  def duplicateNgramFraction(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val grams = df
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split(${textCol}, ' '), x -> x <> '')").as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> md5(array_join(slice(w, i, $n), ' ')))")).as("g"))
+      .distinct() // per-doc distinct: multiplicity inside a doc is
+                  // repetitionSignals' business, not contamination's
+    val docsPerGram = grams.groupBy("g")
+      .agg(count(lit(1)).as("nd")) // grams is (doc_id,g)-distinct
+    grams.join(docsPerGram, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_ngrams"),
+        expr("CAST(ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) " +
+          "/ CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE)").as("dup_frac"))
+  }
 }

@@ -135,8 +135,12 @@ object Sketches {
     * correctness hole in the string form: `concat_ws` DROPS null
     * elements, so [1.0, null] and [1.0] collided into one gid; here
     * they digest differently. Internal-only value (a grouping key for
-    * exact-duplicate vectors), so no cross-engine contract. */
-  def vecDigest(vec: ArrayData): UTF8String = {
+    * exact-duplicate vectors), so no cross-engine contract — returned
+    * as the RAW 16 digest bytes (not hex): the gid rides every
+    * downstream shuffle and join key in the embedding-dedup family,
+    * and binary16 is half the bytes of the hex rendering with memcmp
+    * comparisons. */
+  def vecDigest(vec: ArrayData): Array[Byte] = {
     val md = md5Local.get()
     md.reset()
     val n = vec.numElements()
@@ -152,7 +156,7 @@ object Sketches {
       }
       i += 1
     }
-    hex(md.digest(buf))
+    md.digest(buf)
   }
 
   /** 60-bit average-hash (aHash) over a raw byte buffer treated as a
@@ -323,7 +327,7 @@ final case class LshBucket(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
-/** array<double> vector → string 128-bit value digest (native). */
+/** array<double> vector → binary16 128-bit value digest (native). */
 final case class VecDigest(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -331,7 +335,7 @@ final case class VecDigest(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects array<double>, got ${t.simpleString}")
   }
-  override def dataType: DataType = StringType
+  override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_vec_digest"
 
   override def nullSafeEval(input: Any): Any =

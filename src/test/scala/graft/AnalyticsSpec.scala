@@ -206,4 +206,37 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(a == Seq(("X", "Y")) && b == Seq(("X", "Y")))
   }
+
+  test("sessionize: gap threshold starts new sessions, durations in floor seconds") {
+    // user 1: events at 0:00, 0:10, 0:20 (one session, 1200s), then
+    // 2:00, 2:05 (second session, 300s); user 2: single event
+    val df = Seq(
+      (1L, ts(0, 0)), (1L, ts(0, 10)), (1L, ts(0, 20)),
+      (1L, ts(2, 0)), (1L, ts(2, 5)),
+      (2L, ts(5, 0))).toDF("user_id", "tstamp")
+    val out = Analytics.sessionize(df, "user_id", "tstamp",
+        gapUs = 1800000000L) // 30 min
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 3, 1500L))) // 1200s + 300s
+    assert(out(2L) == ((1L, 1, 0L)))
+  }
+
+  test("sessionize: exact-gap boundary stays in session; ties collapse to gap 0") {
+    val df = Seq(
+      (1L, ts(0, 0)), (1L, ts(0, 30)),        // gap == 30min: SAME session
+      (2L, ts(0, 0)), (2L, ts(0, 0)), (2L, ts(0, 31))) // tie, then > gap
+      .toDF("user_id", "tstamp")
+    val out = Analytics.sessionize(df, "user_id", "tstamp", gapUs = 1800000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((1L, 2)))
+    assert(out(2L) == ((2L, 2)))
+  }
+
+  test("sessionize is partitioning-independent") {
+    val df = Seq((1L, ts(0, 0)), (1L, ts(1, 0)), (1L, ts(1, 10)))
+      .toDF("user_id", "tstamp")
+    val a = Analytics.sessionize(df, "user_id", "tstamp", 1800000000L).collect().toSeq
+    val b = Analytics.sessionize(df.repartition(7), "user_id", "tstamp", 1800000000L).collect().toSeq
+    assert(a == b)
+  }
 }

@@ -270,4 +270,30 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L) == ((3L, 4L)))  // the(1) + then(2) + the(1)
     assert(out(2L) == ((1L, 1L)))
   }
+
+  test("stratifiedSplit: every row assigned, deterministic, layout-independent") {
+    val df = spark.range(0, 1000).toDF("doc_id")
+    val cuts = Seq("train" -> 80, "val" -> 90, "test" -> 100)
+    val out = Corpus.stratifiedSplit(df, "doc_id", "split", cuts)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000L)
+    assert(counts("train") > 700 && counts("train") < 900) // ~80%
+    assert(counts("val") > 50 && counts("test") > 50)
+    // same id -> same split regardless of partitioning or row order
+    val a = out.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    val b = Corpus.stratifiedSplit(df.repartition(13), "doc_id", "split", cuts)
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(a == b)
+  }
+
+  test("stratifiedSplit rejects malformed cuts") {
+    val df = spark.range(1).toDF("doc_id")
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSplit(df, "doc_id", "s", Seq("a" -> 50, "b" -> 90))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSplit(df, "doc_id", "s", Seq("a" -> 90, "b" -> 80, "c" -> 100))
+    }
+  }
 }

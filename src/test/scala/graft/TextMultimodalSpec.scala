@@ -139,4 +139,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(1L) != out(3L))
     assert(out(1L).length == 4)
   }
+
+  test("duplicateNgramFraction: shared 5-grams count, short docs drop") {
+    val df = Seq(
+      (1L, "a b c d e f"),        // 5-grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e zz"),       // shares "a b c d e" with doc 1
+      (3L, "p q r s t"),          // unique single 5-gram
+      (4L, "x y z")               // < 5 tokens: absent from output
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextStats
+      .duplicateNgramFraction(df, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((2L, 0.5)))
+    assert(out(2L) == ((2L, 0.5)))
+    assert(out(3L) == ((1L, 0.0)))
+    assert(!out.contains(4L))
+  }
+
+  test("duplicateNgramFraction: within-doc repeats are not contamination") {
+    // doc repeats its own 5-gram twice but shares nothing cross-doc
+    val df = Seq((1L, "a b c d e a b c d e"), (2L, "k l m n o"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextStats
+      .duplicateNgramFraction(df, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == 0.0)
+  }
 }
