@@ -32,6 +32,24 @@ object QueriesLlm {
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", "lang",
         n = 2, minJaccard = 0.3)),
 
+    // directed containment |A∩B|/|A| — the asymmetric near-dup that
+    // catches a doc embedded in a larger one (symmetric Jaccard
+    // punishes the size gap and misses it)
+    "dedup_containment" -> ((s, d) =>
+      Dedup.ngramContainmentPairs(documents(s, d), "doc_id", "text",
+        "lang", n = 2, minContainment = 0.8)),
+
+    // incremental SEMANTIC dedup: deterministic 20% of vectors play
+    // the fresh ingest batch, LSH-probed strictly across sides against
+    // the remaining corpus, exact-cosine reranked
+    "dedup_embed_delta" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val isFresh =
+        graft.operators.Corpus.hashBucket(col("vec_id"), "edelta", 5) === 0
+      Dedup.deltaEmbedding(e.where(!isFresh), e.where(isFresh),
+        "vec_id", "embedding", minCosine = 0.3)
+    }),
+
     "dedup_embed" -> ((s, d) =>
       Dedup.embeddingPairs(embeddings(s, d), "vec_id", "embedding",
         minCosine = 0.3, bands = 4, bandBits = 8)),
@@ -630,6 +648,44 @@ object QueriesLlm {
         |SELECT d.doc_id, d.lang
         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.cdoc
         |WHERE cl.cdoc IS NULL OR cl.cluster_id = d.doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, list_distinct([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |p AS (
+        |  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+        |    len(list_intersect(a.g, b.g)) AS inter, len(a.g) AS na
+        |  FROM bg a JOIN bg b ON a.lang = b.lang AND a.doc_id <> b.doc_id)
+        |SELECT src_doc, dst_doc,
+        |  CAST(ROUND(CAST(inter AS DOUBLE)/na, 4) AS DOUBLE) AS containment
+        |FROM p WHERE CAST(inter AS DOUBLE)/na >= 0.8""".stripMargin,
+
+    "dedup_embed_delta" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+        |    ('0x' || substr(md5('edelta:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 5 = 0 AS fresh
+        |  FROM embeddings),
+        |bk AS (
+        |  SELECT vec_id, fresh,
+        |    list_sum([CASE WHEN list_sum([x[d+1] * ((CAST((1103515245::BIGINT * (p * 1024 + d) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0) * 2.0 - 1.0) for d in range(0,64)]) >= 0.0
+        |              THEN CAST(2**p AS BIGINT) ELSE 0 END for p in range(0,32)]) AS bkt
+        |  FROM v),
+        |bands AS (
+        |  SELECT vec_id, fresh, b, (bkt >> (8*b)) & 255 AS bv FROM bk, range(0,4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT f.vec_id AS id_fresh, c.vec_id AS id_corpus
+        |  FROM bands f JOIN bands c ON f.b = c.b AND f.bv = c.bv
+        |  WHERE f.fresh AND NOT c.fresh),
+        |p AS (
+        |  SELECT id_fresh, id_corpus,
+        |    list_sum([vf.x[i+1]*vc.x[i+1] for i in range(0,64)]) /
+        |      (sqrt(list_sum([xx*xx for xx in vf.x])) * sqrt(list_sum([yy*yy for yy in vc.x]))) AS cos
+        |  FROM cand JOIN v vf ON id_fresh = vf.vec_id JOIN v vc ON id_corpus = vc.vec_id)
+        |SELECT id_fresh, id_corpus, CAST(ROUND(cos, 4) AS DOUBLE) AS cos_sim
+        |FROM p WHERE cos >= 0.3""".stripMargin,
 
     "text_dup_ngrams" ->
       """WITH toks AS (SELECT doc_id,

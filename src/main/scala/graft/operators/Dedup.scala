@@ -773,6 +773,100 @@ object Dedup {
     df.join(losers, df(idCol) === losers("doc_id"), "left_anti")
   }
 
+  /** Directed n-gram CONTAINMENT near-dup pairs: C(a→b) = |A∩B| / |A|
+    * — the asymmetric sibling of [[ngramJaccardPairs]] that catches a
+    * document EMBEDDED in a larger one (quotes, scraped inclusions,
+    * boilerplate-wrapped copies), which symmetric Jaccard misses
+    * because the union term punishes the size gap.
+    *
+    * Same inverted-index shape as the Jaccard form: per-doc distinct
+    * shingles explode to a (packed-key, gram-hash) posting table; one
+    * equi-self-join on the gram hash + count per pair computes every
+    * intersection size; both directed containments then derive from
+    * the one undirected count. No size-ratio prune exists here ON
+    * PURPOSE: for any sizes the smaller side can still be fully
+    * contained, so a Jaccard-style min/max cut would drop true pairs.
+    * Packing contract (id < 2^43, n_g < 2^20) as ngramJaccardPairs. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 2, minContainment: Double = 0.8): DataFrame = {
+    val spark = df.sparkSession
+    val grams = df
+      .select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("id"), col("grp"),
+        GraftFunctions.shingles(spark, col("w"), n).as("g"))
+    val posting = grams
+      .select(
+        when(col("id").isNull || col("id") < 0L || col("id") >= (1L << 43) ||
+             size(col("g")).cast("long") >= (1L << 20),
+          expr("raise_error('ngramContainmentPairs: id/n_g out of packable range')")
+            .cast("long"))
+          .otherwise(shiftleft(col("id"), 20)
+            .bitwiseOR(size(col("g")).cast("long"))).as("pk"),
+        col("grp"), explode(col("g")).as("gram"))
+      .select(col("pk"),
+        xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
+    def ng(c: Column): Column = c.bitwiseAND(lit((1L << 20) - 1))
+    val inter = posting.as("a")
+      .join(posting.as("b").hint("shuffle_hash"),
+        col("a.gk") === col("b.gk") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("inter"))
+    val directed = inter.select(col("pa").as("src"), col("pb").as("dst"),
+        (col("inter").cast("double") / ng(col("pa"))).as("c"))
+      .unionByName(inter.select(col("pb").as("src"), col("pa").as("dst"),
+        (col("inter").cast("double") / ng(col("pb"))).as("c")))
+    directed.where(col("c") >= minContainment)
+      .select(shiftrightunsigned(col("src"), 20).as("src_doc"),
+        shiftrightunsigned(col("dst"), 20).as("dst_doc"),
+        expr("CAST(ROUND(c, 4) AS DOUBLE)").as("containment"))
+  }
+
+  /** Incremental embedding near-dup: probe a FRESH ingest batch against
+    * the existing corpus — banded hyperplane LSH candidates strictly
+    * ACROSS sides (never fresh×fresh or corpus×corpus), exact-cosine
+    * rerank. The embedding sibling of [[deltaMinhash]]: per ingest run
+    * the corpus is scanned once for banding, the join keys are (band,
+    * bucket) ints, and with a small batch AQE broadcasts the fresh
+    * side's band table — no corpus shuffle at all. Same deterministic
+    * band family as [[embeddingPairs]], so the candidate set is
+    * engine-portable (the DuckDB oracle reproduces it). */
+  def deltaEmbedding(corpus: DataFrame, fresh: DataFrame, idCol: String,
+      vecCol: String, minCosine: Double, bands: Int = 4,
+      bandBits: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val planes = bands * bandBits
+    require(planes <= 63, s"bands*bandBits must fit a long, got $planes")
+    val mask = (1L << bandBits) - 1
+    // band tables carry ONLY (id, band, bucket) — vectors re-attach
+    // after the candidate distinct, so corpus vectors are never
+    // inflated ×bands through the band shuffle; with a small fresh
+    // batch AQE broadcasts both the fresh band table and the candidate
+    // set, leaving the corpus scanned (twice) but never shuffled
+    def banded(df: DataFrame, side: String) = df
+      .select(col(idCol).as(s"id_$side"),
+        GraftFunctions.lshBucket(spark,
+          Vectors.toDouble(col(vecCol)), planes).as("bkt"))
+      .select(col(s"id_$side"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("bkt"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("b", "bv")))
+    val cand = banded(corpus, "corpus")
+      .join(banded(fresh, "fresh"), Seq("b", "bv"))
+      .select(col("id_fresh"), col("id_corpus")).distinct()
+    val cx = corpus.select(col(idCol).as("id_corpus"),
+      Vectors.toDouble(col(vecCol)).as("x_corpus"))
+    val fx = fresh.select(col(idCol).as("id_fresh"),
+      Vectors.toDouble(col(vecCol)).as("x_fresh"))
+    cand.join(cx, "id_corpus").join(fx, "id_fresh")
+      .select(col("id_fresh"), col("id_corpus"),
+        GraftFunctions.cosine(spark, col("x_fresh"), col("x_corpus")).as("cos"))
+      .where(col("cos") >= minCosine)
+      .select(col("id_fresh"), col("id_corpus"),
+        expr("CAST(ROUND(cos, 4) AS DOUBLE)").as("cos_sim"))
+  }
+
   /** Exact all-pairs embedding-cosine (O(N²) nested-loop join): the
     * recall oracle for [[embeddingPairs]] in specs. Never run this on a
     * corpus — the plan is a BroadcastNestedLoopJoin by construction. */

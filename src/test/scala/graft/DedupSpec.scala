@@ -304,4 +304,46 @@ class DedupSpec extends SparkSpec {
     val gidPairs = Dedup.embeddingPairsByGroup(df, "vec_id", "embedding", 0.3)
     assert(gidPairs.count() == st.gidPairs.count())
   }
+
+  test("containment: embedded doc found at 1.0, Jaccard misses it") {
+    // doc 2's bigrams are a strict subset of doc 1's much larger set
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, big, "en"),
+      (2L, "w10 w11 w12 w13", "en"),  // 3 bigrams, all inside doc 1
+      (3L, "zz yy xx", "en")          // unrelated
+    ).toDF("doc_id", "text", "lang")
+    val cont = Dedup.ngramContainmentPairs(df, "doc_id", "text", "lang",
+        n = 2, minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cont.contains((2L, 1L, 1.0)))          // 2 fully inside 1
+    assert(!cont.exists(t => t._1 == 1L))          // 1 not inside 2
+    assert(!cont.exists(t => t._1 == 3L || t._2 == 3L))
+    // the symmetric form misses the pair entirely at any usable cutoff
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang",
+      n = 2, minJaccard = 0.3).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("deltaEmbedding crosses sides only and agrees with exact cross pairs") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f)),   // fresh: dup of corpus 1
+      (11L, Array(1.0f, 0.02f, 0.0f)),  // fresh: near-dup of 1 and 2
+      (12L, Array(0.0f, 0.0f, 1.0f))    // fresh: novel
+    ).toDF("vec_id", "embedding")
+    val corpus = vecs.where("vec_id < 10")
+    val fresh = vecs.where("vec_id >= 10")
+    val out = Dedup.deltaEmbedding(corpus, fresh, "vec_id", "embedding",
+        minCosine = 0.9, bands = 4, bandBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // strictly cross-side: fresh ids left, corpus ids right
+    assert(out.forall { case (f, c, _) => f >= 10L && c < 10L })
+    // the exact duplicate must surface at cos 1.0 (same LSH buckets)
+    assert(out.exists { case (f, c, cos) => f == 10L && c == 1L && cos == 1.0 })
+    // novel vector pairs with nothing above the threshold
+    assert(!out.exists(_._1 == 12L))
+  }
 }
