@@ -181,6 +181,15 @@ object QueriesLlm {
         "vec_id", "embedding", k = 5, probes = 4)
     }),
 
+    // product quantization + ADC: per-subspace Lloyd codebooks (exact
+    // deterministic arithmetic), corpus compressed to m codes, search
+    // reads codes + a broadcast per-query lookup table only
+    "ann_pq" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.pqTopK(e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, m = 16, codebookK = 16)
+    }),
+
     // SQ8 scalar quantization + asymmetric search: full-precision
     // queries against the byte-quantized corpus (4x memory cut) — the
     // oracle replicates the quantize→dequantize→score arithmetic
@@ -797,6 +806,60 @@ object QueriesLlm {
         |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin,
 
     // multi-probe: each query searches its own bucket plus the 4
+    "ann_pq" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |c AS (SELECT vec_id, x FROM v WHERE vec_id >= 10),
+        |q AS (SELECT vec_id, x FROM v WHERE vec_id < 10),
+        |sub AS (SELECT vec_id, s, x[s*4+1 : s*4+4] AS xs
+        |  FROM c, range(0,16) t(s)),
+        |init AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x
+        |  FROM c QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+        |cent0 AS (SELECT cid, s, x[s*4+1 : s*4+4] AS cs
+        |  FROM init, range(0,16) t(s)),
+        |asg1 AS (
+        |  SELECT vec_id, s, xs, cid FROM (
+        |    SELECT u.vec_id, u.s, u.xs, c0.cid,
+        |      list_sum([c0.cs[i+1]*c0.cs[i+1] for i in range(0,4)])
+        |        - 2 * list_sum([u.xs[i+1]*c0.cs[i+1] for i in range(0,4)]) AS d2
+        |    FROM sub u JOIN cent0 c0 ON u.s = c0.s)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |    ORDER BY ROUND(d2, 9) ASC, cid) = 1),
+        |cent1 AS (
+        |  SELECT s, cid,
+        |    [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,4)] AS cs
+        |  FROM (SELECT s, cid, list(xs) AS vs FROM asg1 GROUP BY s, cid)),
+        |codes AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT u.vec_id, u.s, c1.cid,
+        |      list_sum([c1.cs[i+1]*c1.cs[i+1] for i in range(0,4)])
+        |        - 2 * list_sum([u.xs[i+1]*c1.cs[i+1] for i in range(0,4)]) AS d2
+        |    FROM sub u JOIN cent1 c1 ON u.s = c1.s)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |    ORDER BY ROUND(d2, 9) ASC, cid) = 1),
+        |qsub AS (
+        |  SELECT vec_id AS query_id, sqrt(list_sum([p*p for p in x])) AS qn,
+        |    s, x[s*4+1 : s*4+4] AS qs
+        |  FROM q, range(0,16) t(s)),
+        |pd AS (
+        |  SELECT query_id, qn, c1.s, c1.cid,
+        |    list_sum([qs[i+1]*c1.cs[i+1] for i in range(0,4)]) AS pdot,
+        |    list_sum([c1.cs[i+1]*c1.cs[i+1] for i in range(0,4)]) AS c2
+        |  FROM qsub JOIN cent1 c1 ON qsub.s = c1.s),
+        |pairs AS (
+        |  SELECT query_id, vec_id AS neighbor_id, ANY_VALUE(qn) AS qn,
+        |    SUM(CAST(ROUND(pdot, 9) AS DECIMAL(38,9))) AS dq,
+        |    SUM(CAST(ROUND(c2, 9) AS DECIMAL(38,9))) AS x2
+        |  FROM codes JOIN pd USING (s, cid) GROUP BY query_id, vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  CAST(dq AS DOUBLE) / (qn * sqrt(CAST(x2 AS DOUBLE))) AS cos FROM pairs)
+        |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
+        |FROM r
+        |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin,
+
     // buckets one bit-flip away on planes 0..3 — mirrors
     // Ann.lshTopK(probes = 4)
     "ann_lsh" ->

@@ -317,4 +317,94 @@ object Ann {
       .localCheckpoint()
     bruteForceTopK(queries, dq, idCol, vecCol, k)
   }
+
+  /** Product quantization (PQ) + asymmetric-distance (ADC) search: the
+    * vector splits into `m` subspaces, each quantized to one of
+    * `codebookK` learned codewords — a vector compresses to m small
+    * codes (m bytes at codebookK ≤ 256: 64× less memory than 64
+    * float32 dims), and search reads ONLY codes plus a per-query
+    * lookup table, never corpus vectors.
+    *
+    * Codebooks: per-subspace Lloyd k-means (init = the first
+    * `codebookK` vectors by id, one update round), assignment by the
+    * L2 identity argmin |x−c|² = argmin (c·c − 2x·c) — both terms are
+    * native [[graft.plans.DotProduct]] dots, so assignment is exact
+    * deterministic arithmetic any engine reproduces (round(·,9) +
+    * cid tiebreak). Codeword means use exact DECIMAL(38,9) sums, the
+    * [[trainCentroids]] discipline, so they are order-independent.
+    *
+    * ADC: cos(q, x̂) = Σ_s q_s·ĉ_s / (|q|·|x̂|). The per-(query,
+    * subspace, codeword) dot table (Q·m·codebookK rows) broadcasts;
+    * the codes table joins it map-side and one two-phase aggregate
+    * sums the m partials per (query, vector) — partial sums are
+    * ROUND(·,9) DECIMAL-exact, so the float result is identical under
+    * any aggregation order/partitioning. Like all PQ-ADC, the scan is
+    * still O(N·Q) over CODES — the win is memory traffic (m ints vs
+    * the full vector), and the production composition is IVF cells ×
+    * PQ codes ([[ivfTopK]] supplies the cell pruning).
+    *
+    * Contract matches the other ANN surfaces: (query_id, neighbor_id,
+    * rank, cos_r), rounded-cos rank with id tiebreak. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, codebookK: Int = 4,
+      dim: Int = 64): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val spark = candidates.sparkSession
+    def dot(a: Column, b: Column) = GraftFunctions.dot(spark, a, b)
+    def slices(x: Column) =
+      array((0 until m).map(s => slice(x, s * sub + 1, sub)): _*)
+
+    val cand = candidates.select(col(idCol).as("nid"),
+      Vectors.toDouble(col(vecCol)).as("x"))
+    val candSub = cand.select(col("nid"),
+      posexplode(slices(col("x"))).as(Seq("s", "xs")))
+    val cent0 = cand.orderBy("nid").limit(codebookK)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("nid"))) - 1).cast("int"))
+      .select(col("cid"), posexplode(slices(col("x"))).as(Seq("s", "cs")))
+    def assign(cent: DataFrame) = {
+      val w = Window.partitionBy("nid", "s")
+        .orderBy(round(col("d2"), 9).asc, col("cid").asc)
+      candSub.join(broadcast(cent), "s")
+        .withColumn("d2", dot(col("cs"), col("cs")) - lit(2.0) * dot(col("xs"), col("cs")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("nid"), col("s"), col("xs"), col("cid"))
+    }
+    val cent1 = assign(cent0)
+      .select(col("s"), col("cid"), posexplode(col("xs")).as(Seq("d", "v")))
+      .groupBy("s", "cid", "d")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ROUND(v, 9) AS DECIMAL(38,9))")).as("sv"))
+      .withColumn("mv", expr("CAST(sv AS DOUBLE) / n"))
+      .groupBy("s", "cid")
+      .agg(array_sort(collect_list(struct(col("d"), col("mv")))).as("dm"))
+      .select(col("s"), col("cid"), expr("transform(dm, p -> p.mv)").as("cs"))
+    val codes = assign(cent1).select(col("nid"), col("s"), col("cid"))
+
+    val q = queries.select(col(idCol).as("query_id"),
+      Vectors.toDouble(col(vecCol)).as("xq"))
+    val qSub = q
+      .withColumn("qn", sqrt(dot(col("xq"), col("xq"))))
+      .select(col("query_id"), col("qn"),
+        posexplode(slices(col("xq"))).as(Seq("s", "qs")))
+    val partial = qSub.join(broadcast(cent1), "s")
+      .select(col("query_id"), col("qn"), col("s"), col("cid"),
+        dot(col("qs"), col("cs")).as("pd"),
+        dot(col("cs"), col("cs")).as("c2"))
+    val pairs = codes.join(broadcast(partial), Seq("s", "cid"))
+      .groupBy("query_id", "nid")
+      // DECIMAL-exact partial sums: the m summands land in any order
+      // across partitions; rounding each to 9dp and summing exactly
+      // makes the double result partitioning-independent (and equal to
+      // the oracle's)
+      .agg(first(col("qn")).as("qn"),
+        sum(expr("CAST(ROUND(pd, 9) AS DECIMAL(38,9))")).as("dq"),
+        sum(expr("CAST(ROUND(c2, 9) AS DECIMAL(38,9))")).as("x2"))
+      .select(col("query_id"), col("nid").as("neighbor_id"),
+        (col("dq").cast("double") /
+          (col("qn") * sqrt(col("x2").cast("double")))).as("cos"))
+    ranked(pairs, k)
+  }
 }

@@ -80,6 +80,59 @@ final case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot product over two `array<double>` columns — the
+  * [[CosineSimilarity]] loop without the norms. One expression covers
+  * dot(a,b), squared norms (dot(x,x)) and, by the identity
+  * argmin |x−c|² = argmin (c·c − 2x·c), L2 codebook assignment — so
+  * PQ-style quantization needs no second distance primitive. Folds
+  * left-to-right like DuckDB's `list_sum`, so results are
+  * bit-identical to the oracle's. */
+final case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, array<double>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += xs.getDouble(i) * ys.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: both the proper `SparkSessionExtensions` path (for
   * `spark.sql.extensions=graft.plans.GraftExtensions` at session build)
   * and a runtime path for sessions we didn't build (the driver's). */
@@ -134,6 +187,18 @@ object GraftFunctions {
       require(exprs.length == 1, s"$DHashName expects 1 argument")
       DHash60(exprs.head)
     }, "built-in")
+    reg.createOrReplaceTempFunction(DotName, exprs => {
+      require(exprs.length == 2, s"$DotName expects 2 arguments")
+      DotProduct(exprs.head, exprs(1))
+    }, "built-in")
+  }
+
+  val DotName = "graft_dot"
+
+  /** Native dot product (registers on the session). */
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(DotName, a, b)
   }
 
   val PHashName = "graft_phash60"

@@ -229,4 +229,41 @@ class AnnSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("collect_list(embedding"), plan)
   }
+
+  test("pqTopK: ADC recall vs brute force on real embeddings") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs2 = e.where(col("vec_id") < 10)
+    val cand = e.where(col("vec_id") >= 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.bruteForceTopK(qs2, cand, "vec_id", "embedding", 5))
+    val pq = pairs(Ann.pqTopK(qs2, cand, "vec_id", "embedding", k = 5,
+      m = 16, codebookK = 16))
+    // 16 subspaces x 16 codewords = 64-bit codes (8x compression); on
+    // near-isotropic synthetic vectors measured recall ~0.32 — the
+    // floor asserts it beats a random top-5 (~0.01) by 20x
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall over ${exact.size} exact pairs")
+    // every query still returns a full top-k
+    val out = Ann.pqTopK(qs2, cand, "vec_id", "embedding", k = 5)
+    assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L))
+  }
+
+  test("pqTopK is partitioning-independent (decimal-exact ADC sums)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs2 = e.where(col("vec_id") < 5)
+    val cand = e.where(col("vec_id") >= 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val a = rows(Ann.pqTopK(qs2, cand, "vec_id", "embedding", 5))
+    val b = rows(Ann.pqTopK(qs2.repartition(7), cand.repartition(11),
+      "vec_id", "embedding", 5))
+    assert(a == b)
+  }
+
+  test("pqTopK rejects a subspace count that does not divide the dim") {
+    intercept[IllegalArgumentException] {
+      Ann.pqTopK(qs, base, "vec_id", "embedding", 1, m = 3, dim = 64)
+    }
+  }
 }

@@ -324,4 +324,31 @@ class ScaleOpsSpec extends SparkSpec {
       .head()
     assert(sums(base) == sums(base.repartition(13).sortWithinPartitions("l_quantity")))
   }
+
+  test("sessionize plans exactly one exchange: both roll-ups reuse the window's user partitioning") {
+    val df = Tables.events(spark, sf0001)
+    val plan = graft.operators.Analytics
+      .sessionize(df, "user_id", "ts", 1800000000L)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("stratifiedSplit is row-local: no exchange, evaluates in the scan stage") {
+    val df = Tables.documents(spark, sf0001)
+    val plan = graft.operators.Corpus
+      .stratifiedSplit(df, "doc_id", "split",
+        Seq("train" -> 80, "val" -> 90, "test" -> 100))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
+  }
+
+  test("deltaEmbedding: equi-joins only, band tables carry no vectors") {
+    val e = Tables.embeddings(spark, sf0001)
+    val isFresh = graft.operators.Corpus.hashBucket(col("vec_id"), "edelta", 5) === 0
+    val plan = graft.operators.Dedup
+      .deltaEmbedding(e.where(!isFresh), e.where(isFresh), "vec_id", "embedding", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
