@@ -664,29 +664,98 @@ object Dedup {
     * @return (doc_id, cluster_id) for every doc appearing in `pairs`. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
-    // pre-partition by the per-round join key before checkpointing:
-    // localCheckpoint preserves the hash partitioning, so the edge
-    // table — the BIG side at corpus scale, constant across rounds —
-    // shuffles once here instead of once per round. The partition
-    // COUNT is sized from the measured edge count (the count rides the
-    // first checkpoint as an observe metric): a fixed
-    // spark.sql.shuffle.partitions would pin EVERY per-round join to
-    // that task count — hundreds of near-empty tasks per round on a
-    // small graph (8+ rounds × 4 stages × 32 tasks dominated local
-    // wall time), while at corpus scale partitions stay size-bound
-    // (~2M edges each) up to the configured shuffle-partition cap.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = pairs.schema(aCol).dataType
+    val (edges, nEdges) = ccBuildEdges(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    idType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        // PHASE 1 — per-partition union-find (executor-side; memory
+        // bounded by the partition's node count, never the graph's):
+        // one pass over each edge partition collapses all structure
+        // LOCAL to it. The emitted (node → local min-id root) rows
+        // form a star graph with exactly the original components —
+        // every node sits one hop from a local hub — so the iterative
+        // rounds run over stars instead of raw chains: on few
+        // partitions the graph is already solved (2 rounds: converge +
+        // detect), and at corpus scale dense neighborhoods contract
+        // before any round pays a shuffle. Self-loop inputs (a
+        // duplicated rep pairing with itself) survive as (n, n) rows,
+        // so singleton components keep their label row.
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val mapping = edges
+          .select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            val parent = scala.collection.mutable.LongMap.empty[Long]
+            def find(x0: Long): Long = {
+              var x = x0
+              while (parent.getOrElse(x, x) != x) x = parent(x)
+              var y = x0 // path compression
+              while (y != x) { val nxt = parent(y); parent(y) = x; y = nxt }
+              x
+            }
+            it.foreach { case (s, d) =>
+              parent.getOrElseUpdate(s, s)
+              parent.getOrElseUpdate(d, d)
+              val rs = find(s); val rd = find(d)
+              if (rs < rd) parent(rd) = rs
+              else if (rd < rs) parent(rs) = rd
+            }
+            parent.keys.toArray.iterator.map(n => (n, find(n)))
+          }
+          .toDF("node", "lroot")
+        val (starEdges, nStar) = ccBuildEdges(
+          mapping.select(col("node").as("src"), col("lroot").as("dst"))
+            .unionByName(
+              mapping.select(col("lroot").as("src"), col("node").as("dst"))))
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edges)
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(s"CC_CONTRACT edges=$nEdges stars=$nStar")
+        ccPropagate(starEdges, maxIters)
+          .select(col("node").cast(idType).as("doc_id"),
+            col("label").cast(idType).as("cluster_id"))
+      case _ =>
+        // non-integral ids can't enter the primitive union-find maps —
+        // pure pointer-jumping propagation (least/min are type-generic)
+        ccPropagate(edges, maxIters)
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    }
+  }
+
+  /** Distinct + size-partition + checkpoint an edge stream (input must
+    * already contain both directions). The partition COUNT is sized
+    * from the measured edge count (the count rides the first
+    * checkpoint as an observe metric): a fixed
+    * spark.sql.shuffle.partitions would pin EVERY per-round join to
+    * that task count — hundreds of near-empty tasks per round on a
+    * small graph — while at corpus scale partitions stay size-bound
+    * (~2M edges each) up to the configured shuffle-partition cap.
+    * localCheckpoint preserves the hash partitioning, so the edge
+    * table — the BIG side, constant across rounds — shuffles once
+    * here instead of once per round. */
+  private def ccBuildEdges(bidir: DataFrame): (DataFrame, Long) = {
     val obs0 = org.apache.spark.sql.Observation()
-    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
+    val e0 = bidir.distinct()
       .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
     val nEdges = obs0.get("n").asInstanceOf[Long]
     val maxParts =
-      pairs.sparkSession.sessionState.conf.numShufflePartitions.toLong
+      bidir.sparkSession.sessionState.conf.numShufflePartitions.toLong
     val nParts = math.max(1L, math.min(maxParts, nEdges / 2000000L + 1)).toInt
     val edges = e0.repartition(nParts, col("src")).localCheckpoint()
     org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(e0)
+    (edges, nEdges)
+  }
+
+  /** Min-label propagation with pointer jumping over a prepared
+    * ([[ccBuildEdges]]) edge table; returns (node, label) for every
+    * node appearing as `src` (with bidirectional input: every node).
+    * Unpersists `edges` before returning; the returned labels are a
+    * self-contained checkpoint. */
+  private def ccPropagate(edges: DataFrame, maxIters: Int): DataFrame = {
     // convergence via the label-sum invariant: every round takes a MIN
     // over a superset of each node's current label, so labels are
     // per-node non-increasing — the (exact, decimal) sum is unchanged
@@ -758,7 +827,7 @@ object Dedup {
           "raise maxIters")
     }
     if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"CC_ROUNDS $iter")
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    labels.select(col("node"), col("label"))
   }
 
   /** Apply [[duplicateClusters]] output to a corpus: drop every doc

@@ -346,4 +346,33 @@ class DedupSpec extends SparkSpec {
     // novel vector pairs with nothing above the threshold
     assert(!out.exists(_._1 == 12L))
   }
+
+  test("duplicateClusters: local contraction equals pure propagation on string ids") {
+    // the same graph through both code paths: integral ids take the
+    // union-find contraction, string ids the pure pointer-jumping path
+    val pairsL = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 7L))
+      .toDF("doc_a", "doc_b")
+    val pairsS = Seq(("1", "2"), ("2", "3"), ("4", "5"), ("7", "7"))
+      .toDF("doc_a", "doc_b")
+    val viaContract = Dedup.duplicateClusters(pairsL, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0).toString, r.getLong(1).toString)).toSet
+    val viaPropagate = Dedup.duplicateClusters(pairsS, "doc_a", "doc_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaContract == viaPropagate)
+    assert(viaContract == Set(("1","1"), ("2","1"), ("3","1"),
+      ("4","4"), ("5","4"), ("7","7")))
+  }
+
+  test("duplicateClusters: contraction is partition-count independent on a long chain") {
+    // a 40-node chain forces cross-partition structure at any split
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      Dedup.duplicateClusters(df, "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = labels(chain)
+    val b = labels(chain.repartition(13))
+    assert(a == b)
+    assert(a.forall(_._2 == 1L)) // one component, min id 1
+    assert(a.size == 40)
+  }
 }
