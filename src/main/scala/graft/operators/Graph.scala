@@ -57,14 +57,30 @@ object Graph {
     // materialize the edge list once: e joins into EVERY iteration, and
     // an uncached upstream (e.g. an LSH band join producing the pairs)
     // would re-execute per round — iterations× the edge-derivation cost
-    // (measured 4.2s → 2.4s on the simhash pair graph at sf0.1)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // (measured 4.2s → 2.4s on the simhash pair graph at sf0.1).
+    // Pre-partition ALL round inputs consistently (e and deg by src,
+    // nodes by node, same size-derived count — the duplicateClusters
+    // sizing discipline): each round's pr table comes off its
+    // checkpoint partitioned by node, so pr⋈deg, (pr⋈deg)⋈e and
+    // nodes⋈sums all meet co-partitioned — the EDGE table (the big
+    // side at corpus scale) never re-shuffles inside the loop; the one
+    // unavoidable per-round exchange is the contribution transpose
+    // (groupBy dst).
+    val obs0 = org.apache.spark.sql.Observation()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
+    val nEdges = obs0.get("n").asInstanceOf[Long]
+    val maxParts =
+      edges.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val nParts = math.max(1L, math.min(maxParts, nEdges / 2000000L + 1)).toInt
+    val e = e0.repartition(nParts, col("src")).localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(e0)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(nParts, col("node")).localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     var pr = nodes.withColumn("pr_n",
