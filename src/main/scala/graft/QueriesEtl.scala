@@ -184,6 +184,24 @@ object QueriesEtl {
              expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)").as("sum_price"))
     }),
 
+    // small-file compaction: fragment orders into 40 tiny part files,
+    // compact to byte-sized targets, aggregate the COMPACTED output —
+    // the oracle sees only the original table, so any row lost or
+    // duplicated in the rewrite fails the hash; the file-count drop
+    // itself is spec-asserted (SourcesSinksSpec)
+    "etl_compact" -> ((s, d) => {
+      val frag = s"/tmp/graft_rt/compact_in_${d.replace('/', '_')}"
+      val outp = s"/tmp/graft_rt/compact_out_${d.replace('/', '_')}"
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(40).write.mode("overwrite").parquet(frag)
+      graft.operators.Compaction.compact(s, frag, outp,
+          targetFileBytes = 8L << 20)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)").as("sum_price"))
+    }),
+
     // Avro connector round-trip: standard object-container files via
     // the avro core lib (no spark-avro module on this classpath) —
     // write per-partition containers, read back via streaming decode,
@@ -510,6 +528,11 @@ object QueriesEtl {
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "etl_compact" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "etl_avro_roundtrip" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

@@ -231,4 +231,25 @@ class SourcesSinksSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       PartitionOverwriteSink(s"$dir/t", Nil))
   }
+
+  test("compaction: 40 fragments collapse to size-targeted files, content intact") {
+    import graft.operators.Compaction
+    val in = "/tmp/graft_test/compact_in"
+    val out = "/tmp/graft_test/compact_out"
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    src.repartition(40).write.mode("overwrite").parquet(in)
+    val (nIn, bytesIn) = Compaction.dirStats(spark, in)
+    assert(nIn == 40)
+    val back = Compaction.compact(spark, in, out, targetFileBytes = bytesIn)
+    val (nOut, _) = Compaction.dirStats(spark, out)
+    assert(nOut == 1, s"expected 1 compacted file, got $nOut")
+    // content preserved exactly
+    assert(back.count() == src.count())
+    assert(back.agg(org.apache.spark.sql.functions.sum("o_orderkey")).head.getLong(0) ==
+      src.agg(org.apache.spark.sql.functions.sum("o_orderkey")).head.getLong(0))
+    // a half-size target produces two files
+    Compaction.compact(spark, in, out, targetFileBytes = bytesIn / 2 + 1)
+    assert(Compaction.dirStats(spark, out)._1 == 2)
+  }
 }
