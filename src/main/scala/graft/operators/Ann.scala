@@ -345,6 +345,141 @@ object Ann {
     *
     * Contract matches the other ANN surfaces: (query_id, neighbor_id,
     * rank, cos_r), rounded-cos rank with id tiebreak. */
+  /** IVF-PQ + ADC: the billion-scale composition — coarse IVF cells
+    * prune the search to `nprobe` inverted lists, and within a list the
+    * candidate is represented by PQ codes of its RESIDUAL (x − cell
+    * centroid), so search touches only (cell, m codes) per candidate
+    * plus broadcast lookup tables. This is the standard large-index
+    * layout (IVFADC): memory per vector is m small ints + one cell id,
+    * and recall beats plain PQ at equal code budget because residuals
+    * have far less variance than raw vectors.
+    *
+    * Determinism contract (both engines reproduce bit-for-bit):
+    *  - coarse centroids = [[trainCentroids]] (seeded by lowest ids,
+    *    round(cos,6) assignment, DECIMAL(38,9) means);
+    *  - candidate→cell and query→nprobe-cells assignment by
+    *    round(cos,6) desc, cid asc;
+    *  - PQ codebooks are SHARED across cells, trained on residuals:
+    *    init = the `codebookK` lowest-id residuals' slices, one Lloyd
+    *    round with the L2 identity argmin (c·c − 2r·c), round(d2,9) +
+    *    cid tiebreak, DECIMAL-exact means ([[pqTopK]]'s discipline);
+    *  - ADC scores the RECONSTRUCTION x̂_s = cx_s + ĉ_s per subspace:
+    *    cos(q, x̂) = Σ_s q_s·x̂_s / (|q|·sqrt(Σ_s |x̂_s|²)); both sums
+    *    fold ROUND(·,9) DECIMAL partials, so the result is independent
+    *    of aggregation order and partitioning.
+    *
+    * Plan shape: everything query-side and codebook-side broadcasts —
+    * the (query, cell, s, cid) lookup table is Q·nprobe·m·codebookK
+    * rows, bounded by the query set, never the corpus. The corpus-side
+    * cost is one coarse-assign pass, one residual-encode pass (both
+    * row-local after a broadcast join), and the search join reads ONLY
+    * the codes table: a broadcast hash join on (cell, s, cid) followed
+    * by one two-phase aggregate keyed (query_id, nid). No corpus
+    * vector survives into the search stage. */
+  def ivfpqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, cells: Int = 4, nprobe: Int = 2,
+      m: Int = 8, codebookK: Int = 8, dim: Int = 64): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val spark = candidates.sparkSession
+    def dot(a: Column, b: Column) = GraftFunctions.dot(spark, a, b)
+    def slices(x: Column) =
+      array((0 until m).map(s => slice(x, s * sub + 1, sub)): _*)
+
+    val cand = candidates.select(col(idCol).as("nid"),
+      Vectors.toDouble(col(vecCol)).as("x"))
+    // coarse quantizer: spherical k-means, one update round (seeds =
+    // lowest-id vectors) — the trainCentroids arithmetic inline so the
+    // oracle unrolls the identical steps
+    val cent = trainCentroids(candidates, idCol, vecCol, cells, iters = 1)
+      .select(col(idCol).cast("int").as("cell"),
+        Vectors.toDouble(col(vecCol)).as("cx"))
+      .localCheckpoint()
+    def assignCell(df: DataFrame, id: String, keep: Int) = {
+      val w = Window.partitionBy(id)
+        .orderBy(round(col("ccos"), 6).desc, col("cell").asc)
+      df.join(broadcast(cent))
+        .withColumn("ccos",
+          GraftFunctions.cosine(spark, col(s"x_$id"), col("cx")))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") <= keep)
+        .select(col(id), col(s"x_$id"), col("cell"), col("cx"))
+    }
+    // candidates: home cell + residual r = x − cx, sliced per subspace
+    val listed = assignCell(cand.select(col("nid"), col("x").as("x_nid")),
+        "nid", 1)
+      .withColumn("r", expr("zip_with(x_nid, cx, (a, b) -> a - b)"))
+      .select(col("nid"), col("cell"), col("r"))
+    val rsub = listed.select(col("nid"), col("cell"),
+      posexplode(slices(col("r"))).as(Seq("s", "rs")))
+    // shared-across-cells PQ codebooks on residuals: init = lowest-id
+    // residuals' slices, one L2 Lloyd round, DECIMAL-exact means
+    val cb0 = listed.orderBy("nid").limit(codebookK)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("nid"))) - 1).cast("int"))
+      .select(col("cid"), posexplode(slices(col("r"))).as(Seq("s", "cs")))
+    def assignCode(cb: DataFrame) = {
+      val w = Window.partitionBy("nid", "s")
+        .orderBy(round(col("d2"), 9).asc, col("cid").asc)
+      rsub.join(broadcast(cb), "s")
+        .withColumn("d2",
+          dot(col("cs"), col("cs")) - lit(2.0) * dot(col("rs"), col("cs")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("nid"), col("cell"), col("s"), col("rs"), col("cid"))
+    }
+    val cb1 = assignCode(cb0)
+      .select(col("s"), col("cid"), posexplode(col("rs")).as(Seq("d", "v")))
+      .groupBy("s", "cid", "d")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ROUND(v, 9) AS DECIMAL(38,9))")).as("sv"))
+      .withColumn("mv", expr("CAST(sv AS DOUBLE) / n"))
+      .groupBy("s", "cid")
+      .agg(array_sort(collect_list(struct(col("d"), col("mv")))).as("dm"))
+      .select(col("s"), col("cid"), expr("transform(dm, p -> p.mv)").as("cs"))
+      .localCheckpoint()
+    // the stored index: (nid, cell, s → cid). The ONLY corpus-derived
+    // table the search reads.
+    val codes = assignCode(cb1).select(col("nid"), col("cell"), col("s"),
+      col("cid")).localCheckpoint()
+
+    // reconstruction table x̂_s = cx_s + ĉ_s per (cell, s, cid):
+    // cells·m·codebookK rows, candidate-independent, broadcastable
+    val centSub = cent.select(col("cell"),
+      posexplode(slices(col("cx"))).as(Seq("s", "cxs")))
+    val recon = centSub.join(cb1, "s")
+      .select(col("cell"), col("s"), col("cid"),
+        expr("zip_with(cxs, cs, (a, b) -> a + b)").as("xs_hat"))
+
+    // query side: nprobe cells, then the per-(query, cell, s, cid) ADC
+    // lookup — qd = q_s·x̂_s, t2 = |x̂_s|²
+    val q = queries.select(col(idCol).as("query_id"),
+      Vectors.toDouble(col(vecCol)).as("x_query_id"))
+    val probes = assignCell(q, "query_id", nprobe)
+      .select(col("query_id"), col("x_query_id").as("xq"), col("cell"))
+    val qsub = probes
+      .withColumn("qn", sqrt(dot(col("xq"), col("xq"))))
+      .select(col("query_id"), col("qn"), col("cell"),
+        posexplode(slices(col("xq"))).as(Seq("s", "qs")))
+    val lut = qsub.join(recon, Seq("cell", "s"))
+      .select(col("query_id"), col("qn"), col("cell"), col("s"), col("cid"),
+        dot(col("qs"), col("xs_hat")).as("qd"),
+        dot(col("xs_hat"), col("xs_hat")).as("t2"))
+
+    val pairs = codes.join(broadcast(lut), Seq("cell", "s", "cid"))
+      .groupBy("query_id", "nid")
+      .agg(first(col("qn")).as("qn"),
+        sum(expr("CAST(ROUND(qd, 9) AS DECIMAL(38,9))")).as("dq"),
+        sum(expr("CAST(ROUND(t2, 9) AS DECIMAL(38,9))")).as("x2"))
+      // a candidate scores only if the query probed its cell AND all m
+      // subspace partials arrived (the join keyed (cell,s,cid) yields
+      // exactly m rows per probed candidate)
+      .select(col("query_id"), col("nid").as("neighbor_id"),
+        (col("dq").cast("double") /
+          (col("qn") * sqrt(col("x2").cast("double")))).as("cos"))
+    ranked(pairs, k)
+  }
+
   def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 4, codebookK: Int = 4,
       dim: Int = 64): DataFrame = {
