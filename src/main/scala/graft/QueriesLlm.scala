@@ -141,6 +141,20 @@ object QueriesLlm {
         "src", "dst", iterations = 3, damping = 0.85)
         .select(col("node"), col("pr_nano"), col("pr"))),
 
+    // personalized PageRank: teleport restricted to a seed set — rank
+    // = proximity to trusted docs in the same sink-heavy bipartite
+    // graph (seed-based corpus selection / labeled-set expansion)
+    "graph_ppr" -> ((s, d) => {
+      val o = orders(s, d)
+      graft.operators.Graph.personalizedPageRank(
+        o.select(col("o_custkey").as("src"),
+          (col("o_orderkey") + 10000000L).as("dst")),
+        "src", "dst",
+        o.where(col("o_custkey") % 20 === 0).select(col("o_custkey")),
+        "o_custkey", iterations = 3, damping = 0.85)
+        .select(col("node"), col("pr_nano"), col("pr"))
+    }),
+
     // triangle count + clustering coefficient per node on the same
     // near-dup pair graph — degree-oriented wedge join (O(m^1.5) under
     // any skew), cluster-tightness QA for the dedup keep-rule
@@ -1275,6 +1289,64 @@ object QueriesLlm {
         |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.sv, 0)
         |          + CAST(ROUND(CAST((SELECT dang FROM d3) AS DOUBLE)
         |                 / CAST((SELECT n FROM cnt) AS DOUBLE)) AS BIGINT) AS DOUBLE)) AS BIGINT) AS pr_n
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst, SUM(CAST(ROUND(CAST(p.pr_n AS DOUBLE) / d.outdeg) AS BIGINT)) AS sv
+        |    FROM i2 p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+        |    GROUP BY e.dst) s ON s.dst = nd.node)
+        |SELECT node, pr_n AS pr_nano,
+        |  CAST(pr_n AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS pr
+        |FROM i3""".stripMargin,
+
+    // unrolled 3-iteration personalized PageRank: teleport + dangling
+    // mass land uniformly on the SEEDS; same nano-unit integer
+    // fixed-point contract as graph_pagerank_sinks
+    "graph_ppr" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS src, o_orderkey + 10000000 AS dst FROM orders),
+        |sd AS (SELECT DISTINCT o_custkey AS node FROM orders
+        |       WHERE o_custkey % 20 = 0),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        |nodes AS (
+        |  SELECT n.node, n.node IN (SELECT node FROM sd) AS is_seed
+        |  FROM (SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+        |    UNION ALL SELECT node FROM sd)) n),
+        |cnt AS (SELECT COUNT(*) AS ns FROM sd),
+        |p0 AS (SELECT node, is_seed,
+        |    CASE WHEN is_seed THEN CAST(ROUND(CAST(1000000000 AS DOUBLE) / (SELECT ns FROM cnt)) AS BIGINT) ELSE 0 END AS pr_n
+        |  FROM nodes),
+        |d1 AS (SELECT COALESCE(SUM(pr_n), 0) AS dang FROM p0
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |i1 AS (
+        |  SELECT nd.node, nd.is_seed, CAST(ROUND(
+        |      CASE WHEN nd.is_seed THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(1000000000 AS DOUBLE) / (SELECT ns FROM cnt) ELSE CAST(0.0 AS DOUBLE) END
+        |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.sv, 0)
+        |          + CASE WHEN nd.is_seed THEN CAST(ROUND(CAST((SELECT dang FROM d1) AS DOUBLE)
+        |                 / CAST((SELECT ns FROM cnt) AS DOUBLE)) AS BIGINT) ELSE 0 END AS DOUBLE)) AS BIGINT) AS pr_n
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst, SUM(CAST(ROUND(CAST(p.pr_n AS DOUBLE) / d.outdeg) AS BIGINT)) AS sv
+        |    FROM p0 p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+        |    GROUP BY e.dst) s ON s.dst = nd.node),
+        |d2 AS (SELECT COALESCE(SUM(pr_n), 0) AS dang FROM i1
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |i2 AS (
+        |  SELECT nd.node, nd.is_seed, CAST(ROUND(
+        |      CASE WHEN nd.is_seed THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(1000000000 AS DOUBLE) / (SELECT ns FROM cnt) ELSE CAST(0.0 AS DOUBLE) END
+        |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.sv, 0)
+        |          + CASE WHEN nd.is_seed THEN CAST(ROUND(CAST((SELECT dang FROM d2) AS DOUBLE)
+        |                 / CAST((SELECT ns FROM cnt) AS DOUBLE)) AS BIGINT) ELSE 0 END AS DOUBLE)) AS BIGINT) AS pr_n
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst, SUM(CAST(ROUND(CAST(p.pr_n AS DOUBLE) / d.outdeg) AS BIGINT)) AS sv
+        |    FROM i1 p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+        |    GROUP BY e.dst) s ON s.dst = nd.node),
+        |d3 AS (SELECT COALESCE(SUM(pr_n), 0) AS dang FROM i2
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |i3 AS (
+        |  SELECT nd.node, nd.is_seed, CAST(ROUND(
+        |      CASE WHEN nd.is_seed THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(1000000000 AS DOUBLE) / (SELECT ns FROM cnt) ELSE CAST(0.0 AS DOUBLE) END
+        |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.sv, 0)
+        |          + CASE WHEN nd.is_seed THEN CAST(ROUND(CAST((SELECT dang FROM d3) AS DOUBLE)
+        |                 / CAST((SELECT ns FROM cnt) AS DOUBLE)) AS BIGINT) ELSE 0 END AS DOUBLE)) AS BIGINT) AS pr_n
         |  FROM nodes nd LEFT JOIN (
         |    SELECT e.dst, SUM(CAST(ROUND(CAST(p.pr_n AS DOUBLE) / d.outdeg) AS BIGINT)) AS sv
         |    FROM i2 p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node

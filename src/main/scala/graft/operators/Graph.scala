@@ -111,6 +111,87 @@ object Graph {
       (col("pr_n").cast("double") / 1.0e9).as("pr"))
   }
 
+  /** PERSONALIZED PageRank: teleport lands only on `seeds`, so rank
+    * measures proximity to the seed set rather than global centrality —
+    * the corpus-curation primitive behind seed-based data selection
+    * ("find documents in the link/dup graph near these trusted docs")
+    * and graph-expansion of a labeled set.
+    *
+    * Differences from [[pageRank]], all standard PPR formulation:
+    * node universe = src ∪ dst ∪ seeds (an isolated seed still holds
+    * teleport mass); initial mass is 1/|S| on each seed, 0 elsewhere;
+    * the (1−d) teleport term and each round's dangling mass go
+    * uniformly to the SEEDS (dangling redistribution follows the
+    * teleport distribution, the convention that keeps ‖pr‖ conserved).
+    * Same BIGINT nano-unit fixed-point contract — per-edge and
+    * per-seed shares round once to an integer, sums are exact — so any
+    * engine reproduces the ranks bit-for-bit. Same per-round
+    * plan shape and checkpoint discipline as [[pageRank]]; the seed
+    * flag is one boolean riding the pre-partitioned nodes table.
+    *
+    * Returns (node, pr_nano BIGINT, pr DOUBLE). Rank mass ≈ 1 over all
+    * nodes (up to integer rounding); nodes unreachable from the seeds
+    * get 0. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      "iterations must be in [1, 20]")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val obs0 = org.apache.spark.sql.Observation()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .observe(obs0, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nEdges = obs0.get("n").asInstanceOf[Long]
+    val maxParts =
+      edges.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val nParts = math.max(1L, math.min(maxParts, nEdges / 2000000L + 1)).toInt
+    val e = e0.repartition(nParts, col("src")).localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(e0)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val s = seeds.select(col(seedCol).as("node")).distinct()
+    // is_seed rides the node table: computed once, co-partitioned with
+    // every round's rank join — the seed set never re-shuffles
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .unionAll(s.select(col("node")))
+      .distinct()
+      .join(s.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .repartition(nParts, col("node")).localCheckpoint()
+    val nS = nodes.where(col("is_seed")).count()
+    require(nS > 0, "personalizedPageRank: empty seed set")
+    var pr = nodes.withColumn("pr_n",
+      when(col("is_seed"), round(lit(1.0e9 / nS)).cast("long"))
+        .otherwise(lit(0L)))
+    for (_ <- 1 to iterations) {
+      val contrib = pr
+        .join(deg, pr("node") === deg("src"))
+        .join(e, "src")
+        .select(col("dst"),
+          round(col("pr_n").cast("double") / col("outdeg"))
+            .cast("long").as("c"))
+      val sums = contrib.groupBy("dst").agg(sum(col("c")).as("sv"))
+      val dang = pr.join(deg, pr("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr_n")), lit(0L)).as("dang_n"))
+      pr = nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("is_seed"),
+          round(
+            when(col("is_seed"), lit((1.0 - damping) * 1.0e9 / nS))
+              .otherwise(lit(0.0)) +
+            lit(damping) * (coalesce(col("sv"), lit(0L)) +
+              when(col("is_seed"),
+                round(col("dang_n").cast("double") / lit(nS.toDouble))
+                  .cast("long")).otherwise(lit(0L))).cast("double"))
+            .cast("long").as("pr_n"))
+        .localCheckpoint()
+    }
+    pr.select(col("node"), col("pr_n").as("pr_nano"),
+      (col("pr_n").cast("double") / 1.0e9).as("pr"))
+  }
+
   /** Triangle count + local clustering coefficient per node over an
     * undirected edge list (any (u,v) orientation; self-loops and
     * duplicates are dropped). On the near-dup pair graph this separates

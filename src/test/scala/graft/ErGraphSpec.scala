@@ -166,6 +166,59 @@ class ErGraphSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("personalizedPageRank: seeds == all nodes reduces to pageRank") {
+    // with a uniform teleport over every node, PPR IS PageRank: same
+    // init, same teleport term, same dangling redistribution
+    val es = Seq((3L, 1L), (1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val allNodes = es.select(col("src").as("n"))
+      .unionAll(es.select(col("dst").as("n"))).distinct()
+    val ppr = Graph.personalizedPageRank(es, "src", "dst", allNodes, "n", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = Graph.pageRank(es, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == pr)
+  }
+
+  test("personalizedPageRank: mass concentrates near seeds; conserved") {
+    // two disconnected directed cycles; seeding only the first means
+    // the second component must end with exactly zero rank
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 10L))
+    val seeds = Seq(1L).toDF("s")
+    val out = Graph.personalizedPageRank(es.toDF("src", "dst"), "src", "dst",
+        seeds, "s", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    assert(out(10L) == 0L && out(11L) == 0L,
+      "rank leaked into the unseeded component")
+    // cycle graph has no sinks: mass conserved up to per-step rounding
+    assert(math.abs(out.values.sum - 1000000000L) < 100L)
+    // proximity ordering: the seed holds the teleport mass, its direct
+    // successor beats the two-hop node
+    assert(out(1L) > out(2L) && out(2L) > out(3L))
+    // an isolated seed (not in the edge list) still appears and holds
+    // teleport mass
+    val out2 = Graph.personalizedPageRank(es.toDF("src", "dst"), "src", "dst",
+        Seq(1L, 99L).toDF("s"), "s", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2.contains(99L) && out2(99L) > 0L)
+  }
+
+  test("personalizedPageRank: dangling mass returns to seeds; partitioning-independent") {
+    // 1 -> 10, 10 is a sink: its mass must flow back to the seed only
+    val es = Seq((1L, 10L)).toDF("src", "dst")
+    val one = Graph.personalizedPageRank(es.repartition(1), "src", "dst",
+        Seq(1L).toDF("s"), "s", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = Graph.personalizedPageRank(es.repartition(7), "src", "dst",
+        Seq(1L).toDF("s"), "s", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == many)
+    assert(math.abs(one.values.sum - 1000000000L) < 100L)
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(es, "src", "dst",
+        Seq.empty[Long].toDF("s"), "s", 3))
+  }
+
   test("pageRank: guards on empty graph and bad parameters") {
     val e = Seq.empty[(Long, Long)].toDF("a", "b")
     intercept[IllegalArgumentException](Graph.pageRank(e, "a", "b", 3))
