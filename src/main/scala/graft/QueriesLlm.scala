@@ -274,6 +274,13 @@ object QueriesLlm {
         .withColumn("quality_bucket",
           expr("CASE WHEN score >= 0.7 THEN 'high' WHEN score >= 0.4 THEN 'mid' ELSE 'low' END"))),
 
+    // the composite Gopher rule battery: one row per doc with every
+    // rule metric, per-rule verdict thresholds folded into `pass` —
+    // row-local, zero shuffle
+    "text_gopher_rules" -> ((s, d) =>
+      graft.operators.TextStats.gopherRules(documents(s, d),
+        "doc_id", "text", minWords = 50)),
+
     "text_tokens" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), col("text"),
@@ -1114,6 +1121,45 @@ object QueriesLlm {
          |       WHEN ROUND(LEAST(1.0, n_tokens/50.0)*0.5 + (1.0-pr)*0.3 + LEAST(1.0, sr*5.0)*0.2, 4) >= 0.4 THEN 'mid'
          |       ELSE 'low' END AS quality_bucket
          |FROM r""".stripMargin,
+
+    // Gopher rules: whitespace-token + line metrics, ROUND(·,4) before
+    // every threshold compare so verdicts cannot flip on last-ulp
+    // engine differences; NULLIF guards mirror the Spark side
+    "text_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INT) AS n_words,
+        |    CAST(ROUND(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+        |      / NULLIF(len(w), 0), 4) AS DOUBLE) AS mean_wlen,
+        |    CAST(ROUND((
+        |        (length(text) - length(replace(text, '#', '')))
+        |        + (length(text) - length(replace(text, '...', ''))) / 3
+        |      ) / CAST(NULLIF(len(w), 0) AS DOUBLE), 4) AS DOUBLE) AS symbol_ratio,
+        |    CAST(ROUND(CAST(len(list_filter(lines,
+        |        l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'
+        |          OR ltrim(l) LIKE '•%')) AS DOUBLE)
+        |      / NULLIF(len(lines), 0), 4) AS DOUBLE) AS bullet_frac,
+        |    CAST(ROUND(CAST(len(list_filter(lines,
+        |        l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS DOUBLE)
+        |      / NULLIF(len(lines), 0), 4) AS DOUBLE) AS ellipsis_frac,
+        |    CAST(ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |      / NULLIF(len(w), 0), 4) AS DOUBLE) AS alpha_frac,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(w, s))) AS INT) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_wlen, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+        |   AND symbol_ratio < 0.1
+        |   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS pass
+        |FROM m""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

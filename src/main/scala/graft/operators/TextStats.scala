@@ -46,6 +46,57 @@ object TextStats {
             + LEAST(1.0, (CAST(hits_en AS DOUBLE) / n_tokens)*5.0)*0.2,
           4) AS DOUBLE)""").as("score"))
 
+  /** The composite Gopher quality-rule battery (Rae et al. 2021, §A1.1
+    * "quality filtering"): per document, every rule's metric plus its
+    * boolean verdict and the conjunction `pass` — the standard
+    * pre-training heuristic filter. Rules:
+    *  - word count in [minWords, maxWords];
+    *  - mean word length in [3, 10] characters;
+    *  - symbol-to-word ratio (# chars + '...' occurrences) < 0.1;
+    *  - ≤ 90% of lines start with a bullet ('-', '*', '•');
+    *  - ≤ 30% of lines end with an ellipsis ('...' or '…');
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - at least 2 distinct hits from the 8-word required-stopword
+    *    list (the, be, to, of, and, that, have, with).
+    *
+    * Entirely row-local codegen'd expressions — zero shuffle, O(doc
+    * length) per row, embarrassingly parallel at corpus scale. Ratios
+    * are NULL (and `pass` NULL) on empty inputs via NULLIF, identical
+    * on any engine. Metric doubles round to 4 before the threshold
+    * compare so verdicts can't flip on last-ulp engine differences. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        TextAnalysis.tokens(col(textCol)).as("w"),
+        expr(s"split($textCol, '\n')").as("lines"))
+      .select(col("doc_id"),
+        expr("CAST(size(w) AS INT)").as("n_words"),
+        expr("""CAST(ROUND(CAST(aggregate(w, 0, (a, x) -> a + length(x)) AS DOUBLE)
+            / NULLIF(size(w), 0), 4) AS DOUBLE)""").as("mean_wlen"),
+        expr("""CAST(ROUND((
+              (length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+            ) / CAST(NULLIF(size(w), 0) AS DOUBLE), 4) AS DOUBLE)""")
+          .as("symbol_ratio"),
+        expr("""CAST(ROUND(CAST(size(filter(lines,
+              l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'
+                OR ltrim(l) LIKE '•%')) AS DOUBLE)
+            / NULLIF(size(lines), 0), 4) AS DOUBLE)""").as("bullet_frac"),
+        expr("""CAST(ROUND(CAST(size(filter(lines,
+              l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS DOUBLE)
+            / NULLIF(size(lines), 0), 4) AS DOUBLE)""").as("ellipsis_frac"),
+        expr("""CAST(ROUND(CAST(size(filter(w, x -> x RLIKE '[a-z]')) AS DOUBLE)
+            / NULLIF(size(w), 0), 4) AS DOUBLE)""").as("alpha_frac"),
+        expr("""CAST(size(filter(
+              array('the','be','to','of','and','that','have','with'),
+              s -> array_contains(w, s))) AS INT)""").as("stop_hits"))
+      .withColumn("pass",
+        col("n_words") >= minWords and col("n_words") <= maxWords and
+        col("mean_wlen") >= 3.0 and col("mean_wlen") <= 10.0 and
+        col("symbol_ratio") < 0.1 and
+        col("bullet_frac") <= 0.9 and col("ellipsis_frac") <= 0.3 and
+        col("alpha_frac") >= 0.8 and col("stop_hits") >= 2)
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val t = df

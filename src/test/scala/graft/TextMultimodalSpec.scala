@@ -7,6 +7,49 @@ import graft.operators.Multimodal
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gopherRules: per-rule metrics and verdicts on crafted documents") {
+    val good = (1 to 6).map(_ => "the quick brown fox and that hound " +
+      "have gone to the den of winter with haste").mkString(" ") // 66 words
+    val docs = Seq(
+      (1L, good),                                  // passes every rule
+      (2L, "the of and that"),                     // too few words
+      (3L, "- one\n- two\n- three\nplain"),        // 3/4 bullet lines
+      (4L, "so it goes...\nand onward...\nfine"),  // 2/3 ellipsis lines
+      (5L, "### " + good),                         // symbol-heavy start
+      (6L, "12 34 56 78 90 11 22 33 44 55")        // no alphabetic words
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextStats
+      .gopherRules(docs, "doc_id", "text", minWords = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(!out(2L).getAs[Boolean]("pass") && out(2L).getAs[Int]("n_words") == 4)
+    // doc 3: bullet_frac 3/4 passes the <=0.9 bullet rule itself, but
+    // mean word length (19/7 < 3), alpha fraction (4/7 < 0.8) and the
+    // stopword rule all fail
+    assert(out(3L).getAs[Double]("bullet_frac") == 0.75)
+    assert(!out(3L).getAs[Boolean]("pass"))
+    assert(out(4L).getAs[Double]("ellipsis_frac") == 0.6667)
+    assert(!out(4L).getAs[Boolean]("pass"))
+    assert(out(5L).getAs[Double]("symbol_ratio") > 0.0)
+    assert(out(6L).getAs[Double]("alpha_frac") == 0.0)
+    assert(!out(6L).getAs[Boolean]("pass"))
+    // stop-hit rule: doc 1 contains >= 2 of the required list
+    assert(out(1L).getAs[Int]("stop_hits") >= 2)
+  }
+
+  test("gopherRules: empty text yields NULL ratios, definite fail") {
+    val out = graft.operators.TextStats
+      .gopherRules(Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Int]("n_words") == 0)
+    assert(out.isNullAt(out.fieldIndex("mean_wlen")))
+    assert(out.isNullAt(out.fieldIndex("alpha_frac")))
+    // three-valued logic: 0 >= minWords is FALSE, and FALSE AND NULL
+    // short-circuits to FALSE — the doc is definitively rejected even
+    // though its ratio metrics are NULL (same on any SQL engine)
+    assert(!out.getAs[Boolean]("pass"))
+  }
+
   test("language ID picks the language with most stopword hits") {
     val docs = Seq(
       (1L, "the cat and the dog sat on the mat"),
