@@ -155,6 +155,11 @@ object QueriesCorpus {
     "corpus_bpe_encode" -> ((s, d) =>
       Corpus.bpeEncodeVocab(documents(s, d), "text", topK = 200)),
 
+    // the tokenizer-training loop itself: learn 8 merges from corpus
+    // pair statistics (vocab-sized state, one argmax scalar per round)
+    "corpus_bpe_train" -> ((s, d) =>
+      Corpus.bpeTrain(documents(s, d), "text", nMerges = 8)),
+
     // corpus reporting: per-language doc/token totals and token-count
     // quantiles — the dataset card a training run starts from
     "corpus_stats" -> ((s, d) =>
@@ -171,6 +176,43 @@ object QueriesCorpus {
 
   private val toksCte =
     "SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents"
+
+  // unrolled N-round BPE training: each round counts adjacent symbol
+  // pairs from the previous round's vocab, picks the (n DESC, pair ASC)
+  // argmax as a scalar subquery, and replays the engine's literal
+  // " x y" -> " xy" replace — generated from the same round count the
+  // engine runs, so the two sides cannot drift
+  private def bpeTrainSql(nMerges: Int): String = {
+    val head =
+      s"""WITH t AS ($toksCte),
+         |tc AS (SELECT term, COUNT(*) AS ctf
+         |  FROM (SELECT unnest(w) AS term FROM t) GROUP BY 1),
+         |v0 AS MATERIALIZED (SELECT ctf, ' ' || array_to_string(
+         |  [substr(term, i, 1) for i in range(1, length(term)+1)], ' ') AS sym
+         |  FROM tc)""".stripMargin
+    // MATERIALIZED is load-bearing: each round references the previous
+    // vocab twice (pair counts + next replace), so inlined CTEs would
+    // expand the plan (and the base parquet scan) 2^N-fold
+    val rounds = (1 to nMerges).map { r =>
+      s""",
+         |p$r AS (
+         |  SELECT p.l AS l, p.r AS r, SUM(ctf) AS n FROM (
+         |    SELECT ctf, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p
+         |    FROM (SELECT ctf, string_split(substr(sym, 2), ' ') AS s FROM v${r - 1}) z) y
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+         |v$r AS MATERIALIZED (SELECT ctf, replace(sym,
+         |    ' ' || (SELECT l FROM b$r) || ' ' || (SELECT r FROM b$r),
+         |    ' ' || (SELECT l FROM b$r) || (SELECT r FROM b$r)) AS sym FROM v${r - 1})""".stripMargin
+    }.mkString
+    val union = (1 to nMerges)
+      .map(r => s"SELECT $r AS rank, l AS lhs, r AS rhs, l || r AS merged, n FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""$head$rounds
+       |SELECT CAST(rank AS INT) AS rank, lhs, rhs, merged,
+       |  CAST(n AS BIGINT) AS n
+       |FROM ($union) u""".stripMargin
+  }
 
   // the oracle's replace chain, generated from the SAME merge table the
   // engine applies — the two sides cannot drift
@@ -447,6 +489,8 @@ object QueriesCorpus {
          |  CAST(length(e) - length(replace(e, ' ', '')) AS INT) AS n_pieces
          |FROM enc WINDOW win AS (ORDER BY ctf DESC, term)
          |ORDER BY ctf DESC, term LIMIT 200""".stripMargin,
+
+    "corpus_bpe_train" -> bpeTrainSql(8),
 
     "corpus_shards" ->
       s"""WITH t AS ($toksCte)

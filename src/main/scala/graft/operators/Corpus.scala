@@ -574,6 +574,66 @@ object Corpus {
       .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_bpe_tokens"))
   }
 
+  /** BPE merge-table TRAINING: learn `nMerges` merges from the corpus —
+    * the full tokenizer-training loop, of which [[bpePairs]] is one
+    * round's statistics and [[bpeSymbols]] the inference-time replay.
+    *
+    * Classic algorithm, Spark-shaped: the working state is the
+    * VOCAB-sized (ctf, symbol-string) table, never the corpus. Each
+    * round: (1) adjacent-pair counts — one two-phase aggregate whose
+    * keys are symbol pairs, weighted by exact integer term frequency;
+    * (2) argmax pair by (n desc, pair asc) — ONE row to the driver
+    * (merge selection is inherently sequential; this is the one
+    * driver-side scalar per round, the [[Graph.pageRank]] n-count
+    * class); (3) apply the merge as the literal " x y" → " xy" replace
+    * ([[bpeSymbols]] semantics) and `localCheckpoint`, so round plans
+    * stay O(1) and the replace chain never re-executes.
+    *
+    * Deterministic on any engine: counts are exact integer sums, the
+    * tiebreak is binary-lexicographic on the pair. Stops early if no
+    * pair remains (fully merged vocab).
+    *
+    * @return the learned merge table (rank, lhs, rhs, merged, n) —
+    *         directly consumable by [[bpeSymbols]]-style appliers. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ctf"))
+      .select(col("ctf"), concat(lit(" "), array_join(
+        expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"),
+        " ")).as("sym"))
+      .localCheckpoint()
+    val acc = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val best = vocab
+        .select(col("ctf"), split(expr("substring(sym, 2)"), " ").as("s"))
+        .where(size(col("s")) >= 2) // sequence(1,0) would DESCEND
+        .select(col("ctf"), explode(expr(
+          """transform(sequence(1, size(s) - 1),
+            |  i -> struct(element_at(s, i) AS l,
+            |              element_at(s, i + 1) AS r))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("ctf")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (x, y, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        acc += ((r, x, y, x + y, n))
+        val prev = vocab
+        vocab = vocab.withColumn("sym", call_function("replace", col("sym"),
+          lit(s" $x $y"), lit(s" $x$y"))).localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(prev)
+        r += 1
+      }
+    }
+    acc.result().toDF("rank", "lhs", "rhs", "merged", "n")
+  }
+
   def bpePairs(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
     val terms = df.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("ctf"))

@@ -262,6 +262,31 @@ class CorpusSpec extends SparkSpec {
     assert(ab.getString(3) == "ab c" && ab.getInt(4) == 2)
   }
 
+  test("bpeTrain: learns frequency-ordered merges; chained pieces; early stop") {
+    // corpus: "aab"×3, "ab"×2 → round 1 pairs: (a,b) 3+2=5, (a,a) 3 →
+    // merge (a,b); round 2: "a ab"×3 → (a,ab) 3 → merge (a,ab);
+    // round 3: nothing left to merge → early stop
+    val df = Seq((1L, "aab aab aab ab ab")).toDF("doc_id", "text")
+    val out = Corpus.bpeTrain(df, "text", nMerges = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toList
+    assert(out == List(
+      (1, "a", "b", "ab", 5L),
+      (2, "a", "ab", "aab", 3L)))
+    // tie-break is lexicographic on (l, r): "ba ab" has (b,a) 1 and
+    // (a,b) 1 → (a,b) wins
+    val tie = Corpus.bpeTrain(Seq((1L, "ba ab")).toDF("doc_id", "text"),
+      "text", nMerges = 1).head()
+    assert(tie.getString(1) == "a" && tie.getString(2) == "b")
+    // learned merges replay through bpeSymbols: "aab" encodes to the
+    // single merged piece under its own training output
+    val merges = out.map(m => (m._2, m._3))
+    val enc = Corpus.bpeEncodeVocab(df, "text", merges = merges, topK = 10)
+      .collect().map(r => r.getString(1) -> r.getString(3)).toMap
+    assert(enc("aab") == "aab" && enc("ab") == "ab")
+  }
+
   test("bpeTokenCounts: per-doc piece budget over the vocab join") {
     val df = Seq((1L, "the then the"), (2L, "x")).toDF("doc_id", "text")
     val out = Corpus.bpeTokenCounts(df, "doc_id", "text")
