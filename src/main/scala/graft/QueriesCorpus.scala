@@ -77,6 +77,18 @@ object QueriesCorpus {
         docs.where(!isBench), docs.where(isBench), "doc_id", "text", n = 8)
     }),
 
+    // fuzzy decontamination: minhash near-dup sweep of the corpus
+    // against the same 5% benchmark split — catches paraphrased
+    // leakage the exact 8-gram sweep misses (cross-side band join,
+    // benchmark = bounded build side)
+    "corpus_decontaminate_fuzzy" -> ((s, d) => {
+      val docs = documents(s, d)
+      val isBench = Corpus.hashBucket(col("doc_id"), "bench", 100) < 5
+      Corpus.decontaminateFuzzy(
+        docs.where(!isBench), docs.where(isBench), "doc_id", "text",
+        minMatches = 6)
+    }),
+
     // TF-IDF keyword extraction: top-3 scoring terms per doc (smoothed
     // idf; ranking on the ROUNDED score, term tie-break — deterministic
     // across engines)
@@ -491,6 +503,34 @@ object QueriesCorpus {
          |ORDER BY ctf DESC, term LIMIT 200""".stripMargin,
 
     "corpus_bpe_train" -> bpeTrainSql(8),
+
+    // cross-side minhash band join (dedup_delta's sketch arithmetic),
+    // bench split by the same md5 bucket, aggregated per corpus doc
+    "corpus_decontaminate_fuzzy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+        |  FROM toks WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id, [list_min([md5(CAST(p AS VARCHAR)||':'||s) for s in shingles]) for p in range(0,16)] AS sig FROM sh),
+        |lab AS (
+        |  SELECT doc_id, sig, ('0x'||substr(md5('bench:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 5 AS bench FROM sig),
+        |bands AS (
+        |  SELECT doc_id, sig, bench, b, md5(sig[4*b+1]||sig[4*b+2]||sig[4*b+3]||sig[4*b+4]) AS bh
+        |  FROM lab, range(0,4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND NOT a.bench AND b.bench),
+        |f AS (
+        |  SELECT doc_id, dup_of,
+        |    CAST(ROUND(list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)])/16.0, 4) AS DOUBLE) AS est_jaccard
+        |  FROM cand
+        |  WHERE list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)]) >= 6)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+        |  MAX(est_jaccard) AS max_est_jaccard,
+        |  CAST(MIN(dup_of) AS BIGINT) AS first_bench_match
+        |FROM f GROUP BY doc_id""".stripMargin,
 
     "corpus_shards" ->
       s"""WITH t AS ($toksCte)

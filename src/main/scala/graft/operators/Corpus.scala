@@ -181,6 +181,30 @@ object Corpus {
       .agg(count_distinct(col("gk")).as("n_shared"))
   }
 
+  /** FUZZY decontamination: corpus docs that are minhash NEAR-duplicates
+    * of any benchmark doc — catches paraphrased/reformatted test-set
+    * leakage that exact n-gram matching ([[decontaminate]]) misses; the
+    * two are complementary and production pipelines run both.
+    *
+    * Pure composition over [[Dedup.deltaMinhash]]'s strictly cross-side
+    * band join (benchmark = build side, corpus = probe side — the
+    * benchmark is the bounded side at 100 TB, the corpus side never
+    * self-joins), aggregated per corpus doc. `minMatches` of `perms`
+    * signature agreements ≈ a Jaccard floor of minMatches/perms.
+    *
+    * @return (doc_id, n_bench_matches, max_est_jaccard,
+    *         first_bench_match) — flag-then-drop input, one row per
+    *         contaminated corpus doc. */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3, perms: Int = 16,
+      bands: Int = 4, minMatches: Int = 4): DataFrame =
+    Dedup.deltaMinhash(benchmark, corpus, idCol, textCol, shingleK,
+        perms, bands, minMatches)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("est_jaccard")).as("max_est_jaccard"),
+        min(col("dup_of")).as("first_bench_match"))
+
   /** Deterministic export sharding with balance stats: shard =
     * md5-bucket(id) % shards; reports per-shard doc and token totals
     * (the check that no shard is hot before a parallel write fans out —

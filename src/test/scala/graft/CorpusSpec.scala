@@ -262,6 +262,29 @@ class CorpusSpec extends SparkSpec {
     assert(ab.getString(3) == "ab c" && ab.getInt(4) == 2)
   }
 
+  test("decontaminateFuzzy: near-dup bench docs flag, unrelated pass") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely different benchmark question about physics")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // near-dup of bench 100 (one word changed)
+      (1L, "the quick brown fox jumps over the lazy cat tonight"),
+      // exact dup of bench 100
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      // unrelated
+      (3L, "supervised training data curation at corpus scale works")
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminateFuzzy(corpus, bench, "doc_id", "text",
+        minMatches = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out.contains(2L) && out(2L)._2 == 1.0)
+    assert(out(2L)._3 == 100L)
+    assert(out.contains(1L), "near-duplicate leaked past the sweep")
+    assert(!out.contains(3L), "unrelated doc falsely flagged")
+  }
+
   test("bpeTrain: learns frequency-ordered merges; chained pieces; early stop") {
     // corpus: "aab"×3, "ab"×2 → round 1 pairs: (a,b) 3+2=5, (a,a) 3 →
     // merge (a,b); round 2: "a ab"×3 → (a,ab) 3 → merge (a,ab);
