@@ -89,6 +89,17 @@ object QueriesCorpus {
         minMatches = 6)
     }),
 
+    // DSIR importance scores: raw docs scored by hashed-ngram
+    // log-likelihood ratio against the 5% bench split as the target
+    // distribution (m-row broadcast log-ratio table, decimal-exact
+    // per-doc sums)
+    "corpus_dsir" -> ((s, d) => {
+      val docs = documents(s, d)
+      val isBench = Corpus.hashBucket(col("doc_id"), "bench", 100) < 5
+      Corpus.dsirScores(
+        docs.where(!isBench), docs.where(isBench), "doc_id", "text", m = 64)
+    }),
+
     // TF-IDF keyword extraction: top-3 scoring terms per doc (smoothed
     // idf; ranking on the ROUNDED score, term tie-break — deterministic
     // across engines)
@@ -503,6 +514,37 @@ object QueriesCorpus {
          |ORDER BY ctf DESC, term LIMIT 200""".stripMargin,
 
     "corpus_bpe_train" -> bpeTrainSql(8),
+
+    // hashed (unigram + bigram) features into 64 md5 buckets; add-1
+    // smoothed ln-ratio ROUNDed to 6 then DECIMAL(38,6)-summed per doc
+    // (the lm_score exactness discipline)
+    "corpus_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5('bench:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 5 AS bench,
+        |    ('0x'||substr(md5('dsir:'||gram),1,8))::BIGINT % 64 AS f
+        |  FROM (SELECT doc_id,
+        |      unnest(w || [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS gram
+        |    FROM t) z),
+        |ft AS (SELECT f, COUNT(*) AS ct FROM g WHERE bench GROUP BY f),
+        |fr AS (SELECT f, COUNT(*) AS cr FROM g WHERE NOT bench GROUP BY f),
+        |base AS (
+        |  SELECT r.f, COALESCE(ft.ct, 0) AS ct, COALESCE(fr.cr, 0) AS cr
+        |  FROM range(0, 64) r(f)
+        |  LEFT JOIN ft ON ft.f = r.f LEFT JOIN fr ON fr.f = r.f),
+        |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM base),
+        |lr AS (
+        |  SELECT f, CAST(ROUND(
+        |      ln((ct + 1.0) / ((SELECT tt FROM tot) + 64))
+        |      - ln((cr + 1.0) / ((SELECT tr FROM tot) + 64)), 6) AS DOUBLE) AS lr
+        |  FROM base)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CAST(lr AS DECIMAL(38,6))) AS DOUBLE) AS dsir_score
+        |FROM g JOIN lr USING (f)
+        |WHERE NOT bench
+        |GROUP BY doc_id""".stripMargin,
 
     // cross-side minhash band join (dedup_delta's sketch arithmetic),
     // bench split by the same md5 bucket, aggregated per corpus doc

@@ -262,6 +262,26 @@ class CorpusSpec extends SparkSpec {
     assert(ab.getString(3) == "ab c" && ab.getInt(4) == 2)
   }
 
+  test("dsirScores: target-like docs outscore target-unlike; partition-independent") {
+    val target = Seq(
+      (100L, "physics equations describe motion energy and force fields"),
+      (101L, "quantum physics energy states and force interactions")
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "physics energy force motion fields"),          // target-like
+      (2L, "recipe for chocolate cake with sugar butter"), // unlike
+      (3L, "physics energy force motion fields")           // dup of 1
+    ).toDF("doc_id", "text")
+    val out = Corpus.dsirScores(raw, target, "doc_id", "text", m = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(2L), s"target-like doc did not outscore: $out")
+    assert(out(1L) == out(3L), "identical docs must score identically")
+    val rep = Corpus.dsirScores(raw.repartition(7), target.repartition(3),
+        "doc_id", "text", m = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep == out, "score depends on partitioning")
+  }
+
   test("decontaminateFuzzy: near-dup bench docs flag, unrelated pass") {
     val bench = Seq(
       (100L, "the quick brown fox jumps over the lazy dog tonight"),
