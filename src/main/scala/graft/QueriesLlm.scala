@@ -166,6 +166,18 @@ object QueriesLlm {
         .select(col("node").as("doc_id"), col("degree"),
           col("n_triangles"), col("clustering"))),
 
+    // semi-supervised label propagation over the near-dup pair graph:
+    // every 4th doc's lang is a clamped seed, majority vote spreads it
+    // to unlabeled neighbors (3 rounds, deterministic tie-break)
+    "graph_label_prop" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.operators.Graph.labelPropagation(
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12),
+        "doc_a", "doc_b",
+        docs.where(col("doc_id") % 4 === 0), "doc_id", "lang",
+        iterations = 3)
+    }),
+
     // per-label centroid vectors in long form — the k-means update step
     // as a first-class op (class means / drift summaries)
     "embed_centroid" -> ((s, d) =>
@@ -565,6 +577,60 @@ object QueriesLlm {
     // once each as ordered (a < b < c) edge triples — algorithm-
     // independent counts, so the naive SQL join checks the oriented
     // Spark plan exactly
+    // same simhash pair-graph CTE as graph_triangles, then 3 unrolled
+    // clamped majority-vote rounds (n DESC, label ASC tie-break);
+    // MATERIALIZED stops the round CTEs re-inlining the band join
+    "graph_label_prop" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |hs AS (
+        |  SELECT doc_id, [('0x'||substr(md5(t),1,15))::UBIGINT for t in w] AS h
+        |  FROM toks WHERE len(w) > 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in h]) >= 0
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS simhash
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bv
+        |  FROM sig, range(0,4) t(b)),
+        |prs AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+        |e AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM prs WHERE doc_a <> doc_b
+        |  UNION SELECT doc_b, doc_a FROM prs WHERE doc_a <> doc_b),
+        |sd AS MATERIALIZED (
+        |  SELECT doc_id AS node, MIN(lang) AS label FROM documents
+        |  WHERE doc_id % 4 = 0 GROUP BY 1),
+        |l0 AS (SELECT node, label FROM sd),
+        |n1 AS (
+        |  SELECT dst AS node, label FROM (
+        |    SELECT e.dst, l.label, COUNT(*) AS n
+        |    FROM l0 l JOIN e ON e.src = l.node GROUP BY 1, 2)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY n DESC, label) = 1),
+        |l1 AS MATERIALIZED (
+        |  SELECT node, label FROM sd
+        |  UNION ALL SELECT node, label FROM n1 WHERE node NOT IN (SELECT node FROM sd)),
+        |n2 AS (
+        |  SELECT dst AS node, label FROM (
+        |    SELECT e.dst, l.label, COUNT(*) AS n
+        |    FROM l1 l JOIN e ON e.src = l.node GROUP BY 1, 2)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY n DESC, label) = 1),
+        |l2 AS MATERIALIZED (
+        |  SELECT node, label FROM sd
+        |  UNION ALL SELECT node, label FROM n2 WHERE node NOT IN (SELECT node FROM sd)),
+        |n3 AS (
+        |  SELECT dst AS node, label FROM (
+        |    SELECT e.dst, l.label, COUNT(*) AS n
+        |    FROM l2 l JOIN e ON e.src = l.node GROUP BY 1, 2)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY n DESC, label) = 1)
+        |SELECT node, label, TRUE AS is_seed FROM sd
+        |UNION ALL
+        |SELECT node, label, FALSE AS is_seed FROM n3
+        |WHERE node NOT IN (SELECT node FROM sd)""".stripMargin,
+
     "graph_triangles" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),

@@ -192,6 +192,56 @@ object Graph {
       (col("pr_n").cast("double") / 1.0e9).as("pr"))
   }
 
+  /** Semi-supervised LABEL PROPAGATION with seed clamping: spread known
+    * labels (language, topic, quality class) from a labeled seed set
+    * over an undirected similarity graph — the standard cheap
+    * auto-labeling pass over a kNN/near-dup graph before training a
+    * classifier. Synchronous update: each round every NON-seed node
+    * takes the majority label among its currently-labeled neighbors
+    * (exact integer votes; ties by label ascending — deterministic on
+    * any engine); seed nodes never change. Unreached nodes carry no
+    * row. Fixed `iterations` keeps the plan bounded; labels can flow
+    * at most `iterations` hops from a seed.
+    *
+    * Scale shape: one keyed shuffle pair per round (vote join +
+    * per-(node, label) count), the [[pageRank]] BSP class; per-round
+    * `localCheckpoint` truncates lineage. The label table is one row
+    * per labeled node — never wider than the node set.
+    *
+    * @return (node, label, is_seed) for every seed or reached node. */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, nodeCol: String, labelCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      "iterations must be in [1, 20]")
+    import org.apache.spark.sql.expressions.Window
+    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    // one label per seed node (min label on conflict — deterministic)
+    val seedLab = seeds
+      .select(col(nodeCol).as("node"), col(labelCol).as("label"))
+      .groupBy("node").agg(min(col("label")).as("label"))
+      .localCheckpoint()
+    var lab = seedLab.withColumn("is_seed", lit(true))
+    for (_ <- 1 to iterations) {
+      val votes = lab.join(e, lab("node") === e("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("dst")
+        .orderBy(col("n").desc, col("label").asc)
+      val propagated = votes
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+        .join(seedLab.select("node"), Seq("node"), "left_anti")
+        .withColumn("is_seed", lit(false))
+      lab = seedLab.withColumn("is_seed", lit(true))
+        .unionByName(propagated)
+        .localCheckpoint()
+    }
+    lab
+  }
+
   /** Triangle count + local clustering coefficient per node over an
     * undirected edge list (any (u,v) orientation; self-loops and
     * duplicates are dropped). On the near-dup pair graph this separates

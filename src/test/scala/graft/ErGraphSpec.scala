@@ -219,6 +219,46 @@ class ErGraphSpec extends SparkSpec {
         Seq.empty[Long].toDF("s"), "s", 3))
   }
 
+  test("labelPropagation: clamped seeds, majority vote, hop-bounded reach") {
+    // chain 1-2-3-4-5 with seed labels at the ends: 1='a', 5='b';
+    // 3 hops reach everything; majority/tie rules decide the middle
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val seeds = Seq((1L, "a"), (5L, "b")).toDF("n", "lab")
+    val out = Graph.labelPropagation(es, "u", "v", seeds, "n", "lab", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    assert(out(1L) == (("a", true)) && out(5L) == (("b", true)))
+    assert(out(2L) == (("a", false)))
+    // node 3: one 'a' neighbor, one 'b' neighbor — tie breaks to 'a';
+    // then in round 3 node 4 sees 3='a', 5='b' — tie again, so the
+    // ascending-label rule lets 'a' invade 4 as well (synchronous
+    // recompute, deterministic — the oracle replays it identically)
+    assert(out(3L) == (("a", false)))
+    assert(out(4L) == (("a", false)))
+    // seeds never flip even when outvoted: 2 is 'a'-seeded with two
+    // 'b' neighbors
+    val es2 = Seq((1L, 2L), (3L, 2L)).toDF("u", "v")
+    val out2 = Graph.labelPropagation(es2, "u", "v",
+      Seq((1L, "b"), (3L, "b"), (2L, "a")).toDF("n", "lab"), "n", "lab", 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(2L) == "a")
+    // unreached nodes carry no row: isolated edge far from any seed
+    val es3 = Seq((1L, 2L), (10L, 11L)).toDF("u", "v")
+    val out3 = Graph.labelPropagation(es3, "u", "v",
+      Seq((1L, "x")).toDF("n", "lab"), "n", "lab", 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(out3 == Set(1L, 2L))
+  }
+
+  test("labelPropagation is independent of input partitioning") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 5L)).toDF("u", "v")
+    val seeds = Seq((1L, "a"), (4L, "b")).toDF("n", "lab")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Graph.labelPropagation(e, "u", "v", seeds, "n", "lab", 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(run(es.repartition(1)) == run(es.repartition(7)))
+  }
+
   test("pageRank: guards on empty graph and bad parameters") {
     val e = Seq.empty[(Long, Long)].toDF("a", "b")
     intercept[IllegalArgumentException](Graph.pageRank(e, "a", "b", 3))
