@@ -293,6 +293,13 @@ object QueriesLlm {
       graft.operators.TextStats.gopherRules(documents(s, d),
         "doc_id", "text", minWords = 50)),
 
+    // char-level Shannon entropy: repeated-char junk scores near 0,
+    // base64/binary spill scores implausibly high — exact count-scaled
+    // decimal arithmetic, doc-local shuffle keys only
+    "text_entropy" -> ((s, d) =>
+      graft.operators.TextStats.charEntropy(documents(s, d),
+        "doc_id", "text")),
+
     "text_tokens" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), col("text"),
@@ -1226,6 +1233,22 @@ object QueriesLlm {
         |   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS pass
         |FROM m""".stripMargin,
+
+    // ln ROUNDed to 6 × exact char count, DECIMAL(38,6) sums — the
+    // lm_score cross-engine float discipline
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest([substr(text, i, 1) for i in range(1, length(text)+1)]) AS ch
+        |  FROM documents),
+        |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct_chars,
+        |    SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(38,6))) AS s
+        |  FROM cc GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+        |  CAST(ROUND(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n, 4) AS DOUBLE) AS entropy
+        |FROM agg""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -97,6 +97,35 @@ object TextStats {
         col("bullet_frac") <= 0.9 and col("ellipsis_frac") <= 0.3 and
         col("alpha_frac") >= 0.8 and col("stop_hits") >= 2)
 
+  /** Character-level Shannon entropy per document — the cheap
+    * randomness/degeneracy signal: near-zero entropy flags repeated-
+    * character junk ("aaaa…"), implausibly high entropy flags
+    * base64/hex blobs and binary spill; natural prose sits in a stable
+    * mid band. Computed as `ln(n) − (Σ c_i·ln c_i)/n` over per-char
+    * counts c_i (algebraically identical to −Σ p·ln p but every term
+    * is count-scaled), with ln ROUNDed to 6 and multiplied by the
+    * EXACT integer count into a DECIMAL(38,6) sum — the lm_score
+    * discipline, so the result is identical under any partitioning or
+    * engine. Plan: chars explode row-locally, the only shuffle keys
+    * are (doc_id, char) then doc_id — doc-local, balanced at any
+    * corpus size. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(expr(s"transform(sequence(1, length($textCol)), " +
+          s"i -> substring($textCol, i, 1))")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(expr(
+          "c * CAST(ROUND(LN(CAST(c AS DOUBLE)), 6) AS DECIMAL(38,6))"))
+          .as("s"))
+      .select(col("doc_id"), col("n").as("n_chars"),
+        col("n_distinct_chars"),
+        expr("""CAST(ROUND(
+            LN(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n,
+          4) AS DOUBLE)""").as("entropy"))
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val t = df

@@ -50,6 +50,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(!out.getAs[Boolean]("pass"))
   }
 
+  test("charEntropy: degenerate 0, uniform ln(k), natural text mid-band") {
+    val docs = Seq(
+      (1L, "aaaaaaaa"),          // one symbol → entropy 0
+      (2L, "abcd"),              // 4 uniform symbols → ln 4
+      (3L, "the quick brown fox" * 3)
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextStats.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((8L, 1L, 0.0)))
+    assert(out(2L)._3 == math.rint(math.log(4.0) * 1e4) / 1e4)
+    // natural text: strictly between the degenerate extremes
+    assert(out(3L)._3 > 1.0 && out(3L)._3 < math.log(out(3L)._2.toDouble) + 0.01)
+    // partitioning independence (decimal-exact sums)
+    val rep = graft.operators.TextStats
+      .charEntropy(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rep == out.map { case (k, v) => k -> v._3 })
+  }
+
   test("language ID picks the language with most stopword hits") {
     val docs = Seq(
       (1L, "the cat and the dog sat on the mat"),
