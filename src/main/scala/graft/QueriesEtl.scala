@@ -339,6 +339,26 @@ object QueriesEtl {
         Seq("c_nationkey", "c_mktsegment", "name_blk"),
         maxDistance = 2)),
 
+    // ER end-to-end: match pairs → CC clusters (chains a~b~c become
+    // ONE entity) → golden record per cluster — canonical member is
+    // the min id (== cluster_id by CC construction), survivorship =
+    // max balance across members
+    "er_cluster" -> ((s, d) => {
+      val c = Tables.customer(s, d).withColumn("name_blk",
+        expr("substring(c_name, 1, length(c_name) - 2)"))
+      val pairs = graft.operators.Er.fuzzyMatchPairs(c, "c_custkey",
+        "c_name", Seq("c_nationkey", "c_mktsegment", "name_blk"),
+        maxDistance = 2)
+      graft.operators.Er.clusterIds(c, "c_custkey", pairs, "id_a", "id_b")
+        .join(c, col("id") === col("c_custkey"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("id") === col("cluster_id"), col("c_name")))
+            .as("canonical_name"),
+          expr("CAST(ROUND(CAST(MAX(c_acctbal) AS DOUBLE), 2) AS DOUBLE)")
+            .as("max_acctbal"))
+    }),
+
     // snapshot reconciliation: one full-outer keyed join reports every
     // added / removed / changed key between two loads; output is
     // proportional to churn, not table size
@@ -640,6 +660,37 @@ object QueriesEtl {
         |  AND a.name_blk = b.name_blk
         |  AND a.id < b.id
         |WHERE levenshtein(a.nm, b.nm) <= 2""".stripMargin,
+
+    // er_match pairs + recursive reachability CC (min-label closure) +
+    // singleton fill-in, then the same survivorship aggregate
+    "er_cluster" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT c_custkey AS id, c_name AS nm, c_acctbal, c_nationkey,
+        |    c_mktsegment, substr(c_name, 1, length(c_name) - 2) AS name_blk
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM t a JOIN t b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.name_blk = b.name_blk
+        |    AND a.id < b.id
+        |  WHERE levenshtein(a.nm, b.nm) <= 2),
+        |nodes AS (SELECT DISTINCT id_a AS n FROM p UNION SELECT id_b FROM p),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT n AS node, n AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.d AS node, reach.lbl FROM reach JOIN e ON e.s = reach.node),
+        |cc AS (SELECT node AS id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        |mem AS (
+        |  SELECT t.id, COALESCE(cc.cluster_id, t.id) AS cluster_id
+        |  FROM t LEFT JOIN cc USING (id))
+        |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MAX(CASE WHEN id = cluster_id THEN nm END) AS canonical_name,
+        |  CAST(ROUND(CAST(MAX(c_acctbal) AS DOUBLE), 2) AS DOUBLE) AS max_acctbal
+        |FROM mem JOIN t USING (id)
+        |GROUP BY cluster_id""".stripMargin,
 
     "etl_diff" ->
       """WITH a AS (

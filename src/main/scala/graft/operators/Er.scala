@@ -30,6 +30,26 @@ import org.apache.spark.sql.functions._
   * pairs with no one (standard blocking semantics).
   */
 object Er {
+  /** Entity CLUSTER membership: every input record mapped to its
+    * resolved-entity cluster id — matched records via connected
+    * components over the match-pair graph ([[Dedup.duplicateClusters]]'
+    * pointer-jumping CC, so chains a~b~c resolve to ONE entity even
+    * when a and c never compared), unmatched records as singletons
+    * (cluster_id = own id). By CC construction the cluster id is the
+    * MINIMUM member id, so the canonical member is directly
+    * addressable (`id == cluster_id`) for golden-record survivorship
+    * downstream. The singleton fill-in is one left join keyed on id —
+    * corpus-shaped, no new shuffle classes. */
+  def clusterIds(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val cc = Dedup.duplicateClusters(pairs, aCol, bCol)
+      .withColumnRenamed("doc_id", "id")
+    df.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   def fuzzyMatchPairs(df: DataFrame, idCol: String, nameCol: String,
       blockCols: Seq[String], maxDistance: Int,
       maxBlock: Int = 100000): DataFrame = {

@@ -35,6 +35,24 @@ class ErGraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("exceeds maxBlock"))
   }
 
+  test("clusterIds: transitive chains resolve to one entity; singletons kept") {
+    val df = Seq(
+      (1L, "smith john", "NY"), (2L, "smith jonn", "NY"),
+      (3L, "smith joon", "NY"),  // chains to 1 via 2 (1~2, 2~3; 1~3 lev 2 too)
+      (4L, "doe jane", "NY"),    // singleton
+      (5L, "doe janet", "NY")    // pairs with 4
+    ).toDF("id", "name", "state")
+    val pairs = Er.fuzzyMatchPairs(df, "id", "name", Seq("state"), 1)
+    val out = Er.clusterIds(df, "id", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // lev(smith john, smith joon) = 2 > 1, so 1~3 only via the chain
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L,
+      s"chain did not collapse: $out")
+    assert(out(4L) == 4L && out(5L) == 4L)
+    // every input row appears exactly once, singletons included
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("pageRank: symmetric pair ranks equal, hub outranks leaves") {
     // star: 1 - 2, 1 - 3, 1 - 4 (undirected) plus isolated pair 5 - 6
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("a", "b")
