@@ -339,6 +339,23 @@ object QueriesEtl {
         Seq("c_nationkey", "c_mktsegment", "name_blk"),
         maxDistance = 2)),
 
+    // right-to-be-forgotten sweep: stage customers into a 16-bucket
+    // keyed store, erase every custkey ≡ 3 (mod 10) by rewriting ONLY
+    // the touched bucket dirs, read back the surviving store
+    "etl_forget" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/forget_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val c = Tables.customer(s, d)
+      graft.sinks.PartitionOverwriteSink(root, Seq("graft_kb"))
+        .write(c.withColumn("graft_kb",
+          pmod(xxhash64(col("c_custkey")), lit(16))))
+      graft.operators.Retention.forgetKeys(s, root, Seq("c_custkey"),
+        c.where(col("c_custkey") % 10 === 3).select("c_custkey"))
+      s.read.parquet(root).drop("graft_kb")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+    }),
+
     // ER end-to-end: match pairs → CC clusters (chains a~b~c become
     // ONE entity) → golden record per cluster — canonical member is
     // the min id (== cluster_id by CC construction), survivorship =
@@ -660,6 +677,10 @@ object QueriesEtl {
         |  AND a.name_blk = b.name_blk
         |  AND a.id < b.id
         |WHERE levenshtein(a.nm, b.nm) <= 2""".stripMargin,
+
+    "etl_forget" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 10 <> 3""".stripMargin,
 
     // er_match pairs + recursive reachability CC (min-label closure) +
     // singleton fill-in, then the same survivorship aggregate

@@ -228,6 +228,58 @@ class StreamingSpec extends SparkSpec {
     assert(state.size == 64)
   }
 
+  test("forgetKeys erases only target keys; untouched buckets byte-identical; empty bucket dirs vanish") {
+    import graft.operators.Retention
+    val dir = Files.createTempDirectory("graft-forget").toString
+    val target = s"$dir/target"
+    val b1 = (0L until 64L).map(i => (s"k$i", ts(0), i, i.toDouble))
+      .toDF("k", "ts", "id", "v")
+    Streaming.upsertBatch(spark, b1, Seq("k"), Seq("ts", "id"), target,
+      nBuckets = 16)
+    def snapshot(): Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(target)
+      val it = java.nio.file.Files.walk(root).iterator()
+      val m = scala.collection.mutable.Map[String, (Long, Long)]()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.toString.endsWith(".parquet")) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          m(root.relativize(p).toString) =
+            (bytes.length.toLong, java.util.Arrays.hashCode(bytes).toLong)
+        }
+      }
+      m.toMap
+    }
+    val before = snapshot()
+    val touched = spark.range(1)
+      .select(pmod(xxhash64(lit("k3")), lit(16))).head().getLong(0)
+    Retention.forgetKeys(spark, target, Seq("k"),
+      Seq(Tuple1("k3")).toDF("k"), nBuckets = 16)
+    val after = snapshot()
+    // k3 is gone, all 63 other keys survive
+    val keys = spark.read.parquet(target)
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(!keys.contains("k3") && keys.size == 63)
+    // untouched buckets were not even rewritten
+    assert(before.filter(!_._1.contains(s"graft_kb=$touched")) ==
+      after.filter(!_._1.contains(s"graft_kb=$touched")))
+    // an all-deleted bucket's directory disappears entirely (dynamic
+    // overwrite alone would silently keep its old files)
+    val loneKey = "solo"
+    val loneTarget = s"$dir/lone"
+    Streaming.upsertBatch(spark,
+      Seq((loneKey, ts(0), 1L, 1.0)).toDF("k", "ts", "id", "v"),
+      Seq("k"), Seq("ts", "id"), loneTarget, nBuckets = 4)
+    Retention.forgetKeys(spark, loneTarget, Seq("k"),
+      Seq(Tuple1(loneKey)).toDF("k"), nBuckets = 4)
+    val loneBucket = spark.range(1)
+      .select(pmod(xxhash64(lit(loneKey)), lit(4))).head().getLong(0)
+    assert(!new java.io.File(s"$loneTarget/graft_kb=$loneBucket").exists())
+    // deleting keys from a non-existent store is a silent no-op
+    Retention.forgetKeys(spark, s"$dir/nope", Seq("k"),
+      Seq(Tuple1("x")).toDF("k"))
+  }
+
   test("upsertBatch refuses a batch that already has the reserved bucket column") {
     val dir = Files.createTempDirectory("graft-upsert-reserved").toString
     val bad = Seq(("k1", ts(0), 1L, 0L)).toDF("k", "ts", "id", "graft_kb")
