@@ -30,13 +30,18 @@ class PlanHygieneSpec extends SparkSpec {
   //    (scalar attach) and the ADC search is the ann_topk broadcast
   //    shape over the dequantized corpus;
   //  - corpus_weighted_sample attaches the 1-row global max-weight
-  //    scalar, same constant-attach shape as corpus_tfidf.
+  //    scalar, same constant-attach shape as corpus_tfidf;
+  //  - ann_ivfpq's coarse assignment broadcasts cells=4 centroid rows
+  //    (every vector scores all cells by definition — ann_ivf's shape);
+  //    the SEARCH stage itself is a broadcast-hash equi-join on codes;
+  //  - corpus_dsir attaches the 1-row (total_target, total_raw) scalar
+  //    to the m-row feature frame — constant attach, m = 64 rows.
   // Everything else must be key-partitioned or broadcast-hash.
   private val allPairsAllowed =
     Set("q_cross_join", "ann_topk", "ann_ivf", "corpus_tfidf",
       "corpus_lm_score", "corpus_bm25", "corpus_perplexity",
       "etl_surrogate_key", "ann_range", "ann_sq",
-      "corpus_weighted_sample")
+      "corpus_weighted_sample", "ann_ivfpq", "corpus_dsir")
 
   // streaming frames cannot be explained without starting a query; their
   // batch-equivalent shapes are covered by the stream_* batch oracles
