@@ -339,6 +339,19 @@ object QueriesEtl {
         Seq("c_nationkey", "c_mktsegment", "name_blk"),
         maxDistance = 2)),
 
+    // PSI drift monitor: early orders are the baseline distribution,
+    // later orders (with a deliberate price shift on a slice) the
+    // current load — per-bin terms + the exact-decimal total
+    "etl_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.where(col("o_orderkey") % 3 === 0)
+      val cur = o.where(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.5)
+            .otherwise(col("o_totalprice")))
+      graft.operators.Profile.psiDrift(base, cur, "o_totalprice", bins = 10)
+    }),
+
     // right-to-be-forgotten sweep: stage customers into a 16-bucket
     // keyed store, erase every custkey ≡ 3 (mod 10) by rewriting ONLY
     // the touched bucket dirs, read back the surviving store
@@ -681,6 +694,52 @@ object QueriesEtl {
     "etl_forget" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 10 <> 3""".stripMargin,
+
+    // baseline-defined equal-width bins, add-1 smoothing, ROUND(·,6)
+    // terms + exact decimal total — mirrors Profile.psiDrift
+    "etl_drift" ->
+      """WITH base AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND o_totalprice IS NOT NULL),
+        |cur AS (
+        |  SELECT CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.5
+        |              ELSE o_totalprice END AS DOUBLE) AS v
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_totalprice IS NOT NULL),
+        |st AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM base),
+        |cb AS (
+        |  SELECT CAST(LEAST(GREATEST(
+        |      CASE WHEN (SELECT mx FROM st) = (SELECT mn FROM st) THEN 0.0
+        |           ELSE FLOOR((v - (SELECT mn FROM st))
+        |             / (((SELECT mx FROM st) - (SELECT mn FROM st)) / 10)) END,
+        |    0.0), 9.0) AS INT) AS bin, COUNT(*) AS n_base
+        |  FROM base GROUP BY 1),
+        |cc AS (
+        |  SELECT CAST(LEAST(GREATEST(
+        |      CASE WHEN (SELECT mx FROM st) = (SELECT mn FROM st) THEN 0.0
+        |           ELSE FLOOR((v - (SELECT mn FROM st))
+        |             / (((SELECT mx FROM st) - (SELECT mn FROM st)) / 10)) END,
+        |    0.0), 9.0) AS INT) AS bin, COUNT(*) AS n_cur
+        |  FROM cur GROUP BY 1),
+        |frame AS (
+        |  SELECT CAST(r.bin AS INT) AS bin,
+        |    COALESCE(cb.n_base, 0) AS n_base, COALESCE(cc.n_cur, 0) AS n_cur
+        |  FROM range(0, 10) r(bin)
+        |  LEFT JOIN cb ON cb.bin = r.bin LEFT JOIN cc ON cc.bin = r.bin),
+        |tot AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM frame),
+        |terms AS (
+        |  SELECT bin, CAST(n_base AS BIGINT) AS n_base,
+        |    CAST(n_cur AS BIGINT) AS n_cur,
+        |    CAST(ROUND(
+        |      ((n_base + 1.0) / ((SELECT tb FROM tot) + 10)
+        |        - (n_cur + 1.0) / ((SELECT tc FROM tot) + 10))
+        |      * ln(((n_base + 1.0) / ((SELECT tb FROM tot) + 10))
+        |          / ((n_cur + 1.0) / ((SELECT tc FROM tot) + 10))),
+        |    6) AS DOUBLE) AS psi_term
+        |  FROM frame)
+        |SELECT bin, n_base, n_cur, psi_term,
+        |  (SELECT CAST(SUM(CAST(psi_term AS DECIMAL(38,6))) AS DOUBLE)
+        |   FROM terms) AS psi_total
+        |FROM terms""".stripMargin,
 
     // er_match pairs + recursive reachability CC (min-label closure) +
     // singleton fill-in, then the same survivorship aggregate

@@ -61,4 +61,58 @@ object Profile {
     }: _*)
     wide.select(explode(stats).as("p")).select("p.*")
   }
+
+  /** Population Stability Index between two snapshots of a numeric
+    * column — the standard load-over-load drift monitor (PSI < 0.1
+    * stable, 0.1–0.25 moderate shift, > 0.25 investigate). Bin edges
+    * come from the BASELINE's [min, max] split into `bins` equal
+    * widths (the convention: the baseline defines the reference
+    * distribution; current values outside its range clamp into the
+    * edge bins). Both sides take add-1 smoothing so an empty bin
+    * cannot divide by zero or ln(0).
+    *
+    * Plan: two single-row min/max aggregates (broadcast constant
+    * attach), two `bins`-keyed count aggregates, and a `bins`-row
+    * result frame — the data is scanned once per side and nothing
+    * wider than a bin id ever shuffles. Cross-engine exactness: counts
+    * are exact integers; each bin's PSI term is ROUND(·,6) and the
+    * total is their exact DECIMAL sum replicated onto every row (the
+    * bins-row frame makes that a constant attach, not a window).
+    *
+    * @return one row per bin: (bin, n_base, n_cur, psi_term,
+    *         psi_total). */
+  def psiDrift(base: DataFrame, current: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "psiDrift needs at least 2 bins")
+    val spark = base.sparkSession
+    val stats = base.agg(
+      min(col(valueCol).cast("double")).as("mn"),
+      max(col(valueCol).cast("double")).as("mx"))
+    def binCounts(df: DataFrame, out: String): DataFrame = df
+      .select(col(valueCol).cast("double").as("v")).where(col("v").isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(expr(
+        s"""CAST(LEAST(GREATEST(
+           |  IF(mx = mn, 0.0, FLOOR((v - mn) / ((mx - mn) / $bins))),
+           |0.0), $bins - 1.0) AS INT)""".stripMargin).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val frame = spark.range(bins).select(col("id").cast("int").as("bin"))
+      .join(binCounts(base, "n_base"), Seq("bin"), "left")
+      .join(binCounts(current, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = frame.agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    val terms = frame.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_base"), col("n_cur"), expr(
+        s"""CAST(ROUND(
+           |  ((n_base + 1.0) / (tb + $bins) - (n_cur + 1.0) / (tc + $bins))
+           |  * LN(((n_base + 1.0) / (tb + $bins))
+           |      / ((n_cur + 1.0) / (tc + $bins))),
+           |6) AS DOUBLE)""".stripMargin).as("psi_term"))
+    val total = terms.agg(
+      sum(expr("CAST(psi_term AS DECIMAL(38,6))")).as("t"))
+      .select(expr("CAST(t AS DOUBLE)").as("psi_total"))
+    terms.crossJoin(broadcast(total))
+  }
 }

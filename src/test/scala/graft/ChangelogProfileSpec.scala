@@ -70,6 +70,29 @@ class ChangelogProfileSpec extends SparkSpec {
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("psiDrift: identical distributions score ~0, a shift scores high") {
+    import spark.implicits._
+    val base = (1 to 1000).map(i => i.toDouble % 100).toDF("v")
+    // identical distribution → PSI ≈ 0 (add-1 smoothing keeps it tiny)
+    val same = Profile.psiDrift(base, base, "v", bins = 10).collect()
+    assert(same.length == 10)
+    val psiSame = same.head.getAs[Double]("psi_total")
+    assert(math.abs(psiSame) < 0.001, s"identical dists scored $psiSame")
+    // hard shift: current values live in the top half of the range
+    val cur = (1 to 1000).map(i => 50.0 + i % 50).toDF("v")
+    val shifted = Profile.psiDrift(base, cur, "v", bins = 10).collect()
+    val psiShift = shifted.head.getAs[Double]("psi_total")
+    assert(psiShift > 0.25, s"hard shift scored only $psiShift")
+    // every row carries the same total; bins are the full 0..9 frame
+    assert(shifted.map(_.getAs[Double]("psi_total")).distinct.length == 1)
+    assert(shifted.map(_.getAs[Int]("bin")).sorted.toSeq == (0 to 9))
+    // out-of-range current values clamp into the edge bins, not lost
+    val far = Seq(1e9).toDF("v")
+    val clamped = Profile.psiDrift(base, far, "v", bins = 10)
+      .collect().map(r => r.getAs[Int]("bin") -> r.getAs[Long]("n_cur")).toMap
+    assert(clamped(9) == 1L)
+  }
+
   test("checkRules: NULL predicate results count as violations") {
     import graft.operators.Quality
     val df = Seq[(java.lang.Long, String)](
