@@ -226,6 +226,16 @@ object QueriesLlm {
         m = 8, codebookK = 8)
     }),
 
+    // retrieve-then-refine: IVF-PQ shortlist (k·4 per query from codes
+    // alone) re-attaches full vectors for an exact-cosine rerank — the
+    // production ANN serving shape (quantized index bounds vector reads)
+    "ann_refine" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.refineTopK(e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, refineFactor = 4,
+        cells = 4, nprobe = 2, m = 8, codebookK = 8)
+    }),
+
     // SQ8 scalar quantization + asymmetric search: full-precision
     // queries against the byte-quantized corpus (4x memory cut) — the
     // oracle replicates the quantize→dequantize→score arithmetic
@@ -391,6 +401,87 @@ object QueriesLlm {
         .where(col("n_docs") > 1)
     })
   )
+
+  // the IVF-PQ pipeline through the ADC score table r3 — shared by
+  // ann_ivfpq (direct top-k) and ann_refine (shortlist + exact rerank).
+  // MATERIALIZED on the multiply-referenced stages: refine's rerank
+  // re-joins v twice and inlined CTEs would re-expand the whole
+  // training pipeline per reference (the corpus_bpe_train lesson)
+  private val ivfpqOracleCte: String =
+    """WITH v AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      |c AS (SELECT vec_id, x FROM v WHERE vec_id >= 10),
+      |q AS (SELECT vec_id, x FROM v WHERE vec_id < 10),
+      |cent0 AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, x AS cx
+      |  FROM c QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 4),
+      |asg1 AS (
+      |  SELECT vec_id, x, cell FROM (
+      |    SELECT a.vec_id, a.x, c0.cell,
+      |      list_sum([a.x[i+1]*c0.cx[i+1] for i in range(0,64)]) /
+      |        (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([p2*p2 for p2 in c0.cx]))) AS cc
+      |    FROM c a, cent0 c0)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cc, 6) DESC, cell) = 1),
+      |cent AS MATERIALIZED (
+      |  SELECT cell, [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,64)] AS cx
+      |  FROM (SELECT cell, list(x) AS vs FROM asg1 GROUP BY cell)),
+      |listed AS (
+      |  SELECT vec_id AS nid, cell, [x[i+1] - cx[i+1] for i in range(0,64)] AS r
+      |  FROM (
+      |    SELECT a.vec_id, a.x, ct.cell, ct.cx,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ROUND(
+      |        list_sum([a.x[i+1]*ct.cx[i+1] for i in range(0,64)]) /
+      |          (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([p2*p2 for p2 in ct.cx]))), 6) DESC, ct.cell) AS crn
+      |    FROM c a, cent ct)
+      |  WHERE crn = 1),
+      |rsub AS MATERIALIZED (SELECT nid, cell, s, r[s*8+1 : s*8+8] AS rs
+      |  FROM listed, range(0,8) t(s)),
+      |cb0 AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY nid) - 1 AS INT) AS cid, r
+      |  FROM listed QUALIFY ROW_NUMBER() OVER (ORDER BY nid) <= 8),
+      |cb0s AS (SELECT cid, s, r[s*8+1 : s*8+8] AS cs FROM cb0, range(0,8) t(s)),
+      |pasg1 AS (
+      |  SELECT nid, s, rs, cid FROM (
+      |    SELECT u.nid, u.s, u.rs, c0.cid,
+      |      list_sum([c0.cs[i+1]*c0.cs[i+1] for i in range(0,8)])
+      |        - 2 * list_sum([u.rs[i+1]*c0.cs[i+1] for i in range(0,8)]) AS d2
+      |    FROM rsub u JOIN cb0s c0 ON u.s = c0.s)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY nid, s ORDER BY ROUND(d2, 9) ASC, cid) = 1),
+      |cb1 AS MATERIALIZED (
+      |  SELECT s, cid, [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,8)] AS cs
+      |  FROM (SELECT s, cid, list(rs) AS vs FROM pasg1 GROUP BY s, cid)),
+      |codes AS (
+      |  SELECT nid, cell, s, cid FROM (
+      |    SELECT u.nid, u.cell, u.s, c1.cid,
+      |      list_sum([c1.cs[i+1]*c1.cs[i+1] for i in range(0,8)])
+      |        - 2 * list_sum([u.rs[i+1]*c1.cs[i+1] for i in range(0,8)]) AS d2
+      |    FROM rsub u JOIN cb1 c1 ON u.s = c1.s)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY nid, s ORDER BY ROUND(d2, 9) ASC, cid) = 1),
+      |recon AS (
+      |  SELECT ct.cell, c1.s, c1.cid,
+      |    [ct.cx[c1.s*8 + i + 1] + c1.cs[i+1] for i in range(0,8)] AS xs_hat
+      |  FROM cent ct, cb1 c1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, x AS xq, cell FROM (
+      |    SELECT a.vec_id, a.x, ct.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ROUND(
+      |        list_sum([a.x[i+1]*ct.cx[i+1] for i in range(0,64)]) /
+      |          (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([p2*p2 for p2 in ct.cx]))), 6) DESC, ct.cell) AS crn
+      |    FROM q a, cent ct)
+      |  WHERE crn <= 2),
+      |lut AS (
+      |  SELECT p.query_id, sqrt(list_sum([z*z for z in p.xq])) AS qn,
+      |    r2.cell, r2.s, r2.cid,
+      |    list_sum([p.xq[r2.s*8 + i + 1] * r2.xs_hat[i+1] for i in range(0,8)]) AS qd,
+      |    list_sum([h*h for h in r2.xs_hat]) AS t2
+      |  FROM probes p JOIN recon r2 ON p.cell = r2.cell),
+      |pairs AS (
+      |  SELECT query_id, nid AS neighbor_id, ANY_VALUE(qn) AS qn,
+      |    SUM(CAST(ROUND(qd, 9) AS DECIMAL(38,9))) AS dq,
+      |    SUM(CAST(ROUND(t2, 9) AS DECIMAL(38,9))) AS x2
+      |  FROM codes JOIN lut USING (cell, s, cid) GROUP BY query_id, nid),
+      |r3 AS MATERIALIZED (SELECT query_id, neighbor_id,
+      |  CAST(dq AS DOUBLE) / (qn * sqrt(CAST(x2 AS DOUBLE))) AS cos FROM pairs)""".stripMargin
 
   private def inList(lang: String): String =
     stop(lang).map(w => s"'$w'").mkString(", ")
@@ -968,86 +1059,35 @@ object QueriesLlm {
     // shared PQ codebooks trained on residuals (Lloyd-1, L2 identity),
     // ADC over reconstructions x̂_s = cx_s + ĉ_s — every arithmetic
     // step mirrors Ann.ivfpqTopK's rounding/tiebreak contract
-    "ann_ivfpq" ->
-      """WITH v AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-        |c AS (SELECT vec_id, x FROM v WHERE vec_id >= 10),
-        |q AS (SELECT vec_id, x FROM v WHERE vec_id < 10),
-        |cent0 AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, x AS cx
-        |  FROM c QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 4),
-        |asg1 AS (
-        |  SELECT vec_id, x, cell FROM (
-        |    SELECT a.vec_id, a.x, c0.cell,
-        |      list_sum([a.x[i+1]*c0.cx[i+1] for i in range(0,64)]) /
-        |        (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([p2*p2 for p2 in c0.cx]))) AS cc
-        |    FROM c a, cent0 c0)
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cc, 6) DESC, cell) = 1),
-        |cent AS (
-        |  SELECT cell, [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,64)] AS cx
-        |  FROM (SELECT cell, list(x) AS vs FROM asg1 GROUP BY cell)),
-        |listed AS (
-        |  SELECT vec_id AS nid, cell, [x[i+1] - cx[i+1] for i in range(0,64)] AS r
-        |  FROM (
-        |    SELECT a.vec_id, a.x, ct.cell, ct.cx,
-        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ROUND(
-        |        list_sum([a.x[i+1]*ct.cx[i+1] for i in range(0,64)]) /
-        |          (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([p2*p2 for p2 in ct.cx]))), 6) DESC, ct.cell) AS crn
-        |    FROM c a, cent ct)
-        |  WHERE crn = 1),
-        |rsub AS (SELECT nid, cell, s, r[s*8+1 : s*8+8] AS rs
-        |  FROM listed, range(0,8) t(s)),
-        |cb0 AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY nid) - 1 AS INT) AS cid, r
-        |  FROM listed QUALIFY ROW_NUMBER() OVER (ORDER BY nid) <= 8),
-        |cb0s AS (SELECT cid, s, r[s*8+1 : s*8+8] AS cs FROM cb0, range(0,8) t(s)),
-        |pasg1 AS (
-        |  SELECT nid, s, rs, cid FROM (
-        |    SELECT u.nid, u.s, u.rs, c0.cid,
-        |      list_sum([c0.cs[i+1]*c0.cs[i+1] for i in range(0,8)])
-        |        - 2 * list_sum([u.rs[i+1]*c0.cs[i+1] for i in range(0,8)]) AS d2
-        |    FROM rsub u JOIN cb0s c0 ON u.s = c0.s)
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY nid, s ORDER BY ROUND(d2, 9) ASC, cid) = 1),
-        |cb1 AS (
-        |  SELECT s, cid, [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,8)] AS cs
-        |  FROM (SELECT s, cid, list(rs) AS vs FROM pasg1 GROUP BY s, cid)),
-        |codes AS (
-        |  SELECT nid, cell, s, cid FROM (
-        |    SELECT u.nid, u.cell, u.s, c1.cid,
-        |      list_sum([c1.cs[i+1]*c1.cs[i+1] for i in range(0,8)])
-        |        - 2 * list_sum([u.rs[i+1]*c1.cs[i+1] for i in range(0,8)]) AS d2
-        |    FROM rsub u JOIN cb1 c1 ON u.s = c1.s)
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY nid, s ORDER BY ROUND(d2, 9) ASC, cid) = 1),
-        |recon AS (
-        |  SELECT ct.cell, c1.s, c1.cid,
-        |    [ct.cx[c1.s*8 + i + 1] + c1.cs[i+1] for i in range(0,8)] AS xs_hat
-        |  FROM cent ct, cb1 c1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, x AS xq, cell FROM (
-        |    SELECT a.vec_id, a.x, ct.cell,
-        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ROUND(
-        |        list_sum([a.x[i+1]*ct.cx[i+1] for i in range(0,64)]) /
-        |          (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([p2*p2 for p2 in ct.cx]))), 6) DESC, ct.cell) AS crn
-        |    FROM q a, cent ct)
-        |  WHERE crn <= 2),
-        |lut AS (
-        |  SELECT p.query_id, sqrt(list_sum([z*z for z in p.xq])) AS qn,
-        |    r2.cell, r2.s, r2.cid,
-        |    list_sum([p.xq[r2.s*8 + i + 1] * r2.xs_hat[i+1] for i in range(0,8)]) AS qd,
-        |    list_sum([h*h for h in r2.xs_hat]) AS t2
-        |  FROM probes p JOIN recon r2 ON p.cell = r2.cell),
-        |pairs AS (
-        |  SELECT query_id, nid AS neighbor_id, ANY_VALUE(qn) AS qn,
-        |    SUM(CAST(ROUND(qd, 9) AS DECIMAL(38,9))) AS dq,
-        |    SUM(CAST(ROUND(t2, 9) AS DECIMAL(38,9))) AS x2
-        |  FROM codes JOIN lut USING (cell, s, cid) GROUP BY query_id, nid),
-        |r3 AS (SELECT query_id, neighbor_id,
-        |  CAST(dq AS DOUBLE) / (qn * sqrt(CAST(x2 AS DOUBLE))) AS cos FROM pairs)
+    "ann_ivfpq" -> (ivfpqOracleCte +
+      """
         |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
         |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
         |FROM r3
         |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
-        |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin,
+        |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin),
+
+    // retrieve-then-refine: the SAME IVF-PQ CTE produces a top-20
+    // shortlist per query (ADC rank), the shortlist re-attaches full
+    // vectors for an exact-cosine rerank to the final top-5
+    "ann_refine" -> (ivfpqOracleCte +
+      """,
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM r3
+        |  WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+        |  QUALIFY ROW_NUMBER() OVER w <= 20),
+        |ex AS (
+        |  SELECT s2.query_id, s2.neighbor_id,
+        |    list_sum([qv.x[i+1]*cv.x[i+1] for i in range(0,64)]) /
+        |      (sqrt(list_sum([p2*p2 for p2 in qv.x])) * sqrt(list_sum([q2*q2 for q2 in cv.x]))) AS cos
+        |  FROM short s2
+        |  JOIN v qv ON qv.vec_id = s2.query_id
+        |  JOIN v cv ON cv.vec_id = s2.neighbor_id)
+        |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
+        |FROM ex
+        |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin),
 
     // buckets one bit-flip away on planes 0..3 — mirrors
     // Ann.lshTopK(probes = 4)

@@ -480,6 +480,37 @@ object Ann {
     ranked(pairs, k)
   }
 
+  /** Two-stage RETRIEVE-then-REFINE: [[ivfpqTopK]] generates a cheap
+    * candidate shortlist of `k·refineFactor` per query from codes
+    * alone, then ONLY those candidates re-attach their full vectors
+    * (a key-equality join on neighbor id) for an exact-cosine rerank
+    * to the final top-k — the standard production ANN serving shape:
+    * the quantized index bounds how many full vectors are ever read,
+    * so the refine stage touches k·refineFactor·Q vectors regardless
+    * of corpus size. Output contract matches the other ANN surfaces
+    * (exact rounded-cos rank, id tiebreak), so refined results are
+    * directly comparable against [[bruteForceTopK]]. */
+  def refineTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, refineFactor: Int = 4, cells: Int = 4,
+      nprobe: Int = 2, m: Int = 8, codebookK: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(refineFactor >= 1, "refineFactor must be >= 1")
+    val spark = candidates.sparkSession
+    val shortlist = ivfpqTopK(queries, candidates, idCol, vecCol,
+        k * refineFactor, cells, nprobe, m, codebookK, dim)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      Vectors.toDouble(col(vecCol)).as("xq"))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      Vectors.toDouble(col(vecCol)).as("xc"))
+    val pairs = shortlist
+      .join(c, "neighbor_id")          // only shortlisted vectors load
+      .join(broadcast(q), "query_id")  // query set is the bounded side
+      .select(col("query_id"), col("neighbor_id"),
+        GraftFunctions.cosine(spark, col("xq"), col("xc")).as("cos"))
+    ranked(pairs, k)
+  }
+
   def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 4, codebookK: Int = 4,
       dim: Int = 64): DataFrame = {

@@ -304,6 +304,31 @@ class AnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("refineTopK: exact rerank recall >= raw IVF-PQ recall") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs2 = e.where(col("vec_id") < 10)
+    val cand = e.where(col("vec_id") >= 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.bruteForceTopK(qs2, cand, "vec_id", "embedding", 5))
+    val raw = pairs(Ann.ivfpqTopK(qs2, cand, "vec_id", "embedding", 5))
+    val refined = pairs(Ann.refineTopK(qs2, cand, "vec_id", "embedding", 5))
+    def recall(s: Set[(Long, Long)]) = (s & exact).size.toDouble / exact.size
+    // the exact rerank can only improve ordering within the shortlist:
+    // anything ADC ranked into the top-5 that IS a true neighbor stays,
+    // and true neighbors ADC put at rank 6..20 get pulled up
+    assert(recall(refined) >= recall(raw),
+      s"refine ${recall(refined)} < raw ${recall(raw)}")
+    // refined cosines are EXACT: every refined pair that is also in the
+    // brute-force top-5 must carry the identical rounded cosine
+    val bf = Ann.bruteForceTopK(qs2, cand, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val rf = Ann.refineTopK(qs2, cand, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    rf.foreach { case (k2, v) =>
+      bf.get(k2).foreach(bv => assert(bv == v, s"cosine drifted for $k2")) }
+  }
+
   test("ivfpqTopK search stage reads codes, never corpus vectors") {
     val e = Tables.embeddings(spark, sf0001)
     val out = Ann.ivfpqTopK(e.where(col("vec_id") < 5),

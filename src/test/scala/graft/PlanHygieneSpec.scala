@@ -35,13 +35,19 @@ class PlanHygieneSpec extends SparkSpec {
   //    (every vector scores all cells by definition — ann_ivf's shape);
   //    the SEARCH stage itself is a broadcast-hash equi-join on codes;
   //  - corpus_dsir attaches the 1-row (total_target, total_raw) scalar
-  //    to the m-row feature frame — constant attach, m = 64 rows.
+  //    to the m-row feature frame — constant attach, m = 64 rows;
+  //  - ann_refine runs the ann_ivfpq pipeline for its shortlist (same
+  //    cells-row coarse-assign broadcast); the rerank itself is a pair
+  //    of key-equality joins;
+  //  - etl_drift attaches the 1-row baseline min/max and the 1-row
+  //    totals to the bins-row frame — constant attaches.
   // Everything else must be key-partitioned or broadcast-hash.
   private val allPairsAllowed =
     Set("q_cross_join", "ann_topk", "ann_ivf", "corpus_tfidf",
       "corpus_lm_score", "corpus_bm25", "corpus_perplexity",
       "etl_surrogate_key", "ann_range", "ann_sq",
-      "corpus_weighted_sample", "ann_ivfpq", "corpus_dsir")
+      "corpus_weighted_sample", "ann_ivfpq", "corpus_dsir",
+      "ann_refine", "etl_drift")
 
   // streaming frames cannot be explained without starting a query; their
   // batch-equivalent shapes are covered by the stream_* batch oracles
