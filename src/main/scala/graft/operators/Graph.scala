@@ -50,66 +50,19 @@ object Graph {
     * callers are unaffected (src ∪ dst = src there). Returns
     * (node, pr_nano BIGINT, pr DOUBLE = pr_nano/1e9). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
-    require(iterations >= 1 && iterations <= 20,
-      "iterations must be in [1, 20]")
-    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
-    // materialize the edge list once: e joins into EVERY iteration, and
-    // an uncached upstream (e.g. an LSH band join producing the pairs)
-    // would re-execute per round — iterations× the edge-derivation cost
-    // (measured 4.2s → 2.4s on the simhash pair graph at sf0.1).
-    // Pre-partition ALL round inputs consistently (e and deg by src,
-    // nodes by node, same size-derived count — the duplicateClusters
-    // sizing discipline): each round's pr table comes off its
-    // checkpoint partitioned by node, so pr⋈deg, (pr⋈deg)⋈e and
-    // nodes⋈sums all meet co-partitioned — the EDGE table (the big
-    // side at corpus scale) never re-shuffles inside the loop; the one
-    // unavoidable per-round exchange is the contribution transpose
-    // (groupBy dst).
-    val obs0 = org.apache.spark.sql.Observation()
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .observe(obs0, count(lit(1)).as("n"))
-      .localCheckpoint()
-    val nEdges = obs0.get("n").asInstanceOf[Long]
-    val maxParts =
-      edges.sparkSession.sessionState.conf.numShufflePartitions.toLong
-    val nParts = math.max(1L, math.min(maxParts, nEdges / 2000000L + 1)).toInt
-    val e = e0.repartition(nParts, col("src")).localCheckpoint()
-    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(e0)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node")))
-      .distinct().repartition(nParts, col("node")).localCheckpoint()
-    val n = nodes.count()
-    require(n > 0, "pageRank: empty graph")
-    var pr = nodes.withColumn("pr_n",
-      round(lit(1.0e9 / n)).cast("long"))
-    for (_ <- 1 to iterations) {
-      val contrib = pr
-        .join(deg, pr("node") === deg("src"))
-        .join(e, "src")
-        .select(col("dst"),
-          round(col("pr_n").cast("double") / col("outdeg"))
-            .cast("long").as("c"))
-      val sums = contrib.groupBy("dst").agg(sum(col("c")).as("sv"))
-      // sink mass this round: one exact integer scalar, broadcast back
-      // into the same plan (no separate action)
-      val dang = pr.join(deg, pr("node") === deg("src"), "left_anti")
-        .agg(coalesce(sum(col("pr_n")), lit(0L)).as("dang_n"))
-      pr = nodes.join(sums, nodes("node") === sums("dst"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"),
-          round(lit((1.0 - damping) * 1.0e9 / n) +
-            lit(damping) * (coalesce(col("sv"), lit(0L)) +
-              round(col("dang_n").cast("double") / lit(n.toDouble))
-                .cast("long")).cast("double"))
-            .cast("long").as("pr_n"))
-        .localCheckpoint()
-    }
-    pr.select(col("node"), col("pr_n").as("pr_nano"),
-      (col("pr_n").cast("double") / 1.0e9).as("pr"))
-  }
+      iterations: Int = 3, damping: Double = 0.85): DataFrame =
+    // uniform PageRank IS personalized PageRank whose teleport set is
+    // the whole node universe: same init (1/n each), same teleport
+    // term ((1−d)/n to every node), same dangling redistribution
+    // (round(dang/n) to every node). ErGraphSpec pins the bit-equality
+    // of the two paths, so there is exactly ONE fixed-point kernel to
+    // keep correct (the r5 integer-rounding fix and the r7
+    // co-partitioning work previously had to be hand-mirrored in two
+    // copies). seedsOpt = None derives the seed set from the
+    // kernel-internal CHECKPOINTED edge table — passing the seeds as a
+    // DataFrame here would re-execute the (possibly expensive,
+    // uncached) edge upstream a second time.
+    prKernel(edges, srcCol, dstCol, None, iterations, damping)
 
   /** PERSONALIZED PageRank: teleport lands only on `seeds`, so rank
     * measures proximity to the seed set rather than global centrality —
@@ -134,10 +87,28 @@ object Graph {
     * get 0. */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String,
-      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 3, damping: Double = 0.85): DataFrame =
+    prKernel(edges, srcCol, dstCol,
+      Some(seeds.select(col(seedCol).as("node"))), iterations, damping)
+
+  private def prKernel(edges: DataFrame, srcCol: String, dstCol: String,
+      seedsOpt: Option[DataFrame],
+      iterations: Int, damping: Double): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       "iterations must be in [1, 20]")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    // THE fixed-point kernel ([[pageRank]] delegates here). Plan
+    // discipline: materialize the edge list once — e joins into EVERY
+    // iteration, and an uncached upstream (e.g. an LSH band join
+    // producing the pairs) would re-execute per round (measured
+    // 4.2s → 2.4s on the simhash pair graph at sf0.1). Pre-partition
+    // ALL round inputs consistently (e and deg by src, nodes by node,
+    // same size-derived count — the duplicateClusters sizing
+    // discipline): each round's pr table comes off its checkpoint
+    // partitioned by node, so pr⋈deg, (pr⋈deg)⋈e and nodes⋈sums meet
+    // co-partitioned and the EDGE table (the big side at corpus
+    // scale) never re-shuffles inside the loop; the one unavoidable
+    // per-round exchange is the contribution transpose (groupBy dst).
     val obs0 = org.apache.spark.sql.Observation()
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .observe(obs0, count(lit(1)).as("n"))
@@ -150,18 +121,24 @@ object Graph {
     org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(e0)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
-    val s = seeds.select(col(seedCol).as("node")).distinct()
     // is_seed rides the node table: computed once, co-partitioned with
-    // every round's rank join — the seed set never re-shuffles
-    val nodes = e.select(col("src").as("node"))
+    // every round's rank join — the seed set never re-shuffles. The
+    // uniform case (seedsOpt = None) marks every node a seed from the
+    // CHECKPOINTED edge table, paying no extra join and never
+    // re-deriving the edge upstream.
+    val base = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .unionAll(s.select(col("node")))
-      .distinct()
-      .join(s.withColumn("is_seed", lit(true)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .repartition(nParts, col("node")).localCheckpoint()
+    val nodes = (seedsOpt match {
+      case None => base.distinct().withColumn("is_seed", lit(true))
+      case Some(sd) =>
+        val s = sd.distinct()
+        base.unionAll(s).distinct()
+          .join(s.withColumn("is_seed", lit(true)), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    }).repartition(nParts, col("node")).localCheckpoint()
     val nS = nodes.where(col("is_seed")).count()
-    require(nS > 0, "personalizedPageRank: empty seed set")
+    require(nS > 0, "pageRank: empty seed set / empty graph")
     var pr = nodes.withColumn("pr_n",
       when(col("is_seed"), round(lit(1.0e9 / nS)).cast("long"))
         .otherwise(lit(0L)))

@@ -110,7 +110,10 @@ object TextStats {
     * are (doc_id, char) then doc_id — doc-local, balanced at any
     * corpus size. */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    df.where(length(col(textCol)) >= 1) // sequence(1, 0) DESCENDS in
+      // Spark: an empty doc would explode two bogus ''-char rows; the
+      // contract (matching the oracle's empty range) is NO row
+      .select(col(idCol).as("doc_id"),
         explode(expr(s"transform(sequence(1, length($textCol)), " +
           s"i -> substring($textCol, i, 1))")).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))

@@ -50,9 +50,21 @@ class PlanHygieneSpec extends SparkSpec {
       "ann_refine", "etl_drift")
 
   // streaming frames cannot be explained without starting a query; their
-  // batch-equivalent shapes are covered by the stream_* batch oracles
+  // batch-equivalent shapes are covered by the stream_* batch oracles.
+  //
+  // KNOWN LIMIT of this sweep: iterative queries truncate lineage with
+  // localCheckpoint, so executedPlan shows only the post-checkpoint
+  // shell — the per-round join shapes of pageRank/PPR/CC/label-prop
+  // live BEHIND the checkpoint and are audited by their own specs
+  // (ErGraphSpec partitioning-independence + the PLANS.md plan audits),
+  // not by this gate. Two queries are excluded outright because
+  // CONSTRUCTING their DataFrame executes the whole driver-loop
+  // pipeline (corpus_bpe_train runs its merge rounds, etl_forget its
+  // stage-write+delete cycle) — their result frames are local/scan-only
+  // relations with nothing left for this sweep to inspect.
+  private val drivesOnBuild = Set("corpus_bpe_train", "etl_forget")
   private def explainable(name: String): Boolean =
-    !name.startsWith("stream_")
+    !name.startsWith("stream_") && !drivesOnBuild(name)
 
   test("no query plans BroadcastNestedLoopJoin or CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

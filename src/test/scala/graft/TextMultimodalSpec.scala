@@ -68,6 +68,12 @@ class TextMultimodalSpec extends SparkSpec {
       .charEntropy(docs.repartition(7), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(rep == out.map { case (k, v) => k -> v._3 })
+    // empty and NULL text: NO row (Spark's sequence(1,0) descends —
+    // unguarded it would fabricate two ''-char rows the oracle lacks)
+    val edge = graft.operators.TextStats.charEntropy(
+      Seq((7L, ""), (8L, null: String)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(edge.isEmpty)
   }
 
   test("language ID picks the language with most stopword hits") {
