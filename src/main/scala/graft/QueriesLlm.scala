@@ -373,6 +373,13 @@ object QueriesLlm {
         Multimodal.attachBinary(documents(s, d), "doc_id", "text"),
         maxHamming = 12)),
 
+    // image near-dup CLUSTERS: CC over the phash pair graph (gid-level
+    // rounds, one membership expansion) — "one per meme family"
+    "mm_phash_clusters" -> ((s, d) =>
+      Multimodal.phashClusters(
+        Multimodal.attachBinary(documents(s, d), "doc_id", "text"),
+        maxHamming = 12)),
+
     // crawl-URL dedup: synthesize each doc's messy source URL (case
     // noise, default port, per-doc tracking params, fragment), then
     // canonicalize and group — duplicate groups are docs whose URLs
@@ -1378,6 +1385,39 @@ object QueriesLlm {
         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)
         |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(pa, pb)) <= 12""".stripMargin,
+
+    // phash pair graph (mm_phash_dedup's CTE) + recursive reachability
+    // CC with min-label closure (the dedup_clusters pattern)
+    "mm_phash_clusters" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id AS id, text, length(text) AS L,
+        |    [unicode(substr(text, i, 1)) for i in range(1, length(text)+1)] AS h
+        |  FROM documents WHERE length(text) > 0),
+        |cells AS (
+        |  SELECT id, text, L, list_sum(h) AS tot,
+        |    [COALESCE(list_sum(h[(j*L//60)+1 : ((j+1)*L)//60]), 0) for j in range(0,60)] AS cs,
+        |    [((j+1)*L)//60 - (j*L//60) for j in range(0,60)] AS cc
+        |  FROM b),
+        |sig AS (
+        |  SELECT id,
+        |    list_sum([CASE WHEN cc[j+1] > 0 AND cs[j+1]*L >= tot*cc[j+1]
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS ph
+        |  FROM cells),
+        |bands AS (
+        |  SELECT id, ph, b2, (ph >> (15*b2)) & 32767 AS bv
+        |  FROM sig, range(0,4) t(b2)),
+        |pr AS MATERIALIZED (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b ON a.b2 = b.b2 AND a.bv = b.bv AND a.id < b.id
+        |  WHERE bit_count(xor(a.ph, b.ph)) <= 12),
+        |nodes AS (SELECT DISTINCT id_a AS n FROM pr UNION SELECT id_b FROM pr),
+        |e AS (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+        |reach AS (
+        |  SELECT n AS node, n AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.d AS node, reach.lbl FROM reach JOIN e ON e.s = reach.node)
+        |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin,
 
     // the oracle replicates the canonicalization rule-for-rule (same
     // regexes, same utm_ strip + sort) over the same synthesized URLs

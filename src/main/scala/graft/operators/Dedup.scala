@@ -334,8 +334,14 @@ object Dedup {
     * but a text duplicated N times costs N rows only in the final
     * join, never in the iterative CC rounds. */
   def simhashClusters(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 12): DataFrame = {
-    val st = simhashStages(df, idCol, textCol, maxHamming)
+      maxHamming: Int = 12): DataFrame =
+    sketchClusters(simhashStages(df, idCol, textCol, maxHamming))
+
+  /** Gid-level CC + single member expansion over ANY banded-sketch
+    * stages — ONE cluster path shared by the text simhash family and
+    * the binary perceptual-hash family ([[Multimodal.phashClusters]]):
+    * duplicate multiplicity never enters the iterative CC rounds. */
+  private[graft] def sketchClusters(st: SimhashStages): DataFrame = {
     val cross = st.gidPairs.select(col("rid_a").as("a"), col("rid_b").as("b"))
     // multi-member gids must enter the node set even with no cross-gid
     // pair: their members pair with each other (hamming 0)

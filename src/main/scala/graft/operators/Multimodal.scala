@@ -104,6 +104,24 @@ object Multimodal {
         col("hamming"))
   }
 
+  /** Image duplicate CLUSTERS: connected components over the
+    * perceptual-hash near-dup graph — "keep one per meme family"
+    * rather than per-pair decisions. Same gid-level discipline as
+    * [[Dedup.simhashClusters]] (exact-duplicate payloads enter CC as
+    * ONE node; membership expands once at the end) via the shared
+    * [[Dedup.sketchClusters]] path. Returns (doc_id, cluster_id =
+    * min member id). */
+  def phashClusters(media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload", maxHamming: Int = 12): DataFrame = {
+    val spark = media.sparkSession
+    val sigs = media
+      .where(octet_length(col(payloadCol)) > 0)
+      .select(col(idCol).as("id"), md5(col(payloadCol)).as("gid"),
+        graft.plans.GraftFunctions.phash60(spark, col(payloadCol))
+          .as("simhash"))
+    Dedup.sketchClusters(Dedup.bandedSketchStages(sigs, maxHamming))
+  }
+
   // ======================================================================
   // STUB: deterministic fake decode. A real deployment replaces this with
   // an actual media decoder; the batching/partitioning contract is real.

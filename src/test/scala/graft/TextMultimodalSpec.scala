@@ -196,6 +196,16 @@ class TextMultimodalSpec extends SparkSpec {
       pairs.get((3L, 4L)).contains(expH))
     // far B pairs with nothing
     assert(!pairs.keySet.exists(k => k._1 == 5L || k._2 == 5L))
+
+    // clusters == CC over the expanded pair graph, gid-level rounds:
+    // {1,2,3,4} collapse to cluster 1; 5 is unpaired so absent
+    val cl = Multimodal.phashClusters(media, maxHamming = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    val viaPairs = graft.operators.Dedup.duplicateClusters(
+      Multimodal.phashPairs(media, maxHamming = 12), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == viaPairs, "gid-level CC diverged from expanded-pair CC")
   }
 
   test("multimodal: batched decode stub produces deterministic features") {
