@@ -92,6 +92,13 @@ object QueriesStream {
         .where(col("session_start") < lit("2029-01-01").cast("timestamp_ntz"))
     }),
 
+    // streaming drift monitor: per-day PSI of the live value
+    // distribution vs the first-half baseline — the stream side is one
+    // watermarked (window, bin) counter aggregate; PSI math runs batch
+    // over the bounded windows × bins frame
+    "stream_drift" -> ((s, d) =>
+      Streaming.driftPerWindow(s, d, cutoff = "2024-01-16", bins = 10)),
+
     // streaming upsert materialization: events re-staged as 4 files,
     // streamed one file per micro-batch, each batch MERGEd into a
     // versioned parquet target via foreachBatch — the final target must
@@ -155,6 +162,53 @@ object QueriesStream {
         |  ON e.user_id = p.user_id AND p.event_type = 'purchase'
         | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 2 HOUR
         |GROUP BY e.event_type""".stripMargin,
+
+    // batch reconstruction: same baseline bin edges, per-day windows
+    // via date_trunc, add-1 smoothed ROUND(·,6) PSI terms + exact
+    // decimal per-window sums (mirrors Streaming.driftPerWindow)
+    "stream_drift" ->
+      """WITH base AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL),
+        |st AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM base),
+        |bb AS (
+        |  SELECT CAST(LEAST(GREATEST(
+        |      CASE WHEN (SELECT mx FROM st) = (SELECT mn FROM st) THEN 0.0
+        |           ELSE FLOOR((v - (SELECT mn FROM st))
+        |             / (((SELECT mx FROM st) - (SELECT mn FROM st)) / 10)) END,
+        |    0.0), 9.0) AS INT) AS bin, COUNT(*) AS n_base
+        |  FROM base GROUP BY 1),
+        |cur AS (
+        |  SELECT date_trunc('day', ts) AS window_start,
+        |    CAST(LEAST(GREATEST(
+        |      CASE WHEN (SELECT mx FROM st) = (SELECT mn FROM st) THEN 0.0
+        |           ELSE FLOOR((CAST(value AS DOUBLE) - (SELECT mn FROM st))
+        |             / (((SELECT mx FROM st) - (SELECT mn FROM st)) / 10)) END,
+        |    0.0), 9.0) AS INT) AS bin, COUNT(*) AS n_cur
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |frame AS (
+        |  SELECT w.window_start, r.bin,
+        |    COALESCE(bb.n_base, 0) AS n_base, COALESCE(c.n_cur, 0) AS n_cur
+        |  FROM (SELECT DISTINCT window_start FROM cur) w
+        |  CROSS JOIN range(0, 10) r(bin)
+        |  LEFT JOIN cur c ON c.window_start = w.window_start AND c.bin = r.bin
+        |  LEFT JOIN bb ON bb.bin = r.bin),
+        |tot AS (SELECT window_start, SUM(n_cur) AS tc FROM frame GROUP BY 1),
+        |tbase AS (SELECT COUNT(*) AS tb FROM base),
+        |terms AS (
+        |  SELECT f.window_start, f.n_cur,
+        |    CAST(ROUND(
+        |      ((f.n_base + 1.0) / ((SELECT tb FROM tbase) + 10)
+        |        - (f.n_cur + 1.0) / (t.tc + 10))
+        |      * ln(((f.n_base + 1.0) / ((SELECT tb FROM tbase) + 10))
+        |          / ((f.n_cur + 1.0) / (t.tc + 10))),
+        |    6) AS DOUBLE) AS term
+        |  FROM frame f JOIN tot t USING (window_start))
+        |SELECT window_start, CAST(SUM(n_cur) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS psi
+        |FROM terms GROUP BY window_start""".stripMargin,
 
     "stream_upsert" ->
       """SELECT user_id, event_type, event_id, ts,

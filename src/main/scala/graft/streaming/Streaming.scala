@@ -153,6 +153,76 @@ object Streaming {
     * `synchronized` (serializes concurrent runToMemory calls); batch
     * work that must plan concurrently should run on its own
     * `newSession()`. */
+  /** Streaming drift monitor: per event-time window, the PSI of the
+    * live `value` distribution against a static BASELINE period — the
+    * continuous version of [[graft.operators.Profile.psiDrift]]
+    * ("alert when today's traffic stops looking like the reference
+    * window"). The STREAM side is one watermarked (window, bin) count
+    * aggregate — state is windows × bins counters, bounded by the
+    * watermark horizon, never by input size; bin edges are two
+    * baseline scalars (the [[graft.operators.Graph.pageRank]]
+    * n-count class of driver value) folded into the scan-stage bin
+    * expression. The PSI arithmetic runs BATCH-side on the bounded
+    * (windows × bins) result: dense frame fill-in, add-1 smoothing,
+    * ROUND(·,6) terms, exact DECIMAL per-window sums — the psiDrift
+    * cross-engine discipline. Returns (window_start ntz, n_events,
+    * psi). */
+  def driftPerWindow(spark: SparkSession, dir: String,
+      cutoff: String = "2024-01-16", bins: Int = 10): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val base = ev.where(col("ts") < lit(cutoff).cast("timestamp"))
+      .where(col("value").isNotNull)
+    val st = base.agg(min(col("value").cast("double")),
+      max(col("value").cast("double"))).head()
+    val (mn, mx) = (st.getDouble(0), st.getDouble(1))
+    def binExpr(c: String) = expr(
+      s"""CAST(LEAST(GREATEST(
+         |  IF($mx = $mn, 0.0, FLOOR((CAST($c AS DOUBLE) - $mn)
+         |    / (($mx - $mn) / $bins))),
+         |0.0), $bins - 1.0) AS INT)""".stripMargin)
+    val baseCounts = base.select(binExpr("value").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_base"))
+    val cur = runToMemory(spark,
+      eventsStream(spark, dir)
+        .where(col("ts") >= lit(cutoff).cast("timestamp"))
+        .where(col("value").isNotNull)
+        .withWatermark("ts", "1 hour")
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 day"),
+          binExpr("value").as("bin"))
+        .agg(count(lit(1)).as("n_cur"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("bin"), col("n_cur")),
+      "graft_stream_drift", OutputMode.Complete())
+      // the frame below self-joins this result (windows × bins vs the
+      // counts); the memory-sink VIEW carries fixed attribute ids on
+      // both sides and fails analysis — checkpointing re-keys them
+      .localCheckpoint()
+    // batch post-process over the bounded (windows × bins) frame
+    val frame = cur.select(col("window_start")).distinct()
+      .crossJoin(spark.range(bins).select(col("id").cast("int").as("bin")))
+      .join(cur, Seq("window_start", "bin"), "left")
+      .join(baseCounts, Seq("bin"), "left")
+      .select(col("window_start"), col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = frame.groupBy("window_start")
+      .agg(sum(col("n_cur")).as("tc"))
+    val tbase = frame.select(col("bin"), col("n_base")).distinct()
+      .agg(sum(col("n_base")).as("tb"))
+    frame.join(totals, "window_start").crossJoin(broadcast(tbase))
+      .select(col("window_start"), col("n_cur"), expr(
+        s"""CAST(ROUND(
+           |  ((n_base + 1.0) / (tb + $bins) - (n_cur + 1.0) / (tc + $bins))
+           |  * LN(((n_base + 1.0) / (tb + $bins))
+           |      / ((n_cur + 1.0) / (tc + $bins))),
+           |6) AS DOUBLE)""".stripMargin).as("term"))
+      .groupBy("window_start")
+      .agg(sum(col("n_cur")).as("n_events"),
+        sum(expr("CAST(term AS DECIMAL(38,6))")).as("s"))
+      .select(col("window_start"), col("n_events"),
+        expr("CAST(s AS DOUBLE)").as("psi"))
+  }
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
     val q = spark.synchronized {

@@ -132,6 +132,20 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 2)
   }
 
+  test("driftPerWindow: one row per live day, PSI >= 0, counts conserved") {
+    val out = Streaming.driftPerWindow(spark, sf0001,
+      cutoff = "2024-01-16", bins = 10).collect()
+    val ev = graft.Tables.events(spark, sf0001)
+      .where(col("ts") >= lit("2024-01-16").cast("timestamp"))
+      .where(col("value").isNotNull)
+    val days = ev.select(date_trunc("day", col("ts"))).distinct().count()
+    assert(out.length == days, s"${out.length} rows for $days live days")
+    // every PSI term (p-q)·ln(p/q) is >= 0, so the sum must be too
+    assert(out.forall(_.getAs[Double]("psi") >= 0.0))
+    // window event counts partition the live rows exactly
+    assert(out.map(_.getAs[Long]("n_events")).sum == ev.count())
+  }
+
   test("upsertStream: merged target is independent of micro-batch split") {
     val dir = Files.createTempDirectory("graft-upsert").toString
     val changelog = Seq(
