@@ -89,6 +89,17 @@ object QueriesCorpus {
         minMatches = 6)
     }),
 
+    // exact-k weighted sample without replacement (Efraimidis-Spirakis
+    // A-Res): deterministic exponential-race keys, TakeOrdered top-k —
+    // weight = doc length, so long docs are overrepresented but short
+    // ones still win slots
+    "corpus_weighted_topk" -> ((s, d) =>
+      Corpus.sampleWeightedK(
+        documents(s, d).withColumn("w", length(col("text")).cast("double")),
+        "doc_id", "w", k = 50)
+        .select(col("doc_id"), col("w"),
+          expr("CAST(sample_key AS DOUBLE)").as("sample_key"))),
+
     // DSIR importance scores: raw docs scored by hashed-ngram
     // log-likelihood ratio against the 5% bench split as the target
     // distribution (m-row broadcast log-ratio table, decimal-exact
@@ -514,6 +525,19 @@ object QueriesCorpus {
          |ORDER BY ctf DESC, term LIMIT 200""".stripMargin,
 
     "corpus_bpe_train" -> bpeTrainSql(8),
+
+    // same md5-uniform (h+1)/(2^32+1) draw, same round-9 ln(u)/w keys,
+    // same (key DESC, id) order — mirrors Corpus.sampleWeightedK
+    "corpus_weighted_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
+        |    CAST(ROUND(
+        |      ln((('0x'||substr(md5('wsk:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT + 1.0)
+        |         / 4294967297.0) / CAST(length(text) AS DOUBLE),
+        |    9) AS DOUBLE) AS sample_key
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, w, sample_key FROM t
+        |ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
 
     // hashed (unigram + bigram) features into 64 md5 buckets; add-1
     // smoothed ln-ratio ROUNDed to 6 then DECIMAL(38,6)-summed per doc

@@ -150,6 +150,35 @@ object Corpus {
       .drop("graft_wmax")
   }
 
+  /** EXACT-k weighted sample without replacement — Efraimidis–Spirakis
+    * A-Res as a deterministic distributed top-k: each row draws a
+    * reproducible uniform u from md5(salt:id) and keys on
+    * ln(u)/w (the exponential-race trick: taking the k LARGEST
+    * ln(u)/w, all negative, equals the k smallest −ln(u)/w exponential
+    * arrivals); the k winners are a proper weighted sample without
+    * replacement. Contrast [[sampleWeighted]], whose independent
+    * Bernoulli coins give a RATE, not a count.
+    *
+    * Plan: the key is row-local scan-stage arithmetic; the top-k is
+    * TakeOrderedAndProject (per-partition heaps merged on the driver,
+    * never a global sort) — one pass at any corpus size. Deterministic
+    * on any engine/retry/partitioning: md5-uniform + rounded-key
+    * ordering with id tie-break. Rows with weight <= 0 or NULL never
+    * qualify (the [[sampleWeighted]] clamp rationale). */
+  def sampleWeightedK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "wsk"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val keyed = df.where(col(weightCol).cast("double") > 0)
+      .withColumn("graft_u",
+        (conv(substring(md5(concat(lit(salt + ":"),
+            col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") + 1.0)
+          / lit(4294967297.0)) // (h+1)/(2^32+1) ∈ (0,1): never ln(0)
+      .withColumn("sample_key", expr(
+        s"CAST(ROUND(LN(graft_u) / CAST($weightCol AS DOUBLE), 9) AS DOUBLE)"))
+      .drop("graft_u")
+    keyed.orderBy(col("sample_key").desc, col(idCol).asc).limit(k)
+  }
+
   /** Test-set decontamination: corpus docs sharing at least one word
     * `n`-gram with any benchmark document, with the count of distinct
     * shared grams (the usual flag-then-drop / flag-then-audit input).

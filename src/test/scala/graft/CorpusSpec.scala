@@ -262,6 +262,31 @@ class CorpusSpec extends SparkSpec {
     assert(ab.getString(3) == "ab c" && ab.getInt(4) == 2)
   }
 
+  test("sampleWeightedK: exact k, weight-biased, deterministic, TakeOrdered plan") {
+    val df = (1L to 1000L).map(i =>
+      // ids <= 100 get weight 50, the rest weight 1
+      (i, if (i <= 100) 50.0 else 1.0)).toDF("id", "w")
+    val out = Corpus.sampleWeightedK(df, "id", "w", k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.size == 100)
+    // heavy ids are 10% of rows but hold ~85% of total weight: they
+    // must dominate the sample (deterministic given the md5 draws)
+    val heavy = out.count(_ <= 100L)
+    assert(heavy > 50, s"only $heavy heavy rows sampled")
+    // deterministic across partitioning and re-runs
+    val rep = Corpus.sampleWeightedK(df.repartition(7), "id", "w", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(rep == out)
+    // zero/negative/null weights never qualify
+    val bad = Seq((1L, 0.0), (2L, -5.0), (3L, 1.0)).toDF("id", "w")
+    assert(Corpus.sampleWeightedK(bad, "id", "w", 3)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // plan: TakeOrderedAndProject (per-partition heaps), no global sort
+    val plan = Corpus.sampleWeightedK(df, "id", "w", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("dsirScores: target-like docs outscore target-unlike; partition-independent") {
     val target = Seq(
       (100L, "physics equations describe motion energy and force fields"),
