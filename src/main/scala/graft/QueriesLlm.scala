@@ -65,6 +65,23 @@ object QueriesLlm {
         "doc_id", "text")
     }),
 
+    // persistent LSH index: build the corpus's banded posting index on
+    // disk (partitioned by band-hash bucket), then probe the fresh
+    // batch against it reading ONLY touched buckets — same result
+    // contract as dedup_delta (shared oracle arithmetic), different
+    // machinery: the corpus is never re-sketched per probe
+    "dedup_index_probe" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/dedup_idx_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val docs = documents(s, d)
+      val isFresh =
+        graft.operators.Corpus.hashBucket(col("doc_id"), "delta", 5) === 0
+      graft.operators.DedupIndex.buildMinhash(
+        docs.where(!isFresh), "doc_id", "text", root)
+      graft.operators.DedupIndex.probeMinhash(
+        s, root, docs.where(isFresh), "doc_id", "text")
+    }),
+
     // pairwise near-dups -> clusters: min-label propagation (iterative
     // key-partitioned joins) against a recursive-CTE DuckDB oracle.
     // Gid-level end-to-end: CC runs over one representative per
@@ -409,6 +426,31 @@ object QueriesLlm {
     })
   )
 
+  // cross-side banded minhash probe: fresh docs (md5 'delta' bucket 0
+  // of 5) vs the rest — shared verbatim by dedup_delta (ad-hoc probe)
+  // and dedup_index_probe (persistent index), which must return
+  // identical matches
+  private val deltaMinhashOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      |  FROM toks WHERE len(w) >= 3),
+      |sig AS (
+      |  SELECT doc_id, [list_min([md5(CAST(p AS VARCHAR)||':'||s) for s in shingles]) for p in range(0,16)] AS sig FROM sh),
+      |lab AS (
+      |  SELECT doc_id, sig, ('0x'||substr(md5('delta:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 5 = 0 AS fresh FROM sig),
+      |bands AS (
+      |  SELECT doc_id, sig, fresh, b, md5(sig[4*b+1]||sig[4*b+2]||sig[4*b+3]||sig[4*b+4]) AS bh
+      |  FROM lab, range(0,4) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of, a.sig AS sig_a, b.sig AS sig_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.fresh AND NOT b.fresh)
+      |SELECT doc_id, dup_of,
+      |  CAST(ROUND(list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)])/16.0, 4) AS DOUBLE) AS est_jaccard
+      |FROM cand
+      |WHERE list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)]) >= 4""".stripMargin
+
   // the IVF-PQ pipeline through the ADC score table r3 — shared by
   // ann_ivfpq (direct top-k) and ann_refine (shortlist + exact rerank).
   // MATERIALIZED on the multiply-referenced stages: refine's rerank
@@ -528,26 +570,12 @@ object QueriesLlm {
         |FROM cand
         |WHERE list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)]) >= 4""".stripMargin,
 
-    "dedup_delta" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
-        |  FROM toks WHERE len(w) >= 3),
-        |sig AS (
-        |  SELECT doc_id, [list_min([md5(CAST(p AS VARCHAR)||':'||s) for s in shingles]) for p in range(0,16)] AS sig FROM sh),
-        |lab AS (
-        |  SELECT doc_id, sig, ('0x'||substr(md5('delta:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 5 = 0 AS fresh FROM sig),
-        |bands AS (
-        |  SELECT doc_id, sig, fresh, b, md5(sig[4*b+1]||sig[4*b+2]||sig[4*b+3]||sig[4*b+4]) AS bh
-        |  FROM lab, range(0,4) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of, a.sig AS sig_a, b.sig AS sig_b
-        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.fresh AND NOT b.fresh)
-        |SELECT doc_id, dup_of,
-        |  CAST(ROUND(list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)])/16.0, 4) AS DOUBLE) AS est_jaccard
-        |FROM cand
-        |WHERE list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)]) >= 4""".stripMargin,
+    "dedup_delta" -> deltaMinhashOracle,
+
+    // the persistent-index probe returns the SAME matches as the
+    // ad-hoc delta probe — one oracle string for both, so the two
+    // machineries are pinned to one semantics
+    "dedup_index_probe" -> deltaMinhashOracle,
 
     "dedup_ngram" ->
       """WITH toks AS (

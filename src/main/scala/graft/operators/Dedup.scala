@@ -154,16 +154,24 @@ object Dedup {
     * [[minhashPairs]], and the candidate `distinct` carries id pairs
     * only. Returns (doc_id ∈ fresh, dup_of ∈ existing, est_jaccard ≥
     * minMatches/perms). */
-  def deltaMinhash(existing: DataFrame, fresh: DataFrame, idCol: String,
-      textCol: String, shingleK: Int = 3, perms: Int = 16, bands: Int = 4,
-      minMatches: Int = 4): DataFrame = {
-    val spark = existing.sparkSession
-    val rows = perms / bands
-    def sketch(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
+  /** The (id, sig) minhash sketch frame shared by [[deltaMinhash]] and
+    * the persistent index ([[DedupIndex]]) — one definition so the
+    * index and the ad-hoc probe cannot drift. */
+  private[graft] def minhashSketch(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, perms: Int): DataFrame = {
+    val spark = df.sparkSession
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
       .where(size(col("w")) >= shingleK)
       .select(col("id"), GraftFunctions.minhashSig(spark,
         GraftFunctions.shingles(spark, col("w"), shingleK), perms).as("sig"))
+  }
+
+  def deltaMinhash(existing: DataFrame, fresh: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3, perms: Int = 16, bands: Int = 4,
+      minMatches: Int = 4): DataFrame = {
+    val rows = perms / bands
+    def sketch(df: DataFrame): DataFrame =
+      minhashSketch(df, idCol, textCol, shingleK, perms)
     def banded(df: DataFrame): DataFrame = df.select(col("id"),
       posexplode(Hashes.lshBands("sig", bands, rows)).as(Seq("b", "bh")))
     val e = sketch(existing)

@@ -225,6 +225,40 @@ class DedupSpec extends SparkSpec {
     assert(out.toSet == full)
   }
 
+  test("DedupIndex: probe equals deltaMinhash; only touched buckets read") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark joins here"),
+      (3L, "another corpus document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy cat"),
+      (12L, "fresh text sharing nothing with the corpus docs"),
+      (13L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dedup-idx").toString + "/idx"
+    graft.operators.DedupIndex.buildMinhash(existing, "doc_id", "text", root)
+    val probe = graft.operators.DedupIndex
+      .probeMinhash(spark, root, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val adhoc = Dedup.deltaMinhash(existing, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probe == adhoc, "index probe diverged from the ad-hoc probe")
+    // the index is partitioned by band-hash bucket on disk
+    val dirs = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("graft_ib=")))
+    // a probe of unrelated text still returns cleanly (possibly empty)
+    val none = graft.operators.DedupIndex.probeMinhash(spark, root,
+      Seq((99L, "zzz yyy xxx www vvv uuu")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(none.columns.toSeq ==
+      Seq("doc_id", "dup_of", "est_jaccard"))
+  }
+
   test("semantic dedup end-to-end: pairs → CC → min-id survivors") {
     // two identical pairs (guaranteed LSH collisions, cos 1.0) and one
     // unpaired vector: survivors are each pair's min id + the loner
