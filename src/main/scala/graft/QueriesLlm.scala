@@ -243,6 +243,22 @@ object QueriesLlm {
         m = 8, codebookK = 8)
     }),
 
+    // persistent IVF-PQ index: model trained + written once (codes
+    // partitioned BY CELL), queries served from the stored artifact
+    // reading only probed cell dirs — identical results to ann_ivfpq
+    // (shared oracle string), different machinery
+    "ann_index_probe" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/ann_idx_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val e = embeddings(s, d)
+      graft.operators.AnnIndex.buildIvfPq(
+        e.where(col("vec_id") >= 10), "vec_id", "embedding", root,
+        cells = 4, m = 8, codebookK = 8)
+      graft.operators.AnnIndex.probeIvfPq(
+        s, root, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 2, m = 8)
+    }),
+
     // retrieve-then-refine: IVF-PQ shortlist (k·4 per query from codes
     // alone) re-attaches full vectors for an exact-cosine rerank — the
     // production ANN serving shape (quantized index bounds vector reads)
@@ -1095,6 +1111,16 @@ object QueriesLlm {
     // ADC over reconstructions x̂_s = cx_s + ĉ_s — every arithmetic
     // step mirrors Ann.ivfpqTopK's rounding/tiebreak contract
     "ann_ivfpq" -> (ivfpqOracleCte +
+      """
+        |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
+        |FROM r3
+        |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin),
+
+    // the stored-index probe returns exactly ann_ivfpq's matches —
+    // one oracle string pins both machineries to one semantics
+    "ann_index_probe" -> (ivfpqOracleCte +
       """
         |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
         |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r

@@ -376,9 +376,24 @@ object Ann {
     * the codes table: a broadcast hash join on (cell, s, cid) followed
     * by one two-phase aggregate keyed (query_id, nid). No corpus
     * vector survives into the search stage. */
+  /** The trained IVF-PQ model: coarse centroids, shared residual
+    * codebooks, and the encoded corpus — what [[ivfpqTopK]] trains
+    * in-flight and [[AnnIndex]] persists. */
+  private[graft] final case class IvfPqModel(
+      cent: DataFrame,  // (cell, cx)
+      cb: DataFrame,    // (s, cid, cs)
+      codes: DataFrame) // (nid, cell, s, cid)
+
   def ivfpqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, cells: Int = 4, nprobe: Int = 2,
       m: Int = 8, codebookK: Int = 8, dim: Int = 64): DataFrame = {
+    val model = ivfpqTrain(candidates, idCol, vecCol, cells, m, codebookK, dim)
+    ivfpqSearch(queries, model, idCol, vecCol, k, nprobe, m, dim)
+  }
+
+  private[graft] def ivfpqTrain(candidates: DataFrame, idCol: String,
+      vecCol: String, cells: Int, m: Int, codebookK: Int,
+      dim: Int): IvfPqModel = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val spark = candidates.sparkSession
@@ -442,6 +457,20 @@ object Ann {
     // table the search reads.
     val codes = assignCode(cb1).select(col("nid"), col("cell"), col("s"),
       col("cid")).localCheckpoint()
+    IvfPqModel(cent, cb1, codes)
+  }
+
+  private[graft] def ivfpqSearch(queries: DataFrame, model: IvfPqModel,
+      idCol: String, vecCol: String, k: Int, nprobe: Int, m: Int,
+      dim: Int): DataFrame = {
+    val sub = dim / m
+    val spark = queries.sparkSession
+    def dot(a: Column, b: Column) = GraftFunctions.dot(spark, a, b)
+    def slices(x: Column) =
+      array((0 until m).map(s => slice(x, s * sub + 1, sub)): _*)
+    val cent = model.cent
+    val cb1 = model.cb
+    val codes = model.codes
 
     // reconstruction table x̂_s = cx_s + ĉ_s per (cell, s, cid):
     // cells·m·codebookK rows, candidate-independent, broadcastable
@@ -455,6 +484,16 @@ object Ann {
     // lookup — qd = q_s·x̂_s, t2 = |x̂_s|²
     val q = queries.select(col(idCol).as("query_id"),
       Vectors.toDouble(col(vecCol)).as("x_query_id"))
+    def assignCell(df: DataFrame, id: String, keep: Int) = {
+      val w = Window.partitionBy(id)
+        .orderBy(round(col("ccos"), 6).desc, col("cell").asc)
+      df.join(broadcast(cent))
+        .withColumn("ccos",
+          GraftFunctions.cosine(spark, col(s"x_$id"), col("cx")))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") <= keep)
+        .select(col(id), col(s"x_$id"), col("cell"), col("cx"))
+    }
     val probes = assignCell(q, "query_id", nprobe)
       .select(col("query_id"), col("x_query_id").as("xq"), col("cell"))
     val qsub = probes

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTENT IVF-PQ index: train once, write the model to disk, serve
+  * every future query batch from the stored artifact — the
+  * FAISS-on-a-lake shape, and [[DedupIndex]]'s ANN sibling. The
+  * stored layout IS the scale story:
+  *
+  *  - `$path/codes`: the encoded corpus (nid, s, cid), PARTITIONED BY
+  *    CELL — a probe reads only its `nprobe` cell directories
+  *    (partition pruning), so query cost scales with the probed share
+  *    of the corpus, never its total size;
+  *  - `$path/centroids` (cells rows) and `$path/codebooks`
+  *    (m·codebookK rows): broadcast-sized model tables.
+  *
+  * Training and search both delegate to [[Ann]]'s IVF-PQ stages
+  * ([[Ann.ivfpqTrain]] / [[Ann.ivfpqSearch]]), so the probe result is
+  * IDENTICAL to the in-flight [[Ann.ivfpqTopK]] — spec-pinned, and
+  * the gate query shares ann_ivfpq's oracle string. */
+object AnnIndex {
+  /** Train the IVF-PQ model on `candidates` and persist it. */
+  def buildIvfPq(candidates: DataFrame, idCol: String, vecCol: String,
+      path: String, cells: Int = 4, m: Int = 8, codebookK: Int = 8,
+      dim: Int = 64): Unit = {
+    val model = Ann.ivfpqTrain(candidates, idCol, vecCol, cells, m,
+      codebookK, dim)
+    model.cent.write.mode("overwrite").parquet(s"$path/centroids")
+    model.cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    model.codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+  }
+
+  /** Top-k ANN against a stored index. The codes read is restricted to
+    * the union of cells any query probes (≤ cells ints to the driver,
+    * never vector data) — untouched cell directories contribute zero
+    * input splits. */
+  def probeIvfPq(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 2,
+      m: Int = 8, dim: Int = 64): DataFrame = {
+    val cent = spark.read.parquet(s"$path/centroids").localCheckpoint()
+    val cb = spark.read.parquet(s"$path/codebooks").localCheckpoint()
+    // which cells does this query batch probe? assignment runs on the
+    // broadcast-sized centroid table only — no codes touched yet
+    val q = queries.select(col(idCol).as("query_id"),
+      graft.functions.Vectors.toDouble(col(vecCol)).as("xq"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(round(col("ccos"), 6).desc, col("cell").asc)
+    val touched = q.join(broadcast(cent))
+      .withColumn("ccos",
+        graft.plans.GraftFunctions.cosine(spark, col("xq"), col("cx")))
+      .withColumn("crn", row_number().over(w))
+      .where(col("crn") <= nprobe)
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)) // bounded by cells, never vector data
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("cell").isin(touched.map(Integer.valueOf): _*))
+      .select(col("nid"), col("cell").cast("int").as("cell"),
+        col("s"), col("cid"))
+    Ann.ivfpqSearch(queries,
+      Ann.IvfPqModel(cent, cb, codes), idCol, vecCol, k, nprobe, m, dim)
+  }
+}

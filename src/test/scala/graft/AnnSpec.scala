@@ -329,6 +329,26 @@ class AnnSpec extends SparkSpec {
       bf.get(k2).foreach(bv => assert(bv == v, s"cosine drifted for $k2")) }
   }
 
+  test("AnnIndex: stored-index probe equals in-flight ivfpqTopK; codes partitioned by cell") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs2 = e.where(col("vec_id") < 10)
+    val cand = e.where(col("vec_id") >= 10)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ann-idx").toString + "/idx"
+    graft.operators.AnnIndex.buildIvfPq(cand, "vec_id", "embedding", root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val probe = rows(graft.operators.AnnIndex.probeIvfPq(
+      spark, root, qs2, "vec_id", "embedding", k = 5))
+    val inflight = rows(Ann.ivfpqTopK(qs2, cand, "vec_id", "embedding", 5))
+    assert(probe == inflight, "stored-index probe diverged from in-flight")
+    // the on-disk codes are cell-partitioned directories
+    val dirs = new java.io.File(s"$root/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")))
+  }
+
   test("ivfpqTopK search stage reads codes, never corpus vectors") {
     val e = Tables.embeddings(spark, sf0001)
     val out = Ann.ivfpqTopK(e.where(col("vec_id") < 5),

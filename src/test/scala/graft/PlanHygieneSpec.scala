@@ -47,7 +47,9 @@ class PlanHygieneSpec extends SparkSpec {
       "corpus_lm_score", "corpus_bm25", "corpus_perplexity",
       "etl_surrogate_key", "ann_range", "ann_sq",
       "corpus_weighted_sample", "ann_ivfpq", "corpus_dsir",
-      "ann_refine", "etl_drift")
+      // ann_index_probe = ann_ivfpq's search served from the stored
+      // model: same sanctioned cells-row coarse-assign broadcast
+      "ann_refine", "etl_drift", "ann_index_probe")
 
   // streaming frames cannot be explained without starting a query; their
   // batch-equivalent shapes are covered by the stream_* batch oracles.
