@@ -38,6 +38,12 @@ object QueriesCorpus {
       Corpus.packSequences(documents(s, d), "doc_id", "text",
         budgetTokens = 512, shards = 8)),
 
+    // packing under REAL tokenizer budgets: BPE piece counts (vocab
+    // broadcast encode) drive the bins, not the whitespace proxy
+    "corpus_pack_bpe" -> ((s, d) =>
+      Corpus.packSequencesBpe(documents(s, d), "doc_id", "text",
+        budgetTokens = 512, shards = 8)),
+
     // weighted language mixing: deterministic per-mille keep decision
     // per doc; broadcast rate table, row-local filter
     "corpus_mix" -> ((s, d) =>
@@ -525,6 +531,34 @@ object QueriesCorpus {
          |ORDER BY ctf DESC, term LIMIT 200""".stripMargin,
 
     "corpus_bpe_train" -> bpeTrainSql(8),
+
+    // per-doc BPE piece counts via the same replace chain as
+    // corpus_bpe_encode (generated from the SAME merge table), then
+    // the corpus_pack cum/bin arithmetic
+    "corpus_pack_bpe" ->
+      s"""WITH t AS ($toksCte),
+         |tc AS (SELECT DISTINCT term FROM (SELECT unnest(w) AS term FROM t)),
+         |enc AS (
+         |  SELECT term, CAST(length(e) - length(replace(e, ' ', '')) AS BIGINT) AS np
+         |  FROM (SELECT term, $bpeReplaceChain AS e FROM tc) z),
+         |tk AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |dc AS (SELECT doc_id, SUM(np) AS n_tok
+         |  FROM tk JOIN enc USING (term) GROUP BY doc_id),
+         |s AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(('0x'||substr(md5('pack:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 8 AS INT) AS shard
+         |  FROM dc WHERE n_tok > 0),
+         |c AS (
+         |  SELECT shard, doc_id, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                     ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM s)
+         |SELECT shard, CAST(FLOOR((cum - n_tok)/512.0) AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tokens_packed,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+         |FROM c GROUP BY shard, bin""".stripMargin,
 
     // same md5-uniform (h+1)/(2^32+1) draw, same round-9 ln(u)/w keys,
     // same (key DESC, id) order — mirrors Corpus.sampleWeightedK

@@ -78,12 +78,36 @@ object Corpus {
     * @return per-bin stats (shard, bin, n_docs, tokens_packed,
     *         first_doc, last_doc). */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      budgetTokens: Int, shards: Int): DataFrame = {
+      budgetTokens: Int, shards: Int): DataFrame =
+    packByCount(
+      df.select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok")),
+      budgetTokens, shards)
+
+  /** [[packSequences]] with REAL tokenizer budgets: documents pack into
+    * `budgetTokens`-piece bins by their BPE piece count under `merges`
+    * ([[bpeTokenCounts]] — the vocab-sized broadcast encode), not the
+    * whitespace proxy. Whitespace counts under-estimate subword budgets
+    * by the pieces-per-word ratio, so whitespace-packed bins overflow a
+    * real tokenizer's context window — this is the form a training
+    * pipeline actually ships. Same one-keyed-window plan shape. */
+  def packSequencesBpe(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)] = DefaultMerges,
+      budgetTokens: Int = 512, shards: Int = 8): DataFrame =
+    packByCount(
+      bpeTokenCounts(df, idCol, textCol, merges)
+        .select(col("doc_id"), col("n_bpe_tokens").cast("long").as("n_tok")),
+      budgetTokens, shards)
+
+  /** The packing tail shared by the whitespace and BPE forms: per-shard
+    * doc-id-ordered cumulative token sums → fixed-budget bins → per-bin
+    * stats. ONE key-partitioned window (never a global one). */
+  private def packByCount(counts: DataFrame, budgetTokens: Int,
+      shards: Int): DataFrame = {
     require(budgetTokens > 0 && shards > 0)
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol).as("doc_id"),
-        size(TextAnalysis.tokens(col(textCol))).as("n_tok"))
+    counts
       .where(col("n_tok") > 0)
       .withColumn("shard", hashBucket(col("doc_id"), "pack", shards).cast("int"))
       .withColumn("cum", sum(col("n_tok").cast("long")).over(w))

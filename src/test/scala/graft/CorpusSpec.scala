@@ -355,6 +355,26 @@ class CorpusSpec extends SparkSpec {
     assert(enc("aab") == "aab" && enc("ab") == "ab")
   }
 
+  test("packSequencesBpe: bins fill by piece count, not word count") {
+    // "the then" = 2 words but 3 BPE pieces under DefaultMerges
+    // ("the" → 1, "then" → "the n" = 2); with budget 3 the FIRST doc
+    // alone fills bin 0 under BPE packing, while whitespace packing
+    // (2 tokens) would still have room
+    val df = Seq((1L, "the then"), (2L, "the then")).toDF("doc_id", "text")
+    val bpe = Corpus.packSequencesBpe(df, "doc_id", "text",
+        budgetTokens = 3, shards = 1)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // each doc is exactly one full 3-piece bin
+    assert(bpe == Map(0L -> ((1L, 3L)), 1L -> ((1L, 3L))))
+    val ws = Corpus.packSequences(df, "doc_id", "text",
+        budgetTokens = 3, shards = 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // whitespace counting packs BOTH docs (2+2=4 tokens) across bins
+    // starting in bin 0 — the under-estimate the BPE form fixes
+    assert(ws(0L) == 2L)
+  }
+
   test("bpeTokenCounts: per-doc piece budget over the vocab join") {
     val df = Seq((1L, "the then the"), (2L, "x")).toDF("doc_id", "text")
     val out = Corpus.bpeTokenCounts(df, "doc_id", "text")
