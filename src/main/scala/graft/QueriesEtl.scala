@@ -339,6 +339,22 @@ object QueriesEtl {
         Seq("c_nationkey", "c_mktsegment", "name_blk"),
         maxDistance = 2)),
 
+    // partition-level TTL retention: stage events day-partitioned,
+    // drop every day before the cutoff WITHOUT opening a data file
+    // (directory-listing delete), read back the survivors
+    "etl_ttl" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/ttl_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("day").parquet(root)
+      graft.operators.Retention.ttlSweep(s, root, "day", "2024-01-10")
+      s.read.parquet(root)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("day"),
+          expr("CAST(ROUND(value, 4) AS DOUBLE)").as("val_r"))
+    }),
+
     // PSI drift monitor: early orders are the baseline distribution,
     // later orders (with a deliberate price shift on a slice) the
     // current load — per-bin terms + the exact-decimal total
@@ -694,6 +710,13 @@ object QueriesEtl {
     "etl_forget" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 10 <> 3""".stripMargin,
+
+    "etl_ttl" ->
+      """SELECT event_id, user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(ROUND(value, 4) AS DOUBLE) AS val_r
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-10'""".stripMargin,
 
     // baseline-defined equal-width bins, add-1 smoothing, ROUND(·,6)
     // terms + exact decimal total — mirrors Profile.psiDrift

@@ -28,6 +28,34 @@ import org.apache.spark.sql.functions._
 object Retention {
   private val BucketCol = "graft_kb"
 
+  /** Partition-level TTL sweep over a date-partitioned store: drop
+    * every partition directory strictly OLDER than `cutoff` — the
+    * retention policy a time-partitioned lake table runs nightly.
+    * METADATA-ONLY: expired data is removed by deleting whole
+    * partition directories from the listing; no data file is ever
+    * opened, so sweeping 100 TB costs a directory listing plus one
+    * delete per expired day. Surviving partitions keep their files
+    * byte-identical (nothing is rewritten). The partition column must
+    * be an ISO `yyyy-MM-dd` day string (lexicographic order == date
+    * order — the reason ISO day strings are the standard partition
+    * key).
+    *
+    * @return the dropped partition values, sorted. */
+  def ttlSweep(spark: SparkSession, targetRoot: String,
+      partitionCol: String, cutoff: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(targetRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val prefix = s"$partitionCol="
+    val dropped = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+      .filter(_.getName.stripPrefix(prefix) < cutoff)
+      .sortBy(_.getName)
+    dropped.foreach(p => fs.delete(p, true))
+    dropped.map(_.getName.stripPrefix(prefix))
+  }
+
   /** Erase every row of `target` whose key tuple appears in `deletes`.
     * `deletes` carries the key columns only (extra columns ignored).
     * No-op (and no error) if the target does not exist yet. */

@@ -242,6 +242,38 @@ class StreamingSpec extends SparkSpec {
     assert(state.size == 64)
   }
 
+  test("ttlSweep: expired day dirs vanish, survivors byte-identical, no-op cases") {
+    import graft.operators.Retention
+    val dir = Files.createTempDirectory("graft-ttl").toString
+    val target = s"$dir/t"
+    Seq((1L, "2024-01-05"), (2L, "2024-01-09"), (3L, "2024-01-10"),
+      (4L, "2024-02-01"))
+      .toDF("id", "day")
+      .write.partitionBy("day").parquet(target)
+    def files(): Map[String, Long] = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(target)).iterator()
+      val m = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) { val p = it.next()
+        if (p.toString.endsWith(".parquet"))
+          m(p.toString) = java.nio.file.Files.size(p) }
+      m.toMap
+    }
+    val before = files()
+    val dropped = Retention.ttlSweep(spark, target, "day", "2024-01-10")
+    // strictly-older partitions drop; the cutoff day itself survives
+    assert(dropped == Seq("2024-01-05", "2024-01-09"))
+    assert(!new java.io.File(s"$target/day=2024-01-05").exists())
+    assert(new java.io.File(s"$target/day=2024-01-10").exists())
+    // surviving files untouched on disk
+    val after = files()
+    assert(after == before.filter(!_._1.contains("day=2024-01-0")))
+    assert(spark.read.parquet(target).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // idempotent re-sweep and missing-target sweep are silent no-ops
+    assert(Retention.ttlSweep(spark, target, "day", "2024-01-10").isEmpty)
+    assert(Retention.ttlSweep(spark, s"$dir/none", "day", "2024-01-10").isEmpty)
+  }
+
   test("forgetKeys erases only target keys; untouched buckets byte-identical; empty bucket dirs vanish") {
     import graft.operators.Retention
     val dir = Files.createTempDirectory("graft-forget").toString
