@@ -183,6 +183,16 @@ object QueriesLlm {
         .select(col("node").as("doc_id"), col("degree"),
           col("n_triangles"), col("clustering"))),
 
+    // provenance radius: BFS hop distance from the curated seed docs
+    // through the near-dup graph (exact hop counts, 3-hop bound)
+    "graph_hops" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.operators.Graph.shortestHops(
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12),
+        "doc_a", "doc_b",
+        docs.where(col("doc_id") % 4 === 0), "doc_id", maxHops = 3)
+    }),
+
     // semi-supervised label propagation over the near-dup pair graph:
     // every 4th doc's lang is a clamped seed, majority vote spreads it
     // to unlabeled neighbors (3 rounds, deterministic tie-break)
@@ -726,6 +736,38 @@ object QueriesLlm {
     // once each as ordered (a < b < c) edge triples — algorithm-
     // independent counts, so the naive SQL join checks the oriented
     // Spark plan exactly
+    // same simhash pair graph, recursive (node, depth) closure bounded
+    // at 3 hops, min depth per node — seeds at depth 0
+    "graph_hops" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |hs AS (
+        |  SELECT doc_id, [('0x'||substr(md5(t),1,15))::UBIGINT for t in w] AS h
+        |  FROM toks WHERE len(w) > 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in h]) >= 0
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS simhash
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bv
+        |  FROM sig, range(0,4) t(b)),
+        |prs AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+        |e AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM prs WHERE doc_a <> doc_b
+        |  UNION SELECT doc_b, doc_a FROM prs WHERE doc_a <> doc_b),
+        |sd AS (SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id % 4 = 0),
+        |reach AS (
+        |  SELECT node, 0 AS d FROM sd
+        |  UNION
+        |  SELECT e.dst AS node, reach.d + 1 AS d
+        |  FROM reach JOIN e ON e.src = reach.node WHERE reach.d < 3)
+        |SELECT node, CAST(MIN(d) AS INT) AS hops
+        |FROM reach GROUP BY node""".stripMargin,
+
     // same simhash pair-graph CTE as graph_triangles, then 3 unrolled
     // clamped majority-vote rounds (n DESC, label ASC tie-break);
     // MATERIALIZED stops the round CTEs re-inlining the band join

@@ -169,6 +169,33 @@ object Graph {
       (col("pr_n").cast("double") / 1.0e9).as("pr"))
   }
 
+  /** Hop distance (BFS levels) from a seed set over an undirected
+    * graph, bounded at `maxHops` — "how many near-dup/link hops from a
+    * curated document is this row", the provenance-radius companion to
+    * [[personalizedPageRank]] (exact hop counts vs mass). Each round
+    * is one keyed join + a min-aggregate — the BSP frontier expansion —
+    * with the usual per-round `localCheckpoint`; unreached nodes carry
+    * no row. Exact integer arithmetic end to end: any engine
+    * reproduces it bit-for-bit. */
+  def shortestHops(pairs: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 20, "maxHops must be in [1, 20]")
+    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hops", lit(0))
+    for (_ <- 1 to maxHops) {
+      val next = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy("node").agg(min(col("hops")).cast("int").as("hops"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Semi-supervised LABEL PROPAGATION with seed clamping: spread known
     * labels (language, topic, quality class) from a labeled seed set
     * over an undirected similarity graph — the standard cheap

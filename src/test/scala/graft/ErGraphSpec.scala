@@ -268,6 +268,26 @@ class ErGraphSpec extends SparkSpec {
     assert(out3 == Set(1L, 2L))
   }
 
+  test("shortestHops: exact BFS levels, hop bound, min over multiple paths") {
+    // chain 1-2-3-4-5-6 plus shortcut 1-4: node 4 is 1 hop via the
+    // shortcut (not 3 via the chain); 6 is 3 hops (4-5-6); with
+    // maxHops=3 every node is reachable from seed 1 except none
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 4L))
+      .toDF("u", "v")
+    val out = Graph.shortestHops(es, "u", "v", Seq(1L).toDF("n"), "n", 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2, 6L -> 3))
+    // the bound truncates reach: maxHops=1 sees only direct neighbors
+    val near = Graph.shortestHops(es, "u", "v", Seq(1L).toDF("n"), "n", 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(near == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    // multiple seeds take the min over seeds; partitioning-independent
+    val multi = Graph.shortestHops(es.repartition(7), "u", "v",
+      Seq(1L, 6L).toDF("n"), "n", 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(multi(5L) == 1 && multi(4L) == 1 && multi(3L) == 2)
+  }
+
   test("labelPropagation is independent of input partitioning") {
     val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 5L)).toDF("u", "v")
     val seeds = Seq((1L, "a"), (4L, "b")).toDF("n", "lab")
