@@ -347,6 +347,13 @@ class AnnSpec extends SparkSpec {
     val dirs = new java.io.File(s"$root/codes").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")))
+    // and the probe plan PRUNES them: the codes scan must carry a
+    // partition filter on the probed cell set (untouched cell dirs
+    // contribute zero input splits — the stored-index scale claim)
+    val plan = graft.operators.AnnIndex.probeIvfPq(
+      spark, root, qs2, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(600))
   }
 
   test("ivfpqTopK search stage reads codes, never corpus vectors") {

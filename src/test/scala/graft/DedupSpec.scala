@@ -251,6 +251,13 @@ class DedupSpec extends SparkSpec {
     val dirs = new java.io.File(root).listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("graft_ib=")))
+    // and the probe plan PRUNES those buckets: the index scan carries a
+    // partition filter on the batch's touched bucket set
+    val plan = graft.operators.DedupIndex
+      .probeMinhash(spark, root, fresh, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cast(graft_ib") ||
+      plan.contains("PartitionFilters: [graft_ib"), plan.take(600))
     // a probe of unrelated text still returns cleanly (possibly empty)
     val none = graft.operators.DedupIndex.probeMinhash(spark, root,
       Seq((99L, "zzz yyy xxx www vvv uuu")).toDF("doc_id", "text"),
