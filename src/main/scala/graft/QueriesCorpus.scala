@@ -44,6 +44,26 @@ object QueriesCorpus {
       Corpus.packSequencesBpe(documents(s, d), "doc_id", "text",
         budgetTokens = 512, shards = 8)),
 
+    // the round's new families composed end-to-end in ONE logical
+    // plan: Gopher METRIC gate (thresholds corpus-tuned, as the
+    // published recipe prescribes per source — the fixed stopword
+    // rule would zero this synthetic vocabulary) → exact-dedup keep
+    // (min id per distinct text) → BPE-budget packing of the
+    // survivors — each stage still oracle-exact through the chain
+    "corpus_pipeline_v2" -> ((s, d) => {
+      val docs = documents(s, d)
+      val passed = graft.operators.TextStats
+        .gopherRules(docs, "doc_id", "text", minWords = 20)
+        .where(col("n_words") >= 20 and col("mean_wlen") >= 3.0 and
+          col("symbol_ratio") < 0.1 and col("alpha_frac") >= 0.8)
+        .select(col("doc_id"))
+      val clean = docs.join(passed, "doc_id")
+      val keep = clean.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      Corpus.packSequencesBpe(clean.join(keep, "doc_id"),
+        "doc_id", "text", budgetTokens = 512, shards = 8)
+    }),
+
     // weighted language mixing: deterministic per-mille keep decision
     // per doc; broadcast rate table, row-local filter
     "corpus_mix" -> ((s, d) =>
@@ -531,6 +551,65 @@ object QueriesCorpus {
          |ORDER BY ctf DESC, term LIMIT 200""".stripMargin,
 
     "corpus_bpe_train" -> bpeTrainSql(8),
+
+    // gopher pass (minWords=20) → min-id-per-md5 dedup → the BPE pack
+    // arithmetic over the survivors — stage for stage the engine chain
+    "corpus_pipeline_v2" ->
+      s"""WITH g0 AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w2,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |gm AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(w2) AS INT) AS n_words,
+         |    CAST(ROUND(CAST(list_sum(list_transform(w2, x -> len(x))) AS DOUBLE)
+         |      / NULLIF(len(w2), 0), 4) AS DOUBLE) AS mean_wlen,
+         |    CAST(ROUND((
+         |        (length(text) - length(replace(text, '#', '')))
+         |        + (length(text) - length(replace(text, '...', ''))) / 3
+         |      ) / CAST(NULLIF(len(w2), 0) AS DOUBLE), 4) AS DOUBLE) AS symbol_ratio,
+         |    CAST(ROUND(CAST(len(list_filter(lines,
+         |        l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'
+         |          OR ltrim(l) LIKE '•%')) AS DOUBLE)
+         |      / NULLIF(len(lines), 0), 4) AS DOUBLE) AS bullet_frac,
+         |    CAST(ROUND(CAST(len(list_filter(lines,
+         |        l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS DOUBLE)
+         |      / NULLIF(len(lines), 0), 4) AS DOUBLE) AS ellipsis_frac,
+         |    CAST(ROUND(CAST(len(list_filter(w2, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |      / NULLIF(len(w2), 0), 4) AS DOUBLE) AS alpha_frac,
+         |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |      s2 -> list_contains(w2, s2))) AS INT) AS stop_hits
+         |  FROM g0),
+         |cl AS (
+         |  SELECT doc_id, text FROM gm
+         |  WHERE n_words >= 20 AND mean_wlen >= 3.0
+         |    AND symbol_ratio < 0.1 AND alpha_frac >= 0.8),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM cl GROUP BY md5(text)),
+         |kept AS (SELECT cl.doc_id, cl.text FROM cl JOIN keep USING (doc_id)),
+         |t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM kept),
+         |tc AS (SELECT DISTINCT term FROM (SELECT unnest(w) AS term FROM t)),
+         |enc AS (
+         |  SELECT term, CAST(length(e) - length(replace(e, ' ', '')) AS BIGINT) AS np
+         |  FROM (SELECT term, $bpeReplaceChain AS e FROM tc) z),
+         |tk AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |dc AS (SELECT doc_id, SUM(np) AS n_tok
+         |  FROM tk JOIN enc USING (term) GROUP BY doc_id),
+         |s AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(('0x'||substr(md5('pack:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 8 AS INT) AS shard
+         |  FROM dc WHERE n_tok > 0),
+         |c AS (
+         |  SELECT shard, doc_id, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                     ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM s)
+         |SELECT shard, CAST(FLOOR((cum - n_tok)/512.0) AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tokens_packed,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+         |FROM c GROUP BY shard, bin""".stripMargin,
 
     // per-doc BPE piece counts via the same replace chain as
     // corpus_bpe_encode (generated from the SAME merge table), then

@@ -355,6 +355,29 @@ class CorpusSpec extends SparkSpec {
     assert(enc("aab") == "aab" && enc("ab") == "ab")
   }
 
+  test("pipeline v2 composition: filtered+deduped docs feed the packer") {
+    // doc 2 fails the metric gate (numbers only → alpha 0); doc 3 is
+    // an exact dup of doc 1 (dropped by keep); docs 1 and 4 pack
+    val base = "the quick brown fox and that hound have gone to the " +
+      "den of winter with haste again and again and again and again"
+    val docs = Seq(
+      (1L, base), (2L, "11 22 33 " * 8 + "44"), (3L, base),
+      (4L, base + " but different")
+    ).toDF("doc_id", "text")
+    val passed = graft.operators.TextStats
+      .gopherRules(docs, "doc_id", "text", minWords = 20)
+      .where(col("n_words") >= 20 and col("mean_wlen") >= 3.0 and
+        col("symbol_ratio") < 0.1 and col("alpha_frac") >= 0.8)
+      .select("doc_id")
+    val clean = docs.join(passed, "doc_id")
+    val keep = clean.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val packed = Corpus.packSequencesBpe(clean.join(keep, "doc_id"),
+      "doc_id", "text", budgetTokens = 512, shards = 1)
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    assert(packed == 2L, s"expected docs 1 and 4 to survive, got $packed")
+  }
+
   test("packSequencesBpe: bins fill by piece count, not word count") {
     // "the then" = 2 words but 3 BPE pieces under DefaultMerges
     // ("the" → 1, "then" → "the n" = 2); with budget 3 the FIRST doc
