@@ -423,6 +423,14 @@ object QueriesLlm {
         Multimodal.attachBinary(documents(s, d), "doc_id", "text"),
         maxHamming = 12)),
 
+    // frame-level shared-footage detection: 256-byte frames, phash per
+    // frame, cross-doc band join — packed (doc, frame) units ride the
+    // rep-collapsed sketch machinery unchanged
+    "mm_frames_dedup" -> ((s, d) =>
+      Multimodal.frameNearDupPairs(
+        Multimodal.attachBinary(documents(s, d), "doc_id", "text"),
+        frameBytes = 256, maxHamming = 8)),
+
     // image near-dup CLUSTERS: CC over the phash pair graph (gid-level
     // rounds, one membership expansion) — "one per meme family"
     "mm_phash_clusters" -> ((s, d) =>
@@ -1500,6 +1508,43 @@ object QueriesLlm {
         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)
         |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(pa, pb)) <= 12""".stripMargin,
+
+    // frame slicing (mm_frames' substr arithmetic) + the phash cell
+    // arithmetic over each FRAME + cross-doc banding on packed units
+    "mm_frames_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, text,
+        |    CAST(CEIL(length(text) / 256.0) AS INT) AS n_frames
+        |  FROM documents WHERE length(text) > 0),
+        |fr AS (
+        |  SELECT id, CAST(i AS INT) AS fidx, substr(text, i*256 + 1, 256) AS f
+        |  FROM m, range(0, 1000) t(i) WHERE i < n_frames),
+        |b AS (
+        |  SELECT id, fidx, f, length(f) AS L,
+        |    [unicode(substr(f, i, 1)) for i in range(1, length(f)+1)] AS h
+        |  FROM fr),
+        |cells AS (
+        |  SELECT id, fidx, L, list_sum(h) AS tot,
+        |    [COALESCE(list_sum(h[(j*L//60)+1 : ((j+1)*L)//60]), 0) for j in range(0,60)] AS cs,
+        |    [((j+1)*L)//60 - (j*L//60) for j in range(0,60)] AS cc
+        |  FROM b),
+        |sig AS (
+        |  SELECT id, fidx,
+        |    list_sum([CASE WHEN cc[j+1] > 0 AND cs[j+1]*L >= tot*cc[j+1]
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS ph
+        |  FROM cells),
+        |u AS (SELECT id*1048576 + fidx AS uid, id, fidx, ph FROM sig),
+        |bands AS (
+        |  SELECT uid, id, fidx, ph, b2, (ph >> (15*b2)) & 32767 AS bv
+        |  FROM u, range(0,4) t(b2)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, a.fidx AS frame_a,
+        |    b.id AS id_b, b.fidx AS frame_b, a.ph AS pa, b.ph AS pb
+        |  FROM bands a JOIN bands b
+        |    ON a.b2 = b.b2 AND a.bv = b.bv AND a.uid < b.uid AND a.id <> b.id)
+        |SELECT id_a, frame_a, id_b, frame_b,
+        |  CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 8""".stripMargin,
 
     // phash pair graph (mm_phash_dedup's CTE) + recursive reachability
     // CC with min-label closure (the dedup_clusters pattern)

@@ -104,6 +104,57 @@ object Multimodal {
         col("hamming"))
   }
 
+  /** FRAME-level perceptual near-dup pairs ACROSS documents — the
+    * shared-footage detector: video/image payloads are sliced into
+    * fixed-byte frames ([[sampleFrames]]' slicing), each frame gets a
+    * 60-bit perceptual hash, and frames from DIFFERENT documents
+    * within `maxHamming` band-join into candidate pairs. Same-doc
+    * pairs are excluded (adjacent frames of one clip are trivially
+    * similar — reuse detection cares about cross-doc matches).
+    *
+    * The banding unit id packs (doc, frame) into ONE long
+    * (`id << 20 | frame_idx` — the dedup_ngram packing contract:
+    * id < 2^43, frame_idx < 2^20, range-checked), so the whole
+    * rep-collapsed [[Dedup.bandedSketchStages]] machinery applies
+    * unchanged: identical frames (stills, repeated intros) collapse
+    * to one banding row no matter how many documents carry them.
+    *
+    * @return (id_a, frame_a, id_b, frame_b, hamming), id_a < id_b. */
+  def frameNearDupPairs(media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload", frameBytes: Int = 256,
+      maxHamming: Int = 8): DataFrame = {
+    require(frameBytes > 0)
+    val spark = media.sparkSession
+    val frames = media
+      .where(octet_length(col(payloadCol)) > 0)
+      .select(col(idCol).as("mid"), col(payloadCol).as("payload"),
+        ceil(octet_length(col(payloadCol)) / lit(frameBytes.toDouble))
+          .cast("int").as("n_frames"))
+      .select(col("mid"), col("payload"),
+        posexplode(sequence(lit(0), col("n_frames") - 1))
+          .as(Seq("pos", "fidx")))
+      .select(col("mid"), col("fidx"),
+        expr(s"substring(payload, fidx * $frameBytes + 1, $frameBytes)")
+          .as("frame"))
+    val sigs = frames.select(
+      when(col("mid").isNull || col("mid") < 0L ||
+           col("mid") >= (1L << 43) || col("fidx") >= (1 << 20),
+        expr("raise_error('frameNearDupPairs: id/frame_idx out of packable range')")
+          .cast("long"))
+        .otherwise(shiftleft(col("mid").cast("long"), 20)
+          .bitwiseOR(col("fidx").cast("long"))).as("id"),
+      md5(col("frame")).as("gid"),
+      graft.plans.GraftFunctions.phash60(spark, col("frame")).as("simhash"))
+    Dedup.expandSketchPairs(Dedup.bandedSketchStages(sigs, maxHamming))
+      .where(shiftrightunsigned(col("doc_a"), 20) =!=
+        shiftrightunsigned(col("doc_b"), 20))
+      .select(shiftrightunsigned(col("doc_a"), 20).as("id_a"),
+        col("doc_a").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("frame_a"),
+        shiftrightunsigned(col("doc_b"), 20).as("id_b"),
+        col("doc_b").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("frame_b"),
+        col("hamming"))
+  }
+
   /** Image duplicate CLUSTERS: connected components over the
     * perceptual-hash near-dup graph — "keep one per meme family"
     * rather than per-pair decisions. Same gid-level discipline as

@@ -208,6 +208,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(cl == viaPairs, "gid-level CC diverged from expanded-pair CC")
   }
 
+  test("frameNearDupPairs: cross-doc frame matches only, exact-dup frames at 0") {
+    // docs 1 and 2 share an identical first 256-byte frame; doc 2's
+    // second frame differs; doc 3 is unrelated
+    val shared = "x" * 200 + "the quick brown fox jumps over dogs " +
+      "and hounds in the winter den with haste" // > 256 bytes total
+    val media = Multimodal.attachBinary(Seq(
+      (1L, shared),
+      (2L, shared + " completely different tail content here at the end"),
+      (3L, "z" * 300)
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.frameNearDupPairs(media, frameBytes = 256,
+        maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4)))
+    // the shared frame 0 pairs across docs 1 and 2 at hamming 0
+    assert(out.exists(p => p == ((1L, 0, 2L, 0, 0))),
+      s"shared frame not found in ${out.toSeq}")
+    // no same-doc pairs ever
+    assert(out.forall(p => p._1 != p._3))
+    // doc 3's constant-byte frames never pair with text frames
+    assert(!out.exists(p => p._1 == 3L || p._3 == 3L))
+  }
+
   test("multimodal: batched decode stub produces deterministic features") {
     val media = Multimodal.attachBinary(
       Seq((1L, "abcd"), (2L, "abcd"), (3L, "zzzz")).toDF("doc_id", "text"),
