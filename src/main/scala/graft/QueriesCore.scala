@@ -512,6 +512,16 @@ object QueriesCore {
       graft.operators.Analytics.outliers(events(s, d), "event_type",
         "event_id", "value", z = 3.0)),
 
+    // per-priority Pareto skyline of orders on (totalprice, orderdate)
+    // both maximized — the O(n log n) group-reduce + frontier-window
+    // shape, never the all-pairs dominance self-join (the naive oracle
+    // form is O(n²) and already infeasible in DuckDB at sf0.1)
+    "q_skyline" -> ((s, d) =>
+      graft.operators.Analytics.skyline(orders(s, d),
+        "o_orderpriority", "o_totalprice", "o_orderdate")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("o_orderdate"))),
+
     // exact trailing 7-day distinct users per day: bounded 7× fan-out
     // + dedupe, never a per-row distinct-set window buffer
     "q_trailing_distinct" -> ((s, d) =>
@@ -1246,6 +1256,26 @@ object QueriesCore {
         |SELECT k AS event_type, id AS event_id, v AS value,
         |  CAST(ROUND(zs, 4) AS DOUBLE) AS z_score
         |FROM fl WHERE ABS(zs) > 3.0""".stripMargin,
+
+    // deliberately a DIFFERENT O(n log n) formulation than the engine's
+    // (distinct triples + one combined window vs group-reduce +
+    // frontier join) — equal output was pinned against the naive
+    // NOT-EXISTS dominance form at sf0.01 where that is still feasible
+    "q_skyline" ->
+      """WITH t AS (
+        |  SELECT DISTINCT o_orderpriority AS p, o_totalprice AS v,
+        |    o_orderdate AS d
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        |s AS (
+        |  SELECT p, v, d, max(d) OVER (PARTITION BY p ORDER BY v DESC, d DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS md
+        |  FROM t),
+        |f AS (SELECT p, v, d FROM s WHERE md IS NULL OR d > md)
+        |SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, o.o_orderdate
+        |FROM orders o
+        |JOIN f ON o.o_orderpriority = f.p AND o.o_totalprice = f.v
+        |  AND o.o_orderdate = f.d""".stripMargin,
 
     "q_trailing_distinct" ->
       """WITH du AS (

@@ -360,6 +360,23 @@ object QueriesLlm {
       graft.operators.TextStats.charEntropy(documents(s, d),
         "doc_id", "text")),
 
+    // fasttext-style hashed char-trigram linear classifier (inference
+    // side of a quality/topic gate): ONE native codegen'd kernel call
+    // per row in the scan stage — no explode, no shuffle; the weight
+    // table rides the plan as a constant (broadcast-sized at cluster
+    // scale). Score is an exact integer milli-unit sum, so the result
+    // is order-, partition- and engine-independent; the gate's weights
+    // come from a one-line LCG so the oracle derives the same table.
+    "text_classify" -> ((s, d) => {
+      val sc = graft.plans.GraftFunctions.ngramScore(
+        s, col("text"), graft.plans.Sketches.lcgWeights(512).toIndexedSeq)
+      documents(s, d)
+        .select(col("doc_id"), sc.getItem(0).as("score_milli"),
+          sc.getItem(1).as("n_grams"))
+        .withColumn("label",
+          when(col("score_milli") >= 0, lit("keep")).otherwise(lit("drop")))
+    }),
+
     "text_tokens" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), col("text"),
@@ -1419,6 +1436,25 @@ object QueriesLlm {
         |  CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
         |  CAST(ROUND(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n, 4) AS DOUBLE) AS entropy
         |FROM agg""".stripMargin,
+
+    // same LCG weight table ((b*69069+362437)%2001-1000), same byte
+    // normalization, exact integer milli-sum — engine-independent
+    "text_classify" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(GREATEST(len(t)-2, 0) AS BIGINT) AS n_grams,
+        |    CAST(COALESCE(list_sum([
+        |      (CAST((ascii(substr(t,i,1))*961 + ascii(substr(t,i+1,1))*31
+        |             + ascii(substr(t,i+2,1))) % 512 AS BIGINT)
+        |        * 69069 + 362437) % 2001 - 1000
+        |      for i in range(1, len(t)-1)]), 0) AS BIGINT) AS score_milli
+        |  FROM n)
+        |SELECT doc_id, score_milli, n_grams,
+        |  CASE WHEN score_milli >= 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM s""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

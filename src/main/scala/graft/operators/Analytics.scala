@@ -313,4 +313,38 @@ object Analytics {
         max(col("len")).cast("int").as("max_session_events"),
         floor(sum(col("dur_us")) / 1000000L).cast("long").as("total_session_s"))
   }
+
+  /** 2-D Pareto skyline per key group: the rows of `df` not STRICTLY
+    * dominated within their `keyCol` group on (`xCol`, `yCol`), both
+    * maximized — q dominates p iff q.x ≥ p.x ∧ q.y ≥ p.y with at least
+    * one strict; rows tied on both dims all survive. Rows with a null
+    * dimension are excluded (dominance is undefined on null).
+    *
+    * Distributed O(n log n) shape — never the all-pairs self-join:
+    * (1) two-phase aggregate to one row per (key, x): ymax;
+    * (2) ONE window per key over the x-groups (x desc, distinct per
+    *     key so the order is total): running max of ymax over
+    *     strictly-higher x — a group is on the frontier iff its ymax
+    *     beats every higher-x group's;
+    * (3) equi-join the frontier (a small fraction of the input;
+    *     broadcast-eligible at scale) back to `df` on
+    *     (key, x, y = ymax) — each input row matches at most its own
+    *     group's frontier row, so no row multiplication.
+    * Exactness of the reduction: any dominator of p sits either in
+    * p's own (key,x) group (higher y ⇒ p.y < ymax, dropped by the
+    * join) or in a higher-x group (ymax there ≥ its y ≥ p.y ⇒ the
+    * running max kills p's group or p.y < own ymax). */
+  def skyline(df: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
+    val in = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val g = in.groupBy(col(keyCol), col(xCol)).agg(max(col(yCol)).as("__ymax"))
+    val w = Window.partitionBy(keyCol).orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = g.withColumn("__prev", max(col("__ymax")).over(w))
+      .where(col("__prev").isNull || col("__ymax") > col("__prev"))
+      .select(col(keyCol).as("__k"), col(xCol).as("__x"), col("__ymax"))
+    in.join(frontier,
+        col(keyCol) === col("__k") && col(xCol) === col("__x") &&
+          col(yCol) === col("__ymax"))
+      .drop("__k", "__x", "__ymax")
+  }
 }

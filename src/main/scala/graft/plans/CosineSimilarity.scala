@@ -191,6 +191,12 @@ object GraftFunctions {
       require(exprs.length == 2, s"$DotName expects 2 arguments")
       DotProduct(exprs.head, exprs(1))
     }, "built-in")
+    reg.createOrReplaceTempFunction(NgramScoreName, exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        s"$NgramScoreName expects (string, const array<bigint>)")
+      val w = exprs(1).eval().asInstanceOf[ArrayData].toLongArray().toSeq
+      NgramScore(exprs.head, w)
+    }, "built-in")
   }
 
   val DotName = "graft_dot"
@@ -231,6 +237,19 @@ object GraftFunctions {
     register(spark)
     call_function(LshName, vec.cast("array<double>"),
       org.apache.spark.sql.functions.lit(planes))
+  }
+
+  val NgramScoreName = "graft_ngram_score"
+
+  /** Native hashed-trigram linear-model score: string →
+    * array<bigint> [score_milli, n_grams] (registers on the session).
+    * `weights` is the model — a milli-unit integer weight per hash
+    * bucket, shipped into the plan as a constant (at cluster scale a
+    * broadcast-sized array, 8·|w| bytes). */
+  def ngramScore(spark: SparkSession, text: Column, weights: Seq[Long]): Column = {
+    register(spark)
+    call_function(NgramScoreName, text,
+      org.apache.spark.sql.functions.lit(weights.toArray))
   }
 
   /** Native distinct word k-grams column (registers on the session). */

@@ -261,6 +261,48 @@ object Sketches {
     }
     out
   }
+
+  /** Hashed char-trigram linear-model score — the inference kernel of a
+    * fasttext-style text classifier (quality gate / topic filter), run
+    * row-local in the scan stage with zero shuffle. Normalization is
+    * byte-level (ASCII lowercase, keep only [a-z ] — the corpus is
+    * ASCII; multibyte UTF-8 bytes are ≥ 0x80 and drop out exactly like
+    * the oracle's `regexp_replace(lower(text),'[^a-z ]','','g')`).
+    * Feature = every char trigram with multiplicity, bucketed by the
+    * polynomial hash (c1·961 + c2·31 + c3) mod |w|; the score is the
+    * EXACT integer sum of the bucket weights (milli-units), so the
+    * result is order-, partition- and engine-independent — no float
+    * folds. Returns [score_milli, n_grams]. Weights are a plugged-in
+    * table (a trained model ships here as a broadcast constant); the
+    * gate query uses the deterministic LCG family in [[lcgWeights]] so
+    * the DuckDB oracle can derive the same table in SQL. */
+  def ngramScoreMilli(text: UTF8String, w: Array[Long]): ArrayData = {
+    val bytes = text.getBytes
+    val d = w.length
+    val norm = new Array[Byte](bytes.length)
+    var m = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b >= 'A' && b <= 'Z') { norm(m) = (b + 32).toByte; m += 1 }
+      else if ((b >= 'a' && b <= 'z') || b == ' ') { norm(m) = b.toByte; m += 1 }
+      i += 1
+    }
+    var milli = 0L
+    i = 0
+    while (i + 2 < m) {
+      val h = (norm(i) * 961 + norm(i + 1) * 31 + norm(i + 2)) % d
+      milli += w(h)
+      i += 1
+    }
+    new GenericArrayData(Array(milli, math.max(m - 2, 0).toLong))
+  }
+
+  /** Deterministic stand-in weight table for [[ngramScoreMilli]]'s gate
+    * query: w(b) = (b·69069 + 362437) mod 2001 − 1000 ∈ [−1000, 1000]
+    * milli-units — reproducible in one line of SQL on any engine. */
+  def lcgWeights(d: Int): Array[Long] =
+    Array.tabulate(d)(b => (b.toLong * 69069L + 362437L) % 2001L - 1000L)
 }
 
 private[plans] trait StringArrayInput { self: UnaryExpression =>
@@ -386,6 +428,38 @@ final case class DHash60(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.Sketches.dhash60($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** string text → array<bigint> [score_milli, n_grams]: hashed-trigram
+  * linear-model inference (native). `weights` is a Seq (not Array) so
+  * case-class equality is element-wise — identical calls are
+  * canonically equal and whole-stage codegen's common-subexpression
+  * elimination computes the kernel once per row even when a query
+  * projects both array slots. */
+final case class NgramScore(child: Expression, weights: Seq[Long])
+    extends UnaryExpression {
+  require(weights.nonEmpty, "graft_ngram_score: empty weight table")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_ngram_score"
+
+  @transient private lazy val wArr: Array[Long] = weights.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.ngramScoreMilli(input.asInstanceOf[UTF8String], wArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("ngramWeights", wArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Sketches.ngramScoreMilli($c, $wRef);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -239,4 +239,45 @@ class AnalyticsSpec extends SparkSpec {
     val b = Analytics.sessionize(df.repartition(7), "user_id", "tstamp", 1800000000L).collect().toSeq
     assert(a == b)
   }
+
+  test("skyline: strict dominance, both-dim ties survive, nulls drop") {
+    val df = Seq(
+      ("a", 1L, Option(10.0), 5L), // dominated by id 2 (higher x, equal y)
+      ("a", 2L, Option(20.0), 5L), // frontier
+      ("a", 3L, Option(20.0), 4L), // dominated by id 2 (equal x, higher y)
+      ("a", 4L, Option(15.0), 9L), // frontier (highest y)
+      ("a", 5L, Option(15.0), 9L), // exact tie with id 4 on both dims: survives
+      ("a", 6L, Option(30.0), 1L), // frontier (max x)
+      ("b", 7L, Option(1.0), 1L),  // alone in its group: frontier
+      ("b", 8L, Option.empty[Double], 9L) // null dim: excluded
+    ).toDF("k", "id", "x", "y")
+    val kept = Analytics.skyline(df, "k", "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L, 6L, 7L))
+  }
+
+  test("skyline equals brute-force dominance on sf0.001 orders") {
+    val o = graft.Tables.t(spark, sf0001, "orders")
+      .select(col("o_orderkey").as("id"), col("o_orderpriority").as("k"),
+        col("o_totalprice").as("x"), col("o_orderdate").as("y"))
+    val fast = Analytics.skyline(o, "k", "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val dom = o.as("p").join(o.as("q"),
+      col("q.k") === col("p.k") &&
+        col("q.x") >= col("p.x") && col("q.y") >= col("p.y") &&
+        (col("q.x") > col("p.x") || col("q.y") > col("p.y")), "left_semi")
+    val naive = o.select("id").except(dom.select("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+
+  test("skyline is partition-count independent") {
+    val o = graft.Tables.t(spark, sf0001, "orders")
+    val a = Analytics.skyline(o, "o_orderpriority", "o_totalprice", "o_orderdate")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val b = Analytics.skyline(o.repartition(13), "o_orderpriority",
+        "o_totalprice", "o_orderdate")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }

@@ -54,4 +54,55 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("graft_minhash_sig") && plan.contains("graft_simhash64"), plan)
     assert(plan.contains("*(1)"), plan)
   }
+
+  private val W = graft.plans.Sketches.lcgWeights(512).toIndexedSeq
+
+  private def scoreOf(texts: String*): Seq[(Long, Long)] = {
+    val df = texts.toDF("text")
+    df.select(GraftFunctions.ngramScore(spark, col("text"), W).as("r"))
+      .collect().map(r => {
+        val a = r.getSeq[Long](0); (a(0), a(1))
+      }).toSeq
+  }
+
+  test("ngram score: hand-computed trigram weights, exact integers") {
+    def w(h: Long): Long = (h * 69069L + 362437L) % 2001L - 1000L
+    def h3(a: Char, b: Char, c: Char): Long = (a * 961 + b * 31 + c) % 512
+    val Seq((m1, n1)) = scoreOf("abc")
+    assert(n1 == 1L && m1 == w(h3('a', 'b', 'c')))
+    val Seq((m2, n2)) = scoreOf("abcd")
+    assert(n2 == 2L && m2 == w(h3('a', 'b', 'c')) + w(h3('b', 'c', 'd')))
+    // multiplicity counts: "abcabc" has 'abc' twice among its 4 grams
+    val Seq((m3, n3)) = scoreOf("abcabc")
+    assert(n3 == 4L && m3 == 2 * w(h3('a', 'b', 'c')) +
+      w(h3('b', 'c', 'a')) + w(h3('c', 'a', 'b')))
+  }
+
+  test("ngram score: byte normalization matches the oracle's regex") {
+    // uppercase folds, digits/punct/newlines drop, spaces survive
+    assert(scoreOf("A!b,\nC d9") == scoreOf("abc d"))
+    // multibyte UTF-8 drops out entirely (bytes >= 0x80)
+    assert(scoreOf("aébc") == scoreOf("abc"))
+    // under-length and empty normalized text -> [0, 0]
+    assert(scoreOf("", "zz", "1234!?") == Seq((0L, 0L), (0L, 0L), (0L, 0L)))
+  }
+
+  test("ngram score: codegen'd plan, one kernel per row under CSE") {
+    val df = spark.range(20).selectExpr("repeat('word ', id + 3) AS text")
+    val sc = GraftFunctions.ngramScore(spark, col("text"), W)
+    val out = df.select(sc.getItem(0).as("m"), sc.getItem(1).as("n"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ngram_score"), plan)
+    assert(plan.contains("*(1)"), plan)
+    // interpreted path agrees with codegen
+    val rows = out.collect()
+    val expected = df.collect().map { r =>
+      val a = graft.plans.Sketches.ngramScoreMilli(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        W.toArray)
+      (a.getLong(0), a.getLong(1))
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      expected.toSeq)
+  }
 }
