@@ -197,6 +197,13 @@ object QueriesCorpus {
       Corpus.bm25(documents(s, d), "doc_id", "text",
         queryTerms = Seq("vector", "stream", "hash"), topK = 10)),
 
+    // exact phrase search: positional postings pre-filtered to the
+    // query's terms, |phrase|-1 equi-joins on (doc, pos-offset) — no
+    // LIKE scan; only query-term postings ever shuffle
+    "corpus_phrase_search" -> ((s, d) =>
+      Corpus.phraseSearch(documents(s, d), "doc_id", "text",
+        Seq("slow", "hash", "batch"))),
+
     // bigram-LM fluency: mean negative log-prob of each doc's adjacent
     // token pairs under the corpus's own smoothed bigram distribution
     "corpus_perplexity" -> ((s, d) =>
@@ -483,6 +490,18 @@ object QueriesCorpus {
     // formula text kept literally identical to Corpus.bm25 (constants
     // included) so both engines evaluate the same IEEE expression
     // before the ROUND(…, 6) → DECIMAL summation
+    // phrase occurrences by direct list scan (vs the engine's postings
+    // joins); first_pos converted to the engine's 0-based positions
+    "corpus_phrase_search" ->
+      s"""WITH t AS ($toksCte),
+         |m AS (
+         |  SELECT doc_id, [i for i in range(1, len(w)-1)
+         |    if w[i]='slow' and w[i+1]='hash' and w[i+2]='batch'] AS hits
+         |  FROM t)
+         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+         |  CAST(hits[1]-1 AS INT) AS first_pos
+         |FROM m WHERE len(hits) > 0""".stripMargin,
+
     "corpus_bm25" ->
       s"""WITH t AS ($toksCte),
          |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t WHERE len(w) > 0),

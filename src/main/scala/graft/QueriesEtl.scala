@@ -385,6 +385,25 @@ object QueriesEtl {
           col("c_acctbal"), col("c_mktsegment"))
     }),
 
+    // k-anonymity release gate: detail QI = (nation, segment, acctbal
+    // band/1100), coarse = (region, segment, band/4400), k=12 — class
+    // sizes from two GROUP BYs over the bounded QI domain broadcast
+    // back onto the fact; no window over low-cardinality partitions
+    "etl_kanon" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1100).cast("long").as("bd"),
+          floor(col("c_acctbal") / 4400).cast("long").as("bc"))
+      graft.operators.Quality.kAnonymize(base, Seq("n_name", "seg", "bd"),
+          Seq("r_name", "seg", "bc"), k = 12)
+        .select(col("c_custkey"), col("anon_level"), col("qi_out"))
+    }),
+
     // ER end-to-end: match pairs → CC clusters (chains a~b~c become
     // ONE entity) → golden record per cluster — canonical member is
     // the min id (== cluster_id by CC construction), survivorship =
@@ -710,6 +729,35 @@ object QueriesEtl {
     "etl_forget" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 10 <> 3""".stripMargin,
+
+    // identical class-count logic (two grouped counts, second over the
+    // sub-k remainder only); level-0 strings render detail QI, level-1
+    // coarse QI, else '*'
+    "etl_kanon" ->
+      """WITH base AS (
+        |  SELECT c_custkey, n_name, r_name, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal/1100) AS BIGINT) AS bd,
+        |    CAST(floor(c_acctbal/4400) AS BIGINT) AS bc
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |c0 AS (SELECT n_name, seg, bd, count(*) AS n0
+        |       FROM base GROUP BY 1, 2, 3),
+        |j0 AS (SELECT b.*, c0.n0 FROM base b
+        |       JOIN c0 ON b.n_name = c0.n_name AND b.seg = c0.seg
+        |         AND b.bd = c0.bd),
+        |c1 AS (SELECT r_name, seg, bc, count(*) AS n1
+        |       FROM j0 WHERE n0 < 12 GROUP BY 1, 2, 3),
+        |j1 AS (SELECT j0.*, c1.n1 FROM j0
+        |       LEFT JOIN c1 ON j0.r_name = c1.r_name AND j0.seg = c1.seg
+        |         AND j0.bc = c1.bc)
+        |SELECT c_custkey,
+        |  CAST(CASE WHEN n0 >= 12 THEN 0 WHEN n1 >= 12 THEN 1
+        |       ELSE 2 END AS INT) AS anon_level,
+        |  CASE WHEN n0 >= 12 THEN n_name||'/'||seg||'/'||CAST(bd AS VARCHAR)
+        |       WHEN n1 >= 12 THEN r_name||'/'||seg||'/'||CAST(bc AS VARCHAR)
+        |       ELSE '*' END AS qi_out
+        |FROM j1""".stripMargin,
 
     "etl_ttl" ->
       """SELECT event_id, user_id, event_type,

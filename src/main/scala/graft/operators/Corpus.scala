@@ -805,4 +805,35 @@ object Corpus {
     }
     df.withColumn("split", split)
   }
+
+  /** Exact phrase search over a positional inverted index: postings
+    * (doc, pos, term) from one posexplode of the whitespace tokens,
+    * pre-filtered to the PHRASE'S terms only — for a single query the
+    * full index never materializes (a build-once/probe-many variant
+    * would persist the postings the way DedupIndex/AnnIndex do).
+    * Matching = |phrase|−1 equi-joins on (doc, pos − offset): a phrase
+    * occurrence at start s puts every term's posting at the same
+    * (doc, s) key — no LIKE scan, no per-row substring loop, and the
+    * only rows that shuffle are postings of the query terms (a tiny
+    * fraction of the corpus; at 100 TB the selectivity of the rarest
+    * term bounds every join input). Tokens lowercase, positions
+    * 0-based. Returns (idCol, n_hits, first_pos) for matching docs;
+    * overlapping occurrences each count. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phraseSearch: terms must be single non-empty tokens, got $phrase")
+    val toks = df.select(col(idCol).as("__doc"),
+      posexplode(graft.functions.TextAnalysis.tokens(col(textCol)))
+        .as(Seq("__pos", "__term")))
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      toks.where(col("__term") === lit(t.toLowerCase))
+        .select(col("__doc"), (col("__pos") - i).as("__start"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("__doc", "__start")))
+      .groupBy(col("__doc").as(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("__start")).cast("int").as("first_pos"))
+  }
 }

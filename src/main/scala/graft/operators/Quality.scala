@@ -40,4 +40,43 @@ object Quality {
     }: _*)
     wide.select(explode(out).as("r")).select("r.*")
   }
+
+  /** Local-recoding k-anonymity with a one-step generalization
+    * hierarchy: rows whose detail quasi-identifier (QI) combination
+    * occurs ≥ k times keep it (`anon_level` 0); the rest generalize to
+    * the coarse QI, kept if THAT class reaches k among the generalized
+    * rows (`anon_level` 1), else fully suppressed to `*`
+    * (`anon_level` 2). Guarantee: every emitted `qi_out` equivalence
+    * class except `*` has ≥ k members — level-0 rows never join a
+    * level-1 class because their output string renders the detail
+    * columns, never the coarse ones. A NULL detail QI never forms a
+    * detail class (the row takes the generalization path and is counted
+    * there); a NULL coarse QI matches no class count and suppresses to
+    * `*` ("unknown" must not leak, the [[checkRules]] discipline).
+    *
+    * Scale shape: class sizes come from two-phase GROUP BY aggregates
+    * over the QI domains (bounded — QI hierarchies are dimension-like),
+    * broadcast back onto the fact; the fact table is scanned, never
+    * shuffled — no window over low-cardinality QI partitions (that
+    * form puts entire QI classes on single tasks and dies on skew). */
+  def kAnonymize(df: DataFrame, qiDetail: Seq[String], qiCoarse: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2, s"kAnonymize: k must be >= 2, got $k")
+    require(qiDetail.nonEmpty && qiCoarse.nonEmpty,
+      "kAnonymize: empty QI column list")
+    val c0 = df.groupBy(qiDetail.map(col): _*).agg(count(lit(1)).as("__n0"))
+    val j0 = df.join(broadcast(c0), qiDetail, "left")
+    // null detail QI -> no c0 match -> __n0 null: still a generalization
+    // candidate, so it must be COUNTED in its coarse class
+    val c1 = j0.where(coalesce(col("__n0"), lit(0L)) < k)
+      .groupBy(qiCoarse.map(col): _*).agg(count(lit(1)).as("__n1"))
+    j0.join(broadcast(c1), qiCoarse, "left")
+      .withColumn("anon_level",
+        when(col("__n0") >= k, 0).when(col("__n1") >= k, 1).otherwise(2))
+      .withColumn("qi_out",
+        when(col("anon_level") === 0, concat_ws("/", qiDetail.map(col): _*))
+          .when(col("anon_level") === 1, concat_ws("/", qiCoarse.map(col): _*))
+          .otherwise(lit("*")))
+      .drop("__n0", "__n1")
+  }
 }

@@ -119,4 +119,40 @@ class ChangelogProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Quality.checkRules(df, Seq("r" -> "v > 0", "r" -> "v < 9")))
   }
+
+  test("kAnonymize: levels, class-size guarantee, null QI suppresses") {
+    import graft.operators.Quality
+    // detail (city, seg) / coarse (country, seg), k = 3
+    val rows =
+      (1 to 3).map(i => (i.toLong, Option("paris"), "FR", "A")) ++   // level 0
+      Seq((4L, Option("lyon"), "FR", "A"),                           // -> FR/A
+          (5L, Option("nice"), "FR", "A"),                           // -> FR/A
+          (6L, Option("lille"), "FR", "A"),                          // -> FR/A
+          (7L, Option("bonn"), "DE", "A"),                           // lone: *
+          (8L, Option.empty[String], "FR", "A"))  // null detail: generalizes
+    val out = Quality.kAnonymize(rows.toDF("id", "city", "country", "seg"),
+        Seq("city", "seg"), Seq("country", "seg"), k = 3)
+      .select("id", "anon_level", "qi_out")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    (1 to 3).foreach(i => assert(out(i.toLong) == ((0, "paris/A"))))
+    Seq(4L, 5L, 6L, 8L).foreach(i => assert(out(i) == ((1, "FR/A"))))
+    assert(out(7L) == ((2, "*")))
+    // every non-* class has >= k members
+    val classes = out.values.filter(_._2 != "*").groupBy(_._2).map(_._2.size)
+    assert(classes.forall(_ >= 3))
+  }
+
+  test("kAnonymize is partition-count independent") {
+    import graft.operators.Quality
+    val df = graft.Tables.t(spark, sf0001, "customer")
+      .select(col("c_custkey").as("id"),
+        col("c_nationkey").cast("string").as("city"),
+        (col("c_nationkey") % 5).cast("string").as("country"),
+        col("c_mktsegment").as("seg"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Quality.kAnonymize(d, Seq("city", "seg"), Seq("country", "seg"), k = 8)
+        .select("id", "anon_level", "qi_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(run(df) == run(df.repartition(11)))
+  }
 }

@@ -432,4 +432,34 @@ class CorpusSpec extends SparkSpec {
       Corpus.stratifiedSplit(df, "doc_id", "s", Seq("a" -> 90, "b" -> 80, "c" -> 100))
     }
   }
+
+  test("phraseSearch: overlaps count, case folds, non-matches absent") {
+    val docs = Seq(
+      (1L, "the quick fox and the quick fox again"), // 2 hits of "quick fox"
+      (2L, "a a a a"),                               // overlapping "a a": 3
+      (3L, "QUICK   Fox"),                           // case + multi-space: 1
+      (4L, "quick brown fox"),                       // adjacency broken: 0
+      (5L, "fox quick")                              // wrong order: 0
+    ).toDF("doc_id", "text")
+    val qf = Corpus.phraseSearch(docs, "doc_id", "text", Seq("quick", "Fox"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(qf == Map(1L -> ((2L, 1)), 3L -> ((1L, 0))))
+    val aa = Corpus.phraseSearch(docs, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aa == Map(2L -> 3L))
+    intercept[IllegalArgumentException](
+      Corpus.phraseSearch(docs, "doc_id", "text", Seq("two words")))
+  }
+
+  test("phraseSearch single-term and partitioning independence") {
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Corpus.phraseSearch(d, "doc_id", "text", Seq("slow", "hash"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = run(docs)
+    assert(a.nonEmpty && run(docs.repartition(9)) == a)
+    // single-term phrase degenerates to term lookup with positions
+    val one = Corpus.phraseSearch(docs, "doc_id", "text", Seq("hash"))
+    assert(one.count() >= a.size)
+  }
 }
