@@ -276,6 +276,26 @@ object QueriesLlm {
         k = 5, nprobe = 2, m = 8)
     }),
 
+    // incremental index maintenance: train+build on the base corpus,
+    // APPEND a delta batch encoded against the frozen model (purely
+    // additive write — no existing code file read or rewritten; spec
+    // pins base files byte-identical), probe sees base ∪ delta
+    "ann_index_upsert" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/ann_idxu_${d.replace('/', '_')}"
+      val e = embeddings(s, d)
+      stageOnce(root) {
+        graft.operators.AnnIndex.buildIvfPq(
+          e.where(col("vec_id") >= 10 && col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", root, cells = 4, m = 8, codebookK = 8)
+        graft.operators.AnnIndex.appendIvfPq(s, root,
+          e.where(col("vec_id") >= 10 && col("vec_id") % 3 === 0),
+          "vec_id", "embedding", m = 8)
+      }
+      graft.operators.AnnIndex.probeIvfPq(
+        s, root, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 2, m = 8)
+    }),
+
     // retrieve-then-refine: IVF-PQ shortlist (k·4 per query from codes
     // alone) re-attaches full vectors for an exact-cosine rerank — the
     // production ANN serving shape (quantized index bounds vector reads)
@@ -526,10 +546,15 @@ object QueriesLlm {
   // MATERIALIZED on the multiply-referenced stages: refine's rerank
   // re-joins v twice and inlined CTEs would re-expand the whole
   // training pipeline per reference (the corpus_bpe_train lesson)
-  private val ivfpqOracleCte: String =
-    """WITH v AS MATERIALIZED (
+  /** IVF-PQ oracle, parameterized by the TRAINING candidate set and the
+    * ENCODED candidate set (equal for plain ivfpq; the upsert gate
+    * trains on the base rows only and encodes base ∪ delta against the
+    * frozen model — exactly what the engine's append path does). */
+  private def ivfpqCte(trainPred: String, encodePred: String): String =
+    s"""WITH v AS MATERIALIZED (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-      |c AS (SELECT vec_id, x FROM v WHERE vec_id >= 10),
+      |c AS (SELECT vec_id, x FROM v WHERE $trainPred),
+      |encset AS (SELECT vec_id, x FROM v WHERE $encodePred),
       |q AS (SELECT vec_id, x FROM v WHERE vec_id < 10),
       |cent0 AS (
       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, x AS cx
@@ -569,12 +594,23 @@ object QueriesLlm {
       |cb1 AS MATERIALIZED (
       |  SELECT s, cid, [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,8)] AS cs
       |  FROM (SELECT s, cid, list(rs) AS vs FROM pasg1 GROUP BY s, cid)),
+      |listedall AS (
+      |  SELECT vec_id AS nid, cell, [x[i+1] - cx[i+1] for i in range(0,64)] AS r
+      |  FROM (
+      |    SELECT a.vec_id, a.x, ct.cell, ct.cx,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ROUND(
+      |        list_sum([a.x[i+1]*ct.cx[i+1] for i in range(0,64)]) /
+      |          (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([p2*p2 for p2 in ct.cx]))), 6) DESC, ct.cell) AS crn
+      |    FROM encset a, cent ct)
+      |  WHERE crn = 1),
+      |rsuball AS MATERIALIZED (SELECT nid, cell, s, r[s*8+1 : s*8+8] AS rs
+      |  FROM listedall, range(0,8) t(s)),
       |codes AS (
       |  SELECT nid, cell, s, cid FROM (
       |    SELECT u.nid, u.cell, u.s, c1.cid,
       |      list_sum([c1.cs[i+1]*c1.cs[i+1] for i in range(0,8)])
       |        - 2 * list_sum([u.rs[i+1]*c1.cs[i+1] for i in range(0,8)]) AS d2
-      |    FROM rsub u JOIN cb1 c1 ON u.s = c1.s)
+      |    FROM rsuball u JOIN cb1 c1 ON u.s = c1.s)
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY nid, s ORDER BY ROUND(d2, 9) ASC, cid) = 1),
       |recon AS (
       |  SELECT ct.cell, c1.s, c1.cid,
@@ -601,6 +637,9 @@ object QueriesLlm {
       |  FROM codes JOIN lut USING (cell, s, cid) GROUP BY query_id, nid),
       |r3 AS MATERIALIZED (SELECT query_id, neighbor_id,
       |  CAST(dq AS DOUBLE) / (qn * sqrt(CAST(x2 AS DOUBLE))) AS cos FROM pairs)""".stripMargin
+
+  private val ivfpqOracleCte: String =
+    ivfpqCte("vec_id >= 10", "vec_id >= 10")
 
   private def inList(lang: String): String =
     stop(lang).map(w => s"'$w'").mkString(", ")
@@ -1207,6 +1246,17 @@ object QueriesLlm {
     // the stored-index probe returns exactly ann_ivfpq's matches —
     // one oracle string pins both machineries to one semantics
     "ann_index_probe" -> (ivfpqOracleCte +
+      """
+        |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
+        |FROM r3
+        |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin),
+
+    // train on the base rows only, encode base ∪ delta against that
+    // frozen model — the oracle of the engine's additive append path
+    "ann_index_upsert" -> (ivfpqCte(
+      "vec_id >= 10 AND vec_id % 3 <> 0", "vec_id >= 10") +
       """
         |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
         |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r

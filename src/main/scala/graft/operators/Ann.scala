@@ -460,6 +460,46 @@ object Ann {
     IvfPqModel(cent, cb1, codes)
   }
 
+  /** Encode vectors against an EXISTING IVF-PQ model (centroids and
+    * codebooks immutable): nearest cell by cosine, residual per
+    * subspace, nearest codeword by squared-L2 — identical arithmetic
+    * to the encode stage inside [[ivfpqTrain]], so a row encodes to
+    * the same (cell, s → cid) whether it was in the training batch or
+    * arrives later. This is the append path of incremental index
+    * maintenance: model tables broadcast, per-row work is local, and
+    * the output is the only thing that shuffles. */
+  private[graft] def ivfpqEncode(vectors: DataFrame, cent: DataFrame,
+      cb: DataFrame, idCol: String, vecCol: String, m: Int,
+      dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val spark = vectors.sparkSession
+    def dot(a: Column, b: Column) = GraftFunctions.dot(spark, a, b)
+    def slices(x: Column) =
+      array((0 until m).map(s => slice(x, s * sub + 1, sub)): _*)
+    val cand = vectors.select(col(idCol).as("nid"),
+      Vectors.toDouble(col(vecCol)).as("x_nid"))
+    val wc = Window.partitionBy("nid")
+      .orderBy(round(col("ccos"), 6).desc, col("cell").asc)
+    val listed = cand.join(broadcast(cent))
+      .withColumn("ccos",
+        GraftFunctions.cosine(spark, col("x_nid"), col("cx")))
+      .withColumn("crn", row_number().over(wc))
+      .where(col("crn") === 1)
+      .withColumn("r", expr("zip_with(x_nid, cx, (a, b) -> a - b)"))
+      .select(col("nid"), col("cell"), col("r"))
+    val rsub = listed.select(col("nid"), col("cell"),
+      posexplode(slices(col("r"))).as(Seq("s", "rs")))
+    val wp = Window.partitionBy("nid", "s")
+      .orderBy(round(col("d2"), 9).asc, col("cid").asc)
+    rsub.join(broadcast(cb), "s")
+      .withColumn("d2",
+        dot(col("cs"), col("cs")) - lit(2.0) * dot(col("rs"), col("cs")))
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") === 1)
+      .select(col("nid"), col("cell"), col("s"), col("cid"))
+  }
+
   private[graft] def ivfpqSearch(queries: DataFrame, model: IvfPqModel,
       idCol: String, vecCol: String, k: Int, nprobe: Int, m: Int,
       dim: Int): DataFrame = {

@@ -32,6 +32,26 @@ object AnnIndex {
       .parquet(s"$path/codes")
   }
 
+  /** Incremental index maintenance: encode a delta batch against the
+    * STORED model (centroids + codebooks stay immutable — the standard
+    * IVF append path; recall drift from a stale coarse quantizer is a
+    * periodic-rebuild trigger, not an upsert concern) and APPEND the
+    * new codes into their cell directories. The write is purely
+    * additive — existing code files are never read or rewritten, and
+    * untouched cells gain no files — so per-batch cost is
+    * O(encode(delta) + write(delta)), cheaper than even the
+    * bucket-pruned merge-by-key streaming upsert (no read-back). A
+    * probe after the append sees base ∪ delta with every vector
+    * encoded by the identical arithmetic ([[Ann.ivfpqEncode]] ==
+    * the training encode stage). */
+  def appendIvfPq(spark: SparkSession, path: String, delta: DataFrame,
+      idCol: String, vecCol: String, m: Int = 8, dim: Int = 64): Unit = {
+    val cent = spark.read.parquet(s"$path/centroids").localCheckpoint()
+    val cb = spark.read.parquet(s"$path/codebooks").localCheckpoint()
+    Ann.ivfpqEncode(delta, cent, cb, idCol, vecCol, m, dim)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Top-k ANN against a stored index. The codes read is restricted to
     * the union of cells any query probes (≤ cells ints to the driver,
     * never vector data) — untouched cell directories contribute zero

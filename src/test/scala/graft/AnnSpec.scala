@@ -356,6 +356,48 @@ class AnnSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cell"), plan.take(600))
   }
 
+  test("AnnIndex append: additive delta, base files untouched, encode parity") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs2 = e.where(col("vec_id") < 10)
+    val base = e.where(col("vec_id") >= 10 && col("vec_id") % 3 =!= 0)
+    val delta = e.where(col("vec_id") >= 10 && col("vec_id") % 3 === 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ann-upsert").toString + "/idx"
+    graft.operators.AnnIndex.buildIvfPq(base, "vec_id", "embedding", root)
+    def codeFiles() = new java.io.File(s"$root/codes").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+    val before = codeFiles()
+    graft.operators.AnnIndex.appendIvfPq(spark, root, delta,
+      "vec_id", "embedding")
+    val after = codeFiles()
+    // append is purely additive: every pre-existing file survives with
+    // the same mtime; the delta added at least one new file
+    before.foreach { case (p2, t) =>
+      assert(after.get(p2).contains(t), s"base code file rewritten: $p2") }
+    assert(after.size > before.size, "append added no code files")
+    // delta rows encode EXACTLY as if they had been in the build batch
+    // (frozen model => same arithmetic): stored codes for delta ids ==
+    // ivfpqEncode of the delta against the stored model
+    val cent = spark.read.parquet(s"$root/centroids")
+    val cb = spark.read.parquet(s"$root/codebooks")
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("nid", "cell", "s", "cid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val stored = spark.read.parquet(s"$root/codes")
+      .where(col("nid") % 3 === 0)
+      .select(col("nid"), col("cell").cast("int").as("cell"), col("s"),
+        col("cid"))
+    assert(codeSet(stored) ==
+      codeSet(Ann.ivfpqEncode(delta, cent, cb, "vec_id", "embedding", 8, 64)))
+    // the probe over base ∪ delta returns full top-k per query
+    val probed = graft.operators.AnnIndex.probeIvfPq(
+      spark, root, qs2, "vec_id", "embedding", k = 5)
+    assert(probed.groupBy("query_id").count()
+      .where(col("count") =!= 5).count() == 0)
+  }
+
   test("ivfpqTopK search stage reads codes, never corpus vectors") {
     val e = Tables.embeddings(spark, sf0001)
     val out = Ann.ivfpqTopK(e.where(col("vec_id") < 5),
