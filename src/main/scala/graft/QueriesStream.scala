@@ -104,6 +104,14 @@ object QueriesStream {
     // versioned parquet target via foreachBatch — the final target must
     // equal the batch upsert (same oracle as etl_upsert) regardless of
     // how rows were split across batches
+    // REAL multi-batch watermark semantics: 3 single-file batches
+    // (time tertiles, every 10th event one batch late), append-mode
+    // hourly counts — pins watermark progression, late-row dropping,
+    // and open-window withholding against a SQL simulation
+    "stream_late_data" -> ((s, d) =>
+      Streaming.lateDataCounts(s, d,
+        s"/tmp/graft_rt/late_${d.replace('/', '_')}")),
+
     "stream_upsert" -> ((s, d) => {
       val root = s"/tmp/graft_rt/upsert_${d.replace('/', '_')}"
       // the bucketed target merges into what exists — start from a
@@ -209,6 +217,22 @@ object QueriesStream {
         |SELECT window_start, CAST(SUM(n_cur) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS psi
         |FROM terms GROUP BY window_start""".stripMargin,
+
+    // one-batch-late rows land while their window's state is still
+    // live (eviction lags one batch), so they MERGE — full per-window
+    // counts; the append-mode cutoff withholds windows the final
+    // watermark (global max − delay) has not passed. If the engine
+    // wrongly dropped in-state late rows, these counts would shrink
+    // and the gate would catch it. The evicted-window DROP path is
+    // deterministic only per state-eviction timing, so it is pinned in
+    // StreamingSpec with a crafted 2-batch-late fixture, not here.
+    "stream_late_data" ->
+      """WITH fw AS (SELECT max(ts) - INTERVAL 24 HOUR AS f FROM events)
+        |SELECT window_start, event_type, n FROM (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2) g, fw
+        |WHERE g.window_start + INTERVAL 1 HOUR <= fw.f""".stripMargin,
 
     "stream_upsert" ->
       """SELECT user_id, event_type, event_id, ts,

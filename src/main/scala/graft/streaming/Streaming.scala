@@ -223,6 +223,71 @@ object Streaming {
         expr("CAST(s AS DOUBLE)").as("psi"))
   }
 
+  /** Watermark late-data semantics on a REAL multi-batch stream: the
+    * events stage into 3 single-file micro-batches — batch = time
+    * tertile (fixed cutoffs) except every 10th event arrives one batch
+    * LATE — then a watermarked tumbling aggregation runs in APPEND
+    * mode over them (`maxFilesPerTrigger=1`; file mtimes + names
+    * strictly increasing, and FileStreamSource's (timestamp, path)
+    * order makes file order = batch order). What the oracle pins:
+    *
+    *  - watermark progression: wm during batch b = max event time seen
+    *    through batch b−1, minus the delay (advances at batch
+    *    boundaries) — measured empirically on this exact staging;
+    *  - in-state late MERGE: a one-batch-late row arrives while its
+    *    window's state is still live (eviction of a batch's windows
+    *    happens at the END of the batch whose OPERATING watermark
+    *    passes them — one batch later than the watermark itself), so
+    *    it still counts: per-window totals equal the batch GROUP BY;
+    *  - append-mode emission: a window emits iff its end <= the FINAL
+    *    watermark (AvailableNow runs the trailing no-data batch that
+    *    advances it to global max − delay); later windows are
+    *    withheld.
+    * The evicted-window DROP path (a ≥2-batches-late row whose window
+    * was already emitted is discarded, `numRowsDroppedByWatermark`) is
+    * pinned by StreamingSpec's crafted fixture — its boundary depends
+    * on state-eviction timing, which a cross-engine SQL oracle should
+    * not re-guess. */
+  def lateDataCounts(spark: SparkSession, dir: String, root: String,
+      wmDelay: String = "24 hours"): DataFrame = {
+    val stage = s"$root/stage"
+    val cuts = Seq("2024-01-11", "2024-01-21")
+    if (!new java.io.File(stage).exists()) {
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("ts"))
+        .withColumn("b", least(
+          when(col("ts") < lit(cuts(0)).cast("timestamp"), 0)
+            .when(col("ts") < lit(cuts(1)).cast("timestamp"), 1)
+            .otherwise(2) +
+            when(col("event_id") % 10 === 0, 1).otherwise(0),
+          lit(2)))
+      (0 until 3).foreach { b =>
+        val tmp = s"$root/tmp_b$b"
+        ev.where(col("b") === b).drop("b").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$stage/b$b.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + b * 60000L)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    runToMemory(spark,
+      stream.withWatermark("ts", wmDelay)
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n")),
+      "graft_stream_late", OutputMode.Append())
+  }
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
     val q = spark.synchronized {

@@ -374,4 +374,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows(replayed) == rows(state))
     assert(rows(state) == Set(("a", 2L, 2.0), ("b", 3L, 3.0)))
   }
+
+  test("late data: in-state merge, evicted-window drop, append cutoff") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-late").toString
+    def hhmm(h: Int, m: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    // batch 0: window W00 gets 2 on-time rows; a 10:00 row pushes
+    //   wm_1 to 09:00 (delay 1h)
+    // batch 1: 20:00 row pushes wm_2 to 19:00. At END of batch 1 the
+    //   operating wm (09:00) passes W00 (end 01:00) -> emitted n=2,
+    //   state evicted
+    // batch 2: a 00:30 row for the EVICTED W00 must be DROPPED (not
+    //   re-created, not merged); 20:30 row merges into live W20
+    val batches = Seq(
+      Seq((1L, hhmm(0, 10)), (2L, hhmm(0, 20)), (3L, hhmm(10, 0))),
+      Seq((4L, hhmm(20, 0))),
+      Seq((5L, hhmm(0, 30)), (6L, hhmm(20, 30))))
+    batches.zipWithIndex.foreach { case (rows2, b) =>
+      val tmp = s"$root/tmp$b"
+      rows2.toDF("id", "ts").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$root/stage/b$b.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + b * 60000L)
+    }
+    val schema = spark.read.parquet(s"$root/stage").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/stage")
+    val q = stream.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("timestamp_ntz").as("ws"), col("n"))
+      .writeStream.format("memory").queryName("graft_late_spec")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // wm progression matches the batch-boundary formula
+    val wms = q.recentProgress.toSeq.sortBy(_.batchId)
+      .map(p => p.eventTime.get("watermark")).filter(_ != null)
+    assert(wms.containsSlice(Seq("1970-01-01T00:00:00.000Z",
+      "2024-03-01T09:00:00.000Z", "2024-03-01T19:00:00.000Z")), wms)
+    // exactly one row (the 2-batch-late 00:30 one) dropped
+    assert(q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum == 1L)
+    val out = spark.table("graft_late_spec").collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0).toString -> r.getLong(1))
+      .toMap
+    // W00 emitted with its 2 on-time rows only; W10 emitted once the
+    // final wm (19:30) passed it; W20 (end 21:00 > 19:30) withheld
+    assert(out == Map("2024-03-01T00:00" -> 2L, "2024-03-01T10:00" -> 1L))
+  }
 }
