@@ -468,6 +468,16 @@ object QueriesLlm {
         Multimodal.attachBinary(documents(s, d), "doc_id", "text"),
         frameBytes = 256, maxHamming = 8)),
 
+    // Shazam-style audio retrieval: landmark fingerprints (native
+    // kernel, scan-stage) → df-capped inverted-index join → per-query
+    // top-3 by shared landmarks; only fingerprint postings shuffle
+    "mm_audio_fp" -> ((s, d) => {
+      val media = Multimodal.attachBinary(documents(s, d), "doc_id", "text")
+      Multimodal.audioMatches(
+        media.where(col("id") < 20), media.where(col("id") >= 20),
+        k = 3, maxDf = 50)
+    }),
+
     // image near-dup CLUSTERS: CC over the phash pair graph (gid-level
     // rounds, one membership expansion) — "one per meme family"
     "mm_phash_clusters" -> ((s, d) =>
@@ -1594,6 +1604,44 @@ object QueriesLlm {
         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)
         |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(pa, pb)) <= 12""".stripMargin,
+
+    // same landmark arithmetic over codepoints (== bytes: corpus is
+    // ASCII): 64-char frame energies, strict interior peaks, fanout-3
+    // pairs within 8 frames, fp=(q1*16+q2)*9+dt with q=e//1024
+    "mm_audio_fp" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    [list_sum([unicode(substr(text, f*64 + i, 1)) for i in range(1, 65)])
+        |     for f in range(0, CAST(floor(length(text)/64) AS INT))] AS en
+        |  FROM documents),
+        |pk AS (
+        |  SELECT doc_id, en,
+        |    [i for i in range(1, len(en)-1)
+        |     if en[i+1] > en[i] AND en[i+1] > en[i+2]] AS peaks
+        |  FROM e WHERE len(en) >= 3),
+        |lm AS (
+        |  SELECT doc_id, list_distinct(flatten([
+        |     [ ((en[peaks[i+1]+1] // 1024) * 16 + (en[peaks[i+1+k]+1] // 1024)) * 9
+        |        + (peaks[i+1+k] - peaks[i+1])
+        |       for k in range(1, 4)
+        |       if i+1+k <= len(peaks) AND peaks[i+1+k] - peaks[i+1] <= 8 ]
+        |     for i in range(0, len(peaks))])) AS fps
+        |  FROM pk),
+        |f1 AS (SELECT doc_id, unnest(fps) AS fp FROM lm),
+        |dfq AS (SELECT fp, count(*) AS d FROM f1 GROUP BY fp),
+        |fk AS (SELECT f1.doc_id, f1.fp FROM f1 JOIN dfq USING (fp)
+        |       WHERE dfq.d <= 50),
+        |pairs AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS match_id,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fk q JOIN fk c ON q.fp = c.fp
+        |  WHERE q.doc_id < 20 AND c.doc_id >= 20
+        |  GROUP BY 1, 2)
+        |SELECT query_id, match_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |  n_shared
+        |FROM pairs
+        |WINDOW w AS (PARTITION BY query_id ORDER BY n_shared DESC, match_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 3""".stripMargin,
 
     // frame slicing (mm_frames' substr arithmetic) + the phash cell
     // arithmetic over each FRAME + cross-doc banding on packed units

@@ -104,6 +104,55 @@ object Multimodal {
         col("hamming"))
   }
 
+  /** Landmark audio fingerprints per track (the Shazam shape): ONE
+    * native codegen'd kernel call per row in the scan stage —
+    * frame energies → interior peaks → peak-pair landmarks, all exact
+    * integer arithmetic ([[graft.plans.Sketches.audioFp]]). Output
+    * (id, fp), fingerprints already DISTINCT per track, so the
+    * retrieval join never sees within-track multiplicity. A real
+    * deployment inserts the audio decoder (codec → spectral frames)
+    * before this; the landmark indexing is the real thing either
+    * way. */
+  def audioFingerprints(media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload", frameBytes: Int = 64,
+      fanout: Int = 3, maxDt: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    media.select(col(idCol).as("id"),
+      explode(graft.plans.GraftFunctions.audioFp(spark, col(payloadCol),
+        frameBytes, fanout, maxDt, qDiv = frameBytes * 256 / 16)).as("fp"))
+  }
+
+  /** Audio retrieval over the landmark inverted index: count shared
+    * fingerprints between each query track and every corpus track,
+    * keep each query's top-k by (n_shared DESC, match_id) — the
+    * candidate shortlist a verification aligner would consume.
+    * Fingerprints whose document frequency (over queries ∪ corpus)
+    * exceeds `maxDf` are dropped before the join — the stop-word
+    * discipline of dedup_ngram's posting lists: without the cap one
+    * ubiquitous landmark joins Q×C rows at corpus scale. Only
+    * query/corpus fingerprint postings ever shuffle. */
+  def audioMatches(queries: DataFrame, corpus: DataFrame,
+      idCol: String = "id", payloadCol: String = "payload", k: Int = 3,
+      maxDf: Int = 50): DataFrame = {
+    val qf = audioFingerprints(queries, idCol, payloadCol)
+      .withColumn("__q", lit(true))
+    val cf = audioFingerprints(corpus, idCol, payloadCol)
+      .withColumn("__q", lit(false))
+    val all = qf.unionByName(cf)
+    val dfc = all.groupBy("fp").agg(count(lit(1)).as("__df"))
+    val kept = all.join(dfc, "fp").where(col("__df") <= maxDf)
+    val pairs = kept.where(col("__q")).select(col("fp"), col("id").as("query_id"))
+      .join(kept.where(!col("__q")).select(col("fp"), col("id").as("match_id")),
+        "fp")
+      .groupBy("query_id", "match_id")
+      .agg(count(lit(1)).as("n_shared"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("n_shared").desc, col("match_id").asc)
+    pairs.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("rank"), col("n_shared"))
+  }
+
   /** FRAME-level perceptual near-dup pairs ACROSS documents — the
     * shared-footage detector: video/image payloads are sliced into
     * fixed-byte frames ([[sampleFrames]]' slicing), each frame gets a

@@ -197,6 +197,13 @@ object GraftFunctions {
       val w = exprs(1).eval().asInstanceOf[ArrayData].toLongArray().toSeq
       NgramScore(exprs.head, w)
     }, "built-in")
+    reg.createOrReplaceTempFunction(AudioFpName, exprs => {
+      require(exprs.length == 5 && exprs.tail.forall(_.foldable),
+        s"$AudioFpName expects (binary, 4 const ints)")
+      val Seq(fb, fo, dt, qd) = exprs.tail.map(
+        _.eval().asInstanceOf[Number].intValue())
+      AudioFp(exprs.head, fb, fo, dt, qd)
+    }, "built-in")
   }
 
   val DotName = "graft_dot"
@@ -237,6 +244,20 @@ object GraftFunctions {
     register(spark)
     call_function(LshName, vec.cast("array<double>"),
       org.apache.spark.sql.functions.lit(planes))
+  }
+
+  val AudioFpName = "graft_audio_fp"
+
+  /** Native landmark audio fingerprints: binary → array<bigint>
+    * (registers on the session). */
+  def audioFp(spark: SparkSession, payload: Column, frameBytes: Int,
+      fanout: Int, maxDt: Int, qDiv: Int): Column = {
+    register(spark)
+    call_function(AudioFpName, payload,
+      org.apache.spark.sql.functions.lit(frameBytes),
+      org.apache.spark.sql.functions.lit(fanout),
+      org.apache.spark.sql.functions.lit(maxDt),
+      org.apache.spark.sql.functions.lit(qDiv))
   }
 
   val NgramScoreName = "graft_ngram_score"

@@ -303,6 +303,60 @@ object Sketches {
     * milli-units — reproducible in one line of SQL on any engine. */
   def lcgWeights(d: Int): Array[Long] =
     Array.tabulate(d)(b => (b.toLong * 69069L + 362437L) % 2001L - 1000L)
+
+  /** Landmark audio fingerprints (the Shazam shape) over a raw byte
+    * buffer treated as a 1-D signal: frame into `frameBytes` chunks
+    * (partial tail dropped), per-frame energy = exact unsigned byte
+    * sum (the decode stub's stand-in for spectral magnitude), PEAKS =
+    * strict interior local maxima, and each peak pairs with its next
+    * ≤ `fanout` peaks within `maxDt` frames. A landmark encodes as
+    * (q(e₁)·16 + q(e₂))·(maxDt+1) + dt with q(e) = e / qDiv — all
+    * integer arithmetic, so any engine reproduces the set exactly.
+    * Returns the DISTINCT fingerprints ascending (one row's worth of
+    * index keys, deduped at the source so the inverted-index join
+    * never sees within-track multiplicity). Fewer than 3 frames → no
+    * peaks → empty. */
+  def audioFp(bytes: Array[Byte], frameBytes: Int, fanout: Int,
+      maxDt: Int, qDiv: Int): ArrayData = {
+    val n = bytes.length / frameBytes
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val e = new Array[Long](n)
+    var f = 0
+    while (f < n) {
+      var s = 0L
+      var i = f * frameBytes
+      val end = i + frameBytes
+      while (i < end) { s += bytes(i) & 0xff; i += 1 }
+      e(f) = s
+      f += 1
+    }
+    var nPeaks = 0
+    val peaks = new Array[Int](n)
+    f = 1
+    while (f < n - 1) {
+      if (e(f) > e(f - 1) && e(f) > e(f + 1)) { peaks(nPeaks) = f; nPeaks += 1 }
+      f += 1
+    }
+    val fps = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < nPeaks) {
+      var k = 1
+      while (k <= fanout && i + k < nPeaks) {
+        val dt = peaks(i + k) - peaks(i)
+        if (dt <= maxDt)
+          fps.add(
+            ((e(peaks(i)) / qDiv) * 16L + e(peaks(i + k)) / qDiv)
+              * (maxDt + 1) + dt)
+        k += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](fps.size)
+    val it = fps.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 private[plans] trait StringArrayInput { self: UnaryExpression =>
@@ -460,6 +514,29 @@ final case class NgramScore(child: Expression, weights: Seq[Long])
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.Sketches.ngramScoreMilli($c, $wRef);")
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** binary payload → array<bigint> distinct landmark audio
+  * fingerprints (native, scan-stage row-local). */
+final case class AudioFp(child: Expression, frameBytes: Int, fanout: Int,
+    maxDt: Int, qDiv: Int)
+    extends UnaryExpression with BinaryInput {
+  require(frameBytes > 0 && fanout > 0 && maxDt > 0 && qDiv > 0,
+    "graft_audio_fp: all parameters must be positive")
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_audio_fp"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.audioFp(input.asInstanceOf[Array[Byte]], frameBytes, fanout,
+      maxDt, qDiv)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Sketches.audioFp($c, $frameBytes, " +
+        s"$fanout, $maxDt, $qDiv);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -268,4 +268,53 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(1L) == 0.0)
     assert(out(2L) == 0.0)
   }
+
+  // 64-char constant frames give exact, hand-computable energies:
+  // ' ' = 2048, 'a' = 6208, 'x' = 7680, 'z' = 7808
+  private def fr(c: Char) = c.toString * 64
+
+  test("audioFp kernel: peaks, landmark encoding, distinctness") {
+    import spark.implicits._
+    def fps(s: String): Seq[Long] = Seq(s).toDF("t")
+      .select(graft.plans.GraftFunctions.audioFp(spark,
+        encode(col("t"), "UTF-8"), 64, 3, 8, 1024).as("f"))
+      .collect().head.getSeq[Long](0)
+    // frames [' ','z','a','x',' ']: peaks at 1 (7808) and 3 (7680),
+    // dt 2 -> fp = (7*16 + 7)*9 + 2 = 1073
+    assert(fps(fr(' ') + fr('z') + fr('a') + fr('x') + fr(' ')) == Seq(1073L))
+    // repeating the motif yields the SAME landmark (distinct set) plus
+    // the cross-motif ones; 1073 appears exactly once
+    val rep = fps((fr(' ') + fr('z') + fr('a') + fr('x')) * 2 + fr(' '))
+    assert(rep.count(_ == 1073L) == 1 && rep.size > 1)
+    // plateaus are not strict maxima; < 3 frames -> empty
+    assert(fps(fr('z') * 5).isEmpty && fps(fr('z')).isEmpty)
+    // partial tail frame is dropped: appending 63 'z's changes nothing
+    val base = fr(' ') + fr('z') + fr('a') + fr('x') + fr(' ')
+    assert(fps(base + "z" * 63) == fps(base))
+  }
+
+  test("audioMatches: shared-landmark top-k, df-cap drops stop-landmarks") {
+    import spark.implicits._
+    val motifA = fr(' ') + fr('z') + fr('a') + fr('x') + fr(' ')  // fp 1073
+    // 'm' (109*64 = 6976 -> q6) gives a different landmark: (6,7,2)
+    val motifC = fr(' ') + fr('m') + fr('a') + fr('x') + fr(' ')
+    val docs = Seq(
+      (1L, motifA),            // query: matches 10 and 11, not 12
+      (10L, motifA + motifA),  // corpus: shares fp 1073
+      (11L, motifA),           // corpus: shares fp 1073
+      (12L, motifC)            // corpus: different landmark
+    ).toDF("doc_id", "text")
+    val media = graft.operators.Multimodal.attachBinary(docs, "doc_id", "text")
+    val out = graft.operators.Multimodal.audioMatches(
+        media.where(col("id") < 10), media.where(col("id") >= 10),
+        k = 3, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // ties on n_shared=1 -> deterministic id order
+    assert(out == Set((1L, 10L, 1), (1L, 11L, 2)))
+    // a df-cap of 2 kills the shared landmark (it appears in 3 tracks)
+    val capped = graft.operators.Multimodal.audioMatches(
+      media.where(col("id") < 10), media.where(col("id") >= 10),
+      k = 3, maxDf = 2)
+    assert(capped.count() == 0)
+  }
 }
