@@ -553,6 +553,15 @@ object QueriesCore {
       graft.operators.Analytics.transitions(events(s, d), "user_id",
         "ts", "event_type", tieCol = "event_id")),
 
+    // bounded-lookback EWMA per user (α = 0.5 → exact power-of-two
+    // weights): the last-8-rows frame collects IN WINDOW ORDER, the
+    // weighted mean folds the list left-to-right — bit-identical on
+    // any engine with a sequential list fold. One keyed window, no
+    // self-join; smoothing signal for monitoring/features
+    "q_ewma" -> ((s, d) =>
+      graft.operators.Analytics.ewma(events(s, d), "user_id",
+        Seq("ts", "event_id"), "event_id", "value", lookback = 8)),
+
     // approx sketches: engine-specific estimates, so no DuckDB hash
     // oracle — these take the driver's rows-only check; accuracy vs
     // exact answers is spec-enforced (ApproxSpec)
@@ -1289,6 +1298,24 @@ object QueriesCore {
         |        FROM ex GROUP BY rday)
         |SELECT d.day, c.n_active
         |FROM (SELECT DISTINCT day FROM du) d JOIN cnt c ON c.rday = d.day""".stripMargin,
+
+    // same frame, same left-to-right fold: DuckDB's window list() is
+    // frame-ordered and list_sum folds sequentially
+    "q_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    list(COALESCE(CAST(value AS DOUBLE), CAST(0.0 AS DOUBLE)))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(ROUND(
+        |    list_sum([vals[j+1] * pow(CAST(0.5 AS DOUBLE), len(vals)-1-j)
+        |              for j in range(0, len(vals))]) /
+        |    list_sum([pow(CAST(0.5 AS DOUBLE), len(vals)-1-j)
+        |              for j in range(0, len(vals))]),
+        |  4) + 0.0 AS DOUBLE) AS ewma_r
+        |FROM e""".stripMargin,
 
     "q_full_join" ->
       """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,

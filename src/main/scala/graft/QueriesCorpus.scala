@@ -209,6 +209,21 @@ object QueriesCorpus {
     "corpus_perplexity" -> ((s, d) =>
       Corpus.bigramNll(documents(s, d), "doc_id", "text")),
 
+    // CCNet-style head/middle/tail split: per-language NLL tertiles
+    // (ntile over the deterministic (nll, doc_id) total order). One
+    // extra per-lang window over the perplexity frame — no new scan
+    "corpus_ccnet_bucket" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(col("nll").asc, col("doc_id").asc)
+      Corpus.bigramNll(documents(s, d), "doc_id", "text")
+        .join(documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("tr", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("nll"),
+          when(col("tr") === 1, lit("head"))
+            .when(col("tr") === 2, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+    }),
+
     // BPE merge-step statistics: top adjacent-char-pair frequencies
     // weighted by token frequency (tokenizer-fit QA); pair extraction
     // runs over the vocab-sized distinct-token table, not the corpus
@@ -243,6 +258,25 @@ object QueriesCorpus {
 
   private val toksCte =
     "SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents"
+
+  /** The corpus_perplexity oracle body (add-1 smoothed bigram NLL per
+    * doc) — shared by corpus_perplexity and corpus_ccnet_bucket. */
+  private val perplexityOracle: String =
+    s"""WITH t AS ($toksCte),
+       |bg AS (
+       |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+       |  FROM t WHERE len(w) >= 2),
+       |dtf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+       |c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM dtf GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |vo AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t)),
+       |nl AS (
+       |  SELECT doc_id, tf,
+       |    CAST(ROUND(-LN((CAST(c2 AS DOUBLE) + 1.0) / (c1 + v)), 6) AS DECIMAL(18,6)) AS nl
+       |  FROM dtf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vo)
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       |  CAST(ROUND(CAST(SUM(nl * tf) AS DOUBLE) / SUM(tf), 4) AS DOUBLE) AS nll
+       |FROM nl GROUP BY doc_id""".stripMargin
 
   // unrolled N-round BPE training: each round counts adjacent symbol
   // pairs from the previous round's vocab, picks the (n DESC, pair ASC)
@@ -525,22 +559,20 @@ object QueriesCorpus {
          |FROM sc WINDOW w AS (ORDER BY bm25 DESC, doc_id)
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
-    "corpus_perplexity" ->
-      s"""WITH t AS ($toksCte),
-         |bg AS (
-         |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
-         |  FROM t WHERE len(w) >= 2),
-         |dtf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
-         |c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM dtf GROUP BY 1, 2),
-         |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-         |vo AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t)),
-         |nl AS (
-         |  SELECT doc_id, tf,
-         |    CAST(ROUND(-LN((CAST(c2 AS DOUBLE) + 1.0) / (c1 + v)), 6) AS DECIMAL(18,6)) AS nl
-         |  FROM dtf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vo)
-         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-         |  CAST(ROUND(CAST(SUM(nl * tf) AS DOUBLE) / SUM(tf), 4) AS DOUBLE) AS nll
-         |FROM nl GROUP BY doc_id""".stripMargin,
+    "corpus_perplexity" -> perplexityOracle,
+
+    // per-language NLL tertiles over the same perplexity body — CCNet's
+    // head/middle/tail split (NTILE over a TOTAL order: nll, doc_id)
+    "corpus_ccnet_bucket" ->
+      s"""WITH px AS (SELECT doc_id, nll FROM ($perplexityOracle)),
+         |j AS (SELECT p.doc_id, d.lang, p.nll
+         |  FROM px p JOIN documents d USING (doc_id)),
+         |t AS (SELECT doc_id, lang, nll,
+         |  NTILE(3) OVER (PARTITION BY lang ORDER BY nll ASC, doc_id ASC) AS tr
+         |  FROM j)
+         |SELECT doc_id, lang, nll,
+         |  CASE tr WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM t""".stripMargin,
 
     "corpus_bpe_pairs" ->
       s"""WITH t AS ($toksCte),

@@ -331,6 +331,55 @@ object QueriesLlm {
         "vec_id", "embedding", minCosine = 0.2)
     }),
 
+    // MMR diversified retrieval: exact-cosine shortlist, then the k
+    // greedy λ·relevance − (1−λ)·redundancy steps run UNROLLED as
+    // key-partitioned DataFrame ops (selected set ≤ k rows per query)
+    "ann_mmr" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.mmrTopK(e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, shortlistK = 20, lambda = 0.7)
+    }),
+
+    // hard-negative mining: per query, the top-10 most-similar
+    // candidates with a DIFFERENT label — the contrastive-training
+    // negatives pool (near but wrong)
+    "ann_negatives" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.hardNegatives(e.where(col("vec_id") < 10),
+        e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "label", k = 10)
+    }),
+
+    // k-means clustering as a first-class op: deterministic 2-round
+    // Lloyd training (ann_ivf's exact-decimal arithmetic) + full-corpus
+    // nearest-centroid assignment
+    "embed_kmeans" -> ((s, d) =>
+      graft.operators.Cluster.kmeansAssign(embeddings(s, d),
+        "vec_id", "embedding", k = 8, iters = 2)),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup INSIDE k-means
+    // cells — pairwise cosine is an equi-join on the cell id, never
+    // corpus-wide; drop rule = any ≥τ lower-id neighbor in-cell
+    "embed_semdedup" -> ((s, d) =>
+      graft.operators.Cluster.semDedup(embeddings(s, d),
+        "vec_id", "embedding", k = 8, iters = 2, minCosine = 0.3)),
+
+    // per-class centroid-distance outliers: the lowest-5% cosine tail
+    // of each label vs its own exact-decimal centroid — mislabeled/
+    // noisy embedding detection before training
+    "embed_outliers" -> ((s, d) =>
+      graft.operators.Cluster.labelOutliers(embeddings(s, d),
+        "vec_id", "embedding", "label", frac = 0.05)),
+
+    // neighbor-set Jaccard over the near-dup band graph: common-
+    // neighbor wedge join (the triangles shape), pairs need not be
+    // adjacent — link prediction / "same cluster soon" scoring
+    "graph_jaccard" -> ((s, d) =>
+      graft.operators.Graph.neighborJaccard(
+        Dedup.simhashPairs(documents(s, d), "doc_id", "text",
+          maxHamming = 12),
+        "doc_a", "doc_b", minCommon = 2)),
+
     "text_langid" -> ((s, d) => {
       val t = documents(s, d)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
@@ -662,6 +711,87 @@ object QueriesLlm {
       s"WHEN $geAll AND hits_$l > 0 THEN '$l'"
     }.mkString(" ")
     s"CASE $cases ELSE 'und' END"
+  }
+
+  /** DuckDB cosine between two DOUBLE[] columns (sequential list_sum
+    * fold — bit-matches the engine's left-fold aggregate). */
+  private def sqlCos(a: String, b: String): String =
+    s"list_sum([$a[i+1]*$b[i+1] for i in range(0,64)]) / " +
+      s"(sqrt(list_sum([p2*p2 for p2 in $a])) * sqrt(list_sum([q2*q2 for q2 in $b])))"
+
+  /** Unrolled 2-iteration Lloyd over ALL embedding vectors (k = 8,
+    * seeds = 8 lowest ids) — the ann_ivf oracle's arithmetic with the
+    * candidate filter removed — ending in `kasgf`: every vector's final
+    * (cid, cosine-to-centroid) assignment. Shared by embed_kmeans and
+    * embed_semdedup. */
+  private val kmeansAllCte: String = {
+    def asgStep(out: String, centRel: String) =
+      s"""$out AS (
+         |  SELECT vec_id, x, cid FROM (
+         |    SELECT a.vec_id, a.x, c0.cid, ${sqlCos("a.x", "c0.cx")} AS cc
+         |    FROM v a, $centRel c0)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cc, 6) DESC, cid) = 1)""".stripMargin
+    def centStep(out: String, asgRel: String) =
+      s"""$out AS (
+         |  SELECT cid, [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,64)] AS cx
+         |  FROM (SELECT cid, list(x) AS vs FROM $asgRel GROUP BY cid))""".stripMargin
+    s"""v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |kcent0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x AS cx
+       |  FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+       |${asgStep("kasg1", "kcent0")},
+       |${centStep("kcent1", "kasg1")},
+       |${asgStep("kasg2", "kcent1")},
+       |${centStep("kcent2", "kasg2")},
+       |kasgf AS (
+       |  SELECT vec_id, x, cid, cc FROM (
+       |    SELECT a.vec_id, a.x, c2.cid, ${sqlCos("a.x", "c2.cx")} AS cc
+       |    FROM v a, kcent2 c2)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cc, 6) DESC, cid) = 1)""".stripMargin
+  }
+
+  /** Unrolled greedy MMR (k = 5, shortlist 20, λ = 0.7). Every float
+    * literal forced to DOUBLE: DuckDB parses bare 0.7 as DECIMAL whose
+    * exact (1 − 0.7) diverges from IEEE 1.0 − 0.7. */
+  private val annMmrOracle: String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val oneMinusLam = s"(CAST(1.0 AS DOUBLE) - $lam)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, x AS qx FROM v WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, x AS nx FROM v WHERE vec_id >= 10),
+       |sl AS (
+       |  SELECT query_id, neighbor_id, nx, ROUND(cos, 6) AS cos6 FROM (
+       |    SELECT query_id, neighbor_id, nx, ${sqlCos("qx", "nx")} AS cos FROM q, c)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id) <= 20),
+       |sel1 AS (
+       |  SELECT query_id, neighbor_id, nx, ROUND($lam * cos6, 6) AS mmr, 1 AS rank
+       |  FROM sl QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) = 1),
+       |selu1 AS (SELECT * FROM sel1)""".stripMargin
+    for (t <- 2 to 5) {
+      val mmrExpr = s"ROUND($lam * cos6 - $oneMinusLam * maxsim, 6)"
+      sb ++= s""",
+         |sc$t AS (
+         |  SELECT r.query_id, r.neighbor_id, ANY_VALUE(r.nx) AS nx,
+         |    ANY_VALUE(r.cos6) AS cos6,
+         |    MAX(ROUND(${sqlCos("r.nx", "s.nx")}, 6)) AS maxsim
+         |  FROM sl r JOIN selu${t - 1} s USING (query_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${t - 1} u
+         |    WHERE u.query_id = r.query_id AND u.neighbor_id = r.neighbor_id)
+         |  GROUP BY r.query_id, r.neighbor_id),
+         |sel$t AS (
+         |  SELECT query_id, neighbor_id, nx, $mmrExpr AS mmr, $t AS rank
+         |  FROM sc$t
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY $mmrExpr DESC, neighbor_id) = 1),
+         |selu$t AS (SELECT * FROM selu${t - 1} UNION ALL SELECT * FROM sel$t)""".stripMargin
+    }
+    sb ++= """
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |  CAST(ROUND(mmr, 4) + 0.0 AS DOUBLE) AS mmr_r
+       |FROM selu5""".stripMargin
+    sb.toString
   }
 
   val oracle: Map[String, String] = Map(
@@ -1185,6 +1315,107 @@ object QueriesLlm {
         |FROM p
         |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
         |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin,
+
+    // brute-force cosine with the cross-label filter, then per-query
+    // top-10 on the shared round/tiebreak contract
+    "ann_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS ql, x AS qx FROM v WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, label AS nl, x AS nx FROM v WHERE vec_id >= 10),
+        |p AS (
+        |  SELECT query_id, neighbor_id, nl AS neg_label,
+        |    list_sum([qx[i+1]*nx[i+1] for i in range(0,64)]) /
+        |      (sqrt(list_sum([p2*p2 for p2 in qx])) * sqrt(list_sum([q2*q2 for q2 in nx]))) AS cos
+        |  FROM q, c WHERE nl <> ql)
+        |SELECT query_id, neighbor_id, neg_label, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
+        |FROM p WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 10""".stripMargin,
+
+    // unrolled greedy MMR: exact shortlist (top-20), then 5 selection
+    // CTEs each maximizing round(λ·cos6 − (1−λ)·maxsim, 6); float
+    // literals forced to DOUBLE so (1.0 − 0.7) is the same IEEE value
+    // Spark's lit(1.0 - lambda) bakes in
+    "ann_mmr" -> annMmrOracle,
+
+    // 2-round Lloyd over ALL vectors (ann_ivf's exact arithmetic with
+    // the candidate filter removed) + final nearest-centroid assignment
+    "embed_kmeans" ->
+      s"""WITH $kmeansAllCte
+        |SELECT vec_id, cid, CAST(ROUND(cc, 4) + 0.0 AS DOUBLE) AS cos_r
+        |FROM kasgf""".stripMargin,
+
+    // same kmeans CTE, then the SemDeDup drop rule: any in-cell pair
+    // (a < b) with round(cos, 6) ≥ 0.3 marks b dropped
+    "embed_semdedup" ->
+      s"""WITH $kmeansAllCte,
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM kasgf a JOIN kasgf b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_sum([a.x[i+1]*b.x[i+1] for i in range(0,64)]) /
+        |    (sqrt(list_sum([p2*p2 for p2 in a.x])) * sqrt(list_sum([q2*q2 for q2 in b.x]))), 6)
+        |    >= CAST(0.3 AS DOUBLE))
+        |SELECT k.vec_id, k.cid, (d.vec_id IS NULL) AS keep
+        |FROM kasgf k LEFT JOIN dropped d ON k.vec_id = d.vec_id""".stripMargin,
+
+    // exact-decimal per-label centroid means, cosine of each member to
+    // its own centroid, lowest-5% tail per label (at least one)
+    "embed_outliers" ->
+      """WITH v AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |cent AS (
+        |  SELECT label,
+        |    [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,64)] AS cx,
+        |    len(vs) AS n_label
+        |  FROM (SELECT label, list(x) AS vs FROM v GROUP BY label)),
+        |sc AS (
+        |  SELECT a.label, a.vec_id, c.n_label,
+        |    list_sum([a.x[i+1]*c.cx[i+1] for i in range(0,64)]) /
+        |      (sqrt(list_sum([p2*p2 for p2 in a.x])) * sqrt(list_sum([q2*q2 for q2 in c.cx]))) AS cc
+        |  FROM v a JOIN cent c USING (label)),
+        |rk AS (
+        |  SELECT label, vec_id, cc, n_label,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY ROUND(cc, 6) ASC, vec_id) AS rank
+        |  FROM sc)
+        |SELECT label, vec_id, CAST(ROUND(cc, 4) + 0.0 AS DOUBLE) AS cos_r,
+        |  CAST(rank AS INT) AS rank
+        |FROM rk
+        |WHERE rank <= GREATEST(1, CAST(FLOOR(n_label * CAST(0.05 AS DOUBLE)) AS BIGINT))""".stripMargin,
+
+    // same simhash band-pair CTE as dedup_clusters, then common-
+    // neighbor counting via the wedge join and the Jaccard ratio over
+    // degrees — pairs sharing ≥2 neighbors, adjacent or not
+    "graph_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |hs AS (
+        |  SELECT doc_id, [('0x'||substr(md5(t),1,15))::UBIGINT for t in w] AS h
+        |  FROM toks WHERE len(w) > 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in h]) >= 0
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS simhash
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bv
+        |  FROM sig, range(0,4) t(b)),
+        |prs AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+        |und AS (SELECT doc_a AS u, doc_b AS v FROM prs WHERE doc_a <> doc_b),
+        |adj AS (SELECT u AS node, v AS w FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT node, COUNT(*) AS degree FROM adj GROUP BY node),
+        |cn AS (
+        |  SELECT a.node AS node_a, b.node AS node_b, COUNT(*) AS common
+        |  FROM adj a JOIN adj b ON a.w = b.w AND a.node < b.node
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT node_a, node_b, CAST(common AS BIGINT) AS common,
+        |  CAST(ROUND(CAST(common AS DOUBLE) / (da.degree + db.degree - common), 4) + 0.0 AS DOUBLE) AS jac_r
+        |FROM cn JOIN deg da ON da.node = cn.node_a
+        |JOIN deg db ON db.node = cn.node_b""".stripMargin,
 
     // multi-probe: each query searches its own bucket plus the 4
     "ann_pq" ->

@@ -112,6 +112,15 @@ object QueriesStream {
       Streaming.lateDataCounts(s, d,
         s"/tmp/graft_rt/late_${d.replace('/', '_')}")),
 
+    // per-key RUNNING totals: mapGroupsWithState in Update mode over a
+    // real 4-batch file stream — each batch emits every touched user's
+    // cumulative (count, exact-micros sum); the gate reduces to the
+    // final state per user, which must equal the batch GROUP BY no
+    // matter how rows split across batches
+    "stream_running" -> ((s, d) =>
+      Streaming.runningTotals(s, d,
+        s"/tmp/graft_rt/running_${d.replace('/', '_')}")),
+
     "stream_upsert" -> ((s, d) => {
       val root = s"/tmp/graft_rt/upsert_${d.replace('/', '_')}"
       // the bucketed target merges into what exists — start from a
@@ -226,6 +235,15 @@ object QueriesStream {
     // and the gate would catch it. The evicted-window DROP path is
     // deterministic only per state-eviction timing, so it is pinned in
     // StreamingSpec with a crafted 2-batch-late fixture, not here.
+    // final state per user == the batch GROUP BY (count + exact
+    // decimal-micros sum); the per-batch emission cadence itself is
+    // pinned by StreamingSpec's multi-batch fixture
+    "stream_running" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    + 0.0 AS DOUBLE) AS sum_r
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "stream_late_data" ->
       """WITH fw AS (SELECT max(ts) - INTERVAL 24 HOUR AS f FROM events)
         |SELECT window_start, event_type, n FROM (

@@ -193,6 +193,40 @@ object Analytics {
           .as("revenue"))
   }
 
+  /** Bounded-lookback EWMA per key with α = 1/2: the weighted mean of
+    * the last `lookback` values in (orderCols) order, weights
+    * (1/2)^age — newest weight 1. α is FIXED at the exactly-
+    * representable 1/2 so every weight is a power of two and the
+    * result depends only on summation order, which is pinned: the
+    * window frame collects IN WINDOW ORDER and the fold runs
+    * left-to-right — bit-identical on any engine with a sequential
+    * list fold (DuckDB's list_sum is).
+    *
+    * One keyed window over the scan — no self-join, no shuffle beyond
+    * the key partitioning; the per-row state is `lookback` doubles.
+    * NULL values contribute 0 (and still occupy a slot), keeping the
+    * frame aligned with the row count.
+    *
+    * Output: (idCol, keyCol, ewma_r = ROUND(·, 4) + 0.0). */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      idCol: String, valueCol: String, lookback: Int = 8): DataFrame = {
+    require(lookback >= 1 && lookback <= 64, "lookback must be in [1,64]")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(-(lookback - 1), 0)
+    df.withColumn("graft_vals", collect_list(
+        expr(s"COALESCE(CAST($valueCol AS DOUBLE), CAST(0.0 AS DOUBLE))"))
+        .over(w))
+      .select(col(idCol), col(keyCol),
+        expr("""CAST(ROUND(
+          aggregate(sequence(0, size(graft_vals)-1), CAST(0.0 AS DOUBLE),
+            (acc, j) -> acc + element_at(graft_vals, j+1)
+              * power(CAST(0.5 AS DOUBLE), size(graft_vals)-1-j)) /
+          aggregate(sequence(0, size(graft_vals)-1), CAST(0.0 AS DOUBLE),
+            (acc, j) -> acc + power(CAST(0.5 AS DOUBLE), size(graft_vals)-1-j)),
+        4) + 0.0 AS DOUBLE)""").as("ewma_r"))
+  }
+
   /** Z-score outliers per key: rows where |value − mean| > `z` σ of
     * their key's distribution. Mean/stddev come from decimal-exact
     * sums (the q_stats discipline — order-independent, so the flagged

@@ -652,4 +652,108 @@ object Ann {
           (col("qn") * sqrt(col("x2").cast("double")))).as("cos"))
     ranked(pairs, k)
   }
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-cosine-similar candidates whose label
+    * DIFFERS from the query's — the "near but wrong" examples a
+    * retrieval/embedding trainer wants in its negatives pool.
+    *
+    * Same scale shape as [[bruteForceTopK]]: queries broadcast, the
+    * corpus side streams through the codegen'd cosine; the label
+    * inequality is a scan-stage filter on the joined pair, so only
+    * cross-label pairs reach the per-query top-k window. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), Vectors.toDouble(col(vecCol)).as(s"x_$id"),
+        col(labelCol).as(s"l_$id"))
+    val q = prep(queries, "query_id")
+    val c = prep(candidates, "neighbor_id")
+    val pairs = c.join(broadcast(q))
+      .where(col("l_neighbor_id") =!= col("l_query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("l_neighbor_id").as("neg_label"),
+        GraftFunctions.cosine(candidates.sparkSession,
+          col("x_query_id"), col("x_neighbor_id")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("rank"), expr("CAST(ROUND(cos, 4) + 0.0 AS DOUBLE)").as("cos_r"))
+  }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily select `k` results per query maximizing
+    * λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s) — relevance
+    * traded against redundancy, the re-rank behind "diverse retrieval"
+    * in RAG/training-mix pipelines.
+    *
+    * Execution: an exact cosine shortlist (`shortlistK` per query — the
+    * [[bruteForceTopK]] broadcast shape) bounds the working set, then
+    * the k greedy steps run UNROLLED as DataFrame ops: each step joins
+    * the per-query remainder (≤ shortlistK rows) against the per-query
+    * selected set (≤ k rows) on query_id — key-partitioned, never
+    * all-pairs — takes the max penalty per candidate, and picks the
+    * argmax by round(mmr, 6) DESC, id ASC. All arithmetic on
+    * round(cos, 6) inputs so any engine reproduces the selection.
+    *
+    * Output: (query_id, neighbor_id, rank 1..k, mmr_r). */
+  def mmrTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlistK: Int,
+      lambda: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    def prep(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), Vectors.toDouble(col(vecCol)).as(s"x_$id"))
+    val q = prep(queries, "query_id")
+    val c = prep(candidates, "neighbor_id")
+    val wSl = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    // shortlist keeps candidate vectors: the greedy penalty needs
+    // pairwise candidate-candidate cosines inside the shortlist
+    val shortlist = c.join(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"), col("x_neighbor_id"),
+        GraftFunctions.cosine(spark,
+          col("x_query_id"), col("x_neighbor_id")).as("cos"))
+      .withColumn("slrank", row_number().over(wSl))
+      .where(col("slrank") <= shortlistK)
+      .select(col("query_id"), col("neighbor_id"), col("x_neighbor_id"),
+        round(col("cos"), 6).as("cos6"))
+      .localCheckpoint()
+
+    var selected = shortlist
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos6").desc, col("neighbor_id").asc)))
+      .where(col("rn") === 1)
+      // rank-1 score on the same λ-scale as later steps (penalty = 0)
+      .select(col("query_id"), col("neighbor_id"), col("x_neighbor_id"),
+        round(lit(lambda) * col("cos6"), 6).as("mmr"), lit(1).as("rank"))
+    for (step <- 2 to k) {
+      val sel = selected.select(col("query_id"),
+        col("neighbor_id").as("sel_id"), col("x_neighbor_id").as("x_sel"))
+      val remaining = shortlist.join(
+        sel.select(col("query_id"), col("sel_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val scored = remaining.join(sel, Seq("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(first(col("cos6")).as("cos6"),
+          first(col("x_neighbor_id")).as("x_neighbor_id"),
+          max(round(GraftFunctions.cosine(spark,
+            col("x_neighbor_id"), col("x_sel")), 6)).as("maxsim"))
+        .withColumn("mmr",
+          round(lit(lambda) * col("cos6")
+            - lit(1.0 - lambda) * col("maxsim"), 6))
+      val pick = scored
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("mmr").desc, col("neighbor_id").asc)))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("x_neighbor_id"),
+          col("mmr"), lit(step).as("rank"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("int").as("rank"),
+      expr("CAST(ROUND(mmr, 4) + 0.0 AS DOUBLE)").as("mmr_r"))
+  }
 }

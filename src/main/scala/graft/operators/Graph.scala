@@ -334,6 +334,52 @@ object Graph {
     * mislabels cycle members, but only the first can NAME the cycle
     * nodes, which is why the non-convergence message also points at
     * cycles as a likely cause. */
+  /** Neighbor-set Jaccard similarity (common-neighbors link prediction):
+    * for every unordered node pair sharing at least `minCommon`
+    * neighbors, |N(a)∩N(b)| / |N(a)∪N(b)| over the undirected graph.
+    * Pairs need NOT be directly connected — that's the point: a high
+    * score between non-adjacent nodes is a predicted link.
+    *
+    * Common-neighbor counting is the wedge-enumeration shape of
+    * [[triangles]]: the adjacency list joins itself ON THE SHARED
+    * NEIGHBOR (key-partitioned, Σ deg(w)² pairs — bounded by the hub
+    * degree, never all-pairs across nodes). At crawl scale cap hub
+    * degree upstream (drop w with deg(w) > D) — the classic
+    * common-neighbor sampling trade; here the gate's graph is the
+    * near-dup band graph whose hubs are already collapsed by the
+    * rep-collapse discipline.
+    *
+    * Output: (node_a, node_b, common, jac_r) with node_a < node_b;
+    * jac_r = ROUND(common / (deg_a + deg_b − common), 4). */
+  def neighborJaccard(pairs: DataFrame, aCol: String, bCol: String,
+      minCommon: Int = 2): DataFrame = {
+    // canonical undirected edge set, materialized once: it feeds the
+    // adjacency (twice) and the degree table
+    val und = pairs
+      .select(col(aCol).as("pu"), col(bCol).as("pv"))
+      .where(col("pu") =!= col("pv"))
+      .select(least(col("pu"), col("pv")).as("u"),
+        greatest(col("pu"), col("pv")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val adj = und.select(col("u").as("node"), col("v").as("w"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("w")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("degree"))
+    val cn = adj.select(col("node").as("node_a"), col("w"))
+      .join(adj.select(col("node").as("node_b"), col("w")), Seq("w"))
+      .where(col("node_a") < col("node_b"))
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+    cn.join(deg.select(col("node").as("node_a"), col("degree").as("da")),
+        Seq("node_a"))
+      .join(deg.select(col("node").as("node_b"), col("degree").as("db")),
+        Seq("node_b"))
+      .select(col("node_a"), col("node_b"), col("common"),
+        expr("CAST(ROUND(CAST(common AS DOUBLE) / (da + db - common), 4) + 0.0 AS DOUBLE)")
+          .as("jac_r"))
+  }
+
   def hierarchyClosure(edges: DataFrame, childCol: String,
       parentCol: String, maxRounds: Int = 20): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 40, "maxRounds must be in [1,40]")

@@ -393,6 +393,72 @@ object Streaming {
       }
   }
 
+  // ---- running per-key totals (mapGroupsWithState, Update mode) ---------
+
+  final case class RunIn(user_id: Long, micros: Long)
+  final case class RunState(n: Long, sumMicros: Long)
+  final case class RunTotal(user_id: Long, n_events: Long, sum_micros: Long)
+
+  /** Per-key running totals as a REAL multi-batch stateful stream:
+    * mapGroupsWithState in Update mode emits each key's cumulative
+    * (count, sum) after every micro-batch that touches it — the
+    * "live per-user counter" serving shape. State is O(1) per key (two
+    * longs); no watermark needed because the state never grows with
+    * events, only with keys.
+    *
+    * Determinism: the monetary sum rides as exact integer micros
+    * (value → DECIMAL(18,6) → ×1e6 BIGINT, the stream_window oracle's
+    * discipline) so cross-batch accumulation order can't perturb a
+    * float. The stream is staged as `nFiles` files read one per
+    * trigger, so the state really accumulates across batches. */
+  def runningTotalsStream(events: DataFrame): Dataset[RunTotal] = {
+    implicit val encIn = Encoders.product[RunIn]
+    implicit val encSt = Encoders.product[RunState]
+    implicit val encOut = Encoders.product[RunTotal]
+    implicit val encL = Encoders.scalaLong
+    events
+      .select(col("user_id"),
+        // NULL value contributes 0 to the sum (matching SQL SUM's
+        // null-skipping) while the row still counts
+        expr("COALESCE(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0)")
+          .as("micros"))
+      .as[RunIn]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[RunState, RunTotal](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[RunIn], state: GroupState[RunState]) =>
+          var st = state.getOption.getOrElse(RunState(0L, 0L))
+          it.foreach { e => st = RunState(st.n + 1, st.sumMicros + e.micros) }
+          state.update(st)
+          RunTotal(uid, st.n, st.sumMicros)
+      }
+  }
+
+  /** Gate harness for [[runningTotalsStream]]: stage the events table as
+    * `nFiles` files, stream one file per micro-batch (Update mode to a
+    * memory sink collects every per-batch emission), then reduce to each
+    * key's FINAL state — the row with the highest n_events, which is
+    * strictly increasing per emission. The result must equal the batch
+    * GROUP BY regardless of how rows were split across batches. */
+  def runningTotals(spark: SparkSession, dir: String, root: String,
+      nFiles: Int = 4): DataFrame = {
+    val stage = s"$root/stage"
+    if (!new java.io.File(stage).exists()) {
+      graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("value"), col("event_id"))
+        .repartition(nFiles).write.mode("overwrite").parquet(stage)
+    }
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    runToMemory(spark, runningTotalsStream(stream).toDF(),
+        "graft_stream_running", OutputMode.Update())
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_micros"))).as("fin"))
+      .select(col("user_id"), col("fin.n_events").as("n_events"),
+        expr("CAST(ROUND(fin.sum_micros / 1000000.0, 4) + 0.0 AS DOUBLE)")
+          .as("sum_r"))
+  }
+
   /** Sessionization via the engine-native `session_window` aggregate —
     * the declarative sibling of [[sessionizeStream]]'s
     * flatMapGroupsWithState loop. Output: one row per (user, session)

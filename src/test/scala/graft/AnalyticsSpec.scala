@@ -280,4 +280,31 @@ class AnalyticsSpec extends SparkSpec {
       .select("o_orderkey").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("ewma: power-of-two weights, bounded lookback, null as zero") {
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2024-03-01 00:$m%02d:00")
+    val df = Seq(
+      (1L, 7L, ts(1), Some(1.0)),
+      (2L, 7L, ts(2), Some(2.0)),
+      (3L, 7L, ts(3), Some(4.0)),
+      (4L, 8L, ts(1), None: Option[Double]),
+      (5L, 8L, ts(2), Some(6.0))
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Analytics.ewma(df, "user_id", Seq("ts", "event_id"),
+        "event_id", "value", lookback = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // user 7: [1] -> 1; [1,2] -> (0.5+2)/1.5; [1,2,4] -> (0.25+1+4)/1.75
+    assert(out(1L) == 1.0)
+    assert(out(2L) == math.rint(2.5 / 1.5 * 1e4) / 1e4)
+    assert(out(3L) == 3.0)
+    // user 8: null counts as 0 but occupies a slot
+    assert(out(4L) == 0.0)
+    assert(out(5L) == math.rint(6.0 / 1.5 * 1e4) / 1e4)
+    // lookback bound: with lookback=2 the first value drops out
+    val out2 = Analytics.ewma(df, "user_id", Seq("ts", "event_id"),
+        "event_id", "value", lookback = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out2(3L) == math.rint((1.0 + 4.0) / 1.5 * 1e4) / 1e4)
+  }
 }

@@ -398,6 +398,73 @@ class AnnSpec extends SparkSpec {
       .where(col("count") =!= 5).count() == 0)
   }
 
+  test("hardNegatives never returns the query's own label") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs2 = e.where(col("vec_id") < 10)
+    val cand = e.where(col("vec_id") >= 10)
+    val out = Ann.hardNegatives(qs2, cand, "vec_id", "embedding", "label",
+      k = 5)
+    val ql = qs2.select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"))
+    assert(out.join(ql, "query_id")
+      .where(col("neg_label") === col("qlabel")).count() == 0)
+    // ranks are 1..k per query and ordered by cosine among cross-label
+    assert(out.groupBy("query_id").count().where(col("count") =!= 5)
+      .count() == 0)
+    // top hard negative = the global top-k filtered to cross-label,
+    // i.e. removing the label filter can only raise the cosine
+    val all = Ann.bruteForceTopK(qs2, cand, "vec_id", "embedding", 1)
+      .select(col("query_id"), col("cos_r").as("best"))
+    assert(out.where(col("rank") === 1).join(all, "query_id")
+      .where(col("cos_r") > col("best")).count() == 0)
+  }
+
+  test("mmrTopK matches a reference greedy MMR and diversifies") {
+    // candidate 11 is a near-dup of 10; with a diversity-heavy λ the
+    // second pick must skip it for something farther away
+    val cand = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.999f, 0.04f, 0.0f)),
+      (12L, Array(0.7f, 0.7f, 0.1f)),
+      (13L, Array(0.6f, -0.6f, 0.5f)),
+      (14L, Array(0.0f, 1.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(0.95f, 0.05f, 0.05f))).toDF("vec_id", "embedding")
+    val lambda = 0.5
+    val out = Ann.mmrTopK(q, cand, "vec_id", "embedding",
+      k = 3, shortlistK = 5, lambda = lambda)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+
+    // reference greedy MMR in plain Scala (same round-6 contract)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum))
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = cand.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qv = q.collect().head.getSeq[Float](1).toArray
+    val cos6 = vecs.map { case (id, v) => id -> r6(cos(qv, v)) }
+    var selected = Vector.empty[Long]
+    for (_ <- 1 to 3) {
+      val remaining = vecs.keySet -- selected
+      val pick = remaining.toSeq.map { id =>
+        val pen =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => r6(cos(vecs(id), vecs(s)))).max
+        val mmr = r6(lambda * cos6(id) - (1.0 - lambda) * pen)
+        (id, mmr)
+      }.minBy { case (id, m) => (-m, id) }._1
+      selected :+= pick
+    }
+    assert(out == selected)
+    assert(out.head == 11L, "rank 1 is plain argmax relevance")
+    assert(out(1) != 10L, "the near-duplicate of rank 1 is not rank 2")
+  }
+
   test("ivfpqTopK search stage reads codes, never corpus vectors") {
     val e = Tables.embeddings(spark, sf0001)
     val out = Ann.ivfpqTopK(e.where(col("vec_id") < 5),

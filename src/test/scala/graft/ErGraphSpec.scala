@@ -339,4 +339,27 @@ class ErGraphSpec extends SparkSpec {
     assert(errOdd.getMessage.contains("no convergence") &&
       errOdd.getMessage.contains("cycle"))
   }
+
+  test("neighborJaccard counts common neighbors, adjacent or not") {
+    // triangle 1-2-3 plus pendant 3-4:
+    //   N(1)={2,3} N(2)={1,3} N(3)={1,2,4} N(4)={3}
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val out = Graph.neighborJaccard(pairs, "doc_a", "doc_b", minCommon = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // (1,4) and (2,4) are NOT adjacent yet share neighbor 3 — the
+    // predicted links; jac = 1/(2+1-1) = 0.5
+    assert(out((1L, 4L)) == ((1L, 0.5)) && out((2L, 4L)) == ((1L, 0.5)))
+    // adjacent pairs: (1,2) share {3}: 1/(2+2-1); (1,3)/(2,3) share one
+    assert(out((1L, 2L)) == ((1L, 0.3333)))
+    assert(out((1L, 3L)) == ((1L, 0.25)) && out((2L, 3L)) == ((1L, 0.25)))
+    assert(!out.contains((3L, 4L)), "no shared neighbor, no row")
+    // direction/duplication of the input pair list must not matter
+    val noisy = pairs.unionAll(
+      Seq((2L, 1L), (3L, 1L)).toDF("doc_a", "doc_b"))
+    val out2 = Graph.neighborJaccard(noisy, "doc_a", "doc_b", minCommon = 1)
+    assert(out2.count() == out.size)
+  }
 }

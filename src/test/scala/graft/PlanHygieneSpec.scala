@@ -49,7 +49,20 @@ class PlanHygieneSpec extends SparkSpec {
       "corpus_weighted_sample", "ann_ivfpq", "corpus_dsir",
       // ann_index_probe = ann_ivfpq's search served from the stored
       // model: same sanctioned cells-row coarse-assign broadcast
-      "ann_refine", "etl_drift", "ann_index_probe")
+      "ann_refine", "etl_drift", "ann_index_probe",
+      // ann_index_upsert = ann_index_probe over base ∪ delta: the same
+      // stored-model probe (cells-row coarse-assign broadcast)
+      "ann_index_upsert",
+      // ann_negatives broadcasts the caller-bounded query set (the
+      // ann_topk contract, plus a scan-stage label filter);
+      // embed_kmeans / embed_semdedup broadcast k=8 centroid rows for
+      // Lloyd/assignment (every vector scores all k by definition —
+      // ann_ivf's sanctioned shape); semdedup's pairwise stage itself
+      // is an equi-join on the cell id
+      "ann_negatives", "embed_kmeans", "embed_semdedup",
+      // corpus_ccnet_bucket = corpus_perplexity's frame + one ntile
+      // window: inherits the same sanctioned 1-row vocab-size attach
+      "corpus_ccnet_bucket")
 
   // streaming frames cannot be explained without starting a query; their
   // batch-equivalent shapes are covered by the stream_* batch oracles.

@@ -425,4 +425,29 @@ class StreamingSpec extends SparkSpec {
     // final wm (19:30) passed it; W20 (end 21:00 > 19:30) withheld
     assert(out == Map("2024-03-01T00:00" -> 2L, "2024-03-01T10:00" -> 1L))
   }
+
+  test("runningTotals accumulates state across real micro-batches") {
+    val root = Files.createTempDirectory("graft-running").toString
+    val out = Streaming.runningTotals(spark, sf0001, root, nFiles = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // final state per user == the batch GROUP BY
+    val want = Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS DOUBLE)")
+          .as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out == want)
+    // Update mode really emitted intermediate states: the raw memory
+    // sink holds one row per (touched user × batch) — strictly more
+    // rows than users, since 4 file-batches split most users' events
+    val raw = spark.table("graft_stream_running")
+    assert(raw.count() > out.size,
+      "expected multiple per-user emissions across micro-batches")
+    // and every intermediate emission is a prefix of the final state
+    assert(raw.groupBy("user_id").agg(max("n_events").as("m")).collect()
+      .forall(r => out(r.getLong(0))._1 == r.getLong(1)))
+  }
 }
