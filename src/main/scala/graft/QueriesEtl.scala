@@ -306,6 +306,26 @@ object QueriesEtl {
         .select(col("user_id"), col("version"), col("event_id"),
           col("valid_from"), col("valid_to"), col("is_current"))),
 
+    // point-in-time dimension lookup: each click joined to the SCD2
+    // purchase version valid at its timestamp — the classic warehouse
+    // temporal join, run as a backward AS-OF on version starts
+    // (union+window, ONE shuffle by user; never fact × history pairs)
+    "etl_scd2_lookup" -> ((s, d) => {
+      val ev = events(s, d)
+      val dim = graft.operators.Changelog.scd2(
+          ev.where(col("event_type") === "purchase"),
+          Seq("user_id"), "ts", Seq(col("event_id").asc))
+        .select(col("user_id").as("dim_user"), col("version"),
+          col("event_id").as("purchase_id"), col("valid_from"))
+      val facts = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      graft.operators.AsOf.join(facts, dim, "user_id", "dim_user",
+          "ts", "valid_from", Seq("version", "purchase_id"),
+          tieBreak = "version")
+        .select(col("click_id"), col("user_id"), col("version"),
+          col("purchase_id"))
+    }),
+
     // data-quality profile card: per-column rows/nulls/exact-distinct/
     // min/max in one aggregate pass (Expand + two-phase agg, one shuffle)
     "etl_profile" -> ((s, d) =>
@@ -684,6 +704,24 @@ object QueriesEtl {
         |  (lead(ts) OVER w IS NULL) AS is_current
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
+    // naive quadratic point-in-time form (latest valid_from <= ts,
+    // version desc tie-break) — checks the as-of union+window plan
+    "etl_scd2_lookup" ->
+      """WITH dim AS (
+        |  SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+        |    event_id AS purchase_id, ts AS valid_from
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |f AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT click_id, user_id, version, purchase_id FROM (
+        |  SELECT f.click_id, f.user_id, d.version, d.purchase_id,
+        |    ROW_NUMBER() OVER (PARTITION BY f.click_id
+        |      ORDER BY d.valid_from DESC NULLS LAST, d.version DESC NULLS LAST) AS rn
+        |  FROM f LEFT JOIN dim d
+        |    ON d.user_id = f.user_id AND d.valid_from <= f.ts)
+        |WHERE rn = 1""".stripMargin,
 
     // IS NOT TRUE mirrors Quality.checkRules' null-counts-as-violation
     "etl_dq_rules" ->

@@ -331,6 +331,61 @@ object QueriesLlm {
         "vec_id", "embedding", minCosine = 0.2)
     }),
 
+    // dedup QA: precision/recall of the banded-minhash candidate set
+    // against exact 3-gram Jaccard >= 0.5 (both computed by their
+    // scale-shaped posting/band joins, restricted to in-language pairs
+    // — the blocking both families share). One summary row: the
+    // recall/precision dial a curation run tunes bands/perms against
+    "dedup_eval" -> ((s, d) => {
+      val docs = documents(s, d)
+      val lg = docs.select(col("doc_id"), col("lang"))
+      val cand = Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleK = 3, perms = 16, bands = 4, minMatches = 4)
+        .join(lg.select(col("doc_id").as("doc_a"), col("lang").as("la")),
+          Seq("doc_a"))
+        .join(lg.select(col("doc_id").as("doc_b"), col("lang").as("lb")),
+          Seq("doc_b"))
+        .where(col("la") === col("lb"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+          n = 3, minJaccard = 0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+      val hit = cand.join(truth, Seq("doc_a", "doc_b"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .join(truth.agg(count(lit(1)).as("n_truth")))
+        .join(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_candidates"), col("n_truth"), col("n_hit"),
+          expr("CAST(CASE WHEN n_candidates > 0 THEN ROUND(n_hit / CAST(n_candidates AS DOUBLE), 4) + 0.0 END AS DOUBLE)")
+            .as("precision_r"),
+          expr("CAST(CASE WHEN n_truth > 0 THEN ROUND(n_hit / CAST(n_truth AS DOUBLE), 4) + 0.0 END AS DOUBLE)")
+            .as("recall_r"))
+    }),
+
+    // ANN QA: recall@5 of the IVF probe against the exact brute-force
+    // top-5, per query — the accuracy/cost dial an index build tunes
+    // cells/nprobe against
+    "ann_recall_eval" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.where(col("vec_id") < 10)
+      val c = e.where(col("vec_id") >= 10)
+      val ivf = Ann.ivfTopK(q, c,
+          Ann.trainCentroids(c, "vec_id", "embedding", k = 8, iters = 2),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .select("query_id", "neighbor_id")
+      val bf = Ann.bruteForceTopK(q, c, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val hit = ivf.join(bf, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("nh"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hit, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("nh"), lit(0L)).as("n_hit"),
+          expr("CAST(ROUND(COALESCE(nh, 0) / CAST(5.0 AS DOUBLE), 4) + 0.0 AS DOUBLE)")
+            .as("recall_r"))
+    }),
+
     // MMR diversified retrieval: exact-cosine shortlist, then the k
     // greedy λ·relevance − (1−λ)·redundancy steps run UNROLLED as
     // key-partitioned DataFrame ops (selected set ≤ k rows per query)
@@ -713,6 +768,78 @@ object QueriesLlm {
     s"CASE $cases ELSE 'und' END"
   }
 
+  /** The ann_ivf oracle body (unrolled candidate-side Lloyd + probe
+    * search) — shared by ann_ivf and ann_recall_eval. */
+  private val annIvfOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      |c AS (SELECT vec_id, x FROM v WHERE vec_id >= 10),
+      |cent0 AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x AS cx
+      |  FROM c QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+      |asg1 AS (
+      |  SELECT vec_id, x, cid FROM (
+      |    SELECT a.vec_id, a.x, c0.cid,
+      |      list_sum([a.x[i+1]*c0.cx[i+1] for i in range(0,64)]) /
+      |        (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([q*q for q in c0.cx]))) AS cc
+      |    FROM c a, cent0 c0)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cc, 6) DESC, cid) = 1),
+      |cent1 AS (
+      |  SELECT cid, [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,64)] AS cx
+      |  FROM (SELECT cid, list(x) AS vs FROM asg1 GROUP BY cid)),
+      |asg2 AS (
+      |  SELECT vec_id, x, cid FROM (
+      |    SELECT a.vec_id, a.x, c1.cid,
+      |      list_sum([a.x[i+1]*c1.cx[i+1] for i in range(0,64)]) /
+      |        (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([q*q for q in c1.cx]))) AS cc
+      |    FROM c a, cent1 c1)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cc, 6) DESC, cid) = 1),
+      |cent2 AS (
+      |  SELECT cid, [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,64)] AS cx
+      |  FROM (SELECT cid, list(x) AS vs FROM asg2 GROUP BY cid)),
+      |asg AS (
+      |  SELECT vec_id, x, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(ccos, 6) DESC, cid) AS crn
+      |  FROM (
+      |    SELECT a.vec_id, a.x, c2.cid,
+      |      list_sum([a.x[i+1]*c2.cx[i+1] for i in range(0,64)]) /
+      |        (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([q*q for q in c2.cx]))) AS ccos
+      |    FROM v a, cent2 c2)),
+      |lists AS (SELECT vec_id AS neighbor_id, x AS nx, cid FROM asg WHERE vec_id >= 10 AND crn = 1),
+      |probes AS (SELECT vec_id AS query_id, x AS qx, cid FROM asg WHERE vec_id < 10 AND crn <= 2),
+      |p AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_sum([qx[i+1]*nx[i+1] for i in range(0,64)]) /
+      |      (sqrt(list_sum([p2*p2 for p2 in qx])) * sqrt(list_sum([q2*q2 for q2 in nx]))) AS cos
+      |  FROM lists JOIN probes USING (cid))
+      |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+      |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
+      |FROM p
+      |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+      |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin
+
+  /** The dedup_minhash oracle body (banded minhash candidates with the
+    * signature-agreement filter) — shared by dedup_minhash and
+    * dedup_eval. */
+  private val minhashPairsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      |  FROM toks WHERE len(w) >= 3),
+      |sig AS (
+      |  SELECT doc_id, [list_min([md5(CAST(p AS VARCHAR)||':'||s) for s in shingles]) for p in range(0,16)] AS sig FROM sh),
+      |bands AS (
+      |  SELECT doc_id, sig, b, md5(sig[4*b+1]||sig[4*b+2]||sig[4*b+3]||sig[4*b+4]) AS bh
+      |  FROM sig, range(0,4) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(ROUND(list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)])/16.0, 4) AS DOUBLE) AS est_jaccard
+      |FROM cand
+      |WHERE list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)]) >= 4""".stripMargin
+
   /** DuckDB cosine between two DOUBLE[] columns (sequential list_sum
     * fold — bit-matches the engine's left-fold aggregate). */
   private def sqlCos(a: String, b: String): String =
@@ -800,24 +927,7 @@ object QueriesLlm {
         |CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
-    "dedup_minhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
-        |  FROM toks WHERE len(w) >= 3),
-        |sig AS (
-        |  SELECT doc_id, [list_min([md5(CAST(p AS VARCHAR)||':'||s) for s in shingles]) for p in range(0,16)] AS sig FROM sh),
-        |bands AS (
-        |  SELECT doc_id, sig, b, md5(sig[4*b+1]||sig[4*b+2]||sig[4*b+3]||sig[4*b+4]) AS bh
-        |  FROM sig, range(0,4) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
-        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b,
-        |  CAST(ROUND(list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)])/16.0, 4) AS DOUBLE) AS est_jaccard
-        |FROM cand
-        |WHERE list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)]) >= 4""".stripMargin,
+    "dedup_minhash" -> minhashPairsOracle,
 
     "dedup_delta" -> deltaMinhashOracle,
 
@@ -1268,53 +1378,52 @@ object QueriesLlm {
         |WHERE embedding IS NOT NULL AND i < len(embedding)
         |GROUP BY 1, 2""".stripMargin,
 
-    "ann_ivf" ->
-      """WITH v AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-        |c AS (SELECT vec_id, x FROM v WHERE vec_id >= 10),
-        |cent0 AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x AS cx
-        |  FROM c QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
-        |asg1 AS (
-        |  SELECT vec_id, x, cid FROM (
-        |    SELECT a.vec_id, a.x, c0.cid,
-        |      list_sum([a.x[i+1]*c0.cx[i+1] for i in range(0,64)]) /
-        |        (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([q*q for q in c0.cx]))) AS cc
-        |    FROM c a, cent0 c0)
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cc, 6) DESC, cid) = 1),
-        |cent1 AS (
-        |  SELECT cid, [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,64)] AS cx
-        |  FROM (SELECT cid, list(x) AS vs FROM asg1 GROUP BY cid)),
-        |asg2 AS (
-        |  SELECT vec_id, x, cid FROM (
-        |    SELECT a.vec_id, a.x, c1.cid,
-        |      list_sum([a.x[i+1]*c1.cx[i+1] for i in range(0,64)]) /
-        |        (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([q*q for q in c1.cx]))) AS cc
-        |    FROM c a, cent1 c1)
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cc, 6) DESC, cid) = 1),
-        |cent2 AS (
-        |  SELECT cid, [CAST(list_sum([CAST(ROUND(v2[d+1], 9) AS DECIMAL(38,9)) for v2 in vs]) AS DOUBLE) / len(vs) for d in range(0,64)] AS cx
-        |  FROM (SELECT cid, list(x) AS vs FROM asg2 GROUP BY cid)),
-        |asg AS (
-        |  SELECT vec_id, x, cid,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(ccos, 6) DESC, cid) AS crn
-        |  FROM (
-        |    SELECT a.vec_id, a.x, c2.cid,
-        |      list_sum([a.x[i+1]*c2.cx[i+1] for i in range(0,64)]) /
-        |        (sqrt(list_sum([p*p for p in a.x])) * sqrt(list_sum([q*q for q in c2.cx]))) AS ccos
-        |    FROM v a, cent2 c2)),
-        |lists AS (SELECT vec_id AS neighbor_id, x AS nx, cid FROM asg WHERE vec_id >= 10 AND crn = 1),
-        |probes AS (SELECT vec_id AS query_id, x AS qx, cid FROM asg WHERE vec_id < 10 AND crn <= 2),
-        |p AS (
-        |  SELECT query_id, neighbor_id,
-        |    list_sum([qx[i+1]*nx[i+1] for i in range(0,64)]) /
-        |      (sqrt(list_sum([p2*p2 for p2 in qx])) * sqrt(list_sum([q2*q2 for q2 in nx]))) AS cos
-        |  FROM lists JOIN probes USING (cid))
-        |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
-        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
-        |FROM p
-        |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
-        |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin,
+    "ann_ivf" -> annIvfOracle,
+
+    // candidate set = the shared minhash oracle body filtered to
+    // in-language pairs; truth = exact 3-gram Jaccard >= 0.5 (the
+    // dedup_ngram formulation at shingle granularity)
+    "dedup_eval" ->
+      s"""WITH lg AS (SELECT doc_id, lang FROM documents),
+        |mh AS (SELECT doc_a, doc_b FROM ($minhashPairsOracle)),
+        |c AS (SELECT mh.doc_a, mh.doc_b FROM mh
+        |  JOIN lg la ON la.doc_id = mh.doc_a
+        |  JOIN lg lb ON lb.doc_id = mh.doc_b WHERE la.lang = lb.lang),
+        |t3 AS (SELECT doc_id, lang, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |tg AS (SELECT doc_id, lang, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM t3 WHERE len(w) >= 3),
+        |tr AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      len(list_intersect(a.g, b.g)) AS inter, len(a.g) AS na, len(b.g) AS nb
+        |    FROM tg a JOIN tg b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.5),
+        |h AS (SELECT doc_a, doc_b FROM c INTERSECT SELECT doc_a, doc_b FROM tr),
+        |m AS (SELECT (SELECT COUNT(*) FROM c) AS n_candidates,
+        |  (SELECT COUNT(*) FROM tr) AS n_truth, (SELECT COUNT(*) FROM h) AS n_hit)
+        |SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+        |  CAST(n_truth AS BIGINT) AS n_truth, CAST(n_hit AS BIGINT) AS n_hit,
+        |  CAST(CASE WHEN n_candidates > 0 THEN ROUND(n_hit / CAST(n_candidates AS DOUBLE), 4) + 0.0 END AS DOUBLE) AS precision_r,
+        |  CAST(CASE WHEN n_truth > 0 THEN ROUND(n_hit / CAST(n_truth AS DOUBLE), 4) + 0.0 END AS DOUBLE) AS recall_r
+        |FROM m""".stripMargin,
+
+    // recall@5 per query: the shared ann_ivf oracle body intersected
+    // with the exact brute-force top-5
+    "ann_recall_eval" ->
+      s"""WITH ivf AS (SELECT query_id, neighbor_id FROM ($annIvfOracle)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |qq AS (SELECT vec_id AS query_id, x AS qx FROM v WHERE vec_id < 10),
+        |cc AS (SELECT vec_id AS neighbor_id, x AS nx FROM v WHERE vec_id >= 10),
+        |bf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, ${sqlCos("qx", "nx")} AS cos FROM qq, cc)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id) <= 5),
+        |h AS (SELECT query_id, COUNT(*) AS nh FROM (
+        |  SELECT query_id, neighbor_id FROM ivf
+        |  INTERSECT SELECT query_id, neighbor_id FROM bf) GROUP BY 1)
+        |SELECT q2.query_id, CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hit,
+        |  CAST(ROUND(COALESCE(h.nh, 0) / CAST(5.0 AS DOUBLE), 4) + 0.0 AS DOUBLE) AS recall_r
+        |FROM (SELECT query_id FROM qq) q2 LEFT JOIN h USING (query_id)""".stripMargin,
 
     // brute-force cosine with the cross-label filter, then per-query
     // top-10 on the shared round/tiebreak contract

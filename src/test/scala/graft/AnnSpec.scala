@@ -465,6 +465,28 @@ class AnnSpec extends SparkSpec {
     assert(out(1) != 10L, "the near-duplicate of rank 1 is not rank 2")
   }
 
+  test("ivf recall: probing every cell recovers the exact top-k") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs2 = e.where(col("vec_id") < 10)
+    val cand = e.where(col("vec_id") >= 10)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Ann.trainCentroids(cand, "vec_id", "embedding",
+      k = 4, iters = 2)
+    // nprobe == cells → IVF degenerates to exact search: recall@5 = 1
+    val full = pset(Ann.ivfTopK(qs2, cand, cents, "vec_id", "embedding",
+      k = 5, nprobe = 4))
+    val exact = pset(Ann.bruteForceTopK(qs2, cand, "vec_id", "embedding", 5))
+    assert(full == exact)
+    // pruned probes return a subset-or-equal hit set vs exact — recall
+    // can drop below 1 but hits never exceed k per query
+    val pruned = pset(Ann.ivfTopK(qs2, cand, cents, "vec_id", "embedding",
+      k = 5, nprobe = 1))
+    assert(pruned.intersect(exact).size <= exact.size)
+    assert(pruned.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
   test("ivfpqTopK search stage reads codes, never corpus vectors") {
     val e = Tables.embeddings(spark, sf0001)
     val out = Ann.ivfpqTopK(e.where(col("vec_id") < 5),

@@ -155,4 +155,32 @@ class ChangelogProfileSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(run(df) == run(df.repartition(11)))
   }
+
+  test("scd2 + as-of lookup resolves the version valid at fact time") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    // purchases at 02:00 (v1) and 10:00 (v2) for user 7; none for 9
+    val dimSrc = Seq((100L, 7L, ts(2)), (101L, 7L, ts(10)))
+      .toDF("event_id", "user_id", "ts")
+    val dim = Changelog.scd2(dimSrc, Seq("user_id"), "ts",
+        Seq(col("event_id").asc))
+      .select(col("user_id").as("dim_user"), col("version"),
+        col("event_id").as("purchase_id"), col("valid_from"))
+    val facts = Seq(
+      (1L, 7L, ts(1)),   // before v1 → no match
+      (2L, 7L, ts(2)),   // exactly at v1's start → v1 (as-of includes =)
+      (3L, 7L, ts(5)),   // inside v1's validity
+      (4L, 7L, ts(23)),  // after v2 → v2 (current)
+      (5L, 9L, ts(5))    // keyless user → no match
+    ).toDF("click_id", "user_id", "ts")
+    val out = graft.operators.AsOf.join(facts, dim, "user_id", "dim_user",
+        "ts", "valid_from", Seq("version", "purchase_id"),
+        tieBreak = "version")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(1), 3L -> Some(1),
+      4L -> Some(2), 5L -> None))
+  }
 }

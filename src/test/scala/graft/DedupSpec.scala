@@ -416,4 +416,31 @@ class DedupSpec extends SparkSpec {
     assert(a.forall(_._2 == 1L)) // one component, min id 1
     assert(a.size == 40)
   }
+
+  test("dedup_eval: hits bound both sides; exact dups are always found") {
+    import spark.implicits._
+    // 2 exact-dup pairs (Jaccard 1.0 — minhash MUST catch them) plus
+    // unrelated docs; all same language
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta", "en"),
+      (3L, "one two three four five six seven", "en"),
+      (4L, "one two three four five six seven", "en"),
+      (5L, "completely different words here entirely now", "en"),
+      (6L, "nothing shared with any other doc text", "en")
+    ).toDF("doc_id", "text", "lang")
+    val cand = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleK = 3, perms = 16, bands = 4, minMatches = 4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+      n = 3, minJaccard = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth == Set((1L, 2L), (3L, 4L)))
+    // identical shingle sets → identical signatures → all bands match
+    assert(truth.subsetOf(cand), s"minhash missed exact dups: $cand")
+    val hits = cand.intersect(truth)
+    assert(hits.size <= cand.size && hits.size <= truth.size)
+  }
 }

@@ -62,7 +62,12 @@ class PlanHygieneSpec extends SparkSpec {
       "ann_negatives", "embed_kmeans", "embed_semdedup",
       // corpus_ccnet_bucket = corpus_perplexity's frame + one ntile
       // window: inherits the same sanctioned 1-row vocab-size attach
-      "corpus_ccnet_bucket")
+      "corpus_ccnet_bucket",
+      // the eval gates re-run sanctioned shapes to score them:
+      // dedup_eval crosses three 1-row count aggregates (scalar
+      // attach); ann_recall_eval runs ann_ivf's centroid broadcast and
+      // ann_topk's query-set broadcast side by side
+      "dedup_eval", "ann_recall_eval")
 
   // streaming frames cannot be explained without starting a query; their
   // batch-equivalent shapes are covered by the stream_* batch oracles.
