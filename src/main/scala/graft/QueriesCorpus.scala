@@ -209,6 +209,13 @@ object QueriesCorpus {
     "corpus_perplexity" -> ((s, d) =>
       Corpus.bigramNll(documents(s, d), "doc_id", "text")),
 
+    // feature-hashing vectorizer (the "hashing trick"): tokens →
+    // signed hashed dimensions, no vocabulary table — the projection
+    // that scales where TF-IDF's corpus dictionary can't; exact
+    // integer long-form output
+    "corpus_hash_embed" -> ((s, d) =>
+      Corpus.hashEmbed(documents(s, d), "doc_id", "text", dim = 64)),
+
     // CCNet-style head/middle/tail split: per-language NLL tertiles
     // (ntile over the deterministic (nll, doc_id) total order). One
     // extra per-lang window over the perplexity frame — no new scan
@@ -558,6 +565,17 @@ object QueriesCorpus {
          |SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank, doc_id, bm25
          |FROM sc WINDOW w AS (ORDER BY bm25 DESC, doc_id)
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // same md5-60-bit hash family as the simhash oracle; dim = low 6
+    // bits, sign = bit 6 (disjoint)
+    "corpus_hash_embed" ->
+      s"""WITH t AS ($toksCte),
+         |tk AS (SELECT doc_id, unnest(w) AS tok FROM t),
+         |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::UBIGINT AS h FROM tk)
+         |SELECT doc_id, CAST(h % 64 AS INT) AS dim,
+         |  CAST(SUM(CASE WHEN ((h >> 6) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |FROM h GROUP BY 1, 2
+         |HAVING SUM(CASE WHEN ((h >> 6) & 1) = 1 THEN 1 ELSE -1 END) <> 0""".stripMargin,
 
     "corpus_perplexity" -> perplexityOracle,
 

@@ -169,6 +169,30 @@ object QueriesEtl {
              countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // fixed-width connector round-trip: the COBOL-copybook wire format
+    // — orders formatted as padded columns, read back via
+    // FixedWidthSource (SUBSTRING+TRIM+CAST, all scan-stage codegen),
+    // aggregated; the oracle sees only the original parquet table
+    "etl_fixedwidth_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_rt/fw_${d.replace('/', '_')}"
+      Tables.orders(s, d)
+        .select(concat(
+          expr("LPAD(CAST(o_orderkey AS STRING), 10, ' ')"),
+          expr("RPAD(o_orderstatus, 4, ' ')"),
+          expr("LPAD(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), 15, ' ')"),
+          expr("RPAD(o_orderpriority, 16, ' ')")).as("value"))
+        .write.mode("overwrite").text(path)
+      graft.sources.FixedWidthSource(path, Seq(
+          ("o_orderkey", 1, 10, "BIGINT"),
+          ("o_orderstatus", 11, 4, "STRING"),
+          ("o_totalprice", 15, 15, "DECIMAL(18,2)"),
+          ("o_orderpriority", 30, 16, "STRING")))
+        .read(s)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE)").as("sum_price"))
+    }),
+
     // ORC connector round-trip: the second columnar lake format (Hive
     // estates) — write, read back via OrcSource, aggregate; the oracle
     // sees only the original parquet table, so any type/value drift
@@ -638,6 +662,11 @@ object QueriesEtl {
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "etl_fixedwidth_roundtrip" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "etl_avro_roundtrip" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

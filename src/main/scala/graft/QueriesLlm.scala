@@ -428,11 +428,18 @@ object QueriesLlm {
 
     // neighbor-set Jaccard over the near-dup band graph: common-
     // neighbor wedge join (the triangles shape), pairs need not be
-    // adjacent — link prediction / "same cluster soon" scoring
+    // adjacent — link prediction / "same cluster soon" scoring.
+    // Gate graph = hamming ≤ 6 (the TIGHT near-dup edges): wedge work
+    // is quadratic in hub degree, so the quadratic op earns the
+    // tighter threshold the linear ops (pagerank/label-prop, ≤ 12)
+    // don't need. For dup-HEAVY corpora (real crawls) the same output
+    // comes from Graph.neighborJaccardGrouped on the gid graph —
+    // equality spec-pinned; this synthetic corpus is dup-light (8
+    // dup pairs / 5000 docs), so the doc-level path is the right one
     "graph_jaccard" -> ((s, d) =>
       graft.operators.Graph.neighborJaccard(
         Dedup.simhashPairs(documents(s, d), "doc_id", "text",
-          maxHamming = 12),
+          maxHamming = 6),
         "doc_a", "doc_b", minCommon = 2)),
 
     "text_langid" -> ((s, d) => {
@@ -1513,7 +1520,7 @@ object QueriesLlm {
         |prs AS MATERIALIZED (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
         |und AS (SELECT doc_a AS u, doc_b AS v FROM prs WHERE doc_a <> doc_b),
         |adj AS (SELECT u AS node, v AS w FROM und UNION ALL SELECT v, u FROM und),
         |deg AS (SELECT node, COUNT(*) AS degree FROM adj GROUP BY node),

@@ -121,6 +121,16 @@ object QueriesStream {
       Streaming.runningTotals(s, d,
         s"/tmp/graft_rt/running_${d.replace('/', '_')}")),
 
+    // stream-stream LEFT OUTER interval join: matched pairs emit when
+    // both sides meet; unmatched clicks null-pad only once the
+    // watermark proves no purchase can arrive. The harness closes the
+    // stream with a year-2030 sentinel batch so the bounded result is
+    // deterministic (outer-null timing near the live tail is
+    // batch-split-dependent — measured, see leftJoinCounts scaladoc)
+    "stream_join_left" -> ((s, d) =>
+      Streaming.leftJoinCounts(s, d,
+        s"/tmp/graft_rt/leftjoin_${d.replace('/', '_')}")),
+
     "stream_upsert" -> ((s, d) => {
       val root = s"/tmp/graft_rt/upsert_${d.replace('/', '_')}"
       // the bucketed target merges into what exists — start from a
@@ -235,6 +245,20 @@ object QueriesStream {
     // and the gate would catch it. The evicted-window DROP path is
     // deterministic only per state-eviction timing, so it is pinned in
     // StreamingSpec with a crafted 2-batch-late fixture, not here.
+    // sentinel-closed stream ⇒ plain batch LEFT JOIN, no cutoff: a
+    // click matching k purchases contributes k rows, unmatched one
+    "stream_join_left" ->
+      """WITH p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT c.click_id, c.user_id, p.purchase_id
+        |  FROM c LEFT JOIN p ON c.user_id = p.p_user
+        |    AND c.ts >= p.p_ts AND c.ts <= p.p_ts + INTERVAL 2 HOUR)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(purchase_id) AS BIGINT) AS n_matched
+        |FROM j GROUP BY user_id""".stripMargin,
+
     // final state per user == the batch GROUP BY (count + exact
     // decimal-micros sum); the per-batch emission cadence itself is
     // pinned by StreamingSpec's multi-batch fixture

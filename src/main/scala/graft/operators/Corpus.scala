@@ -836,4 +836,33 @@ object Corpus {
       .agg(count(lit(1)).as("n_hits"),
         min(col("__start")).cast("int").as("first_pos"))
   }
+
+  /** Feature-hashing text vectorizer (Weinberger et al. 2009, the
+    * "hashing trick"): each token hashes to a dimension
+    * h(w) mod `dim` with a sign bit ξ(w) ∈ {±1} drawn from an
+    * independent bit of the same hash; the doc's vector component is
+    * Σ ξ(w) over its token occurrences — an UNBIASED sparse projection
+    * with no vocabulary table to build, ship, or keep consistent
+    * across a 100 TB corpus (the whole point vs TF-IDF's corpus-wide
+    * dictionary).
+    *
+    * h = first 60 bits of md5 (the repo-wide engine-portable hash);
+    * sign = bit 6, disjoint from the low-6-bit dimension index.
+    * Exact-integer output in LONG FORM — (doc_id, dim, v ≠ 0) — so
+    * cross-engine comparison is scalar, and downstream consumers can
+    * pivot to dense arrays only where they must. Row-local + one
+    * (doc, dim)-keyed aggregate; nothing corpus-wide. */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 4096, "dim must be in [2, 4096]")
+    df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h",
+        expr("CAST(CONV(SUBSTRING(MD5(tok), 1, 15), 16, 10) AS BIGINT)"))
+      .select(col("doc_id"), pmod(col("h"), lit(dim)).cast("int").as("dim"),
+        expr("IF(((h >> 6) & 1) = 1, 1, -1)").as("sgn"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("sgn")).as("v"))
+      .where(col("v") =!= 0)
+  }
 }

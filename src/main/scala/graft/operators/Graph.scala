@@ -380,6 +380,90 @@ object Graph {
           .as("jac_r"))
   }
 
+  /** [[neighborJaccard]] computed on a GROUP-collapsed graph — same
+    * doc-level output, wedge work bounded by the DISTINCT-text graph.
+    *
+    * Contract (what rep-collapsed sketch families guarantee): nodes of
+    * one group are pairwise adjacent (exact duplicates band together at
+    * hamming 0) and share all external adjacency (identical sketches ⇒
+    * identical candidate sets). Then for a ∈ A, b ∈ B:
+    *   common(a,b) = Σ_{W adj A ∧ W adj B, W∉{A,B}} |W|
+    *                 + adj(A,B)·(|A|−1 + |B|−1)          (A ≠ B)
+    *   common(a,b) = D(A) − 1                            (A = B)
+    *   deg(a∈A) = D(A) = |A|−1 + Σ_{W adj A} |W|
+    * so every doc pair inside a (A,B) group pair shares one (common,
+    * jaccard) value, computed ONCE. The wedge join runs over gid
+    * adjacency with |W| as a weight — Σ deg_gid(W)² work instead of
+    * Σ deg_doc(w)² (duplicate multiplicity never enters a join key);
+    * member expansion happens exactly once, sized by the OUTPUT.
+    *
+    * Same output schema as [[neighborJaccard]]; equality is
+    * spec-pinned and the gate shares the doc-level oracle. */
+  def neighborJaccardGrouped(gidPairs: DataFrame, aCol: String,
+      bCol: String, members: DataFrame, idCol: String, gidCol: String,
+      minCommon: Int = 2): DataFrame = {
+    val w = members.groupBy(col(gidCol).as("g")).agg(count(lit(1)).as("wt"))
+    val undg = gidPairs.select(col(aCol).as("ga"), col(bCol).as("gb"))
+      .where(col("ga") =!= col("gb"))
+      .select(least(col("ga"), col("gb")).as("ga"),
+        greatest(col("ga"), col("gb")).as("gb"))
+      .distinct()
+      .localCheckpoint()
+    val adjg = undg.select(col("ga").as("g"), col("gb").as("ng"))
+      .unionAll(undg.select(col("gb").as("g"), col("ga").as("ng")))
+    val nbrW = adjg
+      .join(w.select(col("g").as("ng"), col("wt").as("nw")), Seq("ng"))
+      .groupBy("g").agg(sum(col("nw")).as("extw"))
+    // graph nodes: multi-member groups (internal clique) or any group
+    // with external adjacency; D = per-member degree
+    val nodes = w.join(nbrW, Seq("g"), "left")
+      .where(col("wt") >= 2 || col("extw").isNotNull)
+      .select(col("g"), col("wt"),
+        (col("wt") - 1 + coalesce(col("extw"), lit(0L))).as("dd"))
+      .localCheckpoint()
+    val ext = adjg.select(col("g").as("pa"), col("ng"))
+      .join(adjg.select(col("g").as("pb"), col("ng")), Seq("ng"))
+      .where(col("pa") < col("pb"))
+      .join(w.select(col("g").as("ng"), col("wt").as("nw")), Seq("ng"))
+      .groupBy("pa", "pb").agg(sum(col("nw")).as("ext"))
+    val adjFlag = undg.select(col("ga").as("pa"), col("gb").as("pb"))
+      .withColumn("adj", lit(1L))
+    val cross = ext.join(adjFlag, Seq("pa", "pb"), "full")
+      .select(col("pa"), col("pb"),
+        coalesce(col("ext"), lit(0L)).as("ext"),
+        coalesce(col("adj"), lit(0L)).as("adj"))
+      .join(nodes.select(col("g").as("pa"), col("wt").as("wa"),
+        col("dd").as("da")), Seq("pa"))
+      .join(nodes.select(col("g").as("pb"), col("wt").as("wb"),
+        col("dd").as("db")), Seq("pb"))
+      .withColumn("common",
+        col("ext") + col("adj") * (col("wa") + col("wb") - 2))
+      .where(col("common") >= minCommon)
+      .withColumn("jac", col("common").cast("double") /
+        (col("da") + col("db") - col("common")))
+    val intra = nodes.where(col("wt") >= 2)
+      .withColumn("common", col("dd") - 1)
+      .where(col("common") >= minCommon)
+      .withColumn("jac", col("common").cast("double") /
+        (col("dd") * 2 - col("common")))
+    val m = members.select(col(gidCol).as("g"), col(idCol).as("id"))
+    val crossDocs = cross
+      .join(m.select(col("g").as("pa"), col("id").as("ia")), Seq("pa"))
+      .join(m.select(col("g").as("pb"), col("id").as("ib")), Seq("pb"))
+      .select(least(col("ia"), col("ib")).as("node_a"),
+        greatest(col("ia"), col("ib")).as("node_b"),
+        col("common"), col("jac"))
+    val intraDocs = intra
+      .join(m.select(col("g"), col("id").as("ia")), Seq("g"))
+      .join(m.select(col("g"), col("id").as("ib")), Seq("g"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("node_a"), col("ib").as("node_b"),
+        col("common"), col("jac"))
+    crossDocs.unionByName(intraDocs)
+      .select(col("node_a"), col("node_b"), col("common"),
+        expr("CAST(ROUND(jac, 4) + 0.0 AS DOUBLE)").as("jac_r"))
+  }
+
   def hierarchyClosure(edges: DataFrame, childCol: String,
       parentCol: String, maxRounds: Int = 20): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 40, "maxRounds must be in [1,40]")

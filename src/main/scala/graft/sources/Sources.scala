@@ -147,6 +147,30 @@ final case class TextLineSource(path: String, recursive: Boolean = false)
       .select(col("value").as("line"), input_file_name().as("file"))
 }
 
+/** Fixed-width text source — the mainframe/EDI wire format CSV-era
+  * estates still ship (COBOL copybook layouts). Each field is
+  * (name, start 1-based, width, sqlType); parsing is
+  * SUBSTRING + TRIM + CAST — all codegen'd into the scan stage, no
+  * per-record interpreter, column pruning intact (unreferenced fields
+  * are dropped before the substring ever runs). Blank-padded fields
+  * become NULL via NULLIF; malformed values go NULL via TRY_CAST (the
+  * CSV source's PERMISSIVE default — route rows through an
+  * ErrorChannel guard upstream when they must fail loudly). */
+final case class FixedWidthSource(path: String,
+    fields: Seq[(String, Int, Int, String)]) extends PathSource {
+  require(fields.nonEmpty, "fixed-width layout needs at least one field")
+  fields.foreach { case (n, s, w, _) =>
+    require(s >= 1 && w >= 1, s"field $n: start must be >= 1, width >= 1") }
+  def spec: Map[String, String] =
+    Map("type" -> "fixed-width", "path" -> path,
+      "layout" -> fields.map { case (n, s, w, t) => s"$n:$s:$w:$t" }
+        .mkString(","))
+  def read(spark: SparkSession): DataFrame =
+    spark.read.text(path).select(fields.map { case (n, st, w, t) =>
+      expr(s"TRY_CAST(NULLIF(TRIM(SUBSTRING(value, $st, $w)), '') AS $t)").as(n)
+    }: _*)
+}
+
 /** JSONL source — the reference's `json-reducer` (utils/reducers.clj:44):
   * parse each line as JSON, merged with its source file. With an explicit
   * schema the parse is a single codegen'd `from_json`; without one we use

@@ -135,6 +135,93 @@ object Streaming {
         col("ts") <= col("p_ts") + expr(s"INTERVAL $windowHours HOURS"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join: every click
+    * row emits — matched pairs as soon as both sides meet, unmatched
+    * clicks null-padded only once the watermark PROVES no qualifying
+    * purchase can still arrive (outer-join state semantics inner joins
+    * never exercise). Both sides carry watermarks and the join
+    * condition time-bounds both event times, so per-key state is
+    * evicted as the watermark passes — the state never grows with
+    * stream length.
+    *
+    * Bounded-run cutoff (AvailableNow, trailing no-data batch): a
+    * matched pair always emits; an unmatched click emits null-padded
+    * iff the FINAL watermark (global max ts − delay) has passed the
+    * click's own timestamp — until then a matching purchase (p_ts ≤
+    * ts) could still arrive. The gate's oracle applies exactly this
+    * rule; the boundary is pinned by StreamingSpec. */
+  def clickAttributionLeft(events: DataFrame, purchases: DataFrame,
+      windowHours: Int = 2, watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("ts") >= col("p_ts") &&
+        col("ts") <= col("p_ts") + expr(s"INTERVAL $windowHours HOURS"),
+      "leftOuter")
+  }
+
+  /** Gate harness for [[clickAttributionLeft]]: a LIVE left-outer
+    * stream never proves "the tail is unmatched" — null emission near
+    * the final watermark depends on which micro-batch's operating
+    * watermark performed the eviction, i.e. on the batch split (we
+    * measured single boundary rows flip between runs). So the harness
+    * CLOSES the stream deterministically, the sessionWindowNative
+    * trick: the events are staged as batch 0 and one sentinel
+    * click+purchase (user −1, year 2030) as batch 1 — the sentinel
+    * advances BOTH sides' watermarks years past every real row + the
+    * join window, so the trailing no-data batch must evict and
+    * null-pad every unmatched real click under any eviction
+    * formulation. Sentinels are filtered back out batch-side; the
+    * oracle is then the plain batch LEFT JOIN with no cutoff. */
+  def leftJoinCounts(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
+    val stage = s"$root/stage"
+    if (!new java.io.File(stage).exists()) {
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+      val sentinels = spark.range(1)
+        .select(
+          explode(array(
+            struct(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+              lit("click").as("event_type"),
+              lit("2030-01-01 00:00:00").cast("timestamp").as("ts")),
+            struct(lit(-2L).as("event_id"), lit(-1L).as("user_id"),
+              lit("purchase").as("event_type"),
+              lit("2030-01-01 00:00:00").cast("timestamp").as("ts"))))
+            .as("r"))
+        .select(col("r.*"))
+      Seq(ev -> 0, sentinels -> 1).foreach { case (df, b) =>
+        val tmp = s"$root/tmp_b$b"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$stage/b$b.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + b * 60000L)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }
+    val schema = spark.read.parquet(stage).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val joined = clickAttributionLeft(stream, stream)
+    runToMemory(spark, joined, "graft_stream_join_left",
+        OutputMode.Append())
+      .where(col("click_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_id")).as("n_matched"))
+  }
+
   /** Run a (bounded) streaming frame to completion into a memory table
     * and return the result. AvailableNow processes everything currently
     * in the source, then stops — batch-parity semantics for testing the

@@ -462,4 +462,36 @@ class CorpusSpec extends SparkSpec {
     val one = Corpus.phraseSearch(docs, "doc_id", "text", Seq("hash"))
     assert(one.count() >= a.size)
   }
+
+  test("hashEmbed matches a reference md5 hashing-trick computation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha alpha beta gamma"),
+      (2L, "alpha beta"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Corpus.hashEmbed(df, "doc_id", "text", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    def h60(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def expected(docId: Long, toks: Seq[String]) = {
+      val m = scala.collection.mutable.Map[Int, Long]()
+      toks.foreach { t =>
+        val h = h60(t)
+        val d = (h % 64).toInt
+        val s = if (((h >> 6) & 1L) == 1L) 1L else -1L
+        m(d) = m.getOrElse(d, 0L) + s
+      }
+      m.filter(_._2 != 0).map { case (d, v) => (docId, d) -> v }
+    }
+    val want = (expected(1L, Seq("alpha", "alpha", "beta", "gamma")) ++
+      expected(2L, Seq("alpha", "beta"))).toMap
+    assert(out == want)
+    assert(!out.keys.exists(_._1 == 3L), "empty doc contributes nothing")
+  }
 }

@@ -362,4 +362,28 @@ class ErGraphSpec extends SparkSpec {
     val out2 = Graph.neighborJaccard(noisy, "doc_a", "doc_b", minCommon = 1)
     assert(out2.count() == out.size)
   }
+
+  test("neighborJaccardGrouped == doc-level op on a dup-heavy graph") {
+    import graft.operators.Dedup
+    // triple every 7th doc: real duplicate multiplicity through the
+    // sketch family — the gid-collapsed formulas must reproduce the
+    // doc-level wedge join exactly (intra-clique pairs, adjacency
+    // corrections, weighted external wedges)
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val dup1 = base.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val dup2 = base.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val df = base.unionByName(dup1).unionByName(dup2)
+    val docLevel = Graph.neighborJaccard(
+      Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 8),
+      "doc_a", "doc_b", minCommon = 2)
+    val st = Dedup.simhashStages(df, "doc_id", "text", maxHamming = 8)
+    val grouped = Graph.neighborJaccardGrouped(
+      st.gidPairs, "gid_a", "gid_b", st.members, "id", "gid",
+      minCommon = 2)
+    assert(docLevel.exceptAll(grouped).isEmpty &&
+      grouped.exceptAll(docLevel).isEmpty)
+    assert(grouped.count() > 0)
+  }
 }

@@ -252,4 +252,31 @@ class SourcesSinksSpec extends SparkSpec {
     Compaction.compact(spark, in, out, targetFileBytes = bytesIn / 2 + 1)
     assert(Compaction.dirStats(spark, out)._1 == 2)
   }
+
+  test("FixedWidthSource parses padded columns; blanks become NULL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fw").toString
+    Seq(
+      "       123ABC       45.60",
+      "        77XY           ._", // malformed decimal → CAST null
+      "          Z              " // blank key and price → NULLs
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val src = graft.sources.FixedWidthSource(dir, Seq(
+      ("k", 1, 10, "BIGINT"), ("tag", 11, 3, "STRING"),
+      ("price", 14, 12, "DECIMAL(18,2)")))
+    assert(src.check(spark).valid)
+    assert(src.spec("layout") == "k:1:10:BIGINT,tag:11:3:STRING,price:14:12:DECIMAL(18,2)")
+    val rows = src.read(spark).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)).map(_.toString))).toSet
+    assert(rows == Set(
+      (Some(123L), Some("ABC"), Some("45.60")),
+      (Some(77L), Some("XY"), None),
+      (None, Some("Z"), None)))
+    // layout validation fails loudly
+    intercept[IllegalArgumentException](
+      graft.sources.FixedWidthSource(dir, Nil))
+    intercept[IllegalArgumentException](
+      graft.sources.FixedWidthSource(dir, Seq(("a", 0, 3, "STRING"))))
+  }
 }

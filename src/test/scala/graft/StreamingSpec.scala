@@ -426,6 +426,33 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map("2024-03-01T00:00" -> 2L, "2024-03-01T10:00" -> 1L))
   }
 
+  test("leftJoinCounts: sentinel-closed left-outer equals batch left join") {
+    val root = Files.createTempDirectory("graft-leftjoin").toString
+    val out = Streaming.leftJoinCounts(spark, sf0001, root)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val ev = Tables.events(spark, sf0001)
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val want = c.join(p,
+        col("user_id") === col("p_user") &&
+          col("ts") >= col("p_ts") &&
+          col("ts") <= col("p_ts") + expr("INTERVAL 2 HOURS"),
+        "left")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"), count(col("purchase_id")).as("nm"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == want)
+    // and the null-padded tail really is present (unmatched clicks
+    // emitted despite sitting inside the live-tail ambiguity zone —
+    // the sentinel batch is what forces them out)
+    assert(out.values.exists { case (n, m) => n > m })
+  }
+
   test("runningTotals accumulates state across real micro-batches") {
     val root = Files.createTempDirectory("graft-running").toString
     val out = Streaming.runningTotals(spark, sf0001, root, nFiles = 4)
