@@ -268,6 +268,20 @@ object QueriesCore {
         .agg(expr("CAST(ROUND(PERCENTILE(o_totalprice, 0.5), 2) AS DOUBLE)").as("median_price"),
              expr("CAST(ROUND(PERCENTILE(o_totalprice, 0.9), 2) AS DOUBLE)").as("p90_price"))),
 
+    // robust dispersion: median absolute deviation per group — the
+    // outlier-resistant sibling of q_stats' stddev (one median pass,
+    // broadcast back, one percentile over |x − med|)
+    "q_mad" -> ((s, d) => {
+      val med = orders(s, d).groupBy("o_orderpriority")
+        .agg(expr("PERCENTILE(o_totalprice, 0.5)").as("med"))
+      orders(s, d).join(broadcast(med), Seq("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(ANY_VALUE(med), 2) AS DOUBLE)").as("median_price"),
+          expr("CAST(ROUND(PERCENTILE(ABS(o_totalprice - med), 0.5), 2) AS DOUBLE)")
+            .as("mad"))
+    }),
+
     // binned two-pass exact percentile: identical order statistics with
     // counter-only buffers (operators/Percentile.scala) — the big-input
     // plan q_percentile's scaladoc points to
@@ -969,6 +983,16 @@ object QueriesCore {
         |CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS median_price,
         |CAST(ROUND(quantile_cont(o_totalprice, 0.9), 2) AS DOUBLE) AS p90_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_mad" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(ANY_VALUE(med), 2) AS DOUBLE) AS median_price,
+        |  CAST(ROUND(quantile_cont(ABS(o_totalprice - med), 0.5), 2) AS DOUBLE) AS mad
+        |FROM orders o JOIN med USING (o_orderpriority)
+        |GROUP BY 1""".stripMargin,
 
     "q_percentile_binned" ->
       """SELECT o_orderpriority, CAST(0.5 AS DOUBLE) AS p,

@@ -330,6 +330,33 @@ object QueriesEtl {
         .select(col("user_id"), col("version"), col("event_id"),
           col("valid_from"), col("valid_to"), col("is_current"))),
 
+    // deterministic pseudonymization: customer/order keys replaced by
+    // salted-md5 pseudonyms on BOTH tables — the join still lines up
+    // (referential integrity survives), and the per-segment pseudonym
+    // min pins the actual mapped values against the oracle
+    "etl_pseudonymize" -> ((s, d) => {
+      val pc = graft.operators.Keys.pseudonymize(
+        customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        Seq("c_custkey"), salt = "r7")
+      val po = graft.operators.Keys.pseudonymize(
+        orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+        Seq("o_custkey"), salt = "r7")
+      pc.join(po, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          min(col("c_custkey")).as("min_pid"),
+          expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)")
+            .as("sum_price"))
+    }),
+
+    // ε-DP count release: per-priority order counts + deterministic
+    // seeded Laplace noise (reproducible, auditable releases; the true
+    // count never appears in the output)
+    "etl_dp_counts" -> ((s, d) =>
+      graft.operators.Quality.dpCounts(orders(s, d), "o_orderpriority",
+        epsilon = 1.0, salt = "r7")),
+
     // point-in-time dimension lookup: each click joined to the SCD2
     // purchase version valid at its timestamp — the classic warehouse
     // temporal join, run as a backward AS-OF on version starts
@@ -733,6 +760,30 @@ object QueriesEtl {
         |  (lead(ts) OVER w IS NULL) AS is_current
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
+    "etl_pseudonymize" ->
+      """WITH pc AS (SELECT md5('graft-pseud:r7:' || CAST(c_custkey AS VARCHAR)) AS pid,
+        |  c_mktsegment FROM customer),
+        |po AS (SELECT md5('graft-pseud:r7:' || CAST(o_custkey AS VARCHAR)) AS pid,
+        |  o_totalprice FROM orders)
+        |SELECT c_mktsegment, CAST(COUNT(DISTINCT pc.pid) AS BIGINT) AS n_customers,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders, MIN(pc.pid) AS min_pid,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM pc JOIN po ON pc.pid = po.pid
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // identical seeded-Laplace arithmetic: 52 md5 bits → u → inverse
+    // CDF; double literals forced (DuckDB parses bare 0.5 as DECIMAL)
+    "etl_dp_counts" ->
+      """WITH c AS (SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1),
+        |u AS (SELECT o_orderpriority, n,
+        |  (CAST(('0x' || substr(md5('graft-dp:r7:' || CAST(o_orderpriority AS VARCHAR)), 1, 13))::UBIGINT AS DOUBLE)
+        |    / 4503599627370496.0) - CAST(0.5 AS DOUBLE) AS u
+        |  FROM c)
+        |SELECT o_orderpriority,
+        |  CAST(ROUND(n + (-SIGN(u) * LN(GREATEST(CAST(1.0 AS DOUBLE) - 2 * ABS(u),
+        |    CAST(1e-12 AS DOUBLE))) / CAST(1.0 AS DOUBLE)), 4) + 0.0 AS DOUBLE) AS dp_n
+        |FROM u""".stripMargin,
 
     // naive quadratic point-in-time form (latest valid_from <= ts,
     // version desc tie-break) — checks the as-of union+window plan

@@ -363,6 +363,15 @@ object QueriesLlm {
             .as("recall_r"))
     }),
 
+    // generate-then-VERIFY: exact shingle-Jaccard on the banded
+    // minhash candidates only (row-local array intersection) — LSH
+    // false positives surface as confirmed=false instead of polluting
+    // merges; estimation error visible as est − exact
+    "dedup_verify" -> ((s, d) =>
+      Dedup.minhashVerifiedPairs(documents(s, d), "doc_id", "text",
+        shingleK = 3, perms = 16, bands = 4, minMatches = 4,
+        minJaccard = 0.5)),
+
     // ANN QA: recall@5 of the IVF probe against the exact brute-force
     // top-5, per query — the accuracy/cost dial an index build tunes
     // cells/nprobe against
@@ -1413,6 +1422,25 @@ object QueriesLlm {
         |  CAST(CASE WHEN n_candidates > 0 THEN ROUND(n_hit / CAST(n_candidates AS DOUBLE), 4) + 0.0 END AS DOUBLE) AS precision_r,
         |  CAST(CASE WHEN n_truth > 0 THEN ROUND(n_hit / CAST(n_truth AS DOUBLE), 4) + 0.0 END AS DOUBLE) AS recall_r
         |FROM m""".stripMargin,
+
+    // minhash candidates (shared oracle body) + per-pair exact
+    // shingle-Jaccard via list_intersect
+    "dedup_verify" ->
+      s"""WITH mh AS (SELECT * FROM ($minhashPairsOracle)),
+        |t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM t WHERE len(w) >= 3),
+        |j AS (
+        |  SELECT mh.doc_a, mh.doc_b, mh.est_jaccard,
+        |    len(list_intersect(a.g, b.g)) AS inter,
+        |    len(a.g) AS na, len(b.g) AS nb
+        |  FROM mh JOIN sh a ON a.doc_id = mh.doc_a
+        |  JOIN sh b ON b.doc_id = mh.doc_b)
+        |SELECT doc_a, doc_b, est_jaccard,
+        |  CAST(ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) + 0.0 AS DOUBLE) AS exact_jaccard,
+        |  ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= CAST(0.5 AS DOUBLE) AS confirmed
+        |FROM j""".stripMargin,
 
     // recall@5 per query: the shared ann_ivf oracle body intersected
     // with the exact brute-force top-5

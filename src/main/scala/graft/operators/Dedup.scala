@@ -78,6 +78,43 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Generate-then-VERIFY dedup (the production LSH shape): banded
+    * minhash proposes candidates, then the EXACT shingle-Jaccard is
+    * computed per candidate pair by re-attaching each side's distinct
+    * shingle set — a row-local array intersection, never a corpus-wide
+    * join. Verification cost is |candidates| × shingle-set size; the
+    * sketch's false positives get `confirmed = false` instead of
+    * polluting downstream merges, and its estimation error is visible
+    * as (est_jaccard − exact_jaccard).
+    *
+    * The confirm threshold compares round(jaccard, 6) (boundary pairs
+    * must not flip on a last-ulp engine difference).
+    *
+    * Output: (doc_a, doc_b, est_jaccard, exact_jaccard, confirmed). */
+  def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, perms: Int = 16, bands: Int = 4,
+      minMatches: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    val cand = minhashPairs(df, idCol, textCol, shingleK, perms, bands,
+      minMatches)
+    val sh = df
+      .select(col(idCol).as("vid"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= shingleK)
+      .select(col("vid"), expr(
+        s"""array_distinct(transform(sequence(1, size(w) - ${shingleK - 1}),
+           |  i -> array_join(slice(w, i, $shingleK), ' ')))""".stripMargin)
+        .as("g"))
+    cand
+      .join(sh.select(col("vid").as("doc_a"), col("g").as("ga")), Seq("doc_a"))
+      .join(sh.select(col("vid").as("doc_b"), col("g").as("gb")), Seq("doc_b"))
+      .withColumn("inter", expr("size(array_intersect(ga, gb))"))
+      .withColumn("jac", expr(
+        "CAST(inter AS DOUBLE) / (size(ga) + size(gb) - inter)"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        expr("CAST(ROUND(jac, 4) + 0.0 AS DOUBLE)").as("exact_jaccard"),
+        (round(col("jac"), 6) >= minJaccard).as("confirmed"))
+  }
+
   /** Gid-level MinHash near-dup pairs: one row per pair of DISTINCT
     * texts — (gid_a, gid_b, est_jaccard) with gid = md5(text) — plus
     * no expansion at all. Pair-consuming pipelines that only need

@@ -52,6 +52,24 @@ object Keys {
         (lit(offset) + col("boff") + col("rn")).cast("long").as("sk"))
   }
 
+  /** Deterministic pseudonymization (GDPR Art. 4(5) shape): identifier
+    * columns replaced by salted-md5 pseudonyms. Same (salt, value) →
+    * same pseudonym EVERYWHERE, so referential integrity survives —
+    * joins across pseudonymized tables still line up — while the raw
+    * identifier never leaves the cluster. Re-salting a release breaks
+    * linkage to previous releases (the unlinkability dial). NULLs stay
+    * NULL (concat propagates them — a null identifier must not collide
+    * with the empty string's pseudonym). Purely scan-stage (codegen'd
+    * md5 per column); no shuffle, no lookup table to protect. */
+  def pseudonymize(df: DataFrame, cols: Seq[String],
+      salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize: no columns given")
+    require(salt.nonEmpty, "pseudonymize: empty salt")
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c,
+        md5(concat(lit(s"graft-pseud:$salt:"), col(c).cast("string")))))
+  }
+
   /** Incremental dim load: every existing (naturalCol, sk) row survives
     * untouched; naturals in `incoming` with no mapping get fresh dense
     * keys starting above the current max. Cost per load: one anti-join

@@ -79,4 +79,33 @@ object Quality {
           .otherwise(lit("*")))
       .drop("__n0", "__n1")
   }
+
+  /** ε-differentially-private count release (Laplace mechanism,
+    * sensitivity 1) with DETERMINISTIC seeded noise: the per-key draw
+    * u ∈ [−0.5, 0.5) comes from 52 bits of the key's salted md5 via
+    * the inverse CDF − sign(u)·ln(1 − 2|u|)/ε. Determinism is per
+    * (salt, key): a release is exactly reproducible (and auditable)
+    * given its salt; production rotates the salt per release — the
+    * privacy guarantee is that of Laplace noise over the salt draw.
+    * GREATEST(·, 1e-12) guards the measure-zero |u| = 0.5 pole.
+    * Noise rides the scan-stage projection after a two-phase count —
+    * nothing here touches row-level data post-aggregate.
+    *
+    * Output: (keyCol, dp_n) — the TRUE count is intentionally absent
+    * from the release. */
+  def dpCounts(df: DataFrame, keyCol: String, epsilon: Double,
+      salt: String): DataFrame = {
+    require(epsilon > 0, s"dpCounts: epsilon must be > 0, got $epsilon")
+    require(salt.nonEmpty, "dpCounts: empty salt")
+    df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .withColumn("u", expr(
+        s"""(CAST(CONV(SUBSTRING(MD5(CONCAT('graft-dp:$salt:',
+           |  CAST($keyCol AS STRING))), 1, 13), 16, 10) AS DOUBLE)
+           |  / 4503599627370496.0) - CAST(0.5 AS DOUBLE)""".stripMargin))
+      .withColumn("noise", expr(
+        s"""-SIGN(u) * LN(GREATEST(CAST(1.0 AS DOUBLE) - 2 * ABS(u),
+           |  CAST(1e-12 AS DOUBLE))) / CAST($epsilon AS DOUBLE)""".stripMargin))
+      .select(col(keyCol),
+        expr("CAST(ROUND(n + noise, 4) + 0.0 AS DOUBLE)").as("dp_n"))
+  }
 }

@@ -443,4 +443,31 @@ class DedupSpec extends SparkSpec {
     val hits = cand.intersect(truth)
     assert(hits.size <= cand.size && hits.size <= truth.size)
   }
+
+  test("minhashVerifiedPairs: exact Jaccard on candidates, confirm rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),          // exact dup of 1
+      (3L, "one two three four five seven"),        // near-dup of 1
+      (4L, "totally different text goes right here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
+      shingleK = 3, perms = 16, bands = 4, minMatches = 4,
+      minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // exact dup: est = exact = 1.0, confirmed
+    assert(out((1L, 2L)) == ((1.0, 1.0, true)))
+    // the near-dup pair, if banded together, verifies to the true
+    // Jaccard: shingles(1) = 4, shingles(3) = 4, shared = 3 → 3/5
+    out.get((1L, 3L)).foreach { case (_, exact, confirmed) =>
+      assert(exact == 0.6 && confirmed)
+    }
+    // every confirmed flag equals the exact-jaccard threshold rule
+    assert(out.values.forall { case (_, ex, c) => c == (ex >= 0.5) })
+    // doc 4 shares no shingles — it never verifies as confirmed
+    assert(!out.exists { case (p, v) => (p._1 == 4L || p._2 == 4L) && v._3 })
+  }
 }

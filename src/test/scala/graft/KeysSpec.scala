@@ -52,4 +52,46 @@ class KeysSpec extends SparkSpec {
       .collect().map(_.getLong(1)).sorted.toSeq
     assert(out == Seq(1L, 2L))
   }
+
+  test("pseudonymize: referential integrity, NULL passthrough, salt dial") {
+    import spark.implicits._
+    val a = Seq((Some(7L), "x"), (Some(8L), "y"), (None, "z"))
+      .toDF("k", "payload")
+    val b = Seq(Tuple1(Some(7L)), Tuple1(Some(9L))).toDF("k")
+    val pa = Keys.pseudonymize(a, Seq("k"), "s1")
+    val pb = Keys.pseudonymize(b, Seq("k"), "s1")
+    // same value → same pseudonym across frames: the join still works
+    val joined = pa.join(pb, Seq("k")).collect()
+    assert(joined.length == 1 && joined.head.getString(1) == "x")
+    // pseudonyms are md5 hex, raw keys are gone
+    val pids = pa.where(col("k").isNotNull).collect().map(_.getString(0))
+    assert(pids.forall(_.matches("[0-9a-f]{32}")))
+    assert(pids.distinct.length == 2)
+    // NULL identifier stays NULL (no collision with any real value)
+    assert(pa.where(col("k").isNull).count() == 1)
+    // a new salt breaks linkage to the previous release
+    val pa2 = Keys.pseudonymize(a, Seq("k"), "s2")
+      .where(col("k").isNotNull).collect().map(_.getString(0)).toSet
+    assert(pa2.intersect(pids.toSet).isEmpty)
+  }
+
+  test("dpCounts: reproducible release, true count absent, salt varies noise") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    def run(salt: String) = graft.operators.Quality
+      .dpCounts(df, "grp", epsilon = 1.0, salt = salt)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r1 = run("a"); val r2 = run("a"); val r3 = run("b")
+    assert(r1 == r2, "same salt must reproduce the release exactly")
+    assert(r1 != r3, "a new salt must redraw the noise")
+    assert(r1.keySet == Set("g0", "g1", "g2"))
+    // Laplace(1) noise: released counts are near but not equal to true
+    val truth = Map("g0" -> 33.0, "g1" -> 34.0, "g2" -> 33.0)
+    r1.foreach { case (k, v) => assert(math.abs(v - truth(k)) < 40.0) }
+    val cols = graft.operators.Quality
+      .dpCounts(df, "grp", 1.0, "a").columns.toSeq
+    assert(cols == Seq("grp", "dp_n"), "true count must not be released")
+    intercept[IllegalArgumentException](
+      graft.operators.Quality.dpCounts(df, "grp", 0.0, "a"))
+  }
 }
