@@ -106,6 +106,25 @@ object QueriesLlm {
         .select("doc_id", "lang")
     }),
 
+    // the dedup report card: per-language doc/kept/dropped counts and
+    // drop rate under the keep-first rule — the dataset-curation
+    // summary a training run records before/after dedup
+    "dedup_report" -> ((s, d) => {
+      val docs = documents(s, d)
+      val kept = Dedup.keepCanonical(docs, "doc_id",
+          Dedup.simhashClusters(docs, "doc_id", "text", maxHamming = 12))
+        .select(col("doc_id")).withColumn("keep", lit(1L))
+      docs.select(col("doc_id"), col("lang"))
+        .join(kept, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("keep"), lit(0L))).as("n_kept"))
+        .select(col("lang"), col("n_docs"), col("n_kept"),
+          (col("n_docs") - col("n_kept")).as("n_dropped"),
+          expr("CAST(ROUND((n_docs - n_kept) / CAST(n_docs AS DOUBLE), 4) + 0.0 AS DOUBLE)")
+            .as("drop_rate_r"))
+    }),
+
     // SEMANTIC dedup end-to-end (SemDeDup-style): embedding LSH pairs
     // → connected components → keep the min-id representative of each
     // semantic cluster; unpaired vectors pass through. The embedding
@@ -784,6 +803,35 @@ object QueriesLlm {
     s"CASE $cases ELSE 'und' END"
   }
 
+  /** The simhash band-pair → recursive-CC → cluster-label CTE chain
+    * (ends at `cl`) — shared by the dedup_keep and dedup_report
+    * oracles. */
+  private val simhashKeepCte: String =
+    """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |hs AS (
+        |  SELECT doc_id, [('0x'||substr(md5(t),1,15))::UBIGINT for t in w] AS h
+        |  FROM toks WHERE len(w) > 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in h]) >= 0
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS simhash
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bv
+        |  FROM sig, range(0,4) t(b)),
+        |pr AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+        |nodes AS (SELECT DISTINCT doc_a AS n FROM pr UNION SELECT doc_b FROM pr),
+        |e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach AS (
+        |  SELECT n AS node, n AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.d AS node, reach.lbl FROM reach JOIN e ON e.s = reach.node),
+        |cl AS (SELECT node AS cdoc, MIN(lbl) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
   /** The ann_ivf oracle body (unrolled candidate-side Lloyd + probe
     * search) — shared by ann_ivf and ann_recall_eval. */
   private val annIvfOracle: String =
@@ -1267,33 +1315,27 @@ object QueriesLlm {
     // same simhash+CC pipeline as dedup_clusters, then the keep rule:
     // a doc survives iff it is unpaired or its cluster's canonical id
     "dedup_keep" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
-        |hs AS (
-        |  SELECT doc_id, [('0x'||substr(md5(t),1,15))::UBIGINT for t in w] AS h
-        |  FROM toks WHERE len(w) > 0),
-        |sig AS (
-        |  SELECT doc_id,
-        |    list_sum([CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in h]) >= 0
-        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS simhash
-        |  FROM hs),
-        |bands AS (
-        |  SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bv
-        |  FROM sig, range(0,4) t(b)),
-        |pr AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
-        |nodes AS (SELECT DISTINCT doc_a AS n FROM pr UNION SELECT doc_b FROM pr),
-        |e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
-        |reach AS (
-        |  SELECT n AS node, n AS lbl FROM nodes
-        |  UNION
-        |  SELECT e.d AS node, reach.lbl FROM reach JOIN e ON e.s = reach.node),
-        |cl AS (SELECT node AS cdoc, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+      (simhashKeepCte +
+        """
         |SELECT d.doc_id, d.lang
         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.cdoc
-        |WHERE cl.cdoc IS NULL OR cl.cluster_id = d.doc_id""".stripMargin,
+        |WHERE cl.cdoc IS NULL OR cl.cluster_id = d.doc_id""".stripMargin),
+
+    // the dedup report card: per-language doc counts, kept counts
+    // under the same keep-first rule, and the drop rate
+    "dedup_report" ->
+      (simhashKeepCte +
+        """,
+        |kept AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CASE WHEN cl.cdoc IS NULL OR cl.cluster_id = d.doc_id
+        |         THEN 1 ELSE 0 END AS keep
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.cdoc)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dropped,
+        |  CAST(ROUND((COUNT(*) - SUM(keep)) / CAST(COUNT(*) AS DOUBLE), 4) + 0.0 AS DOUBLE) AS drop_rate_r
+        |FROM kept GROUP BY lang""".stripMargin),
 
     "dedup_containment" ->
       """WITH toks AS (

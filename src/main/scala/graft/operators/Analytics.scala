@@ -211,6 +211,8 @@ object Analytics {
   def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
       idCol: String, valueCol: String, lookback: Int = 8): DataFrame = {
     require(lookback >= 1 && lookback <= 64, "lookback must be in [1,64]")
+    require(orderCols.nonEmpty,
+      "ewma needs a deterministic ordering — pass at least one order column")
     val w = Window.partitionBy(keyCol)
       .orderBy(orderCols.map(col(_).asc): _*)
       .rowsBetween(-(lookback - 1), 0)

@@ -703,6 +703,10 @@ object Ann {
   def mmrTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, shortlistK: Int,
       lambda: Double): DataFrame = {
+    require(k >= 1 && shortlistK >= k,
+      s"need 1 <= k <= shortlistK, got k=$k shortlistK=$shortlistK")
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"lambda must be in (0, 1], got $lambda")
     val spark = candidates.sparkSession
     def prep(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), Vectors.toDouble(col(vecCol)).as(s"x_$id"))

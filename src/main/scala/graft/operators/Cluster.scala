@@ -65,6 +65,7 @@ object Cluster {
     * Output: one row per input vector — (idCol, cid, keep). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, minCosine: Double): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1: k=$k iters=$iters")
     val spark = df.sparkSession
     val cent = Ann.trainCentroids(df, idCol, vecCol, k, iters)
     val v = df.select(col(idCol), Vectors.toDouble(col(vecCol)).as("x"))
@@ -109,6 +110,7 @@ object Cluster {
     * rank 1 = farthest from the centroid. */
   def labelOutliers(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, frac: Double = 0.05): DataFrame = {
+    require(frac > 0.0 && frac < 1.0, s"frac must be in (0, 1), got $frac")
     val spark = df.sparkSession
     val v = df.where(col(vecCol).isNotNull)
       .select(col(labelCol), col(idCol), Vectors.toDouble(col(vecCol)).as("x"))

@@ -353,6 +353,7 @@ object Graph {
     * jac_r = ROUND(common / (deg_a + deg_b − common), 4). */
   def neighborJaccard(pairs: DataFrame, aCol: String, bCol: String,
       minCommon: Int = 2): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
     // canonical undirected edge set, materialized once: it feeds the
     // adjacency (twice) and the degree table
     val und = pairs
@@ -402,6 +403,7 @@ object Graph {
   def neighborJaccardGrouped(gidPairs: DataFrame, aCol: String,
       bCol: String, members: DataFrame, idCol: String, gidCol: String,
       minCommon: Int = 2): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
     val w = members.groupBy(col(gidCol).as("g")).agg(count(lit(1)).as("wt"))
     val undg = gidPairs.select(col(aCol).as("ga"), col(bCol).as("gb"))
       .where(col("ga") =!= col("gb"))

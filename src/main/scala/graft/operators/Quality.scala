@@ -92,7 +92,9 @@ object Quality {
     * nothing here touches row-level data post-aggregate.
     *
     * Output: (keyCol, dp_n) — the TRUE count is intentionally absent
-    * from the release. */
+    * from the release. A NULL key releases NULL (concat propagates the
+    * NULL through the hash on any engine) — filter or map the unknown
+    * class upstream if it must be released. */
   def dpCounts(df: DataFrame, keyCol: String, epsilon: Double,
       salt: String): DataFrame = {
     require(epsilon > 0, s"dpCounts: epsilon must be > 0, got $epsilon")

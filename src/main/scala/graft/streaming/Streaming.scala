@@ -528,6 +528,7 @@ object Streaming {
     * GROUP BY regardless of how rows were split across batches. */
   def runningTotals(spark: SparkSession, dir: String, root: String,
       nFiles: Int = 4): DataFrame = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val stage = s"$root/stage"
     if (!new java.io.File(stage).exists()) {
       graft.Tables.events(spark, dir)

@@ -444,6 +444,18 @@ class DedupSpec extends SparkSpec {
     assert(hits.size <= cand.size && hits.size <= truth.size)
   }
 
+  test("dedup_report reconciles with the kept corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val report = SparkEntry.queries("dedup_report")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    report.values.foreach { case (n, k, d) => assert(n == k + d && k >= 1) }
+    val totalKept = report.values.map(_._2).sum
+    assert(totalKept ==
+      SparkEntry.queries("dedup_keep")(spark, sf0001).count())
+    assert(report.values.map(_._1).sum == docs.count())
+  }
+
   test("minhashVerifiedPairs: exact Jaccard on candidates, confirm rule") {
     import spark.implicits._
     val docs = Seq(
