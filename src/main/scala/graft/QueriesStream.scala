@@ -121,6 +121,14 @@ object QueriesStream {
       Streaming.runningTotals(s, d,
         s"/tmp/graft_rt/running_${d.replace('/', '_')}")),
 
+    // the SAME running-totals contract on Spark 4's transformWithState
+    // (named ValueState on the RocksDB store — the arbitrary-state API
+    // that supersedes mapGroupsWithState); shares stream_running's
+    // oracle, so the two state APIs are pinned to one semantics
+    "stream_running_tws" -> ((s, d) =>
+      Streaming.runningTotalsTws(s, d,
+        s"/tmp/graft_rt/running_tws_${d.replace('/', '_')}")),
+
     // stream-stream LEFT OUTER interval join: matched pairs emit when
     // both sides meet; unmatched clicks null-pad only once the
     // watermark proves no purchase can arrive. The harness closes the
@@ -263,6 +271,13 @@ object QueriesStream {
     // decimal-micros sum); the per-batch emission cadence itself is
     // pinned by StreamingSpec's multi-batch fixture
     "stream_running" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    + 0.0 AS DOUBLE) AS sum_r
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // same totals contract through the transformWithState pipeline
+    "stream_running_tws" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
         |    + 0.0 AS DOUBLE) AS sum_r

@@ -520,6 +520,82 @@ object Streaming {
       }
   }
 
+  /** [[runningTotalsStream]] on Spark 4's `transformWithState` —
+    * the arbitrary-state API that supersedes mapGroupsWithState: named
+    * typed state variables on the RocksDB state store (changelog
+    * checkpointing, state TTL, composable value/list/map states).
+    * Same contract as the mapGroupsWithState form — identical output
+    * is the gate's shared-oracle claim; the engine difference is the
+    * state backend and the per-variable state schema. */
+  final class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, RunIn, RunTotal] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[RunState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[RunState]("totals",
+        Encoders.product[RunState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[RunIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RunTotal] = {
+      var st = if (totals.exists()) totals.get() else RunState(0L, 0L)
+      rows.foreach(e => st = RunState(st.n + 1, st.sumMicros + e.micros))
+      totals.update(st)
+      Iterator.single(RunTotal(key, st.n, st.sumMicros))
+    }
+  }
+
+  def runningTotalsTwsStream(events: DataFrame): Dataset[RunTotal] = {
+    implicit val encIn = Encoders.product[RunIn]
+    implicit val encOut = Encoders.product[RunTotal]
+    implicit val encL = Encoders.scalaLong
+    events
+      .select(col("user_id"),
+        expr("COALESCE(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0)")
+          .as("micros"))
+      .as[RunIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Gate harness: [[runningTotals]]'s staging + final-state reduction
+    * over the transformWithState pipeline. transformWithState requires
+    * the RocksDB state store provider — set for this stream only (the
+    * stream clones the session conf at start) and restored after. */
+  def runningTotalsTws(spark: SparkSession, dir: String, root: String,
+      nFiles: Int = 4): DataFrame = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val stage = s"$root/stage"
+    if (!new java.io.File(stage).exists()) {
+      graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("value"), col("event_id"))
+        .repartition(nFiles).write.mode("overwrite").parquet(stage)
+    }
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val raw =
+      try runToMemory(spark, runningTotalsTwsStream(stream).toDF(),
+        "graft_stream_running_tws", OutputMode.Update())
+      finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    raw.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_micros"))).as("fin"))
+      .select(col("user_id"), col("fin.n_events").as("n_events"),
+        expr("CAST(ROUND(fin.sum_micros / 1000000.0, 4) + 0.0 AS DOUBLE)")
+          .as("sum_r"))
+  }
+
   /** Gate harness for [[runningTotalsStream]]: stage the events table as
     * `nFiles` files, stream one file per micro-batch (Update mode to a
     * memory sink collects every per-batch emission), then reduce to each

@@ -453,6 +453,21 @@ class StreamingSpec extends SparkSpec {
     assert(out.values.exists { case (n, m) => n > m })
   }
 
+  test("transformWithState running totals == mapGroupsWithState form") {
+    val r1 = Files.createTempDirectory("graft-tws1").toString
+    val r2 = Files.createTempDirectory("graft-tws2").toString
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    val tws = m(Streaming.runningTotalsTws(spark, sf0001, r1, nFiles = 3))
+    val mgws = m(Streaming.runningTotals(spark, sf0001, r2, nFiles = 3))
+    assert(tws == mgws, "the two state APIs must agree exactly")
+    // the RocksDB override did not leak into the session (getOption
+    // surfaces the conf's default, so assert on the value)
+    assert(!spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass").contains("RocksDB"))
+  }
+
   test("runningTotals accumulates state across real micro-batches") {
     val root = Files.createTempDirectory("graft-running").toString
     val out = Streaming.runningTotals(spark, sf0001, root, nFiles = 4)
