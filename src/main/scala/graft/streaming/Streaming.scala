@@ -480,6 +480,75 @@ object Streaming {
       }
   }
 
+  /** [[sessionizeStream]] on Spark 4's `transformWithState`: the same
+    * gap-sessionization contract driven by EVENT-TIME TIMERS — the
+    * session state is a named ValueState, and the gap timeout is an
+    * explicit registered timer (deleted and re-registered as the
+    * session extends; TWS timers accumulate rather than overwrite, so
+    * a stale timer would close a still-open session early). Closed
+    * sessions emit inline; the open session emits from
+    * handleExpiredTimer when the watermark passes end + gap.
+    * Semantics pinned equal to the flatMapGroupsWithState form in
+    * StreamingSpec. */
+  final class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, Session] {
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[SessState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, it: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Session] = {
+      val out = scala.collection.mutable.ArrayBuffer[Session]()
+      var st = if (sess.exists()) sess.get() else SessState(0, 0L, 0L, 0L)
+      it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (st.cnt == 0L || e.ts_us - st.endUs > gapUs) {
+          if (st.cnt > 0L)
+            out += Session(uid, st.sid, st.startUs, st.endUs, st.cnt)
+          st = SessState(st.sid + 1, e.ts_us, e.ts_us, 1L)
+        } else st = st.copy(endUs = e.ts_us, cnt = st.cnt + 1)
+      }
+      sess.update(st)
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(st.endUs / 1000 + gapUs / 1000)
+      out.iterator
+    }
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Session] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val st = sess.get()
+        sess.clear()
+        if (st.cnt > 0L)
+          Iterator.single(Session(uid, st.sid, st.startUs, st.endUs, st.cnt))
+        else Iterator.empty
+      }
+    }
+  }
+
+  def sessionizeTwsStream(events: DataFrame, watermark: String = "1 hour",
+      gapUs: Long = 1800L * 1000000): Dataset[Session] = {
+    implicit val encEv = Encoders.product[Ev]
+    implicit val encS = Encoders.product[Session]
+    implicit val encL = Encoders.scalaLong
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   // ---- running per-key totals (mapGroupsWithState, Update mode) ---------
 
   final case class RunIn(user_id: Long, micros: Long)

@@ -453,6 +453,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.values.exists { case (n, m) => n > m })
   }
 
+  test("transformWithState sessionizer == flatMapGroupsWithState form") {
+    val dir = Files.createTempDirectory("graft-tws-sess").toString
+    eventsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/ev")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tws =
+      try Streaming.runToMemory(spark,
+        Streaming.sessionizeTwsStream(
+          spark.readStream.schema(eventsDf.schema).parquet(s"$dir/ev"),
+          watermark = "1 minute").toDF(),
+        "graft_sess_tws", OutputMode.Append()).collect()
+      finally spark.conf.set(providerKey, prev)
+    val mgws = Streaming.runToMemory(spark,
+      Streaming.sessionizeStream(
+        spark.readStream.schema(eventsDf.schema).parquet(s"$dir/ev"),
+        watermark = "1 minute").toDF(),
+      "graft_sess_fmgws", OutputMode.Append()).collect()
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(norm(tws) == norm(mgws),
+      "timer-driven TWS sessions must equal the flatMapGroupsWithState form")
+    assert(tws.nonEmpty)
+  }
+
   test("transformWithState running totals == mapGroupsWithState form") {
     val r1 = Files.createTempDirectory("graft-tws1").toString
     val r2 = Files.createTempDirectory("graft-tws2").toString
