@@ -465,6 +465,23 @@ class AnnSpec extends SparkSpec {
     assert(out(1) != 10L, "the near-duplicate of rank 1 is not rank 2")
   }
 
+  test("mmrTopK and hardNegatives are partition-count independent") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs2 = e.where(col("vec_id") < 10)
+    def mmr(c: org.apache.spark.sql.DataFrame) =
+      Ann.mmrTopK(qs2, c, "vec_id", "embedding", k = 3, shortlistK = 10,
+        lambda = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSet
+    val cand = e.where(col("vec_id") >= 10)
+    assert(mmr(cand) == mmr(cand.repartition(11)))
+    def hn(c: org.apache.spark.sql.DataFrame) =
+      Ann.hardNegatives(qs2, c, "vec_id", "embedding", "label", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .toSet
+    assert(hn(cand) == hn(cand.repartition(11)))
+  }
+
   test("ivf recall: probing every cell recovers the exact top-k") {
     val e = Tables.embeddings(spark, sf0001)
     val qs2 = e.where(col("vec_id") < 10)

@@ -94,6 +94,21 @@ class ClusterSpec extends SparkSpec {
     assert(out.forall(_.getInt(3) == 1))
   }
 
+  test("semDedup and kmeansAssign are partition-count independent") {
+    val e = Tables.embeddings(spark, sf0001)
+    def sd(df: org.apache.spark.sql.DataFrame) =
+      Cluster.semDedup(df, "vec_id", "embedding", k = 4, iters = 2,
+        minCosine = 0.3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+        .toSet
+    assert(sd(e) == sd(e.repartition(13)))
+    def ka(df: org.apache.spark.sql.DataFrame) =
+      Cluster.kmeansAssign(df, "vec_id", "embedding", k = 4, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .toSet
+    assert(ka(e) == ka(e.repartition(7)))
+  }
+
   test("kmeansAssign agrees with trainCentroids + assign composition") {
     val e = Tables.embeddings(spark, sf0001)
     val composed = Cluster.assign(e, "vec_id", "embedding",

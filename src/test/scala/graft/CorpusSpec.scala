@@ -494,4 +494,13 @@ class CorpusSpec extends SparkSpec {
     assert(out == want)
     assert(!out.keys.exists(_._1 == 3L), "empty doc contributes nothing")
   }
+
+  test("hashEmbed is partition-count independent (exact integer sums)") {
+    val docs = Tables.documents(spark, sf0001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.hashEmbed(df, "doc_id", "text", dim = 64)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    assert(run(docs) == run(docs.repartition(13)))
+  }
 }
