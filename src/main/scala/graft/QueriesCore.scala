@@ -139,9 +139,16 @@ object QueriesCore {
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")),
 
+    // anti-join against the big-ticket orders subset: every customer
+    // has SOME order in the TPC-H generator, so the unrestricted form
+    // returned 0 rows at every SF — a vacuous gate (an implementation
+    // returning LIMIT 0 would have passed). The >300000 restriction
+    // yields 30 rows at sf0.01 / 308 at sf0.1 while keeping the
+    // left_anti plan shape under test
     "q_anti_join" -> ((s, d) =>
       customer(s, d)
-        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(orders(s, d).where("o_totalprice > 300000"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")),
 
     "q_window" -> ((s, d) => {
@@ -849,7 +856,9 @@ object QueriesCore {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000)""".stripMargin,
 
     "q_window" ->
       """SELECT * FROM (

@@ -566,16 +566,17 @@ object QueriesCorpus {
          |FROM sc WINDOW w AS (ORDER BY bm25 DESC, doc_id)
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
-    // same md5-60-bit hash family as the simhash oracle; dim = low 6
-    // bits, sign = bit 6 (disjoint)
+    // same md5-60-bit hash family as the simhash oracle; dim = h mod
+    // dim, sign = bit 12 (above the max dim 4096, so never part of the
+    // dimension residue)
     "corpus_hash_embed" ->
       s"""WITH t AS ($toksCte),
          |tk AS (SELECT doc_id, unnest(w) AS tok FROM t),
          |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::UBIGINT AS h FROM tk)
          |SELECT doc_id, CAST(h % 64 AS INT) AS dim,
-         |  CAST(SUM(CASE WHEN ((h >> 6) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |  CAST(SUM(CASE WHEN ((h >> 12) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
          |FROM h GROUP BY 1, 2
-         |HAVING SUM(CASE WHEN ((h >> 6) & 1) = 1 THEN 1 ELSE -1 END) <> 0""".stripMargin,
+         |HAVING SUM(CASE WHEN ((h >> 12) & 1) = 1 THEN 1 ELSE -1 END) <> 0""".stripMargin,
 
     "corpus_perplexity" -> perplexityOracle,
 

@@ -34,10 +34,21 @@ object QueriesLlm {
 
     // directed containment |A∩B|/|A| — the asymmetric near-dup that
     // catches a doc embedded in a larger one (symmetric Jaccard
-    // punishes the size gap and misses it)
+    // punishes the size gap and misses it). The gate runs the
+    // PREFIX-FILTERED form (probe = smaller side's rarest ~20% of
+    // grams at t=0.8), which is lossless without maxDf — same result
+    // set as the plain inverted-index join, a fraction of its Σdf²
+    // pair stream
     "dedup_containment" -> ((s, d) =>
-      Dedup.ngramContainmentPairs(documents(s, d), "doc_id", "text",
+      Dedup.ngramContainmentPairsPrefix(documents(s, d), "doc_id", "text",
         "lang", n = 2, minContainment = 0.8)),
+
+    // exact SUBSTRING dedup (Lee et al. 2022 ExactSubstr): every
+    // ≥5-token span occurring twice anywhere in the corpus is excised
+    // from every doc that carries it; the rest of the doc survives —
+    // the span-level step whole-doc dedup can't do
+    "dedup_substring" -> ((s, d) =>
+      Dedup.substringDedup(documents(s, d), "doc_id", "text", k = 5)),
 
     // incremental SEMANTIC dedup: deterministic 20% of vectors play
     // the fresh ingest batch, LSH-probed strictly across sides against
@@ -464,11 +475,16 @@ object QueriesLlm {
     // comes from Graph.neighborJaccardGrouped on the gid graph —
     // equality spec-pinned; this synthetic corpus is dup-light (8
     // dup pairs / 5000 docs), so the doc-level path is the right one
+    // minCommon = 1: this dup-light synthetic corpus's near-dup graph
+    // has 67 wedge pairs sharing exactly ONE neighbor at sf0.01 and
+    // none sharing two — minCommon = 2 returned 0 rows on both engines
+    // (a vacuous gate). Real crawls have dup cliques where >= 2 is the
+    // useful dial; the wedge machinery under test is identical
     "graph_jaccard" -> ((s, d) =>
       graft.operators.Graph.neighborJaccard(
         Dedup.simhashPairs(documents(s, d), "doc_id", "text",
           maxHamming = 6),
-        "doc_a", "doc_b", minCommon = 2)),
+        "doc_a", "doc_b", minCommon = 1)),
 
     "text_langid" -> ((s, d) => {
       val t = documents(s, d)
@@ -1351,6 +1367,31 @@ object QueriesLlm {
         |  CAST(ROUND(CAST(inter AS DOUBLE)/na, 4) AS DOUBLE) AS containment
         |FROM p WHERE CAST(inter AS DOUBLE)/na >= 0.8""".stripMargin,
 
+    // same sliding k-window + md5-60-bit posting construction; the
+    // coverage filter reproduces the kept text byte-for-byte
+    "dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ('0x'||substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::BIGINT AS gh
+        |  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5),
+        |dup AS (SELECT gh FROM wins GROUP BY gh HAVING COUNT(*) >= 2),
+        |ds AS (SELECT doc_id, pos FROM wins JOIN dup USING (gh)),
+        |sl AS (SELECT doc_id, list_sort(list(pos)) AS starts FROM ds GROUP BY doc_id),
+        |kept AS (
+        |  SELECT t.doc_id, len(w) AS n_tokens,
+        |    CASE WHEN starts IS NULL THEN w
+        |         ELSE [w[p+1] for p in range(0, len(w))
+        |               if len(list_filter(starts, s -> s <= p AND p < s + 5)) = 0]
+        |    END AS kw
+        |  FROM toks t LEFT JOIN sl USING (doc_id))
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(n_tokens - len(kw) AS INT) AS n_removed,
+        |  array_to_string(kw, ' ') AS kept_text
+        |FROM kept""".stripMargin,
+
     "dedup_embed_delta" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
@@ -1597,7 +1638,7 @@ object QueriesLlm {
         |cn AS (
         |  SELECT a.node AS node_a, b.node AS node_b, COUNT(*) AS common
         |  FROM adj a JOIN adj b ON a.w = b.w AND a.node < b.node
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 1)
         |SELECT node_a, node_b, CAST(common AS BIGINT) AS common,
         |  CAST(ROUND(CAST(common AS DOUBLE) / (da.degree + db.degree - common), 4) + 0.0 AS DOUBLE) AS jac_r
         |FROM cn JOIN deg da ON da.node = cn.node_a

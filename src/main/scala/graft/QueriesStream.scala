@@ -270,17 +270,19 @@ object QueriesStream {
     // final state per user == the batch GROUP BY (count + exact
     // decimal-micros sum); the per-batch emission cadence itself is
     // pinned by StreamingSpec's multi-batch fixture
+    // COALESCE(...,0) pins the stream side's null-as-0-micros rule: a
+    // user whose events are ALL null-valued sums to 0.0, not NULL
     "stream_running" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
-        |    + 0.0 AS DOUBLE) AS sum_r
+        |  CAST(ROUND(CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0)
+        |    AS DOUBLE), 4) + 0.0 AS DOUBLE) AS sum_r
         |FROM events GROUP BY user_id""".stripMargin,
 
     // same totals contract through the transformWithState pipeline
     "stream_running_tws" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
-        |    + 0.0 AS DOUBLE) AS sum_r
+        |  CAST(ROUND(CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0)
+        |    AS DOUBLE), 4) + 0.0 AS DOUBLE) AS sum_r
         |FROM events GROUP BY user_id""".stripMargin,
 
     "stream_late_data" ->

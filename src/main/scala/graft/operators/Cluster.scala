@@ -30,6 +30,18 @@ object Cluster {
     * per-vector argmax. `centroids` = (cidCol: int, vecCol) as produced
     * by [[Ann.trainCentroids]]. Output: (idCol, cid, cos_r). */
   def assign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    assignWithVec(df, idCol, vecCol, centroids)
+      .select(col(idCol), col("cid"),
+        expr("CAST(ROUND(ccos, 4) + 0.0 AS DOUBLE)").as("cos_r"))
+
+  /** Shared nearest-centroid kernel: broadcast join + per-vector argmax
+    * (tie-break round(cos,6) DESC, cid ASC). Returns
+    * (idCol, cid, x, ccos) — [[assign]] projects the rounded cosine,
+    * [[semDedup]] keeps the vector for its within-cell pair join. ONE
+    * copy so the tie-break/rounding discipline can't drift between the
+    * two call sites. */
+  private def assignWithVec(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val v = df.select(col(idCol), Vectors.toDouble(col(vecCol)).as("x"))
@@ -41,8 +53,7 @@ object Cluster {
       .withColumn("ccos", GraftFunctions.cosine(spark, col("x"), col("cx")))
       .withColumn("crn", row_number().over(w))
       .where(col("crn") === 1)
-      .select(col(idCol), col("cid"),
-        expr("CAST(ROUND(ccos, 4) + 0.0 AS DOUBLE)").as("cos_r"))
+      .select(col(idCol), col("cid"), col("x"), col("ccos"))
   }
 
   /** Train k centroids on the full input and assign every vector —
@@ -68,15 +79,7 @@ object Cluster {
     require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1: k=$k iters=$iters")
     val spark = df.sparkSession
     val cent = Ann.trainCentroids(df, idCol, vecCol, k, iters)
-    val v = df.select(col(idCol), Vectors.toDouble(col(vecCol)).as("x"))
-    val w = Window.partitionBy(idCol)
-      .orderBy(round(col("ccos"), 6).desc, col("cid").asc)
-    val assigned = v
-      .join(broadcast(cent.select(col(idCol).cast("int").as("cid"),
-        Vectors.toDouble(col(vecCol)).as("cx"))))
-      .withColumn("ccos", GraftFunctions.cosine(spark, col("x"), col("cx")))
-      .withColumn("crn", row_number().over(w))
-      .where(col("crn") === 1)
+    val assigned = assignWithVec(df, idCol, vecCol, cent)
       .select(col(idCol), col("cid"), col("x"))
     val a = assigned.select(col("cid"), col(idCol).as("id_a"),
       col("x").as("xa"))

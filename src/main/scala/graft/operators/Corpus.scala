@@ -847,7 +847,11 @@ object Corpus {
     * dictionary).
     *
     * h = first 60 bits of md5 (the repo-wide engine-portable hash);
-    * sign = bit 6, disjoint from the low-6-bit dimension index.
+    * sign = bit 12 — above the dimension index for EVERY legal dim
+    * (dim <= 4096 = 2^12, so `h mod dim` never reads bit 12 when dim
+    * is a power of two, and for non-power-of-two dims the bit is still
+    * independent of the residue for the md5-uniform h). A lower bit
+    * would correlate sign with dimension whenever dim exceeds it.
     * Exact-integer output in LONG FORM — (doc_id, dim, v ≠ 0) — so
     * cross-engine comparison is scalar, and downstream consumers can
     * pivot to dense arrays only where they must. Row-local + one
@@ -860,7 +864,7 @@ object Corpus {
       .withColumn("h",
         expr("CAST(CONV(SUBSTRING(MD5(tok), 1, 15), 16, 10) AS BIGINT)"))
       .select(col("doc_id"), pmod(col("h"), lit(dim)).cast("int").as("dim"),
-        expr("IF(((h >> 6) & 1) = 1, 1, -1)").as("sgn"))
+        expr("IF(((h >> 12) & 1) = 1, 1, -1)").as("sgn"))
       .groupBy("doc_id", "dim")
       .agg(sum(col("sgn")).as("v"))
       .where(col("v") =!= 0)

@@ -943,6 +943,164 @@ object Dedup {
         expr("CAST(ROUND(c, 4) AS DOUBLE)").as("containment"))
   }
 
+  /** EXACT SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", ExactSubstr): remove every
+    * ≥k-token span that occurs more than once ANYWHERE in the corpus,
+    * keeping the rest of each document — the curation step between
+    * whole-doc exact dedup and fuzzy near-dedup. The paper removes all
+    * occurrences of a duplicated span (not all-but-one); this does too.
+    *
+    * Where the paper builds one giant suffix array, the distributed
+    * equivalent rides a k-token sliding-window posting table: a span of
+    * length ≥ k is duplicated iff each of its k-windows is duplicated,
+    * so marking every token covered by a dup k-window excises exactly
+    * the maximal duplicated spans (plus nothing else — a window that
+    * appears once covers nothing). Costs: one posexplode (n_tokens
+    * windows per doc), one count per 60-bit window hash (the only
+    * shuffle, keyed on the hash), one per-doc sorted start-list
+    * (bounded by doc length), and a row-local coverage filter. Nothing
+    * all-pairs, nothing driver-side; the md5-60-bit window hash is the
+    * repo's engine-portable family, so the DuckDB oracle reproduces
+    * the kept text byte-for-byte.
+    *
+    * Output: (doc_id, n_tokens, n_removed, kept_text) — kept_text is
+    * the doc's surviving tokens space-joined (tokenization is
+    * [[TextAnalysis.tokens]]: lowercase, whitespace-split). Docs
+    * shorter than k tokens pass through untouched. */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 2, s"substringDedup: k must be >= 2, got $k")
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("w"))
+    val wins = toks
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), " +
+          s"i -> array_join(slice(w, i + 1, $k), ' '))"))
+        .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        expr("CAST(CONV(SUBSTRING(MD5(gram), 1, 15), 16, 10) AS BIGINT)")
+          .as("gh"))
+    // global occurrence count ≥ 2 — a within-doc repeat is a duplicate
+    // too (the paper's semantics); the count's group key is the 60-bit
+    // hash, never the window text
+    val dupStarts = wins
+      .join(wins.groupBy("gh").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2L).select("gh"), "gh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    toks.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        expr(
+          s"""CASE WHEN starts IS NULL THEN w ELSE
+             |  filter(transform(w, (t, p) ->
+             |    IF(exists(starts, s -> s <= p AND p < s + $k), NULL, t)),
+             |    t -> t IS NOT NULL)
+             |END""".stripMargin).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("int").as("n_removed"),
+        array_join(col("kept"), " ").as("kept_text"))
+  }
+
+  /** [[ngramContainmentPairs]] with PPJoin-style prefix filtering — the
+    * scale-safe form. The plain inverted-index join streams Σdf² pairs,
+    * which a single df=1M stopword bigram turns into 10¹² rows; this
+    * form probes with only the SMALLER doc's rarest-gram prefix.
+    *
+    * Why a prefix works here even though the Jaccard SIZE-RATIO prune
+    * provably can't (a contained doc can be any size): C(a→b) ≥ t with
+    * n_a ≤ n_b needs inter ≥ ⌈t·n_a⌉ shared grams, so by pigeonhole at
+    * least one of them sits inside a's rarest n_a − ⌈t·n_a⌉ + 1 grams
+    * (at t = 0.8 that prefix is ~20% of the doc). The reverse direction
+    * rides along free: C(b→a) ≥ t from the larger side forces
+    * inter ≥ t·n_b ≥ t·n_a, so every qualifying pair — either
+    * direction — collides inside the smaller side's prefix. Candidate
+    * generation therefore joins prefix(smaller) × full posting, keyed
+    * smaller-side (ties on the packed key), with the positional bound
+    * min(n_a − rnk_a, n_b − rnk_b) + 1 ≥ ⌈t·n_a⌉: ranks are positions
+    * in the shared rarest-first (df, gram) order, so grams common from
+    * (rnk_a, rnk_b) onward cannot exceed that min (capped-out hot grams
+    * are ≤ n − capped_rank by construction, keeping the bound valid
+    * under maxDf). Verification is exact — full gram sets re-attach by
+    * key-partitioned joins and both directed containments derive from
+    * one array_intersect — so every emitted pair carries true values
+    * and, with `maxDf = None`, the result set EQUALS
+    * [[ngramContainmentPairs]] (equality spec in DedupSpec).
+    *
+    * `maxDf` is the same lossy opt-in dial as on
+    * [[ngramJaccardPairsPrefix]]: grams with df > maxDf never generate
+    * candidates, bounding the worst-case posting list; a qualifying
+    * pair is missed only if every gram the prefix shares with the
+    * partner is capped. At 100 TB this is the switch that keeps the
+    * head of the gram distribution out of the join entirely. */
+  def ngramContainmentPairsPrefix(df: DataFrame, idCol: String,
+      textCol: String, groupCol: String, n: Int = 2,
+      minContainment: Double = 0.8, maxDf: Option[Long] = None): DataFrame = {
+    val spark = df.sparkSession
+    val grams = df
+      .select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("id"), col("grp"),
+        GraftFunctions.shingles(spark, col("w"), n).as("g"))
+    val posting = grams
+      .select(
+        when(col("id").isNull || col("id") < 0L || col("id") >= (1L << 43) ||
+             size(col("g")).cast("long") >= (1L << 20),
+          expr("raise_error('ngramContainmentPairsPrefix: id/n_g out of packable range')")
+            .cast("long"))
+          .otherwise(shiftleft(col("id"), 20)
+            .bitwiseOR(size(col("g")).cast("long"))).as("pk"),
+        col("grp"), explode(col("g")).as("gram"))
+    val gramDf = posting.groupBy("grp", "gram").agg(count(lit(1)).as("gdf"))
+    val capped = maxDf.fold(gramDf)(t => gramDf.where(col("gdf") <= t))
+    def ng(c: Column): Column = c.bitwiseAND(lit((1L << 20) - 1))
+    // ONE ranked posting feeds both join sides: the prefix (probe) side
+    // filters it, so the two sides can never disagree on gram order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy(col("gdf").asc, col("gram").asc)
+    val ranked = posting
+      .join(capped, Seq("grp", "gram"))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("pk"), col("rnk"),
+        xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
+    val prefix = ranked
+      .where(col("rnk") <=
+        ng(col("pk")) - ceil(ng(col("pk")) * minContainment) + 1)
+    val cand = prefix.as("a")
+      .join(ranked.as("b").hint("shuffle_hash"),
+        col("a.gk") === col("b.gk") &&
+          (ng(col("a.pk")) < ng(col("b.pk")) ||
+            (ng(col("a.pk")) === ng(col("b.pk")) &&
+              col("a.pk") < col("b.pk"))) &&
+          (least(ng(col("a.pk")) - col("a.rnk"),
+              ng(col("b.pk")) - col("b.rnk")) + 1).cast("double") >=
+            ceil(ng(col("a.pk")) * minContainment))
+      .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .distinct()
+    // exact verification: candidate side is the small pre-distinct side
+    // (shuffle_hash, same re-attach shape as ngramJaccardPairsPrefix)
+    val sets = grams.select(
+      shiftleft(col("id"), 20).bitwiseOR(size(col("g")).cast("long"))
+        .as("pk"),
+      col("g"))
+    val inter = cand.hint("shuffle_hash")
+      .join(sets.as("sa"), col("pa") === col("sa.pk"))
+      .hint("shuffle_hash")
+      .join(sets.as("sb"), col("pb") === col("sb.pk"))
+      .select(col("pa"), col("pb"),
+        size(array_intersect(col("sa.g"), col("sb.g"))).cast("long")
+          .as("inter"))
+    val directed = inter.select(col("pa").as("src"), col("pb").as("dst"),
+        (col("inter").cast("double") / ng(col("pa"))).as("c"))
+      .unionByName(inter.select(col("pb").as("src"), col("pa").as("dst"),
+        (col("inter").cast("double") / ng(col("pb"))).as("c")))
+    directed.where(col("c") >= minContainment)
+      .select(shiftrightunsigned(col("src"), 20).as("src_doc"),
+        shiftrightunsigned(col("dst"), 20).as("dst_doc"),
+        expr("CAST(ROUND(c, 4) AS DOUBLE)").as("containment"))
+  }
+
   /** Incremental embedding near-dup: probe a FRESH ingest batch against
     * the existing corpus — banded hyperplane LSH candidates strictly
     * ACROSS sides (never fresh×fresh or corpus×corpus), exact-cosine

@@ -98,7 +98,13 @@ object Quality {
   def dpCounts(df: DataFrame, keyCol: String, epsilon: Double,
       salt: String): DataFrame = {
     require(epsilon > 0, s"dpCounts: epsilon must be > 0, got $epsilon")
-    require(salt.nonEmpty, "dpCounts: empty salt")
+    // both interpolate into expr() strings below: a quote in the salt
+    // would break parsing (or silently change the hashed prefix), and a
+    // keyCol needing backticks would mis-parse — reject, don't escape
+    require(salt.matches("[A-Za-z0-9._-]+"),
+      s"dpCounts: salt must match [A-Za-z0-9._-]+, got '$salt'")
+    require(keyCol.matches("[A-Za-z0-9_]+"),
+      s"dpCounts: keyCol must be a plain identifier, got '$keyCol'")
     df.groupBy(keyCol).agg(count(lit(1)).as("n"))
       .withColumn("u", expr(
         s"""(CAST(CONV(SUBSTRING(MD5(CONCAT('graft-dp:$salt:',

@@ -216,7 +216,11 @@ object Streaming {
     val joined = clickAttributionLeft(stream, stream)
     runToMemory(spark, joined, "graft_stream_join_left",
         OutputMode.Append())
-      .where(col("click_id") >= 0)
+      // drop exactly the sentinel rows staged above (click user_id -1,
+      // click_id -1) — an exact-id filter, not a sign test, so a real
+      // event with a negative id would NOT be silently dropped and a
+      // changed sentinel convention fails loudly in the oracle compare
+      .where(col("click_id") =!= -1L && col("user_id") =!= -1L)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_rows"),
         count(col("purchase_id")).as("n_matched"))

@@ -484,7 +484,7 @@ class CorpusSpec extends SparkSpec {
       toks.foreach { t =>
         val h = h60(t)
         val d = (h % 64).toInt
-        val s = if (((h >> 6) & 1L) == 1L) 1L else -1L
+        val s = if (((h >> 12) & 1L) == 1L) 1L else -1L
         m(d) = m.getOrElse(d, 0L) + s
       }
       m.filter(_._2 != 0).map { case (d, v) => (docId, d) -> v }
@@ -493,6 +493,35 @@ class CorpusSpec extends SparkSpec {
       expected(2L, Seq("alpha", "beta"))).toMap
     assert(out == want)
     assert(!out.keys.exists(_._1 == 3L), "empty doc contributes nothing")
+  }
+
+  test("hashEmbed sign is not a function of the dimension for dim > 64") {
+    import spark.implicits._
+    // with the sign at a bit INSIDE h mod dim (the pre-r8 bit 6), every
+    // token landing on a given dim of a power-of-two dim > 64 carries
+    // the SAME sign, so |v| would equal the token count in EVERY dim;
+    // bit 12 sits above the 4096 cap, so distinct tokens colliding on a
+    // dim must show mixed signs about half the time. The sf fixtures'
+    // vocab is too small to collide (31 tokens at sf0.001) — use a
+    // synthetic 4000-token doc against dim=256 (≈15.6 tokens/dim).
+    val text = (0 until 4000).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val perDim = Corpus.hashEmbed(df, "doc_id", "text", dim = 256)
+    val tokensPerDim = df
+      .selectExpr("explode(split(lower(text), ' ')) AS tok")
+      .where("tok <> ''")
+      .selectExpr(
+        "CAST(CONV(SUBSTRING(MD5(tok), 1, 15), 16, 10) AS BIGINT) AS h")
+      .selectExpr("CAST(pmod(h, 256) AS INT) AS dim")
+      .groupBy("dim").count()
+    val cancelled = perDim
+      .join(tokensPerDim, "dim")
+      .where(org.apache.spark.sql.functions.abs(
+        org.apache.spark.sql.functions.col("v")) <
+        org.apache.spark.sql.functions.col("count"))
+      .count()
+    assert(cancelled > 100,
+      s"only $cancelled/256 dims showed sign mixing — sign correlated with dim")
   }
 
   test("hashEmbed is partition-count independent (exact integer sums)") {

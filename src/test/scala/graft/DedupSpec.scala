@@ -366,6 +366,44 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("containment prefix form: lossless equality with the inverted-index form") {
+    // the PPJoin prefix prune must stay lossless for C >= t — a fully-
+    // contained SMALL doc (the worst case for any size-based cut) and
+    // every boundary shape on the sf fixture must survive
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val fixture = Seq(
+      (1L, big, "en"),
+      (2L, "w10 w11 w12 w13", "en"),   // strict subset of doc 1
+      (3L, "zz yy xx", "en"),
+      (4L, big + " extra tail", "en"), // near-superset of doc 1
+      (5L, "w10 w11 w12 w13", "fr")    // same text, other group
+    ).toDF("doc_id", "text", "lang")
+    def run(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(fixture).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = run(Dedup.ngramContainmentPairs(_, "doc_id", "text", "lang",
+      n = 2, minContainment = 0.8))
+    val pref = run(Dedup.ngramContainmentPairsPrefix(_, "doc_id", "text",
+      "lang", n = 2, minContainment = 0.8))
+    assert(pref == plain)
+    assert(pref.contains((2L, 1L, 1.0)), "fully-contained small doc must pair")
+    // and on real corpus text at both a tight and a loose threshold
+    val docs = Tables.documents(spark, sf0001)
+    Seq(0.8, 0.5).foreach { t =>
+      val a = Dedup.ngramContainmentPairs(docs, "doc_id", "text", "lang",
+        n = 2, minContainment = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = Dedup.ngramContainmentPairsPrefix(docs, "doc_id", "text",
+        "lang", n = 2, minContainment = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b, s"prefix form diverged at t=$t")
+    }
+    // maxDf cap: found pairs still carry TRUE containment values
+    val capped = run(Dedup.ngramContainmentPairsPrefix(_, "doc_id", "text",
+      "lang", n = 2, minContainment = 0.8, maxDf = Some(2L)))
+    assert(capped.subsetOf(plain))
+  }
+
   test("deltaEmbedding crosses sides only and agrees with exact cross pairs") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
