@@ -34,14 +34,33 @@ object QueriesLlm {
 
     // directed containment |A∩B|/|A| — the asymmetric near-dup that
     // catches a doc embedded in a larger one (symmetric Jaccard
-    // punishes the size gap and misses it). The gate runs the
-    // PREFIX-FILTERED form (probe = smaller side's rarest ~20% of
-    // grams at t=0.8), which is lossless without maxDf — same result
-    // set as the plain inverted-index join, a fraction of its Σdf²
-    // pair stream
+    // punishes the size gap and misses it). The gate runs the plain
+    // inverted-index form: on the synthetic near-uniform-df fixture the
+    // PPJoin prefix admits 1.23M of 12.5M possible pairs (measured
+    // sf0.1, PLANS.md r9), so every prefix variant pays more than the
+    // Σdf² aggregate it tries to avoid — same measured tradeoff as
+    // dedup_ngram. The Zipf-scale prefix path is gated by
+    // dedup_containment_capped below.
     "dedup_containment" -> ((s, d) =>
-      Dedup.ngramContainmentPairsPrefix(documents(s, d), "doc_id", "text",
+      Dedup.ngramContainmentPairs(documents(s, d), "doc_id", "text",
         "lang", n = 2, minContainment = 0.8)),
+
+    // the 100-TB containment path, gated end-to-end: PPJoin-style
+    // prefix candidates over df-capped grams (hot grams never join),
+    // exact count-shaped verification — the DuckDB oracle mirrors the
+    // rarest-first ranking, prefix cutoff, and positional bound
+    // verbatim, so the CANDIDATE SET itself is pinned, not just the
+    // verified survivors
+    "dedup_containment_capped" -> ((s, d) =>
+      Dedup.ngramContainmentPairsPrefix(documents(s, d), "doc_id", "text",
+        "lang", n = 2, minContainment = 0.8, maxDf = Some(12L))),
+
+    // the capped Jaccard sibling (same rationale; verdict r8 #6): the
+    // prefix+maxDf path dedup_ngram's scaladoc points to at corpus
+    // scale, oracle-pinned including the candidate generation
+    "dedup_ngram_capped" -> ((s, d) =>
+      Dedup.ngramJaccardPairsPrefix(documents(s, d), "doc_id", "text",
+        "lang", n = 2, minJaccard = 0.3, maxDf = Some(12L))),
 
     // exact SUBSTRING dedup (Lee et al. 2022 ExactSubstr): every
     // ≥5-token span occurring twice anywhere in the corpus is excised
@@ -1366,6 +1385,76 @@ object QueriesLlm {
         |SELECT src_doc, dst_doc,
         |  CAST(ROUND(CAST(inter AS DOUBLE)/na, 4) AS DOUBLE) AS containment
         |FROM p WHERE CAST(inter AS DOUBLE)/na >= 0.8""".stripMargin,
+
+    // mirrors ngramContainmentPairsPrefix(maxDf=12) VERBATIM: capped
+    // rarest-first ranking (df asc, gram asc), prefix cutoff and
+    // positional bound via the same ceil(round(·,9)) arithmetic, then
+    // exact full-gram-set verification — the candidate set itself is
+    // oracle-pinned, not just the surviving pairs
+    "dedup_containment_capped" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, list_distinct([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |post AS (SELECT doc_id, lang, len(g) AS n_g, unnest(g) AS gram FROM bg),
+        |dfreq AS (SELECT lang, gram, COUNT(*) AS gdf FROM post GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT p.doc_id, p.lang, p.n_g, p.gram,
+        |    ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY d.gdf ASC, p.gram ASC) AS rnk
+        |  FROM post p JOIN dfreq d ON p.lang = d.lang AND p.gram = d.gram
+        |  WHERE d.gdf <= 12),
+        |pref AS (
+        |  SELECT * FROM rk
+        |  WHERE rnk <= n_g - ceil(round(n_g * CAST(0.8 AS DOUBLE), 9)) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, a.n_g AS na, b.doc_id AS db, b.n_g AS nb
+        |  FROM pref a JOIN rk b ON a.lang = b.lang AND a.gram = b.gram
+        |    AND (a.n_g < b.n_g OR (a.n_g = b.n_g AND a.doc_id < b.doc_id))
+        |    AND least(a.n_g - a.rnk, b.n_g - b.rnk) + 1 >= ceil(round(a.n_g * CAST(0.8 AS DOUBLE), 9))),
+        |iv AS (
+        |  SELECT da, db, na, nb, len(list_intersect(ga.g, gb.g)) AS inter
+        |  FROM cand JOIN bg ga ON da = ga.doc_id JOIN bg gb ON db = gb.doc_id),
+        |dir AS (
+        |  SELECT da AS src_doc, db AS dst_doc, CAST(inter AS DOUBLE) / na AS c FROM iv
+        |  UNION ALL
+        |  SELECT db, da, CAST(inter AS DOUBLE) / nb FROM iv)
+        |SELECT src_doc, dst_doc, CAST(ROUND(c, 4) AS DOUBLE) AS containment
+        |FROM dir WHERE c >= 0.8""".stripMargin,
+
+    // mirrors ngramJaccardPairsPrefix(maxDf=12) verbatim — both join
+    // sides are prefixes, size-ratio prune + PPJoin positional bound
+    // with the shared ceil(round(·,9)) arithmetic, exact verification
+    "dedup_ngram_capped" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, list_distinct([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |post AS (SELECT doc_id, lang, len(g) AS n_g, unnest(g) AS gram FROM bg),
+        |dfreq AS (SELECT lang, gram, COUNT(*) AS gdf FROM post GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT p.doc_id, p.lang, p.n_g, p.gram,
+        |    ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY d.gdf ASC, p.gram ASC) AS rnk
+        |  FROM post p JOIN dfreq d ON p.lang = d.lang AND p.gram = d.gram
+        |  WHERE d.gdf <= 12),
+        |pref AS (
+        |  SELECT * FROM rk
+        |  WHERE rnk <= n_g - ceil(round(n_g * CAST(0.3 AS DOUBLE), 9)) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM pref a JOIN pref b ON a.lang = b.lang AND a.gram = b.gram
+        |    AND a.doc_id < b.doc_id
+        |    AND CAST(least(a.n_g, b.n_g) AS DOUBLE) / greatest(a.n_g, b.n_g) >= 0.3
+        |    AND least(a.n_g - a.rnk, b.n_g - b.rnk) + 1 >=
+        |      ceil(round((a.n_g + b.n_g) * (CAST(0.3 AS DOUBLE) / 1.3), 9))),
+        |p AS (
+        |  SELECT da AS doc_a, db AS doc_b,
+        |    len(list_intersect(ga.g, gb.g)) AS inter, len(ga.g) AS na, len(gb.g) AS nb
+        |  FROM cand JOIN bg ga ON da = ga.doc_id JOIN bg gb ON db = gb.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS DOUBLE) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3""".stripMargin,
 
     // same sliding k-window + md5-60-bit posting construction; the
     // coverage filter reproduces the kept text byte-for-byte

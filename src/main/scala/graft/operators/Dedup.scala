@@ -442,10 +442,15 @@ object Dedup {
     val capped = maxDf.fold(gramDf)(t => gramDf.where(col("gdf") <= t))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("gdf").asc, col("gram").asc)
+    // ceil over a round-9 guard (same discipline as the containment
+    // form): an exactly-integer t·n must not straddle an ulp between
+    // the prune and the final ratio filter — and the capped gate's
+    // DuckDB oracle mirrors this arithmetic verbatim
     val prefix = posting
       .join(capped, Seq("grp", "gram"))
       .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= col("n_g") - ceil(col("n_g") * minJaccard) + 1)
+      .where(col("rnk") <=
+        col("n_g") - ceil(round(col("n_g") * minJaccard, 9)) + 1)
       .select(col("id"), col("grp"), col("n_g"), col("rnk"),
         xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
     val cand = prefix.as("a")
@@ -453,9 +458,9 @@ object Dedup {
         col("a.gk") === col("b.gk") && col("a.id") < col("b.id") &&
           least(col("a.n_g"), col("b.n_g")).cast("double") /
             greatest(col("a.n_g"), col("b.n_g")) >= minJaccard &&
-          (least(col("a.n_g") - col("a.rnk"), col("b.n_g") - col("b.rnk")) + 1)
-            .cast("double") >=
-            ceil((col("a.n_g") + col("b.n_g")) * (minJaccard / (1 + minJaccard))))
+          least(col("a.n_g") - col("a.rnk"), col("b.n_g") - col("b.rnk")) + 1 >=
+            ceil(round((col("a.n_g") + col("b.n_g")) *
+              (minJaccard / (1 + minJaccard)), 9)))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     // rerank re-attaches the full gram sets by KEY-PARTITIONED joins on
@@ -1021,10 +1026,17 @@ object Dedup {
     * in the shared rarest-first (df, gram) order, so grams common from
     * (rnk_a, rnk_b) onward cannot exceed that min (capped-out hot grams
     * are ≤ n − capped_rank by construction, keeping the bound valid
-    * under maxDf). Verification is exact — full gram sets re-attach by
-    * key-partitioned joins and both directed containments derive from
-    * one array_intersect — so every emitted pair carries true values
-    * and, with `maxDf = None`, the result set EQUALS
+    * under maxDf). Verification is exact, COUNT-shaped, and
+    * candidate-proportional: each candidate pair expands to the a-side
+    * doc's (uncapped) gram hashes, equi-joined against b's grams on the
+    * composite (doc, gram) key; one count per pair is the true |A∩B|.
+    * Cost is Σ_cand n_a — never a posting self-join, never a gram-array
+    * re-attach (r8's array_intersect verify built unspillable hash
+    * relations and OOM'd at sf0.1 on an 8 GiB heap). No join hints
+    * anywhere in this form: AQE picks shuffle-hash only when a build
+    * side genuinely fits, and sort-merge spills otherwise. Every
+    * emitted pair carries
+    * true values and, with `maxDf = None`, the result set EQUALS
     * [[ngramContainmentPairs]] (equality spec in DedupSpec).
     *
     * `maxDf` is the same lossy opt-in dial as on
@@ -1055,6 +1067,11 @@ object Dedup {
     val gramDf = posting.groupBy("grp", "gram").agg(count(lit(1)).as("gdf"))
     val capped = maxDf.fold(gramDf)(t => gramDf.where(col("gdf") <= t))
     def ng(c: Column): Column = c.bitwiseAND(lit((1L << 20) - 1))
+    // required intersection for C ≥ t from a doc of n grams, derived
+    // the SAME way on every path (prefix cutoff, positional bound):
+    // ceil over a round-9 guard so an exactly-integer t·n can't
+    // straddle an ulp between the prune and the final ratio filter
+    def reqd(c: Column): Column = ceil(round(ng(c) * lit(minContainment), 9))
     // ONE ranked posting feeds both join sides: the prefix (probe) side
     // filters it, so the two sides can never disagree on gram order
     val w = org.apache.spark.sql.expressions.Window
@@ -1065,32 +1082,40 @@ object Dedup {
       .select(col("pk"), col("rnk"),
         xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
     val prefix = ranked
-      .where(col("rnk") <=
-        ng(col("pk")) - ceil(ng(col("pk")) * minContainment) + 1)
+      .where(col("rnk") <= ng(col("pk")) - reqd(col("pk")) + 1)
     val cand = prefix.as("a")
-      .join(ranked.as("b").hint("shuffle_hash"),
+      .join(ranked.as("b"),
         col("a.gk") === col("b.gk") &&
           (ng(col("a.pk")) < ng(col("b.pk")) ||
             (ng(col("a.pk")) === ng(col("b.pk")) &&
               col("a.pk") < col("b.pk"))) &&
-          (least(ng(col("a.pk")) - col("a.rnk"),
-              ng(col("b.pk")) - col("b.rnk")) + 1).cast("double") >=
-            ceil(ng(col("a.pk")) * minContainment))
+          least(ng(col("a.pk")) - col("a.rnk"),
+              ng(col("b.pk")) - col("b.rnk")) + 1 >=
+            reqd(col("a.pk")))
       .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .distinct()
-    // exact verification: candidate side is the small pre-distinct side
-    // (shuffle_hash, same re-attach shape as ngramJaccardPairsPrefix)
-    val sets = grams.select(
-      shiftleft(col("id"), 20).bitwiseOR(size(col("g")).cast("long"))
-        .as("pk"),
-      col("g"))
-    val inter = cand.hint("shuffle_hash")
-      .join(sets.as("sa"), col("pa") === col("sa.pk"))
-      .hint("shuffle_hash")
-      .join(sets.as("sb"), col("pb") === col("sb.pk"))
-      .select(col("pa"), col("pb"),
-        size(array_intersect(col("sa.g"), col("sb.g"))).cast("long")
-          .as("inter"))
+    // exact verification, count-shaped and CANDIDATE-proportional: each
+    // candidate pair expands to the a-side doc's gram hashes (full
+    // UNCAPPED posting — a capped gram still counts toward a generated
+    // candidate's true intersection), which then equi-join b's grams on
+    // the composite (doc, gram) key; one count per pair is the true
+    // |A∩B|. Cost is Σ_cand n_a rows — proportional to the candidate
+    // set, never a posting self-join — and gram arrays never re-attach,
+    // so there is no unspillable hash build and no per-candidate
+    // array_intersect (r8's OOM)
+    val vposting = posting.select(col("pk"),
+      xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
+    val vpA = vposting.join(
+      cand.select(col("pa").as("pk")).distinct(), Seq("pk"), "left_semi")
+    val vpB = vposting.join(
+      cand.select(col("pb").as("pk")).distinct(), Seq("pk"), "left_semi")
+    val inter = cand
+      .join(vpA.as("a"), col("pa") === col("a.pk"))
+      .select(col("pa"), col("pb"), col("a.gk").as("agk"))
+      .join(vpB.as("b"),
+        col("pb") === col("b.pk") && col("agk") === col("b.gk"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("inter"))
     val directed = inter.select(col("pa").as("src"), col("pb").as("dst"),
         (col("inter").cast("double") / ng(col("pa"))).as("c"))
       .unionByName(inter.select(col("pb").as("src"), col("pa").as("dst"),
