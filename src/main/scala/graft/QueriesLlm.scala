@@ -345,6 +345,28 @@ object QueriesLlm {
         k = 5, nprobe = 2, m = 8)
     }),
 
+    // index COMPACTION closes the maintenance loop: build + delta
+    // appends accumulate per-batch files, compaction folds them back
+    // to one file per cell (layout op, no re-train), and the probe
+    // result is INVARIANT — same oracle string as ann_index_upsert;
+    // the file-count drop itself is pinned in AnnSpec
+    "ann_index_compact" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/ann_idxc_${d.replace('/', '_')}"
+      val e = embeddings(s, d)
+      stageOnce(root) {
+        graft.operators.AnnIndex.buildIvfPq(
+          e.where(col("vec_id") >= 10 && col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", root, cells = 4, m = 8, codebookK = 8)
+        graft.operators.AnnIndex.appendIvfPq(s, root,
+          e.where(col("vec_id") >= 10 && col("vec_id") % 3 === 0),
+          "vec_id", "embedding", m = 8)
+        graft.operators.AnnIndex.compactIvfPq(s, root)
+      }
+      graft.operators.AnnIndex.probeIvfPq(
+        s, root, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 2, m = 8)
+    }),
+
     // retrieve-then-refine: IVF-PQ shortlist (k·4 per query from codes
     // alone) re-attaches full vectors for an exact-cosine rerank — the
     // production ANN serving shape (quantized index bounds vector reads)
@@ -1478,7 +1500,7 @@ object QueriesLlm {
         |  FROM toks t LEFT JOIN sl USING (doc_id))
         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
         |  CAST(n_tokens - len(kw) AS INT) AS n_removed,
-        |  array_to_string(kw, ' ') AS kept_text
+        |  COALESCE(array_to_string(kw, ' '), '') AS kept_text
         |FROM kept""".stripMargin,
 
     "dedup_embed_delta" ->
@@ -1813,6 +1835,17 @@ object QueriesLlm {
     // train on the base rows only, encode base ∪ delta against that
     // frozen model — the oracle of the engine's additive append path
     "ann_index_upsert" -> (ivfpqCte(
+      "vec_id >= 10 AND vec_id % 3 <> 0", "vec_id >= 10") +
+      """
+        |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
+        |FROM r3
+        |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin),
+
+    // compaction never changes WHAT the index answers — identical
+    // oracle to ann_index_upsert (build + append, then layout-only fold)
+    "ann_index_compact" -> (ivfpqCte(
       "vec_id >= 10 AND vec_id % 3 <> 0", "vec_id >= 10") +
       """
         |SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank,

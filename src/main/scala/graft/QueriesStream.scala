@@ -139,6 +139,26 @@ object QueriesStream {
       Streaming.leftJoinCounts(s, d,
         s"/tmp/graft_rt/leftjoin_${d.replace('/', '_')}")),
 
+    // TWO stateful operators chained in ONE query (Spark 4):
+    // dropDuplicatesWithinWatermark → tumbling hourly counts, Append
+    // mode, sentinel-closed. Dedup keys include ts so the surviving
+    // row is arrival-order-independent; watermark delay exceeds the
+    // data span so no real row is ever late, whatever the batch split
+    "stream_chained" -> ((s, d) =>
+      Streaming.chainedDedupCounts(s, d,
+        s"/tmp/graft_rt/chained_${d.replace('/', '_')}")),
+
+    // checkpoint RECOVERY: the same windowed agg as stream_window, run
+    // as two query lifetimes over one checkpoint — stop after the
+    // first half's batches commit, restart, drain the rest. The final
+    // table equals the batch GROUP BY over ALL events (shared oracle):
+    // replaying committed batches would double first-half counts,
+    // losing state would zero them. Batch-id continuity and
+    // no-reprocessing input counts are pinned in StreamingSpec.
+    "stream_recover" -> ((s, d) =>
+      Streaming.recoverWindowCounts(s, d,
+        s"/tmp/graft_rt/recover_${d.replace('/', '_')}")),
+
     "stream_upsert" -> ((s, d) => {
       val root = s"/tmp/graft_rt/upsert_${d.replace('/', '_')}"
       // the bucketed target merges into what exists — start from a
@@ -183,6 +203,22 @@ object QueriesStream {
         |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // dedup-then-window chain: DISTINCT (user, type, ts) then hourly
+    // counts — the ts-in-key choice makes the kept row deterministic
+    "stream_chained" ->
+      """WITH dd AS (SELECT DISTINCT user_id, event_type, ts FROM events)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM dd GROUP BY 1, 2""".stripMargin,
+
+    // recovery must reproduce the full-data aggregate exactly — same
+    // oracle string as stream_window by construction
+    "stream_recover" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",

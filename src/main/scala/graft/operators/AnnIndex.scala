@@ -52,6 +52,55 @@ object AnnIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** Code-file count across all cell directories — metadata-only
+    * FileSystem listing (the [[Compaction.dirStats]] discipline). */
+  def codeFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  /** Index COMPACTION: fold the delta files [[appendIvfPq]] accumulates
+    * back into one file per cell. Every append leaves one more file in
+    * each touched cell directory; after enough batches a probe's
+    * pruned read degrades into a file-listing/task-scheduling exercise
+    * (the [[Compaction]] rationale, inside an index). One distributed
+    * pass: `repartition(col("cell"))` routes each cell's rows to
+    * exactly one task, so the cell-partitioned rewrite emits exactly
+    * one file per cell — restoring the build-time layout while
+    * PRESERVING ROWS EXACTLY (codes carry deterministic (nid, s, cid)
+    * values, so probe results are invariant — spec-pinned, and the
+    * gate reuses the upsert gate's oracle). The rewrite lands in a
+    * fresh directory and swaps in by rename: concurrent probes that
+    * already listed the old directory finish against intact files.
+    * Centroids/codebooks are untouched — compaction is a layout
+    * operation, never a re-train. Returns (files before, files after). */
+  def compactIvfPq(spark: SparkSession, path: String): (Int, Int) = {
+    val before = codeFileCount(spark, path)
+    val tmp = s"$path/codes_compacting"
+    val old = s"$path/codes_old"
+    spark.read.parquet(s"$path/codes")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/codes"),
+      new org.apache.hadoop.fs.Path(old)), s"compact: cannot move codes aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$path/codes")),
+      s"compact: cannot swap in compacted codes")
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    (before, codeFileCount(spark, path))
+  }
+
   /** Top-k ANN against a stored index. The codes read is restricted to
     * the union of cells any query probes (≤ cells ints to the driver,
     * never vector data) — untouched cell directories contribute zero

@@ -364,3 +364,57 @@ final case class HttpBulkSource(
     }
   }
 }
+
+/** JDBC table source — the reference's Postgres SOURCE half (README
+  * `create-postgres-source!`: pg-config + table), completing the JDBC
+  * round-trip whose sink half is [[graft.sinks.JdbcSink]]. Spark-first:
+  * `spark.read.jdbc` keeps the scan declarative, so two scale
+  * properties come free and are spec-asserted against embedded Derby:
+  *
+  *  - **predicate/column pushdown**: filters and projections on the
+  *    returned frame compile into the remote `WHERE`/`SELECT` — the
+  *    DATABASE prunes rows before they cross the wire (the scan node
+  *    shows `PushedFilters`), instead of Spark filtering after a full
+  *    table fetch;
+  *  - **partitioned reads**: with `partitionColumn` + bounds, the scan
+  *    becomes `numPartitions` parallel range-predicate queries — N
+  *    executors each own a slice, the 100 TB shape (a single-connection
+  *    read caps at one machine's wire speed). Bounds only steer the
+  *    split points; rows outside them are still read (Spark's
+  *    first/last-partition semantics), so the split is never lossy.
+  *
+  * `fetchSize` is the per-round-trip row batch (the read-side analogue
+  * of the sink's `batchSize`). */
+final case class JdbcSource(
+    url: String,
+    table: String,
+    properties: Map[String, String] = Map.empty,
+    partitionColumn: Option[String] = None,
+    lowerBound: Option[Long] = None,
+    upperBound: Option[Long] = None,
+    numPartitions: Int = 1,
+    fetchSize: Int = 1000) extends EtlpSource {
+  require(partitionColumn.isEmpty ||
+    (lowerBound.nonEmpty && upperBound.nonEmpty && numPartitions >= 1),
+    "partitionColumn needs lowerBound, upperBound and numPartitions")
+  def spec: Map[String, String] =
+    Map("type" -> "jdbc", "url" -> url, "table" -> table) ++
+      partitionColumn.map("partitionColumn" -> _) +
+      ("numPartitions" -> numPartitions.toString)
+  def check(spark: SparkSession): CheckResult =
+    if (!url.startsWith("jdbc:"))
+      CheckResult(valid = false, s"not a jdbc url: $url")
+    else if (table.isEmpty) CheckResult(valid = false, "empty table name")
+    else CheckResult(valid = true, "ok")
+  def discover(spark: SparkSession): StructType = read(spark).schema
+  def read(spark: SparkSession): DataFrame = {
+    val props = new java.util.Properties()
+    properties.foreach { case (k, v) => props.setProperty(k, v) }
+    props.setProperty("fetchsize", fetchSize.toString)
+    partitionColumn match {
+      case Some(c) => spark.read.jdbc(url, table, c,
+        lowerBound.get, upperBound.get, numPartitions, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
+  }
+}

@@ -173,7 +173,7 @@ object Streaming {
     * measured single boundary rows flip between runs). So the harness
     * CLOSES the stream deterministically, the sessionWindowNative
     * trick: the events are staged as batch 0 and one sentinel
-    * click+purchase (user −1, year 2030) as batch 1 — the sentinel
+    * click+purchase (ids at Long.MinValue, year 2030) as batch 1 — the sentinel
     * advances BOTH sides' watermarks years past every real row + the
     * join window, so the trailing no-data batch must evict and
     * null-pad every unmatched real click under any eviction
@@ -186,13 +186,23 @@ object Streaming {
       val ev = graft.Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts"))
+      // sentinel ids live at Long.MinValue — outside any generator's id
+      // domain — and staging FAILS LOUDLY if a real event ever carries
+      // one, so a sentinel can never be conflated with (or joined to) a
+      // real row; the batch-side filter below then removes exactly these
+      // ids and nothing else
+      val sentId = Long.MinValue
+      val clash = ev.where(col("event_id").isin(sentId, sentId + 1) ||
+        col("user_id") === sentId).count()
+      require(clash == 0L,
+        s"leftJoinCounts: $clash real event(s) collide with sentinel ids")
       val sentinels = spark.range(1)
         .select(
           explode(array(
-            struct(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+            struct(lit(sentId).as("event_id"), lit(sentId).as("user_id"),
               lit("click").as("event_type"),
               lit("2030-01-01 00:00:00").cast("timestamp").as("ts")),
-            struct(lit(-2L).as("event_id"), lit(-1L).as("user_id"),
+            struct(lit(sentId + 1).as("event_id"), lit(sentId).as("user_id"),
               lit("purchase").as("event_type"),
               lit("2030-01-01 00:00:00").cast("timestamp").as("ts"))))
             .as("r"))
@@ -216,11 +226,11 @@ object Streaming {
     val joined = clickAttributionLeft(stream, stream)
     runToMemory(spark, joined, "graft_stream_join_left",
         OutputMode.Append())
-      // drop exactly the sentinel rows staged above (click user_id -1,
-      // click_id -1) — an exact-id filter, not a sign test, so a real
-      // event with a negative id would NOT be silently dropped and a
-      // changed sentinel convention fails loudly in the oracle compare
-      .where(col("click_id") =!= -1L && col("user_id") =!= -1L)
+      // drop exactly the sentinel rows staged above (Long.MinValue ids,
+      // staging-time clash assert) — an exact-id filter, not a sign
+      // test, so any real event id, negative included, passes through
+      .where(col("click_id") =!= Long.MinValue &&
+        col("user_id") =!= Long.MinValue)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_rows"),
         count(col("purchase_id")).as("n_matched"))
@@ -377,6 +387,148 @@ object Streaming {
         .select(col("window.start").cast("timestamp_ntz").as("window_start"),
           col("event_type"), col("n")),
       "graft_stream_late", OutputMode.Append())
+  }
+
+  /** Checkpoint-RECOVERY harness: one windowed aggregation
+    * ([[windowedCounts]]) run as TWO StreamingQuery lifetimes over ONE
+    * checkpoint — the restart property a production stream actually
+    * relies on, which no single-lifetime gate can pin. Phase 1 stages
+    * half the events as 2 files, drains them (AvailableNow commits its
+    * batches to the checkpoint) and STOPS. Phase 2 adds the remaining
+    * 2 files and starts a NEW query on the SAME checkpoint: the
+    * restored state store must CONTINUE — if restart replayed committed
+    * files, first-half counts would double; if it lost state, they
+    * would vanish — so the final Complete-mode table equals the batch
+    * GROUP BY over all events (stream_window's oracle, shared).
+    * Batch-id continuity and no-reprocessing are returned as
+    * measurements for the spec to pin. The root is rebuilt from scratch
+    * on every call: a recovery gate must own its checkpoint lifecycle.
+    *
+    * Returns (p1 last batchId, p2 first batchId, p2 total input rows,
+    * final table). */
+  def recoverPhases(spark: SparkSession, dir: String,
+      root: String): (Long, Long, Long, DataFrame) = {
+    val name = "graft_stream_recover"
+    val stage = s"$root/stage"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      .withColumn("b", pmod(col("event_id"), lit(4)).cast("int"))
+    (0 until 4).foreach { b =>
+      val tmp = s"$root/tmp_b$b"
+      ev.where(col("b") === b).drop("b").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      // phase-2 files wait outside the stage dir until phase 1 is done
+      val dst = new java.io.File(
+        if (b < 2) s"$stage/b$b.parquet" else s"$root/pending/b$b.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1700000000000L + b * 60000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    val schema = spark.read.parquet(stage).schema
+    def runPhase(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val q = spark.synchronized {
+        val parts = spark.conf.getOption("graft.stream.shufflePartitions")
+          .getOrElse("8")
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.streams.active.filter(_.name == name).foreach(_.stop())
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try windowedCounts(stream).writeStream
+          .format("memory").queryName(name)
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      q.awaitTermination()
+      q
+    }
+    val q1 = runPhase()
+    val p1Last = q1.recentProgress.map(_.batchId).max
+    (2 until 4).foreach { b =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$root/pending/b$b.parquet"),
+        java.nio.file.Paths.get(s"$stage/b$b.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q2 = runPhase()
+    val p2 = q2.recentProgress.filter(_.numInputRows > 0)
+    (p1Last, p2.map(_.batchId).min, p2.map(_.numInputRows).sum,
+      spark.table(name))
+  }
+
+  /** Gate wrapper for [[recoverPhases]] — returns the recovered table. */
+  def recoverWindowCounts(spark: SparkSession, dir: String,
+      root: String): DataFrame =
+    recoverPhases(spark, dir, root)._4
+
+  /** CHAINED stateful operators in ONE streaming query (Spark 4's
+    * multiple-stateful-operator support): dropDuplicatesWithinWatermark
+    * feeding a tumbling-window aggregate — the curation shape "dedup
+    * the firehose, then count what survived" without materializing the
+    * deduped stream. Two stateful stages means two state stores in one
+    * query: bounded dedup keys (one watermark horizon) upstream,
+    * (window × key) aggregate buffers downstream.
+    *
+    * Harness determinism: the dedup key set includes `ts`, so WHICH
+    * row survives never depends on arrival order and the batch oracle
+    * is a plain DISTINCT. The real events are staged as two files
+    * (cross-batch dedup state is exercised) with a watermark delay
+    * longer than the whole data span — no real row can be dropped as
+    * late, whatever the batch split — and a year-2030 sentinel batch
+    * closes the stream ([[leftJoinCounts]] discipline): it advances the
+    * final watermark past every real window's end so Append mode must
+    * flush them all; the sentinel's own 2030 window is filtered
+    * batch-side. */
+  def chainedDedupCounts(spark: SparkSession, dir: String, root: String,
+      wmDelay: String = "1080 hours"): DataFrame = {
+    val stage = s"$root/stage"
+    if (!new java.io.File(stage).exists()) {
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+      val sentId = Long.MinValue
+      require(ev.where(col("event_id") === sentId).isEmpty,
+        "chainedDedupCounts: a real event collides with the sentinel id")
+      val sentinel = spark.range(1)
+        .select(lit(sentId).as("event_id"), lit(sentId).as("user_id"),
+          lit("click").as("event_type"),
+          lit("2030-01-01 00:00:00").cast("timestamp").as("ts"))
+      Seq(ev.where(pmod(col("event_id"), lit(2)) === 0) -> 0,
+          ev.where(pmod(col("event_id"), lit(2)) === 1) -> 1,
+          sentinel -> 2).foreach { case (df, b) =>
+        val tmp = s"$root/tmp_b$b"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$stage/b$b.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + b * 60000L)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val chained = stream
+      .withWatermark("ts", wmDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"))
+    runToMemory(spark, chained, "graft_stream_chained", OutputMode.Append())
+      .where(col("window_start") < lit("2029-01-01").cast("timestamp_ntz"))
   }
 
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

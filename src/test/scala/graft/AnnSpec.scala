@@ -398,6 +398,39 @@ class AnnSpec extends SparkSpec {
       .where(col("count") =!= 5).count() == 0)
   }
 
+  test("AnnIndex compaction: probe invariant, file count drops to one per cell") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs2 = e.where(col("vec_id") < 10)
+    val base = e.where(col("vec_id") >= 10 && col("vec_id") % 3 =!= 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ann-compact").toString + "/idx"
+    graft.operators.AnnIndex.buildIvfPq(base, "vec_id", "embedding", root)
+    // three delta batches — each append leaves one more file per
+    // touched cell, the fragmentation compaction exists to undo
+    (0 until 3).foreach { r =>
+      graft.operators.AnnIndex.appendIvfPq(spark, root,
+        e.where(col("vec_id") >= 10 && col("vec_id") % 3 === 0 &&
+          col("vec_id") % 7 === r),
+        "vec_id", "embedding")
+    }
+    def probe() = graft.operators.AnnIndex.probeIvfPq(
+        spark, root, qs2, "vec_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    val beforeProbe = probe()
+    val (nBefore, nAfter) = graft.operators.AnnIndex.compactIvfPq(spark, root)
+    // layout-only: the probe answers are bit-identical across the swap
+    assert(probe() == beforeProbe)
+    // and the fragmentation is gone: one file per populated cell
+    val cells = spark.read.parquet(s"$root/codes")
+      .select("cell").distinct().count().toInt
+    assert(nAfter < nBefore, s"no file-count drop: $nBefore -> $nAfter")
+    assert(nAfter == cells, s"expected one file per cell ($cells), got $nAfter")
+    // compacting an already-compact index is a no-op in file count
+    assert(graft.operators.AnnIndex.compactIvfPq(spark, root)._2 == nAfter)
+  }
+
   test("hardNegatives never returns the query's own label") {
     val e = Tables.embeddings(spark, sf0001)
     val qs2 = e.where(col("vec_id") < 10)

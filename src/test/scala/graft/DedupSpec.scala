@@ -520,4 +520,52 @@ class DedupSpec extends SparkSpec {
     // doc 4 shares no shingles — it never verifies as confirmed
     assert(!out.exists { case (p, v) => (p._1 == 4L || p._2 == 4L) && v._3 })
   }
+
+  // substringDedup behavioral contracts (Lee et al. 2022 ExactSubstr):
+  // the oracle gate pins end-to-end bytes at one fixture; these pin the
+  // semantics against refactors on hand-built cases.
+  private val substrCorpus = Seq(
+    (1L, "alpha beta gamma delta epsilon"),                          // quoted source
+    (2L, "intro words here alpha beta gamma delta epsilon closing words"), // quotes doc 1
+    (3L, "x1 x2 x3 mid x1 x2 x3"),                                   // within-doc repeat
+    (4L, "tiny doc"),                                                // shorter than k
+    (5L, "unrelated content entirely separate tokens")               // no dup spans
+  )
+
+  private def substrOut(parts: Int) = {
+    import spark.implicits._
+    Dedup.substringDedup(
+        substrCorpus.toDF("doc_id", "text").repartition(parts),
+        "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toMap
+  }
+
+  test("substringDedup: a doc quoting another loses exactly the quote, both sides excised") {
+    val out = substrOut(4)
+    // every 3-window of doc 1 also appears in doc 2 → the whole doc is
+    // one duplicated span; the paper removes ALL occurrences, so the
+    // quoted source goes empty too
+    assert(out(1L) == ((5, 5, "")))
+    // doc 2 loses only the 5-token quote; its own framing text — whose
+    // windows occur once — survives byte-for-byte
+    assert(out(2L) == ((10, 5, "intro words here closing words")))
+  }
+
+  test("substringDedup: a WITHIN-doc repeated span is a duplicate; the unique middle survives") {
+    // "x1 x2 x3" occurs twice inside doc 3 — global count 2 without any
+    // second document; both occurrences are excised, "mid" survives
+    assert(substrOut(4)(3L) == ((7, 6, "mid")))
+  }
+
+  test("substringDedup: docs shorter than k and docs with no dup span pass through untouched") {
+    val out = substrOut(4)
+    assert(out(4L) == ((2, 0, "tiny doc")))
+    assert(out(5L) == ((5, 0, "unrelated content entirely separate tokens")))
+  }
+
+  test("substringDedup is partition-count independent") {
+    assert(substrOut(1) == substrOut(13))
+  }
 }

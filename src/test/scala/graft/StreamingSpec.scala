@@ -519,4 +519,51 @@ class StreamingSpec extends SparkSpec {
     assert(raw.groupBy("user_id").agg(max("n_events").as("m")).collect()
       .forall(r => out(r.getLong(0))._1 == r.getLong(1)))
   }
+
+  test("recoverPhases: restart continues the checkpoint — no replay, no state loss") {
+    val root = Files.createTempDirectory("graft-recover").toString
+    val (p1Last, p2First, p2Rows, table) =
+      Streaming.recoverPhases(spark, sf0001, root)
+    // phase 2 CONTINUED the batch numbering — a fresh start (state
+    // loss) would restart at 0, a replay would re-run committed ids
+    assert(p2First > p1Last,
+      s"phase 2 first batch $p2First must follow phase 1 last $p1Last")
+    // phase 2 read EXACTLY the two pending files' rows — committed
+    // batches were not reprocessed
+    val phase2Want = Tables.events(spark, sf0001)
+      .where(pmod(col("event_id"), lit(4)) >= 2).count()
+    assert(p2Rows == phase2Want,
+      s"phase 2 input rows $p2Rows != staged second half $phase2Want")
+    // and the recovered Complete-mode table equals the batch aggregate
+    // over ALL events — restored state + new batches, nothing doubled
+    val got = table.collect()
+      .map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // batch reconstruction: same agg over the static frame
+    val wantRows = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+          .as("s"))
+      .collect().map(r => (r.get(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == wantRows)
+  }
+
+  test("chainedDedupCounts: dedup→window chain equals batch DISTINCT + GROUP BY") {
+    val root = Files.createTempDirectory("graft-chained").toString
+    val got = Streaming.chainedDedupCounts(spark, sf0001, root)
+      .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = Tables.events(spark, sf0001)
+      .select("user_id", "event_type", "ts").distinct()
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    // the sentinel's 2030 window never leaks into the result
+    assert(got.keys.forall(_._1.asInstanceOf[java.time.LocalDateTime]
+      .getYear < 2029))
+  }
 }
