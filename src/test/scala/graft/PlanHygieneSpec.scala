@@ -51,6 +51,9 @@ class PlanHygieneSpec extends SparkSpec {
       // model: same sanctioned cells-row coarse-assign broadcast
       "ann_refine", "etl_drift", "ann_index_probe",
       // ann_index_upsert = ann_index_probe over base ∪ delta: the same
+      // sanctioned probe; ann_index_compact = the same probe again over
+      // the compacted layout (compaction is staging, not the plan)
+      "ann_index_compact",
       // stored-model probe (cells-row coarse-assign broadcast)
       "ann_index_upsert",
       // ann_negatives broadcasts the caller-bounded query set (the
