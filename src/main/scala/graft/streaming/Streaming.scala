@@ -510,8 +510,20 @@ object Streaming {
         .select(lit(sentId).as("event_id"), lit(sentId).as("user_id"),
           lit("click").as("event_type"),
           lit("2030-01-01 00:00:00").cast("timestamp").as("ts"))
+      // the synthetic events carry no natural (user, type, ts) dups, so
+      // PLANT them: every 10th batch-0 event re-arrives in batch 1 as a
+      // CROSS-BATCH duplicate (fresh surrogate event_id, same dedup
+      // key). The dedup stage must drop ~10% of the stream or the
+      // window counts overshoot the oracle — the gate fails without the
+      // operator, which is what makes it non-vacuous; the oracle over
+      // the REAL events table is untouched because DISTINCT absorbs
+      // planted copies of existing rows by construction.
+      val planted = ev.where(pmod(col("event_id"), lit(2)) === 0 &&
+          pmod(col("event_id"), lit(10)) === 0)
+        .withColumn("event_id", -col("event_id") - 1000000L)
       Seq(ev.where(pmod(col("event_id"), lit(2)) === 0) -> 0,
-          ev.where(pmod(col("event_id"), lit(2)) === 1) -> 1,
+          ev.where(pmod(col("event_id"), lit(2)) === 1)
+            .unionByName(planted) -> 1,
           sentinel -> 2).foreach { case (df, b) =>
         val tmp = s"$root/tmp_b$b"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)

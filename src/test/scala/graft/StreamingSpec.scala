@@ -555,6 +555,13 @@ class StreamingSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-chained").toString
     val got = Streaming.chainedDedupCounts(spark, sf0001, root)
       .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    // non-vacuity: the staged stream carries MORE rows than the events
+    // table (planted cross-batch duplicates + sentinel) — without the
+    // dedup stage the window counts would overshoot the oracle
+    val staged = spark.read.parquet(s"$root/stage").count()
+    val real = Tables.events(spark, sf0001).count()
+    assert(staged > real + 1,
+      s"no planted duplicates: staged $staged vs events $real")
     val want = Tables.events(spark, sf0001)
       .select("user_id", "event_type", "ts").distinct()
       .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("w"),
