@@ -74,6 +74,13 @@ object QueriesCorpus {
     "corpus_shards" -> ((s, d) =>
       Corpus.shardStats(documents(s, d), "doc_id", "text", shards = 16)),
 
+    // deterministic epoch-seeded training-order shuffle: md5 shard +
+    // per-shard seeded-rank position — a full pseudorandom permutation
+    // with NO global sort (ordering state bounded by corpus/shards)
+    "corpus_shuffle" -> ((s, d) =>
+      Corpus.shuffleOrder(documents(s, d), "doc_id", seed = "ep1",
+        shards = 16)),
+
     // the whole corpus pipeline as ONE gate query: exact-dedup (keep
     // min-id per distinct text) → PII-mask → weighted language mix →
     // dataset-card stats. Proves the stages COMPOSE — one logical plan,
@@ -789,6 +796,18 @@ object QueriesCorpus {
          |  CAST(SUM(len(w)) AS BIGINT) AS tokens,
          |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
          |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
-         |FROM t GROUP BY 1""".stripMargin
+         |FROM t GROUP BY 1""".stripMargin,
+
+    // the seeded md5 rank and per-shard row_number reproduce the
+    // training-order permutation byte-for-byte
+    "corpus_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('shard:ep1:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 16 AS INT) AS shard,
+        |    md5('shuffle:ep1:'||CAST(doc_id AS VARCHAR)) AS rank
+        |  FROM documents)
+        |SELECT doc_id, shard, rank,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rank ASC, doc_id ASC) AS INT) AS pos
+        |FROM s""".stripMargin
   )
 }

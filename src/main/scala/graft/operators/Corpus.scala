@@ -329,6 +329,29 @@ object Corpus {
           hashBucket(col("doc_id"), "shard", shards).cast("int")),
       "doc_id")
 
+  /** Deterministic training-order SHUFFLE: the permutation step between
+    * curation and packing — a training run must read the corpus in
+    * pseudorandom order, re-permutable per epoch, without ever paying a
+    * GLOBAL sort. Shape: shard = md5-bucket(id) (the [[shardStats]]
+    * export fan-out), pos = row_number within the shard ordered by the
+    * SEEDED md5 rank (ties broken by id) — ordering state is per-shard,
+    * so shards sort independently and in parallel; at 100 TB each
+    * sorted run is bounded by corpus/shards, never the corpus. A new
+    * `seed` re-permutes every epoch with zero data movement of the
+    * underlying files (the rank is arithmetic on the id). md5 keeps the
+    * permutation engine-portable — the DuckDB oracle reproduces shard,
+    * pos, and rank byte-for-byte. */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: String,
+      shards: Int): DataFrame = {
+    val rank = md5(concat(lit(s"shuffle:$seed:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("rank").asc, col(idCol).asc)
+    df.select(col(idCol),
+        hashBucket(col(idCol), s"shard:$seed", shards).cast("int").as("shard"),
+        rank.as("rank"))
+      .withColumn("pos", row_number().over(w))
+  }
+
   /** TF-IDF keyword extraction: the top-`k` highest-scoring terms per
     * document, tf(d,t) · ln((N+1)/(df(t)+1)) with add-one smoothing (no
     * term can hit a zero denominator, idf stays finite on a term that

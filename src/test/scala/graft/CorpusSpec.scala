@@ -532,4 +532,28 @@ class CorpusSpec extends SparkSpec {
         .toSet
     assert(run(docs) == run(docs.repartition(13)))
   }
+
+  test("shuffleOrder: dense per-shard positions, epoch reseed permutes, partition independent") {
+    import org.apache.spark.sql.functions.{col, countDistinct, count, max}
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.count()
+    val out = Corpus.shuffleOrder(docs, "doc_id", seed = "ep1", shards = 8)
+    // a PERMUTATION: every doc exactly once, positions dense 1..|shard|
+    assert(out.count() == n)
+    assert(out.groupBy("shard")
+      .agg(count(col("pos")).as("n"), countDistinct(col("pos")).as("d"),
+        max(col("pos")).as("m"))
+      .where(col("n") =!= col("d") || col("m") =!= col("n"))
+      .count() == 0, "positions not dense 1..n within a shard")
+    // a different epoch seed yields a genuinely different order
+    val e1 = out.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3))).toMap
+    val e2 = Corpus.shuffleOrder(docs, "doc_id", seed = "ep2", shards = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3))).toMap
+    assert(e1 != e2, "epoch reseed produced the identical permutation")
+    // determinism under any partitioning
+    val re = Corpus.shuffleOrder(docs.repartition(13), "doc_id",
+        seed = "ep1", shards = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3))).toMap
+    assert(re == e1)
+  }
 }
