@@ -551,6 +551,89 @@ class StreamingSpec extends SparkSpec {
     assert(got == wantRows)
   }
 
+  test("transformWithState recovers ValueState from the checkpoint across query restarts") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val root = Files.createTempDirectory("graft-tws-recover").toString
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("value"), col("event_id"))
+    val files = s"$root/files"; val stage = s"$root/stage"
+    (0 until 4).foreach { b =>
+      val tmp = s"$root/tmp$b"
+      ev.where(pmod(col("event_id"), lit(4)) === b).coalesce(1)
+        .write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$files/b$b.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+    }
+    new java.io.File(stage).mkdirs()
+    def link(b: Int): Unit = java.nio.file.Files.createLink(
+      java.nio.file.Paths.get(s"$stage/b$b.parquet"),
+      java.nio.file.Paths.get(s"$files/b$b.parquet"))
+    (0 until 2).foreach(link)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // Update-mode memory sinks refuse checkpoint recovery (only
+      // Complete can rebuild the table from state); the recovery-safe
+      // shape is foreachBatch appending each batch's emissions to
+      // parquet — which is also the production serving shape
+      val out = s"$root/out"
+      val writeBatch: (org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], Long) => Unit =
+        (df, _) => df.write.mode("append").parquet(out)
+      def runPhase() = {
+        val schema = spark.read.parquet(stage).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = Streaming.runningTotalsTwsStream(stream).toDF()
+          .writeStream.foreachBatch(writeBatch)
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(); q
+      }
+      val q1 = runPhase()
+      val p1Last = q1.recentProgress.map(_.batchId).max
+      (2 until 4).foreach(link)
+      val q2 = runPhase()
+      // the restarted query CONTINUED the checkpoint's numbering — a
+      // fresh RocksDB store would restart at 0 and reprocess
+      assert(q2.recentProgress.filter(_.numInputRows > 0)
+        .map(_.batchId).min > p1Last)
+      // n_events strictly increases per emission, so the max-struct per
+      // user is its FINAL ValueState — which must equal the batch
+      // GROUP BY over both halves: the phase-1 state survived the
+      // restart in RocksDB
+      val got = spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("sum_micros"))).as("f"))
+        .select(col("user_id"), col("f.n_events"), col("f.sum_micros"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = ev
+        .select(col("user_id"), expr(
+          "COALESCE(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0)")
+          .as("m"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.nonEmpty)
+      assert(got == want, "final per-user states diverge from the batch GROUP BY")
+      // non-vacuity: at least one phase-2 user also had phase-1 events,
+      // so the equality above genuinely crossed the restart boundary
+      val p1Users = ev.where(pmod(col("event_id"), lit(4)) < 2)
+        .select("user_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(got.keys.exists(p1Users), "no user spanned both phases")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("chainedDedupCounts: dedup→window chain equals batch DISTINCT + GROUP BY") {
     val root = Files.createTempDirectory("graft-chained").toString
     val got = Streaming.chainedDedupCounts(spark, sf0001, root)
