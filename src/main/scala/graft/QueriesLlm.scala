@@ -62,6 +62,15 @@ object QueriesLlm {
       Dedup.ngramJaccardPairsPrefix(documents(s, d), "doc_id", "text",
         "lang", n = 2, minJaccard = 0.3, maxDf = Some(12L))),
 
+    // chunk-level PARTIAL-overlap detection: two long docs sharing one
+    // section dilute whole-doc sketches below threshold — sliding
+    // chunks sketch independently (banded minhash), chunk pairs from
+    // different docs roll up to one doc pair with match count + best
+    // estimate (the RefinedWeb/Dolma partial-dup shape)
+    "dedup_chunks" -> ((s, d) =>
+      Dedup.chunkDupPairs(documents(s, d), "doc_id", "text",
+        chunkSize = 32, stride = 16)),
+
     // exact SUBSTRING dedup (Lee et al. 2022 ExactSubstr): every
     // ≥5-token span occurring twice anywhere in the corpus is excised
     // from every doc that carries it; the rest of the doc survives —
@@ -133,6 +142,18 @@ object QueriesLlm {
       val clusters = Dedup.simhashClusters(docs, "doc_id", "text",
         maxHamming = 12)
       Dedup.keepCanonical(docs, "doc_id", clusters)
+        .select("doc_id", "lang")
+    }),
+
+    // QUALITY-aware keep: same clusters as dedup_keep, but the survivor
+    // is each cluster's longest doc (n_chars desc, tie min id) — min-id
+    // keep biases toward whichever copy was crawled first; production
+    // dedup keeps the best extraction
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = documents(s, d)
+      val clusters = Dedup.simhashClusters(docs, "doc_id", "text",
+        maxHamming = 12)
+      Dedup.keepBest(docs, "doc_id", clusters, "n_chars")
         .select("doc_id", "lang")
     }),
 
@@ -1378,6 +1399,24 @@ object QueriesLlm {
         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.cdoc
         |WHERE cl.cdoc IS NULL OR cl.cluster_id = d.doc_id""".stripMargin),
 
+    // same clusters; the survivor is the argmax-(n_chars, min id)
+    // member per cluster instead of the min id
+    "dedup_keep_best" ->
+      (simhashKeepCte +
+        """,
+        |win AS (
+        |  SELECT cdoc FROM (
+        |    SELECT cl.cdoc,
+        |      ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+        |        ORDER BY d.n_chars DESC, cl.cdoc ASC) AS rn
+        |    FROM cl JOIN documents d ON d.doc_id = cl.cdoc)
+        |  WHERE rn = 1)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d
+        |LEFT JOIN cl ON d.doc_id = cl.cdoc
+        |LEFT JOIN win w ON w.cdoc = d.doc_id
+        |WHERE cl.cdoc IS NULL OR w.cdoc IS NOT NULL""".stripMargin),
+
     // the dedup report card: per-language doc counts, kept counts
     // under the same keep-first rule, and the drop rate
     "dedup_report" ->
@@ -1477,6 +1516,42 @@ object QueriesLlm {
         |SELECT doc_a, doc_b,
         |  CAST(ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS DOUBLE) AS jaccard
         |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3""".stripMargin,
+
+    // dedup_minhash's banded-sketch arithmetic applied per CHUNK
+    // (text_chunk's 32/16 sliding windows), rolled up to doc pairs —
+    // chunk pair ordering (doc, idx) guarantees da < db after the
+    // cross-doc filter
+    "dedup_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, 1 + CAST(CEIL(GREATEST(len(w) - 32, 0)/16.0) AS INT) AS nc
+        |  FROM toks WHERE len(w) > 0),
+        |ch AS (
+        |  SELECT doc_id, CAST(i AS INT) AS ci, w[(i*16+1):(i*16+32)] AS cw
+        |  FROM c, range(0, 4096) r(i) WHERE i < nc),
+        |sh AS (
+        |  SELECT doc_id, ci, list_distinct([array_to_string(cw[j:j+2], ' ') for j in range(1, len(cw)-1)]) AS shingles
+        |  FROM ch WHERE len(cw) >= 3),
+        |sig AS (
+        |  SELECT doc_id, ci, [list_min([md5(CAST(p AS VARCHAR)||':'||s) for s in shingles]) for p in range(0,16)] AS sig FROM sh),
+        |bands AS (
+        |  SELECT doc_id, ci, sig, b, md5(sig[4*b+1]||sig[4*b+2]||sig[4*b+3]||sig[4*b+4]) AS bh
+        |  FROM sig, range(0,4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, a.ci AS ca, b.doc_id AS db, b.ci AS cb,
+        |    a.sig AS sig_a, b.sig AS sig_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+        |    AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.ci < b.ci))),
+        |p AS (
+        |  SELECT da, db,
+        |    ROUND(list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)])/16.0, 4) AS est
+        |  FROM cand
+        |  WHERE da <> db
+        |    AND list_sum([CASE WHEN sig_a[i+1]=sig_b[i+1] THEN 1 ELSE 0 END for i in range(0,16)]) >= 4)
+        |SELECT da AS doc_a, db AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_chunk_pairs,
+        |  CAST(MAX(est) AS DOUBLE) AS max_est
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     // same sliding k-window + md5-60-bit posting construction; the
     // coverage filter reproduces the kept text byte-for-byte

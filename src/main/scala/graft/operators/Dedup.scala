@@ -115,6 +115,53 @@ object Dedup {
         (round(col("jac"), 6) >= minJaccard).as("confirmed"))
   }
 
+  /** CHUNK-level partial-overlap detection: sliding-window chunks
+    * ([[Corpus.chunkTokens]]) sketch independently through the banded
+    * minhash pipeline, and chunk pairs from DIFFERENT docs aggregate to
+    * one (doc_a, doc_b) row carrying the matching-chunk count and the
+    * best estimate. This is the length-robust middle ground the other
+    * dedup ops miss: two LONG documents sharing one section dilute
+    * whole-doc minhash/Jaccard below any usable threshold, containment
+    * only fires when one doc is mostly inside the other, and
+    * [[substringDedup]] needs byte-exact spans — chunk sketches localize
+    * the comparison so a shared section matches at full strength no
+    * matter how much unrelated text surrounds it (the RefinedWeb/Dolma
+    * partial-dup shape).
+    *
+    * Scale: chunking multiplies rows by ~len/stride but each chunk
+    * sketch is O(chunkSize); everything downstream is the gid-collapsed
+    * banded pipeline — never all-pairs. The chunk id packs
+    * (doc_id, chunk_idx) into one long (doc < 2^43, idx < 2^20, the
+    * posting-pack contract; raise-guarded).
+    *
+    * @return (doc_a, doc_b, n_chunk_pairs, max_est) with doc_a < doc_b. */
+  def chunkDupPairs(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 32, stride: Int = 16, shingleK: Int = 3,
+      perms: Int = 16, bands: Int = 4, minMatches: Int = 4): DataFrame = {
+    val chunks = Corpus.chunkTokens(df, idCol, textCol, chunkSize, stride)
+      .select(
+        when(col("doc_id").cast("long").isNull ||
+             col("doc_id").cast("long") < 0L ||
+             col("doc_id").cast("long") >= (1L << 43) ||
+             col("chunk_idx").cast("long") >= (1L << 20),
+          expr("raise_error('chunkDupPairs: doc_id/chunk_idx out of packable range')")
+            .cast("long"))
+          .otherwise(shiftleft(col("doc_id").cast("long"), 20)
+            .bitwiseOR(col("chunk_idx").cast("long"))).as("ck"),
+        col("chunk_text"))
+    val pairs = minhashPairs(chunks, "ck", "chunk_text",
+      shingleK, perms, bands, minMatches)
+    val da = shiftrightunsigned(col("doc_a"), 20)
+    val db = shiftrightunsigned(col("doc_b"), 20)
+    pairs
+      .where(da =!= db)
+      .select(least(da, db).as("doc_a"), greatest(da, db).as("doc_b"),
+        col("est_jaccard"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_chunk_pairs"),
+        max(col("est_jaccard")).as("max_est"))
+  }
+
   /** Gid-level MinHash near-dup pairs: one row per pair of DISTINCT
     * texts — (gid_a, gid_b, est_jaccard) with gid = md5(text) — plus
     * no expansion at all. Pair-consuming pipelines that only need
@@ -894,6 +941,27 @@ object Dedup {
       clusters: DataFrame): DataFrame = {
     val losers = clusters
       .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    df.join(losers, df(idCol) === losers("doc_id"), "left_anti")
+  }
+
+  /** [[keepCanonical]]'s QUALITY-aware sibling: within each duplicate
+    * cluster keep the highest-`scoreCol` member (ties → min id), not
+    * the min id — production dedup keeps the BEST copy of a page (the
+    * longest extraction, the highest quality score), and min-id keep
+    * silently biases the corpus toward whichever copy was crawled
+    * first. One window over the cluster table joined to the scores
+    * (state bounded by cluster sizes, never corpus-wide), then the
+    * same left-anti losers join; docs in no cluster pass untouched. */
+  def keepBest(df: DataFrame, idCol: String, clusters: DataFrame,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col("doc_id").asc)
+    val losers = clusters
+      .join(df.select(col(idCol).as("doc_id"), col(scoreCol)), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") =!= 1)
       .select(col("doc_id"))
     df.join(losers, df(idCol) === losers("doc_id"), "left_anti")
   }

@@ -568,4 +568,57 @@ class DedupSpec extends SparkSpec {
   test("substringDedup is partition-count independent") {
     assert(substrOut(1) == substrOut(13))
   }
+
+  // chunk-level partial overlap: two long docs share one 64-token
+  // section buried in unrelated filler — the chunk sketches must find
+  // it at full strength (identical in-section chunks → est 1.0)
+  private val chunkCorpus = {
+    val shared = (0 until 64).map("sh" + _)
+    Seq(
+      (1L, ((0 until 144).map("fa" + _) ++ shared).mkString(" ")),
+      (2L, (shared ++ (0 until 144).map("fb" + _)).mkString(" ")),
+      (3L, (0 until 100).map("zz" + _).mkString(" "))
+    )
+  }
+
+  private def chunkOut(parts: Int) = {
+    import spark.implicits._
+    Dedup.chunkDupPairs(chunkCorpus.toDF("doc_id", "text").repartition(parts),
+        "doc_id", "text", chunkSize = 32, stride = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+  }
+
+  test("chunkDupPairs finds a shared section buried in long documents") {
+    val out = chunkOut(4)
+    val (nPairs, maxEst) = out((1L, 2L))
+    // both docs start their shared section on a stride boundary, so the
+    // three full 32-token in-section windows are byte-identical across
+    // docs: at least 3 chunk pairs, best estimate exactly 1.0
+    assert(nPairs >= 3L, s"expected >= 3 matching chunk pairs, got $nPairs")
+    assert(maxEst == 1.0)
+    // the unrelated doc never pairs
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("chunkDupPairs is partition-count independent") {
+    assert(chunkOut(1) == chunkOut(13))
+  }
+
+  test("keepBest keeps the highest-score member per cluster, ties to min id; unpaired pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa", 10L), (2L, "bb", 30L), (3L, "cc", 30L), // one cluster
+      (4L, "dd", 5L)                                     // never paired
+    ).toDF("doc_id", "text", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.keepBest(docs, "doc_id", clusters, "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 2 wins its cluster (score 30, id tie-break beats 3); the
+    // min-ID rule would have kept doc 1 — the two keep rules genuinely
+    // diverge on this fixture
+    assert(kept == Set(2L, 4L))
+  }
 }
