@@ -125,6 +125,15 @@ object QueriesLlm {
         s, root, docs.where(isFresh), "doc_id", "text")
     }),
 
+    // CONTINUOUS-ingest dedup: the fresh 20% arrives as a real stream,
+    // each micro-batch probed (foreachBatch) against the persistent
+    // minhash index built once over the corpus side — per-doc results
+    // are batch-split-independent (cross-side-only probe), so the
+    // accumulated stream output shares dedup_index_probe's oracle
+    "stream_dedup_probe" -> ((s, d) =>
+      graft.streaming.Streaming.streamIndexProbe(s, d,
+        s"/tmp/graft_rt/sprobe_${d.replace('/', '_')}")),
+
     // pairwise near-dups -> clusters: min-label propagation (iterative
     // key-partitioned joins) against a recursive-CTE DuckDB oracle.
     // Gid-level end-to-end: CC runs over one representative per
@@ -1077,6 +1086,10 @@ object QueriesLlm {
     // ad-hoc delta probe — one oracle string for both, so the two
     // machineries are pinned to one semantics
     "dedup_index_probe" -> deltaMinhashOracle,
+
+    // the STREAMED probe accumulates the same matches batch by batch —
+    // third machinery pinned to the same oracle string
+    "stream_dedup_probe" -> deltaMinhashOracle,
 
     "dedup_ngram" ->
       """WITH toks AS (

@@ -552,6 +552,53 @@ object Streaming {
       .where(col("window_start") < lit("2029-01-01").cast("timestamp_ntz"))
   }
 
+  /** CONTINUOUS-ingest dedup: a stream of fresh documents probed per
+    * micro-batch against the persistent minhash LSH index
+    * ([[graft.operators.DedupIndex]]) — the production shape where the
+    * corpus is sketched ONCE and each arriving batch pays only its own
+    * sketch plus the touched bucket directories. foreachBatch runs the
+    * SAME `probeMinhash` the batch gate uses; every fresh doc's matches
+    * are independent of the batch split (the probe crosses sides only,
+    * never fresh×fresh), so the accumulated output equals the one-shot
+    * batch probe and shares dedup_index_probe's oracle string. The
+    * index + staged fresh files build once per (JVM, sfDir); the output
+    * dir is cleared per run. */
+  def streamIndexProbe(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val isFresh =
+      graft.operators.Corpus.hashBucket(col("doc_id"), "delta", 5) === 0
+    val idx = s"$root/idx"
+    val stage = s"$root/stage"
+    if (!new java.io.File(stage).exists()) {
+      graft.operators.DedupIndex.buildMinhash(
+        docs.where(!isFresh), "doc_id", "text", idx)
+      docs.where(isFresh).select(col("doc_id"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(stage)
+    }
+    val out = s"$root/out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val probeBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (batch, _) =>
+      graft.operators.DedupIndex.probeMinhash(
+          spark, idx, batch, "doc_id", "text")
+        .write.mode("append").parquet(out)
+    val q = spark.synchronized {
+      val parts = spark.conf.getOption("graft.stream.shufflePartitions")
+        .getOrElse("8")
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try stream.writeStream.foreachBatch(probeBatch)
+        .trigger(Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
     val q = spark.synchronized {

@@ -634,6 +634,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamIndexProbe: accumulated micro-batch probes equal the one-shot batch probe") {
+    val root = Files.createTempDirectory("graft-sprobe").toString
+    val got = Streaming.streamIndexProbe(spark, sf0001, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // probe the SAME stored index with the whole fresh side at once —
+    // per-doc independence (cross-side-only candidates) means the
+    // 3-batch stream must accumulate exactly this set; non-vacuity at
+    // scale is the sf0.01 oracle gate's job
+    val docs = Tables.documents(spark, sf0001)
+    val isFresh =
+      graft.operators.Corpus.hashBucket(col("doc_id"), "delta", 5) === 0
+    val want = graft.operators.DedupIndex.probeMinhash(
+        spark, s"$root/idx", docs.where(isFresh), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
   test("chainedDedupCounts: dedup→window chain equals batch DISTINCT + GROUP BY") {
     val root = Files.createTempDirectory("graft-chained").toString
     val got = Streaming.chainedDedupCounts(spark, sf0001, root)
