@@ -423,6 +423,16 @@ object QueriesLlm {
       Ann.knnGraph(embeddings(s, d), "vec_id", "embedding",
         k = 5, probes = 3)),
 
+    // metadata-FILTERED search: top-5 among candidates sharing the
+    // query's label — the filter value is the JOIN KEY (pre-filter,
+    // partition-scoped search), never a starvation-prone post-filter
+    "ann_filtered" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.filteredTopK(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
     // radius search: every candidate within a cosine threshold of each
     // probe — the unbounded-fan-out contract top-k can't express
     "ann_range" -> ((s, d) => {
@@ -2054,6 +2064,26 @@ object QueriesLlm {
         |      AS cos
         |  FROM q, n)
         |SELECT query_id, neighbor_id,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
+        |FROM p
+        |WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 5""".stripMargin,
+
+    // pre-filter semantics: the label is the equi-join key; rank runs
+    // within each query's label partition only
+    "ann_filtered" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x, label,
+        |    sqrt(list_sum([xx*xx for xx in CAST(embedding AS DOUBLE[])])) AS n
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    q.label AS fv,
+        |    list_sum([q.x[i+1]*c.x[i+1] for i in range(0,64)])/(q.n*c.n) AS cos
+        |  FROM v q JOIN v c ON q.label = c.label
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |SELECT query_id, neighbor_id, fv,
         |  CAST(ROW_NUMBER() OVER w AS INT) AS rank,
         |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
         |FROM p

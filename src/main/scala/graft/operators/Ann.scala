@@ -684,6 +684,38 @@ object Ann {
         col("rank"), expr("CAST(ROUND(cos, 4) + 0.0 AS DOUBLE)").as("cos_r"))
   }
 
+  /** Metadata-FILTERED top-k ("filtered vector search"): each query
+    * retrieves only among candidates whose `filterCol` value equals its
+    * own — tenant-, class- or language-scoped retrieval, the filter
+    * every production vector store bolts onto ANN. The filter value is
+    * the JOIN KEY, not a post-filter: candidates hash-partition by the
+    * value and meet only their own queries, so with a selective filter
+    * each query's search space is its partition, never the corpus —
+    * the pre-filter strategy — and unlike post-filtering a top-k
+    * shortlist, the result can never starve below `k` while matching
+    * candidates exist. Exact within the partition (cosine + the repo's
+    * deterministic (round(cos,6) desc, id) rank); compose with the IVF
+    * cells per partition when single partitions outgrow brute force. */
+  def filteredTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, filterCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), Vectors.toDouble(col(vecCol)).as(s"x_$id"),
+        col(filterCol).as("fv"))
+    val q = prep(queries, "query_id")
+    val c = prep(candidates, "neighbor_id")
+    val pairs = c.join(broadcast(q), "fv")
+      .select(col("query_id"), col("neighbor_id"), col("fv"),
+        GraftFunctions.cosine(candidates.sparkSession,
+          col("x_query_id"), col("x_neighbor_id")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("fv"), col("rank"),
+        expr("CAST(ROUND(cos, 4) + 0.0 AS DOUBLE)").as("cos_r"))
+  }
+
   /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
     * 1998): greedily select `k` results per query maximizing
     * λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s) — relevance

@@ -431,6 +431,37 @@ class AnnSpec extends SparkSpec {
     assert(graft.operators.AnnIndex.compactIvfPq(spark, root)._2 == nAfter)
   }
 
+  test("filteredTopK: pre-filter by label equals per-label brute force, never starves") {
+    val e = Tables.embeddings(spark, sf0001)
+    val qs = e.where(col("vec_id") < 10)
+    val cs = e.where(col("vec_id") >= 10)
+    val out = Ann.filteredTopK(qs, cs, "vec_id", "embedding", "label", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(4)))
+      .toMap
+    val labelOf = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every returned neighbor carries the query's own label
+    out.foreach { case ((q, _), (n, _)) =>
+      assert(labelOf(q) == labelOf(n), s"label leak: query $q neighbor $n") }
+    // per-label brute force over the restricted corpus reproduces the
+    // exact ranking — the equi-join is a partitioning, not a heuristic
+    val want = labelOf.filterKeys(_ < 10L).values.toSet.iterator.flatMap {
+        l: Int =>
+      Ann.bruteForceTopK(qs.where(col("label") === l),
+          cs.where(col("label") === l), "vec_id", "embedding", k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3)))
+    }.toMap
+    assert(out == want)
+    // with >= 5 same-label candidates per query, no query starves
+    val counts = out.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    counts.foreach { case (q, n) =>
+      val avail = labelOf.count { case (id, l) =>
+        id >= 10L && l == labelOf(q) }
+      assert(n == math.min(5, avail), s"query $q returned $n of $avail") }
+  }
+
   test("hardNegatives never returns the query's own label") {
     val e = Tables.embeddings(spark, sf0001)
     val qs2 = e.where(col("vec_id") < 10)
