@@ -182,6 +182,14 @@ object Streaming {
   def leftJoinCounts(spark: SparkSession, dir: String,
       root: String): DataFrame = {
     val stage = s"$root/stage"
+    // staging from an older run must carry THIS code's sentinel
+    // convention, or the batch-side filter would let foreign sentinels
+    // leak into the result — restage rather than trust a stale dir
+    if (new java.io.File(stage).exists() &&
+        spark.read.parquet(stage)
+          .where(col("event_id") === Long.MinValue).isEmpty) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
     if (!new java.io.File(stage).exists()) {
       val ev = graft.Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
