@@ -64,6 +64,28 @@ object QueriesCorpus {
         "doc_id", "text", budgetTokens = 512, shards = 8)
     }),
 
+    // the real long-doc pre-training shape, composed end-to-end:
+    // CHUNK first (32/16 sliding windows), then PACK the chunks into
+    // 256-token budget bins — packSequences' scaladoc contract
+    // ("packers chunk first") proven as one logical plan; chunk ids
+    // pack (doc, idx) into one long so the per-shard prefix-sum stays
+    // a pure window over a unique monotone key
+    "corpus_chunk_pack" -> ((s, d) => {
+      import org.apache.spark.sql.functions.shiftleft
+      val chunks = Corpus.chunkTokens(documents(s, d), "doc_id", "text",
+          chunkSize = 32, stride = 16)
+        .select(
+          when(col("doc_id") < 0L || col("doc_id") >= (1L << 43) ||
+               col("chunk_idx").cast("long") >= (1L << 20),
+            expr("raise_error('corpus_chunk_pack: id out of packable range')")
+              .cast("long"))
+            .otherwise(shiftleft(col("doc_id"), 20)
+              .bitwiseOR(col("chunk_idx").cast("long"))).as("cid"),
+          col("chunk_text"))
+      Corpus.packSequences(chunks, "cid", "chunk_text",
+        budgetTokens = 256, shards = 8)
+    }),
+
     // weighted language mixing: deterministic per-mille keep decision
     // per doc; broadcast rate table, row-local filter
     "corpus_mix" -> ((s, d) =>
@@ -366,6 +388,33 @@ object QueriesCorpus {
          |  CAST(SUM(n_tok) AS BIGINT) AS tokens_packed,
          |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
          |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+         |FROM c GROUP BY shard, bin""".stripMargin,
+
+    // chunk CTE (text_chunk's 32/16) feeding corpus_pack's prefix-sum
+    // arithmetic over the packed chunk id — one composed mirror
+    "corpus_chunk_pack" ->
+      s"""WITH t AS ($toksCte),
+         |c0 AS (
+         |  SELECT doc_id, w, 1 + CAST(CEIL(GREATEST(len(w) - 32, 0)/16.0) AS INT) AS nc
+         |  FROM t WHERE len(w) > 0),
+         |ch AS (
+         |  SELECT doc_id * 1048576 + i AS cid,
+         |    len(w[(i*16+1):(i*16+32)]) AS n_tok
+         |  FROM c0, range(0, 4096) r(i) WHERE i < nc),
+         |s AS (
+         |  SELECT cid, n_tok,
+         |    CAST(('0x'||substr(md5('pack:'||CAST(cid AS VARCHAR)),1,8))::BIGINT % 8 AS INT) AS shard
+         |  FROM ch WHERE n_tok > 0),
+         |c AS (
+         |  SELECT shard, cid, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY cid
+         |                     ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM s)
+         |SELECT shard, CAST(FLOOR((cum - n_tok)/256.0) AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tokens_packed,
+         |  CAST(MIN(cid) AS BIGINT) AS first_doc,
+         |  CAST(MAX(cid) AS BIGINT) AS last_doc
          |FROM c GROUP BY shard, bin""".stripMargin,
 
     "corpus_mix" ->
