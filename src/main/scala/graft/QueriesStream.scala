@@ -129,6 +129,14 @@ object QueriesStream {
       Streaming.runningTotalsTws(s, d,
         s"/tmp/graft_rt/running_tws_${d.replace('/', '_')}")),
 
+    // transformWithState's MAP state surface: MapState[type, count] per
+    // user — per-batch state IO touches only the sub-keys the batch
+    // saw (RocksDB point ops), never a serialized whole-user blob;
+    // final state per (user, type) == the batch GROUP BY
+    "stream_typecounts_tws" -> ((s, d) =>
+      Streaming.typeCountsTws(s, d,
+        s"/tmp/graft_rt/tctws_${d.replace('/', '_')}")),
+
     // stream-stream LEFT OUTER interval join: matched pairs emit when
     // both sides meet; unmatched clicks null-pad only once the
     // watermark proves no purchase can arrive. The harness closes the
@@ -313,6 +321,11 @@ object QueriesStream {
         |  CAST(ROUND(CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0)
         |    AS DOUBLE), 4) + 0.0 AS DOUBLE) AS sum_r
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // MapState final counts per (user, type) == plain batch GROUP BY
+    "stream_typecounts_tws" ->
+      """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // same totals contract through the transformWithState pipeline
     "stream_running_tws" ->

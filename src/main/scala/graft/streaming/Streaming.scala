@@ -848,6 +848,87 @@ object Streaming {
     }
   }
 
+  final case class TypeIn(user_id: Long, event_type: String)
+  final case class TypeCount(user_id: Long, event_type: String,
+      n_events: Long)
+
+  /** transformWithState's MAP state surface: one `MapState[type, count]`
+    * per user — the keyed sub-dictionary shape (per-entity per-category
+    * counters) that ValueState would force into a serialized blob
+    * rewritten whole every batch. With MapState each micro-batch
+    * touches only the sub-keys it saw (RocksDB point reads/writes), so
+    * per-batch state IO scales with the batch's category locality, not
+    * the per-user category universe — the point of the API. Emits each
+    * touched (user, type)'s cumulative count per batch (Update mode);
+    * the final state must equal the batch GROUP BY user, type. */
+  final class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypeIn, TypeCount] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TypeIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet[String]()
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  def typeCountsTwsStream(events: DataFrame): Dataset[TypeCount] = {
+    implicit val encIn = Encoders.product[TypeIn]
+    implicit val encOut = Encoders.product[TypeCount]
+    implicit val encL = Encoders.scalaLong
+    events
+      .select(col("user_id"), col("event_type"))
+      .as[TypeIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Gate harness: [[runningTotalsTws]]'s staging + RocksDB discipline
+    * over the MapState pipeline; reduces to each (user, type)'s final
+    * count, which must equal the batch GROUP BY however the rows split
+    * into micro-batches. */
+  def typeCountsTws(spark: SparkSession, dir: String, root: String,
+      nFiles: Int = 4): DataFrame = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val stage = s"$root/stage"
+    if (!new java.io.File(stage).exists()) {
+      graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .repartition(nFiles).write.mode("overwrite").parquet(stage)
+    }
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val raw =
+      try runToMemory(spark, typeCountsTwsStream(stream).toDF(),
+        "graft_stream_typecounts_tws", OutputMode.Update())
+      finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    raw.groupBy("user_id", "event_type")
+      .agg(max(col("n_events")).as("n_events"))
+  }
+
   def runningTotalsTwsStream(events: DataFrame): Dataset[RunTotal] = {
     implicit val encIn = Encoders.product[RunIn]
     implicit val encOut = Encoders.product[RunTotal]

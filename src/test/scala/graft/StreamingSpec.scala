@@ -520,6 +520,28 @@ class StreamingSpec extends SparkSpec {
       .forall(r => out(r.getLong(0))._1 == r.getLong(1)))
   }
 
+  test("typeCountsTws: MapState final counts equal the batch GROUP BY; emissions span batches") {
+    val root = Files.createTempDirectory("graft-tctws").toString
+    val out = Streaming.typeCountsTws(spark, sf0001, root, nFiles = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = Tables.events(spark, sf0001)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == want)
+    // Update mode really emitted per-batch cumulative states: the raw
+    // memory sink holds more rows than final (user, type) pairs — the
+    // 4-file split re-touches most sub-keys across batches
+    val raw = spark.table("graft_stream_typecounts_tws")
+    assert(raw.count() > out.size,
+      "expected multiple per-(user,type) emissions across micro-batches")
+    // and every emission is a prefix of the final count
+    assert(raw.groupBy("user_id", "event_type")
+      .agg(max("n_events").as("m")).collect()
+      .forall(r => out((r.getLong(0), r.getString(1))) == r.getLong(2)))
+  }
+
   test("recoverPhases: restart continues the checkpoint — no replay, no state loss") {
     val root = Files.createTempDirectory("graft-recover").toString
     val (p1Last, p2First, p2Rows, table) =
