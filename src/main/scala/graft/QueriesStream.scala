@@ -137,6 +137,14 @@ object QueriesStream {
       Streaming.typeCountsTws(s, d,
         s"/tmp/graft_rt/tctws_${d.replace('/', '_')}")),
 
+    // transformWithState's LIST state surface: bounded per-user
+    // recent-3 buffer (merge/resort/truncate per batch) + a ValueState
+    // row-counter tamper seal — the gate reduces to each user's final
+    // stamped emission, so lost list state fails the oracle compare
+    "stream_lastn_tws" -> ((s, d) =>
+      Streaming.lastNTws(s, d,
+        s"/tmp/graft_rt/lastn_${d.replace('/', '_')}")),
+
     // stream-stream LEFT OUTER interval join: matched pairs emit when
     // both sides meet; unmatched clicks null-pad only once the
     // watermark proves no purchase can arrive. The harness closes the
@@ -321,6 +329,14 @@ object QueriesStream {
         |  CAST(ROUND(CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0)
         |    AS DOUBLE), 4) + 0.0 AS DOUBLE) AS sum_r
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // final recent-3 buffer per user == batch window top-3 by event time
+    "stream_lastn_tws" ->
+      """SELECT user_id, CAST(rn AS INT) AS rn, event_id FROM (
+        |  SELECT user_id, event_id, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin,
 
     // MapState final counts per (user, type) == plain batch GROUP BY
     "stream_typecounts_tws" ->

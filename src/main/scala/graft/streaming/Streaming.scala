@@ -929,6 +929,96 @@ object Streaming {
       .agg(max(col("n_events")).as("n_events"))
   }
 
+  final case class EvIn(user_id: Long, ts_us: Long, event_id: Long)
+  final case class LastN(user_id: Long, n_seen: Long, rn: Int,
+      event_id: Long)
+
+  /** transformWithState's LIST state surface: a bounded per-user
+    * "most recent N events by event time" buffer — ListState holds the
+    * current top-N (merge batch rows, resort, truncate: O(N) state per
+    * user forever), and a ValueState row-counter stamps every emission.
+    * The counter is the harness's TAMPER SEAL: each batch's emission
+    * carries the cumulative rows seen, so the gate reduces to the
+    * max-n_seen emission per user — if ListState LOST state between
+    * batches, the union of batch-local top-Ns could still happen to
+    * contain the right answer, but the final stamped emission would
+    * hold only the last batch's rows and the oracle compare fails. */
+  final class LastNProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvIn, LastN] {
+    @transient private var buf:
+      org.apache.spark.sql.streaming.ListState[EvIn] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[EvIn]("buf", Encoders.product[EvIn],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[EvIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[LastN] = {
+      val fresh = rows.toSeq
+      val merged = (buf.get().toSeq ++ fresh)
+        .sortBy(e => (-e.ts_us, -e.event_id)).take(n)
+      buf.clear()
+      merged.foreach(buf.appendValue)
+      val ns = (if (seen.exists()) seen.get() else 0L) + fresh.size
+      seen.update(ns)
+      merged.iterator.zipWithIndex.map { case (e, i) =>
+        LastN(key, ns, i + 1, e.event_id) }
+    }
+  }
+
+  def lastNTwsStream(events: DataFrame, n: Int): Dataset[LastN] = {
+    implicit val encIn = Encoders.product[EvIn]
+    implicit val encOut = Encoders.product[LastN]
+    implicit val encL = Encoders.scalaLong
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[EvIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new LastNProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Gate harness: each user's FINAL stamped emission (max n_seen) is
+    * the recent-N buffer after all batches — must equal the batch
+    * window top-N by (ts desc, event_id desc) however rows split. */
+  def lastNTws(spark: SparkSession, dir: String, root: String,
+      n: Int = 3, nFiles: Int = 4): DataFrame = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val stage = s"$root/stage"
+    if (!new java.io.File(stage).exists()) {
+      graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .repartition(nFiles).write.mode("overwrite").parquet(stage)
+    }
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val raw =
+      try runToMemory(spark, lastNTwsStream(stream, n).toDF(),
+        "graft_stream_lastn_tws", OutputMode.Update())
+      finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    val wMax = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    raw
+      .withColumn("mx", max(col("n_seen")).over(wMax))
+      .where(col("n_seen") === col("mx"))
+      .select(col("user_id"), col("rn"), col("event_id"))
+  }
+
   def runningTotalsTwsStream(events: DataFrame): Dataset[RunTotal] = {
     implicit val encIn = Encoders.product[RunIn]
     implicit val encOut = Encoders.product[RunTotal]

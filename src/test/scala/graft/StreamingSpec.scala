@@ -542,6 +542,30 @@ class StreamingSpec extends SparkSpec {
       .forall(r => out((r.getLong(0), r.getString(1))) == r.getLong(2)))
   }
 
+  test("lastNTws: ListState recent-N equals batch top-N; the n_seen seal counts every row") {
+    val root = Files.createTempDirectory("graft-lastn").toString
+    val out = Streaming.lastNTws(spark, sf0001, root, n = 3, nFiles = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = Tables.events(spark, sf0001)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("rn") <= 3)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("rn")) ->
+        r.getAs[Long]("event_id")).toMap
+    assert(out == want)
+    // the tamper seal really accumulated across batches: each user's
+    // final n_seen equals their total event count
+    val sealOk = spark.table("graft_stream_lastn_tws")
+      .groupBy("user_id").agg(max("n_seen").as("m"))
+      .join(Tables.events(spark, sf0001).groupBy("user_id")
+        .agg(count(lit(1)).as("n")), "user_id")
+      .where(col("m") =!= col("n")).count()
+    assert(sealOk == 0L, "n_seen diverged from per-user event totals")
+  }
+
   test("recoverPhases: restart continues the checkpoint — no replay, no state loss") {
     val root = Files.createTempDirectory("graft-recover").toString
     val (p1Last, p2First, p2Rows, table) =
