@@ -533,6 +533,20 @@ object QueriesCore {
       graft.operators.Analytics.outliers(events(s, d), "event_type",
         "event_id", "value", z = 3.0)),
 
+    // sliding-window mean-shift changepoints per user: next-8 mean vs
+    // prev-8 mean over one keyed sort, decimal-exact frame sums, flag
+    // at 1.5 user-σ — level-shift detection with no self-join
+    "q_changepoint" -> ((s, d) =>
+      graft.operators.Analytics.meanShifts(events(s, d), "user_id",
+        "ts", "event_id", "value", w = 8, z = 1.5)),
+
+    // top user journeys: each user's first-3 event-type path, counted
+    // across users, top-20 — one keyed window pruned to 3 rows/user
+    // before any assembly; the path-count table is alphabet³-bounded
+    "q_paths" -> ((s, d) =>
+      graft.operators.Analytics.topPaths(events(s, d), "user_id", "ts",
+        "event_id", "event_type", k = 3, topK = 20)),
+
     // per-priority Pareto skyline of orders on (totalprice, orderdate)
     // both maximized — the O(n log n) group-reduce + frontier-window
     // shape, never the all-pairs dominance self-join (the naive oracle
@@ -1298,6 +1312,53 @@ object QueriesCore {
         |SELECT k AS event_type, id AS event_id, v AS value,
         |  CAST(ROUND(zs, 4) AS DOUBLE) AS z_score
         |FROM fl WHERE ABS(zs) > 3.0""".stripMargin,
+
+    // same decimal frame sums + σ join as the Spark plan; both frames
+    // must be full (8 rows) before a row may flag
+    "q_changepoint" ->
+      """WITH r AS (
+        |  SELECT user_id AS k, event_id AS id, ts AS t, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT k, id, t,
+        |    COUNT(v) OVER wb AS n_b, SUM(CAST(v AS DECIMAL(18,6))) OVER wb AS sb,
+        |    COUNT(v) OVER wa AS n_a, SUM(CAST(v AS DECIMAL(18,6))) OVER wa AS sa
+        |  FROM r
+        |  WINDOW wb AS (PARTITION BY k ORDER BY t, id ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+        |         wa AS (PARTITION BY k ORDER BY t, id ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+        |st AS (
+        |  SELECT k, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,6))) AS sx,
+        |    SUM(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6))) AS sxx
+        |  FROM r GROUP BY k),
+        |sp AS (
+        |  SELECT k,
+        |    SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS sd
+        |  FROM st WHERE n > 1),
+        |fl AS (
+        |  SELECT w.k, w.id, w.t,
+        |    CAST(ROUND(sb * CAST(0.125 AS DECIMAL(4,3)), 4) AS DOUBLE) AS mb,
+        |    CAST(ROUND(sa * CAST(0.125 AS DECIMAL(4,3)), 4) AS DOUBLE) AS ma,
+        |    CAST(sa AS DOUBLE) / 8 - CAST(sb AS DOUBLE) / 8 AS shift, sp.sd
+        |  FROM w JOIN sp ON w.k = sp.k
+        |  WHERE n_b = 8 AND n_a = 8 AND sp.sd > 0)
+        |SELECT k AS user_id, id AS event_id, t AS ts,
+        |  mb AS mean_before, ma AS mean_after,
+        |  CAST(ROUND(shift / sd, 4) AS DOUBLE) AS shift_z
+        |FROM fl WHERE ABS(shift) > sd * 1.5""".stripMargin,
+
+    // ordered string_agg inside the rn<=3 cut; rank ties on path asc
+    "q_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id),
+        |c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM p GROUP BY 1)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS INT) AS rank,
+        |  path, n_users
+        |FROM c ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     // deliberately a DIFFERENT O(n log n) formulation than the engine's
     // (distinct triples + one combined window vs group-reduce +

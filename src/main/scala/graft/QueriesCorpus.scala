@@ -278,6 +278,23 @@ object QueriesCorpus {
     "corpus_bpe_train" -> ((s, d) =>
       Corpus.bpeTrain(documents(s, d), "text", nMerges = 8)),
 
+    // per-language TOKEN quotas (the absolute-size form of mixing):
+    // md5-ordered docs fill each language's budget via one keyed
+    // cumulative window; kept iff the doc's own cumsum still fits
+    "corpus_token_budget" -> ((s, d) =>
+      Corpus.tokenBudgetMix(documents(s, d), "doc_id", "text", "lang",
+        budgets = Map("en" -> 5000L, "es" -> 2000L, "fr" -> 1500L,
+          "de" -> 1000L, "zh" -> 500L))),
+
+    // hybrid retrieval: BM25 top-50 and hash-embed-cosine top-50 for
+    // the same probe, fused by reciprocal-rank fusion (rank-only — the
+    // two score scales never mix); final top-10. The fusion join runs
+    // over two 50-row frames regardless of corpus size.
+    "corpus_hybrid_rrf" -> ((s, d) =>
+      Corpus.hybridRrf(documents(s, d), "doc_id", "text",
+        queryTerms = Seq("vector", "stream", "hash"), dim = 64,
+        k = 60, topKPerList = 50, topK = 10)),
+
     // corpus reporting: per-language doc/token totals and token-count
     // quantiles — the dataset card a training run starts from
     "corpus_stats" -> ((s, d) =>
@@ -633,6 +650,87 @@ object QueriesCorpus {
          |  CAST(SUM(CASE WHEN ((h >> 12) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
          |FROM h GROUP BY 1, 2
          |HAVING SUM(CASE WHEN ((h >> 12) & 1) = 1 THEN 1 ELSE -1 END) <> 0""".stripMargin,
+
+    // same md5 consumption order, same cumulative-fit rule
+    "corpus_token_budget" ->
+      s"""WITH t AS ($toksCte),
+         |d AS (
+         |  SELECT doc_id, lang FROM documents),
+         |r AS (
+         |  SELECT t.doc_id, d.lang, CAST(len(w) AS BIGINT) AS n_tok,
+         |    md5('graft-budget:' || CAST(t.doc_id AS VARCHAR)) AS ord
+         |  FROM t JOIN d USING (doc_id)),
+         |b AS (SELECT * FROM (VALUES
+         |  ('en', 5000), ('es', 2000), ('fr', 1500), ('de', 1000),
+         |  ('zh', 500)) v(lang, budget)),
+         |c AS (
+         |  SELECT r.doc_id, r.lang, r.n_tok, b.budget,
+         |    SUM(r.n_tok) OVER (PARTITION BY r.lang
+         |      ORDER BY r.ord ASC, r.doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+         |  FROM r JOIN b USING (lang))
+         |SELECT doc_id, lang, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+         |FROM c WHERE cum_tok <= budget""".stripMargin,
+
+    // the bm25 oracle body at LIMIT 50 + the hash-embed oracle body on
+    // both corpus and query side, fused by the same double-precision
+    // 1/(60+rank) sums; ranks and the final cut tie-break on doc_id
+    "corpus_hybrid_rrf" ->
+      s"""WITH t AS ($toksCte),
+         |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t WHERE len(w) > 0),
+         |s AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl FROM d),
+         |tfc AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(w) AS term FROM t)
+         |  WHERE term IN ('vector', 'stream', 'hash') GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+         |con AS (
+         |  SELECT doc_id, CAST(ROUND(
+         |    LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |    (tf * (1.2 + 1.0)) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(tot_dl AS DOUBLE) / n_docs))),
+         |  6) AS DECIMAL(18,6)) AS contrib
+         |  FROM tfc JOIN dfq USING (term) JOIN d USING (doc_id) CROSS JOIN s),
+         |sc AS (
+         |  SELECT doc_id, CAST(ROUND(CAST(SUM(contrib) AS DOUBLE), 4) AS DOUBLE) AS bm25
+         |  FROM con GROUP BY doc_id),
+         |lex AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS bm25_rank
+         |  FROM sc ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |tk AS (SELECT doc_id, unnest(w) AS tok FROM t),
+         |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::UBIGINT AS h FROM tk),
+         |emb AS (
+         |  SELECT doc_id, CAST(h % 64 AS INT) AS dim,
+         |    CAST(SUM(CASE WHEN ((h >> 12) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |  FROM h GROUP BY 1, 2
+         |  HAVING SUM(CASE WHEN ((h >> 12) & 1) = 1 THEN 1 ELSE -1 END) <> 0),
+         |qh AS (SELECT ('0x'||substr(md5(tok),1,15))::UBIGINT AS h
+         |  FROM (SELECT unnest(['vector', 'stream', 'hash']) AS tok)),
+         |qv AS (
+         |  SELECT CAST(h % 64 AS INT) AS dim,
+         |    CAST(SUM(CASE WHEN ((h >> 12) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS qv
+         |  FROM qh GROUP BY 1
+         |  HAVING SUM(CASE WHEN ((h >> 12) & 1) = 1 THEN 1 ELSE -1 END) <> 0),
+         |qn AS (SELECT SQRT(CAST(SUM(qv * qv) AS DOUBLE)) AS qn FROM qv),
+         |nn AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS nn FROM emb GROUP BY 1),
+         |nm AS (SELECT e.doc_id, CAST(SUM(e.v * q.qv) AS BIGINT) AS num
+         |  FROM emb e JOIN qv q USING (dim) GROUP BY 1),
+         |cosd AS (
+         |  SELECT nm.doc_id, CAST(ROUND(
+         |    CAST(num AS DOUBLE) / (SQRT(CAST(nn AS DOUBLE)) * qn), 6) AS DOUBLE) AS cos
+         |  FROM nm JOIN nn USING (doc_id) CROSS JOIN qn),
+         |dense AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS cos_rank
+         |  FROM cosd WHERE cos > 0 ORDER BY cos DESC, doc_id LIMIT 50),
+         |fu AS (
+         |  SELECT doc_id, bm25_rank, cos_rank,
+         |    CAST(ROUND(
+         |      COALESCE(CAST(1.0 AS DOUBLE) / (60 + bm25_rank), CAST(0.0 AS DOUBLE)) +
+         |      COALESCE(CAST(1.0 AS DOUBLE) / (60 + cos_rank), CAST(0.0 AS DOUBLE)), 6) AS DOUBLE) AS rrf
+         |  FROM lex FULL OUTER JOIN dense USING (doc_id))
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+         |  doc_id, rrf, bm25_rank, cos_rank
+         |FROM fu ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "corpus_perplexity" -> perplexityOracle,
 

@@ -330,6 +330,42 @@ object QueriesEtl {
         .select(col("user_id"), col("version"), col("event_id"),
           col("valid_from"), col("valid_to"), col("is_current"))),
 
+    // bitemporal as-of over an append-only assertion ledger derived
+    // from orders (a reprice valid 180 days on for key%5, a retroactive
+    // correction recorded later for key%7): the same valid-time
+    // snapshot reconstructed at two transaction times — the pre-
+    // correction read is REPRODUCIBLE forever, the post-correction one
+    // sees the fix. Two nested map-side-combining argmax aggregates.
+    "etl_bitemporal" -> ((s, d) => {
+      val o = orders(s, d)
+      val base = o.select(col("o_orderkey").as("order_key"),
+        col("o_orderdate").as("valid_from"),
+        expr("TIMESTAMP '1998-01-01 00:00:00'").as("tx_from"),
+        col("o_totalprice").cast("double").as("price"))
+      val reprice = o.where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("order_key"),
+          expr("o_orderdate + INTERVAL 180 DAYS").as("valid_from"),
+          expr("TIMESTAMP '1998-01-01 00:00:00'").as("tx_from"),
+          expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1)), 2) AS DOUBLE)")
+            .as("price"))
+      val correction = o.where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("order_key"),
+          col("o_orderdate").as("valid_from"),
+          expr("TIMESTAMP '1998-06-01 00:00:00'").as("tx_from"),
+          expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)")
+            .as("price"))
+      val ledger = base.unionByName(reprice).unionByName(correction)
+      def snap(tag: String) =
+        graft.operators.Changelog.bitemporalAsOf(ledger, Seq("order_key"),
+            "valid_from", "tx_from",
+            expr("TIMESTAMP '1996-01-01 00:00:00'"),
+            expr(s"TIMESTAMP '$tag'"))
+          .withColumn("as_of_tx", lit(tag))
+      snap("1998-03-01 00:00:00").unionByName(snap("1998-12-31 00:00:00"))
+        .select(col("order_key"), col("as_of_tx"), col("valid_from"),
+          col("tx_from"), col("price"))
+    }),
+
     // deterministic pseudonymization: customer/order keys replaced by
     // salted-md5 pseudonyms on BOTH tables — the join still lines up
     // (referential integrity survives), and the per-segment pseudonym
@@ -760,6 +796,41 @@ object QueriesEtl {
         |  (lead(ts) OVER w IS NULL) AS is_current
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
+    // the two argmax reductions as rn=1 windows (unique by
+    // construction: one base row per key, reprice shifts valid_from,
+    // correction shifts tx_from)
+    "etl_bitemporal" ->
+      """WITH led AS (
+        |  SELECT o_orderkey AS order_key, o_orderdate AS valid_from,
+        |    TIMESTAMP '1998-01-01 00:00:00' AS tx_from,
+        |    CAST(o_totalprice AS DOUBLE) AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderdate + INTERVAL 180 DAY,
+        |    TIMESTAMP '1998-01-01 00:00:00',
+        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1)), 2) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderdate,
+        |    TIMESTAMP '1998-06-01 00:00:00',
+        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |ao AS (SELECT * FROM (VALUES
+        |  ('1998-03-01 00:00:00', TIMESTAMP '1998-03-01 00:00:00'),
+        |  ('1998-12-31 00:00:00', TIMESTAMP '1998-12-31 00:00:00')) t(tag, tx)),
+        |s1 AS (
+        |  SELECT ao.tag, l.order_key, l.valid_from, l.tx_from, l.price,
+        |    ROW_NUMBER() OVER (PARTITION BY ao.tag, l.order_key, l.valid_from
+        |                       ORDER BY l.tx_from DESC) AS rn
+        |  FROM ao JOIN led l ON l.tx_from <= ao.tx),
+        |s2 AS (
+        |  SELECT tag, order_key, valid_from, tx_from, price,
+        |    ROW_NUMBER() OVER (PARTITION BY tag, order_key
+        |                       ORDER BY valid_from DESC) AS rn2
+        |  FROM s1
+        |  WHERE rn = 1 AND valid_from <= TIMESTAMP '1996-01-01 00:00:00')
+        |SELECT order_key, tag AS as_of_tx, valid_from, tx_from, price
+        |FROM s2 WHERE rn2 = 1""".stripMargin,
 
     "etl_pseudonymize" ->
       """WITH pc AS (SELECT md5('graft-pseud:r7:' || CAST(c_custkey AS VARCHAR)) AS pid,

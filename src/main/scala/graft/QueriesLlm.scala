@@ -579,6 +579,12 @@ object QueriesLlm {
         col("hits_zh"))
     }),
 
+    // Flesch reading-ease with a deterministic vowel-run syllable
+    // proxy — row-local, zero shuffle; raw counts ride along exact
+    "text_readability" -> ((s, d) =>
+      graft.operators.TextStats.readability(documents(s, d),
+        "doc_id", "text")),
+
     "text_quality" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), col("text"),
@@ -703,6 +709,14 @@ object QueriesLlm {
       Multimodal.frameNearDupPairs(
         Multimodal.attachBinary(documents(s, d), "doc_id", "text"),
         frameBytes = 256, maxHamming = 8)),
+
+    // scene-cut detection: per-frame phash, one keyed lag, cut where
+    // adjacent frames' hamming reaches the threshold — change
+    // detection WITHIN a video, vs mm_frames_dedup's cross-video join
+    "mm_scene_cuts" -> ((s, d) =>
+      Multimodal.sceneCuts(
+        Multimodal.attachBinary(documents(s, d), "doc_id", "text"),
+        frameBytes = 256, minHamming = 28)),
 
     // Shazam-style audio retrieval: landmark fingerprints (native
     // kernel, scan-stage) → df-capped inverted-index join → per-query
@@ -2113,6 +2127,28 @@ object QueriesLlm {
          |  hits_en, hits_es, hits_fr, hits_de, hits_zh
          |FROM h""".stripMargin,
 
+    // same vowel-run/terminal-punct proxies, same IEEE-double formula
+    "text_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(lower(text),' '), x -> x<>'') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(list_sum(list_transform(w,
+        |      x -> GREATEST(len(regexp_extract_all(x, '[aeiouy]+')), 1)))
+        |      AS BIGINT) AS n_syllables
+        |  FROM t WHERE len(w) > 0)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(ROUND(CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words),
+        |  4) AS DOUBLE) AS flesch
+        |FROM m""".stripMargin,
+
     "text_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
@@ -2377,6 +2413,38 @@ object QueriesLlm {
         |SELECT id_a, frame_a, id_b, frame_b,
         |  CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(pa, pb)) <= 8""".stripMargin,
+
+    // the mm_frames_dedup phash-per-frame CTEs + one keyed LAG — videos
+    // with >1 frame only; ASCII fixture ⇒ unicode(char) == payload byte
+    "mm_scene_cuts" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, text,
+        |    CAST(CEIL(length(text) / 256.0) AS INT) AS n_frames
+        |  FROM documents WHERE CEIL(length(text) / 256.0) > 1),
+        |fr AS (
+        |  SELECT id, CAST(i AS INT) AS fidx, substr(text, i*256 + 1, 256) AS f
+        |  FROM m, range(0, 1000) t(i) WHERE i < n_frames),
+        |b AS (
+        |  SELECT id, fidx, f, length(f) AS L,
+        |    [unicode(substr(f, i, 1)) for i in range(1, length(f)+1)] AS h
+        |  FROM fr),
+        |cells AS (
+        |  SELECT id, fidx, L, list_sum(h) AS tot,
+        |    [COALESCE(list_sum(h[(j*L//60)+1 : ((j+1)*L)//60]), 0) for j in range(0,60)] AS cs,
+        |    [((j+1)*L)//60 - (j*L//60) for j in range(0,60)] AS cc
+        |  FROM b),
+        |sig AS (
+        |  SELECT id, fidx,
+        |    list_sum([CASE WHEN cc[j+1] > 0 AND cs[j+1]*L >= tot*cc[j+1]
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS ph
+        |  FROM cells),
+        |lg AS (
+        |  SELECT id, fidx, ph,
+        |    LAG(ph) OVER (PARTITION BY id ORDER BY fidx) AS prev
+        |  FROM sig)
+        |SELECT id, fidx AS frame_idx,
+        |  CAST(bit_count(xor(ph, prev)) AS INT) AS hamming
+        |FROM lg WHERE prev IS NOT NULL AND bit_count(xor(ph, prev)) >= 28""".stripMargin,
 
     // phash pair graph (mm_phash_dedup's CTE) + recursive reachability
     // CC with min-label closure (the dedup_clusters pattern)

@@ -155,6 +155,16 @@ object QueriesStream {
       Streaming.leftJoinCounts(s, d,
         s"/tmp/graft_rt/leftjoin_${d.replace('/', '_')}")),
 
+    // stream-stream FULL OUTER interval join: both sides null-pad —
+    // unmatched purchases emit too, once the watermark proves no
+    // trailing-window click can arrive. Sentinel-closed like the left
+    // join, so the bounded result is the plain batch FULL JOIN; the
+    // sentinel filter keys on the COALESCED user (a side-column filter
+    // would null-kill every padded row)
+    "stream_join_full" -> ((s, d) =>
+      Streaming.fullJoinCounts(s, d,
+        s"/tmp/graft_rt/fulljoin_${d.replace('/', '_')}")),
+
     // TWO stateful operators chained in ONE query (Spark 4):
     // dropDuplicatesWithinWatermark → tumbling hourly counts, Append
     // mode, sentinel-closed. Dedup keys include ts so the surviving
@@ -318,6 +328,26 @@ object QueriesStream {
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(COUNT(purchase_id) AS BIGINT) AS n_matched
         |FROM j GROUP BY user_id""".stripMargin,
+
+    // sentinel-closed stream ⇒ plain batch FULL JOIN: matched pairs,
+    // click-only and purchase-only paddings all counted per user
+    "stream_join_full" ->
+      """WITH p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT c.click_id, c.user_id, p.p_user, p.purchase_id
+        |  FROM c FULL JOIN p ON c.user_id = p.p_user
+        |    AND c.ts >= p.p_ts AND c.ts <= p.p_ts + INTERVAL 2 HOUR)
+        |SELECT COALESCE(user_id, p_user) AS user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(CASE WHEN click_id IS NOT NULL AND purchase_id IS NOT NULL
+        |    THEN 1 END) AS BIGINT) AS n_matched,
+        |  CAST(COUNT(CASE WHEN click_id IS NOT NULL AND purchase_id IS NULL
+        |    THEN 1 END) AS BIGINT) AS n_click_only,
+        |  CAST(COUNT(CASE WHEN click_id IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_purchase_only
+        |FROM j GROUP BY 1""".stripMargin,
 
     // final state per user == the batch GROUP BY (count + exact
     // decimal-micros sum); the per-batch emission cadence itself is

@@ -370,6 +370,95 @@ object Analytics {
     * p's own (key,x) group (higher y ⇒ p.y < ymax, dropped by the
     * join) or in a higher-x group (ymax there ≥ its y ≥ p.y ⇒ the
     * running max kills p's group or p.y < own ymax). */
+  /** Sliding-window mean-shift changepoint detection per key: flag
+    * rows where the mean of the next `w` values (current row included —
+    * the changepoint is the first row of the new regime) differs from
+    * the mean of the previous `w` values by more than `z` key-σ. Both
+    * frames must be FULL (`w` rows) so edge rows never fire on a
+    * partial mean. The window sums ride DECIMAL(18,6) so they are
+    * exact and order-independent (the q_stats discipline); σ comes
+    * from the same decimal-exact two-phase aggregate as [[outliers]]
+    * and broadcast-joins back — one scan, two frames over ONE keyed
+    * sort, one tiny broadcast. At 100 TB this is the cheap shape for
+    * level-shift detection: no self-join, state bounded by 2·w rows
+    * per frame, and the per-key stats table stays metadata-sized. */
+  def meanShifts(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, w: Int = 8,
+      z: Double = 1.5): DataFrame = {
+    require(w >= 2 && w <= 256, "window must be in [2,256]")
+    require(z > 0, "z must be positive")
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), col(idCol).as("id"),
+        col(tsCol).as("t"), col(valueCol).cast("double").as("v"))
+    val order = Window.partitionBy("k").orderBy(col("t").asc, col("id").asc)
+    val before = order.rowsBetween(-w, -1)
+    val after  = order.rowsBetween(Window.currentRow, w - 1)
+    val stats = rows.groupBy("k").agg(
+        count(lit(1)).as("n"),
+        expr("SUM(CAST(v AS DECIMAL(18,6)))").as("sx"),
+        expr("SUM(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))").as("sxx"))
+      .where(col("n") > 1)
+      .selectExpr("k",
+        "SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS sd")
+      .where(col("sd") > 0)
+    rows
+      .withColumn("n_b", count(col("v")).over(before))
+      .withColumn("sb", expr("SUM(CAST(v AS DECIMAL(18,6)))").over(before))
+      .withColumn("n_a", count(col("v")).over(after))
+      .withColumn("sa", expr("SUM(CAST(v AS DECIMAL(18,6)))").over(after))
+      .where(col("n_b") === w && col("n_a") === w)
+      .join(broadcast(stats), "k")
+      .withColumn("shift",
+        col("sa").cast("double") / w - col("sb").cast("double") / w)
+      .where(abs(col("shift")) > col("sd") * z)
+      // means round from the DECIMAL quotient, not a double: sum/w can
+      // land exactly on a .00005 boundary (integer-ish inputs, w a
+      // power of two), where Spark's double ROUND (shortest-decimal
+      // HALF_UP) and an engine rounding the binary value disagree by
+      // one ulp of the 4th decimal; decimal-space rounding is exact
+      // and engine-independent
+      .select(col("k").as(keyCol), col("id").as(idCol), col("t").as(tsCol),
+        expr("CAST(ROUND(sb / " + w + ", 4) AS DOUBLE)")
+          .as("mean_before"),
+        expr("CAST(ROUND(sa / " + w + ", 4) AS DOUBLE)")
+          .as("mean_after"),
+        expr("CAST(ROUND(shift / sd, 4) AS DOUBLE)").as("shift_z"))
+  }
+
+  /** Top user journeys: each key's first `k` step labels (by time,
+    * id-tie-broken) joined into a path string, counted across keys,
+    * top `topK` paths by frequency. The sankey/flow primitive: which
+    * openings dominate, where do sessions start diverging.
+    *
+    * One keyed window prunes to k rows per key BEFORE any path
+    * assembly (early row_number filter — state bounded by k·keys, the
+    * tail of long histories never shuffles again); the path builds
+    * row-locally from a sorted struct array (collect_list is
+    * unordered across partitions — array_sort on the (rn, label)
+    * struct restores the only order that exists); the final cut is
+    * TakeOrderedAndProject over the path-count table, which is at
+    * most label-alphabet^k rows regardless of input size. */
+  def topPaths(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, labelCol: String, k: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(k >= 1 && k <= 16, "path length must be in [1,16]")
+    require(topK >= 1, "topK must be positive")
+    val w = Window.partitionBy("u")
+      .orderBy(col("t").asc, col("i").asc)
+    val paths = df.select(col(keyCol).as("u"), col(tsCol).as("t"),
+        col(idCol).as("i"), col(labelCol).as("l"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .groupBy("u")
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(rn, l))), x -> x.l), '>')").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_users").desc, col("path").asc)).cast("int"))
+      .select("rank", "path", "n_users")
+  }
+
   def skyline(df: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
     val in = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
     val g = in.groupBy(col(keyCol), col(xCol)).agg(max(col(yCol)).as("__ymax"))

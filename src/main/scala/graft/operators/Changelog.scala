@@ -58,4 +58,38 @@ object Changelog {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Bitemporal as-of: reconstruct, per key, the version that was
+    * EFFECTIVE at valid time `asOfValid` AS KNOWN AT transaction time
+    * `asOfTx`, from an append-only bitemporal ledger (each row = one
+    * assertion `(key, validFrom, txFrom, payload)`; corrections re-
+    * assert the same validFrom at a later txFrom — rows are never
+    * mutated, matching the append-only sink model above).
+    *
+    * Two nested latest-by-key reductions, both as key-partitioned
+    * MAX_BY-style aggregates (not windows — a two-phase aggregate
+    * combines map-side, so the shuffle carries one row per key per
+    * input partition): (1) among assertions visible at `asOfTx`, the
+    * latest txFrom wins per (key, validFrom); (2) among surviving
+    * versions, the latest validFrom ≤ `asOfValid` wins per key. The
+    * ledger must not contain two rows with equal (key, validFrom,
+    * txFrom) — assert upstream; with that, both argmaxes are unique
+    * and the result is deterministic on any engine and partitioning. */
+  def bitemporalAsOf(ledger: DataFrame, keyCols: Seq[String],
+      validFromCol: String, txFromCol: String,
+      asOfValid: Column, asOfTx: Column): DataFrame = {
+    val payload = ledger.columns
+      .filterNot(c => keyCols.contains(c) || c == validFromCol || c == txFromCol)
+    val latestTx = ledger
+      .where(col(txFromCol) <= asOfTx)
+      .groupBy((keyCols :+ validFromCol).map(col): _*)
+      .agg(max(col(txFromCol)).as(txFromCol),
+        payload.map(c => max_by(col(c), col(txFromCol)).as(c)): _*)
+    latestTx
+      .where(col(validFromCol) <= asOfValid)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col(validFromCol)).as(validFromCol),
+        (txFromCol +: payload).map(c =>
+          max_by(col(c), col(validFromCol)).as(c)): _*)
+  }
 }

@@ -892,4 +892,89 @@ object Corpus {
       .agg(sum(col("sgn")).as("v"))
       .where(col("v") =!= 0)
   }
+
+  /** Per-source token-budget sampling: keep, per language, the docs
+    * that fit a fixed TOKEN budget ("take 5k tokens of en, 500 of zh"
+    * — the quota form of mixing, where [[mixSources]]-style rate
+    * sampling controls proportions but not absolute size). Docs are
+    * consumed in a deterministic md5 order (an unbiased shuffle that
+    * no engine or partitioning can perturb — the repo's seeded-hash
+    * discipline), with ONE per-language cumulative-sum window; a doc
+    * is kept iff its own cumulative total still fits. Budgets ride a
+    * broadcast |langs|-row frame. At 100 TB this is one keyed window
+    * over (lang)-partitioned rows — no global sort, no driver state;
+    * languages not in the budget map are dropped at the scan. */
+  def tokenBudgetMix(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMix: empty budget map")
+    require(budgets.values.forall(_ > 0), "budgets must be positive")
+    val spark = df.sparkSession
+    val b = spark.createDataFrame(budgets.toSeq).toDF("lang", "__budget")
+    val toks = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"),
+      md5(concat(lit("graft-budget:"), col(idCol).cast("string")))
+        .as("__ord"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("__ord").asc, col("doc_id").asc)
+    toks.join(broadcast(b), "lang")
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .where(col("cum_tok") <= col("__budget"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion: the lexical
+    * ([[bm25]]) and dense ([[hashEmbed]] cosine) top-`topKPerList`
+    * rankings for one query, fused as Σ 1/(`k` + rank) over the lists
+    * a doc appears in (Cormack et al. 2009's RRF — rank-only fusion,
+    * so the two incomparable score scales never mix).
+    *
+    * The query embeds through the SAME hashEmbed plan as the corpus
+    * (a one-row DataFrame — no second hash implementation to drift);
+    * its ≤|terms| non-zero dims broadcast to the doc vectors, so the
+    * dense side is one aggregate over matched dims + one norm
+    * aggregate, never a dims×docs blow-up. Fusion is a single outer
+    * join of two ≤topKPerList-row frames (both broadcast-sized by
+    * construction at ANY corpus scale — the lists are already cut).
+    * Cross-engine determinism: cosine's numerator/norms are exact
+    * integer sums, each 1/(k+rank) is one IEEE division, ranks break
+    * ties by doc_id, and cosine is rounded before ranking. */
+  def hybridRrf(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], dim: Int = 64, k: Int = 60,
+      topKPerList: Int = 50, topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "hybridRrf: empty query")
+    require(k >= 1, "rrf k must be >= 1")
+    val spark = df.sparkSession
+    val lex = bm25(df, idCol, textCol, queryTerms, topK = topKPerList)
+      .select(col("doc_id"), col("rank").as("bm25_rank"))
+    val emb = hashEmbed(df, idCol, textCol, dim)
+    val qdoc = spark.createDataFrame(Seq((0L, queryTerms.mkString(" "))))
+      .toDF(idCol, textCol)
+    val qv = hashEmbed(qdoc, idCol, textCol, dim)
+      .select(col("dim"), col("v").as("qv"))
+    val qnorm = qv.agg(sqrt(sum(col("qv") * col("qv"))).as("qn"))
+    val norms = emb.groupBy("doc_id")
+      .agg(sum(col("v") * col("v")).as("nn"))
+    val cos = emb.join(broadcast(qv), "dim")
+      .groupBy("doc_id").agg(sum(col("v") * col("qv")).as("num"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qnorm))
+      .select(col("doc_id"),
+        expr("CAST(ROUND(num / (SQRT(nn) * qn), 6) AS DOUBLE)").as("cos"))
+      .where(col("cos") > 0)
+    val dense = cos.orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(topKPerList)
+      .withColumn("cos_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("int"))
+      .select("doc_id", "cos_rank")
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        expr(s"""CAST(ROUND(
+          COALESCE(CAST(1.0 AS DOUBLE) / ($k + bm25_rank), CAST(0.0 AS DOUBLE)) +
+          COALESCE(CAST(1.0 AS DOUBLE) / ($k + cos_rank), CAST(0.0 AS DOUBLE)), 6) AS DOUBLE)""")
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("int"))
+      .select("rank", "doc_id", "rrf", "bm25_rank", "cos_rank")
+  }
 }

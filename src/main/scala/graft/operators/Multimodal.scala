@@ -69,6 +69,44 @@ object Multimodal {
         octet_length(col("frame")).cast("int").as("frame_bytes"),
         md5(col("frame")).as("frame_md5"))
 
+  /** Scene-cut detection per video: perceptual hash per sampled frame
+    * ([[sampleFrames]]' slicing, [[graft.plans.Sketches.phash60]] per
+    * frame), then ONE keyed lag — a cut is an adjacent-frame pair
+    * whose hash hamming distance reaches `minHamming`. Returns
+    * (id, frame_idx, hamming) where frame_idx is the FIRST frame of
+    * the new scene. A real deployment swaps byte-slices for decoded
+    * keyframes; the hash + change-detection plumbing is the real thing
+    * either way. Scale: hashing is scan-stage row-local; the only
+    * shuffle is the per-video frame sort, state = one previous hash
+    * per key — no frame ever joins another video's frames. */
+  def sceneCuts(media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload", frameBytes: Int = 256,
+      minHamming: Int = 28): DataFrame = {
+    require(frameBytes > 0, "frameBytes must be positive")
+    require(minHamming >= 1 && minHamming <= 60,
+      "minHamming must be in [1,60]")
+    val spark = media.sparkSession
+    val frames = media
+      .withColumn("n_frames",
+        ceil(octet_length(col(payloadCol)) / lit(frameBytes.toDouble)).cast("int"))
+      .where(col("n_frames") > 1) // single-frame media cannot cut
+      .select(col(idCol).as("id"), col(payloadCol).as("__p"),
+        posexplode(sequence(lit(0), col("n_frames") - 1))
+          .as(Seq("pos", "frame_idx")))
+      .select(col("id"), col("frame_idx").cast("int").as("frame_idx"),
+        expr(s"substring(__p, frame_idx * $frameBytes + 1, $frameBytes)")
+          .as("frame"))
+    val sigs = frames.select(col("id"), col("frame_idx"),
+      graft.plans.GraftFunctions.phash60(spark, col("frame")).as("ph"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("frame_idx").asc)
+    sigs.withColumn("prev", lag(col("ph"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("hamming", expr("CAST(bit_count(ph ^ prev) AS INT)"))
+      .where(col("hamming") >= minHamming)
+      .select(col("id"), col("frame_idx"), col("hamming"))
+  }
+
   /** Perceptual hashes per media row: 60-bit aHash + dHash over the
     * raw payload bytes ([[graft.plans.Sketches.phash60]] /
     * [[Sketches.dhash60]] — codegen'd, row-local, scan-stage). A real

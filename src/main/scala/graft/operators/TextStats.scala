@@ -97,6 +97,33 @@ object TextStats {
         col("bullet_frac") <= 0.9 and col("ellipsis_frac") <= 0.3 and
         col("alpha_frac") >= 0.8 and col("stop_hits") >= 2)
 
+  /** Flesch reading-ease per document with a deterministic syllable
+    * proxy: vowel-group runs (`[aeiouy]+`) per token, min 1 — the
+    * engine-portable stand-in for dictionary syllabification.
+    * Sentences = terminal-punctuation runs (`[.!?]+`, min 1) so an
+    * ellipsis counts once. flesch = 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words), rounded to 4 (the raw counts ride along
+    * exact, so consumers can re-derive at any precision). Entirely
+    * row-local codegen'd expressions — zero shuffle, O(doc length) per
+    * row; empty docs drop rather than emit a degenerate score. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"),
+        expr("CAST(size(w) AS BIGINT)").as("n_words"),
+        expr("""CAST(GREATEST(size(regexp_extract_all(text, '[.!?]+', 0)), 1)
+            AS BIGINT)""").as("n_sentences"),
+        expr("""CAST(aggregate(w, 0L, (a, x) ->
+            a + BIGINT(GREATEST(size(regexp_extract_all(x, '[aeiouy]+', 0)), 1)))
+            AS BIGINT)""").as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        expr("""CAST(ROUND(CAST(206.835 AS DOUBLE)
+            - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+            - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words),
+          4) AS DOUBLE)""").as("flesch"))
+
   /** Character-level Shannon entropy per document — the cheap
     * randomness/degeneracy signal: near-zero entropy flags repeated-
     * character junk ("aaaa…"), implausibly high entropy flags

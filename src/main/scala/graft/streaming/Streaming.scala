@@ -181,6 +181,30 @@ object Streaming {
     * oracle is then the plain batch LEFT JOIN with no cutoff. */
   def leftJoinCounts(spark: SparkSession, dir: String,
       root: String): DataFrame = {
+    val stage = stageClosedEvents(spark, dir, root)
+    val schema = spark.read.parquet(stage).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val joined = clickAttributionLeft(stream, stream)
+    runToMemory(spark, joined, "graft_stream_join_left",
+        OutputMode.Append())
+      // drop exactly the sentinel rows staged above (Long.MinValue ids,
+      // staging-time clash assert) — an exact-id filter, not a sign
+      // test, so any real event id, negative included, passes through
+      .where(col("click_id") =!= Long.MinValue &&
+        col("user_id") =!= Long.MinValue)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_id")).as("n_matched"))
+  }
+
+  /** Stage the events table plus one far-future sentinel click+purchase
+    * pair as two fixed-mtime parquet batch files — the deterministic
+    * stream-CLOSING harness shared by the outer-join gates (see
+    * [[leftJoinCounts]] for why a live outer stream can't prove its
+    * tail unmatched). Returns the stage directory. */
+  private def stageClosedEvents(spark: SparkSession, dir: String,
+      root: String): String = {
     val stage = s"$root/stage"
     // staging from an older run must carry THIS code's sentinel
     // convention, or the batch-side filter would let foreign sentinels
@@ -228,20 +252,60 @@ object Streaming {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
     }
+    stage
+  }
+
+  /** Watermarked stream-stream FULL OUTER interval join — the one join
+    * type [[clickAttributionLeft]] leaves uncovered: BOTH sides
+    * null-pad, so unmatched purchases (no click within the trailing
+    * window) emit too, once the watermark proves no qualifying click
+    * can still arrive. The condition time-bounds each side's event
+    * time against the other (p_ts ∈ [ts − window, ts]), so state on
+    * both sides is watermark-evicted — bounded by the horizon, never
+    * by stream length. */
+  def clickAttributionFull(events: DataFrame, purchases: DataFrame,
+      windowHours: Int = 2, watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("ts") >= col("p_ts") &&
+        col("ts") <= col("p_ts") + expr(s"INTERVAL $windowHours HOURS"),
+      "fullOuter")
+  }
+
+  /** Gate harness for [[clickAttributionFull]]: sentinel-closed (the
+    * [[stageClosedEvents]] discipline — outer-null timing near the live
+    * tail is batch-split-dependent on BOTH sides here), so the bounded
+    * result equals the plain batch FULL JOIN. The sentinel click and
+    * purchase match each other (same user, same instant) and are
+    * removed by ONE key filter on the coalesced user — never a
+    * null-killing filter on a side-specific column, which would silently
+    * drop every legitimately null-padded row. */
+  def fullJoinCounts(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
+    val stage = stageClosedEvents(spark, dir, root)
     val schema = spark.read.parquet(stage).schema
     def stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
-    val joined = clickAttributionLeft(stream, stream)
-    runToMemory(spark, joined, "graft_stream_join_left",
+    val joined = clickAttributionFull(stream, stream)
+    runToMemory(spark, joined, "graft_stream_join_full",
         OutputMode.Append())
-      // drop exactly the sentinel rows staged above (Long.MinValue ids,
-      // staging-time clash assert) — an exact-id filter, not a sign
-      // test, so any real event id, negative included, passes through
-      .where(col("click_id") =!= Long.MinValue &&
-        col("user_id") =!= Long.MinValue)
-      .groupBy("user_id")
+      // exactly one side is non-null on padded rows; matched rows agree
+      .withColumn("u", coalesce(col("user_id"), col("p_user")))
+      .where(col("u") =!= Long.MinValue)
+      .groupBy(col("u").as("user_id"))
       .agg(count(lit(1)).as("n_rows"),
-        count(col("purchase_id")).as("n_matched"))
+        count(when(col("click_id").isNotNull &&
+          col("purchase_id").isNotNull, 1)).as("n_matched"),
+        count(when(col("click_id").isNotNull &&
+          col("purchase_id").isNull, 1)).as("n_click_only"),
+        count(when(col("click_id").isNull, 1)).as("n_purchase_only"))
   }
 
   /** Run a (bounded) streaming frame to completion into a memory table

@@ -307,4 +307,58 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out2(3L) == math.rint((1.0 + 4.0) / 1.5 * 1e4) / 1e4)
   }
+
+  test("meanShifts: level shift flags only where both frames are full") {
+    // "a": 8×10 then 8×20 — only t=9 has two full frames; shift 10 > 1.5σ
+    val a = (1 to 16).map(i =>
+      ("a", i.toLong, 100L + i, if (i <= 8) 10.0 else 20.0))
+    // "b": three 8-row plateaus 0.5 apart — every full-frame shift is
+    // 0.5 < 1.5σ (σ ≈ 0.417), so a drift below threshold stays quiet
+    val b = (1 to 24).map(i => ("b", i.toLong, 200L + i,
+      if (i <= 8) 10.0 else if (i <= 16) 10.5 else 11.0))
+    // "c": constant → σ = 0 → the key is dropped before any frame math
+    val c = (1 to 20).map(i => ("c", i.toLong, 300L + i, 5.0))
+    val df = (a ++ b ++ c).toDF("k", "t", "id", "v")
+    val out = Analytics.meanShifts(df, "k", "t", "id", "v", w = 8, z = 1.5)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    // columns: k, id, t, mean_before, mean_after, shift_z
+    assert(r.getString(0) == "a" && r.getLong(1) == 109L && r.getLong(2) == 9L)
+    assert(r.getDouble(3) == 10.0 && r.getDouble(4) == 20.0)
+    // σ over all 16 values = sqrt(400/15); z = 10/σ rounded at 4
+    assert(r.getDouble(5) == math.rint(10.0 / math.sqrt(400.0 / 15) * 1e4) / 1e4)
+  }
+
+  test("meanShifts: partition-count independent; argument guards") {
+    val df = (1 to 40).map(i =>
+      ("k", i.toLong, i.toLong, if (i <= 20) 3.0 else 9.0)).toDF("k", "t", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.meanShifts(d, "k", "t", "id", "v", w = 8, z = 1.5)
+        .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).sortBy(_._1).toSeq
+    assert(run(df) == run(df.repartition(7)))
+    assert(run(df).nonEmpty)
+    intercept[IllegalArgumentException](
+      Analytics.meanShifts(df, "k", "t", "id", "v", w = 1))
+    intercept[IllegalArgumentException](
+      Analytics.meanShifts(df, "k", "t", "id", "v", z = 0.0))
+  }
+
+  test("topPaths: time-ordered first-k labels, id tie-break, short paths kept") {
+    val df = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "buy"),
+      (1L, 40L, 4L, "view"),                       // 4th event ignored
+      (2L, 5L, 5L, "view"), (2L, 6L, 6L, "click"), (2L, 7L, 7L, "buy"),
+      (3L, 1L, 9L, "view"), (3L, 1L, 8L, "click")  // ts tie → id 8 first
+    ).toDF("u", "t", "id", "l")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.topPaths(d, "u", "t", "id", "l", k = 3, topK = 10)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val out = run(df)
+    assert(out == Seq((1, "view>click>buy", 2L), (2, "click>view", 1L)))
+    assert(run(df.repartition(7)) == out)
+    intercept[IllegalArgumentException](
+      Analytics.topPaths(df, "u", "t", "id", "l", k = 0))
+  }
 }

@@ -183,4 +183,49 @@ class ChangelogProfileSpec extends SparkSpec {
     assert(out == Map(1L -> None, 2L -> Some(1), 3L -> Some(1),
       4L -> Some(2), 5L -> None))
   }
+
+  test("bitemporalAsOf: pre-correction reads reproduce; corrections bind at tx time") {
+    import java.sql.Timestamp
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val ledger = Seq(
+      // k1: original assertion, a later CORRECTION of the same valid
+      // period, and a newer version effective 2021 (asserted early)
+      (1L, d("2020-01-01"), d("2020-01-01"), 100.0, 5L),
+      (1L, d("2020-01-01"), d("2020-06-01"), 110.0, 5L),
+      (1L, d("2021-01-01"), d("2020-01-01"), 200.0, 6L),
+      // k2: only asserted late — invisible to earlier tx reads
+      (2L, d("2020-01-01"), d("2020-09-01"), 50.0, 1L)
+    ).toDF("key", "valid_from", "tx_from", "price", "qty")
+    def snap(v: String, t: String) =
+      Changelog.bitemporalAsOf(ledger, Seq("key"), "valid_from", "tx_from",
+          lit(d(v)), lit(d(t)))
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getLong(4))))
+        .toMap
+    // read before the correction was recorded: the original, forever
+    assert(snap("2020-06-15", "2020-03-01") == Map(1L -> ((100.0, 5L))))
+    // read after: the correction applies; k2 now visible
+    assert(snap("2020-06-15", "2020-12-01") ==
+      Map(1L -> ((110.0, 5L)), 2L -> ((50.0, 1L))))
+    // a later valid time picks the 2021 version — the correction bound
+    // only to the valid period it re-asserted
+    assert(snap("2021-06-01", "2020-12-01") ==
+      Map(1L -> ((200.0, 6L)), 2L -> ((50.0, 1L))))
+    // valid time before every assertion: nothing was effective yet
+    assert(snap("2019-06-01", "2020-12-01").isEmpty)
+  }
+
+  test("bitemporalAsOf is partition-count independent") {
+    import java.sql.Timestamp
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val ledger = (1L to 60L).flatMap(k => Seq(
+      (k, d("2020-01-01"), d("2020-01-01"), k * 1.0, k),
+      (k, d("2020-01-01"), d("2020-05-01"), k * 2.0, k)
+    )).toDF("key", "valid_from", "tx_from", "price", "qty")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Changelog.bitemporalAsOf(df, Seq("key"), "valid_from", "tx_from",
+          lit(d("2020-06-01")), lit(d("2020-07-01")))
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(run(ledger) == run(ledger.repartition(13)))
+    assert(run(ledger).forall { case (k, p) => p == k * 2.0 })
+  }
 }

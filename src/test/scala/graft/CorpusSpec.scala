@@ -556,4 +556,89 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3))).toMap
     assert(re == e1)
   }
+
+  test("tokenBudgetMix: md5-order prefix cut per language, boundary kept") {
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "d e", "en"), (3L, "f g h i", "en"),
+      (4L, "x y", "zh"), (5L, "keine quote", "de")   // de not budgeted
+    ).toDF("doc_id", "text", "lang")
+    def md5ord(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-budget:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val enOrder = Seq((1L, 3L), (2L, 2L), (3L, 4L))
+      .sortBy { case (id, _) => (md5ord(id), id) }
+    // replicate the contract: cumulative over ALL docs in md5 order,
+    // kept iff own cumsum fits — an overflow ENDS the language's intake
+    def simulate(budget: Long) = enOrder
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) => (id, n, cum + n) }
+      .tail.filter(_._3 <= budget).map(t => t._1 -> ((t._2, t._3))).toMap
+    def run(budget: Long) =
+      Corpus.tokenBudgetMix(docs, "doc_id", "text", "lang",
+          Map("en" -> budget, "zh" -> 100L))
+        .where(col("lang") === "en")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+    assert(run(9L) == simulate(9L) && run(9L).size == 3)   // boundary kept
+    assert(run(5L) == simulate(5L))
+    assert(run(1L) == simulate(1L) && run(1L).isEmpty)     // first doc > 1 tok
+    // unbudgeted language absent; budgeted zh present
+    val all = Corpus.tokenBudgetMix(docs, "doc_id", "text", "lang",
+        Map("en" -> 9L, "zh" -> 100L))
+      .collect().map(r => r.getString(1)).toSet
+    assert(all == Set("en", "zh"))
+    // partition-count independent (hash order, not arrival order)
+    val re = Corpus.tokenBudgetMix(docs.repartition(7), "doc_id", "text",
+        "lang", Map("en" -> 5L, "zh" -> 100L))
+      .where(col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(re == simulate(5L))
+    intercept[IllegalArgumentException](
+      Corpus.tokenBudgetMix(docs, "doc_id", "text", "lang", Map.empty))
+  }
+
+  test("hybridRrf: rank-only fusion consistent with both component rankings") {
+    val df = Seq(
+      (1L, "alpha alpha alpha pad pad"),
+      (2L, "alpha beta"),                    // both terms — tops both lists
+      (3L, "beta gamma pad pad pad pad"),
+      (4L, "gamma delta pad"),               // no query term
+      (5L, "alpha pad pad pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val q = Seq("alpha", "beta")
+    val out = Corpus.hybridRrf(df, "doc_id", "text", q,
+        dim = 64, k = 60, topKPerList = 5, topK = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4))))
+    // ranks are dense from 1 and ordered by rrf desc (doc_id tie-break)
+    assert(out.map(_._1).toSeq == (1 to out.length).toSeq)
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted.reverse)
+    // every fused doc appears in at least one component list, and the
+    // fused score is exactly the RRF formula over its rank columns
+    out.foreach { case (_, _, rrf, br, cr) =>
+      assert(br.nonEmpty || cr.nonEmpty)
+      val want = br.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        cr.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(rrf == BigDecimal(want)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the lexical rank column IS bm25's ranking at the same cut
+    val lex = Corpus.bm25(df, "doc_id", "text", q, topK = 5)
+      .collect().map(r => r.getLong(1) -> r.getInt(0)).toMap
+    out.foreach { case (_, id, _, br, _) => assert(br == lex.get(id)) }
+    // doc 2 holds both query terms: present in both rankings, and its
+    // query-identical token multiset makes it the dense #1
+    val d2 = out.find(_._2 == 2L).get
+    assert(d2._4.nonEmpty && d2._5.contains(1))
+    // deterministic under any input partitioning
+    val re = Corpus.hybridRrf(df.repartition(7), "doc_id", "text", q,
+        dim = 64, k = 60, topKPerList = 5, topK = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4))))
+    assert(re.toSeq == out.toSeq)
+    intercept[IllegalArgumentException](
+      Corpus.hybridRrf(df, "doc_id", "text", Nil))
+  }
 }

@@ -70,7 +70,11 @@ class PlanHygieneSpec extends SparkSpec {
       // dedup_eval crosses three 1-row count aggregates (scalar
       // attach); ann_recall_eval runs ann_ivf's centroid broadcast and
       // ann_topk's query-set broadcast side by side
-      "dedup_eval", "ann_recall_eval")
+      "dedup_eval", "ann_recall_eval",
+      // corpus_hybrid_rrf runs corpus_bm25's sanctioned 1-row
+      // N/avgdl attach and adds its own 1-row query-norm attach; the
+      // dense-side dim join and the 50×50 fusion join are equi-joins
+      "corpus_hybrid_rrf")
 
   // streaming frames cannot be explained without starting a query; their
   // batch-equivalent shapes are covered by the stream_* batch oracles.

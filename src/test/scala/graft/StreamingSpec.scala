@@ -453,6 +453,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.values.exists { case (n, m) => n > m })
   }
 
+  test("fullJoinCounts: sentinel-closed full-outer equals batch full join") {
+    val root = Files.createTempDirectory("graft-fulljoin").toString
+    val out = Streaming.fullJoinCounts(spark, sf0001, root)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val ev = Tables.events(spark, sf0001)
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val want = c.join(p,
+        col("user_id") === col("p_user") &&
+          col("ts") >= col("p_ts") &&
+          col("ts") <= col("p_ts") + expr("INTERVAL 2 HOURS"),
+        "full")
+      .groupBy(coalesce(col("user_id"), col("p_user")).as("u"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("click_id").isNotNull &&
+          col("purchase_id").isNotNull, 1)).as("nm"),
+        count(when(col("click_id").isNotNull &&
+          col("purchase_id").isNull, 1)).as("nc"),
+        count(when(col("click_id").isNull, 1)).as("np"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out == want)
+    // both padded tails are really present: unmatched clicks AND
+    // unmatched purchases survived the live-tail ambiguity zone
+    assert(out.values.exists(_._3 > 0))
+    assert(out.values.exists(_._4 > 0))
+  }
+
   test("transformWithState sessionizer == flatMapGroupsWithState form") {
     val dir = Files.createTempDirectory("graft-tws-sess").toString
     eventsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/ev")

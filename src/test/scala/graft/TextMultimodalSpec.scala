@@ -317,4 +317,45 @@ class TextMultimodalSpec extends SparkSpec {
       k = 3, maxDf = 2)
     assert(capped.count() == 0)
   }
+
+  test("sceneCuts: identical frames never cut; a mass shift does; short media skip") {
+    val steady = "a" * 512                             // 2 identical frames
+    val change = ("a" * 256) + ("a" * 128 + "z" * 128) // frame 1 re-shapes
+    val docs = Seq((1L, steady), (2L, change), (3L, "a" * 100))
+      .toDF("doc_id", "text")
+    val media = Multimodal.attachBinary(docs, "doc_id", "text")
+    val out = Multimodal.sceneCuts(media, frameBytes = 256, minHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // id 1: equal hashes → hamming 0 < 1; id 3: single frame → no pair
+    assert(out.map(_._1).toSet == Set(2L))
+    assert(out.length == 1 && out.head._2 == 1)
+    // all-'a' frame hashes all-ones (every cell == its own mean); the
+    // half-z frame zeroes the cells below its mean — a wide hamming gap
+    assert(out.head._3 >= 25)
+    // threshold is honored verbatim
+    assert(Multimodal.sceneCuts(media, frameBytes = 256,
+      minHamming = out.head._3 + 1).count() == 0)
+  }
+
+  test("readability: vowel-run syllables, punct-run sentences, Flesch") {
+    val docs = Seq(
+      (1L, "hello world. this is a test!"), // 6 words, 2 sents, 7 syll
+      (2L, "wait... what"),                 // ellipsis = ONE sentence run
+      (3L, "pfft"),                         // vowel-less token → min 1 syll
+      (4L, "")                              // empty → dropped
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextStats.readability(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L)._1 == 6L && out(1L)._2 == 2L && out(1L)._3 == 7L)
+    // 206.835 − 1.015·(6/2) − 84.6·(7/6)
+    assert(out(1L)._4 == BigDecimal(206.835 - 1.015 * 3.0 - 84.6 * (7.0 / 6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(2L)._2 == 1L && out(2L)._3 == 2L)
+    assert(out(3L) == ((1L, 1L, 1L,
+      BigDecimal(206.835 - 1.015 - 84.6)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
 }
