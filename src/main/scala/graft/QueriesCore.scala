@@ -540,6 +540,16 @@ object QueriesCore {
       graft.operators.Analytics.meanShifts(events(s, d), "user_id",
         "ts", "event_id", "value", w = 8, z = 1.5)),
 
+    // merge each supplier's overlapping transit windows (ship date +
+    // quantity-proportional days — the table carries no receipt date)
+    // into maximal coverage islands — ONE keyed sort (running-max
+    // opening rule), never the interval self-join
+    "q_interval_merge" -> ((s, d) =>
+      graft.operators.Analytics.mergeIntervals(
+        lineitem(s, d).withColumn("l_transit_end",
+          expr("timestampadd(DAY, CAST(l_quantity AS INT) % 14, l_shipdate)")),
+        "l_suppkey", "l_shipdate", "l_transit_end")),
+
     // top user journeys: each user's first-3 event-type path, counted
     // across users, top-20 — one keyed window pruned to 3 rows/user
     // before any assembly; the path-count table is alphabet³-bounded
@@ -1345,6 +1355,27 @@ object QueriesCore {
         |  mb AS mean_before, ma AS mean_after,
         |  CAST(ROUND(shift / sd, 4) AS DOUBLE) AS shift_z
         |FROM fl WHERE ABS(shift) > sd * 1.5""".stripMargin,
+
+    // same running-max opening rule; ROWS frames make the tie case
+    // provably order-independent (a tied row's start never exceeds the
+    // running max its twin just raised)
+    "q_interval_merge" ->
+      """WITH i AS (
+        |  SELECT l_suppkey AS k, l_shipdate AS s,
+        |    l_shipdate + (CAST(l_quantity AS INT) % 14) * INTERVAL 1 DAY AS e
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL),
+        |m AS (
+        |  SELECT k, s, e, MAX(e) OVER (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM i),
+        |g AS (
+        |  SELECT k, s, e,
+        |    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY k ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM m)
+        |SELECT k AS l_suppkey, MIN(s) AS island_start, MAX(e) AS island_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_intervals
+        |FROM g GROUP BY k, isl""".stripMargin,
 
     // ordered string_agg inside the rn<=3 cut; rank ties on path asc
     "q_paths" ->

@@ -430,6 +430,17 @@ object QueriesEtl {
         "flag_domain" -> "l_returnflag IN ('A','N','R')",
         "ship_after_1992" -> "l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'"))),
 
+    // row-level QUARANTINE: the rows etl_dq_rules only counts, each
+    // with WHY (violated rule names in definition order) — the triage
+    // channel a pipeline routes while clean rows continue; scan-stage
+    "etl_quarantine" -> ((s, d) =>
+      graft.operators.Quality.quarantine(lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber"), Seq(
+          "qty_max_45" -> "l_quantity <= 45",
+          "discount_le_05" -> "l_discount <= 0.05",
+          "flag_domain" -> "l_returnflag IN ('A','N','R')",
+          "ship_after_1992" -> "l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'"))),
+
     // entity resolution: blocked pairwise fuzzy match (Levenshtein ≤ 2).
     // The block key includes a name prefix (all but the last 2 chars) —
     // the "zip+surname-prefix" shape whose CARDINALITY GROWS with the
@@ -900,6 +911,23 @@ object QueriesEtl {
         |  COUNT(*) FILTER (WHERE (l_shipdate >= TIMESTAMP '1992-01-01 00:00:00') IS NOT TRUE),
         |  COUNT(*) FILTER (WHERE (l_shipdate >= TIMESTAMP '1992-01-01 00:00:00') IS NOT TRUE) = 0
         |FROM lineitem""".stripMargin,
+
+    // same NULL-counts-as-violation rule; names joined in definition
+    // order (the list literal's order, not alphabetic)
+    "etl_quarantine" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    list_filter([
+        |      CASE WHEN (l_quantity <= 45) IS NOT TRUE THEN 'qty_max_45' END,
+        |      CASE WHEN (l_discount <= 0.05) IS NOT TRUE THEN 'discount_le_05' END,
+        |      CASE WHEN (l_returnflag IN ('A','N','R')) IS NOT TRUE THEN 'flag_domain' END,
+        |      CASE WHEN (l_shipdate >= TIMESTAMP '1992-01-01 00:00:00') IS NOT TRUE
+        |        THEN 'ship_after_1992' END
+        |    ], x -> x IS NOT NULL) AS fr
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, CAST(len(fr) AS INT) AS n_failed,
+        |  array_to_string(fr, ',') AS failed_rules
+        |FROM f WHERE len(fr) > 0""".stripMargin,
 
     "er_match" ->
       """WITH t AS (

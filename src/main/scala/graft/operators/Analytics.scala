@@ -425,6 +425,38 @@ object Analytics {
         expr("CAST(ROUND(shift / sd, 4) AS DOUBLE)").as("shift_z"))
   }
 
+  /** Merge overlapping-or-touching [start, end] intervals per key into
+    * maximal islands (uptime/coverage consolidation — the set-union
+    * complement of [[graft.operators.RangeJoin]]'s pairwise overlap).
+    * The classic one-sort shape: order by (start, end), a row opens a
+    * NEW island iff its start exceeds the running max of every earlier
+    * end (touching endpoints merge), island id = running sum of those
+    * openings, then one group-by for the island extents. O(n log n) in
+    * ONE keyed sort — never the interval self-join; both windows and
+    * the aggregate reuse the same (key) partitioning, so the whole
+    * operator is a single shuffle. Degenerate rows (null bounds,
+    * end < start) drop at the scan. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val in = df
+      .where(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) >= col(startCol))
+      .select(col(keyCol).as("k"), col(startCol).as("s"), col(endCol).as("e"))
+    val w = Window.partitionBy("k").orderBy(col("s").asc, col("e").asc)
+    in
+      .withColumn("__pm",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pm").isNull || col("s") > col("__pm"), 1L).otherwise(0L))
+      .withColumn("__isl",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("k", "__isl")
+      .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("k").as(keyCol), col("island_start"), col("island_end"),
+        col("n_intervals"))
+  }
+
   /** Top user journeys: each key's first `k` step labels (by time,
     * id-tie-broken) joined into a path string, counted across keys,
     * top `topK` paths by frequency. The sankey/flow primitive: which

@@ -41,6 +41,33 @@ object Quality {
     wide.select(explode(out).as("r")).select("r.*")
   }
 
+  /** Rule-based row QUARANTINE: evaluate every named predicate per row
+    * and emit the rows violating at least one, with the list of
+    * violated rule names in rule-definition order — [[checkRules]]
+    * reports suite-level counts; this is the row-level error channel a
+    * pipeline actually routes (clean rows continue, quarantined rows
+    * land in a triage table with WHY attached). A NULL predicate
+    * result counts as a violation (checkRules' rule: an unverifiable
+    * row is not a clean row). Entirely scan-stage row-local — zero
+    * shuffle at any scale; the clean side is the complement filter on
+    * the same expression. */
+  def quarantine(df: DataFrame, keyCols: Seq[String],
+      rules: Seq[(String, String)]): DataFrame = {
+    require(keyCols.nonEmpty, "quarantine: empty key list")
+    require(rules.nonEmpty, "quarantine: empty rule list")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "quarantine: duplicate rule names")
+    val flags = array(rules.map { case (name, pred) =>
+      when(!coalesce(expr(pred), lit(false)), lit(name))
+    }: _*)
+    df.select(keyCols.map(col) :+ flags.as("__fr0"): _*)
+      .withColumn("__fr", expr("filter(__fr0, x -> x IS NOT NULL)"))
+      .where(size(col("__fr")) > 0)
+      .select(keyCols.map(col) :+
+        size(col("__fr")).cast("int").as("n_failed") :+
+        array_join(col("__fr"), ",").as("failed_rules"): _*)
+  }
+
   /** Local-recoding k-anonymity with a one-step generalization
     * hierarchy: rows whose detail quasi-identifier (QI) combination
     * occurs ≥ k times keep it (`anon_level` 0); the rest generalize to

@@ -345,6 +345,24 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.meanShifts(df, "k", "t", "id", "v", z = 0.0))
   }
 
+  test("mergeIntervals: overlap and touch merge, gaps split, degenerates drop") {
+    val df = Seq(
+      ("a", 1L, 5L), ("a", 5L, 8L),   // touching endpoints → one island
+      ("a", 2L, 3L),                  // nested → absorbed
+      ("a", 10L, 12L),                // gap → second island
+      ("b", 1L, 2L),
+      ("b", 5L, 4L)                   // end < start → dropped at scan
+    ).toDF("k", "s", "e")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.mergeIntervals(d, "k", "s", "e").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val out = run(df)
+    assert(out == Set(("a", 1L, 8L, 3L), ("a", 10L, 12L, 1L),
+      ("b", 1L, 2L, 1L)))
+    assert(run(df.repartition(7)) == out)
+  }
+
   test("topPaths: time-ordered first-k labels, id tie-break, short paths kept") {
     val df = Seq(
       (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "buy"),

@@ -120,6 +120,29 @@ class ChangelogProfileSpec extends SparkSpec {
       Quality.checkRules(df, Seq("r" -> "v > 0", "r" -> "v < 9")))
   }
 
+  test("quarantine: violated-rule lists in definition order; NULL is a violation; clean rows absent") {
+    val df = Seq(
+      (1L, Some(10.0), "A"),    // clean → absent
+      (2L, Some(-1.0), "A"),    // fails v_positive only
+      (3L, Some(200.0), "X"),   // fails v_max AND flag_ok
+      (4L, None, "A")           // NULL fails both value rules
+    ).toDF("id", "v", "flag")
+    val rules = Seq("v_positive" -> "v > 0", "v_max" -> "v <= 100",
+      "flag_ok" -> "flag IN ('A','B')")
+    val out = graft.operators.Quality.quarantine(df, Seq("id"), rules)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    assert(out == Map(
+      2L -> ((1, "v_positive")),
+      3L -> ((2, "v_max,flag_ok")),
+      4L -> ((2, "v_positive,v_max"))))
+    intercept[IllegalArgumentException](
+      graft.operators.Quality.quarantine(df, Seq("id"), Nil))
+    intercept[IllegalArgumentException](
+      graft.operators.Quality.quarantine(df, Seq("id"),
+        Seq("r" -> "v > 0", "r" -> "v < 5")))
+  }
+
   test("kAnonymize: levels, class-size guarantee, null QI suppresses") {
     import graft.operators.Quality
     // detail (city, seg) / coarse (country, seg), k = 3
