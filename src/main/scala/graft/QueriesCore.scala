@@ -540,6 +540,13 @@ object QueriesCore {
       graft.operators.Analytics.meanShifts(events(s, d), "user_id",
         "ts", "event_id", "value", w = 8, z = 1.5)),
 
+    // rolling discrete median of each user's last-15 values — element
+    // selection over a bounded collected frame: an actual input value,
+    // zero interpolation/rounding, exact on any engine
+    "q_rolling_median" -> ((s, d) =>
+      graft.operators.Analytics.rollingMedian(events(s, d), "user_id",
+        "ts", "event_id", "value", n = 15)),
+
     // merge each supplier's overlapping transit windows (ship date +
     // quantity-proportional days — the table carries no receipt date)
     // into maximal coverage islands — ONE keyed sort (running-max
@@ -1355,6 +1362,23 @@ object QueriesCore {
         |  mb AS mean_before, ma AS mean_after,
         |  CAST(ROUND(shift / sd, 4) AS DOUBLE) AS shift_z
         |FROM fl WHERE ABS(shift) > sd * 1.5""".stripMargin,
+
+    // same lower-median element selection: list() over the identical
+    // ROWS frame, sorted, 1-indexed (len+1)//2
+    "q_rolling_median" ->
+      """WITH r AS (
+        |  SELECT user_id AS k, ts AS t, event_id AS id,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT k, id, t,
+        |    list(v) OVER (PARTITION BY k ORDER BY t, id
+        |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS lw
+        |  FROM r)
+        |SELECT k AS user_id, id AS event_id, t AS ts,
+        |  CAST(len(lw) AS INT) AS n_window,
+        |  (list_sort(lw))[(len(lw) + 1) // 2] AS rolling_median
+        |FROM w""".stripMargin,
 
     // same running-max opening rule; ROWS frames make the tie case
     // provably order-independent (a tied row's start never exceeds the

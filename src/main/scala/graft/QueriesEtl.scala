@@ -430,6 +430,12 @@ object QueriesEtl {
         "flag_domain" -> "l_returnflag IN ('A','N','R')",
         "ship_after_1992" -> "l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'"))),
 
+    // calendar dimension spanning the fact table's observed range: one
+    // 1-row min/max aggregate explodes to the day spine with portable
+    // attributes (ISO dow, no locale names, no ISO week)
+    "etl_date_dim" -> ((s, d) =>
+      graft.operators.Keys.dateDim(orders(s, d), "o_orderdate")),
+
     // row-level QUARANTINE: the rows etl_dq_rules only counts, each
     // with WHY (violated rule names in definition order) — the triage
     // channel a pipeline routes while clean rows continue; scan-stage
@@ -911,6 +917,25 @@ object QueriesEtl {
         |  COUNT(*) FILTER (WHERE (l_shipdate >= TIMESTAMP '1992-01-01 00:00:00') IS NOT TRUE),
         |  COUNT(*) FILTER (WHERE (l_shipdate >= TIMESTAMP '1992-01-01 00:00:00') IS NOT TRUE) = 0
         |FROM lineitem""".stripMargin,
+
+    // generate_series over the same observed min/max; isodow == Spark
+    // weekday()+1 (both Monday=1)
+    "etl_date_dim" ->
+      """WITH r AS (
+        |  SELECT MIN(CAST(o_orderdate AS DATE)) AS a,
+        |    MAX(CAST(o_orderdate AS DATE)) AS b
+        |  FROM orders),
+        |d AS (
+        |  SELECT CAST(unnest(generate_series(a, b, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM r WHERE a IS NOT NULL)
+        |SELECT d, CAST(year(d) AS INT) AS year,
+        |  CAST(quarter(d) AS INT) AS quarter,
+        |  CAST(month(d) AS INT) AS month,
+        |  CAST(day(d) AS INT) AS day,
+        |  CAST(isodow(d) AS INT) AS iso_dow,
+        |  isodow(d) >= 6 AS is_weekend,
+        |  d = last_day(d) AS is_month_end
+        |FROM d""".stripMargin,
 
     // same NULL-counts-as-violation rule; names joined in definition
     // order (the list literal's order, not alphabetic)

@@ -425,6 +425,31 @@ object Analytics {
         expr("CAST(ROUND(shift / sd, 4) AS DOUBLE)").as("shift_z"))
   }
 
+  /** Rolling DISCRETE median per key: the lower median element of the
+    * trailing `n`-row frame (warm-up rows use their shorter prefix —
+    * pandas' min_periods=1 convention). The window isn't expressible
+    * as a native percentile frame, so the frame materializes as a
+    * bounded collect_list (≤ n doubles — row-local memory is O(n), a
+    * constant) and the median is element selection over the sorted
+    * array: an ACTUAL input value, no interpolation, so cross-engine
+    * equality is exact with zero rounding. One keyed sort; everything
+    * after is row-local codegen. Keep n modest (≤ 256 enforced) — a
+    * large-n rolling median wants a two-heap kernel, not a re-sort. */
+  def rollingMedian(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, n: Int = 15): DataFrame = {
+    require(n >= 1 && n <= 256, "frame length must be in [1,256]")
+    val w = Window.partitionBy("k").orderBy(col("t").asc, col("id").asc)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), col(tsCol).as("t"), col(idCol).as("id"),
+        col(valueCol).cast("double").as("v"))
+      .withColumn("__win", collect_list(col("v")).over(w))
+      .select(col("k").as(keyCol), col("id").as(idCol), col("t").as(tsCol),
+        size(col("__win")).cast("int").as("n_window"),
+        expr("element_at(sort_array(__win), CAST((size(__win) + 1) div 2 AS INT))")
+          .as("rolling_median"))
+  }
+
   /** Merge overlapping-or-touching [start, end] intervals per key into
     * maximal islands (uptime/coverage consolidation — the set-union
     * complement of [[graft.operators.RangeJoin]]'s pairwise overlap).

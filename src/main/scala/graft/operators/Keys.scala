@@ -90,4 +90,29 @@ object Keys {
       .select(col(naturalCol), (col("sk") + col("mx")).cast("long").as("sk"))
     ex.unionByName(freshKeyed)
   }
+
+  /** Calendar (date-dimension) spine spanning a fact table's observed
+    * date range: one global min/max aggregate (1 row) explodes into a
+    * day-per-row frame with the standard role-playing attributes —
+    * the dimension every warehouse join-dates against. Attribute
+    * choices are the engine-portable ones: ISO day-of-week (1 =
+    * Monday; Spark's `dayofweek` is Sunday-based, so `weekday()+1`),
+    * no locale-dependent names, no ISO week number (engines disagree
+    * on year-boundary weeks). Scale: the spine is decades = O(10⁴)
+    * rows from a 1-row explode — broadcast-sized by construction; the
+    * only distributed work is the min/max scan. */
+  def dateDim(facts: DataFrame, dateCol: String): DataFrame =
+    facts
+      .agg(min(col(dateCol).cast("date")).as("__a"),
+        max(col(dateCol).cast("date")).as("__b"))
+      .where(col("__a").isNotNull)
+      .select(explode(expr("sequence(__a, __b, interval 1 day)")).as("d"))
+      .select(col("d"),
+        year(col("d")).cast("int").as("year"),
+        quarter(col("d")).cast("int").as("quarter"),
+        month(col("d")).cast("int").as("month"),
+        dayofmonth(col("d")).cast("int").as("day"),
+        expr("CAST(weekday(d) + 1 AS INT)").as("iso_dow"),
+        expr("weekday(d) >= 5").as("is_weekend"),
+        (col("d") === last_day(col("d"))).as("is_month_end"))
 }

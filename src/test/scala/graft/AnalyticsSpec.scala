@@ -345,6 +345,27 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.meanShifts(df, "k", "t", "id", "v", z = 0.0))
   }
 
+  test("rollingMedian: lower-median element, warm-up prefix, exact values") {
+    val df = Seq(
+      ("a", 1L, 1L, Some(5.0)), ("a", 2L, 2L, Some(1.0)),
+      ("a", 3L, 3L, Some(9.0)), ("a", 4L, 4L, Some(3.0)),
+      ("a", 5L, 5L, None)                         // null value dropped
+    ).toDF("k", "t", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.rollingMedian(d, "k", "t", "id", "v", n = 3)
+        .collect().map(r => r.getLong(1) -> ((r.getInt(3), r.getDouble(4))))
+        .toMap
+    val out = run(df)
+    assert(out == Map(
+      1L -> ((1, 5.0)),   // [5]
+      2L -> ((2, 1.0)),   // [1,5] → lower median
+      3L -> ((3, 5.0)),   // [1,5,9]
+      4L -> ((3, 3.0))))  // frame slides: [1,3,9]
+    assert(run(df.repartition(5)) == out)
+    intercept[IllegalArgumentException](
+      Analytics.rollingMedian(df, "k", "t", "id", "v", n = 0))
+  }
+
   test("mergeIntervals: overlap and touch merge, gaps split, degenerates drop") {
     val df = Seq(
       ("a", 1L, 5L), ("a", 5L, 8L),   // touching endpoints → one island

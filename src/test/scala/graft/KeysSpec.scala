@@ -53,6 +53,23 @@ class KeysSpec extends SparkSpec {
     assert(out == Seq(1L, 2L))
   }
 
+  test("dateDim: contiguous day spine over the observed range, portable attrs") {
+    import java.sql.Timestamp
+    val df = Seq("2024-02-27", "2024-03-02")
+      .map(s => Tuple1(Timestamp.valueOf(s + " 10:00:00"))).toDF("ts")
+    val out = Keys.dateDim(df, "ts").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(5), r.getBoolean(6),
+        r.getBoolean(7))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("2024-02-27", "2024-02-28",
+      "2024-02-29", "2024-03-01", "2024-03-02")) // leap day present
+    val m = out.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(m("2024-02-27") == ((2, false, false))) // Tuesday, ISO dow 2
+    assert(m("2024-02-29") == ((4, false, true)))  // leap-year month end
+    assert(m("2024-03-02") == ((6, true, false)))  // Saturday
+    // empty facts → empty spine, not a null-date explosion
+    assert(Keys.dateDim(df.where(lit(false)), "ts").count() == 0)
+  }
+
   test("pseudonymize: referential integrity, NULL passthrough, salt dial") {
     import spark.implicits._
     val a = Seq((Some(7L), "x"), (Some(8L), "y"), (None, "z"))
