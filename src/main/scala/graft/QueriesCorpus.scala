@@ -238,6 +238,17 @@ object QueriesCorpus {
     "corpus_perplexity" -> ((s, d) =>
       Corpus.bigramNll(documents(s, d), "doc_id", "text")),
 
+    // the Kneser-Ney upgrade: absolute discounting + continuation
+    // probability (contexts-followed, not raw frequency) — the
+    // smoothing CCNet's LM actually uses, at bigram order
+    "corpus_perplexity_kn" -> ((s, d) =>
+      Corpus.bigramNllKn(documents(s, d), "doc_id", "text")),
+
+    // Zipf head coverage: top-100 terms with cumulative token share —
+    // the rank-frequency curve vocab budgets are planned against
+    "corpus_zipf" -> ((s, d) =>
+      Corpus.zipfCoverage(documents(s, d), "text", topK = 100)),
+
     // feature-hashing vectorizer (the "hashing trick"): tokens →
     // signed hashed dimensions, no vocabulary table — the projection
     // that scales where TF-IDF's corpus dictionary can't; exact
@@ -733,6 +744,50 @@ object QueriesCorpus {
          |FROM fu ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "corpus_perplexity" -> perplexityOracle,
+
+    // interpolated KN off the same bigram-type tables; every factor
+    // forced DOUBLE before the formula so neither engine's decimal
+    // division path runs (Spark decimal/long and DuckDB decimal '/'
+    // disagree below ROUND-6 otherwise)
+    "corpus_perplexity_kn" ->
+      s"""WITH t AS ($toksCte),
+         |bg AS (
+         |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+         |  FROM t WHERE len(w) >= 2),
+         |dtf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM dtf GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+         |  CAST(COUNT(*) AS BIGINT) AS n1f FROM c2 GROUP BY 1),
+         |nb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c2 GROUP BY 1),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM c2),
+         |nl AS (
+         |  SELECT doc_id, tf, CAST(ROUND(-LN(
+         |    GREATEST(CAST(c2 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+         |      CAST(0.0 AS DOUBLE)) / c1 +
+         |    (CAST(0.75 AS DOUBLE) * n1f / c1) * (CAST(n1b AS DOUBLE) / tt)
+         |  ), 6) AS DECIMAL(18,6)) AS nl
+         |  FROM dtf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         |    JOIN nb USING (w2) CROSS JOIN tt)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |  CAST(ROUND(CAST(SUM(nl * tf) AS DOUBLE) / SUM(tf), 4) AS DOUBLE) AS nll
+         |FROM nl GROUP BY doc_id""".stripMargin,
+
+    // same count table, same TakeOrdered cut, cumulative over the
+    // top-k survivors only
+    "corpus_zipf" ->
+      s"""WITH t AS ($toksCte),
+         |tc AS (SELECT tok AS term, COUNT(*) AS n
+         |  FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM tc),
+         |top AS (SELECT term, CAST(n AS BIGINT) AS n FROM tc
+         |  ORDER BY n DESC, term LIMIT 100),
+         |c AS (
+         |  SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank, term, n,
+         |    SUM(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM top WINDOW w AS (ORDER BY n DESC, term))
+         |SELECT rank, term, n,
+         |  CAST(ROUND(CAST(cum AS DOUBLE) / tot, 6) AS DOUBLE) AS cum_frac
+         |FROM c CROSS JOIN tot""".stripMargin,
 
     // per-language NLL tertiles over the same perplexity body — CCNet's
     // head/middle/tail split (NTILE over a TOTAL order: nll, doc_id)

@@ -294,6 +294,12 @@ object QueriesLlm {
       graft.functions.Vectors.centroids(embeddings(s, d), "label",
         "embedding")),
 
+    // Gram/scatter matrix of the embedding column (upper triangle):
+    // the distributed stage of PCA/whitening — corpus reduces to one
+    // d×d cell table via map-side partials; eigen-solve is metadata
+    "embed_gram" -> ((s, d) =>
+      graft.operators.Cluster.gram(embeddings(s, d), "embedding")),
+
     "ann_topk" -> ((s, d) => {
       val e = embeddings(s, d)
       Ann.bruteForceTopK(
@@ -1692,6 +1698,21 @@ object QueriesLlm {
     // bit-for-bit regardless of either engine's summation order
     // bounded-range lateral (same pattern as text_chunk's oracle) —
     // this DuckDB build lacks WITH ORDINALITY
+    // same round(·,9)→DECIMAL(38,9) product sums; nested list_transform
+    // (not range×range) keeps the oracle's expansion per-row too
+    "embed_gram" ->
+      """WITH pr AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(embedding)+1), i ->
+        |    list_transform(range(i, len(embedding)+1), j ->
+        |      {'i': i-1, 'j': j-1,
+        |       'p': CAST(ROUND(CAST(embedding[i] AS DOUBLE) *
+        |              CAST(embedding[j] AS DOUBLE), 9) AS DECIMAL(38,9))})))) AS c
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT CAST(c.i AS INT) AS i, CAST(c.j AS INT) AS j,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(ROUND(CAST(SUM(c.p) AS DOUBLE), 6) AS DOUBLE) AS g
+        |FROM pr GROUP BY 1, 2""".stripMargin,
+
     "embed_centroid" ->
       """SELECT label, CAST(i AS INT) AS dim,
         |  CAST(COUNT(*) AS BIGINT) AS n_vecs,

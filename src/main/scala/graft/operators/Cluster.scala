@@ -99,6 +99,32 @@ object Cluster {
         coalesce(!col("dropped"), lit(true)).as("keep"))
   }
 
+  /** Gram (uncentred scatter) matrix of an embedding column: G(i,j) =
+    * Σ_v v[i]·v[j] over all vectors, upper triangle only (symmetric) —
+    * the DISTRIBUTED stage of PCA / whitening / all-but-the-top: 100 TB
+    * of vectors reduce to one d×d table (map-side partials collapse
+    * every partition to ≤ d(d+1)/2 cells), and the eigen-solve then
+    * runs on metadata. Products are exact double widenings of the
+    * float inputs, rounded at 9 and summed as DECIMAL(38,9) —
+    * order-independent on any engine and partitioning
+    * ([[labelOutliers]]' centroid discipline). The pair expansion is
+    * row-local (nested transform over the tail slice) — no self-join,
+    * no double-explode shuffle. */
+  def gram(df: DataFrame, vecCol: String): DataFrame =
+    df.where(col(vecCol).isNotNull)
+      .select(explode(expr(
+        s"""flatten(transform($vecCol, (vi, i) ->
+           |  transform(slice($vecCol, i + 1, size($vecCol) - i), (vj, k) ->
+           |    struct(i AS i, i + k AS j,
+           |      CAST(ROUND(CAST(vi AS DOUBLE) * CAST(vj AS DOUBLE), 9)
+           |        AS DECIMAL(38,9)) AS p))))""".stripMargin)).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(ROUND(CAST(SUM(p) AS DOUBLE), 6) AS DOUBLE)").as("g"))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("n_vecs"), col("g"))
+
   /** Per-class centroid-distance outliers: for each label, the vectors
     * in the lowest `frac` tail of cosine-to-own-label-centroid (at
     * least one per label) — mislabeled/noisy embedding detection.

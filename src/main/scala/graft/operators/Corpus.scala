@@ -651,6 +651,73 @@ object Corpus {
           .as("nll"))
   }
 
+  /** Interpolated Kneser-Ney bigram NLL per document (Kneser & Ney
+    * 1995; the smoothing CCNet's 5-gram LM actually uses, here at
+    * bigram order): P(w2|w1) = max(c(w1w2)−D, 0)/c(w1) +
+    * D·N₁₊(w1,·)/c(w1) · N₁₊(·,w2)/N₁₊(·,·), D = 0.75. The upgrade
+    * over [[bigramNll]]'s add-one: the continuation probability scores
+    * a word by how many CONTEXTS it follows, not raw frequency — so
+    * "francisco" (frequent, one context) stops inflating unseen-pair
+    * mass. Every input is an integer count off the same bigram-type
+    * table; all tables are bigram-vocab-sized keyed joins (never
+    * corpus-wide), the type total is one broadcast scalar, and the
+    * per-doc reduction is the [[bigramNll]] ROUND(ln,6)→DECIMAL
+    * discipline. */
+  def bigramNllKn(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val toks = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("w"))
+    val dtf = toks.where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+          |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val c2 = dtf.groupBy("w1", "w2").agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"),
+      count(lit(1)).as("n1f"))                       // N₁₊(w1, ·)
+    val n1b = c2.groupBy("w2").agg(count(lit(1)).as("n1b")) // N₁₊(·, w2)
+    val tt = c2.agg(count(lit(1)).as("tt"))          // N₁₊(·, ·)
+    dtf.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).join(n1b, Seq("w2"))
+      .crossJoin(broadcast(tt))
+      .select(col("doc_id"), col("tf"), expr(
+        s"""CAST(ROUND(-LN(
+           |  GREATEST(CAST(c2 AS DOUBLE) - CAST($discount AS DOUBLE),
+           |    CAST(0.0 AS DOUBLE)) / c1 +
+           |  (CAST($discount AS DOUBLE) * n1f / c1) * (CAST(n1b AS DOUBLE) / tt)
+           |), 6) AS DECIMAL(18,6))""".stripMargin).as("nl"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        expr("CAST(ROUND(CAST(SUM(nl * tf) AS DOUBLE) / SUM(tf), 4) AS DOUBLE)")
+          .as("nll"))
+  }
+
+  /** Zipf head-coverage table: the top-`topK` corpus terms by token
+    * frequency with each rank's CUMULATIVE share of all tokens — the
+    * rank-frequency curve a tokenizer/vocab budget is planned against
+    * ("the top 100 types cover X% of the stream"). One vocab-sized
+    * count aggregate, a TakeOrdered top-k cut, then a window over the
+    * k survivors only (k rows — single-partition by construction, not
+    * by accident); the token total rides one broadcast scalar. */
+  def zipfCoverage(df: DataFrame, textCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val tc = df.select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val tot = tc.agg(sum(col("n")).as("tot"))
+    val top = tc.orderBy(col("n").desc, col("t").asc).limit(topK)
+    val w = Window.orderBy(col("n").desc, col("t").asc)
+    top
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("t").as("term"), col("n"),
+        expr("CAST(ROUND(CAST(cum AS DOUBLE) / tot, 6) AS DOUBLE)")
+          .as("cum_frac"))
+  }
+
   /** BPE merge-step statistics: corpus-wide frequency of adjacent
     * character pairs inside tokens, weighted by token frequency — the
     * exact count a byte-pair-encoding trainer computes to pick its next

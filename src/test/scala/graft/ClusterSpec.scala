@@ -118,4 +118,22 @@ class ClusterSpec extends SparkSpec {
     assert(direct.exceptAll(composed).isEmpty &&
       composed.exceptAll(direct).isEmpty)
   }
+
+  test("gram: exact upper-triangle scatter sums, nulls drop, partition-proof") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(3.0f, 4.0f)),
+      (3L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Cluster.gram(d, "embedding").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+    val out = run(df)
+    // 1·1+3·3, 1·2+3·4, 2·2+4·4 — integers, so rounding is a no-op
+    assert(out == Map(
+      (0, 0) -> ((2L, 10.0)), (0, 1) -> ((2L, 14.0)), (1, 1) -> ((2L, 20.0))))
+    assert(!out.contains((1, 0)))  // upper triangle only
+    assert(run(df.repartition(5)) == out)
+  }
 }

@@ -557,6 +557,42 @@ class CorpusSpec extends SparkSpec {
     assert(re == e1)
   }
 
+  test("bigramNllKn: interpolated Kneser-Ney on a hand-computed corpus") {
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // c2: (a,b)=2 (b,a)=1 (a,c)=1; c1/n1f: a=3/2 b=1/1; n1b: a=b=c=1; T=3
+    val pBA = math.max(2 - 0.75, 0.0) / 3 + (0.75 * 2 / 3) * (1.0 / 3)
+    val pAB = math.max(1 - 0.75, 0.0) / 1 + (0.75 * 1 / 1) * (1.0 / 3)
+    val pCA = math.max(1 - 0.75, 0.0) / 3 + (0.75 * 2 / 3) * (1.0 / 3)
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    def nl(p: Double) = r(-math.log(p), 6)
+    val out = Corpus.bigramNllKn(df, "doc_id", "text")
+      .collect().map(r0 => r0.getLong(0) -> ((r0.getLong(1), r0.getDouble(2))))
+      .toMap
+    assert(out(1L) == ((3L,
+      r((nl(pBA) * 2 + nl(pAB)).toDouble / 3, 4).toDouble)))
+    assert(out(2L) == ((1L, r(nl(pCA).toDouble, 4).toDouble)))
+    // the probabilities in play form a proper distribution slice
+    assert(pBA + pCA <= 1.0 + 1e-12)
+    intercept[IllegalArgumentException](
+      Corpus.bigramNllKn(df, "doc_id", "text", discount = 1.5))
+  }
+
+  test("zipfCoverage: rank by frequency, term tie-break, cumulative share") {
+    val df = Seq((1L, "a a a"), (2L, "b b c a")).toDF("doc_id", "text")
+    val out = Corpus.zipfCoverage(df, "text", topK = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    def f(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(
+      (1, "a", 4L, f(4.0 / 7)),
+      (2, "b", 2L, f(6.0 / 7)),
+      (3, "c", 1L, f(1.0))))
+    // cut honors topK
+    assert(Corpus.zipfCoverage(df, "text", topK = 1).count() == 1)
+  }
+
   test("tokenBudgetMix: md5-order prefix cut per language, boundary kept") {
     val docs = Seq(
       (1L, "a b c", "en"), (2L, "d e", "en"), (3L, "f g h i", "en"),

@@ -74,7 +74,11 @@ class PlanHygieneSpec extends SparkSpec {
       // corpus_hybrid_rrf runs corpus_bm25's sanctioned 1-row
       // N/avgdl attach and adds its own 1-row query-norm attach; the
       // dense-side dim join and the 50×50 fusion join are equi-joins
-      "corpus_hybrid_rrf")
+      "corpus_hybrid_rrf",
+      // corpus_perplexity_kn attaches the 1-row bigram-type total
+      // (corpus_perplexity's vocab-scalar shape); corpus_zipf attaches
+      // the 1-row token total to its top-k row set
+      "corpus_perplexity_kn", "corpus_zipf")
 
   // streaming frames cannot be explained without starting a query; their
   // batch-equivalent shapes are covered by the stream_* batch oracles.
