@@ -540,6 +540,14 @@ object QueriesCore {
       graft.operators.Analytics.meanShifts(events(s, d), "user_id",
         "ts", "event_id", "value", w = 8, z = 1.5)),
 
+    // market-basket association rules over order baskets: pair support
+    // via ONE equi-self-join on the basket id (Σ|basket|² bounded by
+    // the 13-item order cap), confidence/lift as exact fixed-point ppm
+    // integer floor divisions — zero float surface, zero rounding risk
+    "q_basket_rules" -> ((s, d) =>
+      graft.operators.Analytics.basketRules(lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2L)),
+
     // rolling discrete median of each user's last-15 values — element
     // selection over a bounded collected frame: an actual input value,
     // zero interpolation/rounding, exact on any engine
@@ -1362,6 +1370,23 @@ object QueriesCore {
         |  mb AS mean_before, ma AS mean_after,
         |  CAST(ROUND(shift / sd, 4) AS DOUBLE) AS shift_z
         |FROM fl WHERE ABS(shift) > sd * 1.5""".stripMargin,
+
+    // identical integer floor divisions ('//' == Spark 'div' on
+    // positives); all quantities exact counts
+    "q_basket_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM it),
+        |sup AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS s FROM it GROUP BY 1),
+        |pr AS (
+        |  SELECT x.i AS i1, y.i AS i2, CAST(COUNT(*) AS BIGINT) AS s_ab
+        |  FROM it x JOIN it y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT i1 AS item_a, i2 AS item_b, s_ab AS support,
+        |  CAST(s_ab * 1000000 // s1.s AS BIGINT) AS conf_ab_ppm,
+        |  CAST(s_ab * 1000000 // s2.s AS BIGINT) AS conf_ba_ppm,
+        |  CAST(s_ab * nb * 1000000 // (s1.s * s2.s) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN sup s1 ON s1.i = pr.i1 JOIN sup s2 ON s2.i = pr.i2
+        |CROSS JOIN nb""".stripMargin,
 
     // same lower-median element selection: list() over the identical
     // ROWS frame, sorted, 1-indexed (len+1)//2

@@ -548,6 +548,42 @@ object QueriesEtl {
             .as("max_acctbal"))
     }),
 
+    // golden-record construction (MDM survivorship): per entity
+    // cluster, field-level rules — modal segment (count desc, value
+    // asc tie), cleanest name (shortest, then lexicographic), richest
+    // balance, min id as the stable golden key. Cluster-keyed windows
+    // + one aggregate; nothing crosses clusters.
+    "er_golden" -> ((s, d) => {
+      val c = Tables.customer(s, d).withColumn("name_blk",
+        expr("substring(c_name, 1, length(c_name) - 2)"))
+      val pairs = graft.operators.Er.fuzzyMatchPairs(c, "c_custkey",
+        "c_name", Seq("c_nationkey", "c_mktsegment", "name_blk"),
+        maxDistance = 2)
+      val mem = graft.operators.Er.clusterIds(c, "c_custkey", pairs,
+          "id_a", "id_b")
+        .join(c, col("id") === col("c_custkey"))
+      val wName = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(length(col("c_name")).asc, col("c_name").asc)
+      val seg = mem.groupBy("cluster_id", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+            .orderBy(col("n").desc, col("c_mktsegment").asc)))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("c_mktsegment").as("segment"))
+      mem.withColumn("__rn", row_number().over(wName))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          min(col("id")).as("golden_id"),
+          max(when(col("__rn") === 1, col("c_name"))).as("name"),
+          expr("CAST(ROUND(CAST(MAX(c_acctbal) AS DOUBLE), 2) AS DOUBLE)")
+            .as("acctbal"))
+        .join(seg, "cluster_id")
+        .select("cluster_id", "n_members", "golden_id", "name", "segment",
+          "acctbal")
+    }),
+
     // snapshot reconciliation: one full-outer keyed join reports every
     // added / removed / changed key between two loads; output is
     // proportional to churn, not table size
@@ -1084,6 +1120,50 @@ object QueriesEtl {
         |  CAST(ROUND(CAST(MAX(c_acctbal) AS DOUBLE), 2) AS DOUBLE) AS max_acctbal
         |FROM mem JOIN t USING (id)
         |GROUP BY cluster_id""".stripMargin,
+
+    // the er_cluster recursive-CC body + the same survivorship windows
+    "er_golden" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT c_custkey AS id, c_name AS nm, c_acctbal, c_nationkey,
+        |    c_mktsegment, substr(c_name, 1, length(c_name) - 2) AS name_blk
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM t a JOIN t b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.name_blk = b.name_blk
+        |    AND a.id < b.id
+        |  WHERE levenshtein(a.nm, b.nm) <= 2),
+        |nodes AS (SELECT DISTINCT id_a AS n FROM p UNION SELECT id_b FROM p),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT n AS node, n AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.d AS node, reach.lbl FROM reach JOIN e ON e.s = reach.node),
+        |cc AS (SELECT node AS id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        |mem AS (
+        |  SELECT t.id, t.nm, t.c_acctbal, t.c_mktsegment,
+        |    COALESCE(cc.cluster_id, t.id) AS cluster_id
+        |  FROM t LEFT JOIN cc USING (id)),
+        |named AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |    ORDER BY length(nm), nm) AS rn
+        |  FROM mem),
+        |seg AS (
+        |  SELECT cluster_id, c_mktsegment AS segment FROM (
+        |    SELECT cluster_id, c_mktsegment,
+        |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |        ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
+        |    FROM mem GROUP BY cluster_id, c_mktsegment)
+        |  WHERE rn = 1)
+        |SELECT n.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MIN(id) AS golden_id,
+        |  MAX(CASE WHEN rn = 1 THEN nm END) AS name,
+        |  MAX(seg.segment) AS segment,
+        |  CAST(ROUND(CAST(MAX(c_acctbal) AS DOUBLE), 2) AS DOUBLE) AS acctbal
+        |FROM named n JOIN seg ON n.cluster_id = seg.cluster_id
+        |GROUP BY n.cluster_id""".stripMargin,
 
     "etl_diff" ->
       """WITH a AS (

@@ -425,6 +425,38 @@ object Analytics {
         expr("CAST(ROUND(shift / sd, 4) AS DOUBLE)").as("shift_z"))
   }
 
+  /** Market-basket association rules (pairwise): for item pairs
+    * co-occurring in ≥ `minSupport` baskets, support plus
+    * confidence(a→b), confidence(b→a) and lift as EXACT fixed-point
+    * parts-per-million (integer floor division — every quantity is a
+    * count, so there is no float in the operator at all and no
+    * rounding surface between engines). Pair generation is ONE
+    * equi-self-join on the basket id: Σ|basket|² work, bounded by the
+    * basket-size cap, never an item×item blow-up; item supports and
+    * the basket total are a keyed join + a 1-row broadcast scalar. */
+  def basketRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val it = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .where(col("b").isNotNull && col("i").isNotNull).distinct()
+    val nb = it.agg(count_distinct(col("b")).as("nb"))
+    val sup = it.groupBy("i").agg(count(lit(1)).as("s"))
+    val pr = it.as("x").join(it.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("i1"), col("y.i").as("i2"))
+      .agg(count(lit(1)).as("s_ab"))
+      .where(col("s_ab") >= minSupport)
+    pr.join(sup.select(col("i").as("i1"), col("s").as("s1")), "i1")
+      .join(sup.select(col("i").as("i2"), col("s").as("s2")), "i2")
+      .crossJoin(broadcast(nb))
+      .select(col("i1").as("item_a"), col("i2").as("item_b"),
+        col("s_ab").as("support"),
+        expr("CAST(s_ab * 1000000 div s1 AS BIGINT)").as("conf_ab_ppm"),
+        expr("CAST(s_ab * 1000000 div s2 AS BIGINT)").as("conf_ba_ppm"),
+        expr("CAST(s_ab * nb * 1000000 div (s1 * s2) AS BIGINT)")
+          .as("lift_ppm"))
+  }
+
   /** Rolling DISCRETE median per key: the lower median element of the
     * trailing `n`-row frame (warm-up rows use their shorter prefix —
     * pandas' min_periods=1 convention). The window isn't expressible

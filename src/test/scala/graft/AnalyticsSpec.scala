@@ -345,6 +345,26 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.meanShifts(df, "k", "t", "id", "v", z = 0.0))
   }
 
+  test("basketRules: exact ppm confidence/lift, minSupport cut, dup items collapse") {
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"),  // duplicate item in basket 1
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "z")
+    ).toDF("b", "i")
+    val out = Analytics.basketRules(df, "b", "i", minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // only (x,y): support 2; s(x)=3 s(y)=2, N=4
+    // conf x→y = 2/3 → 666666 (floor), conf y→x = 1000000,
+    // lift = 2·4/(3·2) = 4/3 → 1333333
+    assert(out == Map(("x", "y") -> ((2L, 666666L, 1000000L, 1333333L))))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.basketRules(d, "b", "i", 2L).collect().length
+    assert(run(df.repartition(7)) == 1)
+    intercept[IllegalArgumentException](Analytics.basketRules(df, "b", "i", 0L))
+  }
+
   test("rollingMedian: lower-median element, warm-up prefix, exact values") {
     val df = Seq(
       ("a", 1L, 1L, Some(5.0)), ("a", 2L, 2L, Some(1.0)),

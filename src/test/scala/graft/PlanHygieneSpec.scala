@@ -77,8 +77,9 @@ class PlanHygieneSpec extends SparkSpec {
       "corpus_hybrid_rrf",
       // corpus_perplexity_kn attaches the 1-row bigram-type total
       // (corpus_perplexity's vocab-scalar shape); corpus_zipf attaches
-      // the 1-row token total to its top-k row set
-      "corpus_perplexity_kn", "corpus_zipf")
+      // the 1-row token total to its top-k row set; q_basket_rules
+      // attaches the 1-row basket total for the lift denominator
+      "corpus_perplexity_kn", "corpus_zipf", "q_basket_rules")
 
   // streaming frames cannot be explained without starting a query; their
   // batch-equivalent shapes are covered by the stream_* batch oracles.
