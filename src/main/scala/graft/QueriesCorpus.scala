@@ -219,6 +219,14 @@ object QueriesCorpus {
         "lang", "score", p = 0.25)
         .select("doc_id", "lang", "score", "q_threshold")),
 
+    // contrastive quality pairs: per-language top quarter rank-matched
+    // to bottom quarter — the fastText-quality-classifier training set
+    "corpus_contrastive_pairs" -> ((s, d) =>
+      Corpus.contrastivePairs(
+        graft.operators.TextStats.qualityScored(
+          documents(s, d), "doc_id", "text", "lang"),
+        "doc_id", "lang", "score")),
+
     // BM25 retrieval: top-10 docs for a 3-term probe — the
     // decontamination / corpus-QA search primitive; only query-term
     // token rows survive past the scan stage
@@ -611,6 +619,42 @@ object QueriesCorpus {
          |SELECT sc.doc_id, sc.lang, sc.score, thr.q_threshold
          |FROM sc JOIN thr USING (lang)
          |WHERE sc.score >= thr.q_threshold""".stripMargin,
+
+    // the quality_filter score body + two rank windows and the
+    // quarter-budget join; rank INT both sides
+    "corpus_contrastive_pairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    list_filter(string_split(lower(text),' '), x -> x<>'') AS w
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(w) AS INT) AS n_tokens,
+         |    CAST(length(text) AS INT) AS n_chars,
+         |    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(len(list_filter(w, t2 -> list_contains([${enStopList}], t2))) AS DOUBLE) AS hits_en
+         |  FROM t),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(ROUND(LEAST(1.0, n_tokens/50.0)*0.5 + (1.0 - punct/n_chars)*0.3
+         |      + LEAST(1.0, (hits_en/n_tokens)*5.0)*0.2, 4) AS DOUBLE) AS score
+         |  FROM m),
+         |n AS (SELECT lang, CAST(COUNT(*) // 4 AS BIGINT) AS n_pairs
+         |  FROM sc GROUP BY 1),
+         |hi AS (
+         |  SELECT lang, ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY score DESC, doc_id ASC) AS rank,
+         |    doc_id AS pos_id, score AS pos_score
+         |  FROM sc),
+         |lo AS (
+         |  SELECT lang, ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY score ASC, doc_id ASC) AS rank,
+         |    doc_id AS neg_id, score AS neg_score
+         |  FROM sc)
+         |SELECT hi.lang, CAST(hi.rank AS INT) AS rank, pos_id, pos_score,
+         |  neg_id, neg_score
+         |FROM hi JOIN lo USING (lang, rank) JOIN n USING (lang)
+         |WHERE hi.rank <= n_pairs""".stripMargin,
 
     // formula text kept literally identical to Corpus.bm25 (constants
     // included) so both engines evaluate the same IEEE expression

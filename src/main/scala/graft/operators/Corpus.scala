@@ -960,6 +960,38 @@ object Corpus {
       .where(col("v") =!= 0)
   }
 
+  /** Contrastive quality-pair construction: per language, the top
+    * quarter of docs by quality score rank-matched against the bottom
+    * quarter (rank 1 best ↔ rank 1 worst, …) — the training set a
+    * fastText-style quality classifier learns from (the CCNet/LLaMA
+    * prep step). Quartering by row_number keeps the two sides provably
+    * disjoint (¼ + ¼ ≤ ½) and the rank-match deterministic (score
+    * ties break on doc id). Two keyed windows over the same partition
+    * + one rank equi-join; the per-language pair budget is a
+    * |langs|-row broadcast. */
+  def contrastivePairs(scored: DataFrame, idCol: String, langCol: String,
+      scoreCol: String): DataFrame = {
+    val base = scored.select(col(idCol).as("doc_id"),
+      col(langCol).as("lang"), col(scoreCol).as("score"))
+    val wHi = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wLo = Window.partitionBy("lang")
+      .orderBy(col("score").asc, col("doc_id").asc)
+    val n = base.groupBy("lang")
+      .agg(expr("CAST(COUNT(1) div 4 AS BIGINT)").as("n_pairs"))
+    val hi = base.withColumn("rank", row_number().over(wHi))
+      .select(col("lang"), col("rank"), col("doc_id").as("pos_id"),
+        col("score").as("pos_score"))
+    val lo = base.withColumn("rank", row_number().over(wLo))
+      .select(col("lang"), col("rank"), col("doc_id").as("neg_id"),
+        col("score").as("neg_score"))
+    hi.join(lo, Seq("lang", "rank"))
+      .join(broadcast(n), "lang")
+      .where(col("rank") <= col("n_pairs"))
+      .select(col("lang"), col("rank").cast("int").as("rank"),
+        col("pos_id"), col("pos_score"), col("neg_id"), col("neg_score"))
+  }
+
   /** Per-source token-budget sampling: keep, per language, the docs
     * that fit a fixed TOKEN budget ("take 5k tokens of en, 500 of zh"
     * — the quota form of mixing, where [[mixSources]]-style rate

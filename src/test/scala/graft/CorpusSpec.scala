@@ -557,6 +557,22 @@ class CorpusSpec extends SparkSpec {
     assert(re == e1)
   }
 
+  test("contrastivePairs: rank-matched disjoint quarters per language") {
+    val scored = (1 to 8).map(i => (i.toLong, "x", i.toDouble)) ++
+      Seq((100L, "y", 1.0), (101L, "y", 2.0), (102L, "y", 3.0))
+    val df = scored.toDF("doc_id", "lang", "score")
+    val out = Corpus.contrastivePairs(df, "doc_id", "lang", "score")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(4))).toSet
+    // x: 8 docs → 2 pairs (best↔worst, 2nd↔2nd); y: 3 docs → 0 pairs
+    assert(out == Set(("x", 1, 8L, 1L), ("x", 2, 7L, 2L)))
+    // pos and neg sides never overlap (¼ + ¼ ≤ ½ by construction)
+    val full = Corpus.contrastivePairs(df, "doc_id", "lang", "score")
+      .collect()
+    assert(full.map(_.getLong(2)).toSet
+      .intersect(full.map(_.getLong(4)).toSet).isEmpty)
+  }
+
   test("bigramNllKn: interpolated Kneser-Ney on a hand-computed corpus") {
     val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     // c2: (a,b)=2 (b,a)=1 (a,c)=1; c1/n1f: a=3/2 b=1/1; n1b: a=b=c=1; T=3
