@@ -155,6 +155,13 @@ object QueriesStream {
       Streaming.leftJoinCounts(s, d,
         s"/tmp/graft_rt/leftjoin_${d.replace('/', '_')}")),
 
+    // streaming split sink: clean rows → one parquet table, rule
+    // violators → the quarantine table with WHY — the streaming error
+    // channel; routing is the SAME violationArray the batch gate runs
+    "stream_quarantine" -> ((s, d) =>
+      Streaming.quarantineSplit(s, d,
+        s"/tmp/graft_rt/quarantine_${d.replace('/', '_')}")),
+
     // stream-stream FULL OUTER interval join: both sides null-pad —
     // unmatched purchases emit too, once the watermark proves no
     // trailing-window click can arrive. Sentinel-closed like the left
@@ -328,6 +335,19 @@ object QueriesStream {
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(COUNT(purchase_id) AS BIGINT) AS n_matched
         |FROM j GROUP BY user_id""".stripMargin,
+
+    // stateless routing ⇒ the batch quarantine over the same table,
+    // whatever the micro-batch split
+    "stream_quarantine" ->
+      """WITH f AS (
+        |  SELECT event_id, list_filter([
+        |    CASE WHEN (value <= 300) IS NOT TRUE THEN 'value_le_300' END,
+        |    CASE WHEN (event_type <> 'error') IS NOT TRUE THEN 'type_no_error' END
+        |  ], x -> x IS NOT NULL) AS fr
+        |  FROM events)
+        |SELECT event_id, CAST(len(fr) AS INT) AS n_failed,
+        |  array_to_string(fr, ',') AS failed_rules
+        |FROM f WHERE len(fr) > 0""".stripMargin,
 
     // sentinel-closed stream ⇒ plain batch FULL JOIN: matched pairs,
     // click-only and purchase-only paddings all counted per user

@@ -51,17 +51,23 @@ object Quality {
     * row is not a clean row). Entirely scan-stage row-local — zero
     * shuffle at any scale; the clean side is the complement filter on
     * the same expression. */
+  /** The violated-rule-name array for `rules`, in definition order —
+    * the row-local core shared by [[quarantine]] and the streaming
+    * split sink (one definition, so batch and stream verdicts cannot
+    * drift). */
+  def violationArray(rules: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    require(rules.nonEmpty, "violationArray: empty rule list")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "violationArray: duplicate rule names")
+    filter(array(rules.map { case (name, pred) =>
+      when(!coalesce(expr(pred), lit(false)), lit(name))
+    }: _*), _.isNotNull)
+  }
+
   def quarantine(df: DataFrame, keyCols: Seq[String],
       rules: Seq[(String, String)]): DataFrame = {
     require(keyCols.nonEmpty, "quarantine: empty key list")
-    require(rules.nonEmpty, "quarantine: empty rule list")
-    require(rules.map(_._1).distinct.size == rules.size,
-      "quarantine: duplicate rule names")
-    val flags = array(rules.map { case (name, pred) =>
-      when(!coalesce(expr(pred), lit(false)), lit(name))
-    }: _*)
-    df.select(keyCols.map(col) :+ flags.as("__fr0"): _*)
-      .withColumn("__fr", expr("filter(__fr0, x -> x IS NOT NULL)"))
+    df.select(keyCols.map(col) :+ violationArray(rules).as("__fr"): _*)
       .where(size(col("__fr")) > 0)
       .select(keyCols.map(col) :+
         size(col("__fr")).cast("int").as("n_failed") :+

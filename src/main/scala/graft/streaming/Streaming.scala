@@ -671,6 +671,65 @@ object Streaming {
     spark.read.parquet(out)
   }
 
+  /** Streaming row-quarantine SPLIT SINK: one bounded stream routed to
+    * TWO parquet sinks per micro-batch — clean rows continue to the
+    * "good" table, rule violators land in "bad" with WHY attached.
+    * The verdict expression is
+    * [[graft.operators.Quality.violationArray]] — literally the one
+    * the batch etl_quarantine gate runs, so stream and batch verdicts
+    * cannot drift. The routing is stateless row-local, so the result
+    * is batch-split-independent by construction; sink + checkpoint
+    * dirs are derived outputs wiped per run, the staged input builds
+    * once. Returns the quarantined side (oracle = the batch quarantine
+    * over the same table); the good/bad-partition property is pinned
+    * in StreamingSpec. */
+  def quarantineSplit(spark: SparkSession, dir: String, root: String,
+      nFiles: Int = 4): DataFrame = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val rules = Seq(
+      "value_le_300" -> "value <= 300",
+      "type_no_error" -> "event_type <> 'error'")
+    val stage = s"$root/stage"
+    if (!new java.io.File(stage).exists()) {
+      graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
+        .repartition(nFiles).write.mode("overwrite").parquet(stage)
+    }
+    val good = s"$root/good"
+    val bad = s"$root/bad"
+    val ckpt = s"$root/ckpt"
+    Seq(good, bad, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val route: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val flagged = batch.withColumn("__fr",
+          graft.operators.Quality.violationArray(rules))
+        flagged.where(size(col("__fr")) > 0)
+          .select(col("event_id"),
+            size(col("__fr")).cast("int").as("n_failed"),
+            array_join(col("__fr"), ",").as("failed_rules"))
+          .write.mode("append").parquet(bad)
+        flagged.where(size(col("__fr")) === 0)
+          .select("event_id").write.mode("append").parquet(good)
+      }
+    val q = spark.synchronized {
+      val parts = spark.conf.getOption("graft.stream.shufflePartitions")
+        .getOrElse("8")
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    q.awaitTermination()
+    spark.read.parquet(bad)
+  }
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
     val q = spark.synchronized {

@@ -487,6 +487,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.values.exists(_._4 > 0))
   }
 
+  test("quarantineSplit: good and bad sinks partition the input exactly") {
+    val root = Files.createTempDirectory("graft-quarantine").toString
+    val bad = Streaming.quarantineSplit(spark, sf0001, root)
+    val nBad = bad.count()
+    val good = spark.read.parquet(s"$root/good")
+    val total = spark.read.parquet(s"$root/stage")
+    assert(nBad + good.count() == total.count())
+    // disjoint: no event id appears in both channels
+    assert(good.join(bad, Seq("event_id")).count() == 0)
+    // the stream's verdicts ARE the batch quarantine's
+    val batch = graft.operators.Quality.quarantine(
+      Tables.events(spark, sf0001), Seq("event_id"), Seq(
+        "value_le_300" -> "value <= 300",
+        "type_no_error" -> "event_type <> 'error'"))
+    assert(bad.exceptAll(batch).isEmpty && batch.exceptAll(bad).isEmpty)
+    // a second run is idempotent (derived sinks wiped per run)
+    assert(Streaming.quarantineSplit(spark, sf0001, root).count() == nBad)
+  }
+
   test("transformWithState sessionizer == flatMapGroupsWithState form") {
     val dir = Files.createTempDirectory("graft-tws-sess").toString
     eventsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/ev")
