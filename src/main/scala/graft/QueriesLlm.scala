@@ -277,6 +277,16 @@ object QueriesLlm {
     }),
 
     // semi-supervised label propagation over the near-dup pair graph:
+    // how language-assortative is the near-dup graph: Newman modularity
+    // of the lang partition over the simhash pair graph, as exact
+    // rational parts per community (q_num/q_den all integer counts)
+    "graph_modularity" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.operators.Graph.modularityParts(
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12),
+        "doc_a", "doc_b", docs, "doc_id", "lang")
+    }),
+
     // every 4th doc's lang is a clamped seed, majority vote spreads it
     // to unlabeled neighbors (3 rounds, deterministic tie-break)
     "graph_label_prop" -> ((s, d) => {
@@ -1213,6 +1223,44 @@ object QueriesLlm {
         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 12""".stripMargin,
+
+    // the dedup_simhash pair pipeline + exact integer modularity parts
+    "graph_modularity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |hs AS (
+        |  SELECT doc_id, [('0x'||substr(md5(t),1,15))::UBIGINT for t in w] AS h
+        |  FROM toks WHERE len(w) > 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in h]) >= 0
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS simhash
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bv
+        |  FROM sig, range(0,4) t(b)),
+        |pr AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pr),
+        |deg AS (
+        |  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT doc_a AS n FROM pr UNION ALL SELECT doc_b FROM pr)
+        |  GROUP BY 1),
+        |lab AS (SELECT DISTINCT doc_id AS n, lang AS c FROM documents
+        |  WHERE lang IS NOT NULL),
+        |ew AS (
+        |  SELECT la.c, CAST(COUNT(*) AS BIGINT) AS e_within
+        |  FROM pr JOIN lab la ON la.n = pr.doc_a JOIN lab lb ON lb.n = pr.doc_b
+        |  WHERE la.c = lb.c GROUP BY 1),
+        |ds AS (SELECT c, CAST(SUM(deg) AS BIGINT) AS d_sum
+        |  FROM deg JOIN lab USING (n) GROUP BY 1)
+        |SELECT ds.c AS lang,
+        |  CAST(COALESCE(e_within, 0) AS BIGINT) AS n_edges_within, d_sum,
+        |  CAST(4*m*COALESCE(e_within, 0) - d_sum*d_sum AS BIGINT) AS q_num,
+        |  CAST(4*m*m AS BIGINT) AS q_den
+        |FROM ds LEFT JOIN ew USING (c) CROSS JOIN m""".stripMargin,
 
     // same simhash band/hamming pipeline as dedup_simhash, then
     // connected components as a recursive CTE (min reachable id per

@@ -136,4 +136,27 @@ class ClusterSpec extends SparkSpec {
     assert(!out.contains((1, 0)))  // upper triangle only
     assert(run(df.repartition(5)) == out)
   }
+
+  test("gram feeds a metadata-sized eigen solve: anisotropic cloud's top axis") {
+    // points along the (1,1) diagonal — the top principal axis is
+    // (1,1)/√2; the distributed artifact is the 3-cell Gram table, the
+    // eigen solve is a driver-side power iteration on it
+    val df = Seq(1.0f, 2.0f, -1.0f, 3.0f, 0.5f)
+      .zipWithIndex.map { case (v, i) => (i.toLong, Array(v, v)) }
+      .toDF("vec_id", "embedding")
+    val cells = graft.operators.Cluster.gram(df, "embedding").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val g = Array(
+      Array(cells((0, 0)), cells((0, 1))),
+      Array(cells((0, 1)), cells((1, 1))))
+    var v = Array(1.0, 0.0)
+    (1 to 25).foreach { _ =>
+      val w = Array(g(0)(0) * v(0) + g(0)(1) * v(1),
+        g(1)(0) * v(0) + g(1)(1) * v(1))
+      val n = math.sqrt(w(0) * w(0) + w(1) * w(1))
+      v = Array(w(0) / n, w(1) / n)
+    }
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(math.abs(v(0) - inv) < 1e-9 && math.abs(v(1) - inv) < 1e-9)
+  }
 }

@@ -386,4 +386,29 @@ class ErGraphSpec extends SparkSpec {
       grouped.exceptAll(docLevel).isEmpty)
     assert(grouped.count() > 0)
   }
+
+  test("modularityParts: exact rational parts, unlabeled mass in m only") {
+    // path 1-2-3-4-5 (a<b rows, one duplicate to collapse); labels
+    // x={1,2}, y={3,4}, node 5 unlabeled: m=4, degrees 1,2,2,2,1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 2L))
+      .toDF("a", "b")
+    val labels = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y"))
+      .toDF("id", "c")
+    val out = Graph.modularityParts(edges, "a", "b", labels, "id", "c")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // x: e_within=1 (1-2), d_sum=3 → 4·4·1−9=7,  q_den=64
+    // y: e_within=1 (3-4), d_sum=4 → 4·4·1−16=0; node 5 only feeds m
+    assert(out == Map(
+      "x" -> ((1L, 3L, 7L, 64L)),
+      "y" -> ((1L, 4L, 0L, 64L))))
+    // Q recovers from the parts: (7+0)/64 = 1/3·1 − (3/8)² + 1/4 − (4/8)²
+    assert(out.values.map(_._3).sum.toDouble / 64 ==
+      (1.0 / 4 - 9.0 / 64) + (1.0 / 4 - 16.0 / 64))
+    // partition-count independence
+    val re = Graph.modularityParts(edges.repartition(5), "a", "b",
+        labels.repartition(3), "id", "c")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(re == Map("x" -> 7L, "y" -> 0L))
+  }
 }
