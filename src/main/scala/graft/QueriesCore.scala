@@ -540,6 +540,14 @@ object QueriesCore {
       graft.operators.Analytics.meanShifts(events(s, d), "user_id",
         "ts", "event_id", "value", w = 8, z = 1.5)),
 
+    // sequence-completeness audit: simulate 1-in-97 ingest loss on the
+    // event_id sequence, then account for every id via a range spine
+    // anti-join + bucket-keyed rollup — no global window/ordered scan
+    "q_gap_detection" -> ((s, d) =>
+      graft.operators.Reconcile.sequenceGaps(
+        events(s, d).where(col("event_id") % 97 =!= 13),
+        "event_id", bucketWidth = 1000L)),
+
     // market-basket association rules over order baskets: pair support
     // via ONE equi-self-join on the basket id (Σ|basket|² bounded by
     // the 13-item order cap), confidence/lift as exact fixed-point ppm
@@ -1370,6 +1378,19 @@ object QueriesCore {
         |  mb AS mean_before, ma AS mean_after,
         |  CAST(ROUND(shift / sd, 4) AS DOUBLE) AS shift_z
         |FROM fl WHERE ABS(shift) > sd * 1.5""".stripMargin,
+
+    // same simulated loss, generate_series spine, NOT IN, bucket rollup
+    "q_gap_detection" ->
+      """WITH ids AS (
+        |  SELECT DISTINCT event_id AS id FROM events
+        |  WHERE event_id % 97 <> 13),
+        |r AS (SELECT MIN(id) AS lo, MAX(id) AS hi FROM ids),
+        |sp AS (SELECT unnest(generate_series(lo, hi)) AS id FROM r),
+        |miss AS (SELECT id FROM sp WHERE id NOT IN (SELECT id FROM ids))
+        |SELECT CAST(id // 1000 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_missing,
+        |  MIN(id) AS min_missing, MAX(id) AS max_missing
+        |FROM miss GROUP BY 1""".stripMargin,
 
     // identical integer floor divisions ('//' == Spark 'div' on
     // positives); all quantities exact counts

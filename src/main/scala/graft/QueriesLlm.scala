@@ -583,6 +583,21 @@ object QueriesLlm {
           maxHamming = 6),
         "doc_a", "doc_b", minCommon = 1)),
 
+    // language-ID quality card: confusion matrix of predicted vs
+    // labeled language (the eval every heuristic classifier ships
+    // with) — one count aggregate over the langid frame
+    "text_langid_confusion" -> ((s, d) => {
+      val t = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+      val hits = t.select(col("doc_id") +: col("lang") +:
+        TextAnalysis.Stopwords.map { case (l, _) =>
+          TextAnalysis.stopwordHits("toks", l).as(s"hits_$l")
+        }.toSeq: _*)
+      hits.select(col("lang"), TextAnalysis.predLang.as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    }),
+
     "text_langid" -> ((s, d) => {
       val t = documents(s, d)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
@@ -2185,6 +2200,18 @@ object QueriesLlm {
         |SELECT query_id, neighbor_id,
         |  CAST(ROUND(cos, 4) + 0.0 AS DOUBLE) AS cos_r
         |FROM p WHERE ROUND(cos, 6) >= 0.2""".stripMargin,
+
+    // the text_langid pipeline reduced to the (label, prediction) grid
+    "text_langid_confusion" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split(lower(text),' '), x -> x<>'') AS w
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, lang, ${TextAnalysis.Stopwords.map(l => duckHits(l._1)).mkString(",\n    ")}
+         |  FROM t)
+         |SELECT lang, $predLangSql AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM h GROUP BY 1, 2""".stripMargin,
 
     "text_langid" ->
       s"""WITH t AS (

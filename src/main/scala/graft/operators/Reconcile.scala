@@ -48,4 +48,35 @@ object Reconcile {
           when(col("status") === "changed", col("graft_changed"))
             .otherwise(lit("")).as("changed_cols")): _*)
   }
+
+  /** Sequence-completeness audit: which ids of the contiguous
+    * [min, max] range are MISSING from `df`, reported per fixed-width
+    * bucket (count + extremes) — the nightly "did ingestion drop
+    * anything" check. Distributed shape: a `spark.range` spine over
+    * the observed bounds anti-joined against the distinct ids, then a
+    * bucket-keyed aggregate — no global window, no ordered scan; the
+    * only driver traffic is the two boundary scalars (the sanctioned
+    * bounded-metadata collect). Cost is O(id range), which a sequence
+    * audit cannot avoid — it must account for every id. */
+  def sequenceGaps(df: DataFrame, idCol: String,
+      bucketWidth: Long = 1000L): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be positive")
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long").as("id"))
+      .where(col("id").isNotNull).distinct()
+    val bounds = ids.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .collect()
+    if (bounds.isEmpty || bounds.head.isNullAt(0)) {
+      ids.select(col("id").as("bucket"),
+        col("id").as("n_missing"), col("id").as("min_missing"),
+        col("id").as("max_missing")).limit(0)
+    } else {
+      val (lo, hi) = (bounds.head.getLong(0), bounds.head.getLong(1))
+      spark.range(lo, hi + 1).select(col("id"))
+        .join(ids, Seq("id"), "left_anti")
+        .groupBy(expr(s"id div $bucketWidth").as("bucket"))
+        .agg(count(lit(1)).as("n_missing"), min(col("id")).as("min_missing"),
+          max(col("id")).as("max_missing"))
+    }
+  }
 }

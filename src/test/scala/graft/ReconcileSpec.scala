@@ -68,4 +68,19 @@ class ReconcileSpec extends SparkSpec {
     val r = out.head
     assert(r.getLong(1) == 3L && r.getDouble(2) == 9.0 && r.getDouble(5) == 3.0)
   }
+
+  test("sequenceGaps: bucketized missing runs, duplicates collapse, empty safe") {
+    val df = Seq(0L, 1L, 2L, 5L, 6L, 9L, 9L, 1005L).toDF("id")
+    val out = Reconcile.sequenceGaps(df, "id", bucketWidth = 1000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // bucket 0 misses 3,4,7,8 and 10..999; bucket 1 misses 1000..1004
+    assert(out == Map(
+      0L -> ((994L, 3L, 999L)),
+      1L -> ((5L, 1000L, 1004L))))
+    assert(Reconcile.sequenceGaps(df.where(lit(false)), "id").count() == 0)
+    // a complete sequence reports nothing
+    assert(Reconcile.sequenceGaps(
+      Seq(4L, 5L, 6L).toDF("id"), "id").count() == 0)
+  }
 }
