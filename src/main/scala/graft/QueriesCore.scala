@@ -540,6 +540,11 @@ object QueriesCore {
       graft.operators.Analytics.meanShifts(events(s, d), "user_id",
         "ts", "event_id", "value", w = 8, z = 1.5)),
 
+    // Benford first-digit audit on order totals: observed vs
+    // log10(1+1/d) in ppm — the fabricated-numbers screen
+    "q_benford" -> ((s, d) =>
+      graft.operators.Analytics.benford(orders(s, d), "o_totalprice")),
+
     // sequence-completeness audit: simulate 1-in-97 ingest loss on the
     // event_id sequence, then account for every id via a range spine
     // anti-join + bucket-keyed rollup — no global window/ordered scan
@@ -1378,6 +1383,20 @@ object QueriesCore {
         |  mb AS mean_before, ma AS mean_after,
         |  CAST(ROUND(shift / sd, 4) AS DOUBLE) AS shift_z
         |FROM fl WHERE ABS(shift) > sd * 1.5""".stripMargin,
+
+    // same exact-ppm observed side; expected rounds LOG10 once at ppm
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS tot FROM c)
+        |SELECT digit, n_obs,
+        |  CAST(n_obs * 1000000 // tot AS BIGINT) AS obs_ppm,
+        |  CAST(ROUND(LOG10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit) * 1000000, 0) AS BIGINT) AS expected_ppm,
+        |  CAST(n_obs * 1000000 // tot AS BIGINT)
+        |    - CAST(ROUND(LOG10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit) * 1000000, 0) AS BIGINT) AS dev_ppm
+        |FROM c CROSS JOIN t""".stripMargin,
 
     // same simulated loss, generate_series spine, NOT IN, bucket rollup
     "q_gap_detection" ->

@@ -528,6 +528,27 @@ object QueriesEtl {
         .select(col("c_custkey"), col("anon_level"), col("qi_out"))
     }),
 
+    // l-diversity audit over a k-anonymized release (QI excludes the
+    // sensitive segment here, unlike etl_kanon's): per equivalence
+    // class, distinct sensitive values vs the l=3 bar — the attribute-
+    // disclosure check k-anonymity alone cannot give
+    "etl_ldiversity" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1100).cast("long").as("bd"),
+          floor(col("c_acctbal") / 4400).cast("long").as("bc"))
+      val rel = graft.operators.Quality.kAnonymize(base,
+          Seq("n_name", "bd"), Seq("r_name", "bc"), k = 12)
+        .select(col("seg"), col("anon_level"), col("qi_out"))
+      graft.operators.Quality.lDiversity(rel,
+        Seq("anon_level", "qi_out"), "seg", l = 3)
+    }),
+
     // ER end-to-end: match pairs → CC clusters (chains a~b~c become
     // ONE entity) → golden record per cluster — canonical member is
     // the min id (== cluster_id by CC construction), survivorship =
@@ -1036,6 +1057,36 @@ object QueriesEtl {
         |       WHEN n1 >= 12 THEN r_name||'/'||seg||'/'||CAST(bc AS VARCHAR)
         |       ELSE '*' END AS qi_out
         |FROM j1""".stripMargin,
+
+    // etl_kanon's anonymization with seg OUT of the QI, then the
+    // per-class distinct-sensitive rollup
+    "etl_ldiversity" ->
+      """WITH base AS (
+        |  SELECT c_custkey, n_name, r_name, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal/1100) AS BIGINT) AS bd,
+        |    CAST(floor(c_acctbal/4400) AS BIGINT) AS bc
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |c0 AS (SELECT n_name, bd, count(*) AS n0 FROM base GROUP BY 1, 2),
+        |j0 AS (SELECT b.*, c0.n0 FROM base b
+        |       JOIN c0 ON b.n_name = c0.n_name AND b.bd = c0.bd),
+        |c1 AS (SELECT r_name, bc, count(*) AS n1
+        |       FROM j0 WHERE n0 < 12 GROUP BY 1, 2),
+        |j1 AS (SELECT j0.*, c1.n1 FROM j0
+        |       LEFT JOIN c1 ON j0.r_name = c1.r_name AND j0.bc = c1.bc),
+        |rel AS (
+        |  SELECT seg,
+        |    CAST(CASE WHEN n0 >= 12 THEN 0 WHEN n1 >= 12 THEN 1
+        |         ELSE 2 END AS INT) AS anon_level,
+        |    CASE WHEN n0 >= 12 THEN n_name||'/'||CAST(bd AS VARCHAR)
+        |         WHEN n1 >= 12 THEN r_name||'/'||CAST(bc AS VARCHAR)
+        |         ELSE '*' END AS qi_out
+        |  FROM j1)
+        |SELECT anon_level, qi_out, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_sensitive,
+        |  COUNT(DISTINCT seg) >= 3 AS l_ok
+        |FROM rel GROUP BY 1, 2""".stripMargin,
 
     "etl_ttl" ->
       """SELECT event_id, user_id, event_type,

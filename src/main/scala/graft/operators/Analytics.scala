@@ -425,6 +425,30 @@ object Analytics {
         expr("CAST(ROUND(shift / sd, 4) AS DOUBLE)").as("shift_z"))
   }
 
+  /** Benford first-digit audit (the classic fabricated-numbers
+    * screen): observed leading-digit distribution of a positive
+    * measure vs Benford's log₁₀(1 + 1/d) expectation, both in
+    * parts-per-million — observed exactly (integer floor division),
+    * expected rounded once from the closed form. Consumers chi-square
+    * the dev_ppm column; values < 1 are excluded (no leading digit in
+    * [1,9]). One digit-keyed aggregate + a 1-row total broadcast. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .where(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(expr(
+        s"CAST(substring(CAST(CAST(FLOOR($valueCol) AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("tot"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        expr("CAST(n_obs * 1000000 div tot AS BIGINT)").as("obs_ppm"),
+        expr("""CAST(ROUND(LOG10(CAST(1.0 AS DOUBLE) +
+            CAST(1.0 AS DOUBLE) / digit) * 1000000, 0) AS BIGINT)""")
+          .as("expected_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("expected_ppm"))
+  }
+
   /** Market-basket association rules (pairwise): for item pairs
     * co-occurring in ≥ `minSupport` baskets, support plus
     * confidence(a→b), confidence(b→a) and lift as EXACT fixed-point

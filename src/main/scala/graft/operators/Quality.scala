@@ -113,6 +113,23 @@ object Quality {
       .drop("__n0", "__n1")
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) over an
+    * anonymized release: per equivalence class, the count of DISTINCT
+    * sensitive values and whether it reaches `l`. k-anonymity bounds
+    * re-identification; l-diversity bounds attribute DISCLOSURE — a
+    * k-sized class whose members all share one sensitive value still
+    * leaks it, and this is the check that catches that. One keyed
+    * two-phase aggregate over the release table. */
+  def lDiversity(release: DataFrame, classCols: Seq[String],
+      sensitiveCol: String, l: Int = 3): DataFrame = {
+    require(l >= 2, s"lDiversity: l must be >= 2, got $l")
+    require(classCols.nonEmpty, "lDiversity: empty class column list")
+    release.groupBy(classCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("l_ok", col("n_sensitive") >= l)
+  }
+
   /** ε-differentially-private count release (Laplace mechanism,
     * sensitivity 1) with DETERMINISTIC seeded noise: the per-key draw
     * u ∈ [−0.5, 0.5) comes from 52 bits of the key's salted md5 via

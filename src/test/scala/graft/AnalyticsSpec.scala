@@ -345,6 +345,23 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.meanShifts(df, "k", "t", "id", "v", z = 0.0))
   }
 
+  test("benford: leading digits, exact obs ppm, closed-form expectation") {
+    val df = Seq[Option[Double]](Some(1.0), Some(19.5), Some(25.0),
+      Some(33.3), Some(911.0), Some(0.4), None).map(Tuple1(_)).toDF("v")
+    val out = Analytics.benford(df, "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 0.4 and null excluded; digits 1,1,2,3,9 over total 5
+    assert(out.keySet == Set(1, 2, 3, 9))
+    assert(out(1)._1 == 2L && out(1)._2 == 400000L)
+    assert(out(2)._2 == 200000L)
+    // expected(1) = round(log10(2)·1e6) = 301030; dev = obs − expected
+    assert(out(1)._3 == 301030L && out(1)._4 == 400000L - 301030L)
+    assert(out(9)._3 ==
+      BigDecimal(math.log10(1.0 + 1.0 / 9) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+  }
+
   test("basketRules: exact ppm confidence/lift, minSupport cut, dup items collapse") {
     val df = Seq(
       (1L, "x"), (1L, "y"), (1L, "x"),  // duplicate item in basket 1

@@ -120,6 +120,23 @@ class ChangelogProfileSpec extends SparkSpec {
       Quality.checkRules(df, Seq("r" -> "v > 0", "r" -> "v < 9")))
   }
 
+  test("lDiversity: distinct-sensitive counts per class, nulls don't count") {
+    val rel = Seq(
+      ("A", "a"), ("A", "a"), ("A", "b"),
+      ("B", "a"), ("B", "b"), ("B", "c"),
+      ("C", "a"), ("C", null), ("C", null)
+    ).toDF("cls", "sens")
+    val out = graft.operators.Quality.lDiversity(rel, Seq("cls"), "sens", l = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out == Map(
+      "A" -> ((3L, 2L, false)),
+      "B" -> ((3L, 3L, true)),
+      "C" -> ((3L, 1L, false))))
+    intercept[IllegalArgumentException](
+      graft.operators.Quality.lDiversity(rel, Seq("cls"), "sens", l = 1))
+  }
+
   test("quarantine: violated-rule lists in definition order; NULL is a violation; clean rows absent") {
     val df = Seq(
       (1L, Some(10.0), "A"),    // clean → absent

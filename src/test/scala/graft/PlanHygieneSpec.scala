@@ -80,8 +80,9 @@ class PlanHygieneSpec extends SparkSpec {
       // the 1-row token total to its top-k row set; q_basket_rules
       // attaches the 1-row basket total for the lift denominator
       "corpus_perplexity_kn", "corpus_zipf", "q_basket_rules",
-      // graph_modularity attaches the 1-row edge total m
-      "graph_modularity")
+      // graph_modularity attaches the 1-row edge total m; q_benford
+      // the 1-row digit total
+      "graph_modularity", "q_benford")
 
   // streaming frames cannot be explained without starting a query; their
   // batch-equivalent shapes are covered by the stream_* batch oracles.
