@@ -540,6 +540,15 @@ object QueriesCore {
       graft.operators.Analytics.meanShifts(events(s, d), "user_id",
         "ts", "event_id", "value", w = 8, z = 1.5)),
 
+    // two-sample A/B read-out over a deterministic user split: exact
+    // decimal moments per variant + Welch's t in one IEEE expression
+    // (means intentionally unrounded-absent — sum/n can land on round
+    // boundaries; the σ denominator is irrational, so t rounds safely)
+    "q_abtest" -> ((s, d) =>
+      graft.operators.Analytics.abTest(
+        events(s, d).withColumn("variant", col("user_id") % 2),
+        "variant", "value")),
+
     // Benford first-digit audit on order totals: observed vs
     // log10(1+1/d) in ppm — the fabricated-numbers screen
     "q_benford" -> ((s, d) =>
@@ -1383,6 +1392,29 @@ object QueriesCore {
         |  mb AS mean_before, ma AS mean_after,
         |  CAST(ROUND(shift / sd, 4) AS DOUBLE) AS shift_z
         |FROM fl WHERE ABS(shift) > sd * 1.5""".stripMargin,
+
+    // identical decimal moments and the identical IEEE t expression
+    "q_abtest" ->
+      """WITH r AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN g <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    SUM(CASE WHEN g = 0 THEN CAST(v AS DECIMAL(18,6)) END) AS sa,
+        |    SUM(CASE WHEN g <> 0 THEN CAST(v AS DECIMAL(18,6)) END) AS sb,
+        |    SUM(CASE WHEN g = 0 THEN CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)) END) AS ssa,
+        |    SUM(CASE WHEN g <> 0 THEN CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)) END) AS ssb
+        |  FROM r)
+        |SELECT n_a, n_b,
+        |  CAST(sa AS DOUBLE) AS sum_a, CAST(sb AS DOUBLE) AS sum_b,
+        |  CAST(ROUND(
+        |    (CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b) / SQRT(
+        |      ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n_a) / (n_a - 1)) / n_a +
+        |      ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / n_b) / (n_b - 1)) / n_b),
+        |  4) AS DOUBLE) AS t_welch
+        |FROM m""".stripMargin,
 
     // same exact-ppm observed side; expected rounds LOG10 once at ppm
     "q_benford" ->

@@ -219,6 +219,12 @@ object QueriesCorpus {
         "lang", "score", p = 0.25)
         .select("doc_id", "lang", "score", "q_threshold")),
 
+    // fill-in-the-middle prep: deterministic hash-derived (prefix,
+    // middle, suffix) cut re-emitted in PSM order — row-local,
+    // regeneration-reproducible on any engine/partitioning
+    "corpus_fim_split" -> ((s, d) =>
+      Corpus.fimSplit(documents(s, d), "doc_id", "text")),
+
     // contrastive quality pairs: per-language top quarter rank-matched
     // to bottom quarter — the fastText-quality-classifier training set
     "corpus_contrastive_pairs" -> ((s, d) =>
@@ -619,6 +625,23 @@ object QueriesCorpus {
          |SELECT sc.doc_id, sc.lang, sc.score, thr.q_threshold
          |FROM sc JOIN thr USING (lang)
          |WHERE sc.score >= thr.q_threshold""".stripMargin,
+
+    // same md5-60-bit offsets mod len+1, same PSM assembly
+    "corpus_fim_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, text AS t, length(text) AS len,
+        |    CAST(('0x'||substr(md5('graft-fim1:'||CAST(doc_id AS VARCHAR)),1,15))::UBIGINT
+        |      % (length(text) + 1) AS BIGINT) AS h1,
+        |    CAST(('0x'||substr(md5('graft-fim2:'||CAST(doc_id AS VARCHAR)),1,15))::UBIGINT
+        |      % (length(text) + 1) AS BIGINT) AS h2
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, len,
+        |  CAST(LEAST(h1, h2) AS INT) AS lo, CAST(GREATEST(h1, h2) AS INT) AS hi
+        |  FROM b)
+        |SELECT doc_id, CAST(len AS INT) AS n_chars, lo AS p1, hi AS p2,
+        |  '<PRE>' || substr(t, 1, lo) || '<SUF>' || substr(t, hi + 1, len - hi)
+        |    || '<MID>' || substr(t, lo + 1, hi - lo) AS fim
+        |FROM c""".stripMargin,
 
     // the quality_filter score body + two rank windows and the
     // quarter-budget join; rank INT both sides

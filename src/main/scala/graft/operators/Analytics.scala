@@ -425,6 +425,41 @@ object Analytics {
         expr("CAST(ROUND(shift / sd, 4) AS DOUBLE)").as("shift_z"))
   }
 
+  /** Two-sample A/B read-out (Welch's t): per variant the EXACT
+    * decimal moments (n, Σx, Σx²) — order-independent on any
+    * engine — then the t statistic derived from them in one fixed
+    * IEEE expression and rounded once (the σ-denominator is
+    * irrational, so the rounding is boundary-safe; the means are NOT
+    * emitted rounded precisely because sum/n CAN land on a round-4
+    * boundary — consumers derive them from the exact sums). One
+    * conditional two-phase aggregate; the whole read-out is a single
+    * row. */
+  def abTest(df: DataFrame, variantCol: String, valueCol: String): DataFrame =
+    df.where(col(valueCol).isNotNull && col(variantCol).isNotNull)
+      .select(col(variantCol).cast("int").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("g") =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("g") === 0,
+          expr("CAST(v AS DECIMAL(18,6))"))).as("sa"),
+        sum(when(col("g") =!= 0,
+          expr("CAST(v AS DECIMAL(18,6))"))).as("sb"),
+        sum(when(col("g") === 0,
+          expr("CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6))")))
+          .as("ssa"),
+        sum(when(col("g") =!= 0,
+          expr("CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6))")))
+          .as("ssb"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(sa AS DOUBLE)").as("sum_a"),
+        expr("CAST(sb AS DOUBLE)").as("sum_b"),
+        expr("""CAST(ROUND(
+            (CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b) / SQRT(
+              ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n_a) / (n_a - 1)) / n_a +
+              ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / n_b) / (n_b - 1)) / n_b),
+          4) AS DOUBLE)""").as("t_welch"))
+
   /** Benford first-digit audit (the classic fabricated-numbers
     * screen): observed leading-digit distribution of a positive
     * measure vs Benford's log₁₀(1 + 1/d) expectation, both in

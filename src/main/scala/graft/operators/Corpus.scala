@@ -960,6 +960,33 @@ object Corpus {
       .where(col("v") =!= 0)
   }
 
+  /** Fill-in-the-middle split (Bavarian et al. 2022): each document
+    * cut at two DETERMINISTIC hash-derived character offsets into
+    * (prefix, middle, suffix) and re-emitted in PSM order —
+    * `<PRE>p<SUF>s<MID>m` — the infilling-capable pretraining format.
+    * Offsets come from the repo's md5-60-bit family keyed on the doc
+    * id (two salts), mod len+1, so the split is reproducible on any
+    * engine, partitioning, or rerun — the property an FIM corpus
+    * regeneration needs. Entirely row-local string surgery. */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .withColumn("len", length(col("t")))
+      .withColumn("h1", expr(
+        """CAST(CONV(SUBSTRING(MD5(CONCAT('graft-fim1:',
+          |CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+          |% (len + 1)""".stripMargin))
+      .withColumn("h2", expr(
+        """CAST(CONV(SUBSTRING(MD5(CONCAT('graft-fim2:',
+          |CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+          |% (len + 1)""".stripMargin))
+      .withColumn("lo", least(col("h1"), col("h2")).cast("int"))
+      .withColumn("hi", greatest(col("h1"), col("h2")).cast("int"))
+      .select(col("doc_id"), col("len").cast("int").as("n_chars"),
+        col("lo").as("p1"), col("hi").as("p2"),
+        expr("""CONCAT('<PRE>', substring(t, 1, lo),
+            '<SUF>', substring(t, hi + 1, len - hi),
+            '<MID>', substring(t, lo + 1, hi - lo))""").as("fim"))
+
   /** Contrastive quality-pair construction: per language, the top
     * quarter of docs by quality score rank-matched against the bottom
     * quarter (rank 1 best ↔ rank 1 worst, …) — the training set a

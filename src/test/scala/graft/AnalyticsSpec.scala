@@ -345,6 +345,18 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.meanShifts(df, "k", "t", "id", "v", z = 0.0))
   }
 
+  test("abTest: exact moments, hand-checked Welch t") {
+    val df = Seq((0, Some(1.0)), (0, Some(2.0)), (0, Some(3.0)),
+      (1, Some(2.0)), (1, Some(4.0)), (0, None)).toDF("variant", "v")
+    val r = Analytics.abTest(df, "variant", "v").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 6.0 && r.getDouble(3) == 6.0)
+    // ma=2 mb=3, va=1 vb=2 → t = −1/√(1/3 + 1) = −0.8660
+    val want = BigDecimal((2.0 - 3.0) / math.sqrt(1.0 / 3 + 2.0 / 2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == want)
+  }
+
   test("benford: leading digits, exact obs ppm, closed-form expectation") {
     val df = Seq[Option[Double]](Some(1.0), Some(19.5), Some(25.0),
       Some(33.3), Some(911.0), Some(0.4), None).map(Tuple1(_)).toDF("v")

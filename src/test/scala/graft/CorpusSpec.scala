@@ -557,6 +557,30 @@ class CorpusSpec extends SparkSpec {
     assert(re == e1)
   }
 
+  test("fimSplit: PSM reassembles the document, offsets hash-deterministic") {
+    val df = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Corpus.fimSplit(d, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4)))).toMap
+    val out = run(df)
+    val texts = Map(1L -> "abcdefghij", 2L -> "", 3L -> "xyz")
+    out.foreach { case (id, (n, p1, p2, fim)) =>
+      val t = texts(id)
+      assert(n == t.length && 0 <= p1 && p1 <= p2 && p2 <= n)
+      // <PRE>prefix<SUF>suffix<MID>middle — reassembly is lossless
+      val body = fim.stripPrefix("<PRE>")
+      val Array(pre, rest) = body.split("<SUF>", 2)
+      val Array(suf, mid) = rest.split("<MID>", 2)
+      assert(pre == t.substring(0, p1) && mid == t.substring(p1, p2) &&
+        suf == t.substring(p2))
+      assert(pre + mid + suf == t)
+    }
+    assert(out(2L)._4 == "<PRE><SUF><MID>")  // empty doc → empty pieces
+    assert(run(df.repartition(5)) == out)    // hash-keyed, layout-proof
+  }
+
   test("contrastivePairs: rank-matched disjoint quarters per language") {
     val scored = (1 to 8).map(i => (i.toLong, "x", i.toDouble)) ++
       Seq((100L, "y", 1.0), (101L, "y", 2.0), (102L, "y", 3.0))
