@@ -304,6 +304,13 @@ object QueriesLlm {
       graft.functions.Vectors.centroids(embeddings(s, d), "label",
         "embedding")),
 
+    // embedding drift monitor: cosine between the two id-parity
+    // halves' per-label centroids — 1.0 = the halves agree on where
+    // each class lives; centroid tables are labels×dims whatever N is
+    "embed_drift" -> ((s, d) =>
+      graft.operators.Cluster.centroidDrift(embeddings(s, d),
+        "vec_id", "embedding", "label")),
+
     // Gram/scatter matrix of the embedding column (upper triangle):
     // the distributed stage of PCA/whitening — corpus reduces to one
     // d×d cell table via map-side partials; eigen-solve is metadata
@@ -1761,6 +1768,33 @@ object QueriesLlm {
     // bit-for-bit regardless of either engine's summation order
     // bounded-range lateral (same pattern as text_chunk's oracle) —
     // this DuckDB build lacks WITH ORDINALITY
+    // same decimal-exact means, same dim-ordered sequential cosine fold
+    "embed_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |d AS (
+        |  SELECT label, CAST(vec_id % 2 AS INT) AS h, CAST(i AS INT) AS dim,
+        |    CAST(ROUND(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE), 9)
+        |      AS DECIMAL(38,9)) AS vd
+        |  FROM e, range(0, 4096) r(i) WHERE i < len(embedding)),
+        |m AS (
+        |  SELECT label, h, dim, COUNT(*) AS n, CAST(SUM(vd) AS DOUBLE) AS s
+        |  FROM d GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT label, h, list(s / n ORDER BY dim) AS cx,
+        |    CAST(MAX(n) AS BIGINT) AS n
+        |  FROM m GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.label, a.n AS n_a, b.n AS n_b, a.cx AS ca, b.cx AS cb
+        |  FROM c a JOIN c b ON a.label = b.label AND a.h = 0 AND b.h = 1)
+        |SELECT label, n_a, n_b,
+        |  CAST(ROUND(
+        |    list_sum([ca[i+1] * cb[i+1] for i in range(0, len(ca))]) /
+        |    (sqrt(list_sum([x*x for x in ca])) * sqrt(list_sum([y*y for y in cb]))),
+        |  6) AS DOUBLE) AS drift_cos
+        |FROM j""".stripMargin,
+
     // same round(·,9)→DECIMAL(38,9) product sums; nested list_transform
     // (not range×range) keeps the oracle's expansion per-row too
     "embed_gram" ->

@@ -99,6 +99,46 @@ object Cluster {
         coalesce(!col("dropped"), lit(true)).as("keep"))
   }
 
+  /** Embedding-distribution drift monitor: split the population into
+    * two deterministic halves (id parity), compute each half's
+    * per-label centroid with the decimal-exact mean discipline, and
+    * report the cosine between the halves' centroids per label — 1.0
+    * means the two halves agree on where the class lives; a drop
+    * flags drift/contamination in one half. The scale shape is two
+    * (label, half, dim)-keyed aggregates + a label-keyed join of
+    * d-length arrays — centroid tables are labels×dims rows whatever
+    * the corpus size. Cosine folds run over dim-sorted arrays in one
+    * fixed sequential order, rounded once at 6. */
+  def centroidDrift(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val halves = df.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        pmod(col(idCol), lit(2)).cast("int").as("h"),
+        posexplode(graft.functions.Vectors.toDouble(col(vecCol)))
+          .as(Seq("dim", "vd")))
+      .groupBy("label", "h", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ROUND(vd, 9) AS DECIMAL(38,9))")).as("s"))
+      .withColumn("m", expr("CAST(s AS DOUBLE) / n"))
+      .groupBy("label", "h")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"),
+        max(col("n")).as("n"))
+      .select(col("label"), col("h"),
+        expr("transform(dm, p -> p.m)").as("cx"), col("n"))
+    halves.where(col("h") === 0)
+      .select(col("label"), col("cx").as("ca"), col("n").as("n_a"))
+      .join(halves.where(col("h") === 1)
+        .select(col("label"), col("cx").as("cb"), col("n").as("n_b")),
+        "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        expr("""CAST(ROUND(
+            aggregate(zip_with(ca, cb, (x, y) -> x * y),
+              CAST(0.0 AS DOUBLE), (acc, p) -> acc + p) /
+            (SQRT(aggregate(ca, CAST(0.0 AS DOUBLE), (a2, x) -> a2 + x * x)) *
+             SQRT(aggregate(cb, CAST(0.0 AS DOUBLE), (a2, x) -> a2 + x * x))),
+          6) AS DOUBLE)""").as("drift_cos"))
+  }
+
   /** Gram (uncentred scatter) matrix of an embedding column: G(i,j) =
     * Σ_v v[i]·v[j] over all vectors, upper triangle only (symmetric) —
     * the DISTRIBUTED stage of PCA / whitening / all-but-the-top: 100 TB

@@ -137,6 +137,24 @@ class ClusterSpec extends SparkSpec {
     assert(run(df.repartition(5)) == out)
   }
 
+  test("centroidDrift: identical halves score 1, orthogonal halves 0") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f), "a"), (1L, Array(1.0f, 2.0f), "a"),
+      (2L, Array(1.0f, 2.0f), "a"), (3L, Array(1.0f, 2.0f), "a"),
+      (10L, Array(1.0f, 0.0f), "b"), (11L, Array(0.0f, 1.0f), "b"),
+      (12L, Array(1.0f, 0.0f), "b"), (13L, Array(0.0f, 1.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Cluster.centroidDrift(d, "vec_id", "embedding", "label")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val out = run(df)
+    assert(out == Map(
+      "a" -> ((2L, 2L, 1.0)),   // halves identical → cosine exactly 1
+      "b" -> ((2L, 2L, 0.0)))) // even ids ⊥ odd ids → cosine 0
+    assert(run(df.repartition(5)) == out)
+  }
+
   test("gram feeds a metadata-sized eigen solve: anisotropic cloud's top axis") {
     // points along the (1,1) diagonal — the top principal axis is
     // (1,1)/√2; the distributed artifact is the 3-cell Gram table, the
