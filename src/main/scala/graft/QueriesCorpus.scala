@@ -320,6 +320,21 @@ object QueriesCorpus {
         queryTerms = Seq("vector", "stream", "hash"), dim = 64,
         k = 60, topKPerList = 50, topK = 10)),
 
+    // tokenizer fertility by language (pieces per word, exact ppm):
+    // the multilingual-fairness metric — a tokenizer that fragments
+    // one language pays its speakers more context per sentence
+    "corpus_fertility" -> ((s, d) => {
+      val docs = documents(s, d)
+      Corpus.bpeTokenCounts(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("n_words"),
+          sum(col("n_bpe_tokens")).cast("long").as("n_pieces"))
+        .withColumn("fertility_ppm",
+          expr("CAST(n_pieces * 1000000 div n_words AS BIGINT)"))
+    }),
+
     // corpus reporting: per-language doc/token totals and token-count
     // quantiles — the dataset card a training run starts from
     "corpus_stats" -> ((s, d) =>
@@ -984,6 +999,27 @@ object QueriesCorpus {
          |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
          |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
          |FROM c GROUP BY shard, bin""".stripMargin,
+
+    // the same replace-chain piece counts rolled up per language;
+    // fertility = pieces·1e6 // words (exact integer ppm)
+    "corpus_fertility" ->
+      s"""WITH t AS ($toksCte),
+         |tc AS (SELECT DISTINCT term FROM (SELECT unnest(w) AS term FROM t)),
+         |enc AS (
+         |  SELECT term, CAST(length(e) - length(replace(e, ' ', '')) AS BIGINT) AS np
+         |  FROM (SELECT term, $bpeReplaceChain AS e FROM tc) z),
+         |tk AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |dc AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(np) AS BIGINT) AS n_pieces
+         |  FROM tk JOIN enc USING (term) GROUP BY doc_id),
+         |j AS (SELECT d.lang, dc.n_words, dc.n_pieces
+         |  FROM dc JOIN documents d USING (doc_id))
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(n_pieces) * 1000000 // SUM(n_words) AS BIGINT) AS fertility_ppm
+         |FROM j GROUP BY 1""".stripMargin,
 
     // same md5-uniform (h+1)/(2^32+1) draw, same round-9 ln(u)/w keys,
     // same (key DESC, id) order — mirrors Corpus.sampleWeightedK
