@@ -583,26 +583,8 @@ object QueriesEtl {
       val mem = graft.operators.Er.clusterIds(c, "c_custkey", pairs,
           "id_a", "id_b")
         .join(c, col("id") === col("c_custkey"))
-      val wName = org.apache.spark.sql.expressions.Window
-        .partitionBy("cluster_id")
-        .orderBy(length(col("c_name")).asc, col("c_name").asc)
-      val seg = mem.groupBy("cluster_id", "c_mktsegment")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-            .orderBy(col("n").desc, col("c_mktsegment").asc)))
-        .where(col("rn") === 1)
-        .select(col("cluster_id"), col("c_mktsegment").as("segment"))
-      mem.withColumn("__rn", row_number().over(wName))
-        .groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_members"),
-          min(col("id")).as("golden_id"),
-          max(when(col("__rn") === 1, col("c_name"))).as("name"),
-          expr("CAST(ROUND(CAST(MAX(c_acctbal) AS DOUBLE), 2) AS DOUBLE)")
-            .as("acctbal"))
-        .join(seg, "cluster_id")
-        .select("cluster_id", "n_members", "golden_id", "name", "segment",
-          "acctbal")
+      graft.operators.Er.goldenRecords(mem, "cluster_id", "id",
+        "c_name", "c_mktsegment", "c_acctbal")
     }),
 
     // snapshot reconciliation: one full-outer keyed join reports every

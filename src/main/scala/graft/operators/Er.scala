@@ -90,4 +90,36 @@ object Er {
         levenshtein(col("a.nm"), col("b.nm")).as("distance"))
       .where(col("distance") <= maxDistance)
   }
+
+  /** MDM survivorship over resolved cluster memberships: one golden
+    * record per cluster with per-field rules — modal category (count
+    * desc, value asc tie), cleanest name (shortest, then
+    * lexicographic), richest balance, min member id as the stable
+    * golden key. Cluster-keyed windows + one aggregate; nothing
+    * crosses clusters, so the shape is flat in cluster count.
+    * `members` = one row per (cluster_id, member) with the source
+    * fields attached (the [[clusterIds]]-join output). */
+  def goldenRecords(members: DataFrame, clusterCol: String, idCol: String,
+      nameCol: String, segCol: String, balCol: String): DataFrame = {
+    val wName = org.apache.spark.sql.expressions.Window
+      .partitionBy(clusterCol)
+      .orderBy(length(col(nameCol)).asc, col(nameCol).asc)
+    val seg = members.groupBy(col(clusterCol), col(segCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(clusterCol)
+          .orderBy(col("n").desc, col(segCol).asc)))
+      .where(col("rn") === 1)
+      .select(col(clusterCol), col(segCol).as("segment"))
+    members.withColumn("__rn", row_number().over(wName))
+      .groupBy(clusterCol)
+      .agg(count(lit(1)).as("n_members"),
+        min(col(idCol)).as("golden_id"),
+        max(when(col("__rn") === 1, col(nameCol))).as("name"),
+        expr(s"CAST(ROUND(CAST(MAX($balCol) AS DOUBLE), 2) AS DOUBLE)")
+          .as("acctbal"))
+      .join(seg, clusterCol)
+      .select(col(clusterCol), col("n_members"), col("golden_id"),
+        col("name"), col("segment"), col("acctbal"))
+  }
 }

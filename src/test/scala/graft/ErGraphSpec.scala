@@ -387,6 +387,26 @@ class ErGraphSpec extends SparkSpec {
     assert(grouped.count() > 0)
   }
 
+  test("goldenRecords: modal segment, shortest-lex name, max balance, min id") {
+    val mem = Seq(
+      (1L, 1L, "Bobby", "A", 10.0), (1L, 2L, "Bob", "B", 30.0),
+      (1L, 3L, "Bobb", "B", 20.0),
+      (5L, 5L, "Al", "A", 1.0), (5L, 6L, "Al", "B", 1.0), // seg tie → A
+      (9L, 9L, "Zed", "C", 5.0)
+    ).toDF("cluster_id", "id", "nm", "seg", "bal")
+    val out = Er.goldenRecords(mem, "cluster_id", "id", "nm", "seg", "bal")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getDouble(5)))).toMap
+    assert(out == Map(
+      1L -> ((3L, 1L, "Bob", "B", 30.0)),
+      5L -> ((2L, 5L, "Al", "A", 1.0)),
+      9L -> ((1L, 9L, "Zed", "C", 5.0))))
+    val re = Er.goldenRecords(mem.repartition(7), "cluster_id", "id",
+        "nm", "seg", "bal")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(re == Map(1L -> "Bob", 5L -> "Al", 9L -> "Zed"))
+  }
+
   test("modularityParts: exact rational parts, unlabeled mass in m only") {
     // path 1-2-3-4-5 (a<b rows, one duplicate to collapse); labels
     // x={1,2}, y={3,4}, node 5 unlabeled: m=4, degrees 1,2,2,2,1
