@@ -450,12 +450,27 @@ object Dedup {
     * every doc's grams rarest-first (global doc-frequency), keep only
     * the prefix of length n_g − ceil(t·n_g) + 1 for candidate
     * generation — any pair with jac ≥ t must collide inside both
-    * prefixes — then verify candidates exactly with a row-local
-    * `array_intersect` over the full gram sets. A positional bound
-    * tightens generation further (PPJoin): a collision at prefix ranks
-    * (i, j) can still reach overlap ⌈t/(1+t)·(na+nb)⌉ only if
-    * min(na−i, nb−j)+1 covers it. Exact: same result set as the
-    * inverted-index count (equality spec in DedupSpec).
+    * prefixes. A positional bound tightens generation further (PPJoin):
+    * a collision at prefix ranks (i, j) can still reach overlap
+    * ⌈t/(1+t)·(na+nb)⌉ only if min(na−i, nb−j)+1 covers it. Exact: same
+    * result set as the inverted-index count (equality spec in
+    * DedupSpec).
+    *
+    * Verification is exact, COUNT-shaped, and candidate-proportional
+    * (the same discipline as [[ngramContainmentPairsPrefix]], ported in
+    * r10): each candidate pair expands to the a-side doc's UNCAPPED
+    * gram hashes, equi-joined against b's grams on the composite
+    * (doc, gram) key; one count per pair is the true |A∩B|, and the
+    * Jaccard denominator needs no re-join because each side's gram
+    * count rides in the packed key (`id << 20 | n_g`, the
+    * [[ngramJaccardPairs]] contract — ids must be numeric in
+    * [0, 2^43), output `doc_a`/`doc_b` are BIGINT). Cost is Σ_cand n_a
+    * — never a posting self-join, never a gram-array re-attach (r8's
+    * array_intersect verify built unspillable `LongHashedRelation`s and
+    * OOM'd at sf0.1 on an 8 GiB heap; the r9 Jaccard form kept that
+    * shape and three forced shuffle_hash hints — removed here). No join
+    * hints anywhere in this form: AQE picks shuffle-hash only when a
+    * build side genuinely fits, and sort-merge spills otherwise.
     *
     * `maxDf` is the document-frequency guard for Zipfian corpora: grams
     * with df > maxDf never enter candidate generation. The rarest-first
@@ -478,54 +493,75 @@ object Dedup {
       maxDf: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     val grams = df
-      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+      .select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"),
         TextAnalysis.tokens(col(textCol)).as("w"))
       .where(size(col("w")) >= n)
       .select(col("id"), col("grp"),
         GraftFunctions.shingles(spark, col("w"), n).as("g"))
-    val posting = grams.select(col("id"), col("grp"), size(col("g")).as("n_g"),
-      explode(col("g")).as("gram"))
+    val posting = grams
+      .select(
+        when(col("id").isNull || col("id") < 0L || col("id") >= (1L << 43) ||
+             size(col("g")).cast("long") >= (1L << 20),
+          expr("raise_error('ngramJaccardPairsPrefix: id/n_g out of packable range')")
+            .cast("long"))
+          .otherwise(shiftleft(col("id"), 20)
+            .bitwiseOR(size(col("g")).cast("long"))).as("pk"),
+        col("grp"), explode(col("g")).as("gram"))
     val gramDf = posting.groupBy("grp", "gram").agg(count(lit(1)).as("gdf"))
     val capped = maxDf.fold(gramDf)(t => gramDf.where(col("gdf") <= t))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("gdf").asc, col("gram").asc)
+    def ng(c: Column): Column = c.bitwiseAND(lit((1L << 20) - 1))
     // ceil over a round-9 guard (same discipline as the containment
     // form): an exactly-integer t·n must not straddle an ulp between
     // the prune and the final ratio filter — and the capped gate's
     // DuckDB oracle mirrors this arithmetic verbatim
-    val prefix = posting
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy(col("gdf").asc, col("gram").asc)
+    val ranked = posting
       .join(capped, Seq("grp", "gram"))
       .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <=
-        col("n_g") - ceil(round(col("n_g") * minJaccard, 9)) + 1)
-      .select(col("id"), col("grp"), col("n_g"), col("rnk"),
+      .select(col("pk"), col("rnk"),
         xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
+    val prefix = ranked.where(col("rnk") <=
+      ng(col("pk")) - ceil(round(ng(col("pk")) * minJaccard, 9)) + 1)
+    // pk order == id order (one posting row-group per doc, id in the
+    // high bits), so a.pk < b.pk pins the same candidate set as the
+    // oracle's a.doc_id < b.doc_id
     val cand = prefix.as("a")
-      .join(prefix.as("b").hint("shuffle_hash"),
-        col("a.gk") === col("b.gk") && col("a.id") < col("b.id") &&
-          least(col("a.n_g"), col("b.n_g")).cast("double") /
-            greatest(col("a.n_g"), col("b.n_g")) >= minJaccard &&
-          least(col("a.n_g") - col("a.rnk"), col("b.n_g") - col("b.rnk")) + 1 >=
-            ceil(round((col("a.n_g") + col("b.n_g")) *
+      .join(prefix.as("b"),
+        col("a.gk") === col("b.gk") && col("a.pk") < col("b.pk") &&
+          least(ng(col("a.pk")), ng(col("b.pk"))).cast("double") /
+            greatest(ng(col("a.pk")), ng(col("b.pk"))) >= minJaccard &&
+          least(ng(col("a.pk")) - col("a.rnk"),
+              ng(col("b.pk")) - col("b.rnk")) + 1 >=
+            ceil(round((ng(col("a.pk")) + ng(col("b.pk"))) *
               (minJaccard / (1 + minJaccard)), 9)))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .distinct()
-    // rerank re-attaches the full gram sets by KEY-PARTITIONED joins on
-    // the candidate ids — the per-doc gram-set table is corpus-sized, so
-    // broadcasting it would bound executor memory by the corpus, not the
-    // candidate set (the same re-attach shape minhashPairs uses);
-    // shuffle_hash: candidate side is the small, pre-distinct side
-    val sets = grams.select(col("id"), col("g"))
-    cand.hint("shuffle_hash")
-      .join(sets.as("sa"), col("doc_a") === col("sa.id"))
-      .hint("shuffle_hash")
-      .join(sets.as("sb"), col("doc_b") === col("sb.id"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa.g"), col("sb.g"))).cast("double") /
-          (size(col("sa.g")) + size(col("sb.g")) -
-            size(array_intersect(col("sa.g"), col("sb.g"))))).as("jac"))
+    // exact verification, count-shaped and CANDIDATE-proportional: the
+    // full UNCAPPED posting (a capped gram still counts toward a
+    // generated candidate's true intersection) is semi-join-trimmed to
+    // candidate docs, then each pair's a-side grams equi-join b's on
+    // the composite (doc, gram) key — one count per pair is |A∩B|
+    val vposting = posting.select(col("pk"),
+      xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
+    val vpA = vposting.join(
+      cand.select(col("pa").as("pk")).distinct(), Seq("pk"), "left_semi")
+    val vpB = vposting.join(
+      cand.select(col("pb").as("pk")).distinct(), Seq("pk"), "left_semi")
+    val inter = cand
+      .join(vpA.as("a"), col("pa") === col("a.pk"))
+      .select(col("pa"), col("pb"), col("a.gk").as("agk"))
+      .join(vpB.as("b"),
+        col("pb") === col("b.pk") && col("agk") === col("b.gk"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .select(col("pa"), col("pb"),
+        (col("inter").cast("double") /
+          (ng(col("pa")) + ng(col("pb")) - col("inter"))).as("jac"))
       .where(col("jac") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"),
+      .select(shiftrightunsigned(col("pa"), 20).as("doc_a"),
+        shiftrightunsigned(col("pb"), 20).as("doc_b"),
         expr("CAST(ROUND(jac, 4) AS DOUBLE)").as("jaccard"))
   }
 
