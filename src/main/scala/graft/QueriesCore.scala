@@ -1456,7 +1456,8 @@ object QueriesCore {
         |SELECT i1 AS item_a, i2 AS item_b, s_ab AS support,
         |  CAST(s_ab * 1000000 // s1.s AS BIGINT) AS conf_ab_ppm,
         |  CAST(s_ab * 1000000 // s2.s AS BIGINT) AS conf_ba_ppm,
-        |  CAST(s_ab * nb * 1000000 // (s1.s * s2.s) AS BIGINT) AS lift_ppm
+        |  CAST(CAST(s_ab AS HUGEINT) * nb * 1000000
+        |    // (CAST(s1.s AS HUGEINT) * s2.s) AS BIGINT) AS lift_ppm
         |FROM pr JOIN sup s1 ON s1.i = pr.i1 JOIN sup s2 ON s2.i = pr.i2
         |CROSS JOIN nb""".stripMargin,
 

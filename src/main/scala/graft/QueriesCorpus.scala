@@ -686,7 +686,7 @@ object QueriesCorpus {
          |  FROM sc),
          |lo AS (
          |  SELECT lang, ROW_NUMBER() OVER (PARTITION BY lang
-         |      ORDER BY score ASC, doc_id ASC) AS rank,
+         |      ORDER BY score ASC, doc_id DESC) AS rank,
          |    doc_id AS neg_id, score AS neg_score
          |  FROM sc)
          |SELECT hi.lang, CAST(hi.rank AS INT) AS rank, pos_id, pos_score,
@@ -1104,11 +1104,12 @@ object QueriesCorpus {
          |FROM t GROUP BY 1""".stripMargin,
 
     // the seeded md5 rank and per-shard row_number reproduce the
-    // training-order permutation byte-for-byte
+    // training-order permutation byte-for-byte; the shard salt is
+    // UNSEEDED (epoch-stable shards — only the rank reseeds)
     "corpus_shuffle" ->
       """WITH s AS (
         |  SELECT doc_id,
-        |    CAST(('0x'||substr(md5('shard:ep1:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 16 AS INT) AS shard,
+        |    CAST(('0x'||substr(md5('shard:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 16 AS INT) AS shard,
         |    md5('shuffle:ep1:'||CAST(doc_id AS VARCHAR)) AS rank
         |  FROM documents)
         |SELECT doc_id, shard, rank,

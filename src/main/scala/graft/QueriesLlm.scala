@@ -1280,8 +1280,9 @@ object QueriesLlm {
         |  FROM deg JOIN lab USING (n) GROUP BY 1)
         |SELECT ds.c AS lang,
         |  CAST(COALESCE(e_within, 0) AS BIGINT) AS n_edges_within, d_sum,
-        |  CAST(4*m*COALESCE(e_within, 0) - d_sum*d_sum AS BIGINT) AS q_num,
-        |  CAST(4*m*m AS BIGINT) AS q_den
+        |  CAST(4*CAST(m AS HUGEINT)*COALESCE(e_within, 0)
+        |    - CAST(d_sum AS HUGEINT)*d_sum AS DECIMAL(38,0)) AS q_num,
+        |  CAST(4*CAST(m AS HUGEINT)*m AS DECIMAL(38,0)) AS q_den
         |FROM ds LEFT JOIN ew USING (c) CROSS JOIN m""".stripMargin,
 
     // same simhash band/hamming pipeline as dedup_simhash, then

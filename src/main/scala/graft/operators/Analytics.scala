@@ -489,7 +489,13 @@ object Analytics {
     * confidence(a→b), confidence(b→a) and lift as EXACT fixed-point
     * parts-per-million (integer floor division — every quantity is a
     * count, so there is no float in the operator at all and no
-    * rounding surface between engines). Pair generation is ONE
+    * rounding surface between engines). The lift numerator and
+    * denominator are widened to DECIMAL(38,0) before the floor
+    * division (r9 advice): s_ab·nb·10⁶ and s1·s2 both clear 2⁶³ at
+    * large-corpus counts (~3e12 baskets), and Long arithmetic would
+    * silently wrap (or throw under ANSI) exactly where the "exact
+    * fixed-point at 100 TB" claim matters; the quotient itself is a
+    * ppm-scale value that always fits BIGINT. Pair generation is ONE
     * equi-self-join on the basket id: Σ|basket|² work, bounded by the
     * basket-size cap, never an item×item blow-up; item supports and
     * the basket total are a keyed join + a 1-row broadcast scalar. */
@@ -512,7 +518,8 @@ object Analytics {
         col("s_ab").as("support"),
         expr("CAST(s_ab * 1000000 div s1 AS BIGINT)").as("conf_ab_ppm"),
         expr("CAST(s_ab * 1000000 div s2 AS BIGINT)").as("conf_ba_ppm"),
-        expr("CAST(s_ab * nb * 1000000 div (s1 * s2) AS BIGINT)")
+        expr("""CAST(CAST(s_ab AS DECIMAL(38,0)) * nb * 1000000
+            div (CAST(s1 AS DECIMAL(38,0)) * s2) AS BIGINT)""")
           .as("lift_ppm"))
   }
 

@@ -78,11 +78,29 @@ object AnnIndex {
     * PRESERVING ROWS EXACTLY (codes carry deterministic (nid, s, cid)
     * values, so probe results are invariant — spec-pinned, and the
     * gate reuses the upsert gate's oracle). The rewrite lands in a
-    * fresh directory and swaps in by rename: concurrent probes that
-    * already listed the old directory finish against intact files.
+    * fresh directory and swaps in by rename-aside + rename-in.
+    *
+    * SWAP GUARANTEE (stated precisely — r9 advice flagged the earlier
+    * scaladoc as overclaiming): a probe that already LISTED the old
+    * directory finishes against intact files (renames move the dir,
+    * the inodes its listing resolved stay readable on POSIX/HDFS). A
+    * probe that lists `codes` INSIDE the two-rename window sees no
+    * directory, and a crash in that window leaves only `codes_old` —
+    * two renames on one name cannot be atomic on a filesystem without
+    * an indirection layer. Both torn states are REPAIRABLE and
+    * repaired automatically: [[recoverCodes]] (called at the top of
+    * compact and probe) renames `codes_old` back when `codes` is
+    * missing. True lister-in-window atomicity needs the manifest
+    * commit primitive (operators.Txn) — an index generation number
+    * resolved through an atomically-renamed manifest file — which is
+    * deliberately not paid here: probes and compaction of one index
+    * root are coordinated by the same maintenance job in every
+    * deployment shape this library targets.
+    *
     * Centroids/codebooks are untouched — compaction is a layout
     * operation, never a re-train. Returns (files before, files after). */
   def compactIvfPq(spark: SparkSession, path: String): (Int, Int) = {
+    recoverCodes(spark, path)
     val before = codeFileCount(spark, path)
     val tmp = s"$path/codes_compacting"
     val old = s"$path/codes_old"
@@ -101,6 +119,19 @@ object AnnIndex {
     (before, codeFileCount(spark, path))
   }
 
+  /** Crash repair for [[compactIvfPq]]'s swap window: if a previous
+    * compaction died between its two renames, `codes` is missing and
+    * the intact pre-compaction data sits in `codes_old` — rename it
+    * back. Idempotent, metadata-only; no-op when `codes` exists. */
+  private[graft] def recoverCodes(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val old = new org.apache.hadoop.fs.Path(s"$path/codes_old")
+    if (!fs.exists(codes) && fs.exists(old))
+      require(fs.rename(old, codes), s"recoverCodes: cannot restore $old")
+  }
+
   /** Top-k ANN against a stored index. The codes read is restricted to
     * the union of cells any query probes (≤ cells ints to the driver,
     * never vector data) — untouched cell directories contribute zero
@@ -108,6 +139,7 @@ object AnnIndex {
   def probeIvfPq(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 2,
       m: Int = 8, dim: Int = 64): DataFrame = {
+    recoverCodes(spark, path) // repair a torn compaction swap (crash window)
     val cent = spark.read.parquet(s"$path/centroids").localCheckpoint()
     val cb = spark.read.parquet(s"$path/codebooks").localCheckpoint()
     // which cells does this query batch probe? assignment runs on the

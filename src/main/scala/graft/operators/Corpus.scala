@@ -332,13 +332,18 @@ object Corpus {
   /** Deterministic training-order SHUFFLE: the permutation step between
     * curation and packing — a training run must read the corpus in
     * pseudorandom order, re-permutable per epoch, without ever paying a
-    * GLOBAL sort. Shape: shard = md5-bucket(id) (the [[shardStats]]
-    * export fan-out), pos = row_number within the shard ordered by the
-    * SEEDED md5 rank (ties broken by id) — ordering state is per-shard,
+    * GLOBAL sort. Shape: shard = md5-bucket(id) with the UNSEEDED
+    * "shard" salt — the exact [[shardStats]] export fan-out, so a
+    * consumer that materialized files by shard keeps them valid across
+    * epochs — and pos = row_number within the shard ordered by the
+    * SEEDED md5 rank (ties broken by id). Ordering state is per-shard,
     * so shards sort independently and in parallel; at 100 TB each
     * sorted run is bounded by corpus/shards, never the corpus. A new
     * `seed` re-permutes every epoch with zero data movement of the
-    * underlying files (the rank is arithmetic on the id). md5 keeps the
+    * underlying files: only the rank (the read order WITHIN each
+    * stable shard) reshuffles — the r9 form salted the shard with the
+    * seed too, which silently moved every doc's shard each epoch and
+    * contradicted exactly this claim (r9 advice). md5 keeps the
     * permutation engine-portable — the DuckDB oracle reproduces shard,
     * pos, and rank byte-for-byte. */
   def shuffleOrder(df: DataFrame, idCol: String, seed: String,
@@ -347,7 +352,7 @@ object Corpus {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("rank").asc, col(idCol).asc)
     df.select(col(idCol),
-        hashBucket(col(idCol), s"shard:$seed", shards).cast("int").as("shard"),
+        hashBucket(col(idCol), "shard", shards).cast("int").as("shard"),
         rank.as("rank"))
       .withColumn("pos", row_number().over(w))
   }
@@ -992,10 +997,15 @@ object Corpus {
     * quarter (rank 1 best ↔ rank 1 worst, …) — the training set a
     * fastText-style quality classifier learns from (the CCNet/LLaMA
     * prep step). Quartering by row_number keeps the two sides provably
-    * disjoint (¼ + ¼ ≤ ½) and the rank-match deterministic (score
-    * ties break on doc id). Two keyed windows over the same partition
-    * + one rank equi-join; the per-language pair budget is a
-    * |langs|-row broadcast. */
+    * disjoint and the rank-match deterministic: the lo window is the
+    * EXACT REVERSE of hi's total order — score ties break doc_id ASC
+    * on hi and doc_id DESC on lo — so every doc's two ranks satisfy
+    * hi + lo = count + 1, and a doc with both ranks ≤ count/4 would
+    * need count + 1 ≤ count/2. (With both windows tie-breaking ASC,
+    * a tied-score doc could rank 1-best AND 1-worst, emitting
+    * degenerate pos_id == neg_id pairs — r9 advice.) Two keyed windows
+    * over the same partition + one rank equi-join; the per-language
+    * pair budget is a |langs|-row broadcast. */
   def contrastivePairs(scored: DataFrame, idCol: String, langCol: String,
       scoreCol: String): DataFrame = {
     val base = scored.select(col(idCol).as("doc_id"),
@@ -1003,7 +1013,7 @@ object Corpus {
     val wHi = Window.partitionBy("lang")
       .orderBy(col("score").desc, col("doc_id").asc)
     val wLo = Window.partitionBy("lang")
-      .orderBy(col("score").asc, col("doc_id").asc)
+      .orderBy(col("score").asc, col("doc_id").desc)
     val n = base.groupBy("lang")
       .agg(expr("CAST(COUNT(1) div 4 AS BIGINT)").as("n_pairs"))
     val hi = base.withColumn("rank", row_number().over(wHi))

@@ -511,6 +511,10 @@ object Graph {
     * integer count, so the community-quality report carries zero float
     * surface and the caller divides at whatever precision it wants
     * ("how assortative is the near-dup graph under this labeling").
+    * The parts are DECIMAL(38,0) (r9 advice): 4m² clears 2⁶³ past
+    * ~1.5e9 edges — well inside a 100 TB near-dup graph — and Long
+    * arithmetic would silently wrap there; decimal keeps the rational
+    * parts exact to 10³⁸ (a 10¹⁸-edge graph).
     * Undirected simple edges expected (a<b rows); self-loops dropped,
     * duplicate rows collapsed. Unlabeled nodes contribute to m and to
     * their neighbors' degrees but to no community (the standard
@@ -538,8 +542,11 @@ object Graph {
       .select(col("c").as(labelCol),
         coalesce(col("e_within"), lit(0L)).as("n_edges_within"),
         col("d_sum").cast("long").as("d_sum"),
-        (lit(4L) * col("m") * coalesce(col("e_within"), lit(0L)) -
-          col("d_sum") * col("d_sum")).cast("long").as("q_num"),
-        (lit(4L) * col("m") * col("m")).cast("long").as("q_den"))
+        (lit(4L).cast("decimal(38,0)") * col("m") *
+            coalesce(col("e_within"), lit(0L)) -
+          col("d_sum").cast("decimal(38,0)") * col("d_sum"))
+          .cast("decimal(38,0)").as("q_num"),
+        (lit(4L).cast("decimal(38,0)") * col("m") * col("m"))
+          .cast("decimal(38,0)").as("q_den"))
   }
 }

@@ -429,6 +429,17 @@ class AnnSpec extends SparkSpec {
     assert(nAfter == cells, s"expected one file per cell ($cells), got $nAfter")
     // compacting an already-compact index is a no-op in file count
     assert(graft.operators.AnnIndex.compactIvfPq(spark, root)._2 == nAfter)
+
+    // torn-swap recovery (r9 advice): simulate a crash between the two
+    // renames — codes moved aside, compacted dir never swapped in — and
+    // the next probe must repair and answer identically
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$root/codes"),
+      new org.apache.hadoop.fs.Path(s"$root/codes_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/codes")))
+    assert(probe() == beforeProbe) // recoverCodes ran inside probeIvfPq
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/codes")))
   }
 
   test("filteredTopK: pre-filter by label equals per-label brute force, never starves") {

@@ -545,11 +545,16 @@ class CorpusSpec extends SparkSpec {
         max(col("pos")).as("m"))
       .where(col("n") =!= col("d") || col("m") =!= col("n"))
       .count() == 0, "positions not dense 1..n within a shard")
-    // a different epoch seed yields a genuinely different order
+    // a different epoch seed yields a genuinely different order…
     val e1 = out.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3))).toMap
     val e2 = Corpus.shuffleOrder(docs, "doc_id", seed = "ep2", shards = 8)
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3))).toMap
     assert(e1 != e2, "epoch reseed produced the identical permutation")
+    // …but NEVER a different shard: shard assignment is epoch-stable
+    // (unseeded salt — r9 advice: a consumer that materialized files by
+    // shard must not move data on reseed) and identical to shardStats'
+    assert(e1.view.mapValues(_._1).toMap == e2.view.mapValues(_._1).toMap,
+      "epoch reseed moved docs across shards")
     // determinism under any partitioning
     val re = Corpus.shuffleOrder(docs.repartition(13), "doc_id",
         seed = "ep1", shards = 8)
@@ -595,6 +600,25 @@ class CorpusSpec extends SparkSpec {
       .collect()
     assert(full.map(_.getLong(2)).toSet
       .intersect(full.map(_.getLong(4)).toSet).isEmpty)
+  }
+
+  test("contrastivePairs: all-tied scores still yield disjoint sides") {
+    // r9 advice: with both windows tie-breaking doc_id ASC, a tied-score
+    // doc ranks 1-best AND 1-worst → degenerate pos_id == neg_id pairs.
+    // lo is now the exact reverse of hi's total order (score ASC,
+    // doc_id DESC), so hi + lo = count + 1 for EVERY doc and the
+    // quarter windows cannot touch — even on a fully tied fixture.
+    val tied = (1L to 8L).map(i => (i, "x", 1.0))
+      .toDF("doc_id", "lang", "score")
+    val out = Corpus.contrastivePairs(tied, "doc_id", "lang", "score")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(4)))
+    assert(out.length == 2)
+    out.foreach { case (_, pos, neg) => assert(pos != neg) }
+    // exact reverse order: hi = 1,2,... by id ASC, lo = 8,7,... so
+    // rank 1 pairs doc 1 with doc 8, rank 2 pairs doc 2 with doc 7
+    assert(out.toSet.map((t: (Int, Long, Long)) => (t._1, t._2, t._3)) ==
+      Set((1, 1L, 8L), (2, 2L, 7L)))
+    assert(out.map(_._2).toSet.intersect(out.map(_._3).toSet).isEmpty)
   }
 
   test("bigramNllKn: interpolated Kneser-Ney on a hand-computed corpus") {

@@ -416,7 +416,9 @@ class ErGraphSpec extends SparkSpec {
       .toDF("id", "c")
     val out = Graph.modularityParts(edges, "a", "b", labels, "id", "c")
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        ((r.getLong(1), r.getLong(2),
+          r.getDecimal(3).longValueExact(),
+          r.getDecimal(4).longValueExact()))).toMap
     // x: e_within=1 (1-2), d_sum=3 → 4·4·1−9=7,  q_den=64
     // y: e_within=1 (3-4), d_sum=4 → 4·4·1−16=0; node 5 only feeds m
     assert(out == Map(
@@ -428,7 +430,8 @@ class ErGraphSpec extends SparkSpec {
     // partition-count independence
     val re = Graph.modularityParts(edges.repartition(5), "a", "b",
         labels.repartition(3), "id", "c")
-      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      .collect().map(r => r.getString(0) ->
+        r.getDecimal(3).longValueExact()).toMap
     assert(re == Map("x" -> 7L, "y" -> 0L))
   }
 }
