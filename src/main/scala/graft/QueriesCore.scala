@@ -671,6 +671,14 @@ object QueriesCore {
       graft.operators.Approx.unionEstimate(daily, Seq("event_type"))
     }),
 
+    // the approx group's QA gate (r9 verdict #3): every sketch family
+    // scored against its exact sibling — exact counts and the ok=true
+    // expectations are DuckDB-reproducible, so a sketch drifting past
+    // its declared bound hash-fails here even though the estimates
+    // themselves stay engine-specific rows-only above
+    "approx_eval" -> ((s, d) =>
+      graft.operators.Approx.evalReport(events(s, d), orders(s, d))),
+
     "q_sql_funcs" -> ((s, d) =>
       orders(s, d).selectExpr(
         "o_orderkey",
@@ -1445,6 +1453,31 @@ object QueriesCore {
 
     // identical integer floor divisions ('//' == Spark 'div' on
     // positives); all quantities exact counts
+    // exact sides of the sketch QA report; the ok column is the PINNED
+    // EXPECTATION (literal TRUE) — Spark computes the actual bound
+    // check, so an out-of-bound sketch hash-fails against this oracle
+    "approx_eval" ->
+      """WITH hx AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS grp,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1),
+        |qx AS (
+        |  SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM orders GROUP BY 1),
+        |fq AS (
+        |  SELECT CASE WHEN user_id % 5 = 0 THEN 0 ELSE user_id % 50 END AS hot_key,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1),
+        |ft AS (SELECT SUM(c) AS tot FROM fq),
+        |fn AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM fq CROSS JOIN ft WHERE CAST(c AS DOUBLE) / tot >= 0.05)
+        |SELECT 'hll_distinct' AS family, grp, n_exact, TRUE AS ok FROM hx
+        |UNION ALL SELECT 'hll_merge', grp, n_exact, TRUE FROM hx
+        |UNION ALL SELECT 'quantile', g || ':' || p, n_exact, TRUE
+        |  FROM qx CROSS JOIN (SELECT unnest(['0.5', '0.9']) AS p) pp
+        |UNION ALL SELECT 'freq_items', 'hot_key', n_exact, TRUE FROM fn""".stripMargin,
+
     "q_basket_rules" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
         |nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM it),

@@ -62,6 +62,51 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(est - 7919.0) / 7919.0 < 0.05, s"est=$est"))
   }
 
+  test("evalReport: every sketch family within its declared bound, exact sides exact") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf0001)
+    val orders = Tables.orders(spark, sf0001)
+    val out = Approx.evalReport(events, orders).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    // structural: 5 event types × 2 HLL families + 5 priorities × 2
+    // probs + 1 freq row
+    assert(out.keys.count(_._1 == "hll_distinct") == 5)
+    assert(out.keys.count(_._1 == "hll_merge") == 5)
+    assert(out.keys.count(_._1 == "quantile") == 10)
+    assert(out.keys.count(_._1 == "freq_items") == 1)
+    // the gate's contract: every bound holds (ok TRUE everywhere) —
+    // rel-err ≤ 3·rsd (HLL), merged == direct ∧ ≤ 5% (lattice), rank
+    // within ±1e-3 (quantile), full recall at support (freq)
+    out.foreach { case (k, (_, ok)) => assert(ok, s"bound violated: $k") }
+    // exact sides independently recomputed
+    val exactDistinct = events.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactDistinct.foreach { case (et, n) =>
+      assert(out(("hll_distinct", et))._1 == n)
+      assert(out(("hll_merge", et))._1 == n)
+    }
+    val grpN = orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    grpN.foreach { case (g, n) =>
+      assert(out(("quantile", s"$g:0.5"))._1 == n)
+      assert(out(("quantile", s"$g:0.9"))._1 == n)
+    }
+    // the qualifying-key count matches an independent exact recount
+    // (tiny-SF user skew can push several keys over support — the
+    // count is data-derived, only key 0's ~20% mass is guaranteed)
+    val hot = events.select(
+      when(col("user_id") % 5 === 0, lit(0L))
+        .otherwise(col("user_id") % 50).as("hot_key"))
+    val total = hot.count()
+    val nQual = hot.groupBy("hot_key").agg(count(lit(1)).as("c"))
+      .where(col("c").cast("double") / total >= 0.05).count()
+    assert(nQual >= 1L)
+    assert(out(("freq_items", "hot_key"))._1 == nQual)
+  }
+
   test("HL7 repetitions and message type") {
     import spark.implicits._
     val msg = "MSH|^~\\&|APP|FAC|||||ADT^A01|X\rPID|1||42~43"

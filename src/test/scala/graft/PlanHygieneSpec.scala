@@ -82,7 +82,11 @@ class PlanHygieneSpec extends SparkSpec {
       "corpus_perplexity_kn", "corpus_zipf", "q_basket_rules",
       // graph_modularity attaches the 1-row edge total m; q_benford
       // the 1-row digit total
-      "graph_modularity", "q_benford")
+      "graph_modularity", "q_benford",
+      // approx_eval (the sketch QA gate) crosses two 1-row broadcasts:
+      // the event total for support, and freqItems' single-row k-item
+      // list — both scalar attaches; every other join is group-keyed
+      "approx_eval")
 
   // streaming frames cannot be explained without starting a query; their
   // batch-equivalent shapes are covered by the stream_* batch oracles.
