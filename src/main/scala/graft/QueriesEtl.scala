@@ -665,6 +665,33 @@ object QueriesEtl {
           col("o_orderpriority").cast("string").as("o_orderpriority"))
     }),
 
+    // ATOMIC manifest commit (r9 verdict #6): the table's state is
+    // defined solely by the highest atomically-renamed manifest, so a
+    // reader mid-publish sees the old snapshot fully or the new one
+    // fully — never a torn directory. The gate pins BOTH snapshots:
+    // v1 (half the users) must stay byte-stable through v2's partition
+    // overwrite (time travel at the file layer), and latest must equal
+    // a from-scratch recompute of the post-commit state
+    "etl_txn_commit" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txn_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+      val v1 = ev.where(col("user_id") % 2 === 0)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ver1 = graft.operators.Txn.commitOverwrite(
+        s, root, v1, Seq("event_type"))
+      val patch = ev.where(col("event_type").isin("click", "view"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      graft.operators.Txn.commitReplacePartitions(
+        s, root, patch, "event_type")
+      graft.operators.Txn.read(s, root, Some(ver1))
+        .select(lit("v1").as("snapshot"),
+          col("event_type").cast("string").as("event_type"), col("n"))
+        .unionByName(graft.operators.Txn.read(s, root)
+          .select(lit("latest").as("snapshot"),
+            col("event_type").cast("string").as("event_type"), col("n")))
+    }),
+
     // incremental dim load with dense surrogate keys: names already
     // keyed (seen on partkeys < 50) keep their keys; new names get
     // fresh keys above the max — two-level md5-bucket rank, never a
@@ -1272,6 +1299,24 @@ object QueriesEtl {
         |       FROM r1 JOIN c1 USING (gb))
         |SELECT nat AS p_name, sk FROM ex
         |UNION ALL SELECT nat, sk FROM fr""".stripMargin,
+
+    // both snapshots recomputed from scratch: v1 = half-user counts,
+    // latest = half-user counts with click/view replaced by full counts
+    // (the partition overwrite) — if the v2 commit tore v1's files or
+    // the manifest showed a mixed state, either branch would mismatch
+    "etl_txn_commit" ->
+      """WITH half AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+        |fullc AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1)
+        |SELECT 'v1' AS snapshot, event_type, n FROM half
+        |UNION ALL
+        |SELECT 'latest', event_type, n FROM (
+        |  SELECT event_type, n FROM half
+        |  WHERE event_type NOT IN ('click', 'view')
+        |  UNION ALL SELECT event_type, n FROM fullc) u""".stripMargin,
 
     // doubling is an exact fp op, so no rounding is needed on either side
     "etl_partition_overwrite" ->

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Txn
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+class TxnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_txn").toString
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def table(root: String, v: Option[Int] = None) =
+    Txn.read(spark, root, v).select("k", "part", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("overwrite → append → replace-partitions: each snapshot exact, time travel intact") {
+    val root = freshRoot()
+    val v1df = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "part", "n")
+    assert(Txn.commitOverwrite(spark, root, v1df, Seq("part")) == 1)
+    assert(table(root) == Set((1L, "a", 10L), (2L, "b", 20L)))
+
+    val v2df = Seq((3L, "a", 30L)).toDF("k", "part", "n")
+    assert(Txn.commitAppend(spark, root, v2df, Seq("part")) == 2)
+    assert(table(root) ==
+      Set((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)))
+
+    // replace ONLY partition a; b's files must survive untouched
+    val bFiles = Txn.snapshotFiles(spark, root, 2).filter(_.contains("part=b"))
+    val v3df = Seq((9L, "a", 90L)).toDF("k", "part", "n")
+    assert(Txn.commitReplacePartitions(spark, root, v3df, "part") == 3)
+    assert(table(root) == Set((9L, "a", 90L), (2L, "b", 20L)))
+    assert(Txn.snapshotFiles(spark, root, 3).filter(_.contains("part=b"))
+      == bFiles, "untouched partition's files must carry over BY REFERENCE")
+
+    // time travel: every previous snapshot still reads exactly
+    assert(table(root, Some(1)) == Set((1L, "a", 10L), (2L, "b", 20L)))
+    assert(table(root, Some(2)) ==
+      Set((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)))
+  }
+
+  test("mid-publish reader sees only the old snapshot; vacuum reclaims orphans") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, "a", 10L)).toDF("k", "part", "n"), Seq("part"))
+    val before = table(root)
+    // simulate a committer that crashed AFTER staging data files and a
+    // temp manifest but BEFORE the rename: neither may be visible
+    val f = fs(root)
+    Seq((666L, "a", 666L)).toDF("k", "part", "n")
+      .write.partitionBy("part").parquet(s"$root/data/b00002")
+    val tmp = new Path(s"$root/_manifests/.tmp-crashed")
+    val os = f.create(tmp, false)
+    os.write("b00002/part=a/garbage.parquet\n".getBytes("UTF-8")); os.close()
+    assert(Txn.currentVersion(spark, root) == 1, "temp manifest leaked into versions")
+    assert(table(root) == before, "reader saw unpublished data")
+    // vacuum: orphan data files + temp manifest reclaimed, snapshot intact
+    val removed = Txn.vacuum(spark, root)
+    assert(removed >= 1, "vacuum found no orphans")
+    assert(!f.exists(tmp))
+    assert(table(root) == before)
+    assert(f.listFiles(new Path(s"$root/data"), true) != null)
+  }
+
+  test("optimistic concurrency: a taken version forces restage onto the new head") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, "a", 10L)).toDF("k", "part", "n"), Seq("part"))
+    // a racing committer wins v2 out from under us: fabricate its
+    // manifest as a copy of v1 (a valid committed state)
+    val f = fs(root)
+    val v1Files = Txn.snapshotFiles(spark, root, 1)
+    val os = f.create(new Path(s"$root/_manifests/v00002.manifest"), false)
+    os.write((v1Files.mkString("\n") + "\n").getBytes("UTF-8")); os.close()
+    // our append must lose v2, re-read the head, and land as v3 with
+    // the racer's snapshot as its base
+    val v = Txn.commitAppend(spark, root,
+      Seq((2L, "b", 20L)).toDF("k", "part", "n"), Seq("part"))
+    assert(v == 3)
+    assert(table(root) == Set((1L, "a", 10L), (2L, "b", 20L)))
+  }
+
+  test("vacuum never deletes files any committed snapshot references") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, "a", 10L)).toDF("k", "part", "n"), Seq("part"))
+    Txn.commitReplacePartitions(spark, root,
+      Seq((2L, "a", 20L)).toDF("k", "part", "n"), "part")
+    // v1's file is no longer in the head but IS in snapshot v1
+    assert(Txn.vacuum(spark, root) == 0)
+    assert(table(root, Some(1)) == Set((1L, "a", 10L)))
+    assert(table(root) == Set((2L, "a", 20L)))
+  }
+}
