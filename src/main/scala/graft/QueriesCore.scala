@@ -123,6 +123,45 @@ object QueriesCore {
         .groupBy("n_name")
         .agg(expr(s"CAST(ROUND(SUM($discPrice), 2) AS DOUBLE)").as("revenue"))),
 
+    // composed relational MACRO-gate (r9 verdict #7): the B-group's
+    // xf_comp — star join → per-order revenue agg → window rank →
+    // per-key topk → report, declared as four DagTopology nodes and
+    // compiled into ONE Catalyst plan. Pins that composition through
+    // the DAG builder fuses instead of materializing per node
+    // (measured, RunOne --explain at sf0.1): all three dims broadcast,
+    // the rank→topk pair collapses to a PARTIAL WindowGroupLimit
+    // before the shuffle + a final one after (map-side top-5 pruning —
+    // asserted in QueriesSpec), and the whole chain carries TWO
+    // shuffle exchanges total: the (n_name, o_orderkey) rollup and the
+    // n_name window — the report agg reuses the window's partitioning
+    "q_pipeline" -> ((s, d) => {
+      val star = graft.pipeline.Xf(df => df
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_orderkey"))
+        .agg(expr(s"SUM($discPrice)").as("rev")))
+      val rank = graft.pipeline.Xf(_.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("n_name")
+          .orderBy(col("rev").desc, col("o_orderkey").asc))))
+      val topk = graft.pipeline.Xf.filter(col("rnk") <= 5)
+      val report = graft.pipeline.Xf(_.groupBy("n_name").agg(
+        count(lit(1)).as("n_top"),
+        min(when(col("rnk") === 1, col("o_orderkey"))).as("best_orderkey"),
+        expr("CAST(ROUND(SUM(rev), 2) AS DOUBLE)").as("top_rev")))
+      graft.connector.DagTopology.empty
+        .withSource("lineitem", lineitem(s, d))
+        .withXform("star", star)
+        .withXform("ranked", rank)
+        .withXform("top", topk)
+        .withXform("report", report)
+        .withWorkflow("lineitem" -> "star", "star" -> "ranked",
+          "ranked" -> "top", "top" -> "report")
+        .output("report")
+    }),
+
     // salted skew join through the correctness gate: the oracle is the
     // PLAIN join, so this proves salting refines only the partitioning,
     // never the result (deterministic salt — retry-safe at scale)
@@ -917,6 +956,28 @@ object QueriesCore {
          |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
          |GROUP BY n_name""".stripMargin,
+
+    // the same four stages as the DAG nodes, inlined as CTEs — the
+    // oracle checks the COMPOSITION's result, so a fusion bug anywhere
+    // in the chain (node boundary dropping rows, rank/filter reorder)
+    // hash-fails
+    "q_pipeline" ->
+      s"""WITH rev AS (
+         |  SELECT n_name, o_orderkey, SUM($discPrice) AS rev
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT n_name, o_orderkey, rev,
+         |    ROW_NUMBER() OVER (PARTITION BY n_name
+         |      ORDER BY rev DESC, o_orderkey ASC) AS rnk
+         |  FROM rev)
+         |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_top,
+         |  CAST(MIN(CASE WHEN rnk = 1 THEN o_orderkey END) AS BIGINT)
+         |    AS best_orderkey,
+         |  CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS top_rev
+         |FROM rk WHERE rnk <= 5 GROUP BY 1""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -20,4 +20,19 @@ class QueriesSpec extends SparkSpec {
       assert(df.count() >= 0)
     }
   }
+
+  test("q_pipeline: the DAG-composed chain fuses into one pruned plan") {
+    val plan = SparkEntry.queries("q_pipeline")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // rank→topk collapsed to WindowGroupLimit = map-side top-5 pruning
+    // BEFORE the per-nation shuffle — the composition fused across the
+    // DAG node boundary instead of ranking everything and filtering
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=k not pushed into the window sort")
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"))
+    // node boundaries are plan composition, not materialization
+    assert(!plan.contains("LocalTableScan") || plan.contains("Scan parquet"),
+      "DAG output lost its lineage to the parquet scans")
+  }
 }
