@@ -17,6 +17,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** Executed-plan registry for PlanHygieneSpec's STREAMING sweep (r9
+    * verdict #4): streaming frames cannot be explained before a query
+    * starts, so every harness records the started query's executed plan
+    * (`StreamingQuery.explain()`, which renders the last
+    * IncrementalExecution) here after termination, keyed by query/sink
+    * label. foreachBatch harnesses record only the stream side — the
+    * batch work INSIDE the batch function runs as separate batch query
+    * executions (covered by the batch sweep shapes they reuse). */
+  val lastPlans = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def recordPlan(label: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      val baos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) {
+        q.explain()
+      }
+      lastPlans.put(label, baos.toString("UTF-8"))
+    } catch { case _: Throwable => () } // diagnostics never fail a gate
+
   /** File-stream over the events table (same timestamp normalization as
     * Tables: LONG epoch-nanos → timestamp_micros, TIMESTAMP_NTZ → cast to
     * session-zoned TIMESTAMP — watermarks require TimestampType). */
@@ -534,6 +554,7 @@ object Streaming {
         finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
       q.awaitTermination()
+      recordPlan(name, q)
       q
     }
     val q1 = runPhase()
@@ -668,6 +689,7 @@ object Streaming {
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     q.awaitTermination()
+    recordPlan("graft_stream_dedup_probe_fb", q)
     spark.read.parquet(out)
   }
 
@@ -727,6 +749,7 @@ object Streaming {
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     q.awaitTermination()
+    recordPlan("graft_stream_quarantine_fb", q)
     spark.read.parquet(bad)
   }
 
@@ -747,6 +770,7 @@ object Streaming {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     q.awaitTermination()
+    recordPlan(name, q)
     spark.table(name)
   }
 
@@ -1347,6 +1371,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordPlan("graft_stream_upsert_fb", q)
     val fs = new org.apache.hadoop.fs.Path(targetRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(targetRoot)))

@@ -124,4 +124,35 @@ class PlanHygieneSpec extends SparkSpec {
     assert(offenders.isEmpty,
       offenders.map { case (n, l) => s"$n: $l" }.mkString("\n"))
   }
+
+  // the streaming sweep (r9 verdict #4): stream_* plans only exist on a
+  // STARTED query, so every harness records its query's executed plan
+  // (StreamingQuery.explain = the last IncrementalExecution) into
+  // Streaming.lastPlans after termination; running each gate then
+  // auditing the registry extends the no-NLJ invariant to the E-group.
+  // Per-key caveats, not exclusions: the three foreachBatch harnesses
+  // (dedup_probe, quarantine, upsert) record the STREAM side — the
+  // batch work inside the batch function reuses batch shapes the main
+  // sweep already audits; stream_session returns the typed BATCH
+  // sessionization frame (its flatMapGroupsWithState twin runs in
+  // StreamingSpec), so it is audited by the batch sweep above.
+  test("every started streaming query's executed plan is NLJ/Cartesian-free") {
+    graft.streaming.Streaming.lastPlans.clear()
+    val gates = SparkEntry.queries.keys.filter(_.startsWith("stream_"))
+      .toSeq.sorted
+    val batchOnly = Set("stream_session") // typed batch path, see above
+    val silent = gates.filterNot(batchOnly).flatMap { name =>
+      val before = graft.streaming.Streaming.lastPlans.keySet.toSet
+      SparkEntry.queries(name)(spark, sf0001).count()
+      val added = graft.streaming.Streaming.lastPlans.keySet.toSet -- before
+      if (added.isEmpty) Some(name) else None
+    }
+    assert(silent.isEmpty,
+      s"gates that started no recorded streaming query: ${silent.mkString(",")}")
+    val offenders = graft.streaming.Streaming.lastPlans.toSeq.filter {
+      case (_, p) =>
+        p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, offenders.map(_._1).mkString(","))
+  }
 }
