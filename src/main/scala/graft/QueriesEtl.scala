@@ -665,6 +665,61 @@ object QueriesEtl {
           col("o_orderpriority").cast("string").as("o_orderpriority"))
     }),
 
+    // the C-group MACRO-gate (q_pipeline's ETL sibling): land → quality
+    // split → fan-OUT to a per-rule quarantine report AND the clean
+    // branch's aggregate, which publishes ATOMICALLY through the Txn
+    // manifest and reads back FROM THE PUBLISHED SNAPSHOT — then fan-in
+    // by union. One DagTopology, both branches sharing the single
+    // violationArray expression (verdicts cannot drift), the read-back
+    // making the commit itself load-bearing in the correctness gate
+    "etl_pipeline" -> ((s, d) => {
+      val rules = Seq(
+        "qty_max_45" -> "l_quantity <= 45",
+        "discount_le_05" -> "l_discount <= 0.05",
+        "flag_domain" -> "l_returnflag IN ('A','N','R')",
+        "ship_after_1992" -> "l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'")
+      val split = Xf(_.withColumn("__fr",
+        graft.operators.Quality.violationArray(rules)))
+      val quar = Xf(df => {
+        // checkRules' wide-aggregate shape so ZERO-violation rules
+        // still report (an exploded group-count would drop them)
+        val aggs = rules.map { case (name, _) =>
+          sum(when(array_contains(col("__fr"), name), 1L).otherwise(0L))
+            .as(s"__q_$name")
+        }
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(rules.map { case (name, _) => struct(
+            lit(name).as("key"), col(s"__q_$name").as("n"))
+          }: _*)).as("r"))
+          .select(lit("quarantine").as("branch"), col("r.key").as("key"),
+            col("r.n").as("n"), lit(null).cast("double").as("amount"))
+      })
+      val publish = Xf(df => {
+        val root = s"/tmp/graft_rt/etlpipe_${d.replace('/', '_')}"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val clean = df.where(size(col("__fr")) === 0)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            expr("""CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)""")
+              .as("amount"))
+        graft.operators.Txn.commitOverwrite(s, root, clean)
+        graft.operators.Txn.read(s, root)
+          .select(lit("published").as("branch"),
+            col("l_returnflag").as("key"), col("n"), col("amount"))
+      })
+      DagTopology.empty
+        .withSource("land", lineitem(s, d))
+        .withXform("split", split)
+        .withXform("quarantine_report", quar)
+        .withXform("published", publish)
+        .withXform("report", Xf(identity))
+        .withWorkflow("land" -> "split",
+          "split" -> "quarantine_report", "split" -> "published",
+          "quarantine_report" -> "report", "published" -> "report")
+        .output("report")
+    }),
+
     // ATOMIC manifest commit (r9 verdict #6): the table's state is
     // defined solely by the highest atomically-renamed manifest, so a
     // reader mid-publish sees the old snapshot fully or the new one
@@ -1299,6 +1354,32 @@ object QueriesEtl {
         |       FROM r1 JOIN c1 USING (gb))
         |SELECT nat AS p_name, sk FROM ex
         |UNION ALL SELECT nat, sk FROM fr""".stripMargin,
+
+    // both branches recomputed inline: per-rule violation counts over
+    // the SAME NULL-is-violation semantics, and the published table
+    // from rows passing every rule — a drift in either DAG branch, the
+    // shared verdict expression, or the Txn publish/read-back mismatches
+    "etl_pipeline" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1.0 - l_discount AS DECIMAL(18,4)) AS rev,
+        |    NOT COALESCE(l_quantity <= 45, FALSE) AS b1,
+        |    NOT COALESCE(l_discount <= 0.05, FALSE) AS b2,
+        |    NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) AS b3,
+        |    NOT COALESCE(l_shipdate >= TIMESTAMP '1992-01-01 00:00:00', FALSE) AS b4
+        |  FROM lineitem)
+        |SELECT 'quarantine' AS branch, r AS key, CAST(n AS BIGINT) AS n,
+        |  CAST(NULL AS DOUBLE) AS amount
+        |FROM (
+        |  SELECT 'qty_max_45' AS r, SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS n FROM v
+        |  UNION ALL SELECT 'discount_le_05', SUM(CASE WHEN b2 THEN 1 ELSE 0 END) FROM v
+        |  UNION ALL SELECT 'flag_domain', SUM(CASE WHEN b3 THEN 1 ELSE 0 END) FROM v
+        |  UNION ALL SELECT 'ship_after_1992', SUM(CASE WHEN b4 THEN 1 ELSE 0 END) FROM v) q
+        |UNION ALL
+        |SELECT 'published', l_returnflag, CAST(COUNT(*) AS BIGINT),
+        |  CAST(ROUND(SUM(rev), 2) AS DOUBLE)
+        |FROM v WHERE NOT (b1 OR b2 OR b3 OR b4) GROUP BY 2""".stripMargin,
 
     // both snapshots recomputed from scratch: v1 = half-user counts,
     // latest = half-user counts with click/view replaced by full counts
