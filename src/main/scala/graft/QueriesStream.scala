@@ -208,10 +208,32 @@ object QueriesStream {
           s"$root/target")
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("ts"), expr("CAST(ROUND(value, 4) AS DOUBLE)").as("val_r"))
+    }),
+
+    // exactly-once streaming publish: each micro-batch is one
+    // IDEMPOTENT tagged Txn append (tag = batch id, the Delta
+    // txnAppId/version dedup shape) — the harness replays batch 0's
+    // commit and REQUIRES the head version unchanged before returning,
+    // so the gate hash-fails on a double-commit OR a lost batch
+    "stream_txn_publish" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/stxn_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Streaming.txnPublishStream(s, d, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // the published Txn table must hold the stream's rows exactly once:
+    // a replayed batch doubling counts, or a torn/lost batch, mismatches
+    "stream_txn_publish" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1""".stripMargin,
+
     "stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |CAST(COUNT(*) AS BIGINT) AS n,

@@ -133,6 +133,31 @@ object Txn {
       prev ++ stageBatch(spark, root, df, partitionBy, f"b$v%05d")
     }
 
+  /** IDEMPOTENT tagged append — the exactly-once streaming-sink
+    * primitive (Delta's txnAppId/txnVersion dedup, keyed here by the
+    * batch `tag`): if the current snapshot already carries files under
+    * `data/<tag>/`, the commit short-circuits to None WITHOUT staging —
+    * a replayed micro-batch (checkpoint recovery, task retry at the
+    * driver level) cannot double-append. Single writer per tag assumed
+    * (a streaming query IS single-writer per checkpoint); distinct tags
+    * from concurrent writers serialize through the optimistic-rename
+    * retry like any other commit. */
+  def commitAppendIdempotent(spark: SparkSession, root: String,
+      df: DataFrame, tag: String, partitionBy: Seq[String] = Nil,
+      maxRetries: Int = 5): Option[Int] = {
+    require(tag.nonEmpty && !tag.contains("/") && !tag.startsWith("b"),
+      s"tag must be a non-empty dir name not colliding with b<version> dirs: $tag")
+    val head = currentVersion(spark, root)
+    val committed = head >= 1 &&
+      snapshotFiles(spark, root, head).exists(_.startsWith(tag + "/"))
+    if (committed) None
+    else Some(retry(spark, root, maxRetries) { v =>
+      val prev = if (v == 1) Nil else snapshotFiles(spark, root, v - 1)
+      if (prev.exists(_.startsWith(tag + "/"))) prev // raced: keep as-is
+      else prev ++ stageBatch(spark, root, df, partitionBy, tag)
+    })
+  }
+
   /** Commit `df` as a PARTITION OVERWRITE on `partitionCol`: the new
     * snapshot replaces exactly the partition values `df` carries and
     * keeps every other partition's files — the dynamic-overwrite

@@ -83,6 +83,22 @@ class TxnSpec extends SparkSpec {
     assert(table(root) == Set((1L, "a", 10L), (2L, "b", 20L)))
   }
 
+  test("idempotent tagged append: replay short-circuits, distinct tags accumulate") {
+    val root = freshRoot()
+    val b0 = Seq((1L, "a", 10L)).toDF("k", "part", "n")
+    val b1 = Seq((2L, "a", 20L)).toDF("k", "part", "n")
+    assert(Txn.commitAppendIdempotent(spark, root, b0, "sb0") == Some(1))
+    assert(Txn.commitAppendIdempotent(spark, root, b1, "sb1") == Some(2))
+    // replay of sb0 with a DIFFERENT payload: must not stage, not
+    // commit, not move the head — the tag is the identity
+    assert(Txn.commitAppendIdempotent(spark, root,
+      Seq((666L, "a", 666L)).toDF("k", "part", "n"), "sb0").isEmpty)
+    assert(Txn.currentVersion(spark, root) == 2)
+    assert(table(root) == Set((1L, "a", 10L), (2L, "a", 20L)))
+    // and no orphan files appeared from the replay attempt
+    assert(Txn.vacuum(spark, root) == 0)
+  }
+
   test("vacuum never deletes files any committed snapshot references") {
     val root = freshRoot()
     Txn.commitOverwrite(spark, root,
