@@ -125,6 +125,47 @@ object QueriesLlm {
         s, root, docs.where(isFresh), "doc_id", "text")
     }),
 
+    // incremental index maintenance on the dedup side (the
+    // ann_index_upsert pattern): base index on 3 of the 4 corpus-side
+    // md5 buckets, the 4th APPENDED as a purely additive delta —
+    // probing fresh must equal probing a from-scratch index (same
+    // oracle string as dedup_index_probe: base ∪ delta == corpus)
+    "dedup_index_upsert" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/dedup_idxu_${d.replace('/', '_')}"
+      val docs = documents(s, d)
+      val bkt = graft.operators.Corpus.hashBucket(col("doc_id"), "delta", 5)
+      stageOnce(root) {
+        graft.operators.DedupIndex.buildMinhash(
+          docs.where(bkt === 1 || bkt === 2 || bkt === 3),
+          "doc_id", "text", root)
+        graft.operators.DedupIndex.appendMinhash(
+          s, root, docs.where(bkt === 4), "doc_id", "text")
+      }
+      graft.operators.DedupIndex.probeMinhash(
+        s, root, docs.where(bkt === 0), "doc_id", "text")
+    }),
+
+    // index COMPACTION closes the dedup-index maintenance loop
+    // (ann_index_compact's sibling): build + delta appends fragment
+    // the bucket dirs, compaction folds them to one file per bucket
+    // (layout-only — probe result INVARIANT, same oracle string; the
+    // file-count drop and torn-swap recovery are spec-pinned)
+    "dedup_index_compact" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/dedup_idxc_${d.replace('/', '_')}"
+      val docs = documents(s, d)
+      val bkt = graft.operators.Corpus.hashBucket(col("doc_id"), "delta", 5)
+      stageOnce(root) {
+        graft.operators.DedupIndex.buildMinhash(
+          docs.where(bkt === 1 || bkt === 2 || bkt === 3),
+          "doc_id", "text", root)
+        graft.operators.DedupIndex.appendMinhash(
+          s, root, docs.where(bkt === 4), "doc_id", "text")
+        graft.operators.DedupIndex.compactMinhash(s, root)
+      }
+      graft.operators.DedupIndex.probeMinhash(
+        s, root, docs.where(bkt === 0), "doc_id", "text")
+    }),
+
     // CONTINUOUS-ingest dedup: the fresh 20% arrives as a real stream,
     // each micro-batch probed (foreachBatch) against the persistent
     // minhash index built once over the corpus side — per-doc results
@@ -1148,6 +1189,11 @@ object QueriesLlm {
     // ad-hoc delta probe — one oracle string for both, so the two
     // machineries are pinned to one semantics
     "dedup_index_probe" -> deltaMinhashOracle,
+    // base(3 buckets) ∪ appended delta(1 bucket) == the full corpus
+    // side, so the upsert/compact probes share the SAME oracle — the
+    // maintenance ops must be invisible to results
+    "dedup_index_upsert" -> deltaMinhashOracle,
+    "dedup_index_compact" -> deltaMinhashOracle,
 
     // the STREAMED probe accumulates the same matches batch by batch —
     // third machinery pinned to the same oracle string

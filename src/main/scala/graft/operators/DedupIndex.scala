@@ -45,6 +45,80 @@ object DedupIndex {
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
   }
 
+  /** Incremental index maintenance: sketch ONLY the delta batch and
+    * append its posting rows — purely additive (no existing posting
+    * file read or rewritten, untouched buckets gain no files), the
+    * [[AnnIndex.appendIvfPq]] discipline for the dedup side. A probe
+    * after the append sees base ∪ delta with the identical sketch
+    * arithmetic, because minhash signatures are row-local: unlike
+    * IVF-PQ there is no trained model to freeze, so append IS build
+    * on the delta. */
+  def appendMinhash(spark: SparkSession, path: String, delta: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3, perms: Int = 16,
+      bands: Int = 4, nBuckets: Int = 16): Unit = {
+    val rows = perms / bands
+    Dedup.minhashSketch(delta, idCol, textCol, shingleK, perms)
+      .select(col("id"), col("sig"),
+        posexplode(Hashes.lshBands("sig", bands, rows)).as(Seq("b", "bh")))
+      .withColumn(BucketCol, pmod(xxhash64(col("b"), col("bh")), lit(nBuckets)))
+      .write.mode("append").partitionBy(BucketCol).parquet(path)
+  }
+
+  /** Posting-file count across bucket directories (metadata only). */
+  def postingFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  /** Fold the delta files [[appendMinhash]] accumulates back to one
+    * file per bucket — layout-only ([[AnnIndex.compactIvfPq]]'s
+    * rationale and swap mechanics, including its stated guarantee: a
+    * probe that already listed the old directory finishes intact, the
+    * crash window between the two renames is repaired by
+    * [[recoverPostings]] on the next compact or probe). The index
+    * root itself is renamed (postings are the whole index — there is
+    * no sibling centroids/codebooks dir to preserve), so the staging
+    * dir lives BESIDE the root. Returns (files before, after). */
+  def compactMinhash(spark: SparkSession, path: String): (Int, Int) = {
+    recoverPostings(spark, path)
+    val before = postingFileCount(spark, path)
+    val tmp = s"${path}_compacting"
+    val old = s"${path}_old"
+    spark.read.parquet(path)
+      .repartition(col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(old)), s"compact: cannot move $path aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)),
+      s"compact: cannot swap in compacted postings")
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    (before, postingFileCount(spark, path))
+  }
+
+  /** Crash repair for [[compactMinhash]]'s swap window (the
+    * [[AnnIndex.recoverCodes]] pattern): if the root is missing and
+    * `<root>_old` exists, rename it back. Idempotent, metadata-only. */
+  private[graft] def recoverPostings(spark: SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+    if (!fs.exists(root) && fs.exists(old))
+      require(fs.rename(old, root), s"recoverPostings: cannot restore $old")
+  }
+
   /** Probe a fresh batch against a stored index: near-duplicate
     * matches (doc_id ∈ fresh, dup_of ∈ index, est_jaccard) under the
     * [[Dedup.deltaMinhash]] contract. Only the band-hash buckets the
@@ -53,6 +127,7 @@ object DedupIndex {
       idCol: String, textCol: String, shingleK: Int = 3, perms: Int = 16,
       bands: Int = 4, minMatches: Int = 4,
       nBuckets: Int = 16): DataFrame = {
+    recoverPostings(spark, path) // repair a torn compaction swap
     val rows = perms / bands
     val fb = Dedup.minhashSketch(fresh, idCol, textCol, shingleK, perms)
       .select(col("id").as("doc_id"), col("sig").as("sig_a"))

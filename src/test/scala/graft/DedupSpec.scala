@@ -266,6 +266,69 @@ class DedupSpec extends SparkSpec {
       Seq("doc_id", "dup_of", "est_jaccard"))
   }
 
+  test("DedupIndex lifecycle: additive append, layout-only compact, torn-swap repair") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark joins here")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (3L, "another corpus document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "another corpus document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dedup-idxu").toString + "/idx"
+    graft.operators.DedupIndex.buildMinhash(base, "doc_id", "text", root)
+    // append is purely ADDITIVE: every pre-append posting file survives
+    // byte-identical (name + length), only new files appear
+    def files() = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val out = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          out += st.getPath.toString -> st.getLen
+      }
+      out.toMap
+    }
+    val before = files()
+    graft.operators.DedupIndex.appendMinhash(spark, root, delta,
+      "doc_id", "text")
+    val after = files()
+    assert(before.forall { case (p, len) => after.get(p).contains(len) },
+      "append rewrote an existing posting file")
+    assert(after.size > before.size)
+    // probe over base ∪ delta equals the from-scratch probe
+    def probe() = graft.operators.DedupIndex
+      .probeMinhash(spark, root, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup.deltaMinhash(base.unionByName(delta), fresh,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probe() == want && want.nonEmpty)
+    // compact: file count drops to one per bucket, probe invariant
+    val (nb, na) = graft.operators.DedupIndex.compactMinhash(spark, root)
+    assert(na < nb, s"no file-count drop: $nb -> $na")
+    val buckets = spark.read.parquet(root)
+      .select("graft_ib").distinct().count().toInt
+    assert(na == buckets, s"expected one file per bucket ($buckets), got $na")
+    assert(probe() == want)
+    // torn swap (crash between the two renames): root gone, _old holds
+    // the data — the next probe repairs and answers identically
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(root),
+      new org.apache.hadoop.fs.Path(s"${root}_old")))
+    assert(probe() == want)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root)))
+  }
+
   test("semantic dedup end-to-end: pairs → CC → min-id survivors") {
     // two identical pairs (guaranteed LSH collisions, cos 1.0) and one
     // unpaired vector: survivors are each pair's min id + the loner
