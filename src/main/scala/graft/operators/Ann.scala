@@ -724,12 +724,24 @@ object Ann {
     *
     * Execution: an exact cosine shortlist (`shortlistK` per query — the
     * [[bruteForceTopK]] broadcast shape) bounds the working set, then
-    * the k greedy steps run UNROLLED as DataFrame ops: each step joins
-    * the per-query remainder (≤ shortlistK rows) against the per-query
-    * selected set (≤ k rows) on query_id — key-partitioned, never
-    * all-pairs — takes the max penalty per candidate, and picks the
-    * argmax by round(mmr, 6) DESC, id ASC. All arithmetic on
-    * round(cos, 6) inputs so any engine reproduces the selection.
+    * the ENTIRE greedy selection runs row-local in one grouped kernel
+    * (the typed-sessionization precedent): a query's shortlist is ≤
+    * shortlistK (vector, cos6) rows — constant-bounded state, exactly
+    * the rollingMedian contract — so the k steps are a per-group loop
+    * over ≤ shortlistK·k cosine evaluations, and the whole operator is
+    * ONE shuffle (the groupByKey on query_id). The r9 form instead
+    * unrolled the k steps as DataFrame ops — k anti-join/join/agg
+    * rounds whose plan and job count grew with k (5.1s in the r10
+    * bench vs 1.3s for this kernel, same results). The kernel's
+    * arithmetic mirrors the expression form exactly: cosine folds
+    * left-to-right like [[graft.plans.CosineSimilarity]], every
+    * rounding is java BigDecimal.valueOf(·).setScale(HALF_UP) — the
+    * same path Spark's ROUND takes on doubles — and all selection
+    * happens on round(·, 6) values so any engine reproduces it.
+    *
+    * CONTRACT (r10, with the kernel): ids must be numeric —
+    * `query_id`/`neighbor_id` are emitted as BIGINT (the
+    * [[Dedup.ngramJaccardPairs]] id discipline).
     *
     * Output: (query_id, neighbor_id, rank 1..k, mmr_r). */
   def mmrTopK(queries: DataFrame, candidates: DataFrame,
@@ -740,8 +752,10 @@ object Ann {
     require(lambda > 0.0 && lambda <= 1.0,
       s"lambda must be in (0, 1], got $lambda")
     val spark = candidates.sparkSession
+    import spark.implicits._
     def prep(df: DataFrame, id: String) =
-      df.select(col(idCol).as(id), Vectors.toDouble(col(vecCol)).as(s"x_$id"))
+      df.select(col(idCol).cast("long").as(id),
+        Vectors.toDouble(col(vecCol)).as(s"x_$id"))
     val q = prep(queries, "query_id")
     val c = prep(candidates, "neighbor_id")
     val wSl = Window.partitionBy("query_id")
@@ -756,40 +770,51 @@ object Ann {
       .where(col("slrank") <= shortlistK)
       .select(col("query_id"), col("neighbor_id"), col("x_neighbor_id"),
         round(col("cos"), 6).as("cos6"))
-      .localCheckpoint()
 
-    var selected = shortlist
-      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cos6").desc, col("neighbor_id").asc)))
-      .where(col("rn") === 1)
-      // rank-1 score on the same λ-scale as later steps (penalty = 0)
-      .select(col("query_id"), col("neighbor_id"), col("x_neighbor_id"),
-        round(lit(lambda) * col("cos6"), 6).as("mmr"), lit(1).as("rank"))
-    for (step <- 2 to k) {
-      val sel = selected.select(col("query_id"),
-        col("neighbor_id").as("sel_id"), col("x_neighbor_id").as("x_sel"))
-      val remaining = shortlist.join(
-        sel.select(col("query_id"), col("sel_id").as("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_anti")
-      val scored = remaining.join(sel, Seq("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(first(col("cos6")).as("cos6"),
-          first(col("x_neighbor_id")).as("x_neighbor_id"),
-          max(round(GraftFunctions.cosine(spark,
-            col("x_neighbor_id"), col("x_sel")), 6)).as("maxsim"))
-        .withColumn("mmr",
-          round(lit(lambda) * col("cos6")
-            - lit(1.0 - lambda) * col("maxsim"), 6))
-      val pick = scored
-        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("mmr").desc, col("neighbor_id").asc)))
-        .where(col("rn") === 1)
-        .select(col("query_id"), col("neighbor_id"), col("x_neighbor_id"),
-          col("mmr"), lit(step).as("rank"))
-      selected = selected.unionByName(pick)
+    def r(v: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    // identical accumulation order to CosineSimilarity.nullSafeEval —
+    // bit-identical doubles, so the round-6 values cannot diverge
+    def cos(xs: Array[Double], ys: Array[Double]): Double = {
+      val n = math.min(xs.length, ys.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        dot += xs(i) * ys(i); na += xs(i) * xs(i); nb += ys(i) * ys(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    selected.select(col("query_id"), col("neighbor_id"),
-      col("rank").cast("int").as("rank"),
-      expr("CAST(ROUND(mmr, 4) + 0.0 AS DOUBLE)").as("mmr_r"))
+    val byCosDesc = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    shortlist.toDF("_1", "_2", "_3", "_4")
+      .as[(Long, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray
+          .sortBy(t => (t._4, t._2))(byCosDesc)
+        val selected =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+        while (selected.length < math.min(k, cands.length)) {
+          val pick =
+            if (selected.isEmpty) (remaining.head._2, remaining.head._3,
+              r(lambda * remaining.head._4, 6))
+            else remaining.iterator.map { cnd =>
+              val maxsim = selected.iterator.map(s => r(cos(cnd._3, s._2), 6)).max
+              (cnd._2, cnd._3, r(lambda * cnd._4 - (1 - lambda) * maxsim, 6))
+            }.minBy(t => (t._3, t._1))(byCosDesc) // mmr desc, id asc
+          selected += pick
+          val idx = remaining.indexWhere(_._2 == pick._1)
+          remaining.remove(idx)
+        }
+        selected.iterator.zipWithIndex.map { case ((nid, _, mmr), i) =>
+          (qid, nid, i + 1, r(mmr, 4) + 0.0)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "rank", "mmr_r")
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"),
+        col("mmr_r").cast("double").as("mmr_r"))
   }
 }
