@@ -244,6 +244,26 @@ object QueriesEtl {
              date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("max_date"))
     }),
 
+    // XML round-trip through Spark 4's BUILT-IN xml source: write one
+    // rowTag element per order, read back with schema inference,
+    // aggregate — the oracle sees only the original table, so any
+    // parse/type-inference loss fails the hash
+    "etl_xml_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_rt/xml_${d.replace('/', '_')}"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      graft.sources.XmlSink(path, rowTag = "order").write(src)
+      graft.sources.XmlSource(path, rowTag = "order").read(s)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)")
+            .as("sum_price"),
+          max(col("o_orderpriority")).as("max_pri"))
+        .select(col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("n"), col("sum_price"), col("max_pri"))
+    }),
+
     // error-channel split: rows whose parse attempt fails flow to an
     // error side-output as wrap-error envelopes; both sides re-unioned
     // here (tagged) so one oracle checks the whole routing
@@ -868,6 +888,12 @@ object QueriesEtl {
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "etl_xml_roundtrip" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+        |MAX(o_orderpriority) AS max_pri
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "etl_avro_roundtrip" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

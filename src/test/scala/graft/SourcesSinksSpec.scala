@@ -310,4 +310,24 @@ class SourcesSinksSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.sources.FixedWidthSource(dir, Seq(("a", 0, 3, "STRING"))))
   }
+
+  test("XML round-trip: rowTag elements, NULL fields, explicit schema read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    val src = Seq((1L, Some("alpha"), 1.5), (2L, None, -0.25))
+      .toDF("k", "tag", "v")
+    assert(graft.sources.XmlSink(dir, rowTag = "rec").write(src) == 2L)
+    // inferred-schema read reproduces values (NULL field = absent elem)
+    val back = graft.sources.XmlSource(dir, rowTag = "rec").read(spark)
+      .collect().map(r => (r.getLong(r.fieldIndex("k")),
+        Option(r.get(r.fieldIndex("tag"))).map(_.toString),
+        r.getDouble(r.fieldIndex("v")))).toSet
+    assert(back == Set((1L, Some("alpha"), 1.5), (2L, None, -0.25)))
+    // the production path: explicit schema, no inference pass
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, tag STRING, v DOUBLE")
+    val typed = graft.sources.XmlSource(dir, "rec", Some(schema)).read(spark)
+    assert(typed.schema == schema)
+    assert(typed.count() == 2L)
+  }
 }
