@@ -767,6 +767,27 @@ object QueriesEtl {
             col("event_type").cast("string").as("event_type"), col("n")))
     }),
 
+    // manifest COLUMN STATS + skip-scan (the Iceberg/Delta
+    // data-skipping shape at the Txn layer): commit range-partitioned
+    // files with per-file min/max recorded in the manifest, then read
+    // a selective range through filesForRange — only intersecting
+    // files are opened (pruning pinned in TxnSpec); the residual
+    // filter keeps the result exact however files overlap
+    "etl_txn_skipscan" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txnskip_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, root,
+        ev.repartitionByRange(8, col("user_id")),
+        statsCol = Some("user_id"))
+      graft.operators.Txn.readWhere(s, root, "user_id", 100d, 300d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
+    }),
+
     // incremental dim load with dense surrogate keys: names already
     // keyed (seen on partkeys < 50) keep their keys; new names get
     // fresh keys above the max — two-level md5-bucket rank, never a
@@ -1380,6 +1401,14 @@ object QueriesEtl {
         |       FROM r1 JOIN c1 USING (gb))
         |SELECT nat AS p_name, sk FROM ex
         |UNION ALL SELECT nat, sk FROM fr""".stripMargin,
+
+    // the plain filtered recompute: if skip-scan pruned a file it
+    // shouldn't have (or kept rows outside the range), the hash fails
+    "etl_txn_skipscan" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events WHERE user_id >= 100 AND user_id <= 300
+        |GROUP BY 1""".stripMargin,
 
     // both branches recomputed inline: per-rule violation counts over
     // the SAME NULL-is-violation semantics, and the published table

@@ -68,8 +68,16 @@ object Txn {
       .foldLeft(0)(math.max)
   }
 
-  /** Data-file paths (relative to `root/data`) of snapshot `v`. */
-  def snapshotFiles(spark: SparkSession, root: String, v: Int): Seq[String] = {
+  /** One manifest entry: a data file plus (optionally) the min/max of
+    * the table's declared stats column within that file — the
+    * Iceberg/Delta file-skipping metadata, one numeric column's worth. */
+  final case class Entry(path: String, min: Option[Double],
+      max: Option[Double])
+
+  /** Raw manifest lines of snapshot `v` — the carry-forward unit, so
+    * appends and partition replaces preserve sibling files' stats. */
+  private def snapshotLines(spark: SparkSession, root: String,
+      v: Int): Seq[String] = {
     val f = fs(spark, root)
     val in = f.open(manifestPath(root, v))
     try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -77,10 +85,31 @@ object Txn {
     finally in.close()
   }
 
-  /** Write `df`'s files under a fresh batch dir; returns their
-    * root-relative paths WITHOUT publishing anything. */
+  private def linePath(line: String): String = line.split('\t')(0)
+
+  /** Manifest entries of snapshot `v` (path [TAB min TAB max]). */
+  def snapshotEntries(spark: SparkSession, root: String,
+      v: Int): Seq[Entry] =
+    snapshotLines(spark, root, v).map { line =>
+      line.split('\t') match {
+        case Array(p)         => Entry(p, None, None)
+        case Array(p, lo, hi) => Entry(p, Some(lo.toDouble), Some(hi.toDouble))
+        case _ => sys.error(s"Txn: malformed manifest line: $line")
+      }
+    }
+
+  /** Data-file paths (relative to `root/data`) of snapshot `v`. */
+  def snapshotFiles(spark: SparkSession, root: String, v: Int): Seq[String] =
+    snapshotEntries(spark, root, v).map(_.path)
+
+  /** Write `df`'s files under a fresh batch dir; returns their manifest
+    * LINES (root-relative path, plus TAB-separated min/max of
+    * `statsCol` when declared) WITHOUT publishing anything. Stats come
+    * from ONE distributed pass grouped by input_file_name — the driver
+    * receives only (file, min, max), bounded by the file count. */
   private def stageBatch(spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String], batchTag: String): Seq[String] = {
+      partitionBy: Seq[String], batchTag: String,
+      statsCol: Option[String] = None): Seq[String] = {
     val dir = s"$root/data/$batchTag"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -95,7 +124,23 @@ object Txn {
       if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
         out += st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
     }
-    out.toSeq.sorted
+    val paths = out.toSeq.sorted
+    statsCol.fold(paths) { c =>
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("__f"))
+        .agg(min(col(c).cast("double")).as("__lo"),
+          max(col(c).cast("double")).as("__hi"))
+        .collect() // bounded by file count — manifest metadata, not data
+        .flatMap { r =>
+          val rel = new Path(r.getString(0)).toUri.getPath
+            .stripPrefix(base).stripPrefix("/")
+          if (r.isNullAt(1) || r.isNullAt(2)) None
+          else Some(rel -> (r.getDouble(1), r.getDouble(2)))
+        }.toMap
+      paths.map { p =>
+        stats.get(p).fold(p) { case (lo, hi) => s"$p\t$lo\t$hi" }
+      }
+    }
   }
 
   /** Atomically publish `files` as version `v` (expects `v` free).
@@ -118,19 +163,23 @@ object Txn {
     won
   }
 
-  /** Commit `df` as the COMPLETE new snapshot (full overwrite). */
+  /** Commit `df` as the COMPLETE new snapshot (full overwrite).
+    * `statsCol` (numeric) records per-file min/max in the manifest for
+    * [[readWhere]] file skipping. */
   def commitOverwrite(spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil, maxRetries: Int = 5): Int =
+      partitionBy: Seq[String] = Nil, maxRetries: Int = 5,
+      statsCol: Option[String] = None): Int =
     retry(spark, root, maxRetries) { v =>
-      stageBatch(spark, root, df, partitionBy, f"b$v%05d")
+      stageBatch(spark, root, df, partitionBy, f"b$v%05d", statsCol)
     }
 
   /** Commit `df` as an APPEND: new snapshot = previous files + df's. */
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil, maxRetries: Int = 5): Int =
+      partitionBy: Seq[String] = Nil, maxRetries: Int = 5,
+      statsCol: Option[String] = None): Int =
     retry(spark, root, maxRetries) { v =>
-      val prev = if (v == 1) Nil else snapshotFiles(spark, root, v - 1)
-      prev ++ stageBatch(spark, root, df, partitionBy, f"b$v%05d")
+      val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
+      prev ++ stageBatch(spark, root, df, partitionBy, f"b$v%05d", statsCol)
     }
 
   /** IDEMPOTENT tagged append — the exactly-once streaming-sink
@@ -152,8 +201,8 @@ object Txn {
       snapshotFiles(spark, root, head).exists(_.startsWith(tag + "/"))
     if (committed) None
     else Some(retry(spark, root, maxRetries) { v =>
-      val prev = if (v == 1) Nil else snapshotFiles(spark, root, v - 1)
-      if (prev.exists(_.startsWith(tag + "/"))) prev // raced: keep as-is
+      val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
+      if (prev.exists(l => linePath(l).startsWith(tag + "/"))) prev // raced
       else prev ++ stageBatch(spark, root, df, partitionBy, tag)
     })
   }
@@ -167,9 +216,9 @@ object Txn {
     val vals = df.select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet // bounded: distinct partition values
     retry(spark, root, maxRetries) { v =>
-      val prev = if (v == 1) Nil else snapshotFiles(spark, root, v - 1)
-      val kept = prev.filterNot { rel =>
-        rel.split("/").exists { seg =>
+      val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
+      val kept = prev.filterNot { line =>
+        linePath(line).split("/").exists { seg =>
           val i = seg.indexOf('=')
           i > 0 && seg.substring(0, i) == partitionCol &&
             vals.contains(seg.substring(i + 1))
@@ -204,12 +253,51 @@ object Txn {
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, root))
     require(v >= 1, s"Txn.read: no committed version at $root")
-    val byBatch = snapshotFiles(spark, root, v)
-      .groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-    byBatch.map { case (batch, rels) =>
+    readFiles(spark, root, snapshotFiles(spark, root, v))
+  }
+
+  private def readFiles(spark: SparkSession, root: String,
+      rels: Seq[String]): DataFrame = {
+    require(rels.nonEmpty, s"Txn: empty file selection at $root")
+    val byBatch = rels.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    byBatch.map { case (batch, fs0) =>
       spark.read.option("basePath", s"$root/data/$batch")
-        .parquet(rels.map(r => s"$root/data/$r"): _*)
+        .parquet(fs0.map(r => s"$root/data/$r"): _*)
     }.reduce(_ unionByName _)
+  }
+
+  /** The snapshot's files whose recorded [min, max] can intersect
+    * [lo, hi] on the stats column — files committed WITHOUT stats are
+    * kept (skipping is an optimization, never a filter). */
+  def filesForRange(spark: SparkSession, root: String, lo: Double,
+      hi: Double, version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion(spark, root))
+    require(v >= 1, s"Txn.filesForRange: no committed version at $root")
+    snapshotEntries(spark, root, v).collect {
+      case Entry(p, None, None) => p
+      case Entry(p, Some(mn), Some(mx)) if mx >= lo && mn <= hi => p
+    }
+  }
+
+  /** SKIP-SCAN snapshot read: `statsCol BETWEEN lo AND hi`, reading
+    * ONLY the files whose manifest stats can hold matches (plus any
+    * stats-less files) — the Iceberg/Delta data-skipping shape: at
+    * 100 TB a selective range touches the manifest (driver metadata)
+    * and a handful of files, not the table. The residual predicate is
+    * still applied, so the result is exactly the filtered snapshot
+    * regardless of how files overlap. */
+  def readWhere(spark: SparkSession, root: String, statsCol: String,
+      lo: Double, hi: Double, version: Option[Int] = None): DataFrame = {
+    val files = filesForRange(spark, root, lo, hi, version)
+    if (files.isEmpty)
+      read(spark, root, version)
+        .where(col(statsCol).cast("double") >= lo &&
+          col(statsCol).cast("double") <= hi)
+        .limit(0)
+    else
+      readFiles(spark, root, files)
+        .where(col(statsCol).cast("double") >= lo &&
+          col(statsCol).cast("double") <= hi)
   }
 
   /** Delete data files no live manifest references and stale temp

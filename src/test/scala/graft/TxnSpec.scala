@@ -99,6 +99,40 @@ class TxnSpec extends SparkSpec {
     assert(Txn.vacuum(spark, root) == 0)
   }
 
+  test("manifest stats + skip-scan: pruned file set, exact results, stats survive append") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    val df = spark.range(1000).select(col("id").as("k"),
+      (col("id") % 7).as("v"))
+    Txn.commitOverwrite(spark, root, df.repartitionByRange(10, col("k")),
+      statsCol = Some("k"))
+    val all = Txn.snapshotFiles(spark, root, 1)
+    assert(all.size == 10)
+    // every entry carries stats after a statsCol commit
+    assert(Txn.snapshotEntries(spark, root, 1)
+      .forall(e => e.min.isDefined && e.max.isDefined))
+    // a 100-wide range over range-partitioned files touches ~1-2 of 10
+    val pruned = Txn.filesForRange(spark, root, 250d, 349d)
+    assert(pruned.size < all.size,
+      s"no pruning: ${pruned.size} of ${all.size}")
+    // and the skip-scan result is EXACT
+    val got = Txn.readWhere(spark, root, "k", 250d, 349d)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == (250L to 349L).toSet)
+    // append WITHOUT stats: old entries keep theirs, new file has none,
+    // and skip-scan still includes the stats-less file (safe)
+    Txn.commitAppend(spark, root,
+      spark.range(2000, 2010).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .coalesce(1))
+    val e2 = Txn.snapshotEntries(spark, root, 2)
+    assert(e2.count(_.min.isDefined) == 10 && e2.count(_.min.isEmpty) == 1)
+    val got2 = Txn.readWhere(spark, root, "k", 2000d, 2100d)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got2 == (2000L to 2009L).toSet)
+    // an empty intersection returns an empty, correctly-typed frame
+    assert(Txn.readWhere(spark, root, "k", 50000d, 60000d).count() == 0)
+  }
+
   test("vacuum never deletes files any committed snapshot references") {
     val root = freshRoot()
     Txn.commitOverwrite(spark, root,
