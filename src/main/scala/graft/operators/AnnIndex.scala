@@ -54,18 +54,8 @@ object AnnIndex {
 
   /** Code-file count across all cell directories — metadata-only
     * FileSystem listing (the [[Compaction.dirStats]] discipline). */
-  def codeFileCount(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
-    var n = 0
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
-    }
-    n
-  }
+  def codeFileCount(spark: SparkSession, path: String): Int =
+    DirSwap.fileCount(spark, s"$path/codes")
 
   /** Index COMPACTION: fold the delta files [[appendIvfPq]] accumulates
     * back into one file per cell. Every append leaves one more file in
@@ -80,22 +70,12 @@ object AnnIndex {
     * gate reuses the upsert gate's oracle). The rewrite lands in a
     * fresh directory and swaps in by rename-aside + rename-in.
     *
-    * SWAP GUARANTEE (stated precisely — r9 advice flagged the earlier
-    * scaladoc as overclaiming): a probe that already LISTED the old
-    * directory finishes against intact files (renames move the dir,
-    * the inodes its listing resolved stay readable on POSIX/HDFS). A
-    * probe that lists `codes` INSIDE the two-rename window sees no
-    * directory, and a crash in that window leaves only `codes_old` —
-    * two renames on one name cannot be atomic on a filesystem without
-    * an indirection layer. Both torn states are REPAIRABLE and
-    * repaired automatically: [[recoverCodes]] (called at the top of
-    * compact and probe) renames `codes_old` back when `codes` is
-    * missing. True lister-in-window atomicity needs the manifest
-    * commit primitive (operators.Txn) — an index generation number
-    * resolved through an atomically-renamed manifest file — which is
-    * deliberately not paid here: probes and compaction of one index
-    * root are coordinated by the same maintenance job in every
-    * deployment shape this library targets.
+    * SWAP GUARANTEE: the [[DirSwap]] protocol's, exactly — one shared
+    * implementation (r10 review: the swap/repair logic must not drift
+    * between the ANN and dedup indexes). A probe that already LISTED
+    * `codes` finishes intact; lister-in-window and crash-in-window are
+    * torn states repaired by [[recoverCodes]] at the top of compact
+    * and probe; true lister-in-window atomicity is [[Txn]]'s job.
     *
     * Centroids/codebooks are untouched — compaction is a layout
     * operation, never a re-train. Returns (files before, files after). */
@@ -103,34 +83,17 @@ object AnnIndex {
     recoverCodes(spark, path)
     val before = codeFileCount(spark, path)
     val tmp = s"$path/codes_compacting"
-    val old = s"$path/codes_old"
     spark.read.parquet(s"$path/codes")
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/codes"),
-      new org.apache.hadoop.fs.Path(old)), s"compact: cannot move codes aside")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$path/codes")),
-      s"compact: cannot swap in compacted codes")
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    DirSwap.swapIn(spark, s"$path/codes", tmp)
     (before, codeFileCount(spark, path))
   }
 
-  /** Crash repair for [[compactIvfPq]]'s swap window: if a previous
-    * compaction died between its two renames, `codes` is missing and
-    * the intact pre-compaction data sits in `codes_old` — rename it
-    * back. Idempotent, metadata-only; no-op when `codes` exists. */
-  private[graft] def recoverCodes(spark: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val old = new org.apache.hadoop.fs.Path(s"$path/codes_old")
-    if (!fs.exists(codes) && fs.exists(old))
-      require(fs.rename(old, codes), s"recoverCodes: cannot restore $old")
-  }
+  /** Crash repair for [[compactIvfPq]]'s swap window ([[DirSwap.recover]]
+    * on the codes dir). */
+  private[graft] def recoverCodes(spark: SparkSession, path: String): Unit =
+    DirSwap.recover(spark, s"$path/codes")
 
   /** Top-k ANN against a stored index. The codes read is restricted to
     * the union of cells any query probes (≤ cells ints to the driver,

@@ -65,59 +65,32 @@ object DedupIndex {
   }
 
   /** Posting-file count across bucket directories (metadata only). */
-  def postingFileCount(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
-    var n = 0
-    while (it.hasNext) {
-      val name = it.next().getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
-    }
-    n
-  }
+  def postingFileCount(spark: SparkSession, path: String): Int =
+    DirSwap.fileCount(spark, path)
 
   /** Fold the delta files [[appendMinhash]] accumulates back to one
-    * file per bucket — layout-only ([[AnnIndex.compactIvfPq]]'s
-    * rationale and swap mechanics, including its stated guarantee: a
-    * probe that already listed the old directory finishes intact, the
-    * crash window between the two renames is repaired by
-    * [[recoverPostings]] on the next compact or probe). The index
-    * root itself is renamed (postings are the whole index — there is
-    * no sibling centroids/codebooks dir to preserve), so the staging
+    * file per bucket — layout-only, under the shared [[DirSwap]]
+    * protocol (same guarantee and crash repair as
+    * [[AnnIndex.compactIvfPq]]; ONE implementation so the semantics
+    * cannot drift). The index root itself is swapped (postings are the
+    * whole index — no sibling centroids/codebooks dir), so the staging
     * dir lives BESIDE the root. Returns (files before, after). */
   def compactMinhash(spark: SparkSession, path: String): (Int, Int) = {
     recoverPostings(spark, path)
     val before = postingFileCount(spark, path)
     val tmp = s"${path}_compacting"
-    val old = s"${path}_old"
     spark.read.parquet(path)
       .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(path),
-      new org.apache.hadoop.fs.Path(old)), s"compact: cannot move $path aside")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path)),
-      s"compact: cannot swap in compacted postings")
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    DirSwap.swapIn(spark, path, tmp)
     (before, postingFileCount(spark, path))
   }
 
-  /** Crash repair for [[compactMinhash]]'s swap window (the
-    * [[AnnIndex.recoverCodes]] pattern): if the root is missing and
-    * `<root>_old` exists, rename it back. Idempotent, metadata-only. */
+  /** Crash repair for [[compactMinhash]]'s swap window
+    * ([[DirSwap.recover]] on the index root). */
   private[graft] def recoverPostings(spark: SparkSession,
-      path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val old = new org.apache.hadoop.fs.Path(s"${path}_old")
-    if (!fs.exists(root) && fs.exists(old))
-      require(fs.rename(old, root), s"recoverPostings: cannot restore $old")
-  }
+      path: String): Unit =
+    DirSwap.recover(spark, path)
 
   /** Probe a fresh batch against a stored index: near-duplicate
     * matches (doc_id ∈ fresh, dup_of ∈ index, est_jaccard) under the

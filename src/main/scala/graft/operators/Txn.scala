@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Manifest-based ATOMIC multi-partition table commit — the lakehouse
   * primitive the ETL family's directory writers (partition overwrite,
@@ -11,37 +12,53 @@ import org.apache.spark.sql.functions._
   * a table is a directory convention
   *
   * {{{
-  *   root/data/b00001/…            // each commit's files, own subdir
+  *   root/data/b00001-3f9a2c1d/…   // each commit attempt's files,
+  *                                 // version + random suffix — UNIQUE
+  *                                 // per attempt, so racing committers
+  *                                 // can never stage into one directory
   *   root/_manifests/v00001.manifest
   * }}}
   *
   * and the CURRENT table state is defined exclusively by the
-  * highest-versioned manifest: a newline list of data-file paths
-  * relative to `root/data`. Commits write ALL data files first (under a
-  * fresh per-commit batch directory — file names can never collide with
-  * a live snapshot), then publish by writing the manifest to a hidden
-  * temp name and renaming it to `v<next>.manifest`. The rename is the
+  * highest-versioned manifest. A manifest is newline-delimited:
+  * metadata lines first (`#schema:<json>` — the committing frame's
+  * schema, so an EMPTY snapshot stays readable; `#txn:<tag>` — one per
+  * idempotence tag ever committed, carried forward by every commit
+  * type so rewrites cannot forget them), then one line per data file:
+  * root/data-relative path, optionally TAB min TAB max of the declared
+  * stats column ([[readWhere]] file skipping). Commits write ALL data
+  * files first, then publish by writing the manifest to a hidden temp
+  * name and renaming it to `v<next>.manifest`. The rename is the
   * commit point:
   *
-  *  - ATOMIC VISIBILITY — a file rename is atomic on POSIX and HDFS, so
-  *    a reader resolving the manifest list sees the new version fully
-  *    or not at all; data files referenced by it are already complete.
-  *    Torn reads are impossible BY CONSTRUCTION, not by timing.
-  *  - OPTIMISTIC CONCURRENCY — rename(+create) onto an existing name
-  *    fails, so two racing committers cannot both win one version
-  *    number; the loser re-reads the head and retries against the next
-  *    version (Delta/Iceberg's commit protocol shape).
+  *  - ATOMIC VISIBILITY — the Hadoop FileSystem rename contract makes
+  *    the manifest appear fully-written or not at all; data files it
+  *    references are already complete. Torn reads are impossible BY
+  *    CONSTRUCTION, not by timing.
+  *  - OPTIMISTIC CONCURRENCY — Hadoop rename REFUSES an existing
+  *    destination on local and HDFS filesystems (pinned empirically by
+  *    TxnRenameProbe — unlike raw POSIX rename(2), which clobbers), so
+  *    two racing committers cannot both win one version number; the
+  *    loser re-reads the head and restages against the next version
+  *    (Delta/Iceberg's commit protocol shape). LIMITATION: object
+  *    stores without atomic rename-no-overwrite (S3 without a
+  *    consistency layer) need an external lock or a DynamoDB-style
+  *    log — the same boundary Delta draws.
   *  - TIME TRAVEL — previous manifests (and the files they reference,
   *    which commits never delete) remain readable: `read(root, v)` is a
   *    snapshot read at version v, the file-layer form of
   *    etl_bitemporal's as-of semantics.
   *  - CRASH SAFETY — a crash before the rename leaves orphan data files
   *    under an unreferenced batch dir and a hidden temp manifest;
-  *    neither is visible to any reader, and `vacuum` reclaims them.
+  *    neither is visible to any reader, and `vacuum` (retention-gated:
+  *    a file younger than the window is NEVER reclaimed, so vacuum
+  *    cannot race a concurrent committer's stage-then-publish span)
+  *    reclaims them.
   *
   * Scale: commit metadata is one file listing + one small file write —
-  * O(files), no data pass beyond the write itself; reads prune to
-  * exactly the listed files (and partition-directory values survive via
+  * O(files), no data pass beyond the write itself (stats add ONE
+  * distributed pass over the staged batch); reads prune to exactly the
+  * listed files (partition-directory values survive via per-batch
   * basePath). A 100 TB table's manifest at ~1e5 files is a few MB —
   * the same order Delta JSON actions or an Iceberg manifest list carry.
   *
@@ -56,6 +73,20 @@ object Txn {
 
   private def manifestPath(root: String, v: Int) =
     new Path(manifestDir(root), f"v$v%05d.manifest")
+
+  private def isMeta(line: String): Boolean = line.startsWith("#")
+  private def linePath(line: String): String = line.split('\t')(0)
+
+  private def txnTags(lines: Seq[String]): Seq[String] =
+    lines.collect { case l if l.startsWith("#txn:") => l.stripPrefix("#txn:") }
+
+  private def schemaLine(lines: Seq[String]): Option[StructType] =
+    lines.find(_.startsWith("#schema:"))
+      .map(l => DataType.fromJson(l.stripPrefix("#schema:"))
+        .asInstanceOf[StructType])
+
+  private def metaFor(schema: StructType, tags: Seq[String]): Seq[String] =
+    s"#schema:${schema.json}" +: tags.distinct.sorted.map(t => s"#txn:$t")
 
   /** Highest committed version, 0 if the table has none. */
   def currentVersion(spark: SparkSession, root: String): Int = {
@@ -75,7 +106,8 @@ object Txn {
       max: Option[Double])
 
   /** Raw manifest lines of snapshot `v` — the carry-forward unit, so
-    * appends and partition replaces preserve sibling files' stats. */
+    * appends and partition replaces preserve sibling files' stats and
+    * the table's metadata lines. */
   private def snapshotLines(spark: SparkSession, root: String,
       v: Int): Seq[String] = {
     val f = fs(spark, root)
@@ -85,12 +117,10 @@ object Txn {
     finally in.close()
   }
 
-  private def linePath(line: String): String = line.split('\t')(0)
-
-  /** Manifest entries of snapshot `v` (path [TAB min TAB max]). */
+  /** Manifest DATA entries of snapshot `v` (path [TAB min TAB max]). */
   def snapshotEntries(spark: SparkSession, root: String,
       v: Int): Seq[Entry] =
-    snapshotLines(spark, root, v).map { line =>
+    snapshotLines(spark, root, v).filterNot(isMeta).map { line =>
       line.split('\t') match {
         case Array(p)         => Entry(p, None, None)
         case Array(p, lo, hi) => Entry(p, Some(lo.toDouble), Some(hi.toDouble))
@@ -102,11 +132,15 @@ object Txn {
   def snapshotFiles(spark: SparkSession, root: String, v: Int): Seq[String] =
     snapshotEntries(spark, root, v).map(_.path)
 
-  /** Write `df`'s files under a fresh batch dir; returns their manifest
-    * LINES (root-relative path, plus TAB-separated min/max of
-    * `statsCol` when declared) WITHOUT publishing anything. Stats come
-    * from ONE distributed pass grouped by input_file_name — the driver
-    * receives only (file, min, max), bounded by the file count. */
+  /** Idempotence tags snapshot `v` has ever committed. */
+  def committedTags(spark: SparkSession, root: String, v: Int): Seq[String] =
+    txnTags(snapshotLines(spark, root, v))
+
+  /** Write `df`'s files under a fresh ATTEMPT-UNIQUE batch dir; returns
+    * their manifest lines (root-relative path, plus TAB-separated
+    * min/max of `statsCol` when declared) WITHOUT publishing anything.
+    * Stats come from ONE distributed pass grouped by input_file_name —
+    * the driver receives only (file, min, max), bounded by file count. */
   private def stageBatch(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String], batchTag: String,
       statsCol: Option[String] = None): Seq[String] = {
@@ -125,6 +159,9 @@ object Txn {
         out += st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
     }
     val paths = out.toSeq.sorted
+    // an empty frame stages zero part files — nothing to list or stat;
+    // the snapshot stays readable through its #schema line
+    if (paths.isEmpty) return Nil
     statsCol.fold(paths) { c =>
       val stats = spark.read.parquet(dir)
         .groupBy(input_file_name().as("__f"))
@@ -143,10 +180,18 @@ object Txn {
     }
   }
 
-  /** Atomically publish `files` as version `v` (expects `v` free).
+  /** Attempt-unique batch directory name: the version makes it
+    * human-traceable, the random suffix makes it COLLISION-FREE when
+    * two committers race the same version number — the loser's staged
+    * files can never be overwritten by (or confused with) the
+    * winner's, they just become vacuum-able orphans. */
+  private def batchDir(v: Int): String =
+    f"b$v%05d-" + java.util.UUID.randomUUID().toString.take(8)
+
+  /** Atomically publish `lines` as version `v` (expects `v` free).
     * Returns false when another committer already took `v`. */
   private def publish(spark: SparkSession, root: String, v: Int,
-      files: Seq[String]): Boolean = {
+      lines: Seq[String]): Boolean = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val target = manifestPath(root, v)
@@ -154,10 +199,11 @@ object Txn {
     val tmp = new Path(manifestDir(root),
       s".tmp-${java.util.UUID.randomUUID().toString}")
     val os = f.create(tmp, false)
-    try os.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    try os.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally os.close()
-    // rename-no-overwrite IS the commit point: atomic on POSIX/HDFS,
-    // fails (not clobbers) if a racing committer won the version
+    // rename-no-overwrite IS the commit point (see the object scaladoc
+    // and TxnRenameProbe for the exact contract and its object-store
+    // limitation)
     val won = f.rename(tmp, target)
     if (!won) f.delete(tmp, false)
     won
@@ -165,76 +211,91 @@ object Txn {
 
   /** Commit `df` as the COMPLETE new snapshot (full overwrite).
     * `statsCol` (numeric) records per-file min/max in the manifest for
-    * [[readWhere]] file skipping. */
+    * [[readWhere]] file skipping. Idempotence tags committed by
+    * earlier versions carry forward — a rewrite does not reopen
+    * already-committed micro-batches. */
   def commitOverwrite(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, maxRetries: Int = 5,
       statsCol: Option[String] = None): Int =
     retry(spark, root, maxRetries) { v =>
-      stageBatch(spark, root, df, partitionBy, f"b$v%05d", statsCol)
+      val tags = if (v == 1) Nil else txnTags(snapshotLines(spark, root, v - 1))
+      metaFor(df.schema, tags) ++
+        stageBatch(spark, root, df, partitionBy, batchDir(v), statsCol)
     }
 
-  /** Commit `df` as an APPEND: new snapshot = previous files + df's. */
+  /** Commit `df` as an APPEND: new snapshot = previous files + df's.
+    * The `#schema` line records THIS batch's schema (it exists for
+    * empty-snapshot reads; non-empty reads take their schema from the
+    * parquet files themselves, so heterogeneous appends behave like
+    * any multi-file parquet read). */
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, maxRetries: Int = 5,
       statsCol: Option[String] = None): Int =
     retry(spark, root, maxRetries) { v =>
       val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
-      prev ++ stageBatch(spark, root, df, partitionBy, f"b$v%05d", statsCol)
+      metaFor(df.schema, txnTags(prev)) ++ prev.filterNot(isMeta) ++
+        stageBatch(spark, root, df, partitionBy, batchDir(v), statsCol)
     }
 
   /** IDEMPOTENT tagged append — the exactly-once streaming-sink
-    * primitive (Delta's txnAppId/txnVersion dedup, keyed here by the
-    * batch `tag`): if the current snapshot already carries files under
-    * `data/<tag>/`, the commit short-circuits to None WITHOUT staging —
-    * a replayed micro-batch (checkpoint recovery, task retry at the
-    * driver level) cannot double-append. Single writer per tag assumed
-    * (a streaming query IS single-writer per checkpoint); distinct tags
-    * from concurrent writers serialize through the optimistic-rename
-    * retry like any other commit. */
+    * primitive (Delta's txnAppId/txnVersion dedup): the committed-tag
+    * set rides IN the manifest as `#txn:` lines and survives every
+    * commit type — including full rewrites/compactions, which is
+    * exactly where a path-prefix check would forget history and let a
+    * replayed micro-batch double-append. If the head already carries
+    * the tag, the commit short-circuits to None WITHOUT staging.
+    * Single writer per tag assumed (a streaming query IS single-writer
+    * per checkpoint); distinct tags from concurrent writers serialize
+    * through the optimistic-rename retry like any other commit. */
   def commitAppendIdempotent(spark: SparkSession, root: String,
       df: DataFrame, tag: String, partitionBy: Seq[String] = Nil,
       maxRetries: Int = 5): Option[Int] = {
-    require(tag.nonEmpty && !tag.contains("/") && !tag.startsWith("b"),
-      s"tag must be a non-empty dir name not colliding with b<version> dirs: $tag")
+    require(tag.nonEmpty && !tag.exists(c => c == '\n' || c == '\t'),
+      s"tag must be a non-empty single-line token: $tag")
     val head = currentVersion(spark, root)
     val committed = head >= 1 &&
-      snapshotFiles(spark, root, head).exists(_.startsWith(tag + "/"))
+      txnTags(snapshotLines(spark, root, head)).contains(tag)
     if (committed) None
     else Some(retry(spark, root, maxRetries) { v =>
       val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
-      if (prev.exists(l => linePath(l).startsWith(tag + "/"))) prev // raced
-      else prev ++ stageBatch(spark, root, df, partitionBy, tag)
+      val tags = txnTags(prev)
+      if (tags.contains(tag)) // raced with a replay of the same tag
+        metaFor(schemaLine(prev).getOrElse(df.schema), tags) ++
+          prev.filterNot(isMeta)
+      else
+        metaFor(df.schema, tags :+ tag) ++ prev.filterNot(isMeta) ++
+          stageBatch(spark, root, df, partitionBy, batchDir(v))
     })
   }
 
   /** Commit `df` as a PARTITION OVERWRITE on `partitionCol`: the new
     * snapshot replaces exactly the partition values `df` carries and
     * keeps every other partition's files — the dynamic-overwrite
-    * semantics of etl_partition_overwrite, made atomic. */
+    * semantics of etl_partition_overwrite, made atomic. The replaced
+    * set is derived from the STAGED files' own directory segments, so
+    * values needing path escaping (Spark writes `a:b` as `a%3Ab`) and
+    * the null-partition sentinel compare in exactly the writer's
+    * encoding — never a raw-value string match against escaped paths. */
   def commitReplacePartitions(spark: SparkSession, root: String,
-      df: DataFrame, partitionCol: String, maxRetries: Int = 5): Int = {
-    val vals = df.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet // bounded: distinct partition values
+      df: DataFrame, partitionCol: String, maxRetries: Int = 5): Int =
     retry(spark, root, maxRetries) { v =>
+      val staged = stageBatch(spark, root, df, Seq(partitionCol), batchDir(v))
+      val replacedSegs = staged.map(linePath).flatMap(_.split("/")
+        .find(_.startsWith(partitionCol + "="))).toSet
       val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
-      val kept = prev.filterNot { line =>
-        linePath(line).split("/").exists { seg =>
-          val i = seg.indexOf('=')
-          i > 0 && seg.substring(0, i) == partitionCol &&
-            vals.contains(seg.substring(i + 1))
-        }
+      val kept = prev.filterNot(isMeta).filterNot { line =>
+        linePath(line).split("/").exists(replacedSegs.contains)
       }
-      kept ++ stageBatch(spark, root, df, Seq(partitionCol), f"b$v%05d")
+      metaFor(df.schema, txnTags(prev)) ++ kept ++ staged
     }
-  }
 
   private def retry(spark: SparkSession, root: String, maxRetries: Int)(
       stage: Int => Seq[String]): Int = {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = currentVersion(spark, root) + 1
-      val files = stage(v)
-      if (publish(spark, root, v, files)) return v
+      val lines = stage(v)
+      if (publish(spark, root, v, lines)) return v
       attempt += 1 // lost the race: head moved; restage against new head
     }
     sys.error(s"Txn: lost the commit race $maxRetries times at $root")
@@ -248,17 +309,28 @@ object Txn {
     * shape Delta/Iceberg readers produce per file-group. Spark's
     * partition discovery cannot take one basePath across batch dirs
     * (the non-`k=v` batch segment between root and the partition dirs
-    * reads as a conflicting structure). */
+    * reads as a conflicting structure). An EMPTY snapshot (overwrite
+    * with a frame that matched nothing) reads as an empty frame with
+    * the committed `#schema`. */
   def read(spark: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, root))
     require(v >= 1, s"Txn.read: no committed version at $root")
-    readFiles(spark, root, snapshotFiles(spark, root, v))
+    val lines = snapshotLines(spark, root, v)
+    val rels = lines.filterNot(isMeta).map(linePath)
+    if (rels.isEmpty) emptyFrame(spark, root, lines)
+    else readFiles(spark, root, rels)
+  }
+
+  private def emptyFrame(spark: SparkSession, root: String,
+      lines: Seq[String]): DataFrame = {
+    val schema = schemaLine(lines).getOrElse(
+      sys.error(s"Txn: empty snapshot without a #schema line at $root"))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
   private def readFiles(spark: SparkSession, root: String,
       rels: Seq[String]): DataFrame = {
-    require(rels.nonEmpty, s"Txn: empty file selection at $root")
     val byBatch = rels.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
     byBatch.map { case (batch, fs0) =>
       spark.read.option("basePath", s"$root/data/$batch")
@@ -288,23 +360,27 @@ object Txn {
     * regardless of how files overlap. */
   def readWhere(spark: SparkSession, root: String, statsCol: String,
       lo: Double, hi: Double, version: Option[Int] = None): DataFrame = {
-    val files = filesForRange(spark, root, lo, hi, version)
-    if (files.isEmpty)
-      read(spark, root, version)
-        .where(col(statsCol).cast("double") >= lo &&
-          col(statsCol).cast("double") <= hi)
-        .limit(0)
-    else
-      readFiles(spark, root, files)
-        .where(col(statsCol).cast("double") >= lo &&
-          col(statsCol).cast("double") <= hi)
+    val v = version.getOrElse(currentVersion(spark, root))
+    require(v >= 1, s"Txn.readWhere: no committed version at $root")
+    val files = filesForRange(spark, root, lo, hi, Some(v))
+    val base =
+      if (files.isEmpty) emptyFrame(spark, root, snapshotLines(spark, root, v))
+      else readFiles(spark, root, files)
+    base.where(col(statsCol).cast("double") >= lo &&
+      col(statsCol).cast("double") <= hi)
   }
 
-  /** Delete data files no live manifest references and stale temp
-    * manifests (crash leftovers). Keeps every committed snapshot
-    * readable — time travel survives vacuum. */
-  def vacuum(spark: SparkSession, root: String): Int = {
+  /** Delete data files no committed manifest references and stale temp
+    * manifests (crash leftovers) — RETENTION-GATED: only files older
+    * than `olderThanMs` are touched, so vacuum can never reclaim a
+    * concurrent committer's just-staged batch out from under its
+    * publish (the Delta retention-period discipline; pass 0 only when
+    * no commit can be in flight). Keeps every committed snapshot
+    * readable — time travel survives vacuum. Returns files removed. */
+  def vacuum(spark: SparkSession, root: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val f = fs(spark, root)
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val live = (1 to currentVersion(spark, root))
       .filter(v => f.exists(manifestPath(root, v)))
       .flatMap(v => snapshotFiles(spark, root, v)).toSet
@@ -318,6 +394,7 @@ object Txn {
         val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
         val name = st.getPath.getName
         if (st.isFile && !live.contains(rel) &&
+            st.getModificationTime < cutoff &&
             !name.startsWith("_") && !name.startsWith(".")) {
           f.delete(st.getPath, false); removed += 1
         }
@@ -325,7 +402,8 @@ object Txn {
     }
     val md = manifestDir(root)
     if (f.exists(md))
-      f.listStatus(md).filter(_.getPath.getName.startsWith(".tmp-"))
+      f.listStatus(md).filter(s => s.getPath.getName.startsWith(".tmp-") &&
+          s.getModificationTime < cutoff)
         .foreach(s => f.delete(s.getPath, false))
     removed
   }

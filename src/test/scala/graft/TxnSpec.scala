@@ -57,8 +57,13 @@ class TxnSpec extends SparkSpec {
     os.write("b00002/part=a/garbage.parquet\n".getBytes("UTF-8")); os.close()
     assert(Txn.currentVersion(spark, root) == 1, "temp manifest leaked into versions")
     assert(table(root) == before, "reader saw unpublished data")
-    // vacuum: orphan data files + temp manifest reclaimed, snapshot intact
-    val removed = Txn.vacuum(spark, root)
+    // DEFAULT-retention vacuum spares the fresh orphans: a concurrent
+    // committer's just-staged batch can never be reclaimed mid-publish
+    assert(Txn.vacuum(spark, root) == 0)
+    assert(f.exists(tmp))
+    // zero-retention vacuum (caller asserts no commit in flight)
+    // reclaims orphan data files + temp manifest; snapshot intact
+    val removed = Txn.vacuum(spark, root, olderThanMs = 0L)
     assert(removed >= 1, "vacuum found no orphans")
     assert(!f.exists(tmp))
     assert(table(root) == before)
@@ -96,7 +101,42 @@ class TxnSpec extends SparkSpec {
     assert(Txn.currentVersion(spark, root) == 2)
     assert(table(root) == Set((1L, "a", 10L), (2L, "a", 20L)))
     // and no orphan files appeared from the replay attempt
-    assert(Txn.vacuum(spark, root) == 0)
+    assert(Txn.vacuum(spark, root, olderThanMs = 0L) == 0)
+    // the tag set SURVIVES a full rewrite (compaction): the marker
+    // lives in the manifest, not in file-path prefixes — a replayed
+    // micro-batch after commitOverwrite must still short-circuit
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("k", "part", "n"))
+    assert(Txn.committedTags(spark, root, 3).toSet == Set("sb0", "sb1"))
+    assert(Txn.commitAppendIdempotent(spark, root,
+      Seq((777L, "a", 777L)).toDF("k", "part", "n"), "sb1").isEmpty)
+    assert(table(root) == Set((1L, "a", 10L), (2L, "a", 20L)))
+  }
+
+  test("empty commit stays readable through the manifest schema line") {
+    val root = freshRoot()
+    val none = Seq((1L, "a", 10L)).toDF("k", "part", "n").where("k < 0")
+    assert(Txn.commitOverwrite(spark, root, none, Seq("part")) == 1)
+    val got = Txn.read(spark, root)
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("k", "n", "part") ||
+      got.columns.toSeq == Seq("k", "part", "n"))
+    // skip-scan over the empty snapshot is also a typed empty frame
+    assert(Txn.readWhere(spark, root, "k", 0d, 10d).count() == 0)
+  }
+
+  test("replace-partitions matches the WRITER's path encoding (escaped values, nulls)") {
+    val root = freshRoot()
+    // 'a:b' writes as part=a%3Ab — a raw-value comparison would keep
+    // the stale files and duplicate the partition (r10 review finding)
+    val v1 = Seq((1L, "a:b", 10L), (2L, "plain", 20L))
+      .toDF("k", "part", "n")
+    Txn.commitOverwrite(spark, root, v1, Seq("part"))
+    assert(Txn.snapshotFiles(spark, root, 1).exists(_.contains("part=a%3Ab")))
+    val patch = Seq((9L, "a:b", 90L)).toDF("k", "part", "n")
+    Txn.commitReplacePartitions(spark, root, patch, "part")
+    assert(table(root) == Set((9L, "a:b", 90L), (2L, "plain", 20L)),
+      "escaped partition not replaced — stale rows survived")
   }
 
   test("manifest stats + skip-scan: pruned file set, exact results, stats survive append") {
@@ -139,8 +179,9 @@ class TxnSpec extends SparkSpec {
       Seq((1L, "a", 10L)).toDF("k", "part", "n"), Seq("part"))
     Txn.commitReplacePartitions(spark, root,
       Seq((2L, "a", 20L)).toDF("k", "part", "n"), "part")
-    // v1's file is no longer in the head but IS in snapshot v1
-    assert(Txn.vacuum(spark, root) == 0)
+    // v1's file is no longer in the head but IS in snapshot v1 — even
+    // a zero-retention vacuum must spare it
+    assert(Txn.vacuum(spark, root, olderThanMs = 0L) == 0)
     assert(table(root, Some(1)) == Set((1L, "a", 10L)))
     assert(table(root) == Set((2L, "a", 20L)))
   }
