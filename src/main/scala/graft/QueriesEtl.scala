@@ -767,6 +767,29 @@ object QueriesEtl {
             col("event_type").cast("string").as("event_type"), col("n")))
     }),
 
+    // SCHEMA EVOLUTION through the manifest: v1 lands (key, type,
+    // amount); the v2 append ADDS a column — the snapshot read fills
+    // it NULL for v1's files (mergeSchema semantics per file-group),
+    // and v1 itself stays readable in its original shape
+    "etl_txn_evolve" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txnev_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+      val v1 = ev.where(col("user_id") % 2 === 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Txn.commitOverwrite(s, root, v1)
+      val v2 = ev.where(col("user_id") % 2 === 1)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
+        .select(concat(col("event_type"), lit("_odd")).as("event_type"),
+          col("n"), col("sum_val"))
+      graft.operators.Txn.commitAppend(s, root, v2)
+      graft.operators.Txn.read(s, root)
+        .select(col("event_type"), col("n"), col("sum_val"))
+    }),
+
     // manifest COLUMN STATS + skip-scan (the Iceberg/Delta
     // data-skipping shape at the Txn layer): commit range-partitioned
     // files with per-file min/max recorded in the manifest, then read
@@ -1401,6 +1424,16 @@ object QueriesEtl {
         |       FROM r1 JOIN c1 USING (gb))
         |SELECT nat AS p_name, sk FROM ex
         |UNION ALL SELECT nat, sk FROM fr""".stripMargin,
+
+    // v1 rows carry NULL for the column the v2 append introduced
+    "etl_txn_evolve" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(NULL AS DOUBLE) AS sum_val
+        |FROM events WHERE user_id % 2 = 0 GROUP BY 1
+        |UNION ALL
+        |SELECT event_type || '_odd', CAST(COUNT(*) AS BIGINT),
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |FROM events WHERE user_id % 2 = 1 GROUP BY 1""".stripMargin,
 
     // the plain filtered recompute: if skip-scan pruned a file it
     // shouldn't have (or kept rows outside the range), the hash fails

@@ -335,7 +335,11 @@ object Txn {
     byBatch.map { case (batch, fs0) =>
       spark.read.option("basePath", s"$root/data/$batch")
         .parquet(fs0.map(r => s"$root/data/$r"): _*)
-    }.reduce(_ unionByName _)
+    // allowMissingColumns = schema evolution across commits: an append
+    // that ADDS a column must not make older snapshots' files
+    // unreadable — missing columns read as NULL (parquet mergeSchema
+    // semantics, per file-group instead of per footer)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The snapshot's files whose recorded [min, max] can intersect
