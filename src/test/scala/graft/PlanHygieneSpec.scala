@@ -83,6 +83,12 @@ class PlanHygieneSpec extends SparkSpec {
       // graph_modularity attaches the 1-row edge total m; q_benford
       // the 1-row digit total
       "graph_modularity", "q_benford",
+      // ann_mmr's shortlist is the ann_topk broadcast-query shape
+      // (caller-bounded query side scored against the candidate scan);
+      // the r9 form hid it behind a localCheckpoint lineage cut — the
+      // r10 kernel removed the checkpoint, so the sweep now SEES the
+      // sanctioned join instead of a truncated shell
+      "ann_mmr",
       // approx_eval (the sketch QA gate) crosses two 1-row broadcasts:
       // the event total for support, and freqItems' single-row k-item
       // list — both scalar attaches; every other join is group-keyed
