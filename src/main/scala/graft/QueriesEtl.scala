@@ -245,16 +245,18 @@ object QueriesEtl {
     }),
 
     // XML round-trip through Spark 4's BUILT-IN xml source: write one
-    // rowTag element per order, read back with schema inference,
-    // aggregate — the oracle sees only the original table, so any
-    // parse/type-inference loss fails the hash
+    // rowTag element per order, read back through the explicit-schema
+    // production path (single parse pass — inference costs a second
+    // full read and is covered by SourcesSinksSpec), aggregate — the
+    // oracle sees only the original table, so any parse loss fails
     "etl_xml_roundtrip" -> ((s, d) => {
       val path = s"/tmp/graft_rt/xml_${d.replace('/', '_')}"
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderpriority")
       graft.sources.XmlSink(path, rowTag = "order").write(src)
-      graft.sources.XmlSource(path, rowTag = "order").read(s)
+      graft.sources.XmlSource(path, rowTag = "order",
+          schema = Some(src.schema)).read(s)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)")
