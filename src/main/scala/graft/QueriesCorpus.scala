@@ -311,6 +311,13 @@ object QueriesCorpus {
         budgets = Map("en" -> 5000L, "es" -> 2000L, "fr" -> 1500L,
           "de" -> 1000L, "zh" -> 500L))),
 
+    // temperature-scaled (α=0.5) multilingual sampling plan: weights ∝
+    // n_tok^α, per-language keep rates for a 100k-token budget —
+    // PRINCIPLED rates feeding the mixing ops instead of hand-picked
+    "corpus_temperature_mix" -> ((s, d) =>
+      Corpus.temperatureMix(documents(s, d), "text", "lang",
+        alpha = 0.5, budgetTokens = 100000L)),
+
     // hybrid retrieval: BM25 top-50 and hash-embed-cosine top-50 for
     // the same probe, fused by reciprocal-rank fusion (rank-only — the
     // two score scales never mix); final top-10. The fusion join runs
@@ -1102,6 +1109,24 @@ object QueriesCorpus {
          |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
          |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
          |FROM t GROUP BY 1""".stripMargin,
+
+    // pow/÷ are irrational-valued (rounding-casebook-safe to round);
+    // DOUBLE literals forced so both engines take the double path
+    "corpus_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(list_filter(string_split(lower(text),' '), x -> x<>''))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT lang, n_tok,
+        |    POW(CAST(n_tok AS DOUBLE), CAST(0.5 AS DOUBLE)) AS wr
+        |  FROM t),
+        |s AS (SELECT SUM(wr) AS tot FROM w)
+        |SELECT lang, n_tok,
+        |  CAST(ROUND(wr / tot, 6) AS DOUBLE) AS weight_r,
+        |  CAST(ROUND(LEAST(CAST(1.0 AS DOUBLE),
+        |    100000 * (wr / tot) / n_tok), 6) AS DOUBLE) AS rate_r
+        |FROM w CROSS JOIN s""".stripMargin,
 
     // the seeded md5 rank and per-shard row_number reproduce the
     // training-order permutation byte-for-byte; the shard salt is

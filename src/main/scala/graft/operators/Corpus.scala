@@ -1040,6 +1040,41 @@ object Corpus {
     * broadcast |langs|-row frame. At 100 TB this is one keyed window
     * over (lang)-partitioned rows — no global sort, no driver state;
     * languages not in the budget map are dropped at the scan. */
+  /** TEMPERATURE-scaled multilingual sampling plan (the GPT-3/PaLM
+    * recipe, also mT5/XLM-R's α-smoothing): language weights
+    * w_l ∝ n_tok_l^α with α ∈ (0, 1] — α = 1 is proportional (head
+    * languages dominate), α → 0 approaches uniform (tail languages
+    * over-sampled relative to size). For a token `budget`, each
+    * language's per-doc KEEP RATE is budget·w_l / n_tok_l capped at 1
+    * (you cannot sample more than exists without repetition — the cap
+    * is reported so the caller can re-normalize or epoch-repeat tail
+    * languages deliberately). Output: one row per language with exact
+    * token counts and ROUND(·,6) weight/rate (irrational pow/÷ values
+    * — the rounding-casebook-safe class).
+    *
+    * Scale: ONE (lang) aggregate over per-doc token counts + a 1-row
+    * broadcast total — the plan never touches doc bodies twice and the
+    * result is |langs| rows of pure metadata feeding [[mixWeighted]] /
+    * [[tokenBudgetMix]] with principled rates instead of hand-picked
+    * ones. */
+  def temperatureMix(df: DataFrame, textCol: String, langCol: String,
+      alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    val perLang = df
+      .select(col(langCol).as("lang"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("nt"))
+      .groupBy("lang").agg(sum(col("nt")).as("n_tok"))
+      .withColumn("wr", pow(col("n_tok").cast("double"), lit(alpha)))
+    val tot = perLang.agg(sum(col("wr")).as("tot"))
+    perLang.crossJoin(broadcast(tot)) // 1-row scalar attach
+      .select(col("lang"), col("n_tok"),
+        expr("CAST(ROUND(wr / tot, 6) AS DOUBLE)").as("weight_r"),
+        expr(s"""CAST(ROUND(LEAST(CAST(1.0 AS DOUBLE),
+            $budgetTokens * (wr / tot) / n_tok), 6) AS DOUBLE)""")
+          .as("rate_r"))
+  }
+
   def tokenBudgetMix(df: DataFrame, idCol: String, textCol: String,
       langCol: String, budgets: Map[String, Long]): DataFrame = {
     require(budgets.nonEmpty, "tokenBudgetMix: empty budget map")

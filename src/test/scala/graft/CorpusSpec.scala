@@ -562,6 +562,32 @@ class CorpusSpec extends SparkSpec {
     assert(re == e1)
   }
 
+  test("temperatureMix: α=1 proportional, α<1 flattens toward uniform, rate caps at 1") {
+    val docs = Seq(
+      (1L, "en", "a b c d e f g h"),        // en: 16 tokens
+      (2L, "en", "a b c d e f g h"),
+      (3L, "zh", "x y"),                    // zh: 2 tokens
+      (4L, "fr", "p q r s")                 // fr: 4 tokens
+    ).toDF("doc_id", "lang", "text")
+    def mix(a: Double, b: Long) =
+      Corpus.temperatureMix(docs, "text", "lang", a, b)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // α = 1: weights exactly proportional to token mass
+    val p = mix(1.0, 11L)
+    assert(p("en")._1 == 16L && p("zh")._1 == 2L && p("fr")._1 == 4L)
+    assert(p("en")._2 == math.rint(16.0 / 22 * 1e6) / 1e6)
+    // budget 11 at proportional weights = rate 0.5 everywhere
+    assert(p.values.forall(_._3 == 0.5))
+    // α = 0.5 flattens: en's share drops below proportional, zh's rises
+    val t = mix(0.5, 11L)
+    assert(t("en")._2 < p("en")._2 && t("zh")._2 > p("zh")._2)
+    // weights still sum to 1 (within rounding)
+    assert(math.abs(t.values.map(_._2).sum - 1.0) < 1e-5)
+    // a budget exceeding the corpus caps every rate at 1
+    assert(mix(0.5, 1000000L).values.forall(_._3 == 1.0))
+  }
+
   test("fimSplit: PSM reassembles the document, offsets hash-deterministic") {
     val df = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xyz"))
       .toDF("doc_id", "text")

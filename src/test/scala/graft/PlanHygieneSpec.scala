@@ -92,7 +92,10 @@ class PlanHygieneSpec extends SparkSpec {
       // approx_eval (the sketch QA gate) crosses two 1-row broadcasts:
       // the event total for support, and freqItems' single-row k-item
       // list — both scalar attaches; every other join is group-keyed
-      "approx_eval")
+      "approx_eval",
+      // corpus_temperature_mix attaches the 1-row Σw^α normalizer to
+      // the |langs|-row aggregate — the corpus_tfidf constant-attach
+      "corpus_temperature_mix")
 
   // streaming frames cannot be explained without starting a query; their
   // batch-equivalent shapes are covered by the stream_* batch oracles.
