@@ -307,6 +307,17 @@ object QueriesLlm {
         .select(col("node").as("doc_id"), col("degree"),
           col("n_triangles"), col("clustering"))),
 
+    // k-core of the near-dup graph: fixed-round peeling (4 rounds,
+    // k=2) exposing the densely-duplicated heart — nodes outside the
+    // core are peripheral one-off matches; the oracle unrolls the SAME
+    // peels, so the round-by-round shrinkage itself is pinned
+    "graph_kcore" -> ((s, d) =>
+      graft.operators.Graph.kCore(
+        Dedup.simhashPairs(documents(s, d), "doc_id", "text",
+          maxHamming = 12),
+        "doc_a", "doc_b", k = 2, rounds = 4)
+        .select(col("node_id").as("doc_id"), col("deg"))),
+
     // provenance radius: BFS hop distance from the curated seed docs
     // through the near-dup graph (exact hop counts, 3-hop bound)
     "graph_hops" -> ((s, d) => {
@@ -1402,6 +1413,50 @@ object QueriesLlm {
         |  FROM reach JOIN e ON e.src = reach.node WHERE reach.d < 3)
         |SELECT node, CAST(MIN(d) AS INT) AS hops
         |FROM reach GROUP BY node""".stripMargin,
+
+    // same simhash pair-graph CTE, then 4 unrolled peel rounds
+    // (degree ≥ 2 on the surviving edge set) — final within-core degrees
+    "graph_kcore" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |hs AS (
+        |  SELECT doc_id, [('0x'||substr(md5(t),1,15))::UBIGINT for t in w] AS h
+        |  FROM toks WHERE len(w) > 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in h]) >= 0
+        |              THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,60)]) AS simhash
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bv
+        |  FROM sig, range(0,4) t(b)),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+        |d1 AS (SELECT n, COUNT(*) AS c FROM (
+        |  SELECT doc_a AS n FROM e0 UNION ALL SELECT doc_b FROM e0) GROUP BY 1),
+        |e1 AS MATERIALIZED (SELECT * FROM e0
+        |  WHERE doc_a IN (SELECT n FROM d1 WHERE c >= 2)
+        |    AND doc_b IN (SELECT n FROM d1 WHERE c >= 2)),
+        |d2 AS (SELECT n, COUNT(*) AS c FROM (
+        |  SELECT doc_a AS n FROM e1 UNION ALL SELECT doc_b FROM e1) GROUP BY 1),
+        |e2 AS MATERIALIZED (SELECT * FROM e1
+        |  WHERE doc_a IN (SELECT n FROM d2 WHERE c >= 2)
+        |    AND doc_b IN (SELECT n FROM d2 WHERE c >= 2)),
+        |d3 AS (SELECT n, COUNT(*) AS c FROM (
+        |  SELECT doc_a AS n FROM e2 UNION ALL SELECT doc_b FROM e2) GROUP BY 1),
+        |e3 AS MATERIALIZED (SELECT * FROM e2
+        |  WHERE doc_a IN (SELECT n FROM d3 WHERE c >= 2)
+        |    AND doc_b IN (SELECT n FROM d3 WHERE c >= 2)),
+        |d4 AS (SELECT n, COUNT(*) AS c FROM (
+        |  SELECT doc_a AS n FROM e3 UNION ALL SELECT doc_b FROM e3) GROUP BY 1),
+        |e4 AS MATERIALIZED (SELECT * FROM e3
+        |  WHERE doc_a IN (SELECT n FROM d4 WHERE c >= 2)
+        |    AND doc_b IN (SELECT n FROM d4 WHERE c >= 2))
+        |SELECT n AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |  SELECT doc_a AS n FROM e4 UNION ALL SELECT doc_b FROM e4)
+        |GROUP BY 1""".stripMargin,
 
     // same simhash pair-graph CTE as graph_triangles, then 3 unrolled
     // clamped majority-vote rounds (n DESC, label ASC tie-break);

@@ -505,6 +505,44 @@ object Graph {
       col("dist").cast("int").as("depth"))
   }
 
+  /** k-CORE peeling (fixed rounds): repeatedly drop nodes with degree
+    * < `k` and the edges touching them — after convergence the
+    * remaining subgraph is the k-core, the standard link-graph quality
+    * signal (spam/boilerplate clusters live outside deep cores; a
+    * near-dup cluster's core exposes its densely-duplicated heart).
+    * `rounds` is FIXED, not run-to-fixpoint: peeling is monotone, so
+    * extra rounds after convergence are no-ops, and a fixed count
+    * makes the result reproducible verbatim on any engine (the gate's
+    * DuckDB oracle unrolls the same rounds) — callers size `rounds`
+    * like PageRank iterations; GraphSpec pins that another peel is a
+    * no-op on the gate configuration. Output: nodes still in the
+    * subgraph with their WITHIN-SUBGRAPH degree.
+    *
+    * Scale: each round is one degree aggregate (key-partitioned) and
+    * two semi-joins on the surviving node set; edges only shrink.
+    * `localCheckpoint` per round truncates the growing lineage — the
+    * CC/PageRank kernel discipline. Never all-pairs; O(rounds·m). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1,20]: $rounds")
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("n"))
+        .unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("n")
+      e = e
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .select(col("n").as("node_id"), col("deg").cast("long").as("deg"))
+  }
+
   /** Newman modularity of a node partition, as EXACT RATIONAL PARTS per
     * community: Q = Σ_c [e_c/m − (d_c/2m)²] = Σ_c q_num_c / q_den with
     * q_num_c = 4m·e_c − d_c² and q_den = 4m² — every quantity an

@@ -407,6 +407,26 @@ class ErGraphSpec extends SparkSpec {
     assert(re == Map(1L -> "Bob", 5L -> "Al", 9L -> "Zed"))
   }
 
+  test("kCore: peels pendants and chains, keeps the triangle, converges") {
+    // triangle {1,2,3} + pendant 4-1 + chain 5-6 (+ a duplicate row to
+    // collapse): the 2-core is exactly the triangle — the pendant dies
+    // in round 1; the chain needs the cascade (5 and 6 prop each other
+    // up to degree 1, both die)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (5L, 6L),
+      (1L, 2L)).toDF("a", "b")
+    def run(r: Int) = Graph.kCore(edges, "a", "b", k = 2, rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val core = run(4)
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // monotone: extra rounds after convergence are no-ops
+    assert(run(6) == core)
+    // k above the densest degree empties the graph
+    assert(Graph.kCore(edges, "a", "b", k = 3, rounds = 4).count() == 0)
+    // partition-count independence
+    assert(Graph.kCore(edges.repartition(7), "a", "b", k = 2, rounds = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap == core)
+  }
+
   test("modularityParts: exact rational parts, unlabeled mass in m only") {
     // path 1-2-3-4-5 (a<b rows, one duplicate to collapse); labels
     // x={1,2}, y={3,4}, node 5 unlabeled: m=4, degrees 1,2,2,2,1
