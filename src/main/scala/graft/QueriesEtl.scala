@@ -769,10 +769,11 @@ object QueriesEtl {
             col("event_type").cast("string").as("event_type"), col("n")))
     }),
 
-    // SCHEMA EVOLUTION through the manifest: v1 lands (key, type,
-    // amount); the v2 append ADDS a column — the snapshot read fills
-    // it NULL for v1's files (mergeSchema semantics per file-group),
-    // and v1 itself stays readable in its original shape
+    // SCHEMA EVOLUTION through the manifest: v1 lands (event_type, n);
+    // the v2 append ADDS sum_val under the EXPLICIT mergeSchema=true
+    // gate (an un-flagged drifting append throws at commit — TxnSpec) —
+    // the snapshot read fills the new column NULL for v1's files, and
+    // v1 itself stays readable in its original shape
     "etl_txn_evolve" -> ((s, d) => {
       val root = s"/tmp/graft_rt/txnev_${d.replace('/', '_')}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -787,7 +788,7 @@ object QueriesEtl {
             .as("sum_val"))
         .select(concat(col("event_type"), lit("_odd")).as("event_type"),
           col("n"), col("sum_val"))
-      graft.operators.Txn.commitAppend(s, root, v2)
+      graft.operators.Txn.commitAppend(s, root, v2, mergeSchema = true)
       graft.operators.Txn.read(s, root)
         .select(col("event_type"), col("n"), col("sum_val"))
     }),

@@ -1029,17 +1029,6 @@ object Corpus {
         col("pos_id"), col("pos_score"), col("neg_id"), col("neg_score"))
   }
 
-  /** Per-source token-budget sampling: keep, per language, the docs
-    * that fit a fixed TOKEN budget ("take 5k tokens of en, 500 of zh"
-    * — the quota form of mixing, where [[mixSources]]-style rate
-    * sampling controls proportions but not absolute size). Docs are
-    * consumed in a deterministic md5 order (an unbiased shuffle that
-    * no engine or partitioning can perturb — the repo's seeded-hash
-    * discipline), with ONE per-language cumulative-sum window; a doc
-    * is kept iff its own cumulative total still fits. Budgets ride a
-    * broadcast |langs|-row frame. At 100 TB this is one keyed window
-    * over (lang)-partitioned rows — no global sort, no driver state;
-    * languages not in the budget map are dropped at the scan. */
   /** TEMPERATURE-scaled multilingual sampling plan (the GPT-3/PaLM
     * recipe, also mT5/XLM-R's α-smoothing): language weights
     * w_l ∝ n_tok_l^α with α ∈ (0, 1] — α = 1 is proportional (head
@@ -1075,6 +1064,17 @@ object Corpus {
           .as("rate_r"))
   }
 
+  /** Per-source token-budget sampling: keep, per language, the docs
+    * that fit a fixed TOKEN budget ("take 5k tokens of en, 500 of zh"
+    * — the quota form of mixing, where [[mixSources]]-style rate
+    * sampling controls proportions but not absolute size). Docs are
+    * consumed in a deterministic md5 order (an unbiased shuffle that
+    * no engine or partitioning can perturb — the repo's seeded-hash
+    * discipline), with ONE per-language cumulative-sum window; a doc
+    * is kept iff its own cumulative total still fits. Budgets ride a
+    * broadcast |langs|-row frame. At 100 TB this is one keyed window
+    * over (lang)-partitioned rows — no global sort, no driver state;
+    * languages not in the budget map are dropped at the scan. */
   def tokenBudgetMix(df: DataFrame, idCol: String, textCol: String,
       langCol: String, budgets: Map[String, Long]): DataFrame = {
     require(budgets.nonEmpty, "tokenBudgetMix: empty budget map")

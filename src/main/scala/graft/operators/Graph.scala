@@ -526,7 +526,13 @@ object Graph {
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1,20]: $rounds")
-    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // canonical orientation BEFORE distinct (the modularityParts/
+    // triangles discipline): an undirected edge listed both ways must
+    // collapse to one row, or each endpoint double-counts degree and a
+    // lone bidirectional edge masquerades as a 2-core (r10 review)
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b")).distinct()
     for (_ <- 1 to rounds) {
       val deg = e.select(col("a").as("n"))

@@ -224,17 +224,39 @@ object Txn {
     }
 
   /** Commit `df` as an APPEND: new snapshot = previous files + df's.
-    * The `#schema` line records THIS batch's schema (it exists for
-    * empty-snapshot reads; non-empty reads take their schema from the
-    * parquet files themselves, so heterogeneous appends behave like
-    * any multi-file parquet read). */
+    *
+    * Schema discipline (the Delta mergeSchema gate, enforced at the
+    * COMMIT point where it can still fail loudly): by default the
+    * appended frame's (name → type) map must equal the table's
+    * committed `#schema` — a renamed or re-typed column is a writer
+    * bug and throws instead of silently producing half-NULL columns
+    * downstream. Pass `mergeSchema = true` for INTENTIONAL evolution:
+    * snapshot reads then fill columns missing from older (or newer)
+    * files with NULL per file-group, and time travel still returns
+    * each version's original shape. */
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, maxRetries: Int = 5,
-      statsCol: Option[String] = None): Int =
+      statsCol: Option[String] = None, mergeSchema: Boolean = false): Int =
     retry(spark, root, maxRetries) { v =>
       val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
+      if (!mergeSchema) requireSameSchema(prev, df, "commitAppend")
       metaFor(df.schema, txnTags(prev)) ++ prev.filterNot(isMeta) ++
         stageBatch(spark, root, df, partitionBy, batchDir(v), statsCol)
+    }
+
+  /** Fail loudly when an (un-merged) append's schema drifts from the
+    * table's committed one — compares (name → dataType), ignoring
+    * nullability and column order. No-op when the table has no schema
+    * line yet (first commit, or pre-schema manifests). */
+  private def requireSameSchema(prevLines: Seq[String], df: DataFrame,
+      who: String): Unit =
+    schemaLine(prevLines).foreach { committed =>
+      def m(s: StructType) = s.fields.map(f => f.name -> f.dataType).toMap
+      val (a, b) = (m(committed), m(df.schema))
+      require(a == b,
+        s"$who: schema drift without mergeSchema=true — table has " +
+          s"${a.toSeq.sortBy(_._1).mkString(", ")}; batch has " +
+          s"${b.toSeq.sortBy(_._1).mkString(", ")}")
     }
 
   /** IDEMPOTENT tagged append — the exactly-once streaming-sink
@@ -262,9 +284,13 @@ object Txn {
       if (tags.contains(tag)) // raced with a replay of the same tag
         metaFor(schemaLine(prev).getOrElse(df.schema), tags) ++
           prev.filterNot(isMeta)
-      else
+      else {
+        // a streaming sink's schema is fixed per query — drift here is
+        // always a bug, so the strict gate has no mergeSchema escape
+        requireSameSchema(prev, df, "commitAppendIdempotent")
         metaFor(df.schema, tags :+ tag) ++ prev.filterNot(isMeta) ++
           stageBatch(spark, root, df, partitionBy, batchDir(v))
+      }
     })
   }
 

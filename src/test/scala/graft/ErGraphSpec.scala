@@ -408,12 +408,12 @@ class ErGraphSpec extends SparkSpec {
   }
 
   test("kCore: peels pendants and chains, keeps the triangle, converges") {
-    // triangle {1,2,3} + pendant 4-1 + chain 5-6 (+ a duplicate row to
-    // collapse): the 2-core is exactly the triangle — the pendant dies
-    // in round 1; the chain needs the cascade (5 and 6 prop each other
-    // up to degree 1, both die)
+    // triangle {1,2,3} + pendant 4-1 + chain 5-6, with a duplicate row
+    // AND a reversed duplicate (3,2) — both must collapse under the
+    // canonical orientation, or degrees double-count and a lone
+    // bidirectional edge would fake a 2-core
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (5L, 6L),
-      (1L, 2L)).toDF("a", "b")
+      (1L, 2L), (3L, 2L)).toDF("a", "b")
     def run(r: Int) = Graph.kCore(edges, "a", "b", k = 2, rounds = r)
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     val core = run(4)
@@ -422,6 +422,10 @@ class ErGraphSpec extends SparkSpec {
     assert(run(6) == core)
     // k above the densest degree empties the graph
     assert(Graph.kCore(edges, "a", "b", k = 3, rounds = 4).count() == 0)
+    // the review's exact hazard: ONE edge listed in both directions is
+    // one undirected edge (degree 1 each side), never a 2-core
+    val sym = Seq((7L, 8L), (8L, 7L)).toDF("a", "b")
+    assert(Graph.kCore(sym, "a", "b", k = 2, rounds = 2).count() == 0)
     // partition-count independence
     assert(Graph.kCore(edges.repartition(7), "a", "b", k = 2, rounds = 4)
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap == core)

@@ -173,6 +173,38 @@ class TxnSpec extends SparkSpec {
     assert(Txn.readWhere(spark, root, "k", 50000d, 60000d).count() == 0)
   }
 
+  test("schema evolution: gated at commit, NULL-filled both directions, time travel exact") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, 10L)).toDF("k", "n"))
+    // un-flagged drift (added column) throws AT COMMIT — the loud
+    // failure the strict union used to give at read time, moved to
+    // where the writer bug actually is
+    val widened = Seq((2L, 20L, 2.5)).toDF("k", "n", "extra")
+    intercept[IllegalArgumentException](
+      Txn.commitAppend(spark, root, widened))
+    assert(Txn.currentVersion(spark, root) == 1, "failed append left a version")
+    // explicit mergeSchema: head read fills v1's missing column NULL
+    assert(Txn.commitAppend(spark, root, widened, mergeSchema = true) == 2)
+    val head = Txn.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(r.fieldIndex("extra"))))).toSet
+    assert(head == Set((1L, 10L, None), (2L, 20L, Some(2.5))))
+    // time travel: v1 keeps its ORIGINAL two-column shape
+    val v1 = Txn.read(spark, root, Some(1))
+    assert(v1.columns.toSeq == Seq("k", "n"))
+    assert(v1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L)))
+    // reverse direction: a later commit DROPPING a column NULL-fills
+    // the newest files instead (file-group semantics, not head-schema)
+    assert(Txn.commitAppend(spark, root,
+      Seq((3L, 30L)).toDF("k", "n"), mergeSchema = true) == 3)
+    val afterDrop = Txn.read(spark, root)
+      .where(col("k") === 3L).collect().head
+    assert(afterDrop.isNullAt(afterDrop.fieldIndex("extra")))
+  }
+
   test("vacuum never deletes files any committed snapshot references") {
     val root = freshRoot()
     Txn.commitOverwrite(spark, root,
