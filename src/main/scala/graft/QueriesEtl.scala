@@ -769,6 +769,33 @@ object QueriesEtl {
             col("event_type").cast("string").as("event_type"), col("n")))
     }),
 
+    // TABLE COMPACTION at the manifest layer: two commits accrete
+    // fragmented files, compact() rewrites the head as one fresh
+    // ATOMIC commit (2 files, stats re-recorded) — readers mid-fold
+    // see the old head, every prior version stays time-travelable
+    // (file-count drop + history pinned in TxnSpec), and the result
+    // equals the from-scratch recompute
+    "etl_txn_compact" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txncp_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, root,
+        ev.where(col("user_id") % 2 === 0).repartitionByRange(6,
+          col("user_id")), statsCol = Some("user_id"))
+      graft.operators.Txn.commitAppend(s, root,
+        ev.where(col("user_id") % 2 === 1).repartitionByRange(6,
+          col("user_id")), statsCol = Some("user_id"))
+      graft.operators.Txn.compact(s, root, numFiles = 2,
+        statsCol = Some("user_id"))
+      // skip-scan THROUGH the compacted layout: stats were re-recorded
+      graft.operators.Txn.readWhere(s, root, "user_id", 0d, 1e9)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
+    }),
+
     // SCHEMA EVOLUTION through the manifest: v1 lands (event_type, n);
     // the v2 append ADDS sum_val under the EXPLICIT mergeSchema=true
     // gate (an un-flagged drifting append throws at commit — TxnSpec) —
@@ -1427,6 +1454,12 @@ object QueriesEtl {
         |       FROM r1 JOIN c1 USING (gb))
         |SELECT nat AS p_name, sk FROM ex
         |UNION ALL SELECT nat, sk FROM fr""".stripMargin,
+
+    // compaction is layout-only: the table equals the plain recompute
+    "etl_txn_compact" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1""".stripMargin,
 
     // v1 rows carry NULL for the column the v2 append introduced
     "etl_txn_evolve" ->

@@ -315,6 +315,30 @@ object Txn {
       metaFor(df.schema, txnTags(prev)) ++ kept ++ staged
     }
 
+  /** TABLE COMPACTION: rewrite the head snapshot as one fresh commit —
+    * the maintenance fold for a table accreting small files through
+    * appends/streaming publishes ([[Compaction]]'s rationale at the
+    * manifest layer, with none of the directory-swap hazards: the
+    * rewrite is just another atomic commit, readers mid-compaction see
+    * the old head, time travel to every prior version still works, and
+    * committed `#txn` tags carry forward so replayed micro-batches
+    * stay deduplicated). `numFiles` sizes the unpartitioned layout
+    * (callers size by data volume); with `partitionBy` the rewrite
+    * routes one file per partition value ([[AnnIndex.compactIvfPq]]'s
+    * layout). Old files become time-travel history — [[vacuum]] (with
+    * its retention window) reclaims them when the versions age out.
+    * Returns the new version. */
+  def compact(spark: SparkSession, root: String,
+      partitionBy: Seq[String] = Nil, numFiles: Int = 1,
+      statsCol: Option[String] = None, maxRetries: Int = 5): Int = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    val head = read(spark, root)
+    val folded =
+      if (partitionBy.nonEmpty) head.repartition(partitionBy.map(col): _*)
+      else head.repartition(numFiles)
+    commitOverwrite(spark, root, folded, partitionBy, maxRetries, statsCol)
+  }
+
   private def retry(spark: SparkSession, root: String, maxRetries: Int)(
       stage: Int => Seq[String]): Int = {
     var attempt = 0

@@ -173,6 +173,33 @@ class TxnSpec extends SparkSpec {
     assert(Txn.readWhere(spark, root, "k", 50000d, 60000d).count() == 0)
   }
 
+  test("compact: file fold, history intact, tags carried, stats re-recorded") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    val df = spark.range(100).select(col("id").as("k"), (col("id") % 3).as("v"))
+    Txn.commitOverwrite(spark, root,
+      df.where("k < 50").repartition(5), statsCol = Some("k"))
+    Txn.commitAppendIdempotent(spark, root,
+      df.where("k >= 50").repartition(5), "sb0")
+    assert(Txn.snapshotFiles(spark, root, 2).size == 10)
+    val v = Txn.compact(spark, root, numFiles = 2, statsCol = Some("k"))
+    assert(v == 3)
+    assert(Txn.snapshotFiles(spark, root, 3).size == 2, "no file fold")
+    // layout-only: the head equals the pre-compaction table
+    assert(Txn.read(spark, root).count() == 100)
+    assert(Txn.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == (0L until 100L).toSet)
+    // history intact: v1 still reads its original half
+    assert(Txn.read(spark, root, Some(1)).count() == 50)
+    // idempotence tags carried through the rewrite
+    assert(Txn.committedTags(spark, root, 3) == Seq("sb0"))
+    assert(Txn.commitAppendIdempotent(spark, root,
+      df.limit(1), "sb0").isEmpty)
+    // stats re-recorded on the compacted files: skip-scan prunes
+    assert(Txn.snapshotEntries(spark, root, 3).forall(_.min.isDefined))
+    assert(Txn.readWhere(spark, root, "k", 10d, 20d).count() == 11)
+  }
+
   test("schema evolution: gated at commit, NULL-filled both directions, time travel exact") {
     import org.apache.spark.sql.functions.col
     val root = freshRoot()
