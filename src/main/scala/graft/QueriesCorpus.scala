@@ -311,6 +311,12 @@ object QueriesCorpus {
         budgets = Map("en" -> 5000L, "es" -> 2000L, "fr" -> 1500L,
           "de" -> 1000L, "zh" -> 500L))),
 
+    // T5/UL2 span-corruption denoising split: two md5-derived masked
+    // token spans → sentinel-corrupted input + reconstruction target,
+    // reproducible on any engine (fimSplit's discipline, token domain)
+    "corpus_span_corruption" -> ((s, d) =>
+      Corpus.spanCorruption(documents(s, d), "doc_id", "text")),
+
     // temperature-scaled (α=0.5) multilingual sampling plan: weights ∝
     // n_tok^α, per-language keep rates for a 100k-token budget —
     // PRINCIPLED rates feeding the mixing ops instead of hand-picked
@@ -1109,6 +1115,35 @@ object QueriesCorpus {
          |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
          |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
          |FROM t GROUP BY 1""".stripMargin,
+
+    // same md5 cut/length arithmetic; 1-based inclusive list slices;
+    // COALESCE because DuckDB's array_to_string([]) is NULL (casebook)
+    "corpus_span_corruption" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x<>'') AS w FROM documents),
+        |b AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |    ('0x'||substr(md5('graft-span1:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % (len(w)+1) AS c1,
+        |    ('0x'||substr(md5('graft-span2:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % (len(w)+1) AS c2,
+        |    1 + ('0x'||substr(md5('graft-span3:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 3 AS r1,
+        |    1 + ('0x'||substr(md5('graft-span4:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 3 AS r2
+        |  FROM t WHERE len(w) >= 2),
+        |c AS (
+        |  SELECT doc_id, w, n,
+        |    LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi,
+        |    LEAST(r1, GREATEST(c1, c2) - LEAST(c1, c2)) AS l1,
+        |    LEAST(r2, n - GREATEST(c1, c2)) AS l2
+        |  FROM b)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CAST(lo AS INT) AS s1, CAST(l1 AS INT) AS l1,
+        |  CAST(hi AS INT) AS s2, CAST(l2 AS INT) AS l2,
+        |  COALESCE(array_to_string(w[1:lo], ' '), '') || ' <X> ' ||
+        |    COALESCE(array_to_string(w[lo+l1+1:hi], ' '), '') || ' <Y> ' ||
+        |    COALESCE(array_to_string(w[hi+l2+1:n], ' '), '') AS src,
+        |  '<X> ' || COALESCE(array_to_string(w[lo+1:lo+l1], ' '), '')
+        |    || ' <Y> ' ||
+        |    COALESCE(array_to_string(w[hi+1:hi+l2], ' '), '') AS tgt
+        |FROM c""".stripMargin,
 
     // pow/÷ are irrational-valued (rounding-casebook-safe to round);
     // DOUBLE literals forced so both engines take the double path

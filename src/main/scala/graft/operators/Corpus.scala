@@ -992,6 +992,52 @@ object Corpus {
             '<SUF>', substring(t, hi + 1, len - hi),
             '<MID>', substring(t, lo + 1, hi - lo))""").as("fim"))
 
+  /** SPAN-CORRUPTION denoising split (Raffel et al. 2020's T5
+    * objective, UL2's R-denoiser): mask two token spans, emit the
+    * corrupted input with sentinel tokens and the target that
+    * reconstructs exactly the masked material. [[fimSplit]]'s
+    * deterministic discipline in the TOKEN domain: two md5-derived cut
+    * points (lo ≤ hi) partition the doc; span 1 starts at lo with
+    * hash-length 1-3 clamped into [lo, hi), span 2 at hi clamped into
+    * [hi, n) — spans can never overlap by construction, a clamp can
+    * empty a span (short doc; the sentinel then reconstructs nothing,
+    * documented rather than special-cased so every engine reproduces
+    * the splits verbatim). Docs under 2 tokens are dropped (nothing to
+    * corrupt). Entirely row-local array surgery. */
+  def spanCorruption(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def h(salt: String, mod: String) = expr(
+      s"""CAST(CONV(SUBSTRING(MD5(CONCAT('graft-span$salt:',
+         |CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+         |% ($mod)""".stripMargin)
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .withColumn("n", size(col("w")))
+      .where(col("n") >= 2)
+      .withColumn("c1", h("1", "n + 1"))
+      .withColumn("c2", h("2", "n + 1"))
+      .withColumn("lo", least(col("c1"), col("c2")).cast("int"))
+      .withColumn("hi", greatest(col("c1"), col("c2")).cast("int"))
+      .withColumn("l1",
+        least(lit(1) + h("3", "3").cast("int"), col("hi") - col("lo")))
+      .withColumn("l2",
+        least(lit(1) + h("4", "3").cast("int"), col("n") - col("hi")))
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        col("lo").as("s1"), col("l1").cast("int").as("l1"),
+        col("hi").as("s2"), col("l2").cast("int").as("l2"),
+        expr("""CONCAT(
+            array_join(slice(w, 1, lo), ' '),
+            ' <X> ',
+            array_join(slice(w, lo + l1 + 1, hi - lo - l1), ' '),
+            ' <Y> ',
+            array_join(slice(w, hi + l2 + 1, n - hi - l2), ' '))""")
+          .as("src"),
+        expr("""CONCAT('<X> ',
+            array_join(slice(w, lo + 1, l1), ' '),
+            ' <Y> ',
+            array_join(slice(w, hi + 1, l2), ' '))""").as("tgt"))
+  }
+
   /** Contrastive quality-pair construction: per language, the top
     * quarter of docs by quality score rank-matched against the bottom
     * quarter (rank 1 best ↔ rank 1 worst, …) — the training set a

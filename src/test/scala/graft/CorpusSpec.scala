@@ -588,6 +588,40 @@ class CorpusSpec extends SparkSpec {
     assert(mix(0.5, 1000000L).values.forall(_._3 == 1.0))
   }
 
+  test("spanCorruption: sentinel splice reassembles the token stream exactly") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two"),
+      (3L, "solo"),                    // < 2 tokens: dropped
+      (4L, "a b c d e f g h i j k l m n o p q r s t")
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanCorruption(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L))
+    out.values.foreach { r =>
+      val (n, s1, l1, s2, l2) = (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5))
+      val (src, tgt) = (r.getString(6), r.getString(7))
+      // spans sit inside their halves and never overlap
+      assert(s1 >= 0 && s1 + l1 <= s2 && s2 + l2 <= n)
+      // splicing each target span back over its sentinel reproduces
+      // the original token stream EXACTLY
+      val toks = df.where(col("doc_id") === r.getLong(0))
+        .select(lower(col("text"))).head().getString(0)
+        .split(" ").filter(_.nonEmpty).toSeq
+      val Array(pre, rest) = src.split(" <X> ", 2)
+      val Array(mid, post) = rest.split(" <Y> ", 2)
+      val Array(m1, m2) = tgt.stripPrefix("<X> ").split(" <Y> ", 2)
+      def t(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+      assert(t(pre) ++ t(m1) ++ t(mid) ++ t(m2) ++ t(post) == toks,
+        s"doc ${r.getLong(0)} splice mismatch")
+    }
+    // hash-deterministic: repartitioning changes nothing
+    val re = Corpus.spanCorruption(df.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(re == out.view.mapValues(_.getString(6)).toMap)
+  }
+
   test("fimSplit: PSM reassembles the document, offsets hash-deterministic") {
     val df = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xyz"))
       .toDF("doc_id", "text")
