@@ -769,6 +769,32 @@ object QueriesEtl {
             col("event_type").cast("string").as("event_type"), col("n")))
     }),
 
+    // INCREMENTAL CHANGE READ: a consumer that processed v1 reads
+    // EXACTLY the rows v2 added (file-set difference over the
+    // manifests — never a table rescan); the gate emits the v1
+    // snapshot AND the v1→v2 delta, so both the baseline and the
+    // increment are hash-pinned
+    "etl_txn_changes" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txnch_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      val v1 = graft.operators.Txn.commitOverwrite(s, root,
+        ev.where(col("user_id") % 2 === 0))
+      graft.operators.Txn.commitAppend(s, root,
+        ev.where(col("user_id") % 2 === 1))
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+              .as("sum_val"))
+          .select(lit(tag).as("slice"), col("event_type"), col("n"),
+            col("sum_val"))
+      agg(graft.operators.Txn.read(s, root, Some(v1)), "base")
+        .unionByName(
+          agg(graft.operators.Txn.readChanges(s, root, v1), "delta"))
+    }),
+
     // TABLE COMPACTION at the manifest layer: two commits accrete
     // fragmented files, compact() rewrites the head as one fresh
     // ATOMIC commit (2 files, stats re-recorded) — readers mid-fold
@@ -1454,6 +1480,17 @@ object QueriesEtl {
         |       FROM r1 JOIN c1 USING (gb))
         |SELECT nat AS p_name, sk FROM ex
         |UNION ALL SELECT nat, sk FROM fr""".stripMargin,
+
+    // base = the even half, delta = exactly the odd half — a delta
+    // repeating base rows (or missing new ones) mismatches
+    "etl_txn_changes" ->
+      """SELECT 'base' AS slice, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events WHERE user_id % 2 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT 'delta', event_type, CAST(COUNT(*) AS BIGINT),
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |FROM events WHERE user_id % 2 = 1 GROUP BY 2""".stripMargin,
 
     // compaction is layout-only: the table equals the plain recompute
     "etl_txn_compact" ->

@@ -424,6 +424,33 @@ object Txn {
       col(statsCol).cast("double") <= hi)
   }
 
+  /** INCREMENTAL CHANGE READ: the rows ADDED between `sinceVersion`
+    * (exclusive) and `untilVersion` (inclusive, default head) — the
+    * poll-the-manifest consumer pattern: a downstream job remembers the
+    * last version it processed and reads exactly the new files, never
+    * rescanning the table (appends and streaming publishes are
+    * file-additive, so file-set difference IS the row delta). NOTE the
+    * contract: overwrite/replace/compact commits REWRITE data — their
+    * "new" files repeat rows an incremental consumer may have seen;
+    * consumers of such tables should key on the version kind or
+    * consume snapshots instead (the same caveat Delta's CDF solves by
+    * writing explicit change files). Returns an empty typed frame when
+    * nothing changed. */
+  def readChanges(spark: SparkSession, root: String, sinceVersion: Int,
+      untilVersion: Option[Int] = None): DataFrame = {
+    val until = untilVersion.getOrElse(currentVersion(spark, root))
+    require(sinceVersion >= 0 && until >= sinceVersion,
+      s"readChanges: bad version range $sinceVersion..$until")
+    val untilLines = snapshotLines(spark, root, until)
+    val before =
+      if (sinceVersion == 0) Set.empty[String]
+      else snapshotFiles(spark, root, sinceVersion).toSet
+    val added = untilLines.filterNot(isMeta).map(linePath)
+      .filterNot(before)
+    if (added.isEmpty) emptyFrame(spark, root, untilLines)
+    else readFiles(spark, root, added)
+  }
+
   /** Delete data files no committed manifest references and stale temp
     * manifests (crash leftovers) — RETENTION-GATED: only files older
     * than `olderThanMs` are touched, so vacuum can never reclaim a

@@ -232,6 +232,27 @@ class TxnSpec extends SparkSpec {
     assert(afterDrop.isNullAt(afterDrop.fieldIndex("extra")))
   }
 
+  test("readChanges: exact file-set delta, empty when unchanged, since-0 is everything") {
+    val root = freshRoot()
+    val v1 = Txn.commitOverwrite(spark, root,
+      Seq((1L, "a", 10L)).toDF("k", "part", "n"), Seq("part"))
+    Txn.commitAppend(spark, root,
+      Seq((2L, "b", 20L)).toDF("k", "part", "n"), Seq("part"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "part", "n").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // the delta is EXACTLY v2's rows
+    assert(rows(Txn.readChanges(spark, root, v1)) == Set((2L, "b", 20L)))
+    // since 0 = the whole table; since head = typed empty frame
+    assert(rows(Txn.readChanges(spark, root, 0)) ==
+      Set((1L, "a", 10L), (2L, "b", 20L)))
+    val none = Txn.readChanges(spark, root, 2)
+    assert(none.count() == 0 && none.columns.nonEmpty)
+    // bounded range: changes in (0, 1] are v1's rows only
+    assert(rows(Txn.readChanges(spark, root, 0, Some(1))) ==
+      Set((1L, "a", 10L)))
+  }
+
   test("vacuum never deletes files any committed snapshot references") {
     val root = freshRoot()
     Txn.commitOverwrite(spark, root,
