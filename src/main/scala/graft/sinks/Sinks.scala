@@ -32,6 +32,34 @@ final case class ConsoleSink(numRows: Int = 20, truncate: Boolean = true)
   }
 }
 
+/** Transactional table sink: every write is one ATOMIC manifest commit
+  * ([[graft.operators.Txn]]) — readers mid-write see the previous
+  * snapshot, versions stay time-travelable, and `append` mode gets the
+  * commit-point schema gate. The connector-registry route into the
+  * lakehouse layer: `source → xform → TxnSink` makes any registered
+  * flow's output a versioned table instead of a bare directory. */
+final case class TxnSink(
+    root: String,
+    mode: SaveMode = SaveMode.Overwrite,
+    partitionBy: Seq[String] = Nil,
+    statsCol: Option[String] = None) extends EtlpSink {
+  require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
+    s"TxnSink supports Overwrite/Append, got $mode")
+  def spec: Map[String, String] =
+    Map("type" -> "txn", "root" -> root, "mode" -> mode.toString)
+  def check(spark: SparkSession): CheckResult = CheckResult(valid = true, "ok")
+  def write(df: DataFrame): Long =
+    SinkMetrics.writeCounted(df) { observed =>
+      if (mode == SaveMode.Overwrite)
+        graft.operators.Txn.commitOverwrite(observed.sparkSession, root,
+          observed, partitionBy, statsCol = statsCol)
+      else
+        graft.operators.Txn.commitAppend(observed.sparkSession, root,
+          observed, partitionBy, statsCol = statsCol)
+      ()
+    }
+}
+
 final case class ParquetSink(
     path: String,
     mode: SaveMode = SaveMode.Overwrite,

@@ -24,6 +24,26 @@ class ConnectorSpec extends SparkSpec {
     assert(back.map(r => (r.getInt(0), r.getInt(1))).toSet == Set((1, 20), (3, 14)))
   }
 
+  test("Connection: source -> xform -> TxnSink lands atomic versioned commits") {
+    import org.apache.spark.sql.SaveMode
+    val dir = Files.createTempDirectory("graft-conn-txn").toString
+    Seq("id,v", "1,10", "2,-3", "3,7").toDF("line")
+      .coalesce(1).write.mode("overwrite").text(s"$dir/in")
+    val src = CsvSource(s"$dir/in", header = true, inferSchema = true)
+    val xf = Xf.filter(col("v") > 0)
+    val table = s"$dir/table"
+    assert(Connection(src, xf,
+      graft.sinks.TxnSink(table)).start(spark) == 2L)
+    // a second run in Append mode lands as version 2 — same schema, so
+    // the commit-point gate passes; the table now holds both runs
+    assert(Connection(src, xf,
+      graft.sinks.TxnSink(table, SaveMode.Append)).start(spark) == 2L)
+    assert(graft.operators.Txn.currentVersion(spark, table) == 2)
+    assert(graft.operators.Txn.read(spark, table).count() == 4L)
+    // and version 1 stays time-travelable
+    assert(graft.operators.Txn.read(spark, table, Some(1)).count() == 2L)
+  }
+
   test("source spec/check/discover protocol") {
     val src = ParquetSource(s"$sf0001/region.parquet")
     assert(src.spec("type") == "parquet")
