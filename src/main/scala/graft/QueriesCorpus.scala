@@ -38,6 +38,20 @@ object QueriesCorpus {
       Corpus.packSequences(documents(s, d), "doc_id", "text",
         budgetTokens = 512, shards = 8)),
 
+    // packing EFFICIENCY report: per shard, bins/docs/tokens and the
+    // exact fill ratio in integer ppm (Σtokens·10⁶ div bins·budget) —
+    // the waste metric a training pipeline watches when sizing
+    // sequence budgets; zero float surface
+    "corpus_pack_report" -> ((s, d) =>
+      Corpus.packSequences(documents(s, d), "doc_id", "text",
+          budgetTokens = 512, shards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("tokens_packed")).as("tokens"),
+          expr("CAST(SUM(tokens_packed) * 1000000 div (COUNT(1) * 512) AS BIGINT)")
+            .as("fill_ppm"))),
+
     // packing under REAL tokenizer budgets: BPE piece counts (vocab
     // broadcast encode) drive the bins, not the whitespace proxy
     "corpus_pack_bpe" -> ((s, d) =>
@@ -459,6 +473,30 @@ object QueriesCorpus {
          |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
          |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
          |FROM c GROUP BY shard, bin""".stripMargin,
+
+    // corpus_pack's bin frame wrapped in the per-shard aggregate; the
+    // fill ratio is integer floor-div ppm both engines
+    "corpus_pack_report" ->
+      s"""WITH t AS ($toksCte),
+         |s AS (
+         |  SELECT doc_id, len(w) AS n_tok,
+         |    CAST(('0x'||substr(md5('pack:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 8 AS INT) AS shard
+         |  FROM t WHERE len(w) > 0),
+         |c AS (
+         |  SELECT shard, doc_id, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                     ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM s),
+         |b AS (
+         |  SELECT shard, CAST(FLOOR((cum - n_tok)/512.0) AS BIGINT) AS bin,
+         |    CAST(SUM(n_tok) AS BIGINT) AS tokens_packed,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM c GROUP BY shard, bin)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tokens_packed) AS BIGINT) AS tokens,
+         |  CAST(SUM(tokens_packed) * 1000000 // (COUNT(*) * 512) AS BIGINT) AS fill_ppm
+         |FROM b GROUP BY shard""".stripMargin,
 
     // chunk CTE (text_chunk's 32/16) feeding corpus_pack's prefix-sum
     // arithmetic over the packed chunk id — one composed mirror
