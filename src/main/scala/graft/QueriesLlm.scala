@@ -331,12 +331,19 @@ object QueriesLlm {
     // semi-supervised label propagation over the near-dup pair graph:
     // how language-assortative is the near-dup graph: Newman modularity
     // of the lang partition over the simhash pair graph, as exact
-    // rational parts per community (q_num/q_den all integer counts)
+    // rational parts per community (q_num/q_den all integer counts).
+    // The rational parts stay DECIMAL(38,0) inside the operator but
+    // cross the gate boundary as canonical digit strings: parquet
+    // decimal(38,0) loses exactness through the comparator's float64
+    // path past precision 18, while the decimal→string rendering is
+    // identical in both engines at scale 0.
     "graph_modularity" -> ((s, d) => {
       val docs = documents(s, d)
       graft.operators.Graph.modularityParts(
         Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12),
         "doc_a", "doc_b", docs, "doc_id", "lang")
+        .withColumn("q_num", col("q_num").cast("string"))
+        .withColumn("q_den", col("q_den").cast("string"))
     }),
 
     // every 4th doc's lang is a clamped seed, majority vote spreads it
@@ -1338,8 +1345,8 @@ object QueriesLlm {
         |SELECT ds.c AS lang,
         |  CAST(COALESCE(e_within, 0) AS BIGINT) AS n_edges_within, d_sum,
         |  CAST(4*CAST(m AS HUGEINT)*COALESCE(e_within, 0)
-        |    - CAST(d_sum AS HUGEINT)*d_sum AS DECIMAL(38,0)) AS q_num,
-        |  CAST(4*CAST(m AS HUGEINT)*m AS DECIMAL(38,0)) AS q_den
+        |    - CAST(d_sum AS HUGEINT)*d_sum AS VARCHAR) AS q_num,
+        |  CAST(4*CAST(m AS HUGEINT)*m AS VARCHAR) AS q_den
         |FROM ds LEFT JOIN ew USING (c) CROSS JOIN m""".stripMargin,
 
     // same simhash band/hamming pipeline as dedup_simhash, then
