@@ -34,6 +34,15 @@ object BenchSession {
       // are size-bound either way, so this only removes toy-scale
       // latency, it does not change the 100 TB plan shape.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // runtime SMJ→shuffled-hash conversion, SIZE-GATED per partition:
+      // the sanctioned replacement for forced shuffle_hash hints (the
+      // unbounded posting self-joins in Dedup dropped theirs in r12).
+      // AQE converts only when every build partition fits under the
+      // threshold — at test SF the narrow posting tables qualify and
+      // keep the ~2× hash-build win; at 100 TB they exceed it and
+      // sort-merge (spillable) is chosen. 64m = the advisory partition
+      // size, the largest value the conversion rule accepts.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,7 +67,17 @@ object BenchStream {
 }
 
 object Bench {
+  /** 1-minute system load average (-1.0 where the JVM can't read it) —
+    * recorded at bench start AND end so a number taken on a contended
+    * box carries its own evidence: r7-r11 adjudications repeatedly had
+    * to forensically separate box contention from plan regressions on
+    * byte-identical code (440s vs 236s vs 281s spreads). */
+  private def loadavg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // fresh staged state per bench run: gate queries stage indexes /
     // roundtrip dirs under /tmp/graft_rt (stageOnce rebuilds them —
@@ -127,6 +146,10 @@ object Bench {
     // stream throughput, and a small headline subset of the queries map so
     // the line still matches the {"metric",...,"queries"} contract.
     def fmt(v: Double): String = f"$v%.3f"
+    val telemetry =
+      s""""telemetry":{"loadavg_start":${fmt(loadStart)},""" +
+        s""""loadavg_end":${fmt(loadavg())},""" +
+        s""""cores":${Runtime.getRuntime.availableProcessors()}}"""
     val qmap = results.toMap
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -136,7 +159,7 @@ object Bench {
     val detailJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries":$detail,"errors":${failed.mkString("[", ",", "]")},""" +
-        s""""stream_tput":$tput,"sf":"$sfDir"}"""
+        s""""stream_tput":$tput,$telemetry,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detailJson) finally w.close()
@@ -148,7 +171,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""queries":$qs,"errors":${failed.mkString("[", ",", "]")},""" +
-      s""""stream_tput":$tput,"sf":"$sfDir","detail":"$detailPath"}""")
+      s""""stream_tput":$tput,$telemetry,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 

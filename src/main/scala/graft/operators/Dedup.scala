@@ -452,9 +452,14 @@ object Dedup {
     * generation — any pair with jac ≥ t must collide inside both
     * prefixes. A positional bound tightens generation further (PPJoin):
     * a collision at prefix ranks (i, j) can still reach overlap
-    * ⌈t/(1+t)·(na+nb)⌉ only if min(na−i, nb−j)+1 covers it. Exact: same
+    * ⌈t/(1+t)·(na+nb)⌉ only if min(na−i, nb−j)+1 covers it. Same
     * result set as the inverted-index count (equality spec in
-    * DedupSpec).
+    * DedupSpec), with one shared caveat: BOTH forms count |A∩B| by
+    * equality of xxhash64(grp|gram) keys, so a 64-bit collision
+    * between distinct grams in one group could inflate an
+    * intersection (P ≈ pairs·2⁻⁶⁴ — negligible, but "exact" here
+    * means exact-over-hashed-grams, unlike the replaced
+    * array_intersect verify which compared gram strings).
     *
     * Verification is exact, COUNT-shaped, and candidate-proportional
     * (the same discipline as [[ngramContainmentPairsPrefix]], ported in
@@ -615,11 +620,22 @@ object Dedup {
     // min(na,nb), union >= max(na,nb) → min/max >= t. Dropping pairs that
     // fail the size-ratio test can't lose any pair with jac >= t, but it
     // cuts the pair stream feeding the aggregate.
-    // shuffle_hash: the posting table is narrow/uniform; hashing one side
-    // beats sort-merge's two 19M-row-adjacent sorts ~2× (measured sf0.1)
+    // NO join hint (r12; a forced shuffle_hash lived here r9-r11): a
+    // forced non-spillable hash build on an unbounded posting self-join
+    // is an OOM at Zipf scale — the r8 incident shape. Both sides are
+    // O(corpus), so neither may ever broadcast — but Catalyst's
+    // post-explode sizeInBytes UNDERESTIMATES (explode keeps the
+    // child's byte estimate), which statically selects exactly that
+    // broadcast on small-looking inputs. Declaring the gk partitioning
+    // pins the join to the shuffle it needs anyway (same exchange,
+    // nothing added) and moves hash-vs-merge to AQE, which decides
+    // from RUNTIME sizes: shuffled-hash only when every build
+    // partition genuinely fits (maxShuffledHashJoinLocalMapThreshold,
+    // BenchSession/Verify config), spillable sort-merge otherwise.
+    val part = posting.repartition(col("gk"))
     def ng(c: Column): Column = c.bitwiseAND(lit((1L << 20) - 1))
-    val inter = posting.as("a")
-      .join(posting.as("b").hint("shuffle_hash"),
+    val inter = part.as("a")
+      .join(part.as("b"),
         col("a.gk") === col("b.gk") &&
           col("a.pk") < col("b.pk") &&
           least(ng(col("a.pk")), ng(col("b.pk"))).cast("double") /
@@ -1037,15 +1053,27 @@ object Dedup {
       .select(col("pk"),
         xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
     def ng(c: Column): Column = c.bitwiseAND(lit((1L << 20) - 1))
-    val inter = posting.as("a")
-      .join(posting.as("b").hint("shuffle_hash"),
+    // hint-free + declared gk partitioning (r12), for the same reason
+    // as ngramJaccardPairs: the posting self-join must stay spillable
+    // at Zipf scale and must never broadcast off a post-explode
+    // underestimate
+    val part = posting.repartition(col("gk"))
+    val inter = part.as("a")
+      .join(part.as("b"),
         col("a.gk") === col("b.gk") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .agg(count(lit(1)).as("inter"))
-    val directed = inter.select(col("pa").as("src"), col("pb").as("dst"),
-        (col("inter").cast("double") / ng(col("pa"))).as("c"))
-      .unionByName(inter.select(col("pb").as("src"), col("pa").as("dst"),
-        (col("inter").cast("double") / ng(col("pb"))).as("c")))
+    // both directed containments explode out of the ONE undirected
+    // count — the previous union-of-two-projections form planned (and
+    // at sf0.1 executed) the join+aggregate twice
+    val directed = inter.select(explode(array(
+        struct(col("pa").as("src"), col("pb").as("dst"),
+          (col("inter").cast("double") / ng(col("pa"))).as("c")),
+        struct(col("pb").as("src"), col("pa").as("dst"),
+          (col("inter").cast("double") / ng(col("pb"))).as("c"))))
+        .as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"),
+        col("d.c").as("c"))
     directed.where(col("c") >= minContainment)
       .select(shiftrightunsigned(col("src"), 20).as("src_doc"),
         shiftrightunsigned(col("dst"), 20).as("dst_doc"),
