@@ -822,6 +822,68 @@ object QueriesEtl {
             .as("sum_val"))
     }),
 
+    // COPY-ON-WRITE row-level DELETE through the manifest (the GDPR
+    // forget flow at the lakehouse layer): stats-pruned rewrite of
+    // ONLY the files that can hold a forgotten key, one atomic commit.
+    // The gate pins BOTH sides of the contract: the head equals a
+    // recompute from the filtered source, and the pre-delete snapshot
+    // stays time-travelable (physical erasure = delete + vacuum, the
+    // Delta/Iceberg retention boundary; untouched-files-byte-identical
+    // is pinned in TxnSpec)
+    "etl_txn_forget" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txnfg_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, root,
+        ev.repartitionByRange(8, col("user_id")),
+        statsCol = Some("user_id"))
+      val forget = ev.where(col("user_id") % 10 === 3)
+        .select("user_id").distinct()
+      graft.operators.Txn.commitDelete(s, root, forget, "user_id",
+        statsCol = Some("user_id"))
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+              .as("sum_val"))
+          .select(lit(tag).as("slice"), col("event_type"), col("n"),
+            col("sum_val"))
+      agg(graft.operators.Txn.read(s, root), "head")
+        .unionByName(agg(graft.operators.Txn.read(s, root, Some(1)), "pre"))
+    }),
+
+    // CHANGE DATA FEED across rewrite commits: readChangesCdf derives
+    // insert/delete rows per commit from manifest file-set deltas —
+    // the consumer contract plain readChanges documents away (a
+    // compaction repeats rows file-additively; CDF emits the
+    // self-cancelling delete+insert instead). History here interleaves
+    // append → compact → copy-on-write delete; every (change, commit)
+    // slice is recomputed by the oracle from the source table, so the
+    // per-commit multisets themselves are hash-pinned
+    "etl_txn_cdf" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txncdf_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, root,
+        ev.where(col("user_id") % 2 === 0))                        // v1
+      graft.operators.Txn.commitAppend(s, root,
+        ev.where(col("user_id") % 2 === 1))                        // v2
+      graft.operators.Txn.compact(s, root, numFiles = 2)           // v3
+      // no statsCol: every file rewrites, so the delete/insert
+      // multisets are layout-independent (deterministic for the gate)
+      graft.operators.Txn.commitDelete(s, root,
+        ev.where(col("user_id") % 10 === 3).select("user_id").distinct(),
+        "user_id")                                                 // v4
+      graft.operators.Txn.readChangesCdf(s, root, 1)
+        .groupBy(col("_change_type").as("change"),
+          col("_commit_version").as("v"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
+    }),
+
     // SCHEMA EVOLUTION through the manifest: v1 lands (event_type, n);
     // the v2 append ADDS sum_val under the EXPLICIT mergeSchema=true
     // gate (an un-flagged drifting append throws at commit — TxnSpec) —
@@ -1491,6 +1553,41 @@ object QueriesEtl {
         |SELECT 'delta', event_type, CAST(COUNT(*) AS BIGINT),
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
         |FROM events WHERE user_id % 2 = 1 GROUP BY 2""".stripMargin,
+
+    // head = filtered recompute; pre-delete snapshot = full recompute
+    "etl_txn_forget" ->
+      """SELECT 'head' AS slice, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events WHERE user_id % 10 <> 3 GROUP BY 2
+        |UNION ALL
+        |SELECT 'pre', event_type, CAST(COUNT(*) AS BIGINT),
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |FROM events GROUP BY 2""".stripMargin,
+
+    // per-commit CDF multisets recomputed from source: v2 append =
+    // the odd half inserted; v3 compact = self-cancelling
+    // delete+insert of everything; v4 copy-on-write delete (no stats
+    // → all files rewrite) = everything deleted, survivors reinserted
+    "etl_txn_cdf" ->
+      """WITH agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |  FROM events GROUP BY 1)
+        |SELECT 'insert' AS change, CAST(2 AS INTEGER) AS v, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events WHERE user_id % 2 = 1 GROUP BY 3
+        |UNION ALL
+        |SELECT 'delete', CAST(3 AS INTEGER), event_type, n, sum_val FROM agg
+        |UNION ALL
+        |SELECT 'insert', CAST(3 AS INTEGER), event_type, n, sum_val FROM agg
+        |UNION ALL
+        |SELECT 'delete', CAST(4 AS INTEGER), event_type, n, sum_val FROM agg
+        |UNION ALL
+        |SELECT 'insert', CAST(4 AS INTEGER), event_type,
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |FROM events WHERE user_id % 10 <> 3 GROUP BY 3""".stripMargin,
 
     // compaction is layout-only: the table equals the plain recompute
     "etl_txn_compact" ->

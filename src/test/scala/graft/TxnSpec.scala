@@ -265,4 +265,165 @@ class TxnSpec extends SparkSpec {
     assert(table(root, Some(1)) == Set((1L, "a", 10L)))
     assert(table(root) == Set((2L, "a", 20L)))
   }
+
+  test("vacuum removes abandoned batch dirs (orphans gone, _SUCCESS-only)") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, "a", 10L)).toDF("k", "part", "n"), Seq("part"))
+    // a crashed committer's fully-staged but never-published batch
+    Seq((666L, "a", 666L)).toDF("k", "part", "n")
+      .write.partitionBy("part").parquet(s"$root/data/b00099-dead0000")
+    val f = fs(root)
+    val dead = new Path(s"$root/data/b00099-dead0000")
+    assert(f.exists(dead))
+    // retention-gated: the young dir survives a default-window vacuum
+    Txn.vacuum(spark, root)
+    assert(f.exists(dead))
+    // zero-retention: orphan files AND their now-empty dir are gone;
+    // live batch dirs are untouched
+    assert(Txn.vacuum(spark, root, olderThanMs = 0L) >= 1)
+    assert(!f.exists(dead), "abandoned batch dir survived vacuum")
+    assert(table(root) == Set((1L, "a", 10L)))
+  }
+
+  test("stats survive an escaped partition value (every entry carries min/max)") {
+    val root = freshRoot()
+    // 'a:b' writes as part=a%3Ab — if the stats pass and the listing
+    // pass normalize paths differently, stats.get misses and skip-scan
+    // silently stops pruning on such tables (r10 advice)
+    val df = Seq((1L, "a:b", 10L), (2L, "a:b", 20L), (3L, "pl ain", 30L))
+      .toDF("k", "part", "n")
+    Txn.commitOverwrite(spark, root, df, Seq("part"), statsCol = Some("k"))
+    val entries = Txn.snapshotEntries(spark, root, 1)
+    assert(entries.nonEmpty)
+    assert(entries.forall(e => e.min.isDefined && e.max.isDefined),
+      s"stats dropped on escaped-partition files: $entries")
+    val got = Txn.readWhere(spark, root, "k", 1d, 2d)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("commitDelete: stats-pruned copy-on-write — untouched lines verbatim, time travel intact") {
+    val root = freshRoot()
+    val df = spark.range(1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    Txn.commitOverwrite(spark, root, df.repartitionByRange(10, col("k")),
+      statsCol = Some("k"))
+    val before = Txn.snapshotLines0(spark, root, 1)
+    // keys land in exactly one range file (250..259 of 10 even ranges)
+    val keys = spark.range(250, 260).select(col("id").as("k"))
+    assert(Txn.commitDelete(spark, root, keys, "k",
+      statsCol = Some("k")) == 2)
+    val after = Txn.snapshotLines0(spark, root, 2)
+    // stats prune: all but ~1 of the 10 files carried VERBATIM
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.size >= 8,
+      s"delete rewrote non-matching files: carried ${carried.size} of 10")
+    // the delete is exact and prior versions still read pre-delete
+    val got = Txn.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 1000L).toSet -- (250L until 260L))
+    assert(Txn.read(spark, root, Some(1)).count() == 1000)
+    // deleting keys no file can hold is a clean no-op commit: every
+    // data line carries verbatim, nothing is restaged
+    assert(Txn.commitDelete(spark, root,
+      spark.range(90000, 90010).select(col("id").as("k")), "k",
+      statsCol = Some("k")) == 3)
+    val dataLines = (v: Int) =>
+      Txn.snapshotLines0(spark, root, v).filterNot(_.startsWith("#")).toSet
+    assert(dataLines(3) == dataLines(2), "no-op delete restaged files")
+    assert(Txn.read(spark, root).count() == 990)
+  }
+
+  test("commitDelete preserves partition layout and stats-less tables rewrite everything") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+        .toDF("k", "part", "n"), Seq("part"))
+    Txn.commitDelete(spark, root, Seq(2L).toDF("k"), "k",
+      partitionBy = Seq("part"))
+    assert(table(root) == Set((1L, "a", 10L), (3L, "b", 30L)))
+    // survivors restaged under partition dirs (layout preserved)
+    assert(Txn.snapshotFiles(spark, root, 2).forall(_.contains("part=")))
+    // empty-table edge: deleting the last rows leaves a readable
+    // empty snapshot through the carried #schema line
+    Txn.commitDelete(spark, root, Seq(1L, 3L).toDF("k"), "k",
+      partitionBy = Seq("part"))
+    assert(Txn.read(spark, root).count() == 0)
+    assert(table(root, Some(1)) ==
+      Set((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)))
+  }
+
+  test("readChangesCdf: multiset apply reproduces any snapshot across rewrites") {
+    val root = freshRoot()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val v1 = Seq((1L, 10L), (2L, 20L)).toDF("k", "n")
+    Txn.commitOverwrite(spark, root, v1)
+    Txn.commitAppend(spark, root, Seq((3L, 30L)).toDF("k", "n"))
+    // full rewrite drops k=2 — plain readChanges would misread this
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, 10L), (3L, 30L), (4L, 40L)).toDF("k", "n"))
+    Txn.compact(spark, root, numFiles = 1)
+    Txn.commitAppend(spark, root, Seq((5L, 50L)).toDF("k", "n"))
+    for (since <- 0 to 4; until <- (since + 1) to 5) {
+      val cdf = Txn.readChangesCdf(spark, root, since, Some(until))
+      val ins = rows(cdf.where(col("_change_type") === "insert"))
+      val del = rows(cdf.where(col("_change_type") === "delete"))
+      val base = if (since == 0) Map.empty[(Long, Long), Int]
+        else rows(Txn.read(spark, root, Some(since)))
+      val applied = (base.keySet ++ ins.keySet ++ del.keySet).flatMap { r =>
+        val nn = base.getOrElse(r, 0) + ins.getOrElse(r, 0) - del.getOrElse(r, 0)
+        if (nn > 0) Some(r -> nn) else None
+      }.toMap
+      assert(applied == rows(Txn.read(spark, root, Some(until))),
+        s"CDF apply mismatch for $since..$until")
+      // change versions stay inside the requested range
+      val vs = cdf.select("_commit_version").distinct()
+        .collect().map(_.getInt(0))
+      assert(vs.forall(v => v > since && v <= until))
+    }
+    // unchanged range → typed empty frame with the CDF columns
+    val none = Txn.readChangesCdf(spark, root, 5, Some(5))
+    assert(none.count() == 0)
+    assert(none.columns.contains("_change_type") &&
+      none.columns.contains("_commit_version"))
+  }
+
+  test("tag checkpointing: head/time-travel/idempotence stable across 3x the interval") {
+    val root = freshRoot()
+    val n = Txn.tagCheckpointEvery * 3 + 4
+    val got = (1 to n).map { i =>
+      Txn.commitAppendIdempotent(spark, root,
+        Seq((i.toLong, "a", i.toLong)).toDF("k", "part", "n"), f"t$i%04d")
+    }
+    assert(got.forall(_.isDefined), "a tagged commit was dropped")
+    val head = Txn.currentVersion(spark, root)
+    assert(head == n)
+    // the FULL tag set survives every checkpoint roll
+    assert(Txn.committedTags(spark, root, head).toSet ==
+      (1 to n).map(i => f"t$i%04d").toSet)
+    // the head manifest itself carries only a bounded suffix
+    val headLines = Txn.snapshotLines0(spark, root, head)
+    assert(headLines.count(_.startsWith("#txn:")) <= Txn.tagCheckpointEvery,
+      "manifest tag block not bounded — checkpoint never rolled")
+    assert(headLines.exists(_.startsWith("#tagbase:")))
+    // replay of a PRE-checkpoint tag still short-circuits (idempotence
+    // resolves through the checkpoint file, not just the suffix)
+    assert(Txn.commitAppendIdempotent(spark, root,
+      Seq((666L, "a", 666L)).toDF("k", "part", "n"), "t0001").isEmpty)
+    assert(Txn.currentVersion(spark, root) == head)
+    // time travel across the boundary: version at the first roll reads
+    // exactly its prefix of rows, as does the head
+    val atRoll = Txn.tagCheckpointEvery + 1
+    assert(Txn.read(spark, root, Some(atRoll)).count() == atRoll.toLong)
+    assert(Txn.read(spark, root).count() == n.toLong)
+    // rewrites keep resolving the checkpointed set
+    Txn.commitOverwrite(spark, root, Seq((0L, "a", 0L)).toDF("k", "part", "n"))
+    assert(Txn.committedTags(spark, root, head + 1).toSet ==
+      (1 to n).map(i => f"t$i%04d").toSet)
+    assert(Txn.commitAppendIdempotent(spark, root,
+      Seq((667L, "a", 667L)).toDF("k", "part", "n"), f"t$n%04d").isEmpty)
+  }
 }
