@@ -2540,14 +2540,32 @@ object QueriesLlm {
         |  md5(substr(text, i*256 + 1, 256)) AS frame_md5
         |FROM m, range(0, 1000) t(i) WHERE i < n_frames""".stripMargin,
 
+    // the payload is a REAL binary P6 since r12 (gray pixels = the
+    // ASCII text bytes, r=g=b, h = largest divisor in {4,3,2,1}):
+    // the oracle rebuilds the container byte-for-byte — header, then
+    // each char tripled — so byte_len/header/md5 pin the ENCODER
     "mm_features" ->
-      """SELECT doc_id AS id, 'image' AS modality,
-        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
-        |  hex(encode(substr(text, 1, 8))) AS header_hex,
-        |  CAST(length(text) % 640 AS INT) AS width,
-        |  CAST((length(text) * 7) % 480 AS INT) AS height,
-        |  md5(text) AS content_md5
-        |FROM documents""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS L,
+        |    CASE WHEN length(text) = 0 THEN 1
+        |         WHEN length(text) % 4 = 0 THEN 4
+        |         WHEN length(text) % 3 = 0 THEN 3
+        |         WHEN length(text) % 2 = 0 THEN 2 ELSE 1 END AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, L, h, L // h AS w,
+        |    'P6' || chr(10) || CAST(L // h AS VARCHAR) || ' ' ||
+        |      CAST(h AS VARCHAR) || chr(10) || '255' || chr(10) ||
+        |      COALESCE(array_to_string(
+        |        [repeat(substr(text, i, 1), 3) for i in range(1, L + 1)],
+        |        ''), '') AS payload
+        |  FROM m)
+        |SELECT doc_id AS id, 'image' AS modality,
+        |  CAST(octet_length(encode(payload)) AS INT) AS byte_len,
+        |  hex(encode(substr(payload, 1, 8))) AS header_hex,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  md5(payload) AS content_md5
+        |FROM c""".stripMargin,
 
     // member-level banding == the engine's rep-collapse + expansion:
     // identical payloads share every band (hamming 0 always passes),

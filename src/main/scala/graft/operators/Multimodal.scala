@@ -8,13 +8,21 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is the real design: binary payloads stay columnar
   * (parquet BYTE_ARRAY with metadata pushdown on the typed columns), and
-  * heavy per-item decode runs in [[decodeFeaturesStub]]-style
-  * mapPartitions stages — batched per partition so a real decoder
-  * (JNI/FFmpeg/JPEG) amortizes init cost across a partition, exactly how
-  * a Pandas-UDF batch would. The decode itself is STUBBED (this container
-  * has no media libs): it derives deterministic fake features from the
-  * bytes, clearly marked below. Swap `decodeOne` for a real decoder and
-  * nothing else changes.
+  * heavy per-item decode runs in [[decodeFeatures]]-style mapPartitions
+  * stages — batched per partition so a decoder (JNI/FFmpeg/JPEG)
+  * amortizes init cost across a partition, exactly how a Pandas-UDF
+  * batch would.
+  *
+  * DECODE (r12): REAL for two public uncompressed containers — PPM
+  * P5/P6 and 24-bit BMP, parsed pure-JVM by [[graft.plans.ImageCodec]]
+  * (header grammar, comments, BMP bottom-up padded rows, integer
+  * BT.601 luma). Every pixel-facing stage below ([[phashPairs]],
+  * [[sceneCuts]], [[frameNearDupPairs]], [[sampleFrames]], audio
+  * fingerprints) first runs the codegen'd `graft_gray_decode`: a
+  * recognized container hashes its DECODED grayscale pixels; an
+  * unrecognized payload keeps the documented byte-strip stand-in
+  * (this sandbox has no JPEG/PNG/media libs — that boundary is the
+  * retained stub, and ONLY that).
   *
   * Partitioning note for 100 TB of media: size partitions by
   * `spark.sql.files.maxPartitionBytes` against payload size (media rows
@@ -28,17 +36,32 @@ object Multimodal {
   final case class MediaFeatures(id: Long, modality: String, byte_len: Int,
       width: Int, height: Int, embedding: Array[Float])
 
-  /** Wrap a text table as a media table (payload = utf-8 bytes) — the
-    * stand-in for real media ingest in this container. Metadata is
-    * deterministic from the text length. */
-  def attachBinary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Wrap a text table as a media table whose payload is a REAL binary
+    * P6 PPM: the utf-8 text bytes become gray pixels (r=g=b), shaped
+    * h×(len/h) for the largest h ∈ {4,3,2,1} dividing the length (no
+    * padding — see [[graft.plans.ImageCodec.encodePpmGray]]). Because
+    * integer BT.601 luma is the identity on gray pixels, decode ∘
+    * encode == the original text bytes EXACTLY, which keeps every
+    * downstream hash oracle byte-exact while exercising a real
+    * container round-trip. Width/height metadata are the real encoded
+    * dims. */
+  def attachBinary(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val len = length(col(textCol))
+    val h = when(len === 0, lit(1))
+      .when(len % 4 === 0, lit(4))
+      .when(len % 3 === 0, lit(3))
+      .when(len % 2 === 0, lit(2))
+      .otherwise(lit(1))
     df.select(
       col(idCol).cast("long").as("id"),
       lit("image").as("modality"),
-      encode(col(textCol), "UTF-8").as("payload"),
-      (length(col(textCol)) % 640).cast("int").as("width"),
-      ((length(col(textCol)) * 7) % 480).cast("int").as("height"),
-      lit("fake/raw").as("format"))
+      graft.plans.GraftFunctions.ppmEncode(spark,
+        encode(col(textCol), "UTF-8")).as("payload"),
+      (len / h).cast("int").as("width"),
+      h.cast("int").as("height"),
+      lit("image/ppm").as("format"))
+  }
 
   /** Expression-level (codegen'd) lightweight features — no decode. */
   def byteFeatures(df: DataFrame): DataFrame =
@@ -48,13 +71,17 @@ object Multimodal {
       col("width"), col("height"),
       md5(col("payload")).as("content_md5"))
 
-  /** Frame sampling: one row per fixed-size payload chunk (the video →
-    * frame-extraction plumbing; a real decoder replaces byte-slicing
-    * with keyframe selection, the explode/schema shape is identical).
+  /** Frame sampling: one row per fixed-size chunk of the DECODED
+    * sample stream (gray pixels for recognized image containers via
+    * `graft_gray_decode`, raw bytes otherwise) — the video →
+    * frame-extraction plumbing; a keyframe-aware decoder would replace
+    * fixed-size slicing, the explode/schema shape is identical.
     * Row-local posexplode — no shuffle; at 100 TB frame rows inherit
     * the scan's partitioning. */
   def sampleFrames(media: DataFrame, frameBytes: Int = 256): DataFrame =
     media
+      .withColumn("payload", graft.plans.GraftFunctions.grayDecode(
+        media.sparkSession, col("payload")))
       .withColumn("n_frames",
         ceil(octet_length(col("payload")) / lit(frameBytes.toDouble)).cast("int"))
       // empty payloads produce no frames: without the guard,
@@ -87,10 +114,12 @@ object Multimodal {
       "minHamming must be in [1,60]")
     val spark = media.sparkSession
     val frames = media
+      .withColumn("__p0",
+        graft.plans.GraftFunctions.grayDecode(spark, col(payloadCol)))
       .withColumn("n_frames",
-        ceil(octet_length(col(payloadCol)) / lit(frameBytes.toDouble)).cast("int"))
+        ceil(octet_length(col("__p0")) / lit(frameBytes.toDouble)).cast("int"))
       .where(col("n_frames") > 1) // single-frame media cannot cut
-      .select(col(idCol).as("id"), col(payloadCol).as("__p"),
+      .select(col(idCol).as("id"), col("__p0").as("__p"),
         posexplode(sequence(lit(0), col("n_frames") - 1))
           .as(Seq("pos", "frame_idx")))
       .select(col("id"), col("frame_idx").cast("int").as("frame_idx"),
@@ -108,16 +137,17 @@ object Multimodal {
   }
 
   /** Perceptual hashes per media row: 60-bit aHash + dHash over the
-    * raw payload bytes ([[graft.plans.Sketches.phash60]] /
-    * [[Sketches.dhash60]] — codegen'd, row-local, scan-stage). A real
-    * deployment inserts the decoder (codec → grayscale buffer) before
-    * this; the hash arithmetic is the real thing either way. */
+    * DECODED grayscale pixels (PPM/BMP parse real, other payloads keep
+    * the byte-strip stand-in — `graft_gray_decode`), all codegen'd,
+    * row-local, scan-stage ([[graft.plans.Sketches.phash60]] /
+    * [[Sketches.dhash60]]). */
   def phashFeatures(media: DataFrame, idCol: String = "id",
       payloadCol: String = "payload"): DataFrame = {
     val spark = media.sparkSession
+    val gray = graft.plans.GraftFunctions.grayDecode(spark, col(payloadCol))
     media.select(col(idCol).as("id"),
-      graft.plans.GraftFunctions.phash60(spark, col(payloadCol)).as("ahash"),
-      graft.plans.GraftFunctions.dhash60(spark, col(payloadCol)).as("dhash"))
+      graft.plans.GraftFunctions.phash60(spark, gray).as("ahash"),
+      graft.plans.GraftFunctions.dhash60(spark, gray).as("dhash"))
   }
 
   /** Image near-duplicate pairs by perceptual hash: exact-duplicate
@@ -132,10 +162,14 @@ object Multimodal {
   def phashPairs(media: DataFrame, idCol: String = "id",
       payloadCol: String = "payload", maxHamming: Int = 12): DataFrame = {
     val spark = media.sparkSession
+    // gid + hash over the DECODED pixels: two containers of the same
+    // image dedup as exact duplicates regardless of container bytes
+    val gray = graft.plans.GraftFunctions.grayDecode(spark, col(payloadCol))
     val sigs = media
-      .where(octet_length(col(payloadCol)) > 0)
-      .select(col(idCol).as("id"), md5(col(payloadCol)).as("gid"),
-        graft.plans.GraftFunctions.phash60(spark, col(payloadCol))
+      .select(col(idCol).as("id"), gray.as("__g"))
+      .where(octet_length(col("__g")) > 0)
+      .select(col("id"), md5(col("__g")).as("gid"),
+        graft.plans.GraftFunctions.phash60(spark, col("__g"))
           .as("simhash"))
     Dedup.expandSketchPairs(Dedup.bandedSketchStages(sigs, maxHamming))
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
@@ -155,8 +189,10 @@ object Multimodal {
       payloadCol: String = "payload", frameBytes: Int = 64,
       fanout: Int = 3, maxDt: Int = 8): DataFrame = {
     val spark = media.sparkSession
+    // landmarks index the DECODED sample stream (container-agnostic)
     media.select(col(idCol).as("id"),
-      explode(graft.plans.GraftFunctions.audioFp(spark, col(payloadCol),
+      explode(graft.plans.GraftFunctions.audioFp(spark,
+        graft.plans.GraftFunctions.grayDecode(spark, col(payloadCol)),
         frameBytes, fanout, maxDt, qDiv = frameBytes * 256 / 16)).as("fp"))
   }
 
@@ -213,9 +249,12 @@ object Multimodal {
     require(frameBytes > 0)
     val spark = media.sparkSession
     val frames = media
-      .where(octet_length(col(payloadCol)) > 0)
-      .select(col(idCol).as("mid"), col(payloadCol).as("payload"),
-        ceil(octet_length(col(payloadCol)) / lit(frameBytes.toDouble))
+      .select(col(idCol).as("mid"),
+        graft.plans.GraftFunctions.grayDecode(spark, col(payloadCol))
+          .as("payload"))
+      .where(octet_length(col("payload")) > 0)
+      .select(col("mid"), col("payload"),
+        ceil(octet_length(col("payload")) / lit(frameBytes.toDouble))
           .cast("int").as("n_frames"))
       .select(col("mid"), col("payload"),
         posexplode(sequence(lit(0), col("n_frames") - 1))
@@ -252,37 +291,71 @@ object Multimodal {
   def phashClusters(media: DataFrame, idCol: String = "id",
       payloadCol: String = "payload", maxHamming: Int = 12): DataFrame = {
     val spark = media.sparkSession
+    val gray = graft.plans.GraftFunctions.grayDecode(spark, col(payloadCol))
     val sigs = media
-      .where(octet_length(col(payloadCol)) > 0)
-      .select(col(idCol).as("id"), md5(col(payloadCol)).as("gid"),
-        graft.plans.GraftFunctions.phash60(spark, col(payloadCol))
+      .select(col(idCol).as("id"), gray.as("__g"))
+      .where(octet_length(col("__g")) > 0)
+      .select(col("id"), md5(col("__g")).as("gid"),
+        graft.plans.GraftFunctions.phash60(spark, col("__g"))
           .as("simhash"))
     Dedup.sketchClusters(Dedup.bandedSketchStages(sigs, maxHamming))
   }
 
   // ======================================================================
-  // STUB: deterministic fake decode. A real deployment replaces this with
-  // an actual media decoder; the batching/partitioning contract is real.
+  // Decode stage: REAL pure-JVM parse for PPM (P5/P6) and 24-bit BMP
+  // (graft.plans.ImageCodec); the deterministic byte-fold STUB survives
+  // only for containers this sandbox cannot decode (no JPEG/PNG/FFmpeg
+  // libs) and is clearly bounded to that branch.
   // ======================================================================
-  private def decodeOne(r: MediaRow): MediaFeatures = {
-    val bytes = r.payload
-    // fake 4-d "embedding": byte-sum folds — deterministic, decoder-shaped
-    val emb = new Array[Float](4)
-    var i = 0
-    while (i < bytes.length) {
-      emb(i % 4) += (bytes(i) & 0xff) / 255.0f
-      i += 1
+  private[graft] def decodeOne(r: MediaRow): MediaFeatures =
+    graft.plans.ImageCodec.decode(r.payload) match {
+      case Some(img) =>
+        // REAL pixels: width/height from the container header, 4-d
+        // embedding = mean intensity per image QUADRANT (top-left,
+        // top-right, bottom-left, bottom-right) — an actual spatial
+        // feature a downstream similarity search can use
+        val emb = new Array[Float](4)
+        val cnt = new Array[Int](4)
+        val (w, h) = (img.width, img.height)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val q = (if (2 * y >= h) 2 else 0) + (if (2 * x >= w) 1 else 0)
+            emb(q) += (img.pixels(y * w + x) & 0xff) / 255.0f
+            cnt(q) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var q = 0
+        while (q < 4) { if (cnt(q) > 0) emb(q) /= cnt(q); q += 1 }
+        MediaFeatures(r.id, r.modality, r.payload.length, w, h, emb)
+      case None =>
+        // STUB branch (undecodable format): deterministic byte-sum
+        // folds, decoder-shaped — the honest stand-in, nothing else
+        val bytes = r.payload
+        val emb = new Array[Float](4)
+        var i = 0
+        while (i < bytes.length) {
+          emb(i % 4) += (bytes(i) & 0xff) / 255.0f
+          i += 1
+        }
+        MediaFeatures(r.id, r.modality, bytes.length, r.width, r.height, emb)
     }
-    MediaFeatures(r.id, r.modality, bytes.length, r.width, r.height, emb)
-  }
 
   /** Batched decode/feature-extract over media rows (mapPartitions so a
-    * real decoder's per-JVM init happens once per task, not per row). */
-  def decodeFeaturesStub(media: DataFrame): Dataset[MediaFeatures] = {
+    * heavier decoder's per-JVM init happens once per task, not per
+    * row; ImageCodec itself is allocation-only). */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.as(Encoders.product[MediaRow]).mapPartitions { it =>
-      // real impl: initialize decoder here, once per partition
+      // a JNI/FFmpeg decoder would initialize here, once per partition
       it.map(decodeOne)
     }
   }
+
+  /** @deprecated name kept for callers of the pre-r12 stub entry. */
+  def decodeFeaturesStub(media: DataFrame): Dataset[MediaFeatures] =
+    decodeFeatures(media)
 }

@@ -187,6 +187,14 @@ object GraftFunctions {
       require(exprs.length == 1, s"$DHashName expects 1 argument")
       DHash60(exprs.head)
     }, "built-in")
+    reg.createOrReplaceTempFunction(GrayDecodeName, exprs => {
+      require(exprs.length == 1, s"$GrayDecodeName expects 1 argument")
+      GrayDecode(exprs.head)
+    }, "built-in")
+    reg.createOrReplaceTempFunction(PpmEncodeName, exprs => {
+      require(exprs.length == 1, s"$PpmEncodeName expects 1 argument")
+      PpmEncode(exprs.head)
+    }, "built-in")
     reg.createOrReplaceTempFunction(DotName, exprs => {
       require(exprs.length == 2, s"$DotName expects 2 arguments")
       DotProduct(exprs.head, exprs(1))
@@ -227,6 +235,23 @@ object GraftFunctions {
   def dhash60(spark: SparkSession, payload: Column): Column = {
     register(spark)
     call_function(DHashName, payload)
+  }
+
+  val GrayDecodeName = "graft_gray_decode"
+  val PpmEncodeName = "graft_ppm_encode"
+
+  /** Native image decode: PPM/BMP container → gray pixels, other
+    * payloads pass through unchanged (registers on the session). */
+  def grayDecode(spark: SparkSession, payload: Column): Column = {
+    register(spark)
+    call_function(GrayDecodeName, payload)
+  }
+
+  /** Native gray-buffer → binary P6 PPM encode (registers on the
+    * session). */
+  def ppmEncode(spark: SparkSession, gray: Column): Column = {
+    register(spark)
+    call_function(PpmEncodeName, gray)
   }
 
   val VecDigestName = "graft_vec_digest"

@@ -470,6 +470,44 @@ final case class PHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** binary container → binary grayscale pixels for recognized image
+  * formats (PPM P5/P6, 24-bit BMP — [[ImageCodec]]), the input bytes
+  * UNCHANGED otherwise (the documented byte-strip stand-in for formats
+  * this sandbox cannot decode). Codegen'd static call, scan-stage. */
+final case class GrayDecode(child: Expression)
+    extends UnaryExpression with BinaryInput {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_gray_decode"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.decodeGrayOrSelf(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ImageCodec.decodeGrayOrSelf($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** binary gray buffer → binary P6 PPM (r=g=b per pixel, shape chosen so
+  * the row-major pixel stream is exactly the input — [[ImageCodec]]). */
+final case class PpmEncode(child: Expression)
+    extends UnaryExpression with BinaryInput {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_ppm_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.encodePpmGray(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ImageCodec.encodePpmGray($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** binary payload → bigint 60-bit difference-hash (native). */
 final case class DHash60(child: Expression)
     extends UnaryExpression with BinaryInput {

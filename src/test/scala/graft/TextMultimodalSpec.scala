@@ -119,13 +119,94 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r.getInt(1) == 1 && r.getInt(2) == 1)
   }
 
-  test("multimodal: binary payload carries exact bytes and metadata") {
+  test("multimodal: payload is a real P6 container; decode round-trips the text") {
     val media = Multimodal.attachBinary(
       Seq((5L, "hello world!")).toDF("doc_id", "text"), "doc_id", "text")
+    // len 12 → h=4, w=3; container = "P6\n3 4\n255\n" + tripled bytes
     val feats = Multimodal.byteFeatures(media).head()
-    assert(feats.getInt(2) == 12)                       // byte_len
-    assert(feats.getString(3) == "68656C6C6F20776F")    // "hello wo" hex
-    assert(feats.getInt(4) == 12 % 640)                 // width
+    assert(feats.getInt(2) == 11 + 3 * 12)              // byte_len
+    assert(feats.getString(3) == "50360A3320340A32")    // "P6\n3 4\n2" hex
+    assert(feats.getInt(4) == 3 && feats.getInt(5) == 4) // real dims
+    // the load-bearing identity: decode ∘ encode == the text bytes
+    // (BT.601 integer luma is exact on gray pixels)
+    val rt = media.select(graft.plans.GraftFunctions.grayDecode(spark,
+      col("payload")).as("g")).head().getAs[Array[Byte]](0)
+    assert(new String(rt, "UTF-8") == "hello world!")
+  }
+
+  test("ImageCodec: PPM grammar (comments, P5), BMP layouts, rejects") {
+    import graft.plans.ImageCodec
+    // P6 with comments and multi-whitespace — the published grammar
+    val p6 = ("P6 # comment to eol\n # another\n 2\t1\n255\n"
+      .getBytes("US-ASCII") ++ Array[Byte](10, 20, 30, 40, 50, 60))
+    val g6 = ImageCodec.decode(p6).get
+    assert(g6.width == 2 && g6.height == 1)
+    // luma ⌊(299r+587g+114b+500)/1000⌋: (299*10+587*20+114*30+500)/1000=18
+    assert(g6.pixels.toSeq == Seq[Byte](
+      ((299 * 10 + 587 * 20 + 114 * 30 + 500) / 1000).toByte,
+      ((299 * 40 + 587 * 50 + 114 * 60 + 500) / 1000).toByte))
+    // P5 gray passes bytes through
+    val p5 = "P5\n3 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](7, 8, 9)
+    assert(ImageCodec.decode(p5).get.pixels.toSeq == Seq[Byte](7, 8, 9))
+    // BMP 24-bit, 2×2, bottom-up, rows padded to 4 bytes (2*3 → 8):
+    // stored rows: [bottom: px(0,1) BGR…] then [top] — decoder flips
+    def bmp(h: Int): Array[Byte] = {
+      val header = new Array[Byte](54)
+      header(0) = 'B'; header(1) = 'M'
+      header(10) = 54 // data offset
+      header(14) = 40 // DIB size
+      header(18) = 2  // width
+      val hh = if (h < 0) Array[Byte](-2, -1, -1, -1) else Array[Byte](2, 0, 0, 0)
+      System.arraycopy(hh, 0, header, 22, 4)
+      header(26) = 1  // planes
+      header(28) = 24 // bits
+      // gray pixels so luma is identity: rowA = [1, 2], rowB = [3, 4]
+      def row(a: Byte, b: Byte) =
+        Array[Byte](a, a, a, b, b, b, 0, 0) // BGR,BGR + 2 pad bytes
+      header ++ (if (h < 0) row(1, 2) ++ row(3, 4) // top-down: A first
+        else row(3, 4) ++ row(1, 2))               // bottom-up: B first
+    }
+    assert(ImageCodec.decode(bmp(2)).get.pixels.toSeq ==
+      Seq[Byte](1, 2, 3, 4), "bottom-up BMP rows not flipped")
+    assert(ImageCodec.decode(bmp(-2)).get.pixels.toSeq ==
+      Seq[Byte](1, 2, 3, 4), "top-down BMP misread")
+    // rejects: wrong magic, 16-bit maxval, truncated raster, 8-bit BMP
+    assert(ImageCodec.decode("JFIF0000".getBytes).isEmpty)
+    assert(ImageCodec.decode(
+      ("P6\n1 1\n65535\n".getBytes("US-ASCII") ++
+        Array[Byte](1, 2, 3, 4, 5, 6)))
+      .isEmpty, "2-byte-sample PPM must be rejected")
+    assert(ImageCodec.decode(
+      "P6\n4 4\n255\n12".getBytes("US-ASCII")).isEmpty, "truncated raster")
+    val bad = bmp(2); bad(28) = 8
+    assert(ImageCodec.decode(bad).isEmpty, "paletted BMP must be rejected")
+    // undecodable payloads pass through decodeGrayOrSelf unchanged
+    val raw = Array[Byte](9, 9, 9)
+    assert(ImageCodec.decodeGrayOrSelf(raw) eq raw)
+  }
+
+  test("decodeFeatures: real dims + quadrant means for PPM/BMP, stub fold otherwise") {
+    import Multimodal.MediaRow
+    // 2×2 gray image with quadrant values 0, 100, 200, 40
+    val ppm = graft.plans.ImageCodec.encodePpmGray(
+      Array[Byte](0, 100, 200.toByte, 40))
+    // encodePpmGray picks h=4,w=1 for len 4 — build a true 2×2 by hand
+    val p6 = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 100, 100, 100, 200.toByte, 200.toByte,
+        200.toByte, 40, 40, 40)
+    val rows = Seq(
+      MediaRow(1L, "image", p6, 0, 0, "image/ppm"),
+      MediaRow(2L, "blob", Array[Byte](1, 2, 3, 4), 9, 9, "fake/raw"))
+    val out = rows.map(Multimodal.decodeOne).map(f => f.id -> f).toMap
+    // real branch: header dims win over the metadata columns
+    assert(out(1L).width == 2 && out(1L).height == 2)
+    assert(out(1L).embedding.toSeq == Seq(0f, 100 / 255.0f, 200 / 255.0f,
+      40 / 255.0f))
+    // stub branch: metadata passes through, byte-fold embedding
+    assert(out(2L).width == 9 && out(2L).height == 9)
+    assert(out(2L).embedding.toSeq ==
+      Seq(1 / 255.0f, 2 / 255.0f, 3 / 255.0f, 4 / 255.0f))
+    assert(ppm.length == 11 + 12) // and the encoder emits 1×4 as doc'd
   }
 
   test("repetitionSignals: hand-computed fractions, runs, 1-token edge") {
