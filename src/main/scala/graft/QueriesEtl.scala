@@ -884,6 +884,41 @@ object QueriesEtl {
             .as("sum_val"))
     }),
 
+    // COPY-ON-WRITE MERGE (upsert) through the manifest — Delta's
+    // MERGE INTO shape: a per-user changeset replaces matched rows
+    // and inserts new users in ONE stats-pruned atomic commit
+    // (untouched files carry verbatim — TxnSpec). Base = users with
+    // id % 3 != 0; changeset = even users → even ids UPDATE (or
+    // insert multiples of 6), odd non-multiples-of-3 keep base rows
+    "etl_txn_merge" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txnmg_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value"))
+      def perUser(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+              .as("sum_val"))
+      graft.operators.Txn.commitOverwrite(s, root,
+        perUser(ev.where(col("user_id") % 3 =!= 0))
+          .repartitionByRange(8, col("user_id")),
+        statsCol = Some("user_id"))
+      // +1000 marks every changeset row, so a silently-dropped UPDATE
+      // (head keeping the old row) hash-mismatches — update and no-op
+      // must be distinguishable for the gate to pin the merge
+      graft.operators.Txn.commitMerge(s, root,
+        perUser(ev.where(col("user_id") % 2 === 0))
+          .withColumn("n", col("n") + 1000), "user_id",
+        statsCol = Some("user_id"))
+      def slice(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.select(lit(tag).as("slice"), col("user_id"), col("n"),
+          col("sum_val"))
+      slice(graft.operators.Txn.read(s, root), "head")
+        .unionByName(slice(graft.operators.Txn.read(s, root, Some(1)),
+          "pre"))
+    }),
+
     // SCHEMA EVOLUTION through the manifest: v1 lands (event_type, n);
     // the v2 append ADDS sum_val under the EXPLICIT mergeSchema=true
     // gate (an un-flagged drifting append throws at commit — TxnSpec) —
@@ -1553,6 +1588,20 @@ object QueriesEtl {
         |SELECT 'delta', event_type, CAST(COUNT(*) AS BIGINT),
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
         |FROM events WHERE user_id % 2 = 1 GROUP BY 2""".stripMargin,
+
+    // merged head = changeset rows (even users) + untouched base rows
+    // (odd, non-multiple-of-3); pre = the base recompute
+    "etl_txn_merge" ->
+      """WITH per AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |  FROM events GROUP BY 1)
+        |SELECT 'head' AS slice, user_id,
+        |  CASE WHEN user_id % 2 = 0 THEN n + 1000 ELSE n END AS n, sum_val
+        |FROM per WHERE user_id % 2 = 0 OR user_id % 3 <> 0
+        |UNION ALL
+        |SELECT 'pre', user_id, n, sum_val FROM per
+        |WHERE user_id % 3 <> 0""".stripMargin,
 
     // head = filtered recompute; pre-delete snapshot = full recompute
     "etl_txn_forget" ->

@@ -511,6 +511,78 @@ object Txn {
     }
   }
 
+  /** COPY-ON-WRITE MERGE (upsert — Delta's `MERGE INTO` with
+    * whenMatched-update-all + whenNotMatched-insert-all, the most-used
+    * lakehouse write verb after append): every target row whose
+    * `keyCol` matches a source row is REPLACED by that source row,
+    * source rows matching nothing are INSERTED, and only the files
+    * that can contain a matched key are rewritten — the same
+    * stats-pruning, carry-untouched-lines-verbatim discipline as
+    * [[commitDelete]], so a 100 TB table absorbs a small changeset by
+    * touching a handful of files plus one staged batch.
+    *
+    * Contract (Delta's): the SOURCE must be key-unique — two source
+    * rows for one key would make the merge order-dependent, so it
+    * throws (one count aggregate over the changeset, which is small
+    * by definition at scale). NULL source keys are rejected for the
+    * same reason. The source schema passes the commit-point gate
+    * unless `mergeSchema = true` (schema evolution via the same
+    * unionByName NULL-fill path appends use). Returns the new
+    * version; prior versions stay time-travelable. */
+  def commitMerge(spark: SparkSession, root: String, source: DataFrame,
+      keyCol: String, partitionBy: Seq[String] = Nil,
+      maxRetries: Int = 5, statsCol: Option[String] = None,
+      mergeSchema: Boolean = false): Int = {
+    val src = source.cache()
+    try {
+      val counts = src.agg(
+        count(lit(1)).as("n"),
+        count_distinct(col(keyCol)).as("d"),
+        count(when(col(keyCol).isNull, 1)).as("nulls")).head()
+      require(counts.getLong(2) == 0,
+        s"commitMerge: source has NULL $keyCol keys")
+      require(counts.getLong(0) == counts.getLong(1),
+        s"commitMerge: source not key-unique on $keyCol " +
+          s"(${counts.getLong(0)} rows, ${counts.getLong(1)} keys) — " +
+          "an ambiguous merge is order-dependent; dedupe the changeset")
+      val keyRows = src.select(col(keyCol)).distinct()
+      retry(spark, root, maxRetries) { v =>
+        require(v >= 2, s"Txn.commitMerge: no committed version at $root")
+        val prev = snapshotLines(spark, root, v - 1)
+        if (!mergeSchema) requireSameSchema(prev, src, "commitMerge")
+        val entries = snapshotEntries(spark, root, v - 1)
+        val touched: Set[String] =
+          if (!statsCol.contains(keyCol) ||
+              entries.forall(_.min.isEmpty)) entries.map(_.path).toSet
+          else {
+            val statless = entries.collect {
+              case Entry(p, None, None) => p }.toSet
+            val ranges = spark.createDataFrame(entries.collect {
+              case Entry(p, Some(mn), Some(mx)) => (p, mn, mx) })
+              .toDF("__p", "__mn", "__mx")
+            statless ++ keyRows
+              .select(col(keyCol).cast("double").as("__k"))
+              .join(broadcast(ranges),
+                col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+              .select("__p").distinct()
+              .collect().map(_.getString(0)).toSet
+          }
+        val kept = prev.filterNot(isMeta)
+          .filter(l => !touched.contains(linePath(l)))
+        val survivors =
+          if (touched.isEmpty) src
+          else readFiles(spark, root, touched.toSeq.sorted)
+            .join(keyRows, Seq(keyCol), "left_anti")
+            .unionByName(src, allowMissingColumns = mergeSchema)
+        val staged = stageBatch(spark, root, survivors, partitionBy,
+          batchDir(v), statsCol)
+        metaForNext(spark, root, v - 1, prev,
+          if (mergeSchema) src.schema
+          else schemaLine(prev).getOrElse(src.schema)) ++ kept ++ staged
+      }
+    } finally src.unpersist()
+  }
+
   private def retry(spark: SparkSession, root: String, maxRetries: Int)(
       stage: Int => Seq[String]): Int = {
     var attempt = 0

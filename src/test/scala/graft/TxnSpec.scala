@@ -353,6 +353,46 @@ class TxnSpec extends SparkSpec {
       Set((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)))
   }
 
+  test("commitMerge: stats-pruned upsert — update, insert, verbatim carry, dup-key throw") {
+    val root = freshRoot()
+    val base = spark.range(1000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+    Txn.commitOverwrite(spark, root, base.repartitionByRange(10, col("k")),
+      statsCol = Some("k"))
+    val before = Txn.snapshotLines0(spark, root, 1)
+    // changeset: UPDATE keys 250..254 (v -> 999), INSERT 5000..5004
+    val changes = (spark.range(250, 255) unionAll spark.range(5000, 5005))
+      .select(col("id").as("k"), lit(999L).as("v"))
+    assert(Txn.commitMerge(spark, root, changes, "k",
+      statsCol = Some("k")) == 2)
+    val after = Txn.snapshotLines0(spark, root, 2)
+    // 250..254 land in one range file; 5000+ match nothing → only ~1
+    // of 10 files rewrites, the rest carry verbatim
+    assert(after.toSet.intersect(before.toSet)
+      .count(!_.startsWith("#")) >= 8, "merge rewrote non-matching files")
+    val got = Txn.read(spark, root).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 1005)
+    assert((250L until 255L).forall(k => got(k) == 999L), "update lost")
+    assert((5000L until 5005L).forall(k => got(k) == 999L), "insert lost")
+    assert(got(100L) == 100L % 7, "untouched row changed")
+    // prior version still reads the pre-merge state
+    assert(Txn.read(spark, root, Some(1)).count() == 1000)
+    // Delta's contract: an ambiguous (dup-key) changeset throws
+    val dup = Seq((1L, 5L), (1L, 6L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Txn.commitMerge(spark, root, dup, "k", statsCol = Some("k"))
+    }
+    // and NULL source keys throw rather than silently dropping
+    val withNull = Seq((Some(2L), 5L), (None, 6L))
+      .toDF("k", "v").select(col("k").cast("long").as("k"), col("v"))
+    intercept[IllegalArgumentException] {
+      Txn.commitMerge(spark, root, withNull, "k")
+    }
+    assert(Txn.currentVersion(spark, root) == 2,
+      "failed merges must not commit")
+  }
+
   test("readChangesCdf: multiset apply reproduces any snapshot across rewrites") {
     val root = freshRoot()
     def rows(df: org.apache.spark.sql.DataFrame) =
