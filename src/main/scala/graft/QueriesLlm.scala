@@ -799,6 +799,20 @@ object QueriesLlm {
         Multimodal.attachBinary(documents(s, d), "doc_id", "text"),
         maxHamming = 12)),
 
+    // the batched DECODE stage itself, driver-gated: decodeFeatures
+    // parses each P6 container pure-JVM (header grammar → real dims).
+    // The metadata columns are POISONED to -1 before the decode, so
+    // the emitted dims can only come from the PARSED header — a
+    // decoder silently falling back to the stub branch (which passes
+    // metadata through) would emit -1 and hash-fail against the
+    // oracle's recomputed dims
+    "mm_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+        Multimodal.attachBinary(documents(s, d), "doc_id", "text")
+          .withColumn("width", lit(-1)).withColumn("height", lit(-1)))
+        .toDF().select(col("id"), col("byte_len"), col("width"),
+          col("height"))),
+
     // frame-level shared-footage detection: 256-byte frames, phash per
     // frame, cross-doc band join — packed (doc, frame) units ride the
     // rep-collapsed sketch machinery unchanged
@@ -2566,6 +2580,24 @@ object QueriesLlm {
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  md5(payload) AS content_md5
         |FROM c""".stripMargin,
+
+    // container length + PARSED dims recomputed from the encoder's
+    // arithmetic (metadata is poisoned gate-side, so only a real
+    // header parse can produce these values)
+    "mm_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, length(text) AS L,
+        |    CASE WHEN length(text) = 0 THEN 1
+        |         WHEN length(text) % 4 = 0 THEN 4
+        |         WHEN length(text) % 3 = 0 THEN 3
+        |         WHEN length(text) % 2 = 0 THEN 2 ELSE 1 END AS h
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(octet_length(encode('P6' || chr(10) ||
+        |    CAST(L // h AS VARCHAR) || ' ' || CAST(h AS VARCHAR) ||
+        |    chr(10) || '255' || chr(10))) + 3 * L AS INT) AS byte_len,
+        |  CAST(L // h AS INT) AS width, CAST(h AS INT) AS height
+        |FROM m""".stripMargin,
 
     // member-level banding == the engine's rep-collapse + expansion:
     // identical payloads share every band (hamming 0 always passes),
