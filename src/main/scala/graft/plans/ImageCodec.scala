@@ -18,8 +18,12 @@ package graft.plans
   * Decoders REJECT (return None) rather than guess: wrong magic, 16-bit
   * PPM maxval, compressed/paletted BMP, truncated data, or absurd
   * dimensions (> 10⁸ pixels) all fall through to the caller's stand-in
-  * path. Reference basis: netpbm's published P6 grammar and the
-  * BITMAPINFOHEADER layout — public formats, no library involved.
+  * path. One documented fidelity bound: PNM samples with maxval < 255
+  * are used UNSCALED (a display-accurate decoder multiplies by
+  * 255/maxval) — hash/feature consumers here only need determinism,
+  * and the in-repo encoder always writes maxval 255. Reference basis:
+  * netpbm's published P6 grammar and the BITMAPINFOHEADER layout —
+  * public formats, no library involved.
   */
 object ImageCodec {
 

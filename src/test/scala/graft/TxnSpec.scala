@@ -353,6 +353,23 @@ class TxnSpec extends SparkSpec {
       Set((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)))
   }
 
+  test("commitDelete across schema evolution: NULL-filled survivors restage cleanly") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root, Seq((1L, 10L), (2L, 20L)).toDF("k", "n"))
+    Txn.commitAppend(spark, root,
+      Seq((3L, 30L, "x")).toDF("k", "n", "extra"), mergeSchema = true)
+    // delete a row from the PRE-evolution file: the touched-file
+    // re-read NULL-fills the evolved column, survivors restage in the
+    // evolved shape, and the un-evolved sibling row keeps its NULL
+    Txn.commitDelete(spark, root, Seq(1L).toDF("k"), "k")
+    val got = Txn.read(spark, root).select("k", "n", "extra").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got == Set((2L, 20L, None), (3L, 30L, Some("x"))))
+    // history intact through both the evolution and the delete
+    assert(Txn.read(spark, root, Some(1)).count() == 2)
+    assert(Txn.read(spark, root, Some(2)).count() == 3)
+  }
+
   test("commitMerge: stats-pruned upsert — update, insert, verbatim carry, dup-key throw") {
     val root = freshRoot()
     val base = spark.range(1000)
@@ -407,7 +424,11 @@ class TxnSpec extends SparkSpec {
       Seq((1L, 10L), (3L, 30L), (4L, 40L)).toDF("k", "n"))
     Txn.compact(spark, root, numFiles = 1)
     Txn.commitAppend(spark, root, Seq((5L, 50L)).toDF("k", "n"))
-    for (since <- 0 to 4; until <- (since + 1) to 5) {
+    // copy-on-write delete participates in the feed like any rewrite
+    Txn.commitDelete(spark, root, Seq(1L).toDF("k"), "k")
+    val head = Txn.currentVersion(spark, root)
+    assert(head == 6)
+    for (since <- 0 to (head - 1); until <- (since + 1) to head) {
       val cdf = Txn.readChangesCdf(spark, root, since, Some(until))
       val ins = rows(cdf.where(col("_change_type") === "insert"))
       val del = rows(cdf.where(col("_change_type") === "delete"))
@@ -425,7 +446,7 @@ class TxnSpec extends SparkSpec {
       assert(vs.forall(v => v > since && v <= until))
     }
     // unchanged range → typed empty frame with the CDF columns
-    val none = Txn.readChangesCdf(spark, root, 5, Some(5))
+    val none = Txn.readChangesCdf(spark, root, head, Some(head))
     assert(none.count() == 0)
     assert(none.columns.contains("_change_type") &&
       none.columns.contains("_commit_version"))
