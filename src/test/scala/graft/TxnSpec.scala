@@ -452,6 +452,39 @@ class TxnSpec extends SparkSpec {
       none.columns.contains("_commit_version"))
   }
 
+  test("tag checkpoint roll survives losing a commit race at the boundary") {
+    val root = freshRoot()
+    // fill the suffix budget exactly, so the NEXT tagged commit rolls
+    (1 to Txn.tagCheckpointEvery).foreach { i =>
+      Txn.commitAppendIdempotent(spark, root,
+        Seq((i.toLong, "a", i.toLong)).toDF("k", "part", "n"), f"r$i%04d")
+    }
+    val head = Txn.currentVersion(spark, root)
+    // a racing committer steals the next version (a valid committed
+    // state: copy of the head's lines — tags included), exactly like
+    // the plain optimistic-concurrency spec does
+    val f = fs(root)
+    val os = f.create(
+      new Path(f"$root/_manifests/v${head + 1}%05d.manifest"), false)
+    os.write((Txn.snapshotLines0(spark, root, head).mkString("\n") + "\n")
+      .getBytes("UTF-8")); os.close()
+    // our commit loses, restages against the racer's head, and ROLLS
+    // the checkpoint there — the consolidated set must contain every
+    // prior tag plus the new one, and pre-roll replays short-circuit
+    assert(Txn.commitAppendIdempotent(spark, root,
+      Seq((99L, "a", 99L)).toDF("k", "part", "n"), "rnew")
+      == Some(head + 2))
+    val tags = Txn.committedTags(spark, root, head + 2).toSet
+    assert(tags ==
+      (1 to Txn.tagCheckpointEvery).map(i => f"r$i%04d").toSet + "rnew")
+    assert(Txn.commitAppendIdempotent(spark, root,
+      Seq((666L, "a", 666L)).toDF("k", "part", "n"), "r0001").isEmpty)
+    // the rolled head manifest carries a bounded suffix + a base ptr
+    val lines = Txn.snapshotLines0(spark, root, head + 2)
+    assert(lines.exists(_.startsWith("#tagbase:")))
+    assert(lines.count(_.startsWith("#txn:")) == 1)
+  }
+
   test("tag checkpointing: head/time-travel/idempotence stable across 3x the interval") {
     val root = freshRoot()
     val n = Txn.tagCheckpointEvery * 3 + 4
