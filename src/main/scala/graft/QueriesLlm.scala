@@ -2555,49 +2555,59 @@ object QueriesLlm {
         |FROM m, range(0, 1000) t(i) WHERE i < n_frames""".stripMargin,
 
     // the payload is a REAL binary P6 since r12 (gray pixels = the
-    // ASCII text bytes, r=g=b, h = largest divisor in {4,3,2,1}):
-    // the oracle rebuilds the container byte-for-byte — header, then
-    // each char tripled — so byte_len/header/md5 pin the ENCODER
+    // utf-8 text BYTES, r=g=b, h = largest divisor in {4,3,2,1} of
+    // the BYTE length): the oracle rebuilds the container in HEX
+    // space over the encoded blob's bytes (r12 advice — a character
+    // reconstruction silently diverges on non-ASCII text, and this
+    // DuckDB cannot md5 a BLOB, so both sides hash the payload's hex
+    // encoding), pinning byte_len/header/md5 to the ENCODER byte-
+    // for-byte for ANY text
     "mm_features" ->
       """WITH m AS (
-        |  SELECT doc_id, text, length(text) AS L,
-        |    CASE WHEN length(text) = 0 THEN 1
-        |         WHEN length(text) % 4 = 0 THEN 4
-        |         WHEN length(text) % 3 = 0 THEN 3
-        |         WHEN length(text) % 2 = 0 THEN 2 ELSE 1 END AS h
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS L
         |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, hx, L,
+        |    CASE WHEN L = 0 THEN 1
+        |         WHEN L % 4 = 0 THEN 4
+        |         WHEN L % 3 = 0 THEN 3
+        |         WHEN L % 2 = 0 THEN 2 ELSE 1 END AS h
+        |  FROM m),
         |c AS (
         |  SELECT doc_id, L, h, L // h AS w,
-        |    'P6' || chr(10) || CAST(L // h AS VARCHAR) || ' ' ||
-        |      CAST(h AS VARCHAR) || chr(10) || '255' || chr(10) ||
+        |    hex(encode('P6' || chr(10) || CAST(L // h AS VARCHAR) || ' ' ||
+        |      CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))) ||
         |      COALESCE(array_to_string(
-        |        [repeat(substr(text, i, 1), 3) for i in range(1, L + 1)],
-        |        ''), '') AS payload
-        |  FROM m)
+        |        [repeat(substr(hx, 2*i - 1, 2), 3) for i in range(1, L + 1)],
+        |        ''), '') AS phex
+        |  FROM d)
         |SELECT doc_id AS id, 'image' AS modality,
-        |  CAST(octet_length(encode(payload)) AS INT) AS byte_len,
-        |  hex(encode(substr(payload, 1, 8))) AS header_hex,
+        |  CAST(length(phex) // 2 AS INT) AS byte_len,
+        |  substr(phex, 1, 16) AS header_hex,
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-        |  md5(payload) AS content_md5
+        |  md5(phex) AS content_md5
         |FROM c""".stripMargin,
 
     // container length + PARSED dims recomputed from the encoder's
-    // arithmetic (metadata is poisoned gate-side, so only a real
-    // header parse can produce these values)
+    // arithmetic over the utf-8 BYTE length (metadata is poisoned
+    // gate-side, so only a real header parse can produce these values)
     "mm_decode" ->
       """WITH m AS (
-        |  SELECT doc_id, length(text) AS L,
-        |    CASE WHEN length(text) = 0 THEN 1
-        |         WHEN length(text) % 4 = 0 THEN 4
-        |         WHEN length(text) % 3 = 0 THEN 3
-        |         WHEN length(text) % 2 = 0 THEN 2 ELSE 1 END AS h
-        |  FROM documents)
+        |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+        |d AS (
+        |  SELECT doc_id, L,
+        |    CASE WHEN L = 0 THEN 1
+        |         WHEN L % 4 = 0 THEN 4
+        |         WHEN L % 3 = 0 THEN 3
+        |         WHEN L % 2 = 0 THEN 2 ELSE 1 END AS h
+        |  FROM m)
         |SELECT doc_id AS id,
         |  CAST(octet_length(encode('P6' || chr(10) ||
         |    CAST(L // h AS VARCHAR) || ' ' || CAST(h AS VARCHAR) ||
         |    chr(10) || '255' || chr(10))) + 3 * L AS INT) AS byte_len,
         |  CAST(L // h AS INT) AS width, CAST(h AS INT) AS height
-        |FROM m""".stripMargin,
+        |FROM d""".stripMargin,
 
     // member-level banding == the engine's rep-collapse + expansion:
     // identical payloads share every band (hamming 0 always passes),

@@ -44,10 +44,14 @@ object Multimodal {
     * encode == the original text bytes EXACTLY, which keeps every
     * downstream hash oracle byte-exact while exercising a real
     * container round-trip. Width/height metadata are the real encoded
-    * dims. */
+    * dims — derived from the UTF-8 BYTE length (octet_length of the
+    * encoded payload), the same unit encodePpmGray shapes the
+    * container from; `length(text)` (a CHARACTER count) would disagree
+    * with the actual header for any non-ASCII text (r12 advice,
+    * spec-pinned with a non-ASCII row). */
   def attachBinary(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
-    val len = length(col(textCol))
+    val len = octet_length(encode(col(textCol), "UTF-8"))
     val h = when(len === 0, lit(1))
       .when(len % 4 === 0, lit(4))
       .when(len % 3 === 0, lit(3))
@@ -63,13 +67,19 @@ object Multimodal {
       lit("image/ppm").as("format"))
   }
 
-  /** Expression-level (codegen'd) lightweight features — no decode. */
+  /** Expression-level (codegen'd) lightweight features — no decode.
+    * content_md5 hashes the payload's HEX encoding (not the raw
+    * bytes): byte-equivalent as a content fingerprint, and the form a
+    * SQL oracle without a binary md5 (DuckDB 1.0 has md5(VARCHAR)
+    * only) can reproduce byte-faithfully for ANY payload — hashing a
+    * VARCHAR reconstruction of binary content breaks the moment a
+    * byte sequence isn't valid UTF-8. */
   def byteFeatures(df: DataFrame): DataFrame =
     df.select(col("id"), col("modality"),
       octet_length(col("payload")).cast("int").as("byte_len"),
       hex(col("payload").substr(1, 8)).as("header_hex"),
       col("width"), col("height"),
-      md5(col("payload")).as("content_md5"))
+      md5(hex(col("payload"))).as("content_md5"))
 
   /** Frame sampling: one row per fixed-size chunk of the DECODED
     * sample stream (gray pixels for recognized image containers via
@@ -354,8 +364,4 @@ object Multimodal {
       it.map(decodeOne)
     }
   }
-
-  /** @deprecated name kept for callers of the pre-r12 stub entry. */
-  def decodeFeaturesStub(media: DataFrame): Dataset[MediaFeatures] =
-    decodeFeatures(media)
 }

@@ -162,15 +162,84 @@ object Txn {
         suffix.map(t => s"#txn:$t"))
   }
 
-  /** Highest committed version, 0 if the table has none. */
+  // ---- head pointer -------------------------------------------------
+  // `_manifests/_latest` holds the last published version as a HINT
+  // (Delta's _last_checkpoint discipline): written best-effort AFTER a
+  // winning publish, so it may be stale (a racer published since, a
+  // crash landed between rename and hint write) or absent (pre-pointer
+  // tables, the delete→rename swap window). Readers therefore treat it
+  // as a LOWER BOUND only — verify the hinted manifest exists, then
+  // probe FORWARD until the next version is missing. Head resolution
+  // is O(1 + lag) exists-probes instead of an O(versions) directory
+  // listing (the r12 verdict's one remaining O(versions) read path);
+  // any corrupt/missing/backward hint falls back to the full listing,
+  // so the pointer can never change WHAT the head is, only how fast
+  // it resolves.
+
+  private def latestPath(root: String) = new Path(manifestDir(root), "_latest")
+
+  private def readLatestHint(spark: SparkSession, root: String): Int = {
+    val f = fs(spark, root)
+    val p = latestPath(root)
+    if (!f.exists(p)) return 0
+    try {
+      val in = f.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val v = s.toInt
+      if (v >= 1) v else 0
+    } catch { case scala.util.control.NonFatal(_) => 0 } // hint only
+  }
+
+  /** Advance the head hint to `v` (never backwards). Whole-file content
+    * swap via tmp+delete+rename — a reader in the swap window sees a
+    * missing hint and falls back to the listing; every failure mode is
+    * recoverable because the hint is advisory. */
+  private def writeLatestHint(spark: SparkSession, root: String,
+      v: Int): Unit =
+    try {
+      if (readLatestHint(spark, root) >= v) return
+      val f = fs(spark, root)
+      val tmp = new Path(manifestDir(root),
+        s".tmp-${java.util.UUID.randomUUID().toString}")
+      val os = f.create(tmp, false)
+      try os.write(s"$v\n".getBytes("UTF-8")) finally os.close()
+      val target = latestPath(root)
+      f.delete(target, false)
+      if (!f.rename(tmp, target)) f.delete(tmp, false) // racer won — fine
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+
+  /** Highest committed version, 0 if the table has none. Resolution:
+    * verified `_latest` hint + forward probe (O(1 + publish lag)),
+    * falling back to the full `_manifests/` listing when the hint is
+    * absent, stale past an expiry, or unparsable. */
   def currentVersion(spark: SparkSession, root: String): Int = {
     val f = fs(spark, root)
     val dir = manifestDir(root)
-    if (!f.exists(dir)) 0
+    if (!f.exists(dir)) return 0
+    val hint = readLatestHint(spark, root)
+    if (hint > 0 && f.exists(manifestPath(root, hint))) {
+      var v = hint
+      while (f.exists(manifestPath(root, v + 1))) v += 1
+      v
+    } else
+      f.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
+        .foldLeft(0)(math.max)
+  }
+
+  /** Committed versions still present (expiry leaves holes at the
+    * tail): the manifest listing, parsed once — maintenance surfaces
+    * ([[vacuum]], [[expireManifests]]) iterate THIS, never 1..head. */
+  private def survivingVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val f = fs(spark, root)
+    val dir = manifestDir(root)
+    if (!f.exists(dir)) Nil
     else f.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
       .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
-      .foldLeft(0)(math.max)
+      .sorted.toSeq
   }
 
   /** One manifest entry: a data file plus (optionally) the min/max of
@@ -185,7 +254,12 @@ object Txn {
   private def snapshotLines(spark: SparkSession, root: String,
       v: Int): Seq[String] = {
     val f = fs(spark, root)
-    val in = f.open(manifestPath(root, v))
+    val p = manifestPath(root, v)
+    if (!f.exists(p))
+      sys.error(s"Txn: version $v at $root was never committed or has " +
+        "been expired (expireManifests) — time travel reaches only the " +
+        "retained window")
+    val in = f.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
@@ -298,6 +372,7 @@ object Txn {
     // limitation)
     val won = f.rename(tmp, target)
     if (!won) f.delete(tmp, false)
+    else writeLatestHint(spark, root, v) // best-effort, after the point
     won
   }
 
@@ -470,7 +545,8 @@ object Txn {
       maxRetries: Int = 5, statsCol: Option[String] = None): Int = {
     val keyRows = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
       .distinct()
-    retry(spark, root, maxRetries) { v =>
+    retryRowLevel(spark, root, maxRetries, keyRows, keyCol,
+        "Txn.commitDelete") { v =>
       require(v >= 2, s"Txn.commitDelete: no committed version at $root")
       val prev = snapshotLines(spark, root, v - 1)
       val entries = snapshotEntries(spark, root, v - 1)
@@ -546,7 +622,8 @@ object Txn {
           s"(${counts.getLong(0)} rows, ${counts.getLong(1)} keys) — " +
           "an ambiguous merge is order-dependent; dedupe the changeset")
       val keyRows = src.select(col(keyCol)).distinct()
-      retry(spark, root, maxRetries) { v =>
+      retryRowLevel(spark, root, maxRetries, keyRows, keyCol,
+          "Txn.commitMerge") { v =>
         require(v >= 2, s"Txn.commitMerge: no committed version at $root")
         val prev = snapshotLines(spark, root, v - 1)
         if (!mergeSchema) requireSameSchema(prev, src, "commitMerge")
@@ -576,11 +653,73 @@ object Txn {
             .unionByName(src, allowMissingColumns = mergeSchema)
         val staged = stageBatch(spark, root, survivors, partitionBy,
           batchDir(v), statsCol)
-        metaForNext(spark, root, v - 1, prev,
-          if (mergeSchema) src.schema
-          else schemaLine(prev).getOrElse(src.schema)) ++ kept ++ staged
+        // mergeSchema commits the EVOLVED UNION (committed fields, in
+        // their committed types, plus src-only additions) — committing
+        // src.schema would silently NARROW the table when the source
+        // lacks columns the target has (allowed by unionByName
+        // allowMissingColumns), making a later strict append throw
+        // spurious drift and an empty-snapshot read lose columns
+        // (r12 advice; Delta's merge evolution commits the union).
+        val evolved = schemaLine(prev).fold(src.schema) { committed =>
+          if (!mergeSchema) committed
+          else StructType(committed.fields ++ src.schema.fields
+            .filterNot(f => committed.fieldNames.contains(f.name)))
+        }
+        metaForNext(spark, root, v - 1, prev, evolved) ++ kept ++ staged
       }
     } finally src.unpersist()
+  }
+
+  /** Thrown when a row-level commit ([[commitDelete]]/[[commitMerge]]),
+    * after losing the optimistic publish race, detects that the racing
+    * commit(s) changed rows whose key intersects its own key set.
+    * Restaging blindly would SERIALIZE the two writers and silently
+    * drop one's effect (the lost-update anomaly); the caller must
+    * re-read the new head and decide. Delta raises
+    * ConcurrentAppend/DeleteException on the same shape. */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** The retry loop for ROW-LEVEL commits, with write-write conflict
+    * DETECTION: a plain append restages blindly after losing the
+    * publish race (pure addition commutes), but a delete/merge READ
+    * the table to decide what to rewrite — if a racing commit changed
+    * any row sharing a key with `keyRows`, the restage would re-apply
+    * on top of (and clobber or resurrect) the racer's row-level
+    * intent. Detection is key-granular via [[readChangesCdf]] over
+    * exactly the raced version span (cost bounded by the racer's
+    * changed files, never a table scan): any key overlap throws
+    * [[ConcurrentWriteException]]; disjoint racers restage as before.
+    *
+    * Isolation level (Delta's WriteSerializable shape): write-write
+    * conflicts on a key are detected; a rewrite commit (overwrite/
+    * compact) that touches matching keys also throws (its CDF emits
+    * the folded rows); cross-key read skew is not detected —
+    * single-table key-level serializability, stated, not implied. */
+  private def retryRowLevel(spark: SparkSession, root: String,
+      maxRetries: Int, keyRows: DataFrame, keyCol: String, who: String)(
+      stage: Int => Seq[String]): Int = {
+    var attempt = 0
+    var baseV = -1 // the head the FIRST attempt staged against
+    while (attempt < maxRetries) {
+      val v = currentVersion(spark, root) + 1
+      if (baseV < 0) baseV = v - 1
+      else if (v - 1 > baseV) {
+        val changed = readChangesCdf(spark, root, baseV, Some(v - 1))
+          .select(col(keyCol)).distinct()
+        val hit = changed.join(keyRows, Seq(keyCol), "left_semi")
+          .limit(1).count()
+        if (hit > 0) throw new ConcurrentWriteException(
+          s"$who at $root: concurrent commit(s) " +
+            s"v${baseV + 1}..v${v - 1} changed rows with overlapping " +
+            s"$keyCol keys — re-read the new head and rerun")
+        baseV = v - 1 // disjoint racer: safe to restage on the new head
+      }
+      val lines = stage(v)
+      if (publish(spark, root, v, lines)) return v
+      attempt += 1 // lost the race: head moved; restage against new head
+    }
+    sys.error(s"Txn: lost the commit race $maxRetries times at $root")
   }
 
   private def retry(spark: SparkSession, root: String, maxRetries: Int)(
@@ -737,19 +876,70 @@ object Txn {
     }.foldLeft(empty)(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** EXPIRE the oldest manifests, keeping the newest `keepLast`
+    * versions time-travelable — the Delta log-retention / Iceberg
+    * `expire_snapshots` maintenance verb, and the bound that keeps a
+    * streaming-publish-cadence table's `_manifests/` from growing
+    * O(commits) forever: after expiry, every metadata walk
+    * ([[vacuum]]'s live set, tag resolution, head fallback listing)
+    * touches only the retained window.
+    *
+    * Tag consolidation first: a surviving manifest's `#tagbase:<w>`
+    * resolves through `t<w>.tags` with a defensive fallback of
+    * re-reading manifest w — which is exactly what expiry deletes. So
+    * for every base a SURVIVOR references, the tags file is
+    * materialized (rename-no-overwrite, deterministic bytes) BEFORE
+    * any manifest is removed; idempotence checks — including tags
+    * committed long before the window — stay exact across expiry.
+    * Tags files themselves are never expired (they are the
+    * checkpoint, a few KB bounded by tags/[[tagCheckpointEvery]]).
+    *
+    * Expired versions' DATA files are not touched here: once no
+    * surviving manifest references them they leave [[vacuum]]'s live
+    * set and age out under its retention gate. Reading an expired
+    * version throws with a clear message. Single-maintainer verb
+    * (like Delta's retention): run it from the table's owner, not
+    * concurrently with time-travel readers of the expiring tail.
+    * Returns the versions removed. */
+  def expireManifests(spark: SparkSession, root: String,
+      keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val f = fs(spark, root)
+    val versions = survivingVersions(spark, root)
+    if (versions.isEmpty) return Nil
+    val head = versions.max
+    val expiring = versions.filter(_ <= head - keepLast)
+    if (expiring.isEmpty) return Nil
+    val expSet = expiring.toSet
+    // consolidate: every base a survivor references must have its
+    // tags file on disk before the fallback chain disappears
+    versions.filterNot(expSet).foreach { v =>
+      tagBase(snapshotLines(spark, root, v)).foreach { w =>
+        if (!f.exists(tagsFilePath(root, w)))
+          writeTagsFileIfAbsent(spark, root, w,
+            resolveTags(spark, root, snapshotLines(spark, root, w))
+              .distinct.sorted)
+      }
+    }
+    expiring.foreach(v => f.delete(manifestPath(root, v), false))
+    expiring
+  }
+
   /** Delete data files no committed manifest references and stale temp
     * manifests (crash leftovers) — RETENTION-GATED: only files older
     * than `olderThanMs` are touched, so vacuum can never reclaim a
     * concurrent committer's just-staged batch out from under its
     * publish (the Delta retention-period discipline; pass 0 only when
     * no commit can be in flight). Keeps every committed snapshot
-    * readable — time travel survives vacuum. Returns files removed. */
+    * readable — time travel survives vacuum; after
+    * [[expireManifests]], the live set is built from the SURVIVING
+    * manifests only, so expired history's files become reclaimable.
+    * Returns files removed. */
   def vacuum(spark: SparkSession, root: String,
       olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val f = fs(spark, root)
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val live = (1 to currentVersion(spark, root))
-      .filter(v => f.exists(manifestPath(root, v)))
+    val live = survivingVersions(spark, root)
       .flatMap(v => snapshotFiles(spark, root, v)).toSet
     var removed = 0
     val dataDir = new Path(s"$root/data")

@@ -134,6 +134,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(new String(rt, "UTF-8") == "hello world!")
   }
 
+  test("multimodal: non-ASCII text shapes the container from BYTES, not chars") {
+    // "héllo wörld" = 11 characters but 13 UTF-8 bytes (é, ö are
+    // 2 bytes each): 13 is odd and not divisible by 3 → h=1, w=13.
+    // A char-count shaping would have picked len=11 → h=1, w=11 and
+    // disagreed with the container header (r12 advice, the bug this
+    // spec pins closed).
+    val txt = "héllo wörld"
+    assert(txt.length == 11 && txt.getBytes("UTF-8").length == 13)
+    val media = Multimodal.attachBinary(
+      Seq((7L, txt)).toDF("doc_id", "text"), "doc_id", "text")
+    val r = media.select(col("width"), col("height"), col("payload")).head()
+    assert(r.getInt(0) == 13 && r.getInt(1) == 1)
+    // metadata == the PARSED header's dims, and decode round-trips
+    val img = graft.plans.ImageCodec.decode(r.getAs[Array[Byte]](2)).get
+    assert(img.width == 13 && img.height == 1)
+    assert(new String(img.pixels, "UTF-8") == txt)
+    // decodeFeatures (header-parse path) agrees with the metadata
+    val f = Multimodal.decodeFeatures(media).head()
+    // header "P6\n13 1\n255\n" is 12 bytes; raster = 3 * 13 gray triples
+    assert(f.width == 13 && f.height == 1 && f.byte_len == 12 + 3 * 13)
+  }
+
   test("ImageCodec: PPM grammar (comments, P5), BMP layouts, rejects") {
     import graft.plans.ImageCodec
     // P6 with comments and multi-whitespace — the published grammar
@@ -316,7 +338,7 @@ class TextMultimodalSpec extends SparkSpec {
     val media = Multimodal.attachBinary(
       Seq((1L, "abcd"), (2L, "abcd"), (3L, "zzzz")).toDF("doc_id", "text"),
       "doc_id", "text")
-    val out = Multimodal.decodeFeaturesStub(media).collect()
+    val out = Multimodal.decodeFeatures(media).collect()
       .map(f => f.id -> f.embedding.toSeq).toMap
     assert(out(1L) == out(2L))       // same bytes → same features
     assert(out(1L) != out(3L))

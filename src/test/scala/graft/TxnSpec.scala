@@ -520,4 +520,87 @@ class TxnSpec extends SparkSpec {
     assert(Txn.commitAppendIdempotent(spark, root,
       Seq((667L, "a", 667L)).toDF("k", "part", "n"), f"t$n%04d").isEmpty)
   }
+
+  test("_latest head hint: stale, missing, and garbage all resolve the true head") {
+    val root = freshRoot()
+    (1 to 3).foreach { i =>
+      Txn.commitAppend(spark, root,
+        Seq((i.toLong, "a", i.toLong)).toDF("k", "part", "n"))
+    }
+    val f = fs(root)
+    val latest = new Path(s"$root/_manifests/_latest")
+    assert(f.exists(latest), "publish must advance the hint")
+    assert(Txn.currentVersion(spark, root) == 3)
+    // STALE hint (a racer published since the last hint write): the
+    // forward probe walks past it
+    val os1 = f.create(latest, true); os1.write("1\n".getBytes); os1.close()
+    assert(Txn.currentVersion(spark, root) == 3)
+    // MISSING hint (pre-pointer table / swap window): listing fallback
+    f.delete(latest, false)
+    assert(Txn.currentVersion(spark, root) == 3)
+    // GARBAGE hint: parse failure falls back, never throws
+    val os2 = f.create(latest, true); os2.write("nonsense".getBytes); os2.close()
+    assert(Txn.currentVersion(spark, root) == 3)
+    // the next publish repairs the hint (monotone advance)
+    Txn.commitAppend(spark, root, Seq((4L, "a", 4L)).toDF("k", "part", "n"))
+    assert(Txn.currentVersion(spark, root) == 4)
+    val in = f.open(latest)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    assert(s == "4")
+  }
+
+  test("expireManifests: 5x the window in commits — window exact, tail gone, tags consolidate, vacuum shrinks to survivors") {
+    val root = freshRoot()
+    val nTagged = Txn.tagCheckpointEvery + 2 // forces one checkpoint roll
+    (1 to nTagged).foreach { i =>
+      Txn.commitAppendIdempotent(spark, root,
+        Seq((i.toLong, "a", i.toLong)).toDF("k", "part", "n"), f"e$i%04d")
+    }
+    val vCompact = Txn.compact(spark, root, numFiles = 1) // rewrites all
+    (1 to 4).foreach { i =>
+      Txn.commitAppendIdempotent(spark, root,
+        Seq((1000L + i, "a", i.toLong)).toDF("k", "part", "n"), f"p$i%04d")
+    }
+    val head = Txn.currentVersion(spark, root)
+    assert(head == nTagged + 5 && vCompact == nTagged + 1)
+
+    // force the CONSOLIDATION path: drop every checkpoint tags file so
+    // survivors' #tagbase can only resolve if expiry rematerializes it
+    // from the expiring manifests first
+    val f = fs(root)
+    f.listStatus(new Path(s"$root/_manifests"))
+      .filter(_.getPath.getName.matches("t\\d+\\.tags"))
+      .foreach(s => f.delete(s.getPath, false))
+
+    val keep = 5 // head..head-4 = vCompact..head survive; 1..nTagged expire
+    val expired = Txn.expireManifests(spark, root, keep)
+    assert(expired == (1 to head - keep))
+    assert(Txn.currentVersion(spark, root) == head)
+
+    // window reads exact; the expired tail throws a clear error
+    assert(Txn.read(spark, root, Some(vCompact)).count() == nTagged.toLong)
+    assert(Txn.read(spark, root).count() == nTagged.toLong + 4)
+    assert(table(root).contains((1001L, "a", 1L)))
+    val ex = intercept[RuntimeException](Txn.read(spark, root, Some(1)))
+    assert(ex.getMessage.contains("expired"))
+
+    // idempotence across expiry: the FULL tag set (including tags
+    // committed far before the window) resolves and still dedups
+    assert(Txn.committedTags(spark, root, head).toSet ==
+      ((1 to nTagged).map(i => f"e$i%04d") ++
+        (1 to 4).map(i => f"p$i%04d")).toSet)
+    assert(Txn.commitAppendIdempotent(spark, root,
+      Seq((666L, "a", 666L)).toDF("k", "part", "n"), "e0001").isEmpty)
+
+    // vacuum's live set shrinks to the surviving window: the expired
+    // appends' batch files (rewritten away by the compact) reclaim
+    val removed = Txn.vacuum(spark, root, olderThanMs = 0)
+    assert(removed >= nTagged, s"expired batches should reclaim: $removed")
+    assert(Txn.read(spark, root).count() == nTagged.toLong + 4)
+    assert(Txn.read(spark, root, Some(vCompact)).count() == nTagged.toLong)
+
+    // an idempotent no-op: nothing newly expirable
+    assert(Txn.expireManifests(spark, root, keep).isEmpty)
+  }
 }
