@@ -696,6 +696,13 @@ object Txn {
     * compact) that touches matching keys also throws (its CDF emits
     * the folded rows); cross-key read skew is not detected —
     * single-table key-level serializability, stated, not implied. */
+  /** TEST SEAM: runs once per row-level attempt between staging and
+    * publish, then self-clears — lets TxnSpec inject a racing commit
+    * at the exact window real concurrency would (losing the publish,
+    * entering the conflict check deterministically). Never set outside
+    * tests. */
+  private[graft] var raceOnce: Option[() => Unit] = None
+
   private def retryRowLevel(spark: SparkSession, root: String,
       maxRetries: Int, keyRows: DataFrame, keyCol: String, who: String)(
       stage: Int => Seq[String]): Int = {
@@ -716,6 +723,7 @@ object Txn {
         baseV = v - 1 // disjoint racer: safe to restage on the new head
       }
       val lines = stage(v)
+      raceOnce.foreach { hook => raceOnce = None; hook() }
       if (publish(spark, root, v, lines)) return v
       attempt += 1 // lost the race: head moved; restage against new head
     }

@@ -603,4 +603,131 @@ class TxnSpec extends SparkSpec {
     // an idempotent no-op: nothing newly expirable
     assert(Txn.expireManifests(spark, root, keep).isEmpty)
   }
+
+  // ---- write-write conflict matrix -----------------------------------
+  // Races are injected through Txn.raceOnce: the hook fires between the
+  // loser's stage and publish — the exact window a real concurrent
+  // committer wins in — so the loser's FIRST publish fails and the
+  // retry enters the conflict check deterministically.
+
+  /** Write `df` as a real parquet batch under root/data and return its
+    * manifest data lines — what a racing committer would stage. */
+  private def fabricateBatch(root: String, df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val tag = s"brace-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$root/data/$tag")
+    val f = fs(root)
+    val it = f.listFiles(new Path(s"$root/data/$tag"), true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        out += s"$tag/$n"
+    }
+    out.toSeq.sorted
+  }
+
+  /** Publish a fabricated racing commit at head+1: meta lines carried
+    * verbatim, data lines transformed by `delta`. */
+  private def injectCommit(root: String,
+      delta: Seq[String] => Seq[String]): Unit = {
+    val head = Txn.currentVersion(spark, root)
+    val lines = Txn.snapshotLines0(spark, root, head)
+    val (meta, data) = lines.partition(_.startsWith("#"))
+    val f = fs(root)
+    val os = f.create(
+      new Path(f"$root/_manifests/v${head + 1}%05d.manifest"), false)
+    os.write(((meta ++ delta(data)).mkString("\n") + "\n").getBytes("UTF-8"))
+    os.close()
+  }
+
+  /** Fresh table: part x holds k=1,2; part y holds k=3,4. */
+  private def conflictFixture(): String = {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 30L), (4L, "y", 40L))
+        .toDF("k", "part", "n"), Seq("part"))
+    root
+  }
+
+  test("conflict: merge ∥ merge on overlapping keys — the loser throws, the racer's state stands") {
+    val root = conflictFixture()
+    // the racer rewrites part=x (its merge touched k=2)
+    Txn.raceOnce = Some(() => injectCommit(root, data => {
+      data.filterNot(_.contains("part=x")) ++ fabricateBatch(root,
+        Seq((1L, "x", 10L), (2L, "x", 999L)).toDF("k", "part", "n"))
+    }))
+    val ex = intercept[Txn.ConcurrentWriteException] {
+      Txn.commitMerge(spark, root,
+        Seq((2L, "x", 555L)).toDF("k", "part", "n"), "k", Seq("part"))
+    }
+    assert(ex.getMessage.contains("overlapping"))
+    // the racer's commit is the head; the loser landed NOTHING
+    assert(Txn.currentVersion(spark, root) == 2)
+    assert(table(root) == Set((1L, "x", 10L), (2L, "x", 999L),
+      (3L, "y", 30L), (4L, "y", 40L)))
+  }
+
+  test("conflict: merge ∥ merge on disjoint keys — both land") {
+    val root = conflictFixture()
+    Txn.raceOnce = Some(() => injectCommit(root, data => {
+      data.filterNot(_.contains("part=x")) ++ fabricateBatch(root,
+        Seq((1L, "x", 111L), (2L, "x", 222L)).toDF("k", "part", "n"))
+    }))
+    // our merge touches only k=4 — disjoint from the racer's {1,2}
+    val v = Txn.commitMerge(spark, root,
+      Seq((4L, "y", 444L)).toDF("k", "part", "n"), "k", Seq("part"))
+    assert(v == 3)
+    // BOTH intents present: racer's x rewrite and our y upsert
+    assert(table(root) == Set((1L, "x", 111L), (2L, "x", 222L),
+      (3L, "y", 30L), (4L, "y", 444L)))
+  }
+
+  test("conflict: delete ∥ append disjoint — both land; overlapping append throws") {
+    val root = conflictFixture()
+    // disjoint: the racer appends k=20 while we delete k=3
+    Txn.raceOnce = Some(() => injectCommit(root, data =>
+      data ++ fabricateBatch(root,
+        Seq((20L, "z", 200L)).toDF("k", "part", "n"))))
+    val v = Txn.commitDelete(spark, root, Seq(3L).toDF("k"), "k", Seq("part"))
+    assert(v == 3)
+    assert(table(root) == Set((1L, "x", 10L), (2L, "x", 20L),
+      (4L, "y", 40L), (20L, "z", 200L)))
+
+    // overlapping: a racer appends k=4 while we delete k=4 — our
+    // delete read a snapshot WITHOUT that row; silently restaging
+    // would make the outcome depend on commit order. Throw.
+    Txn.raceOnce = Some(() => injectCommit(root, data =>
+      data ++ fabricateBatch(root,
+        Seq((4L, "y", 4444L)).toDF("k", "part", "n"))))
+    intercept[Txn.ConcurrentWriteException] {
+      Txn.commitDelete(spark, root, Seq(4L).toDF("k"), "k", Seq("part"))
+    }
+    assert(table(root).contains((4L, "y", 4444L)), "racer's append stands")
+  }
+
+  test("commitMerge mergeSchema commits the UNION schema, never narrowing") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, "x", 10L), (2L, "x", 20L)).toDF("k", "part", "n"))
+    // source LACKS column n — pre-fix this narrowed the committed
+    // #schema to (k, part), making the next strict append throw
+    val vm = Txn.commitMerge(spark, root,
+      Seq((2L, "x"), (5L, "z")).toDF("k", "part"), "k", mergeSchema = true)
+    assert(vm == 2)
+    // a strict full-schema append works: the table still HAS n
+    Txn.commitAppend(spark, root, Seq((9L, "y", 90L)).toDF("k", "part", "n"))
+    val got = Txn.read(spark, root).select("k", "part", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((1L, "x", 10L), (2L, "x", -1L), (5L, "z", -1L),
+      (9L, "y", 90L)))
+    // and a source ADDING a column widens the union
+    Txn.commitMerge(spark, root,
+      Seq((1L, "x", 10L, "new")).toDF("k", "part", "n", "extra"), "k",
+      mergeSchema = true)
+    val head = Txn.read(spark, root)
+    assert(head.columns.toSet == Set("k", "part", "n", "extra"))
+    assert(head.where(col("k") === 1L).head().getAs[String]("extra") == "new")
+  }
 }
