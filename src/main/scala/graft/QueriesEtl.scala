@@ -943,12 +943,14 @@ object QueriesEtl {
         .select(col("event_type"), col("n"), col("sum_val"))
     }),
 
-    // manifest COLUMN STATS + skip-scan (the Iceberg/Delta
-    // data-skipping shape at the Txn layer): commit range-partitioned
-    // files with per-file min/max recorded in the manifest, then read
-    // a selective range through filesForRange — only intersecting
-    // files are opened (pruning pinned in TxnSpec); the residual
-    // filter keeps the result exact however files overlap
+    // manifest MULTI-COLUMN STATS + skip-scan (the Iceberg/Delta
+    // data-skipping shape at the Txn layer; Delta records 32 columns
+    // by default, here the writer declares two): commit
+    // range-partitioned files with per-file min/max of BOTH columns
+    // recorded in ONE stats pass, then read a conjunctive two-column
+    // slice through readWhereAll — only files intersecting BOTH
+    // ranges are opened (intersection-count pinned in TxnSpec); the
+    // residual predicates keep the result exact however files overlap
     "etl_txn_skipscan" -> ((s, d) => {
       val root = s"/tmp/graft_rt/txnskip_${d.replace('/', '_')}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -956,8 +958,9 @@ object QueriesEtl {
         .select(col("user_id"), col("event_type"), col("value"))
       graft.operators.Txn.commitOverwrite(s, root,
         ev.repartitionByRange(8, col("user_id")),
-        statsCol = Some("user_id"))
-      graft.operators.Txn.readWhere(s, root, "user_id", 100d, 300d)
+        statsCols = Seq("user_id", "value"))
+      graft.operators.Txn.readWhereAll(s, root,
+          Seq(("user_id", 100d, 300d), ("value", 0d, 50d)))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
@@ -1660,6 +1663,7 @@ object QueriesEtl {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
         |FROM events WHERE user_id >= 100 AND user_id <= 300
+        |  AND value >= 0 AND value <= 50
         |GROUP BY 1""".stripMargin,
 
     // both branches recomputed inline: per-rule violation counts over

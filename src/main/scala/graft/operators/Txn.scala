@@ -242,11 +242,24 @@ object Txn {
       .sorted.toSeq
   }
 
-  /** One manifest entry: a data file plus (optionally) the min/max of
-    * the table's declared stats column within that file — the
-    * Iceberg/Delta file-skipping metadata, one numeric column's worth. */
-  final case class Entry(path: String, min: Option[Double],
-      max: Option[Double])
+  /** One manifest entry: a data file plus per-column min/max of the
+    * table's DECLARED stats columns within that file — the
+    * Iceberg/Delta file-skipping metadata (Delta records 32 columns by
+    * default; here the writer declares which). Stats are NAMED in the
+    * manifest line (`path TAB col:min:max TAB col2:...`), so a reader
+    * can verify a predicate column against what was actually recorded
+    * instead of trusting the caller's claim — the r12-advice hazard
+    * where pruning on a column whose stats were never collected
+    * silently skipped files. Legacy unnamed lines (`path TAB min TAB
+    * max`) parse under the reserved name "" and are honored by the
+    * read-side range APIs but never by row-level commit pruning. */
+  final case class Entry(path: String, stats: Map[String, (Double, Double)]) {
+    /** Recorded range of `c`, falling back to a legacy unnamed range. */
+    def statsFor(c: String): Option[(Double, Double)] =
+      stats.get(c).orElse(stats.get(""))
+    /** Range recorded FOR THIS NAME only — the row-level prune gate. */
+    def namedStats(c: String): Option[(Double, Double)] = stats.get(c)
+  }
 
   /** Raw manifest lines of snapshot `v` — the carry-forward unit, so
     * appends and partition replaces preserve sibling files' stats and
@@ -270,13 +283,23 @@ object Txn {
   private[graft] def snapshotLines0(spark: SparkSession, root: String,
       v: Int): Seq[String] = snapshotLines(spark, root, v)
 
-  /** Manifest DATA entries of snapshot `v` (path [TAB min TAB max]). */
+  /** Manifest DATA entries of snapshot `v`
+    * (path [TAB col:min:max]... | legacy path TAB min TAB max). */
   def snapshotEntries(spark: SparkSession, root: String,
       v: Int): Seq[Entry] =
     snapshotLines(spark, root, v).filterNot(isMeta).map { line =>
       line.split('\t') match {
-        case Array(p)         => Entry(p, None, None)
-        case Array(p, lo, hi) => Entry(p, Some(lo.toDouble), Some(hi.toDouble))
+        case Array(p) => Entry(p, Map.empty)
+        case Array(p, lo, hi)
+            if !lo.contains(':') && !hi.contains(':') =>
+          Entry(p, Map("" -> (lo.toDouble, hi.toDouble))) // legacy unnamed
+        case arr if arr.length >= 2 =>
+          Entry(arr(0), arr.tail.map { f =>
+            f.split(':') match {
+              case Array(c, lo, hi) => c -> (lo.toDouble, hi.toDouble)
+              case _ => sys.error(s"Txn: malformed stats field '$f': $line")
+            }
+          }.toMap)
         case _ => sys.error(s"Txn: malformed manifest line: $line")
       }
     }
@@ -292,12 +315,17 @@ object Txn {
 
   /** Write `df`'s files under a fresh ATTEMPT-UNIQUE batch dir; returns
     * their manifest lines (root-relative path, plus TAB-separated
-    * min/max of `statsCol` when declared) WITHOUT publishing anything.
-    * Stats come from ONE distributed pass grouped by input_file_name —
-    * the driver receives only (file, min, max), bounded by file count. */
+    * `col:min:max` per declared stats column) WITHOUT publishing
+    * anything. However many columns are declared, stats come from ONE
+    * distributed pass grouped by input_file_name — the driver receives
+    * only (file, min1, max1, ...), bounded by file count. */
   private def stageBatch(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String], batchTag: String,
-      statsCol: Option[String] = None): Seq[String] = {
+      statsCols: Seq[String] = Nil): Seq[String] = {
+    statsCols.foreach { c =>
+      require(!c.contains(':') && !c.contains('\t') && c.nonEmpty,
+        s"stats column name must be a plain identifier (no ':'/tab): '$c'")
+    }
     val dir = s"$root/data/$batchTag"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -316,13 +344,16 @@ object Txn {
     // an empty frame stages zero part files — nothing to list or stat;
     // the snapshot stays readable through its #schema line
     if (paths.isEmpty) return Nil
-    statsCol.fold(paths) { c =>
+    if (statsCols.isEmpty) paths
+    else {
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__lo_$c"),
+        max(col(c).cast("double")).as(s"__hi_$c")))
       val stats = spark.read.parquet(dir)
         .groupBy(input_file_name().as("__f"))
-        .agg(min(col(c).cast("double")).as("__lo"),
-          max(col(c).cast("double")).as("__hi"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect() // bounded by file count — manifest metadata, not data
-        .flatMap { r =>
+        .map { r =>
           // input_file_name() yields a URL-ENCODED URI string (space →
           // %20, a literal '%' in an escaped partition dir → %25…);
           // the listing side above decodes once via Path→URI. Wrapping
@@ -337,11 +368,17 @@ object Txn {
             catch { case _: java.net.URISyntaxException =>
               new Path(p).toUri.getPath }
           val rel = decoded.stripPrefix(base).stripPrefix("/")
-          if (r.isNullAt(1) || r.isNullAt(2)) None
-          else Some(rel -> (r.getDouble(1), r.getDouble(2)))
+          // a column all-NULL within a file records no range for it —
+          // readers treat missing stats as "cannot skip", never a filter
+          val fields = statsCols.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+            else Some(s"$c:${r.getDouble(1 + 2 * i)}:${r.getDouble(2 + 2 * i)}")
+          }
+          rel -> fields
         }.toMap
       paths.map { p =>
-        stats.get(p).fold(p) { case (lo, hi) => s"$p\t$lo\t$hi" }
+        stats.get(p).filter(_.nonEmpty)
+          .fold(p)(fields => (p +: fields).mkString("\t"))
       }
     }
   }
@@ -377,17 +414,20 @@ object Txn {
   }
 
   /** Commit `df` as the COMPLETE new snapshot (full overwrite).
-    * `statsCol` (numeric) records per-file min/max in the manifest for
-    * [[readWhere]] file skipping. Idempotence tags committed by
-    * earlier versions carry forward — a rewrite does not reopen
-    * already-committed micro-batches. */
+    * `statsCol`/`statsCols` (numeric) record per-file min/max in the
+    * manifest for [[readWhere]]/[[readWhereAll]] file skipping — any
+    * number of columns, still ONE stats pass. Idempotence tags
+    * committed by earlier versions carry forward — a rewrite does not
+    * reopen already-committed micro-batches. */
   def commitOverwrite(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, maxRetries: Int = 5,
-      statsCol: Option[String] = None): Int =
+      statsCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Int =
     retry(spark, root, maxRetries) { v =>
       val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
       metaForNext(spark, root, v - 1, prev, df.schema) ++
-        stageBatch(spark, root, df, partitionBy, batchDir(v), statsCol)
+        stageBatch(spark, root, df, partitionBy, batchDir(v),
+          (statsCol.toSeq ++ statsCols).distinct)
     }
 
   /** Commit `df` as an APPEND: new snapshot = previous files + df's.
@@ -403,13 +443,15 @@ object Txn {
     * each version's original shape. */
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, maxRetries: Int = 5,
-      statsCol: Option[String] = None, mergeSchema: Boolean = false): Int =
+      statsCol: Option[String] = None, mergeSchema: Boolean = false,
+      statsCols: Seq[String] = Nil): Int =
     retry(spark, root, maxRetries) { v =>
       val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
       if (!mergeSchema) requireSameSchema(prev, df, "commitAppend")
       metaForNext(spark, root, v - 1, prev, df.schema) ++
         prev.filterNot(isMeta) ++
-        stageBatch(spark, root, df, partitionBy, batchDir(v), statsCol)
+        stageBatch(spark, root, df, partitionBy, batchDir(v),
+          (statsCol.toSeq ++ statsCols).distinct)
     }
 
   /** Fail loudly when an (un-merged) append's schema drifts from the
@@ -507,13 +549,41 @@ object Txn {
     * Returns the new version. */
   def compact(spark: SparkSession, root: String,
       partitionBy: Seq[String] = Nil, numFiles: Int = 1,
-      statsCol: Option[String] = None, maxRetries: Int = 5): Int = {
+      statsCol: Option[String] = None, maxRetries: Int = 5,
+      statsCols: Seq[String] = Nil): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     val head = read(spark, root)
     val folded =
       if (partitionBy.nonEmpty) head.repartition(partitionBy.map(col): _*)
       else head.repartition(numFiles)
-    commitOverwrite(spark, root, folded, partitionBy, maxRetries, statsCol)
+    commitOverwrite(spark, root, folded, partitionBy, maxRetries, statsCol,
+      statsCols)
+  }
+
+  /** Files a row-level commit must rewrite: every entry WITHOUT stats
+    * recorded under the NAME `keyCol` (including legacy unnamed
+    * ranges — pruning never trusts a caller's claim the manifest
+    * cannot verify; such files rewrite unconditionally, r12 advice),
+    * plus every keyCol-ranged entry whose [min,max] can contain a key.
+    * The range check is distributed — the keys frame is never
+    * collected; only matched file PATHS come back (≤ file count). */
+  private def touchedFiles(spark: SparkSession, entries: Seq[Entry],
+      keyRows: DataFrame, keyCol: String): Set[String] = {
+    val (ranged, statless) = entries.partition(_.namedStats(keyCol).isDefined)
+    if (ranged.isEmpty) entries.map(_.path).toSet
+    else {
+      val ranges = spark.createDataFrame(ranged.map { e =>
+        val (mn, mx) = e.namedStats(keyCol).get
+        (e.path, mn, mx)
+      }).toDF("__p", "__mn", "__mx")
+      val hit = keyRows
+        .select(col(keyCol).cast("double").as("__k"))
+        .join(broadcast(ranges),
+          col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+        .select("__p").distinct()
+        .collect().map(_.getString(0)).toSet
+      statless.map(_.path).toSet ++ hit
+    }
   }
 
   /** COPY-ON-WRITE row-level DELETE (Delta/Iceberg's most-used write
@@ -542,34 +612,17 @@ object Txn {
     * matched (callers polling readChangesCdf see an empty delta). */
   def commitDelete(spark: SparkSession, root: String, keys: DataFrame,
       keyCol: String, partitionBy: Seq[String] = Nil,
-      maxRetries: Int = 5, statsCol: Option[String] = None): Int = {
+      maxRetries: Int = 5, statsCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Int = {
     val keyRows = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
       .distinct()
     retryRowLevel(spark, root, maxRetries, keyRows, keyCol,
         "Txn.commitDelete") { v =>
       require(v >= 2, s"Txn.commitDelete: no committed version at $root")
       val prev = snapshotLines(spark, root, v - 1)
-      val entries = snapshotEntries(spark, root, v - 1)
-      val touched: Set[String] =
-        if (!statsCol.contains(keyCol) ||
-            entries.forall(e => e.min.isEmpty)) entries.map(_.path).toSet
-        else {
-          val statless = entries.collect {
-            case Entry(p, None, None) => p }.toSet
-          // file ranges are manifest metadata (bounded, driver-side);
-          // the KEYS side stays distributed — broadcast the ranges,
-          // collect only the matched paths (≤ file count)
-          val ranges = spark.createDataFrame(entries.collect {
-            case Entry(p, Some(mn), Some(mx)) => (p, mn, mx) })
-            .toDF("__p", "__mn", "__mx")
-          val hit = keyRows
-            .select(col(keyCol).cast("double").as("__k"))
-            .join(broadcast(ranges),
-              col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-            .select("__p").distinct()
-            .collect().map(_.getString(0)).toSet
-          statless ++ hit
-        }
+      val touched =
+        touchedFiles(spark, snapshotEntries(spark, root, v - 1),
+          keyRows, keyCol)
       val kept = prev.filterNot(isMeta)
         .filter(l => !touched.contains(linePath(l)))
       val staged =
@@ -578,7 +631,7 @@ object Txn {
           val survivors = readFiles(spark, root, touched.toSeq.sorted)
             .join(keyRows, Seq(keyCol), "left_anti")
           stageBatch(spark, root, survivors, partitionBy, batchDir(v),
-            statsCol)
+            (statsCol.toSeq ++ statsCols).distinct)
         }
       metaForNext(spark, root, v - 1, prev,
         schemaLine(prev).getOrElse(
@@ -608,7 +661,7 @@ object Txn {
   def commitMerge(spark: SparkSession, root: String, source: DataFrame,
       keyCol: String, partitionBy: Seq[String] = Nil,
       maxRetries: Int = 5, statsCol: Option[String] = None,
-      mergeSchema: Boolean = false): Int = {
+      mergeSchema: Boolean = false, statsCols: Seq[String] = Nil): Int = {
     val src = source.cache()
     try {
       val counts = src.agg(
@@ -627,23 +680,9 @@ object Txn {
         require(v >= 2, s"Txn.commitMerge: no committed version at $root")
         val prev = snapshotLines(spark, root, v - 1)
         if (!mergeSchema) requireSameSchema(prev, src, "commitMerge")
-        val entries = snapshotEntries(spark, root, v - 1)
-        val touched: Set[String] =
-          if (!statsCol.contains(keyCol) ||
-              entries.forall(_.min.isEmpty)) entries.map(_.path).toSet
-          else {
-            val statless = entries.collect {
-              case Entry(p, None, None) => p }.toSet
-            val ranges = spark.createDataFrame(entries.collect {
-              case Entry(p, Some(mn), Some(mx)) => (p, mn, mx) })
-              .toDF("__p", "__mn", "__mx")
-            statless ++ keyRows
-              .select(col(keyCol).cast("double").as("__k"))
-              .join(broadcast(ranges),
-                col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-              .select("__p").distinct()
-              .collect().map(_.getString(0)).toSet
-          }
+        val touched =
+          touchedFiles(spark, snapshotEntries(spark, root, v - 1),
+            keyRows, keyCol)
         val kept = prev.filterNot(isMeta)
           .filter(l => !touched.contains(linePath(l)))
         val survivors =
@@ -652,7 +691,7 @@ object Txn {
             .join(keyRows, Seq(keyCol), "left_anti")
             .unionByName(src, allowMissingColumns = mergeSchema)
         val staged = stageBatch(spark, root, survivors, partitionBy,
-          batchDir(v), statsCol)
+          batchDir(v), (statsCol.toSeq ++ statsCols).distinct)
         // mergeSchema commits the EVOLVED UNION (committed fields, in
         // their committed types, plus src-only additions) — committing
         // src.schema would silently NARROW the table when the source
@@ -783,37 +822,68 @@ object Txn {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** The snapshot's files whose recorded [min, max] can intersect
-    * [lo, hi] on the stats column — files committed WITHOUT stats are
-    * kept (skipping is an optimization, never a filter). */
+  /** The snapshot's files that can intersect EVERY `(col, lo, hi)`
+    * predicate — per predicate, a file survives when it has no
+    * recorded range for that column (skipping is an optimization,
+    * never a filter; legacy unnamed ranges answer any column) or the
+    * range overlaps [lo, hi]. A conjunction, so each extra predicate
+    * can only SHRINK the file set — the Delta multi-column
+    * data-skipping shape. */
+  def filesForPreds(spark: SparkSession, root: String,
+      preds: Seq[(String, Double, Double)],
+      version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion(spark, root))
+    require(v >= 1, s"Txn.filesForPreds: no committed version at $root")
+    snapshotEntries(spark, root, v).collect {
+      case e if preds.forall { case (c, lo, hi) =>
+        e.statsFor(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } => e.path
+    }
+  }
+
+  /** Single-predicate form of [[filesForPreds]]: files whose recorded
+    * [min, max] can intersect [lo, hi] on ANY recorded stats range
+    * (the pre-r13 single-column behavior, kept for callers that
+    * declared exactly one stats column). */
   def filesForRange(spark: SparkSession, root: String, lo: Double,
       hi: Double, version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion(spark, root))
     require(v >= 1, s"Txn.filesForRange: no committed version at $root")
     snapshotEntries(spark, root, v).collect {
-      case Entry(p, None, None) => p
-      case Entry(p, Some(mn), Some(mx)) if mx >= lo && mn <= hi => p
+      case e if e.stats.isEmpty => e.path
+      case e if e.stats.values.exists { case (mn, mx) =>
+        mx >= lo && mn <= hi } => e.path
     }
   }
 
-  /** SKIP-SCAN snapshot read: `statsCol BETWEEN lo AND hi`, reading
-    * ONLY the files whose manifest stats can hold matches (plus any
-    * stats-less files) — the Iceberg/Delta data-skipping shape: at
-    * 100 TB a selective range touches the manifest (driver metadata)
-    * and a handful of files, not the table. The residual predicate is
-    * still applied, so the result is exactly the filtered snapshot
-    * regardless of how files overlap. */
-  def readWhere(spark: SparkSession, root: String, statsCol: String,
-      lo: Double, hi: Double, version: Option[Int] = None): DataFrame = {
+  /** SKIP-SCAN snapshot read under a CONJUNCTION of range predicates:
+    * reads ONLY the files whose manifest stats can hold matches on
+    * every predicate (plus any files missing a predicate's stats) —
+    * the Iceberg/Delta multi-column data-skipping shape: at 100 TB a
+    * selective two-column slice (date AND customer, say) touches the
+    * manifest (driver metadata) and the files in the INTERSECTION of
+    * both ranges, not the union either column would open alone. The
+    * residual predicates still apply, so the result is exactly the
+    * filtered snapshot regardless of how files overlap. */
+  def readWhereAll(spark: SparkSession, root: String,
+      preds: Seq[(String, Double, Double)],
+      version: Option[Int] = None): DataFrame = {
+    require(preds.nonEmpty, "Txn.readWhereAll: no predicates")
     val v = version.getOrElse(currentVersion(spark, root))
-    require(v >= 1, s"Txn.readWhere: no committed version at $root")
-    val files = filesForRange(spark, root, lo, hi, Some(v))
+    require(v >= 1, s"Txn.readWhereAll: no committed version at $root")
+    val files = filesForPreds(spark, root, preds, Some(v))
     val base =
       if (files.isEmpty) emptyFrame(spark, root, snapshotLines(spark, root, v))
       else readFiles(spark, root, files)
-    base.where(col(statsCol).cast("double") >= lo &&
-      col(statsCol).cast("double") <= hi)
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.where(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
+    }
   }
+
+  /** Single-column [[readWhereAll]]: `statsCol BETWEEN lo AND hi`. */
+  def readWhere(spark: SparkSession, root: String, statsCol: String,
+      lo: Double, hi: Double, version: Option[Int] = None): DataFrame =
+    readWhereAll(spark, root, Seq((statsCol, lo, hi)), version)
 
   /** INCREMENTAL CHANGE READ: the rows ADDED between `sinceVersion`
     * (exclusive) and `untilVersion` (inclusive, default head) — the

@@ -150,7 +150,7 @@ class TxnSpec extends SparkSpec {
     assert(all.size == 10)
     // every entry carries stats after a statsCol commit
     assert(Txn.snapshotEntries(spark, root, 1)
-      .forall(e => e.min.isDefined && e.max.isDefined))
+      .forall(_.statsFor("k").isDefined))
     // a 100-wide range over range-partitioned files touches ~1-2 of 10
     val pruned = Txn.filesForRange(spark, root, 250d, 349d)
     assert(pruned.size < all.size,
@@ -165,7 +165,8 @@ class TxnSpec extends SparkSpec {
       spark.range(2000, 2010).select(col("id").as("k"), (col("id") % 7).as("v"))
         .coalesce(1))
     val e2 = Txn.snapshotEntries(spark, root, 2)
-    assert(e2.count(_.min.isDefined) == 10 && e2.count(_.min.isEmpty) == 1)
+    assert(e2.count(_.statsFor("k").isDefined) == 10 &&
+      e2.count(_.stats.isEmpty) == 1)
     val got2 = Txn.readWhere(spark, root, "k", 2000d, 2100d)
       .select("k").collect().map(_.getLong(0)).toSet
     assert(got2 == (2000L to 2009L).toSet)
@@ -196,7 +197,7 @@ class TxnSpec extends SparkSpec {
     assert(Txn.commitAppendIdempotent(spark, root,
       df.limit(1), "sb0").isEmpty)
     // stats re-recorded on the compacted files: skip-scan prunes
-    assert(Txn.snapshotEntries(spark, root, 3).forall(_.min.isDefined))
+    assert(Txn.snapshotEntries(spark, root, 3).forall(_.statsFor("k").isDefined))
     assert(Txn.readWhere(spark, root, "k", 10d, 20d).count() == 11)
   }
 
@@ -296,7 +297,7 @@ class TxnSpec extends SparkSpec {
     Txn.commitOverwrite(spark, root, df, Seq("part"), statsCol = Some("k"))
     val entries = Txn.snapshotEntries(spark, root, 1)
     assert(entries.nonEmpty)
-    assert(entries.forall(e => e.min.isDefined && e.max.isDefined),
+    assert(entries.forall(_.statsFor("k").isDefined),
       s"stats dropped on escaped-partition files: $entries")
     val got = Txn.readWhere(spark, root, "k", 1d, 2d)
       .select("k").collect().map(_.getLong(0)).toSet
@@ -704,6 +705,51 @@ class TxnSpec extends SparkSpec {
       Txn.commitDelete(spark, root, Seq(4L).toDF("k"), "k", Seq("part"))
     }
     assert(table(root).contains((4L, "y", 4444L)), "racer's append stands")
+  }
+
+  test("multi-column stats: a conjunction opens only the INTERSECTION of per-column file sets") {
+    val root = freshRoot()
+    // k range-partitions into 10 files; j = k + 500 rides along, so
+    // each predicate selects a different slice of the SAME files and
+    // the conjunction must open exactly the intersection. Both
+    // columns' stats come from the one declared stats pass.
+    val df = spark.range(1000).select(col("id").as("k"),
+      (col("id") + 500).as("j"))
+    Txn.commitOverwrite(spark, root, df.repartitionByRange(10, col("k")),
+      statsCols = Seq("k", "j"))
+    val entries = Txn.snapshotEntries(spark, root, 1)
+    assert(entries.size == 10)
+    assert(entries.forall(e => e.namedStats("k").isDefined &&
+      e.namedStats("j").isDefined), s"two-column stats missing: $entries")
+    val kFiles = Txn.filesForPreds(spark, root, Seq(("k", 0d, 399d)))
+    val jFiles = Txn.filesForPreds(spark, root, Seq(("j", 800d, 899d)))
+    val both = Txn.filesForPreds(spark, root,
+      Seq(("k", 0d, 399d), ("j", 800d, 899d)))
+    // the conjunction IS the intersection, strictly tighter than the
+    // wider single-column candidate set
+    assert(both.toSet == kFiles.toSet.intersect(jFiles.toSet))
+    assert(both.size < kFiles.size, s"${both.size} vs k:${kFiles.size}")
+    assert(both.size <= jFiles.size)
+    // and the skip-scan result is EXACT: j 800..899 == k 300..399
+    val got = Txn.readWhereAll(spark, root,
+        Seq(("k", 0d, 399d), ("j", 800d, 899d)))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == (300L to 399L).toSet)
+    // a predicate on a column with NO recorded stats never prunes
+    assert(Txn.filesForPreds(spark, root,
+      Seq(("unstated", 0d, 1d))).size == 10)
+    // row-level prune verifies the NAME: a delete keyed on j prunes by
+    // j's recorded ranges even though k was also declared (the r12
+    // advice hazard — pruning on a column whose stats weren't recorded
+    // — is structurally impossible now)
+    val before = Txn.snapshotFiles(spark, root, 1).toSet
+    Txn.commitDelete(spark, root,
+      spark.range(850, 860).select(col("id").as("j")), "j",
+      statsCols = Seq("k", "j"))
+    val after = Txn.snapshotFiles(spark, root, 2).toSet
+    assert((before -- after).size <= 2,
+      s"delete keyed on j rewrote ${(before -- after).size} files — no prune")
+    assert(Txn.read(spark, root).count() == 990)
   }
 
   test("commitMerge mergeSchema commits the UNION schema, never narrowing") {
