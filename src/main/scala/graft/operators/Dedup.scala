@@ -570,6 +570,41 @@ object Dedup {
         expr("CAST(ROUND(jac, 4) AS DOUBLE)").as("jaccard"))
   }
 
+  /** Default per-gram document-frequency BUDGET for the plain Σdf²
+    * forms ([[ngramJaccardPairs]]/[[ngramContainmentPairs]]): at
+    * df = 10⁵ one gram alone feeds ~5·10⁹ rows into the pair
+    * aggregate — already a cluster-burner, and far past anything the
+    * gate fixtures or BenchZipf (df ≤ corpus size ≤ 2·10⁴) produce. */
+  private[graft] val plainFormDfBudget = 100000L
+
+  /** RUNTIME guard on a posting table against Zipfian blowup: the
+    * plain forms' pair stream is Σ df(gram)² rows, so one ubiquitous
+    * gram past the budget dominates the whole job (BenchZipf measures
+    * the superlinear slope; r8's OOM was this shape). Completing
+    * anyway is the wrong outcome at 100 TB — fail LOUDLY naming the
+    * offending df and the PPJoin `_capped` variant (the oracle-pinned
+    * scale path), the [[Er.fuzzyMatchPairs]] maxBlock discipline
+    * applied to posting lists. The df count rides the postings' own
+    * gk partitioning (map-side-combinable aggregate, no new shuffle);
+    * the over-budget set joins back broadcast — empty on the happy
+    * path, and the raise fires before the Σdf² join can execute. */
+  private def guardPostings(part: DataFrame, dfBudget: Long, who: String,
+      alt: String): DataFrame = {
+    require(dfBudget > 0, s"$who: dfBudget must be positive")
+    val over = part.groupBy("gk").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > dfBudget)
+    part.join(broadcast(over), Seq("gk"), "left")
+      .select(
+        when(col("__df").isNotNull,
+          expr(s"raise_error(concat('$who: a gram posting list has df=', " +
+            s"CAST(__df AS STRING), ', over the dfBudget=$dfBudget guard " +
+            s"— Zipfian corpus; use $alt with maxDf (the capped, " +
+            s"oracle-pinned scale path) or raise dfBudget'))")
+            .cast("long"))
+          .otherwise(col("pk")).as("pk"),
+        col("gk"))
+  }
+
   /** Exact n-gram Jaccard similarity via inverted-index join.
     *
     * The pair stream is Σdf² rows, so every byte per row and every
@@ -595,7 +630,8 @@ object Dedup {
     * string ids first map through a dense numeric id (zipWithIndex-style
     * dictionary), which at corpus scale they should already have. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String, n: Int = 2, minJaccard: Double = 0.3): DataFrame = {
+      groupCol: String, n: Int = 2, minJaccard: Double = 0.3,
+      dfBudget: Long = plainFormDfBudget): DataFrame = {
     val spark = df.sparkSession
     val grams = df
       .select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"),
@@ -632,7 +668,8 @@ object Dedup {
     // from RUNTIME sizes: shuffled-hash only when every build
     // partition genuinely fits (maxShuffledHashJoinLocalMapThreshold,
     // BenchSession/Verify config), spillable sort-merge otherwise.
-    val part = posting.repartition(col("gk"))
+    val part = guardPostings(posting.repartition(col("gk")), dfBudget,
+      "ngramJaccardPairs", "ngramJaccardPairsPrefix")
     def ng(c: Column): Column = c.bitwiseAND(lit((1L << 20) - 1))
     val inter = part.as("a")
       .join(part.as("b"),
@@ -1033,7 +1070,8 @@ object Dedup {
     * contained, so a Jaccard-style min/max cut would drop true pairs.
     * Packing contract (id < 2^43, n_g < 2^20) as ngramJaccardPairs. */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String, n: Int = 2, minContainment: Double = 0.8): DataFrame = {
+      groupCol: String, n: Int = 2, minContainment: Double = 0.8,
+      dfBudget: Long = plainFormDfBudget): DataFrame = {
     val spark = df.sparkSession
     val grams = df
       .select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"),
@@ -1057,7 +1095,8 @@ object Dedup {
     // as ngramJaccardPairs: the posting self-join must stay spillable
     // at Zipf scale and must never broadcast off a post-explode
     // underestimate
-    val part = posting.repartition(col("gk"))
+    val part = guardPostings(posting.repartition(col("gk")), dfBudget,
+      "ngramContainmentPairs", "ngramContainmentPairsPrefix")
     val inter = part.as("a")
       .join(part.as("b"),
         col("a.gk") === col("b.gk") && col("a.pk") < col("b.pk"))

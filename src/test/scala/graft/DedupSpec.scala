@@ -684,4 +684,40 @@ class DedupSpec extends SparkSpec {
     // diverge on this fixture
     assert(kept == Set(2L, 4L))
   }
+
+  test("plain Σdf² forms: the df budget fails loudly on Zipf input, naming the capped path") {
+    import spark.implicits._
+    // BenchZipf's deterministic heavy-tail fixture, small: rank-1
+    // tokens repeat across most docs, so head bigrams' df ≈ corpus
+    // size — exactly the posting blowup the guard exists for
+    val docs = spark.range(600L).select(
+      org.apache.spark.sql.functions.col("id").as("doc_id"),
+      org.apache.spark.sql.functions.lit("en").as("lang"),
+      org.apache.spark.sql.functions.expr(
+        """array_join(transform(sequence(1, 40), j ->
+          |  concat('w', cast(cast(exp((pmod(xxhash64(id, j), 1000000)
+          |    / 1000000.0D) * ln(30000.0D)) as bigint) as string))), ' ')"""
+          .stripMargin).as("text"))
+    val exJ = intercept[Exception] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+        dfBudget = 50L).collect()
+    }
+    assert(exJ.getMessage.contains("dfBudget=50") &&
+      exJ.getMessage.contains("ngramJaccardPairsPrefix"), exJ.getMessage)
+    val exC = intercept[Exception] {
+      Dedup.ngramContainmentPairs(docs, "doc_id", "text", "lang",
+        dfBudget = 50L).collect()
+    }
+    assert(exC.getMessage.contains("ngramContainmentPairsPrefix"))
+    // under the budget the guard is invisible: the gate fixtures (and
+    // BenchZipf at its measured sizes) sit below the default, and the
+    // guarded plan returns the identical pair set
+    val under = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+        dfBudget = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reference = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+        "lang")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(under == reference, "guarded plan changed the result set")
+  }
 }
