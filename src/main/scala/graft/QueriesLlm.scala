@@ -813,6 +813,22 @@ object QueriesLlm {
         .toDF().select(col("id"), col("byte_len"), col("width"),
           col("height"))),
 
+    // the BMP decode path, driver-gated like mm_decode: a MIXED table
+    // (even ids P6, odd ids 24-bit BMP) runs through the same poisoned
+    // -metadata decode, so BOTH container parsers must produce the
+    // real header dims — the oracle rebuilds each format's byte length
+    // from its published layout (P6 header + 3L vs 54-byte BMP headers
+    // + 4-byte-padded BGR rows). Empty texts are excluded: a w=0 BMP
+    // is rejected by design
+    "mm_decode_bmp" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+        Multimodal.attachBinary(
+            documents(s, d).where(octet_length(col("text")) > 0),
+            "doc_id", "text", format = "mixed")
+          .withColumn("width", lit(-1)).withColumn("height", lit(-1)))
+        .toDF().select(col("id"), col("byte_len"), col("width"),
+          col("height"))),
+
     // frame-level shared-footage detection: 256-byte frames, phash per
     // frame, cross-doc band join — packed (doc, frame) units ride the
     // rep-collapsed sketch machinery unchanged
@@ -2606,6 +2622,30 @@ object QueriesLlm {
         |  CAST(octet_length(encode('P6' || chr(10) ||
         |    CAST(L // h AS VARCHAR) || ' ' || CAST(h AS VARCHAR) ||
         |    chr(10) || '255' || chr(10))) + 3 * L AS INT) AS byte_len,
+        |  CAST(L // h AS INT) AS width, CAST(h AS INT) AS height
+        |FROM d""".stripMargin,
+
+    // per-parity container arithmetic: even ids the P6 header + 3L
+    // raster, odd ids the 54-byte BMP headers + h rows of w BGR
+    // triples padded to 4 bytes — both from the formats' PUBLISHED
+    // layouts, both only reachable through a real header parse
+    "mm_decode_bmp" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
+        |d AS (
+        |  SELECT doc_id, L,
+        |    CASE WHEN L % 4 = 0 THEN 4
+        |         WHEN L % 3 = 0 THEN 3
+        |         WHEN L % 2 = 0 THEN 2 ELSE 1 END AS h
+        |  FROM m)
+        |SELECT doc_id AS id,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN octet_length(encode('P6' || chr(10) ||
+        |      CAST(L // h AS VARCHAR) || ' ' || CAST(h AS VARCHAR) ||
+        |      chr(10) || '255' || chr(10))) + 3 * L
+        |    ELSE 54 + ((((L // h) * 3 + 3) // 4) * 4) * h
+        |  END AS INT) AS byte_len,
         |  CAST(L // h AS INT) AS width, CAST(h AS INT) AS height
         |FROM d""".stripMargin,
 

@@ -49,22 +49,38 @@ object Multimodal {
     * container from; `length(text)` (a CHARACTER count) would disagree
     * with the actual header for any non-ASCII text (r12 advice,
     * spec-pinned with a non-ASCII row). */
-  def attachBinary(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def attachBinary(df: DataFrame, idCol: String, textCol: String,
+      format: String = "ppm"): DataFrame = {
+    require(Set("ppm", "bmp", "mixed")(format),
+      s"attachBinary: format must be ppm | bmp | mixed, got '$format'")
     val spark = df.sparkSession
-    val len = octet_length(encode(col(textCol), "UTF-8"))
+    val enc = encode(col(textCol), "UTF-8")
+    val len = octet_length(enc)
     val h = when(len === 0, lit(1))
       .when(len % 4 === 0, lit(4))
       .when(len % 3 === 0, lit(3))
       .when(len % 2 === 0, lit(2))
       .otherwise(lit(1))
+    // `format`: "ppm" (default; 0-byte payloads encode as 0×1),
+    // "bmp" (24-bit BITMAPINFOHEADER containers — note an EMPTY text
+    // yields a w=0 header the decoder rejects by design), or "mixed"
+    // (even ids PPM, odd ids BMP — one table exercising BOTH real
+    // decoders, the mm_decode_bmp gate's shape)
+    val isPpm = format match {
+      case "ppm" => lit(true)
+      case "bmp" => lit(false)
+      case "mixed" => col(idCol).cast("long") % 2 === 0
+    }
     df.select(
       col(idCol).cast("long").as("id"),
       lit("image").as("modality"),
-      graft.plans.GraftFunctions.ppmEncode(spark,
-        encode(col(textCol), "UTF-8")).as("payload"),
+      when(isPpm, graft.plans.GraftFunctions.ppmEncode(spark, enc))
+        .otherwise(graft.plans.GraftFunctions.bmpEncode(spark, enc))
+        .as("payload"),
       (len / h).cast("int").as("width"),
       h.cast("int").as("height"),
-      lit("image/ppm").as("format"))
+      when(isPpm, lit("image/ppm")).otherwise(lit("image/bmp"))
+        .as("format"))
   }
 
   /** Expression-level (codegen'd) lightweight features — no decode.

@@ -195,6 +195,10 @@ object GraftFunctions {
       require(exprs.length == 1, s"$PpmEncodeName expects 1 argument")
       PpmEncode(exprs.head)
     }, "built-in")
+    reg.createOrReplaceTempFunction(BmpEncodeName, exprs => {
+      require(exprs.length == 1, s"$BmpEncodeName expects 1 argument")
+      BmpEncode(exprs.head)
+    }, "built-in")
     reg.createOrReplaceTempFunction(DotName, exprs => {
       require(exprs.length == 2, s"$DotName expects 2 arguments")
       DotProduct(exprs.head, exprs(1))
@@ -252,6 +256,15 @@ object GraftFunctions {
   def ppmEncode(spark: SparkSession, gray: Column): Column = {
     register(spark)
     call_function(PpmEncodeName, gray)
+  }
+
+  val BmpEncodeName = "graft_bmp_encode"
+
+  /** Native gray-buffer → binary 24-bit BMP encode (registers on the
+    * session). */
+  def bmpEncode(spark: SparkSession, gray: Column): Column = {
+    register(spark)
+    call_function(BmpEncodeName, gray)
   }
 
   val VecDigestName = "graft_vec_digest"

@@ -75,6 +75,56 @@ object ImageCodec {
     out
   }
 
+  /** Encode a gray buffer as a REAL 24-bit uncompressed BMP
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows padded to
+    * 4 bytes, BGR with b=g=r per pixel — the published layout
+    * [[decodeBmp]] parses). Same shape rule as [[encodePpmGray]]
+    * (h = largest d ∈ {4,3,2,1} dividing the length), so
+    * decode ∘ encode == the input bytes EXACTLY (BT.601 integer luma
+    * is the identity on gray). Empty input yields a header-only w=0
+    * container that [[decode]] rejects by design — callers needing
+    * empty-payload round-trips use PPM, which encodes 0×1. */
+  def encodeBmpGray(gray: Array[Byte]): Array[Byte] = {
+    val len = gray.length
+    val h = if (len == 0) 1
+      else if (len % 4 == 0) 4 else if (len % 3 == 0) 3
+      else if (len % 2 == 0) 2 else 1
+    val w = len / h
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val out = new Array[Byte](size)
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, size)       // file size
+    p32(10, 54)        // pixel data offset
+    p32(14, 40)        // BITMAPINFOHEADER size
+    p32(18, w); p32(22, h)
+    p16(26, 1)         // planes
+    p16(28, 24)        // bits per pixel
+    p32(30, 0)         // BI_RGB, uncompressed
+    p32(34, rowBytes * h)
+    var y = 0
+    while (y < h) {
+      val dst = 54 + rowBytes * (h - 1 - y) // rows stored bottom-up
+      var x = 0
+      while (x < w) {
+        val b = gray(y * w + x)
+        val o = dst + 3 * x
+        out(o) = b; out(o + 1) = b; out(o + 2) = b
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   // ---- netpbm (P5 gray / P6 RGB, binary, maxval <= 255) ---------------
 
   private def isSpace(b: Byte): Boolean =

@@ -508,6 +508,24 @@ final case class PpmEncode(child: Expression)
     copy(child = newChild)
 }
 
+/** binary gray buffer → binary 24-bit BMP (b=g=r per pixel, same shape
+  * rule as [[PpmEncode]] — [[ImageCodec.encodeBmpGray]]). */
+final case class BmpEncode(child: Expression)
+    extends UnaryExpression with BinaryInput {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_bmp_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.encodeBmpGray(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ImageCodec.encodeBmpGray($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** binary payload → bigint 60-bit difference-hash (native). */
 final case class DHash60(child: Expression)
     extends UnaryExpression with BinaryInput {

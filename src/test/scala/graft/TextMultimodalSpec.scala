@@ -156,6 +156,46 @@ class TextMultimodalSpec extends SparkSpec {
     assert(f.width == 13 && f.height == 1 && f.byte_len == 12 + 3 * 13)
   }
 
+  test("ImageCodec: BMP encode round-trips bytes through decode at every row padding") {
+    import graft.plans.ImageCodec
+    // lengths covering h ∈ {4,3,2,1} and every w%4 row-padding shape
+    for (len <- Seq(1, 2, 3, 5, 6, 8, 9, 12, 60, 61, 62, 63)) {
+      val gray = Array.tabulate(len)(i => ((i * 37 + 11) % 256).toByte)
+      val bmp = ImageCodec.encodeBmpGray(gray)
+      assert(bmp(0) == 'B' && bmp(1) == 'M')
+      val img = ImageCodec.decode(bmp).get
+      assert(img.pixels.toSeq == gray.toSeq, s"len=$len round-trip")
+      assert(img.width * img.height == len, s"len=$len dims")
+    }
+    // empty input: header-only w=0 container, rejected by design
+    assert(ImageCodec.decode(ImageCodec.encodeBmpGray(Array.empty)).isEmpty)
+  }
+
+  test("multimodal: mixed-format table decodes through BOTH container parsers") {
+    val docs = Seq((2L, "hello world!"), (3L, "héllo wörld"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.attachBinary(docs, "doc_id", "text",
+      format = "mixed")
+    val fmts = media.select("id", "format").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fmts == Map(2L -> "image/ppm", 3L -> "image/bmp"))
+    // both containers round-trip to the original text bytes
+    val rt = media.select(col("id"),
+        graft.plans.GraftFunctions.grayDecode(spark, col("payload")).as("g"))
+      .collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8"))
+      .toMap
+    assert(rt == Map(2L -> "hello world!", 3L -> "héllo wörld"))
+    // decodeFeatures' dims come from each container's PARSED header
+    // (metadata poisoned, the mm_decode_bmp gate's discipline)
+    val f = Multimodal.decodeFeatures(media
+        .withColumn("width", lit(-1)).withColumn("height", lit(-1)))
+      .collect().map(x => x.id -> ((x.width, x.height, x.byte_len))).toMap
+    assert(f(2L) == ((3, 4, 11 + 36)))  // P6: 12 bytes → 3×4
+    // BMP: 13 bytes → 13×1; rows pad to ((13*3+3)/4)*4 = 40; 54 + 40
+    assert(f(3L) == ((13, 1, 54 + 40)))
+  }
+
   test("ImageCodec: PPM grammar (comments, P5), BMP layouts, rejects") {
     import graft.plans.ImageCodec
     // P6 with comments and multi-whitespace — the published grammar
