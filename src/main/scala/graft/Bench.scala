@@ -164,6 +164,16 @@ object Bench {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detailJson) finally w.close()
     } catch { case _: Throwable => () } // detail file is best-effort
+    // the driver overwrites BENCH_DETAIL.json every run, which made
+    // round-over-round per-query diffs depend on who read it last
+    // (r12 verdict item); an append-only dated history keeps every
+    // run's full map without anyone having to remember to archive
+    try {
+      val hw = new java.io.FileWriter("BENCH_DETAIL_HISTORY.jsonl", true)
+      try hw.write(detailJson.patch(1,
+        s""""ts":"${java.time.Instant.now()}",""", 0) + "\n")
+      finally hw.close()
+    } catch { case _: Throwable => () } // history is best-effort
     val headline = Seq("q_agg", "q_multi_join", "q_window", "dedup_minhash",
       "dedup_ngram", "ann_topk", "corpus_pipeline", "etl_hl7")
       .filter(qmap.contains)

@@ -967,6 +967,29 @@ object QueriesEtl {
             .as("sum_val"))
     }),
 
+    // Z-ORDER maintenance at the Txn layer (Delta's OPTIMIZE ZORDER
+    // BY): commit a single-column layout, re-cluster along the Morton
+    // curve of (user_id, value) with both stats recorded, then read a
+    // conjunctive slice — the layout rewrite is invisible to results
+    // (the oracle is the plain two-predicate SQL) while the file set
+    // opened shrinks to a rectangle (pinned in TxnSpec)
+    "etl_txn_zorder" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txnzorder_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, root,
+        ev.repartitionByRange(8, col("user_id")))
+      graft.operators.Txn.compactZOrder(s, root, "user_id", "value",
+        numFiles = 8)
+      graft.operators.Txn.readWhereAll(s, root,
+          Seq(("user_id", 200d, 400d), ("value", 10d, 60d)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
+    }),
+
     // incremental dim load with dense surrogate keys: names already
     // keyed (seen on partkeys < 50) keep their keys; new names get
     // fresh keys above the max — two-level md5-bucket rank, never a
@@ -1664,6 +1687,15 @@ object QueriesEtl {
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
         |FROM events WHERE user_id >= 100 AND user_id <= 300
         |  AND value >= 0 AND value <= 50
+        |GROUP BY 1""".stripMargin,
+
+    // the Z-order rewrite is pure layout: the oracle is the plain
+    // two-predicate aggregate over the same rows
+    "etl_txn_zorder" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events WHERE user_id >= 200 AND user_id <= 400
+        |  AND value >= 10 AND value <= 60
         |GROUP BY 1""".stripMargin,
 
     // both branches recomputed inline: per-rule violation counts over

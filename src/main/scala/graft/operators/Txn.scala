@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -516,8 +516,11 @@ object Txn {
     * encoding — never a raw-value string match against escaped paths. */
   def commitReplacePartitions(spark: SparkSession, root: String,
       df: DataFrame, partitionCol: String, maxRetries: Int = 5,
-      mergeSchema: Boolean = false): Int =
-    retry(spark, root, maxRetries) { v =>
+      mergeSchema: Boolean = false): Int = {
+    var attempt = 0
+    var baseV = -1 // the head the FIRST attempt staged against
+    while (attempt < maxRetries) {
+      val v = currentVersion(spark, root) + 1
       val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
       // same commit-point schema gate as commitAppend (r10 advice): a
       // partition overwrite KEEPS other partitions' files, so a
@@ -528,11 +531,44 @@ object Txn {
       val staged = stageBatch(spark, root, df, Seq(partitionCol), batchDir(v))
       val replacedSegs = staged.map(linePath).flatMap(_.split("/")
         .find(_.startsWith(partitionCol + "="))).toSet
+      // PARTITION-level write-write conflict detection (the
+      // retryRowLevel discipline at directory granularity): after a
+      // lost publish, any racing commit that added or removed files
+      // in a partition we are replacing would be silently clobbered
+      // by our restage (a racer's append into partition X vanishes;
+      // a racer's replace of X is overwritten unseen — Delta raises
+      // ConcurrentAppend/WriteException on both). Disjoint-partition
+      // racers restage as before. Metadata-only check: the racers'
+      // file-set deltas' directory segments, never a data read.
+      if (baseV < 0) baseV = v - 1
+      else if (v - 1 > baseV) {
+        val racerSegs = ((baseV + 1) to (v - 1)).iterator.flatMap { rv =>
+          val before =
+            if (rv == 1) Set.empty[String]
+            else snapshotFiles(spark, root, rv - 1).toSet
+          val after = snapshotFiles(spark, root, rv).toSet
+          ((after -- before) ++ (before -- after)).iterator
+            .flatMap(_.split("/").find(_.startsWith(partitionCol + "=")))
+        }.toSet
+        val overlap = racerSegs & replacedSegs
+        if (overlap.nonEmpty) throw new ConcurrentWriteException(
+          s"Txn.commitReplacePartitions at $root: concurrent commit(s) " +
+            s"v${baseV + 1}..v${v - 1} touched replaced partition(s) " +
+            s"${overlap.toSeq.sorted.mkString(", ")} — re-read the new " +
+            "head and rerun")
+        baseV = v - 1
+      }
       val kept = prev.filterNot(isMeta).filterNot { line =>
         linePath(line).split("/").exists(replacedSegs.contains)
       }
-      metaForNext(spark, root, v - 1, prev, df.schema) ++ kept ++ staged
+      val lines =
+        metaForNext(spark, root, v - 1, prev, df.schema) ++ kept ++ staged
+      raceOnce.foreach { hook => raceOnce = None; hook() }
+      if (publish(spark, root, v, lines)) return v
+      attempt += 1 // lost the race: head moved; restage against new head
     }
+    sys.error(s"Txn: lost the commit race $maxRetries times at $root")
+  }
 
   /** TABLE COMPACTION: rewrite the head snapshot as one fresh commit —
     * the maintenance fold for a table accreting small files through
@@ -558,6 +594,41 @@ object Txn {
       else head.repartition(numFiles)
     commitOverwrite(spark, root, folded, partitionBy, maxRetries, statsCol,
       statsCols)
+  }
+
+  /** Z-CLUSTERED compaction — Delta's `OPTIMIZE ... ZORDER BY (x, y)`
+    * as one atomic rewrite: the head snapshot re-lays out along the
+    * Morton curve of two numeric columns ([[graft.functions.ZOrder]]),
+    * recording BOTH columns' per-file stats. Where a plain [[compact]]
+    * leaves each file spanning the full domain of everything but the
+    * sort column, every Z-clustered file covers a small RECTANGLE of
+    * the (x, y) domain — so [[readWhereAll]] predicates on either or
+    * both columns prune to a handful of files (spec-pinned file
+    * counts). Coordinates quantize to 16-bit by min/max scaling (one
+    * aggregate pass — locality-preserving, unlike a hash bucket);
+    * NULL coordinates sort together and simply record no stats. Cost:
+    * one agg + one range exchange (sampled boundaries) + the commit's
+    * stats pass; at 100 TB this is the periodic maintenance job that
+    * keeps multi-column skip-scans effective as data accretes. */
+  def compactZOrder(spark: SparkSession, root: String, xCol: String,
+      yCol: String, numFiles: Int, maxRetries: Int = 5): Int = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    val head = read(spark, root)
+    val r = head.agg(
+      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
+      min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head()
+    def q(c: String, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(floor((col(c).cast("double") - lit(lo)) / lit(span) * 65535.0),
+        lit(65535.0)).cast("long")
+    }
+    val clustered =
+      if (r.isNullAt(0) || r.isNullAt(2)) head.repartition(numFiles)
+      else graft.functions.ZOrder.clusterBy(head,
+        q(xCol, r.getDouble(0), r.getDouble(1)),
+        q(yCol, r.getDouble(2), r.getDouble(3)), numFiles)
+    commitOverwrite(spark, root, clustered, Nil, maxRetries,
+      statsCols = Seq(xCol, yCol))
   }
 
   /** Files a row-level commit must rewrite: every entry WITHOUT stats

@@ -613,17 +613,21 @@ class TxnSpec extends SparkSpec {
 
   /** Write `df` as a real parquet batch under root/data and return its
     * manifest data lines — what a racing committer would stage. */
-  private def fabricateBatch(root: String, df: org.apache.spark.sql.DataFrame): Seq[String] = {
+  private def fabricateBatch(root: String, df: org.apache.spark.sql.DataFrame,
+      partitionBy: Seq[String] = Nil): Seq[String] = {
     val tag = s"brace-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(s"$root/data/$tag")
+    val w = df.write
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$root/data/$tag")
     val f = fs(root)
     val it = f.listFiles(new Path(s"$root/data/$tag"), true)
+    val base = new Path(s"$root/data").toUri.getPath
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()
       val n = st.getPath.getName
       if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
-        out += s"$tag/$n"
+        out += st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
     }
     out.toSeq.sorted
   }
@@ -750,6 +754,63 @@ class TxnSpec extends SparkSpec {
     assert((before -- after).size <= 2,
       s"delete keyed on j rewrote ${(before -- after).size} files — no prune")
     assert(Txn.read(spark, root).count() == 990)
+  }
+
+  test("compactZOrder: two-column predicates open a rectangle of files, not a stripe") {
+    val root = freshRoot()
+    // a 64×64 grid: x and y independent, so a layout sorted by either
+    // column alone leaves the other unprunable
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+      col("id").as("payload"))
+    Txn.commitOverwrite(spark, root, df.repartitionByRange(16, col("x")),
+      statsCols = Seq("x", "y"))
+    // range-partitioned by x: a y-only predicate opens EVERY file
+    assert(Txn.filesForPreds(spark, root, Seq(("y", 10d, 17d))).size == 16)
+    Txn.compactZOrder(spark, root, "x", "y", numFiles = 16)
+    // layout-only rewrite
+    assert(Txn.read(spark, root).count() == 4096)
+    assert(Txn.snapshotFiles(spark, root,
+      Txn.currentVersion(spark, root)).size == 16)
+    // each Z-clustered file covers a rectangle: BOTH single-column
+    // predicates prune, and the conjunction opens only the corner
+    val zx = Txn.filesForPreds(spark, root, Seq(("x", 10d, 17d)))
+    val zy = Txn.filesForPreds(spark, root, Seq(("y", 10d, 17d)))
+    val zb = Txn.filesForPreds(spark, root,
+      Seq(("x", 10d, 17d), ("y", 10d, 17d)))
+    assert(zx.size < 16 && zy.size < 16,
+      s"single-column pruning lost: x=${zx.size} y=${zy.size}")
+    assert(zb.size <= math.min(zx.size, zy.size))
+    assert(zb.size <= 8, s"rectangle opened ${zb.size} of 16 files")
+    // and the skip-scan result is EXACT: 8 x-values × 8 y-values
+    assert(Txn.readWhereAll(spark, root,
+      Seq(("x", 10d, 17d), ("y", 10d, 17d))).count() == 64)
+  }
+
+  test("conflict: replace ∥ write into the replaced partition throws; disjoint partitions land") {
+    val root = conflictFixture()
+    // DISJOINT: the racer appends into part=z while we replace part=x
+    Txn.raceOnce = Some(() => injectCommit(root, data =>
+      data ++ fabricateBatch(root,
+        Seq((20L, "z", 200L)).toDF("k", "part", "n"), Seq("part"))))
+    val v = Txn.commitReplacePartitions(spark, root,
+      Seq((11L, "x", 110L)).toDF("k", "part", "n"), "part")
+    assert(v == 3)
+    assert(table(root) == Set((11L, "x", 110L), (3L, "y", 30L),
+      (4L, "y", 40L), (20L, "z", 200L)), "both disjoint intents present")
+
+    // OVERLAP: a racer appends INTO part=y while we replace part=y —
+    // restaging would silently clobber the racer's committed row
+    Txn.raceOnce = Some(() => injectCommit(root, data =>
+      data ++ fabricateBatch(root,
+        Seq((5L, "y", 50L)).toDF("k", "part", "n"), Seq("part"))))
+    val ex = intercept[Txn.ConcurrentWriteException] {
+      Txn.commitReplacePartitions(spark, root,
+        Seq((9L, "y", 90L)).toDF("k", "part", "n"), "part")
+    }
+    assert(ex.getMessage.contains("part=y"))
+    assert(table(root).contains((5L, "y", 50L)), "racer's append stands")
+    assert(!table(root).exists(_._1 == 9L), "loser landed nothing")
   }
 
   test("commitMerge mergeSchema commits the UNION schema, never narrowing") {
