@@ -1049,6 +1049,12 @@ object Txn {
     * version throws with a clear message. Single-maintainer verb
     * (like Delta's retention): run it from the table's owner, not
     * concurrently with time-travel readers of the expiring tail.
+    *
+    * Tags files a surviving manifest references are never expired
+    * (they ARE the checkpoint); SUPERSEDED checkpoints — tag files
+    * whose every referencing manifest has itself expired (later
+    * rolls consolidate them into newer files) — are reclaimed, so
+    * `_manifests/` stays bounded by the window, not by table age.
     * Returns the versions removed. */
   def expireManifests(spark: SparkSession, root: String,
       keepLast: Int): Seq[Int] = {
@@ -1062,15 +1068,27 @@ object Txn {
     val expSet = expiring.toSet
     // consolidate: every base a survivor references must have its
     // tags file on disk before the fallback chain disappears
-    versions.filterNot(expSet).foreach { v =>
-      tagBase(snapshotLines(spark, root, v)).foreach { w =>
-        if (!f.exists(tagsFilePath(root, w)))
-          writeTagsFileIfAbsent(spark, root, w,
-            resolveTags(spark, root, snapshotLines(spark, root, w))
-              .distinct.sorted)
-      }
+    val referenced = versions.filterNot(expSet).flatMap { v =>
+      tagBase(snapshotLines(spark, root, v))
+    }.toSet
+    referenced.foreach { w =>
+      if (!f.exists(tagsFilePath(root, w)))
+        writeTagsFileIfAbsent(spark, root, w,
+          resolveTags(spark, root, snapshotLines(spark, root, w))
+            .distinct.sorted)
     }
     expiring.foreach(v => f.delete(manifestPath(root, v), false))
+    // superseded checkpoints: an expiring-version tags file no
+    // survivor references can never be read again (future rolls
+    // checkpoint at the then-head, never at an expired version)
+    f.listStatus(manifestDir(root))
+      .filter(_.getPath.getName.matches("t\\d+\\.tags"))
+      .map(s => s.getPath)
+      .filter { p =>
+        val w = p.getName.stripPrefix("t").stripSuffix(".tags").toInt
+        expSet.contains(w) && !referenced.contains(w)
+      }
+      .foreach(f.delete(_, false))
     expiring
   }
 

@@ -605,6 +605,60 @@ class TxnSpec extends SparkSpec {
     assert(Txn.expireManifests(spark, root, keep).isEmpty)
   }
 
+  test("expiry GCs superseded tag checkpoints, keeps the referenced one") {
+    val root = freshRoot()
+    // two checkpoint rolls: t<w1>.tags (superseded once the second
+    // roll lands and every manifest referencing it expires) and
+    // t<w2>.tags (referenced by the surviving head chain)
+    val n = Txn.tagCheckpointEvery * 2 + 4
+    (1 to n).foreach { i =>
+      Txn.commitAppendIdempotent(spark, root,
+        Seq((i.toLong, "a", i.toLong)).toDF("k", "part", "n"), f"g$i%04d")
+    }
+    val f = fs(root)
+    def tagFiles() = f.listStatus(new Path(s"$root/_manifests"))
+      .map(_.getPath.getName).filter(_.matches("t\\d+\\.tags")).sorted.toSeq
+    val before = tagFiles()
+    assert(before.size == 2, s"expected two rolls, got $before")
+    Txn.expireManifests(spark, root, keepLast = 4)
+    val after = tagFiles()
+    assert(after == Seq(before.last),
+      s"superseded checkpoint not reclaimed: $after")
+    // the FULL tag set still resolves through the surviving checkpoint
+    assert(Txn.committedTags(spark, root,
+      Txn.currentVersion(spark, root)).toSet ==
+      (1 to n).map(i => f"g$i%04d").toSet)
+    assert(Txn.commitAppendIdempotent(spark, root,
+      Seq((666L, "a", 666L)).toDF("k", "part", "n"), "g0001").isEmpty)
+  }
+
+  test("true concurrency: six threads of appends all land exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      Seq((0L, "a", 0L)).toDF("k", "part", "n"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      // 6 genuinely concurrent committers: every publish race is real
+      // (no test seam) — rename-no-overwrite must hand out each
+      // version exactly once and the losers' retries must land
+      val vs = Await.result(Future.sequence((1 to 6).map { i =>
+        Future(Txn.commitAppend(spark, root,
+          Seq((i.toLong, "a", i.toLong)).toDF("k", "part", "n"),
+          maxRetries = 64))
+      }), 4.minutes)
+      assert(vs.toSet.size == 6, s"two committers claimed one version: $vs")
+      assert(vs.toSet == (2 to 7).toSet)
+      assert(Txn.currentVersion(spark, root) == 7)
+      assert(Txn.read(spark, root).select("k").collect()
+        .map(_.getLong(0)).toSet == (0L to 6L).toSet,
+        "a racing append was lost")
+    } finally pool.shutdown()
+  }
+
   // ---- write-write conflict matrix -----------------------------------
   // Races are injected through Txn.raceOnce: the hook fires between the
   // loser's stage and publish — the exact window a real concurrent
