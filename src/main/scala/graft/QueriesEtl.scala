@@ -967,6 +967,27 @@ object QueriesEtl {
             .as("sum_val"))
     }),
 
+    // ROLLBACK as a forward commit (Delta RESTORE TABLE): base
+    // snapshot → a bad overwrite → restore — the head re-references
+    // the base's files verbatim (metadata-only; rewrite-free rollback
+    // pinned in TxnSpec), the bad version stays time-travelable, and
+    // the oracle is simply the base content
+    "etl_txn_restore" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txnrestore_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, root, ev)
+      graft.operators.Txn.commitOverwrite(s, root,
+        ev.where(col("user_id") < 0)) // the bad commit: wipes the table
+      graft.operators.Txn.restore(s, root, toVersion = 1)
+      graft.operators.Txn.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
+    }),
+
     // Z-ORDER maintenance at the Txn layer (Delta's OPTIMIZE ZORDER
     // BY): commit a single-column layout, re-cluster along the Morton
     // curve of (user_id, value) with both stats recorded, then read a
@@ -1688,6 +1709,13 @@ object QueriesEtl {
         |FROM events WHERE user_id >= 100 AND user_id <= 300
         |  AND value >= 0 AND value <= 50
         |GROUP BY 1""".stripMargin,
+
+    // restore(1) after a table-wiping overwrite == the original
+    // snapshot: the oracle is the plain aggregate over all events
+    "etl_txn_restore" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1""".stripMargin,
 
     // the Z-order rewrite is pure layout: the oracle is the plain
     // two-predicate aggregate over the same rows

@@ -596,6 +596,34 @@ object Txn {
       statsCols)
   }
 
+  /** ROLLBACK as a forward commit — Delta's `RESTORE TABLE ... TO
+    * VERSION`: publish a new head whose data lines are the restored
+    * snapshot's VERBATIM (stats included). Metadata-only — no data
+    * moves or rewrites, a 100 TB rollback costs one manifest write —
+    * and the bad intermediate versions stay time-travelable for the
+    * post-mortem (history is append-only; a rollback is new history,
+    * not erased history). Idempotence tags carry from the HEAD chain,
+    * not the restored version: committed micro-batches stay
+    * committed, so a replayed tag cannot double-append after a
+    * rollback (spec-pinned). The restored version must still be
+    * within the retained window ([[expireManifests]]); its files are
+    * re-referenced by the new head, which keeps them live through
+    * [[vacuum]]. Returns the new version. */
+  def restore(spark: SparkSession, root: String, toVersion: Int,
+      maxRetries: Int = 5): Int = {
+    require(toVersion >= 1, s"Txn.restore: bad version $toVersion")
+    retry(spark, root, maxRetries) { v =>
+      require(toVersion < v,
+        s"Txn.restore: version $toVersion is not committed history at $root")
+      val target = snapshotLines(spark, root, toVersion)
+      val prev = snapshotLines(spark, root, v - 1)
+      val schema = schemaLine(target).getOrElse(schemaLine(prev).getOrElse(
+        sys.error(s"Txn.restore: no #schema line at $root")))
+      metaForNext(spark, root, v - 1, prev, schema) ++
+        target.filterNot(isMeta)
+    }
+  }
+
   /** Z-CLUSTERED compaction — Delta's `OPTIMIZE ... ZORDER BY (x, y)`
     * as one atomic rewrite: the head snapshot re-lays out along the
     * Morton curve of two numeric columns ([[graft.functions.ZOrder]]),

@@ -605,6 +605,37 @@ class TxnSpec extends SparkSpec {
     assert(Txn.expireManifests(spark, root, keep).isEmpty)
   }
 
+  test("restore: metadata-only rollback — old files re-referenced, history intact, tags monotone") {
+    val root = freshRoot()
+    Txn.commitAppendIdempotent(spark, root,
+      Seq((1L, "a", 10L)).toDF("k", "part", "n"), "rb1")
+    Txn.commitAppendIdempotent(spark, root,
+      Seq((2L, "a", 20L)).toDF("k", "part", "n"), "rb2")
+    val goodFiles = Txn.snapshotFiles(spark, root, 2)
+    // the "bad" commit a rollback exists for
+    Txn.commitOverwrite(spark, root,
+      Seq((666L, "a", 666L)).toDF("k", "part", "n"))
+    assert(table(root) == Set((666L, "a", 666L)))
+    val v = Txn.restore(spark, root, toVersion = 2)
+    assert(v == 4)
+    // content == the restored snapshot, via the SAME files (no copy)
+    assert(table(root) == Set((1L, "a", 10L), (2L, "a", 20L)))
+    assert(Txn.snapshotFiles(spark, root, 4) == goodFiles,
+      "restore must re-reference, never rewrite")
+    // the bad version stays time-travelable (history is append-only)
+    assert(table(root, Some(3)) == Set((666L, "a", 666L)))
+    // idempotence is MONOTONE across rollback: both tags still
+    // committed, replay still short-circuits
+    assert(Txn.committedTags(spark, root, 4).toSet == Set("rb1", "rb2"))
+    assert(Txn.commitAppendIdempotent(spark, root,
+      Seq((777L, "a", 777L)).toDF("k", "part", "n"), "rb2").isEmpty)
+    // restored files survive vacuum (re-referenced by the head)
+    Txn.vacuum(spark, root, olderThanMs = 0L)
+    assert(table(root) == Set((1L, "a", 10L), (2L, "a", 20L)))
+    // restoring a not-yet-committed version refuses
+    intercept[IllegalArgumentException](Txn.restore(spark, root, 99))
+  }
+
   test("expiry GCs superseded tag checkpoints, keeps the referenced one") {
     val root = freshRoot()
     // two checkpoint rolls: t<w1>.tags (superseded once the second
