@@ -1575,22 +1575,28 @@ object QueriesCore {
     // same running-max opening rule; ROWS frames make the tie case
     // provably order-independent (a tied row's start never exceeds the
     // running max its twin just raised)
+    // one row per (k, s) first: the window sort key is then UNIQUE,
+    // so the island running sum is order-free — ties on a non-unique
+    // (s, e) sort carry different running-max values between the two
+    // window passes and split islands when an engine re-sorts between
+    // them (r13 determinism fix, both sides)
     "q_interval_merge" ->
       """WITH i AS (
         |  SELECT l_suppkey AS k, l_shipdate AS s,
-        |    l_shipdate + (CAST(l_quantity AS INT) % 14) * INTERVAL 1 DAY AS e
-        |  FROM lineitem WHERE l_shipdate IS NOT NULL),
+        |    MAX(l_shipdate + (CAST(l_quantity AS INT) % 14) * INTERVAL 1 DAY) AS e,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2),
         |m AS (
-        |  SELECT k, s, e, MAX(e) OVER (PARTITION BY k ORDER BY s, e
+        |  SELECT k, s, e, cnt, MAX(e) OVER (PARTITION BY k ORDER BY s
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
         |  FROM i),
         |g AS (
-        |  SELECT k, s, e,
+        |  SELECT k, s, e, cnt,
         |    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY k ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl
+        |      OVER (PARTITION BY k ORDER BY s ROWS UNBOUNDED PRECEDING) AS isl
         |  FROM m)
         |SELECT k AS l_suppkey, MIN(s) AS island_start, MAX(e) AS island_end,
-        |  CAST(COUNT(*) AS BIGINT) AS n_intervals
+        |  CAST(SUM(cnt) AS BIGINT) AS n_intervals
         |FROM g GROUP BY k, isl""".stripMargin,
 
     // ordered string_agg inside the rn<=3 cut; rank ties on path asc

@@ -551,21 +551,35 @@ object Analytics {
   /** Merge overlapping-or-touching [start, end] intervals per key into
     * maximal islands (uptime/coverage consolidation — the set-union
     * complement of [[graft.operators.RangeJoin]]'s pairwise overlap).
-    * The classic one-sort shape: order by (start, end), a row opens a
-    * NEW island iff its start exceeds the running max of every earlier
+    * The classic one-sort shape: order by start, a row opens a NEW
+    * island iff its start exceeds the running max of every earlier
     * end (touching endpoints merge), island id = running sum of those
-    * openings, then one group-by for the island extents. O(n log n) in
-    * ONE keyed sort — never the interval self-join; both windows and
-    * the aggregate reuse the same (key) partitioning, so the whole
-    * operator is a single shuffle. Degenerate rows (null bounds,
-    * end < start) drop at the scan. */
+    * openings, then one group-by for the island extents. O(n log n)
+    * in ONE keyed sort — never the interval self-join; the pre-group,
+    * both windows, and the aggregate reuse the same (key)
+    * partitioning, so the whole operator is a single shuffle.
+    * Degenerate rows (null bounds, end < start) drop at the scan.
+    *
+    * DETERMINISM (r13): intervals sharing a start ALWAYS co-island
+    * (each spans its own start, so equal starts overlap at that
+    * point), so they first collapse to one row per (key, start) —
+    * max end + multiplicity. The window sort key (key, start) is
+    * then UNIQUE, which makes the island running-sum order-free BY
+    * CONSTRUCTION. The pre-r13 form ordered raw rows by (start, end):
+    * ties carry DIFFERENT running-max values out of the first window,
+    * and any engine that re-sorts between the two window passes
+    * (DuckDB's parallel window over materialized CTEs does) may put
+    * the non-opener first and split the island — caught as a
+    * run-to-run oracle flip on regenerated sf0.1 data. */
   def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
       endCol: String): DataFrame = {
     val in = df
       .where(col(startCol).isNotNull && col(endCol).isNotNull &&
         col(endCol) >= col(startCol))
       .select(col(keyCol).as("k"), col(startCol).as("s"), col(endCol).as("e"))
-    val w = Window.partitionBy("k").orderBy(col("s").asc, col("e").asc)
+      .groupBy("k", "s")
+      .agg(max(col("e")).as("e"), count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy("k").orderBy(col("s").asc)
     in
       .withColumn("__pm",
         max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
@@ -575,7 +589,7 @@ object Analytics {
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("k", "__isl")
       .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
-        count(lit(1)).as("n_intervals"))
+        sum(col("__cnt")).as("n_intervals"))
       .select(col("k").as(keyCol), col("island_start"), col("island_end"),
         col("n_intervals"))
   }

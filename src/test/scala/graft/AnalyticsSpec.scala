@@ -431,6 +431,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set(("a", 1L, 8L, 3L), ("a", 10L, 12L, 1L),
       ("b", 1L, 2L, 1L)))
     assert(run(df.repartition(7)) == out)
+    // tie hardening (the r13 determinism fix): DUPLICATE intervals and
+    // equal-start-different-end rows must co-island with full
+    // multiplicity regardless of how any engine orders the ties —
+    // equal starts overlap at the start by definition
+    val ties = Seq(
+      ("c", 1L, 4L), ("c", 1L, 4L),   // identical pair
+      ("c", 1L, 9L),                  // same start, longer reach
+      ("c", 6L, 7L),                  // chained through the reach
+      ("c", 20L, 21L), ("c", 20L, 21L) // identical pair after a gap
+    ).toDF("k", "s", "e")
+    assert(run(ties) == Set(("c", 1L, 9L, 4L), ("c", 20L, 21L, 2L)))
+    assert(run(ties.repartition(5)) ==
+      Set(("c", 1L, 9L, 4L), ("c", 20L, 21L, 2L)))
   }
 
   test("topPaths: time-ordered first-k labels, id tie-break, short paths kept") {
