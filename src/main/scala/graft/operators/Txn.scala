@@ -563,7 +563,7 @@ object Txn {
       }
       val lines =
         metaForNext(spark, root, v - 1, prev, df.schema) ++ kept ++ staged
-      raceOnce.foreach { hook => raceOnce = None; hook() }
+      raceOnce.get().foreach { hook => raceOnce.set(None); hook() }
       if (publish(spark, root, v, lines)) return v
       attempt += 1 // lost the race: head moved; restage against new head
     }
@@ -837,9 +837,15 @@ object Txn {
   /** TEST SEAM: runs once per row-level attempt between staging and
     * publish, then self-clears — lets TxnSpec inject a racing commit
     * at the exact window real concurrency would (losing the publish,
-    * entering the conflict check deterministically). Never set outside
-    * tests. */
-  private[graft] var raceOnce: Option[() => Unit] = None
+    * entering the conflict check deterministically). THREAD-CONFINED:
+    * ScalaTest suites share one JVM and run in parallel, so a global
+    * hook set by TxnSpec could be consumed by an UNRELATED suite's
+    * row-level commit on another thread (observed once as a flaky
+    * conflict-matrix failure under the full suite); a ThreadLocal
+    * pins the hook to the spec's own calling thread. Never set
+    * outside tests. */
+  private[graft] val raceOnce: ThreadLocal[Option[() => Unit]] =
+    ThreadLocal.withInitial(() => None)
 
   private def retryRowLevel(spark: SparkSession, root: String,
       maxRetries: Int, keyRows: DataFrame, keyCol: String, who: String)(
@@ -861,7 +867,7 @@ object Txn {
         baseV = v - 1 // disjoint racer: safe to restage on the new head
       }
       val lines = stage(v)
-      raceOnce.foreach { hook => raceOnce = None; hook() }
+      raceOnce.get().foreach { hook => raceOnce.set(None); hook() }
       if (publish(spark, root, v, lines)) return v
       attempt += 1 // lost the race: head moved; restage against new head
     }

@@ -743,10 +743,10 @@ class TxnSpec extends SparkSpec {
   test("conflict: merge ∥ merge on overlapping keys — the loser throws, the racer's state stands") {
     val root = conflictFixture()
     // the racer rewrites part=x (its merge touched k=2)
-    Txn.raceOnce = Some(() => injectCommit(root, data => {
+    Txn.raceOnce.set(Some(() => injectCommit(root, data => {
       data.filterNot(_.contains("part=x")) ++ fabricateBatch(root,
         Seq((1L, "x", 10L), (2L, "x", 999L)).toDF("k", "part", "n"))
-    }))
+    })))
     val ex = intercept[Txn.ConcurrentWriteException] {
       Txn.commitMerge(spark, root,
         Seq((2L, "x", 555L)).toDF("k", "part", "n"), "k", Seq("part"))
@@ -760,10 +760,10 @@ class TxnSpec extends SparkSpec {
 
   test("conflict: merge ∥ merge on disjoint keys — both land") {
     val root = conflictFixture()
-    Txn.raceOnce = Some(() => injectCommit(root, data => {
+    Txn.raceOnce.set(Some(() => injectCommit(root, data => {
       data.filterNot(_.contains("part=x")) ++ fabricateBatch(root,
         Seq((1L, "x", 111L), (2L, "x", 222L)).toDF("k", "part", "n"))
-    }))
+    })))
     // our merge touches only k=4 — disjoint from the racer's {1,2}
     val v = Txn.commitMerge(spark, root,
       Seq((4L, "y", 444L)).toDF("k", "part", "n"), "k", Seq("part"))
@@ -776,9 +776,9 @@ class TxnSpec extends SparkSpec {
   test("conflict: delete ∥ append disjoint — both land; overlapping append throws") {
     val root = conflictFixture()
     // disjoint: the racer appends k=20 while we delete k=3
-    Txn.raceOnce = Some(() => injectCommit(root, data =>
+    Txn.raceOnce.set(Some(() => injectCommit(root, data =>
       data ++ fabricateBatch(root,
-        Seq((20L, "z", 200L)).toDF("k", "part", "n"))))
+        Seq((20L, "z", 200L)).toDF("k", "part", "n")))))
     val v = Txn.commitDelete(spark, root, Seq(3L).toDF("k"), "k", Seq("part"))
     assert(v == 3)
     assert(table(root) == Set((1L, "x", 10L), (2L, "x", 20L),
@@ -787,9 +787,9 @@ class TxnSpec extends SparkSpec {
     // overlapping: a racer appends k=4 while we delete k=4 — our
     // delete read a snapshot WITHOUT that row; silently restaging
     // would make the outcome depend on commit order. Throw.
-    Txn.raceOnce = Some(() => injectCommit(root, data =>
+    Txn.raceOnce.set(Some(() => injectCommit(root, data =>
       data ++ fabricateBatch(root,
-        Seq((4L, "y", 4444L)).toDF("k", "part", "n"))))
+        Seq((4L, "y", 4444L)).toDF("k", "part", "n")))))
     intercept[Txn.ConcurrentWriteException] {
       Txn.commitDelete(spark, root, Seq(4L).toDF("k"), "k", Seq("part"))
     }
@@ -875,9 +875,9 @@ class TxnSpec extends SparkSpec {
   test("conflict: replace ∥ write into the replaced partition throws; disjoint partitions land") {
     val root = conflictFixture()
     // DISJOINT: the racer appends into part=z while we replace part=x
-    Txn.raceOnce = Some(() => injectCommit(root, data =>
+    Txn.raceOnce.set(Some(() => injectCommit(root, data =>
       data ++ fabricateBatch(root,
-        Seq((20L, "z", 200L)).toDF("k", "part", "n"), Seq("part"))))
+        Seq((20L, "z", 200L)).toDF("k", "part", "n"), Seq("part")))))
     val v = Txn.commitReplacePartitions(spark, root,
       Seq((11L, "x", 110L)).toDF("k", "part", "n"), "part")
     assert(v == 3)
@@ -886,9 +886,9 @@ class TxnSpec extends SparkSpec {
 
     // OVERLAP: a racer appends INTO part=y while we replace part=y —
     // restaging would silently clobber the racer's committed row
-    Txn.raceOnce = Some(() => injectCommit(root, data =>
+    Txn.raceOnce.set(Some(() => injectCommit(root, data =>
       data ++ fabricateBatch(root,
-        Seq((5L, "y", 50L)).toDF("k", "part", "n"), Seq("part"))))
+        Seq((5L, "y", 50L)).toDF("k", "part", "n"), Seq("part")))))
     val ex = intercept[Txn.ConcurrentWriteException] {
       Txn.commitReplacePartitions(spark, root,
         Seq((9L, "y", 90L)).toDF("k", "part", "n"), "part")
