@@ -45,7 +45,17 @@ object BenchZipf {
         docs, "doc_id", "text", "lang", n = 2, minJaccard = 0.3))
       val con = time(graft.operators.Dedup.ngramContainmentPairs(
         docs, "doc_id", "text", "lang", n = 2, minContainment = 0.8))
-      println(f"ZIPF n=$n%d jaccard=$jac%.3f s containment=$con%.3f s")
+      // the PPJoin siblings on the SAME fixture — the oracle-pinned
+      // 100-TB path; their slope vs the plain forms' is the whole
+      // argument for the dfBudget guard pointing at them
+      val jacC = time(graft.operators.Dedup.ngramJaccardPairsPrefix(
+        docs, "doc_id", "text", "lang", n = 2, minJaccard = 0.3,
+        maxDf = Some(64L)))
+      val conC = time(graft.operators.Dedup.ngramContainmentPairsPrefix(
+        docs, "doc_id", "text", "lang", n = 2, minContainment = 0.8,
+        maxDf = Some(64L)))
+      println(f"ZIPF n=$n%d jaccard=$jac%.3f s containment=$con%.3f s " +
+        f"jaccard_capped=$jacC%.3f s containment_capped=$conC%.3f s")
     }
     spark.stop()
   }

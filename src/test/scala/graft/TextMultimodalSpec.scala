@@ -171,6 +171,42 @@ class TextMultimodalSpec extends SparkSpec {
     assert(ImageCodec.decode(ImageCodec.encodeBmpGray(Array.empty)).isEmpty)
   }
 
+  test("ImageCodec fuzz: encode∘decode exact and decode total on 500 seeded buffers") {
+    import graft.plans.ImageCodec
+    val rnd = new scala.util.Random(0xC0DEC13L)
+    (1 to 500).foreach { i =>
+      val len = rnd.nextInt(301)
+      val gray = new Array[Byte](len); rnd.nextBytes(gray)
+      // both encoders round-trip EXACTLY through their own decoder
+      val ppm = ImageCodec.decode(ImageCodec.encodePpmGray(gray))
+      assert(ppm.exists(_.pixels.toSeq == gray.toSeq), s"ppm len=$len i=$i")
+      if (len > 0) {
+        val bmp = ImageCodec.decode(ImageCodec.encodeBmpGray(gray))
+        assert(bmp.exists(_.pixels.toSeq == gray.toSeq), s"bmp len=$len i=$i")
+      }
+      // decode is TOTAL on arbitrary bytes: reject-don't-throw (the
+      // stand-in branch depends on it) — including bytes that START
+      // like a container
+      val junk = new Array[Byte](len); rnd.nextBytes(junk)
+      ImageCodec.decode(junk)
+      if (len >= 2) {
+        junk(0) = 'P'; junk(1) = '6'; ImageCodec.decode(junk)
+        junk(0) = 'B'; junk(1) = 'M'; ImageCodec.decode(junk)
+      }
+    }
+  }
+
+  test("ZOrder.interleave16 is injective over 16-bit pairs (seeded sample)") {
+    val rnd = new scala.util.Random(0x20D13L)
+    val pairs = Seq.fill(4000)((rnd.nextInt(65536), rnd.nextInt(65536)))
+      .distinct
+    val df = pairs.toDF("x", "y")
+      .select(graft.functions.ZOrder.interleave16(col("x"), col("y"))
+        .as("z"))
+    assert(df.distinct().count() == pairs.size.toLong,
+      "Morton codes collided — bit spreading broken")
+  }
+
   test("multimodal: mixed-format table decodes through BOTH container parsers") {
     val docs = Seq((2L, "hello world!"), (3L, "héllo wörld"))
       .toDF("doc_id", "text")

@@ -841,6 +841,31 @@ class TxnSpec extends SparkSpec {
     assert(Txn.read(spark, root).count() == 990)
   }
 
+  test("manifest stats survive extreme doubles byte-exactly (toString round-trip)") {
+    val root = freshRoot()
+    // stats ride the manifest as Double.toString text; the reader must
+    // reproduce the exact binary double (Java guarantees the
+    // toString→parseDouble round-trip) — negatives, subnormals,
+    // scientific notation, and huge magnitudes included
+    val vals = Seq(-1.7976931348623157e308, -1e-7, -0.0, 0.0,
+      4.9e-324, 1.23456789012345e-5, 42.5, 9.007199254740993e15,
+      1.7976931348623157e308)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("k", "x")
+    Txn.commitOverwrite(spark, root, df.repartition(3),
+      statsCols = Seq("k", "x"))
+    val entries = Txn.snapshotEntries(spark, root, 1)
+    assert(entries.forall(_.namedStats("x").isDefined))
+    val (lo, hi) = (vals.min, vals.max)
+    val mn = entries.flatMap(_.namedStats("x")).map(_._1).min
+    val mx = entries.flatMap(_.namedStats("x")).map(_._2).max
+    assert(mn == lo && mx == hi, s"range drifted: [$mn,$mx] vs [$lo,$hi]")
+    // skip-scan over a subnormal-tight range still answers exactly
+    // (picks up the subnormal and the 1.23e-5, excludes ±0.0 and 42.5)
+    assert(Txn.readWhere(spark, root, "x", 4.9e-324, 1e-4)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+  }
+
   test("compactZOrder: two-column predicates open a rectangle of files, not a stripe") {
     val root = freshRoot()
     // a 64×64 grid: x and y independent, so a layout sorted by either
