@@ -144,21 +144,26 @@ object Txn {
   }
 
   /** Meta lines for the NEXT commit built on `prevLines` (the head the
-    * attempt restages against): #schema, then the tag block — carried
-    * forward as (#tagbase + suffix), rolling a new checkpoint at
-    * `prevV` when the suffix would exceed [[tagCheckpointEvery]]. */
+    * attempt restages against): #schema, the commit's own #kind (the
+    * verb that produced it — NOT carried forward; each version records
+    * what made it, the DESCRIBE HISTORY primitive), then the tag
+    * block — carried forward as (#tagbase + suffix), rolling a new
+    * checkpoint at `prevV` when the suffix would exceed
+    * [[tagCheckpointEvery]]. */
   private def metaForNext(spark: SparkSession, root: String, prevV: Int,
       prevLines: Seq[String], schema: StructType,
-      addTags: Seq[String] = Nil): Seq[String] = {
+      addTags: Seq[String] = Nil, kind: String = ""): Seq[String] = {
     val suffix = (txnTags(prevLines) ++ addTags).distinct.sorted
     val base = tagBase(prevLines)
+    val head = Seq(s"#schema:${schema.json}") ++
+      (if (kind.nonEmpty) Seq(s"#kind:$kind") else Nil)
     if (prevV >= 1 && suffix.size > tagCheckpointEvery) {
       writeTagsFileIfAbsent(spark, root, prevV,
         resolveTags(spark, root, prevLines).distinct.sorted)
-      s"#schema:${schema.json}" +: s"#tagbase:$prevV" +:
-        addTags.distinct.sorted.map(t => s"#txn:$t")
+      head ++ (s"#tagbase:$prevV" +:
+        addTags.distinct.sorted.map(t => s"#txn:$t"))
     } else
-      s"#schema:${schema.json}" +: (base.map(w => s"#tagbase:$w").toSeq ++
+      head ++ (base.map(w => s"#tagbase:$w").toSeq ++
         suffix.map(t => s"#txn:$t"))
   }
 
@@ -313,6 +318,32 @@ object Txn {
   def committedTags(spark: SparkSession, root: String, v: Int): Seq[String] =
     resolveTags(spark, root, snapshotLines(spark, root, v))
 
+  /** One surviving-version row of [[history]]. `kind` is the commit
+    * verb recorded at publish time ("" for pre-r13 manifests);
+    * `committedAtMs` is the manifest file's mtime — wall-clock
+    * metadata, not part of any correctness contract. */
+  final case class Commit(version: Int, kind: String, nFiles: Int,
+      nTags: Int, committedAtMs: Long)
+
+  /** DESCRIBE HISTORY: every SURVIVING version (expiry leaves holes),
+    * newest first, with the verb that produced it, its file count,
+    * its manifest-suffix tag count, and the publish wall-clock. Pure
+    * driver metadata — one listing plus one small read per surviving
+    * manifest, bounded by the retention window after
+    * [[expireManifests]]. */
+  def history(spark: SparkSession, root: String): Seq[Commit] = {
+    val f = fs(spark, root)
+    survivingVersions(spark, root).sorted(Ordering[Int].reverse).map { v =>
+      val lines = snapshotLines(spark, root, v)
+      Commit(v,
+        lines.find(_.startsWith("#kind:"))
+          .map(_.stripPrefix("#kind:")).getOrElse(""),
+        lines.count(!isMeta(_)),
+        txnTags(lines).size,
+        f.getFileStatus(manifestPath(root, v)).getModificationTime)
+    }
+  }
+
   /** Write `df`'s files under a fresh ATTEMPT-UNIQUE batch dir; returns
     * their manifest lines (root-relative path, plus TAB-separated
     * `col:min:max` per declared stats column) WITHOUT publishing
@@ -425,7 +456,8 @@ object Txn {
       statsCols: Seq[String] = Nil): Int =
     retry(spark, root, maxRetries) { v =>
       val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
-      metaForNext(spark, root, v - 1, prev, df.schema) ++
+      metaForNext(spark, root, v - 1, prev, df.schema,
+          kind = "overwrite") ++
         stageBatch(spark, root, df, partitionBy, batchDir(v),
           (statsCol.toSeq ++ statsCols).distinct)
     }
@@ -448,7 +480,8 @@ object Txn {
     retry(spark, root, maxRetries) { v =>
       val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
       if (!mergeSchema) requireSameSchema(prev, df, "commitAppend")
-      metaForNext(spark, root, v - 1, prev, df.schema) ++
+      metaForNext(spark, root, v - 1, prev, df.schema,
+          kind = "append") ++
         prev.filterNot(isMeta) ++
         stageBatch(spark, root, df, partitionBy, batchDir(v),
           (statsCol.toSeq ++ statsCols).distinct)
@@ -498,7 +531,8 @@ object Txn {
       // always a bug, so the strict gate has no mergeSchema escape
       requireSameSchema(prev, df, "commitAppendIdempotent")
       val lines = metaForNext(spark, root, v - 1, prev, df.schema,
-          addTags = Seq(tag)) ++ prev.filterNot(isMeta) ++
+          addTags = Seq(tag), kind = "append_idempotent") ++
+        prev.filterNot(isMeta) ++
         stageBatch(spark, root, df, partitionBy, batchDir(v))
       if (publish(spark, root, v, lines)) return Some(v)
       attempt += 1 // lost the race: head moved; restage against new head
@@ -561,8 +595,8 @@ object Txn {
       val kept = prev.filterNot(isMeta).filterNot { line =>
         linePath(line).split("/").exists(replacedSegs.contains)
       }
-      val lines =
-        metaForNext(spark, root, v - 1, prev, df.schema) ++ kept ++ staged
+      val lines = metaForNext(spark, root, v - 1, prev, df.schema,
+        kind = "replace_partitions") ++ kept ++ staged
       raceOnce.get().foreach { hook => raceOnce.set(None); hook() }
       if (publish(spark, root, v, lines)) return v
       attempt += 1 // lost the race: head moved; restage against new head
@@ -619,7 +653,8 @@ object Txn {
       val prev = snapshotLines(spark, root, v - 1)
       val schema = schemaLine(target).getOrElse(schemaLine(prev).getOrElse(
         sys.error(s"Txn.restore: no #schema line at $root")))
-      metaForNext(spark, root, v - 1, prev, schema) ++
+      metaForNext(spark, root, v - 1, prev, schema,
+          kind = s"restore:$toVersion") ++
         target.filterNot(isMeta)
     }
   }
@@ -734,7 +769,8 @@ object Txn {
         }
       metaForNext(spark, root, v - 1, prev,
         schemaLine(prev).getOrElse(
-          sys.error(s"Txn.commitDelete: no #schema line at $root"))) ++
+          sys.error(s"Txn.commitDelete: no #schema line at $root")),
+        kind = "delete") ++
         kept ++ staged
     }
   }
@@ -803,7 +839,8 @@ object Txn {
           else StructType(committed.fields ++ src.schema.fields
             .filterNot(f => committed.fieldNames.contains(f.name)))
         }
-        metaForNext(spark, root, v - 1, prev, evolved) ++ kept ++ staged
+        metaForNext(spark, root, v - 1, prev, evolved,
+          kind = "merge") ++ kept ++ staged
       }
     } finally src.unpersist()
   }

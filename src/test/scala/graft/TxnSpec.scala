@@ -841,6 +841,32 @@ class TxnSpec extends SparkSpec {
     assert(Txn.read(spark, root).count() == 990)
   }
 
+  test("history: every verb records its kind; expiry windows the log") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "part", "n"), Seq("part"))
+    Txn.commitAppend(spark, root,
+      Seq((3L, "a", 30L)).toDF("k", "part", "n"), Seq("part"))
+    Txn.commitAppendIdempotent(spark, root,
+      Seq((4L, "a", 40L)).toDF("k", "part", "n"), "h1", Seq("part"))
+    Txn.commitReplacePartitions(spark, root,
+      Seq((9L, "b", 90L)).toDF("k", "part", "n"), "part")
+    Txn.commitDelete(spark, root, Seq(3L).toDF("k"), "k", Seq("part"))
+    Txn.commitMerge(spark, root,
+      Seq((1L, "a", 111L)).toDF("k", "part", "n"), "k", Seq("part"))
+    Txn.restore(spark, root, toVersion = 2)
+    val h = Txn.history(spark, root)
+    assert(h.map(_.version) == (7 to 1 by -1))
+    assert(h.map(_.kind) == Seq("restore:2", "merge", "delete",
+      "replace_partitions", "append_idempotent", "append", "overwrite"))
+    assert(h.forall(_.nFiles >= 1))
+    assert(h.find(_.version == 3).exists(_.nTags == 1)) // the h1 suffix
+    assert(h.forall(_.committedAtMs > 0L))
+    // expiry windows the log: only the retained tail remains
+    Txn.expireManifests(spark, root, keepLast = 3)
+    assert(Txn.history(spark, root).map(_.version) == Seq(7, 6, 5))
+  }
+
   test("manifest stats survive extreme doubles byte-exactly (toString round-trip)") {
     val root = freshRoot()
     // stats ride the manifest as Double.toString text; the reader must
