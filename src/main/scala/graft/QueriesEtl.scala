@@ -967,6 +967,28 @@ object QueriesEtl {
             .as("sum_val"))
     }),
 
+    // retention/TTL as one atomic commit (DELETE WHERE at the Txn
+    // layer): files entirely inside the purge range with zero
+    // recorded NULLs drop by manifest arithmetic alone (metadata
+    // accounting pinned in TxnSpec), boundary files rewrite minus
+    // matching rows, NULL keys always survive — the oracle is the
+    // complement filter
+    "etl_txn_ttl" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txnttl_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, root,
+        ev.repartitionByRange(8, col("user_id")),
+        statsCols = Seq("user_id"))
+      graft.operators.Txn.commitDeleteWhere(s, root, "user_id", 0d, 300d)
+      graft.operators.Txn.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
+    }),
+
     // ROLLBACK as a forward commit (Delta RESTORE TABLE): base
     // snapshot → a bad overwrite → restore — the head re-references
     // the base's files verbatim (metadata-only; rewrite-free rollback
@@ -1708,6 +1730,15 @@ object QueriesEtl {
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
         |FROM events WHERE user_id >= 100 AND user_id <= 300
         |  AND value >= 0 AND value <= 50
+        |GROUP BY 1""".stripMargin,
+
+    // DELETE WHERE user_id in [0,300] == keep the complement (NULL
+    // keys never match a range predicate and survive)
+    "etl_txn_ttl" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events
+        |WHERE user_id IS NULL OR user_id < 0 OR user_id > 300
         |GROUP BY 1""".stripMargin,
 
     // restore(1) after a table-wiping overwrite == the original

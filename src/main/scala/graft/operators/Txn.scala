@@ -258,12 +258,18 @@ object Txn {
     * silently skipped files. Legacy unnamed lines (`path TAB min TAB
     * max`) parse under the reserved name "" and are honored by the
     * read-side range APIs but never by row-level commit pruning. */
-  final case class Entry(path: String, stats: Map[String, (Double, Double)]) {
+  final case class Entry(path: String, stats: Map[String, (Double, Double)],
+      nulls: Map[String, Long] = Map.empty) {
     /** Recorded range of `c`, falling back to a legacy unnamed range. */
     def statsFor(c: String): Option[(Double, Double)] =
       stats.get(c).orElse(stats.get(""))
     /** Range recorded FOR THIS NAME only — the row-level prune gate. */
     def namedStats(c: String): Option[(Double, Double)] = stats.get(c)
+    /** NULL count recorded for `c` within this file, when the writer
+      * declared it (r13+ manifests; min/max ignore NULLs, so
+      * metadata-only decisions about "every row matches" need this —
+      * Delta records nullCount for the same reason). */
+    def nullsFor(c: String): Option[Long] = nulls.get(c)
   }
 
   /** Raw manifest lines of snapshot `v` — the carry-forward unit, so
@@ -289,7 +295,7 @@ object Txn {
       v: Int): Seq[String] = snapshotLines(spark, root, v)
 
   /** Manifest DATA entries of snapshot `v`
-    * (path [TAB col:min:max]... | legacy path TAB min TAB max). */
+    * (path [TAB col:min:max[:nulls]]... | legacy path TAB min TAB max). */
   def snapshotEntries(spark: SparkSession, root: String,
       v: Int): Seq[Entry] =
     snapshotLines(spark, root, v).filterNot(isMeta).map { line =>
@@ -299,12 +305,17 @@ object Txn {
             if !lo.contains(':') && !hi.contains(':') =>
           Entry(p, Map("" -> (lo.toDouble, hi.toDouble))) // legacy unnamed
         case arr if arr.length >= 2 =>
-          Entry(arr(0), arr.tail.map { f =>
+          val fields = arr.tail.map { f =>
             f.split(':') match {
-              case Array(c, lo, hi) => c -> (lo.toDouble, hi.toDouble)
+              case Array(c, lo, hi) =>
+                (c, (lo.toDouble, hi.toDouble), None: Option[Long])
+              case Array(c, lo, hi, n) =>
+                (c, (lo.toDouble, hi.toDouble), Some(n.toLong))
               case _ => sys.error(s"Txn: malformed stats field '$f': $line")
             }
-          }.toMap)
+          }
+          Entry(arr(0), fields.map(t => t._1 -> t._2).toMap,
+            fields.collect { case (c, _, Some(n)) => c -> n }.toMap)
         case _ => sys.error(s"Txn: malformed manifest line: $line")
       }
     }
@@ -379,7 +390,8 @@ object Txn {
     else {
       val aggs = statsCols.flatMap(c => Seq(
         min(col(c).cast("double")).as(s"__lo_$c"),
-        max(col(c).cast("double")).as(s"__hi_$c")))
+        max(col(c).cast("double")).as(s"__hi_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nn_$c")))
       val stats = spark.read.parquet(dir)
         .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -400,10 +412,13 @@ object Txn {
               new Path(p).toUri.getPath }
           val rel = decoded.stripPrefix(base).stripPrefix("/")
           // a column all-NULL within a file records no range for it —
-          // readers treat missing stats as "cannot skip", never a filter
+          // readers treat missing stats as "cannot skip", never a
+          // filter; present ranges also carry the file's NULL count
+          // (min/max ignore NULLs, so "every row is in range" needs it)
           val fields = statsCols.zipWithIndex.flatMap { case (c, i) =>
-            if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-            else Some(s"$c:${r.getDouble(1 + 2 * i)}:${r.getDouble(2 + 2 * i)}")
+            if (r.isNullAt(1 + 3 * i) || r.isNullAt(2 + 3 * i)) None
+            else Some(s"$c:${r.getDouble(1 + 3 * i)}:" +
+              s"${r.getDouble(2 + 3 * i)}:${r.getLong(3 + 3 * i)}")
           }
           rel -> fields
         }.toMap
@@ -773,6 +788,78 @@ object Txn {
         kind = "delete") ++
         kept ++ staged
     }
+  }
+
+  /** COPY-ON-WRITE predicate DELETE — `DELETE WHERE statsCol BETWEEN
+    * lo AND hi`, the retention/TTL verb at the Txn layer: a file
+    * whose recorded range lies ENTIRELY inside [lo, hi] and whose
+    * recorded NULL count is zero is dropped by manifest arithmetic
+    * alone (never opened — at 100 TB a time-keyed table's expiry
+    * removes most files without a single read); files overlapping a
+    * boundary rewrite minus the matching rows; disjoint files carry
+    * verbatim. NULL-valued rows never match a range predicate and
+    * always survive — which is exactly why the metadata drop demands
+    * a recorded zero NULL count (min/max ignore NULLs; a file with
+    * in-range stats can still hold NULL rows). Files without NAMED
+    * statsCol stats rewrite conservatively. Write-write conflicts:
+    * a racing commit that changed any in-range row throws
+    * [[ConcurrentWriteException]] (same CDF-diff discipline as
+    * [[commitDelete]]). Returns the new version; prior versions stay
+    * time-travelable (physical erasure = this + [[vacuum]] after
+    * retention, and [[expireManifests]] for the manifest tail). */
+  def commitDeleteWhere(spark: SparkSession, root: String,
+      statsCol: String, lo: Double, hi: Double,
+      partitionBy: Seq[String] = Nil, maxRetries: Int = 5,
+      statsCols: Seq[String] = Nil): Int = {
+    require(lo <= hi, s"commitDeleteWhere: empty range [$lo, $hi]")
+    var attempt = 0
+    var baseV = -1
+    val c = col(statsCol).cast("double")
+    while (attempt < maxRetries) {
+      val v = currentVersion(spark, root) + 1
+      require(v >= 2, s"Txn.commitDeleteWhere: no committed version at $root")
+      val prev = snapshotLines(spark, root, v - 1)
+      if (baseV < 0) baseV = v - 1
+      else if (v - 1 > baseV) {
+        val hit = readChangesCdf(spark, root, baseV, Some(v - 1))
+          .where(c >= lo && c <= hi).limit(1).count()
+        if (hit > 0) throw new ConcurrentWriteException(
+          s"Txn.commitDeleteWhere at $root: concurrent commit(s) " +
+            s"v${baseV + 1}..v${v - 1} changed rows inside " +
+            s"[$lo, $hi] on $statsCol — re-read the new head and rerun")
+        baseV = v - 1
+      }
+      val entries = snapshotEntries(spark, root, v - 1)
+      val dropped = entries.filter { e =>
+        e.namedStats(statsCol).exists { case (mn, mx) =>
+          lo <= mn && mx <= hi } && e.nullsFor(statsCol).contains(0L)
+      }.map(_.path).toSet
+      val untouched = entries.filter { e =>
+        !dropped.contains(e.path) &&
+          e.namedStats(statsCol).exists { case (mn, mx) =>
+            mx < lo || mn > hi }
+      }.map(_.path).toSet
+      val boundary = entries.map(_.path)
+        .filterNot(p => dropped.contains(p) || untouched.contains(p))
+      val kept = prev.filterNot(isMeta)
+        .filter(l => untouched.contains(linePath(l)))
+      val staged =
+        if (boundary.isEmpty) Nil
+        else {
+          val survivors = readFiles(spark, root, boundary.sorted)
+            .where(c.isNull || c < lo || c > hi)
+          stageBatch(spark, root, survivors, partitionBy, batchDir(v),
+            (statsCol +: statsCols).distinct)
+        }
+      val lines = metaForNext(spark, root, v - 1, prev,
+        schemaLine(prev).getOrElse(
+          sys.error(s"Txn.commitDeleteWhere: no #schema line at $root")),
+        kind = "delete_where") ++ kept ++ staged
+      raceOnce.get().foreach { hook => raceOnce.set(None); hook() }
+      if (publish(spark, root, v, lines)) return v
+      attempt += 1 // lost the race: head moved; restage against new head
+    }
+    sys.error(s"Txn: lost the commit race $maxRetries times at $root")
   }
 
   /** COPY-ON-WRITE MERGE (upsert — Delta's `MERGE INTO` with

@@ -841,6 +841,61 @@ class TxnSpec extends SparkSpec {
     assert(Txn.read(spark, root).count() == 990)
   }
 
+  test("commitDeleteWhere: in-range files drop by metadata, boundaries rewrite, NULLs survive") {
+    val root = freshRoot()
+    def frame(rows: Seq[(Long, Option[Double])]) =
+      rows.toDF("id", "v").coalesce(1)
+    // four single-file commits with v-stats:
+    //  f0: v 0..9 fully in range, no NULLs  → metadata drop
+    //  f1: v 10..19 straddles the boundary  → rewrite minus matches
+    //  f2: v 20..29 disjoint                → carried verbatim
+    //  f3: v 1..3 in range BUT one NULL row → nullCount > 0, rewrite;
+    //      the NULL row must survive (a range predicate never matches it)
+    Txn.commitOverwrite(spark, root,
+      frame((0L to 9L).map(i => (i, Some(i.toDouble)))),
+      statsCols = Seq("v"))
+    Txn.commitAppend(spark, root,
+      frame((10L to 19L).map(i => (i, Some(i.toDouble)))),
+      statsCols = Seq("v"))
+    Txn.commitAppend(spark, root,
+      frame((20L to 29L).map(i => (i, Some(i.toDouble)))),
+      statsCols = Seq("v"))
+    Txn.commitAppend(spark, root,
+      frame(Seq((100L, Some(1d)), (101L, Some(3d)), (102L, None))),
+      statsCols = Seq("v"))
+    val before = Txn.snapshotEntries(spark, root, 4)
+    assert(before.size == 4)
+    assert(before.forall(_.nullsFor("v").isDefined), "null counts missing")
+    val f0 = before.map(_.path).head
+    val f2 = before.map(_.path)(2)
+
+    val v = Txn.commitDeleteWhere(spark, root, "v", 0d, 15d)
+    assert(v == 5)
+    val after = Txn.snapshotFiles(spark, root, 5)
+    assert(!after.contains(f0), "fully-in-range file not dropped")
+    assert(after.contains(f2), "disjoint file must carry verbatim")
+    // exactly the complement survives — including the NULL row
+    val got = Txn.read(spark, root).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1d else r.getDouble(1)))
+      .toSet
+    assert(got == ((16L to 29L).map(i => (i, i.toDouble)) :+
+      ((102L, -1d))).toSet)
+    assert(Txn.history(spark, root).head.kind == "delete_where")
+    // time travel: the purged rows remain readable at v4
+    assert(Txn.read(spark, root, Some(4)).count() == 33)
+
+    // conflict: a racer writing an IN-RANGE row makes the loser throw
+    Txn.raceOnce.set(Some(() => injectCommit(root, data =>
+      data ++ fabricateBatch(root, frame(Seq((999L, Some(17d))))))))
+    val v2 = Txn.commitDeleteWhere(spark, root, "v", 16d, 16d)
+    assert(v2 == 7, "disjoint racer must not block") // racer took v6
+    Txn.raceOnce.set(Some(() => injectCommit(root, data =>
+      data ++ fabricateBatch(root, frame(Seq((998L, Some(25d))))))))
+    intercept[Txn.ConcurrentWriteException] {
+      Txn.commitDeleteWhere(spark, root, "v", 20d, 29d)
+    }
+  }
+
   test("history: every verb records its kind; expiry windows the log") {
     val root = freshRoot()
     Txn.commitOverwrite(spark, root,
