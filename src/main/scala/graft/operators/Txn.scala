@@ -22,14 +22,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * and the CURRENT table state is defined exclusively by the
   * highest-versioned manifest. A manifest is newline-delimited:
   * metadata lines first (`#schema:<json>` — the committing frame's
-  * schema, so an EMPTY snapshot stays readable; `#txn:<tag>` — one per
-  * idempotence tag ever committed, carried forward by every commit
-  * type so rewrites cannot forget them), then one line per data file:
-  * root/data-relative path, optionally TAB min TAB max of the declared
-  * stats column ([[readWhere]] file skipping). Commits write ALL data
-  * files first, then publish by writing the manifest to a hidden temp
-  * name and renaming it to `v<next>.manifest`. The rename is the
-  * commit point:
+  * schema, so an EMPTY snapshot stays readable; `#kind:<verb>` — the
+  * commit's own verb, the [[history]] primitive; `#txn:<tag>` — one
+  * per idempotence tag ever committed, carried forward by every
+  * commit type so rewrites cannot forget them, checkpointed through
+  * `#tagbase`), then one line per data file: root/data-relative path
+  * plus TAB-separated `col:min:max:nulls` per declared stats column
+  * ([[readWhere]]/[[readWhereAll]] file skipping, row-level commit
+  * pruning, [[commitDeleteWhere]]'s read-free file drops). Commits
+  * write ALL data files first, then publish by writing the manifest
+  * to a hidden temp name and renaming it to `v<next>.manifest`. The
+  * rename is the commit point:
   *
   *  - ATOMIC VISIBILITY — the Hadoop FileSystem rename contract makes
   *    the manifest appear fully-written or not at all; data files it
