@@ -39,11 +39,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    references are already complete. Torn reads are impossible BY
   *    CONSTRUCTION, not by timing.
   *  - OPTIMISTIC CONCURRENCY — Hadoop rename REFUSES an existing
-  *    destination on local and HDFS filesystems (pinned empirically by
-  *    TxnRenameProbe — unlike raw POSIX rename(2), which clobbers), so
-  *    two racing committers cannot both win one version number; the
-  *    loser re-reads the head and restages against the next version
-  *    (Delta/Iceberg's commit protocol shape). LIMITATION: object
+  *    destination (pinned empirically by TxnRenameProbe), so two
+  *    racing committers cannot both win one version number; the loser
+  *    re-reads the head and restages against the next version
+  *    (Delta/Iceberg's commit protocol shape). On HDFS the refusal is
+  *    atomic server-side; on LOCAL filesystems it is an exists-check
+  *    over clobbering rename(2), so the claim is additionally
+  *    serialized in-JVM (`localClaimLock` — Delta's LocalLogStore
+  *    draws the same single-machine boundary). LIMITATION: object
   *    stores without atomic rename-no-overwrite (S3 without a
   *    consistency layer) need an external lock or a DynamoDB-style
   *    log — the same boundary Delta draws.
@@ -87,6 +90,155 @@ object Txn {
     lines.find(_.startsWith("#schema:"))
       .map(l => DataType.fromJson(l.stripPrefix("#schema:"))
         .asInstanceOf[StructType])
+
+  // ---- delta-log commit format --------------------------------------
+  // Pre-r14, every commit carried ALL prior data lines forward into its
+  // manifest — O(table files) driver text per commit, which at 100 TB
+  // (~1M files) and streaming-publish cadence is a ~100 MB write per
+  // micro-batch. A manifest may instead be a DELTA over the previous
+  // snapshot (Delta Lake's per-commit action files, Iceberg's reused
+  // manifests): a `#base:<v-1>` meta line, `#rm:<path>` lines for the
+  // files the commit removes, and data lines ONLY for the files it
+  // adds — so commit metadata cost is O(touched files). Snapshot
+  // resolution folds the chain back to the nearest FULL listing: a
+  // baseless manifest (overwrite/compact/restore-of-everything — and
+  // every pre-r14 manifest, which therefore read unchanged) or a
+  // sidecar CHECKPOINT `c<v>.checkpoint` holding version v's resolved
+  // data lines. Checkpoints roll automatically once a chain reaches
+  // [[checkpointEvery]] delta steps (post-publish, best-effort, like
+  // the `_latest` hint — a failed roll only lengthens the walk, never
+  // changes the snapshot) and their bytes are a pure function of the
+  // committed chain, so racing writers produce identical content
+  // (rename-no-overwrite, same discipline as the tags files).
+  // Writers never re-add a path that already exists in the base (adds
+  // come from fresh attempt-unique batch dirs), so a delta's add/rm
+  // lines ARE the commit's exact file-set diff — [[readChangesCdf]]
+  // and conflict detection read them directly instead of diffing two
+  // resolved snapshots.
+
+  /** Delta-chain length that triggers a sidecar checkpoint roll. */
+  private[graft] val checkpointEvery = 16
+
+  private def checkpointPath(root: String, v: Int) =
+    new Path(manifestDir(root), f"c$v%05d.checkpoint")
+
+  private def baseOf(lines: Seq[String]): Option[Int] =
+    lines.find(_.startsWith("#base:")).map(_.stripPrefix("#base:").toInt)
+
+  private def rmPaths(lines: Seq[String]): Seq[String] =
+    lines.collect { case l if l.startsWith("#rm:") => l.stripPrefix("#rm:") }
+
+  /** `#base` + `#rm` delta block for a commit built on snapshot
+    * `baseV` that removes `removed` and adds `adds` (full stats
+    * lines). `baseV == 0` (first commit) writes a baseless full
+    * listing — there is nothing to delta against. */
+  private def deltaLines(baseV: Int, removed: Seq[String],
+      adds: Seq[String]): Seq[String] =
+    if (baseV == 0) adds
+    else s"#base:$baseV" +: (removed.sorted.map(p => s"#rm:$p") ++ adds)
+
+  /** Resolved DATA lines of snapshot `v`: walk the delta chain back to
+    * the nearest full listing (sidecar checkpoint or baseless
+    * manifest), then replay each step's removes + adds oldest-first.
+    * Walk length is bounded by [[checkpointEvery]] once checkpoints
+    * roll; every step is one small driver read. */
+  private def resolvedData(spark: SparkSession, root: String,
+      v: Int): Seq[String] = {
+    val f = fs(spark, root)
+    val steps =
+      scala.collection.mutable.ArrayBuffer.empty[(Set[String], Seq[String])]
+    var cur = v
+    var base: Seq[String] = null
+    while (base == null) {
+      val cp = checkpointPath(root, cur)
+      if (f.exists(cp)) {
+        val in = f.open(cp)
+        base = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      } else {
+        val raw = rawLines(spark, root, cur)
+        baseOf(raw) match {
+          case None => base = raw.filterNot(isMeta)
+          case Some(w) =>
+            steps += ((rmPaths(raw).toSet, raw.filterNot(isMeta)))
+            cur = w
+        }
+      }
+    }
+    steps.reverseIterator.foldLeft(base) { case (acc, (rm, adds)) =>
+      (if (rm.isEmpty) acc else acc.filterNot(l => rm(linePath(l)))) ++ adds
+    }
+  }
+
+  /** Write version `v`'s resolved data lines as a sidecar checkpoint —
+    * deterministic bytes (pure function of the committed chain), so a
+    * racer's identical write losing the rename changes nothing. */
+  private def writeCheckpointIfAbsent(spark: SparkSession, root: String,
+      v: Int, dataLines: Seq[String]): Unit = {
+    val f = fs(spark, root)
+    val target = checkpointPath(root, v)
+    if (f.exists(target)) return
+    f.mkdirs(manifestDir(root))
+    val tmp = new Path(manifestDir(root),
+      s".tmp-${java.util.UUID.randomUUID().toString}")
+    val os = f.create(tmp, false)
+    try os.write(dataLines.map(_ + "\n").mkString.getBytes("UTF-8"))
+    finally os.close()
+    if (!f.rename(tmp, target)) f.delete(tmp, false) // racer wrote same bytes
+  }
+
+  /** Post-publish checkpoint roll: if `v`'s delta chain has reached
+    * [[checkpointEvery]] steps without a materialized full listing,
+    * roll one at `v`. Best-effort (advisory, like the head hint): a
+    * failure lengthens future resolution walks but never changes any
+    * snapshot. */
+  private def maybeCheckpoint(spark: SparkSession, root: String,
+      v: Int): Unit =
+    try {
+      val f = fs(spark, root)
+      var depth = 0
+      var cur = v
+      var stop = false
+      while (!stop && depth < checkpointEvery) {
+        if (f.exists(checkpointPath(root, cur))) stop = true
+        else baseOf(rawLines(spark, root, cur)) match {
+          case None => stop = true
+          case Some(w) => depth += 1; cur = w
+        }
+      }
+      if (depth >= checkpointEvery)
+        writeCheckpointIfAbsent(spark, root, v,
+          resolvedData(spark, root, v))
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Version `v`'s exact file-set diff vs `v-1`: (added, removed).
+    * A delta manifest's own action lines carry the answer in O(touched)
+    * (writers never re-add a base path); a full manifest falls back to
+    * the resolved-set difference. The unit [[readChangesCdf]] and the
+    * partition-conflict check fold over. */
+  private def fileDiff(spark: SparkSession, root: String,
+      v: Int): (Seq[String], Seq[String]) = {
+    val raw = rawLines(spark, root, v)
+    baseOf(raw) match {
+      case Some(w) if w == v - 1 =>
+        (raw.filterNot(isMeta).map(linePath), rmPaths(raw))
+      case _ =>
+        val before =
+          if (v == 1) Set.empty[String]
+          else snapshotFiles(spark, root, v - 1).toSet
+        val after = snapshotFiles(spark, root, v).toSet
+        ((after -- before).toSeq.sorted, (before -- after).toSeq.sorted)
+    }
+  }
+
+  /** The head's META lines (schema, tag block) without resolving the
+    * data chain — what commit staging needs from the previous
+    * snapshot when it writes a delta instead of carrying data lines
+    * forward. Empty for v = 0 (first commit). */
+  private def headMetaLines(spark: SparkSession, root: String,
+      v: Int): Seq[String] =
+    if (v == 0) Nil else rawLines(spark, root, v).filter(isMeta)
 
   // ---- tag checkpointing -------------------------------------------
   // Every commit used to carry EVERY `#txn:` tag ever committed — at a
@@ -275,10 +427,10 @@ object Txn {
     def nullsFor(c: String): Option[Long] = nulls.get(c)
   }
 
-  /** Raw manifest lines of snapshot `v` — the carry-forward unit, so
-    * appends and partition replaces preserve sibling files' stats and
-    * the table's metadata lines. */
-  private def snapshotLines(spark: SparkSession, root: String,
+  /** Manifest file `v` VERBATIM — meta lines plus, for a delta
+    * manifest, its `#base`/`#rm`/add action lines rather than the full
+    * snapshot (see the delta-log section above). */
+  private def rawLines(spark: SparkSession, root: String,
       v: Int): Seq[String] = {
     val f = fs(spark, root)
     val p = manifestPath(root, v)
@@ -292,10 +444,29 @@ object Txn {
     finally in.close()
   }
 
-  /** Raw manifest lines of snapshot `v` — test/debug visibility into
-    * the meta block (tag checkpointing, carried-verbatim entries). */
+  /** LOGICAL manifest lines of snapshot `v`: the manifest's meta block
+    * (minus the internal `#base`/`#rm` delta encoding) followed by the
+    * RESOLVED data lines — exactly what a pre-delta-log full manifest
+    * held, so every consumer (entries, reads, history, carry-verbatim
+    * assertions) is format-agnostic. */
+  private def snapshotLines(spark: SparkSession, root: String,
+      v: Int): Seq[String] = {
+    val raw = rawLines(spark, root, v)
+    if (baseOf(raw).isEmpty) raw
+    else raw.filter(l => isMeta(l) && !l.startsWith("#base:") &&
+      !l.startsWith("#rm:")) ++ resolvedData(spark, root, v)
+  }
+
+  /** Logical manifest lines of snapshot `v` — test/debug visibility
+    * into the meta block (tag checkpointing, carried-verbatim
+    * entries). */
   private[graft] def snapshotLines0(spark: SparkSession, root: String,
       v: Int): Seq[String] = snapshotLines(spark, root, v)
+
+  /** Raw manifest FILE lines of `v` (delta action encoding included) —
+    * the spec surface that pins commit write cost ∝ touched files. */
+  private[graft] def rawManifestLines0(spark: SparkSession, root: String,
+      v: Int): Seq[String] = rawLines(spark, root, v)
 
   /** Manifest DATA entries of snapshot `v`
     * (path [TAB col:min:max[:nulls]]... | legacy path TAB min TAB max). */
@@ -391,10 +562,19 @@ object Txn {
     if (paths.isEmpty) return Nil
     if (statsCols.isEmpty) paths
     else {
+      // The WHOLE stats surface (this pass, every prune predicate,
+      // commitDeleteWhere's row filter) evaluates TRY_CAST(c AS
+      // DOUBLE) — total under ANSI mode, and one consistent
+      // semantics: a non-numeric string value IS null everywhere.
+      // NULLs are therefore counted on the cast column too: counting
+      // pre-cast would record nulls=0 for a file holding cast-null
+      // rows and let commitDeleteWhere's metadata-only whole-file
+      // drop silently delete rows the row-level filter keeps
+      // (r13 advice).
       val aggs = statsCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__lo_$c"),
-        max(col(c).cast("double")).as(s"__hi_$c"),
-        count(when(col(c).isNull, 1)).as(s"__nn_$c")))
+        min(col(c).try_cast("double")).as(s"__lo_$c"),
+        max(col(c).try_cast("double")).as(s"__hi_$c"),
+        count(when(col(c).try_cast("double").isNull, 1)).as(s"__nn_$c")))
       val stats = spark.read.parquet(dir)
         .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -418,10 +598,18 @@ object Txn {
           // readers treat missing stats as "cannot skip", never a
           // filter; present ranges also carry the file's NULL count
           // (min/max ignore NULLs, so "every row is in range" needs it)
+          // a NaN bound is never recorded either (r13 advice): Spark's
+          // max treats NaN as largest, but the driver-side prunes use
+          // JVM comparisons where NaN >= lo is false — a recorded NaN
+          // range would silently SKIP a file holding in-range rows.
+          // No range recorded = "cannot skip", the safe direction.
           val fields = statsCols.zipWithIndex.flatMap { case (c, i) =>
             if (r.isNullAt(1 + 3 * i) || r.isNullAt(2 + 3 * i)) None
-            else Some(s"$c:${r.getDouble(1 + 3 * i)}:" +
-              s"${r.getDouble(2 + 3 * i)}:${r.getLong(3 + 3 * i)}")
+            else {
+              val (lo, hi) = (r.getDouble(1 + 3 * i), r.getDouble(2 + 3 * i))
+              if (lo.isNaN || hi.isNaN) None
+              else Some(s"$c:$lo:$hi:${r.getLong(3 + 3 * i)}")
+            }
           }
           rel -> fields
         }.toMap
@@ -440,6 +628,17 @@ object Txn {
   private def batchDir(v: Int): String =
     f"b$v%05d-" + java.util.UUID.randomUUID().toString.take(8)
 
+  /** JVM-global claim lock for `file:` URIs. Hadoop's LOCAL rename
+    * refusal of an existing destination is an exists-check followed by
+    * java.io.File.renameTo — POSIX rename(2), which CLOBBERS — so two
+    * same-JVM committers racing that window can BOTH win one version
+    * number (observed once as a double-claim in the six-thread soak:
+    * the TxnRenameProbe contract holds single-threaded but is not a
+    * CAS). HDFS-class filesystems refuse atomically server-side and
+    * never take the lock; cross-JVM local racers stay out of scope —
+    * the same single-machine boundary Delta's LocalLogStore draws. */
+  private val localClaimLock = new Object
+
   /** Atomically publish `lines` as version `v` (expects `v` free).
     * Returns false when another committer already took `v`. */
   private def publish(spark: SparkSession, root: String, v: Int,
@@ -455,10 +654,16 @@ object Txn {
     finally os.close()
     // rename-no-overwrite IS the commit point (see the object scaladoc
     // and TxnRenameProbe for the exact contract and its object-store
-    // limitation)
-    val won = f.rename(tmp, target)
+    // limitation); on `file:` the exists+rename pair is serialized
+    // in-JVM (see localClaimLock)
+    def claim(): Boolean = !f.exists(target) && f.rename(tmp, target)
+    val local = f.getUri.getScheme == null || f.getUri.getScheme == "file"
+    val won = if (local) localClaimLock.synchronized(claim()) else claim()
     if (!won) f.delete(tmp, false)
-    else writeLatestHint(spark, root, v) // best-effort, after the point
+    else { // best-effort advisories, after the commit point
+      writeLatestHint(spark, root, v)
+      maybeCheckpoint(spark, root, v)
+    }
     won
   }
 
@@ -473,7 +678,9 @@ object Txn {
       statsCol: Option[String] = None,
       statsCols: Seq[String] = Nil): Int =
     retry(spark, root, maxRetries) { v =>
-      val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
+      val prev = headMetaLines(spark, root, v - 1)
+      // an overwrite IS the complete listing — a baseless full
+      // manifest, which also resets the delta chain for free
       metaForNext(spark, root, v - 1, prev, df.schema,
           kind = "overwrite") ++
         stageBatch(spark, root, df, partitionBy, batchDir(v),
@@ -496,13 +703,13 @@ object Txn {
       statsCol: Option[String] = None, mergeSchema: Boolean = false,
       statsCols: Seq[String] = Nil): Int =
     retry(spark, root, maxRetries) { v =>
-      val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
+      val prev = headMetaLines(spark, root, v - 1)
       if (!mergeSchema) requireSameSchema(prev, df, "commitAppend")
       metaForNext(spark, root, v - 1, prev, df.schema,
           kind = "append") ++
-        prev.filterNot(isMeta) ++
-        stageBatch(spark, root, df, partitionBy, batchDir(v),
-          (statsCol.toSeq ++ statsCols).distinct)
+        deltaLines(v - 1, Nil,
+          stageBatch(spark, root, df, partitionBy, batchDir(v),
+            (statsCol.toSeq ++ statsCols).distinct))
     }
 
   /** Fail loudly when an (un-merged) append's schema drifts from the
@@ -538,7 +745,7 @@ object Txn {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = currentVersion(spark, root) + 1
-      val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
+      val prev = headMetaLines(spark, root, v - 1)
       // already committed — by history or by a racer we lost to. None
       // WITHOUT publishing: the pre-fix branch published a brand-new
       // no-op version here (lines identical to the head), which was
@@ -550,8 +757,8 @@ object Txn {
       requireSameSchema(prev, df, "commitAppendIdempotent")
       val lines = metaForNext(spark, root, v - 1, prev, df.schema,
           addTags = Seq(tag), kind = "append_idempotent") ++
-        prev.filterNot(isMeta) ++
-        stageBatch(spark, root, df, partitionBy, batchDir(v))
+        deltaLines(v - 1, Nil,
+          stageBatch(spark, root, df, partitionBy, batchDir(v)))
       if (publish(spark, root, v, lines)) return Some(v)
       attempt += 1 // lost the race: head moved; restage against new head
     }
@@ -573,7 +780,7 @@ object Txn {
     var baseV = -1 // the head the FIRST attempt staged against
     while (attempt < maxRetries) {
       val v = currentVersion(spark, root) + 1
-      val prev = if (v == 1) Nil else snapshotLines(spark, root, v - 1)
+      val prev = headMetaLines(spark, root, v - 1)
       // same commit-point schema gate as commitAppend (r10 advice): a
       // partition overwrite KEEPS other partitions' files, so a
       // renamed/re-typed column would otherwise silently swap the
@@ -591,15 +798,13 @@ object Txn {
       // a racer's replace of X is overwritten unseen — Delta raises
       // ConcurrentAppend/WriteException on both). Disjoint-partition
       // racers restage as before. Metadata-only check: the racers'
-      // file-set deltas' directory segments, never a data read.
+      // file-set deltas' directory segments (read straight off their
+      // delta manifests' action lines), never a data read.
       if (baseV < 0) baseV = v - 1
       else if (v - 1 > baseV) {
         val racerSegs = ((baseV + 1) to (v - 1)).iterator.flatMap { rv =>
-          val before =
-            if (rv == 1) Set.empty[String]
-            else snapshotFiles(spark, root, rv - 1).toSet
-          val after = snapshotFiles(spark, root, rv).toSet
-          ((after -- before) ++ (before -- after)).iterator
+          val (added, removed) = fileDiff(spark, root, rv)
+          (added.iterator ++ removed.iterator)
             .flatMap(_.split("/").find(_.startsWith(partitionCol + "=")))
         }.toSet
         val overlap = racerSegs & replacedSegs
@@ -610,11 +815,13 @@ object Txn {
             "head and rerun")
         baseV = v - 1
       }
-      val kept = prev.filterNot(isMeta).filterNot { line =>
-        linePath(line).split("/").exists(replacedSegs.contains)
-      }
+      val removed =
+        if (v == 1) Nil
+        else snapshotFiles(spark, root, v - 1).filter { p =>
+          p.split("/").exists(replacedSegs.contains)
+        }
       val lines = metaForNext(spark, root, v - 1, prev, df.schema,
-        kind = "replace_partitions") ++ kept ++ staged
+        kind = "replace_partitions") ++ deltaLines(v - 1, removed, staged)
       raceOnce.get().foreach { hook => raceOnce.set(None); hook() }
       if (publish(spark, root, v, lines)) return v
       attempt += 1 // lost the race: head moved; restage against new head
@@ -640,12 +847,38 @@ object Txn {
       statsCol: Option[String] = None, maxRetries: Int = 5,
       statsCols: Seq[String] = Nil): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
-    val head = read(spark, root)
+    val v0 = currentVersion(spark, root)
+    require(v0 >= 1, s"Txn.compact: no committed version at $root")
+    val head = read(spark, root, Some(v0))
     val folded =
       if (partitionBy.nonEmpty) head.repartition(partitionBy.map(col): _*)
       else head.repartition(numFiles)
-    commitOverwrite(spark, root, folded, partitionBy, maxRetries, statsCol,
-      statsCols)
+    commitRewriteAt(spark, root, folded, v0, partitionBy,
+      (statsCol.toSeq ++ statsCols).distinct, "compact")
+  }
+
+  /** Publish a FULL REWRITE of snapshot `readV` as version readV + 1,
+    * throwing [[ConcurrentWriteException]] when any commit landed
+    * after `readV` — layout maintenance ([[compact]]/
+    * [[compactZOrder]]) captured the head at read time, so a blind
+    * retry after a lost publish would restage the STALE frame and
+    * silently erase the racer's rows (the lost-update anomaly; Delta's
+    * OPTIMIZE aborts on the same conflict, r13 advice). Rerunning the
+    * verb on the new head is always safe — it is pure layout. */
+  private def commitRewriteAt(spark: SparkSession, root: String,
+      df: DataFrame, readV: Int, partitionBy: Seq[String],
+      statsCols: Seq[String], kind: String): Int = {
+    val v = readV + 1
+    val prev = headMetaLines(spark, root, readV)
+    val lines = metaForNext(spark, root, readV, prev, df.schema,
+        kind = kind) ++
+      stageBatch(spark, root, df, partitionBy, batchDir(v), statsCols)
+    raceOnce.get().foreach { hook => raceOnce.set(None); hook() }
+    if (!publish(spark, root, v, lines))
+      throw new ConcurrentWriteException(
+        s"Txn.$kind at $root: a concurrent commit landed after v$readV " +
+          "during the rewrite — rerun the maintenance verb on the new head")
+    v
   }
 
   /** ROLLBACK as a forward commit — Delta's `RESTORE TABLE ... TO
@@ -668,12 +901,21 @@ object Txn {
       require(toVersion < v,
         s"Txn.restore: version $toVersion is not committed history at $root")
       val target = snapshotLines(spark, root, toVersion)
-      val prev = snapshotLines(spark, root, v - 1)
+      val prev = headMetaLines(spark, root, v - 1)
       val schema = schemaLine(target).getOrElse(schemaLine(prev).getOrElse(
         sys.error(s"Txn.restore: no #schema line at $root")))
+      // delta vs the HEAD, not a verbatim re-listing: rm what the head
+      // has beyond the target, re-add what the target has beyond the
+      // head (stats lines verbatim — a path's line is immutable once
+      // staged); files in both carry through the base. The common
+      // rollback (undo a recent bad commit) is O(that commit's churn).
+      val targetData = target.filterNot(isMeta)
+      val headPaths = snapshotFiles(spark, root, v - 1).toSet
+      val targetPaths = targetData.map(linePath).toSet
       metaForNext(spark, root, v - 1, prev, schema,
           kind = s"restore:$toVersion") ++
-        target.filterNot(isMeta)
+        deltaLines(v - 1, (headPaths -- targetPaths).toSeq.sorted,
+          targetData.filterNot(l => headPaths(linePath(l))))
     }
   }
 
@@ -694,13 +936,15 @@ object Txn {
   def compactZOrder(spark: SparkSession, root: String, xCol: String,
       yCol: String, numFiles: Int, maxRetries: Int = 5): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
-    val head = read(spark, root)
+    val v0 = currentVersion(spark, root)
+    require(v0 >= 1, s"Txn.compactZOrder: no committed version at $root")
+    val head = read(spark, root, Some(v0))
     val r = head.agg(
-      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
-      min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head()
+      min(col(xCol).try_cast("double")), max(col(xCol).try_cast("double")),
+      min(col(yCol).try_cast("double")), max(col(yCol).try_cast("double"))).head()
     def q(c: String, lo: Double, hi: Double): Column = {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      least(floor((col(c).cast("double") - lit(lo)) / lit(span) * 65535.0),
+      least(floor((col(c).try_cast("double") - lit(lo)) / lit(span) * 65535.0),
         lit(65535.0)).cast("long")
     }
     val clustered =
@@ -708,8 +952,8 @@ object Txn {
       else graft.functions.ZOrder.clusterBy(head,
         q(xCol, r.getDouble(0), r.getDouble(1)),
         q(yCol, r.getDouble(2), r.getDouble(3)), numFiles)
-    commitOverwrite(spark, root, clustered, Nil, maxRetries,
-      statsCols = Seq(xCol, yCol))
+    commitRewriteAt(spark, root, clustered, v0, Nil,
+      Seq(xCol, yCol), "zorder")
   }
 
   /** Files a row-level commit must rewrite: every entry WITHOUT stats
@@ -721,7 +965,13 @@ object Txn {
     * collected; only matched file PATHS come back (≤ file count). */
   private def touchedFiles(spark: SparkSession, entries: Seq[Entry],
       keyRows: DataFrame, keyCol: String): Set[String] = {
-    val (ranged, statless) = entries.partition(_.namedStats(keyCol).isDefined)
+    // a NaN bound (legacy pre-r14 manifests only — stageBatch no
+    // longer records them) is unusable under JVM comparisons (NaN >=
+    // k is false), so such entries rewrite unconditionally like
+    // stats-less ones — pruning stays an optimization, never a filter
+    val (ranged, statless) = entries.partition(
+      _.namedStats(keyCol).exists { case (mn, mx) =>
+        !mn.isNaN && !mx.isNaN })
     if (ranged.isEmpty) entries.map(_.path).toSet
     else {
       val ranges = spark.createDataFrame(ranged.map { e =>
@@ -729,7 +979,7 @@ object Txn {
         (e.path, mn, mx)
       }).toDF("__p", "__mn", "__mx")
       val hit = keyRows
-        .select(col(keyCol).cast("double").as("__k"))
+        .select(col(keyCol).try_cast("double").as("__k"))
         .join(broadcast(ranges),
           col("__k") >= col("__mn") && col("__k") <= col("__mx"))
         .select("__p").distinct()
@@ -771,12 +1021,10 @@ object Txn {
     retryRowLevel(spark, root, maxRetries, keyRows, keyCol,
         "Txn.commitDelete") { v =>
       require(v >= 2, s"Txn.commitDelete: no committed version at $root")
-      val prev = snapshotLines(spark, root, v - 1)
+      val prev = headMetaLines(spark, root, v - 1)
       val touched =
         touchedFiles(spark, snapshotEntries(spark, root, v - 1),
           keyRows, keyCol)
-      val kept = prev.filterNot(isMeta)
-        .filter(l => !touched.contains(linePath(l)))
       val staged =
         if (touched.isEmpty) Nil
         else {
@@ -789,7 +1037,7 @@ object Txn {
         schemaLine(prev).getOrElse(
           sys.error(s"Txn.commitDelete: no #schema line at $root")),
         kind = "delete") ++
-        kept ++ staged
+        deltaLines(v - 1, touched.toSeq.sorted, staged)
     }
   }
 
@@ -817,11 +1065,11 @@ object Txn {
     require(lo <= hi, s"commitDeleteWhere: empty range [$lo, $hi]")
     var attempt = 0
     var baseV = -1
-    val c = col(statsCol).cast("double")
+    val c = col(statsCol).try_cast("double")
     while (attempt < maxRetries) {
       val v = currentVersion(spark, root) + 1
       require(v >= 2, s"Txn.commitDeleteWhere: no committed version at $root")
-      val prev = snapshotLines(spark, root, v - 1)
+      val prev = headMetaLines(spark, root, v - 1)
       if (baseV < 0) baseV = v - 1
       else if (v - 1 > baseV) {
         val hit = readChangesCdf(spark, root, baseV, Some(v - 1))
@@ -844,8 +1092,6 @@ object Txn {
       }.map(_.path).toSet
       val boundary = entries.map(_.path)
         .filterNot(p => dropped.contains(p) || untouched.contains(p))
-      val kept = prev.filterNot(isMeta)
-        .filter(l => untouched.contains(linePath(l)))
       val staged =
         if (boundary.isEmpty) Nil
         else {
@@ -857,7 +1103,8 @@ object Txn {
       val lines = metaForNext(spark, root, v - 1, prev,
         schemaLine(prev).getOrElse(
           sys.error(s"Txn.commitDeleteWhere: no #schema line at $root")),
-        kind = "delete_where") ++ kept ++ staged
+        kind = "delete_where") ++
+        deltaLines(v - 1, (dropped ++ boundary).toSeq.sorted, staged)
       raceOnce.get().foreach { hook => raceOnce.set(None); hook() }
       if (publish(spark, root, v, lines)) return v
       attempt += 1 // lost the race: head moved; restage against new head
@@ -903,13 +1150,11 @@ object Txn {
       retryRowLevel(spark, root, maxRetries, keyRows, keyCol,
           "Txn.commitMerge") { v =>
         require(v >= 2, s"Txn.commitMerge: no committed version at $root")
-        val prev = snapshotLines(spark, root, v - 1)
+        val prev = headMetaLines(spark, root, v - 1)
         if (!mergeSchema) requireSameSchema(prev, src, "commitMerge")
         val touched =
           touchedFiles(spark, snapshotEntries(spark, root, v - 1),
             keyRows, keyCol)
-        val kept = prev.filterNot(isMeta)
-          .filter(l => !touched.contains(linePath(l)))
         val survivors =
           if (touched.isEmpty) src
           else readFiles(spark, root, touched.toSeq.sorted)
@@ -930,7 +1175,8 @@ object Txn {
             .filterNot(f => committed.fieldNames.contains(f.name)))
         }
         metaForNext(spark, root, v - 1, prev, evolved,
-          kind = "merge") ++ kept ++ staged
+          kind = "merge") ++
+          deltaLines(v - 1, touched.toSeq.sorted, staged)
       }
     } finally src.unpersist()
   }
@@ -1067,24 +1313,32 @@ object Txn {
     val v = version.getOrElse(currentVersion(spark, root))
     require(v >= 1, s"Txn.filesForPreds: no committed version at $root")
     snapshotEntries(spark, root, v).collect {
+      // a NaN bound (legacy manifests) means "cannot skip" — same
+      // no-stats fallback as touchedFiles
       case e if preds.forall { case (c, lo, hi) =>
-        e.statsFor(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        e.statsFor(c).forall { case (mn, mx) =>
+          mn.isNaN || mx.isNaN || (mx >= lo && mn <= hi) }
       } => e.path
     }
   }
 
-  /** Single-predicate form of [[filesForPreds]]: files whose recorded
-    * [min, max] can intersect [lo, hi] on ANY recorded stats range
-    * (the pre-r13 single-column behavior, kept for callers that
-    * declared exactly one stats column). */
+  /** Single-predicate form of [[filesForPreds]], kept for callers on
+    * tables that declared EXACTLY ONE stats column (it cannot name
+    * which column the range means — prefer the named
+    * [[filesForPreds]]). On a multi-column-stats table an entry is
+    * always KEPT: matching "any recorded range" there could silently
+    * false-skip a file whose intended column has no recorded stats
+    * while an unrelated column's range misses (r13 advice) — the
+    * conservative keep is the only correct unnamed answer. NaN bounds
+    * (legacy manifests) also keep. */
   def filesForRange(spark: SparkSession, root: String, lo: Double,
       hi: Double, version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion(spark, root))
     require(v >= 1, s"Txn.filesForRange: no committed version at $root")
     snapshotEntries(spark, root, v).collect {
-      case e if e.stats.isEmpty => e.path
+      case e if e.stats.size != 1 => e.path
       case e if e.stats.values.exists { case (mn, mx) =>
-        mx >= lo && mn <= hi } => e.path
+        mn.isNaN || mx.isNaN || (mx >= lo && mn <= hi) } => e.path
     }
   }
 
@@ -1108,7 +1362,7 @@ object Txn {
       if (files.isEmpty) emptyFrame(spark, root, snapshotLines(spark, root, v))
       else readFiles(spark, root, files)
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
-      df.where(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
+      df.where(col(c).try_cast("double") >= lo && col(c).try_cast("double") <= hi)
     }
   }
 
@@ -1169,12 +1423,12 @@ object Txn {
     require(sinceVersion >= 0 && until >= sinceVersion,
       s"readChangesCdf: bad version range $sinceVersion..$until")
     val untilLines = snapshotLines(spark, root, until)
-    def files(v: Int): Set[String] =
-      if (v == 0) Set.empty else snapshotFiles(spark, root, v).toSet
+    // per-commit diffs come straight off each delta manifest's own
+    // add/rm action lines (O(touched) per commit); only full-listing
+    // commits (overwrite/compact) pay a resolved-set difference
     val steps = ((sinceVersion + 1) to until).flatMap { v =>
-      val (before, after) = (files(v - 1), files(v))
-      Seq(("insert", v, (after -- before).toSeq.sorted),
-        ("delete", v, (before -- after).toSeq.sorted))
+      val (added, removed) = fileDiff(spark, root, v)
+      Seq(("insert", v, added), ("delete", v, removed))
     }.filter(_._3.nonEmpty)
     val empty = emptyFrame(spark, root, untilLines)
       .withColumn("_change_type", lit("").cast("string"))
@@ -1227,10 +1481,22 @@ object Txn {
     val expiring = versions.filter(_ <= head - keepLast)
     if (expiring.isEmpty) return Nil
     val expSet = expiring.toSet
+    val survivors = versions.filterNot(expSet)
+    // a surviving DELTA manifest's chain walks v → v-1 → … through
+    // versions about to be deleted: materialize the OLDEST survivor's
+    // full listing as a sidecar checkpoint while the chain is still
+    // intact — every later survivor's walk passes through it (bases
+    // are always v-1) and stops there, so expiry never strands a
+    // resolvable snapshot
+    survivors.minOption.foreach { s =>
+      if (!f.exists(checkpointPath(root, s)))
+        writeCheckpointIfAbsent(spark, root, s,
+          resolvedData(spark, root, s))
+    }
     // consolidate: every base a survivor references must have its
     // tags file on disk before the fallback chain disappears
-    val referenced = versions.filterNot(expSet).flatMap { v =>
-      tagBase(snapshotLines(spark, root, v))
+    val referenced = survivors.flatMap { v =>
+      tagBase(rawLines(spark, root, v))
     }.toSet
     referenced.foreach { w =>
       if (!f.exists(tagsFilePath(root, w)))
@@ -1248,6 +1514,16 @@ object Txn {
       .filter { p =>
         val w = p.getName.stripPrefix("t").stripSuffix(".tags").toInt
         expSet.contains(w) && !referenced.contains(w)
+      }
+      .foreach(f.delete(_, false))
+    // expired-version sidecar checkpoints are unreachable (no
+    // survivor's chain walks below the oldest survivor's checkpoint)
+    f.listStatus(manifestDir(root))
+      .filter(_.getPath.getName.matches("c\\d+\\.checkpoint"))
+      .map(_.getPath)
+      .filter { p =>
+        val w = p.getName.stripPrefix("c").stripSuffix(".checkpoint").toInt
+        expSet.contains(w)
       }
       .foreach(f.delete(_, false))
     expiring

@@ -1028,4 +1028,153 @@ class TxnSpec extends SparkSpec {
     assert(head.columns.toSet == Set("k", "part", "n", "extra"))
     assert(head.where(col("k") === 1L).head().getAs[String]("extra") == "new")
   }
+
+  // ---- delta-log commit format (r14) ---------------------------------
+
+  test("delta log: commit write cost is O(touched files), not O(table files)") {
+    val root = freshRoot()
+    // 64-file base: a pre-delta-log append would carry all 64 lines
+    Txn.commitOverwrite(spark, root,
+      spark.range(6400).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(64, col("k")), statsCol = Some("k"))
+    assert(Txn.snapshotFiles(spark, root, 1).size == 64)
+    // append ONE file → raw manifest: meta + #base + 1 add, no carry
+    Txn.commitAppend(spark, root,
+      Seq((9999L, 0L)).toDF("k", "v").coalesce(1), statsCol = Some("k"))
+    val rawAppend = Txn.rawManifestLines0(spark, root, 2)
+    assert(rawAppend.exists(_ == "#base:1"), s"append not a delta: $rawAppend")
+    assert(rawAppend.count(!_.startsWith("#")) == 1,
+      s"append carried the table forward: ${rawAppend.size} lines")
+    assert(rawAppend.size <= 6,
+      s"append manifest not O(touched): ${rawAppend.size} lines")
+    // delete keys living in ONE base file → #rm that file + its rewrite
+    Txn.commitDelete(spark, root,
+      spark.range(100, 110).select(col("id").as("k")), "k",
+      statsCol = Some("k"))
+    val rawDelete = Txn.rawManifestLines0(spark, root, 3)
+    assert(rawDelete.count(_.startsWith("#rm:")) <= 2,
+      s"delete removed more than the touched files: $rawDelete")
+    assert(rawDelete.count(!_.startsWith("#")) <= 2,
+      s"delete restaged more than the touched files: $rawDelete")
+    assert(rawDelete.size <= 8, s"delete manifest not O(touched): $rawDelete")
+    // the RESOLVED snapshot is still the full table, exactly
+    assert(Txn.snapshotFiles(spark, root, 3).size >= 64)
+    val got = Txn.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == ((0L until 6400L).toSet -- (100L until 110L)) + 9999L)
+    // skip-scan stats flow through the chain untouched
+    assert(Txn.readWhere(spark, root, "k", 200d, 205d).count() == 6)
+  }
+
+  test("delta log: checkpoint rolls at the chain bound; resolution equal either way") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root, Seq((0L, 0L)).toDF("k", "v"))
+    val n = Txn.checkpointEvery + 3
+    (1 to n).foreach { i =>
+      Txn.commitAppend(spark, root, Seq((i.toLong, i.toLong)).toDF("k", "v"))
+    }
+    val f = fs(root)
+    val cps = f.listStatus(new Path(s"$root/_manifests"))
+      .map(_.getPath.getName).filter(_.matches("c\\d+\\.checkpoint"))
+    assert(cps.nonEmpty, "no checkpoint rolled past the chain bound")
+    // the checkpointed snapshot resolves identically with and without
+    // its sidecar (the sidecar is advisory, never semantic)
+    val cpv = cps.map(_.stripPrefix("c").stripSuffix(".checkpoint").toInt).min
+    val withCp = Txn.snapshotLines0(spark, root, cpv)
+    val cpPath = new Path(f"$root/_manifests/c$cpv%05d.checkpoint")
+    val saved = {
+      val in = f.open(cpPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    f.delete(cpPath, false)
+    assert(Txn.snapshotLines0(spark, root, cpv) == withCp,
+      "chain fold and sidecar checkpoint disagree")
+    val os = f.create(cpPath, false)
+    os.write(saved.getBytes("UTF-8")); os.close()
+    // head reads the full accreted table through the chain
+    assert(Txn.read(spark, root).count() == n + 1)
+    assert(Txn.read(spark, root, Some(5)).count() == 5)
+  }
+
+  test("delta log: expiry materializes the oldest survivor before dropping its chain") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root, Seq((0L, 0L)).toDF("k", "v"))
+    (1 to 9).foreach { i => // deltas v2..v10, chain rooted at v1
+      Txn.commitAppend(spark, root, Seq((i.toLong, i.toLong)).toDF("k", "v"))
+    }
+    Txn.expireManifests(spark, root, keepLast = 4) // drops v1..v6
+    val f = fs(root)
+    assert(!f.exists(new Path(s"$root/_manifests/v00001.manifest")))
+    // survivors (deltas whose textual base chain is gone) still resolve
+    assert(Txn.read(spark, root).count() == 10)
+    assert(Txn.read(spark, root, Some(7)).count() == 7)
+    assert(f.exists(new Path(s"$root/_manifests/c00007.checkpoint")),
+      "oldest survivor's full listing was not materialized")
+    // CDF across the surviving window still reads per-commit deltas
+    val cdf = Txn.readChangesCdf(spark, root, 7)
+    assert(cdf.where(col("_change_type") === "insert").count() == 3)
+    // vacuum keeps every file the surviving window references
+    Txn.vacuum(spark, root, olderThanMs = 0)
+    assert(Txn.read(spark, root, Some(7)).count() == 7)
+  }
+
+  test("compact and compactZOrder abort on a concurrent commit instead of erasing it") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartition(4))
+    // racer appends between the head read and the publish — a blind
+    // retry would restage the stale pre-append frame and erase it
+    Txn.raceOnce.set(Some(() => injectCommit(root, data =>
+      data ++ fabricateBatch(root, Seq((777L, 1L)).toDF("k", "v")))))
+    intercept[Txn.ConcurrentWriteException] {
+      Txn.compact(spark, root, numFiles = 1)
+    }
+    assert(Txn.read(spark, root).where(col("k") === 777L).count() == 1,
+      "racer's append erased by compact")
+    Txn.raceOnce.set(Some(() => injectCommit(root, data =>
+      data ++ fabricateBatch(root, Seq((888L, 2L)).toDF("k", "v")))))
+    intercept[Txn.ConcurrentWriteException] {
+      Txn.compactZOrder(spark, root, "k", "v", numFiles = 2)
+    }
+    assert(Txn.read(spark, root).where(col("k") === 888L).count() == 1,
+      "racer's append erased by compactZOrder")
+    // rerunning on the new head (no racer) lands and keeps both rows
+    Txn.compact(spark, root, numFiles = 1)
+    assert(Txn.read(spark, root).count() == 102)
+  }
+
+  test("stats: NaN bounds are never recorded; NaN files are never skipped") {
+    val root = freshRoot()
+    val df = Seq((Double.NaN, "nanfile"), (5.0, "nanfile"))
+      .toDF("x", "tag").coalesce(1)
+    Txn.commitOverwrite(spark, root, df, statsCol = Some("x"))
+    // Spark max() returns NaN for this file — the manifest must skip
+    // the range rather than record an unusable NaN bound
+    val e = Txn.snapshotEntries(spark, root, 1)
+    assert(e.forall(_.namedStats("x").forall(t =>
+      !t._1.isNaN && !t._2.isNaN)), s"NaN bound recorded: $e")
+    // and the file is therefore NEVER pruned: the in-range row reads
+    assert(Txn.readWhere(spark, root, "x", 4d, 6d).count() == 1)
+    assert(Txn.filesForRange(spark, root, 4d, 6d).size == 1)
+  }
+
+  test("stats: NULL counts follow the CAST semantics the prunes evaluate") {
+    val root = freshRoot()
+    // 'oops' casts to NULL as double — a pre-cast null count would
+    // record 0 and let the metadata-only whole-file drop delete it
+    val df = Seq(("1", "a"), ("2", "b"), ("oops", "keep"))
+      .toDF("x", "tag").coalesce(1)
+    Txn.commitOverwrite(spark, root, df, statsCol = Some("x"))
+    val e = Txn.snapshotEntries(spark, root, 1)
+    assert(e.head.nullsFor("x").contains(1L),
+      s"cast-null row not counted: ${e.head}")
+    // the whole range [1,2] covers the file's recorded [min,max], but
+    // the cast-null row must SURVIVE the predicate delete
+    Txn.commitDeleteWhere(spark, root, "x", 1d, 2d)
+    val got = Txn.read(spark, root).select("tag").collect()
+      .map(_.getString(0)).toSet
+    assert(got == Set("keep"), s"cast-null row deleted by metadata: $got")
+  }
 }
