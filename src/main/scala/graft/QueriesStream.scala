@@ -223,6 +223,45 @@ object QueriesStream {
         .agg(count(lit(1)).as("n"),
           expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
             .as("sum_val"))
+    }),
+
+    // exactly-once streaming CONSUMER over a Txn table (the half
+    // stream_txn_publish leaves open): TxnTail drains the commit log
+    // in per-commit micro-batches into a downstream Txn table, cursor
+    // persisted AS the sink's idempotence tags. The history includes a
+    // REWRITE commit (compact) — the tail must see its self-cancelling
+    // delete+insert, not re-fed rows — and the drain is split across
+    // the history plus replayed once: a lost batch, a double-applied
+    // batch, or a cursor that drifts past/behind a commit hash-fails
+    "stream_txn_tail" -> ((s, d) => {
+      val base = s"/tmp/graft_rt/stail_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val src = s"$base/src"; val sink = s"$base/sink"
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, src,
+        ev.where(col("user_id") % 2 === 0))                        // v1
+      graft.operators.Txn.commitAppend(s, src,
+        ev.where(col("user_id") % 2 === 1))                        // v2
+      // drain mid-history, then extend the history and drain again —
+      // the second drain resumes from the tag-derived cursor, and a
+      // replayed drain must be a zero-batch no-op (exactly-once)
+      require(graft.streaming.TxnTail.drain(s, src, sink) == 2,
+        "tail did not land one batch per commit")
+      graft.operators.Txn.compact(s, src, numFiles = 2)            // v3
+      graft.operators.Txn.commitDelete(s, src,
+        ev.where(col("user_id") % 10 === 3).select("user_id").distinct(),
+        "user_id")                                                 // v4
+      require(graft.streaming.TxnTail.drain(s, src, sink) == 2,
+        "resumed tail did not land the new commits")
+      require(graft.streaming.TxnTail.drain(s, src, sink) == 0,
+        "replayed drain was not idempotent")
+      graft.operators.Txn.read(s, sink)
+        .groupBy(col("_change_type").as("change"),
+          col("_commit_version").as("v"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
     })
   )
 
@@ -233,6 +272,37 @@ object QueriesStream {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1""".stripMargin,
+
+    // the tailed sink must hold EXACTLY the per-commit CDF multisets:
+    // v1 insert = even users, v2 insert = odd, v3 (compact) a
+    // self-cancelling delete+insert of everything, v4 (delete) the
+    // full rewrite minus the purged users — a lost/duplicated batch
+    // or a re-fed rewrite breaks a slice
+    "stream_txn_tail" ->
+      """WITH agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |  FROM events GROUP BY 1)
+        |SELECT 'insert' AS change, CAST(1 AS INTEGER) AS v, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events WHERE user_id % 2 = 0 GROUP BY 3
+        |UNION ALL
+        |SELECT 'insert', CAST(2 AS INTEGER), event_type,
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |FROM events WHERE user_id % 2 = 1 GROUP BY 3
+        |UNION ALL
+        |SELECT 'delete', CAST(3 AS INTEGER), event_type, n, sum_val FROM agg
+        |UNION ALL
+        |SELECT 'insert', CAST(3 AS INTEGER), event_type, n, sum_val FROM agg
+        |UNION ALL
+        |SELECT 'delete', CAST(4 AS INTEGER), event_type, n, sum_val FROM agg
+        |UNION ALL
+        |SELECT 'insert', CAST(4 AS INTEGER), event_type,
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |FROM events WHERE user_id % 10 <> 3 GROUP BY 3""".stripMargin,
 
     "stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

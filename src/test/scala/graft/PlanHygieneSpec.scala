@@ -149,7 +149,10 @@ class PlanHygieneSpec extends SparkSpec {
     graft.streaming.Streaming.lastPlans.clear()
     val gates = SparkEntry.queries.keys.filter(_.startsWith("stream_"))
       .toSeq.sorted
-    val batchOnly = Set("stream_session") // typed batch path, see above
+    // stream_txn_tail is the AvailableNow tail PUMP: it starts no
+    // StreamingQuery — each micro-batch is a CDF read + Txn commit,
+    // batch shapes the main sweep audits (TxnTail scaladoc).
+    val batchOnly = Set("stream_session", "stream_txn_tail")
     val silent = gates.filterNot(batchOnly).flatMap { name =>
       val before = graft.streaming.Streaming.lastPlans.keySet.toSet
       SparkEntry.queries(name)(spark, sf0001).count()
