@@ -835,13 +835,16 @@ object QueriesEtl {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"), col("value"))
+      // blooms ride the stats pass (r14): a buggy bloom that false-
+      // negatives a candidate file surfaces here as missed deletes —
+      // the oracle is the complement filter, so the gate hash-fails
       graft.operators.Txn.commitOverwrite(s, root,
         ev.repartitionByRange(8, col("user_id")),
-        statsCol = Some("user_id"))
+        statsCol = Some("user_id"), bloomCols = Seq("user_id"))
       val forget = ev.where(col("user_id") % 10 === 3)
         .select("user_id").distinct()
       graft.operators.Txn.commitDelete(s, root, forget, "user_id",
-        statsCol = Some("user_id"))
+        statsCol = Some("user_id"), bloomCols = Seq("user_id"))
       def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
         df.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),

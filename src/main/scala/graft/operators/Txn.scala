@@ -414,7 +414,8 @@ object Txn {
     * max`) parse under the reserved name "" and are honored by the
     * read-side range APIs but never by row-level commit pruning. */
   final case class Entry(path: String, stats: Map[String, (Double, Double)],
-      nulls: Map[String, Long] = Map.empty) {
+      nulls: Map[String, Long] = Map.empty,
+      blooms: Map[String, (Int, Array[Byte])] = Map.empty) {
     /** Recorded range of `c`, falling back to a legacy unnamed range. */
     def statsFor(c: String): Option[(Double, Double)] =
       stats.get(c).orElse(stats.get(""))
@@ -425,6 +426,10 @@ object Txn {
       * metadata-only decisions about "every row matches" need this —
       * Delta records nullCount for the same reason). */
     def nullsFor(c: String): Option[Long] = nulls.get(c)
+    /** Bloom filter recorded for `c` within this file — (hash count,
+      * bit buffer); the point-key prune gate
+      * ([[graft.functions.Bloom]], r14+ manifests). */
+    def bloomFor(c: String): Option[(Int, Array[Byte])] = blooms.get(c)
   }
 
   /** Manifest file `v` VERBATIM — meta lines plus, for a delta
@@ -479,17 +484,24 @@ object Txn {
             if !lo.contains(':') && !hi.contains(':') =>
           Entry(p, Map("" -> (lo.toDouble, hi.toDouble))) // legacy unnamed
         case arr if arr.length >= 2 =>
-          val fields = arr.tail.map { f =>
+          val blooms =
+            scala.collection.mutable.Map.empty[String, (Int, Array[Byte])]
+          val fields = arr.tail.flatMap { f =>
             f.split(':') match {
+              case Array(c, "bf", k, b64) => // bloom field (r14+)
+                blooms(c) = (k.toInt,
+                  java.util.Base64.getDecoder.decode(b64))
+                None
               case Array(c, lo, hi) =>
-                (c, (lo.toDouble, hi.toDouble), None: Option[Long])
+                Some((c, (lo.toDouble, hi.toDouble), None: Option[Long]))
               case Array(c, lo, hi, n) =>
-                (c, (lo.toDouble, hi.toDouble), Some(n.toLong))
+                Some((c, (lo.toDouble, hi.toDouble), Some(n.toLong)))
               case _ => sys.error(s"Txn: malformed stats field '$f': $line")
             }
           }
           Entry(arr(0), fields.map(t => t._1 -> t._2).toMap,
-            fields.collect { case (c, _, Some(n)) => c -> n }.toMap)
+            fields.collect { case (c, _, Some(n)) => c -> n }.toMap,
+            blooms.toMap)
         case _ => sys.error(s"Txn: malformed manifest line: $line")
       }
     }
@@ -537,8 +549,9 @@ object Txn {
     * only (file, min1, max1, ...), bounded by file count. */
   private def stageBatch(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String], batchTag: String,
-      statsCols: Seq[String] = Nil): Seq[String] = {
-    statsCols.foreach { c =>
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = graft.functions.Bloom.DefaultBits): Seq[String] = {
+    (statsCols ++ bloomCols).foreach { c =>
       require(!c.contains(':') && !c.contains('\t') && c.nonEmpty,
         s"stats column name must be a plain identifier (no ':'/tab): '$c'")
     }
@@ -560,7 +573,7 @@ object Txn {
     // an empty frame stages zero part files — nothing to list or stat;
     // the snapshot stays readable through its #schema line
     if (paths.isEmpty) return Nil
-    if (statsCols.isEmpty) paths
+    if (statsCols.isEmpty && bloomCols.isEmpty) paths
     else {
       // The WHOLE stats surface (this pass, every prune predicate,
       // commitDeleteWhere's row filter) evaluates TRY_CAST(c AS
@@ -574,7 +587,11 @@ object Txn {
       val aggs = statsCols.flatMap(c => Seq(
         min(col(c).try_cast("double")).as(s"__lo_$c"),
         max(col(c).try_cast("double")).as(s"__hi_$c"),
-        count(when(col(c).try_cast("double").isNull, 1)).as(s"__nn_$c")))
+        count(when(col(c).try_cast("double").isNull, 1)).as(s"__nn_$c"))) ++
+        // bloom bits ride the SAME single pass — one more map-side-
+        // combinable aggregate per declared bloom column
+        bloomCols.map(c => graft.functions.BloomStats.agg(spark,
+          col(c).try_cast("double"), bloomBits).as(s"__bf_$c"))
       val stats = spark.read.parquet(dir)
         .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -610,6 +627,12 @@ object Txn {
               if (lo.isNaN || hi.isNaN) None
               else Some(s"$c:$lo:$hi:${r.getLong(3 + 3 * i)}")
             }
+          } ++ bloomCols.zipWithIndex.map { case (c, j) =>
+            // an all-cast-null column yields an all-zero filter, which
+            // correctly answers "no non-null key is in this file"
+            val b = r.getAs[Array[Byte]](1 + 3 * statsCols.size + j)
+            s"$c:bf:${graft.functions.Bloom.DefaultHashes}:" +
+              java.util.Base64.getEncoder.encodeToString(b)
           }
           rel -> fields
         }.toMap
@@ -676,7 +699,7 @@ object Txn {
   def commitOverwrite(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, maxRetries: Int = 5,
       statsCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Int =
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int =
     retry(spark, root, maxRetries) { v =>
       val prev = headMetaLines(spark, root, v - 1)
       // an overwrite IS the complete listing — a baseless full
@@ -684,7 +707,7 @@ object Txn {
       metaForNext(spark, root, v - 1, prev, df.schema,
           kind = "overwrite") ++
         stageBatch(spark, root, df, partitionBy, batchDir(v),
-          (statsCol.toSeq ++ statsCols).distinct)
+          (statsCol.toSeq ++ statsCols).distinct, bloomCols)
     }
 
   /** Commit `df` as an APPEND: new snapshot = previous files + df's.
@@ -701,7 +724,7 @@ object Txn {
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, maxRetries: Int = 5,
       statsCol: Option[String] = None, mergeSchema: Boolean = false,
-      statsCols: Seq[String] = Nil): Int =
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int =
     retry(spark, root, maxRetries) { v =>
       val prev = headMetaLines(spark, root, v - 1)
       if (!mergeSchema) requireSameSchema(prev, df, "commitAppend")
@@ -709,7 +732,7 @@ object Txn {
           kind = "append") ++
         deltaLines(v - 1, Nil,
           stageBatch(spark, root, df, partitionBy, batchDir(v),
-            (statsCol.toSeq ++ statsCols).distinct))
+            (statsCol.toSeq ++ statsCols).distinct, bloomCols))
     }
 
   /** Fail loudly when an (un-merged) append's schema drifts from the
@@ -845,7 +868,7 @@ object Txn {
   def compact(spark: SparkSession, root: String,
       partitionBy: Seq[String] = Nil, numFiles: Int = 1,
       statsCol: Option[String] = None, maxRetries: Int = 5,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     val v0 = currentVersion(spark, root)
     require(v0 >= 1, s"Txn.compact: no committed version at $root")
@@ -854,7 +877,7 @@ object Txn {
       if (partitionBy.nonEmpty) head.repartition(partitionBy.map(col): _*)
       else head.repartition(numFiles)
     commitRewriteAt(spark, root, folded, v0, partitionBy,
-      (statsCol.toSeq ++ statsCols).distinct, "compact")
+      (statsCol.toSeq ++ statsCols).distinct, "compact", bloomCols)
   }
 
   /** Publish a FULL REWRITE of snapshot `readV` as version readV + 1,
@@ -867,12 +890,14 @@ object Txn {
     * verb on the new head is always safe — it is pure layout. */
   private def commitRewriteAt(spark: SparkSession, root: String,
       df: DataFrame, readV: Int, partitionBy: Seq[String],
-      statsCols: Seq[String], kind: String): Int = {
+      statsCols: Seq[String], kind: String,
+      bloomCols: Seq[String] = Nil): Int = {
     val v = readV + 1
     val prev = headMetaLines(spark, root, readV)
     val lines = metaForNext(spark, root, readV, prev, df.schema,
         kind = kind) ++
-      stageBatch(spark, root, df, partitionBy, batchDir(v), statsCols)
+      stageBatch(spark, root, df, partitionBy, batchDir(v), statsCols,
+        bloomCols)
     raceOnce.get().foreach { hook => raceOnce.set(None); hook() }
     if (!publish(spark, root, v, lines))
       throw new ConcurrentWriteException(
@@ -917,6 +942,43 @@ object Txn {
         deltaLines(v - 1, (headPaths -- targetPaths).toSeq.sorted,
           targetData.filterNot(l => headPaths(linePath(l))))
     }
+  }
+
+  /** What [[optimize]] did: the rewrite's new head version, the
+    * manifest versions expired, and the data files vacuumed. */
+  final case class OptimizeReport(version: Int, expired: Seq[Int],
+      filesRemoved: Int)
+
+  /** ONE maintenance verb — Delta's `OPTIMIZE` composed with log
+    * retention and vacuum in the only safe order, so callers stop
+    * hand-sequencing verbs whose ordering constraints live in
+    * scaladoc: (1) REWRITE the head first ([[compactZOrder]] when
+    * `zorderBy` names two cluster columns, else [[compact]]) — the
+    * new head references fresh files, making the old layout pure
+    * history; (2) [[expireManifests]] bounds the log to `keepLast`
+    * versions (consolidating tag + listing checkpoints BEFORE the
+    * chain below them disappears); (3) [[vacuum]] reclaims files no
+    * surviving manifest references plus crash orphans, gated by
+    * `retentionMs` so an in-flight committer's staged batch is never
+    * swept. Rewrite conflicts propagate as
+    * [[ConcurrentWriteException]] (rerun on the new head); pass
+    * `keepLast = Int.MaxValue` to keep all history or
+    * `retentionMs = 0` only when no commit can be in flight. */
+  def optimize(spark: SparkSession, root: String, numFiles: Int = 1,
+      partitionBy: Seq[String] = Nil,
+      zorderBy: Option[(String, String)] = None,
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, keepLast: Int = Int.MaxValue,
+      retentionMs: Long = 24L * 3600 * 1000): OptimizeReport = {
+    val v = zorderBy match {
+      case Some((x, y)) => compactZOrder(spark, root, x, y, numFiles)
+      case None => compact(spark, root, partitionBy, numFiles, statsCol,
+        statsCols = statsCols, bloomCols = bloomCols)
+    }
+    val expired =
+      if (keepLast == Int.MaxValue) Nil
+      else expireManifests(spark, root, keepLast)
+    OptimizeReport(v, expired, vacuum(spark, root, retentionMs))
   }
 
   /** Z-CLUSTERED compaction — Delta's `OPTIMIZE ... ZORDER BY (x, y)`
@@ -965,26 +1027,41 @@ object Txn {
     * collected; only matched file PATHS come back (≤ file count). */
   private def touchedFiles(spark: SparkSession, entries: Seq[Entry],
       keyRows: DataFrame, keyCol: String): Set[String] = {
-    // a NaN bound (legacy pre-r14 manifests only — stageBatch no
-    // longer records them) is unusable under JVM comparisons (NaN >=
-    // k is false), so such entries rewrite unconditionally like
-    // stats-less ones — pruning stays an optimization, never a filter
-    val (ranged, statless) = entries.partition(
-      _.namedStats(keyCol).exists { case (mn, mx) =>
-        !mn.isNaN && !mx.isNaN })
-    if (ranged.isEmpty) entries.map(_.path).toSet
+    // an entry prunes by whatever it RECORDED for keyCol: range,
+    // bloom, or both (each test independently conservative, so the
+    // conjunction is too). Entries recording neither — including NaN
+    // range bounds (legacy pre-r14 manifests), unusable under JVM
+    // comparisons — rewrite unconditionally: pruning stays an
+    // optimization, never a filter. The bloom answers the shape range
+    // stats cannot: a high-cardinality uniform key (the GDPR-delete
+    // user id) where every file's [min,max] spans the whole domain.
+    def range(e: Entry): Option[(Double, Double)] =
+      e.namedStats(keyCol).filter { case (mn, mx) =>
+        !mn.isNaN && !mx.isNaN }
+    val (informed, blind) = entries.partition(e =>
+      range(e).isDefined || e.bloomFor(keyCol).isDefined)
+    if (informed.isEmpty) entries.map(_.path).toSet
     else {
-      val ranges = spark.createDataFrame(ranged.map { e =>
-        val (mn, mx) = e.namedStats(keyCol).get
-        (e.path, mn, mx)
-      }).toDF("__p", "__mn", "__mx")
+      val files = spark.createDataFrame(informed.map { e =>
+        val r = range(e)
+        val b = e.bloomFor(keyCol)
+        (e.path,
+          r.map(t => java.lang.Double.valueOf(t._1)).orNull,
+          r.map(t => java.lang.Double.valueOf(t._2)).orNull,
+          b.map(_._2).orNull,
+          b.map(t => java.lang.Integer.valueOf(t._1)).orNull)
+      }).toDF("__p", "__mn", "__mx", "__bf", "__bk")
+      val probe = graft.functions.BloomStats.mightContain(spark,
+        col("__bf"), col("__k"), col("__bk"))
       val hit = keyRows
         .select(col(keyCol).try_cast("double").as("__k"))
-        .join(broadcast(ranges),
-          col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+        .join(broadcast(files),
+          (col("__mn").isNull ||
+            (col("__k") >= col("__mn") && col("__k") <= col("__mx"))) &&
+            (col("__bf").isNull || probe))
         .select("__p").distinct()
         .collect().map(_.getString(0)).toSet
-      statless.map(_.path).toSet ++ hit
+      blind.map(_.path).toSet ++ hit
     }
   }
 
@@ -1015,7 +1092,7 @@ object Txn {
   def commitDelete(spark: SparkSession, root: String, keys: DataFrame,
       keyCol: String, partitionBy: Seq[String] = Nil,
       maxRetries: Int = 5, statsCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
     val keyRows = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
       .distinct()
     retryRowLevel(spark, root, maxRetries, keyRows, keyCol,
@@ -1031,7 +1108,7 @@ object Txn {
           val survivors = readFiles(spark, root, touched.toSeq.sorted)
             .join(keyRows, Seq(keyCol), "left_anti")
           stageBatch(spark, root, survivors, partitionBy, batchDir(v),
-            (statsCol.toSeq ++ statsCols).distinct)
+            (statsCol.toSeq ++ statsCols).distinct, bloomCols)
         }
       metaForNext(spark, root, v - 1, prev,
         schemaLine(prev).getOrElse(
@@ -1061,7 +1138,7 @@ object Txn {
   def commitDeleteWhere(spark: SparkSession, root: String,
       statsCol: String, lo: Double, hi: Double,
       partitionBy: Seq[String] = Nil, maxRetries: Int = 5,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
     require(lo <= hi, s"commitDeleteWhere: empty range [$lo, $hi]")
     var attempt = 0
     var baseV = -1
@@ -1098,7 +1175,7 @@ object Txn {
           val survivors = readFiles(spark, root, boundary.sorted)
             .where(c.isNull || c < lo || c > hi)
           stageBatch(spark, root, survivors, partitionBy, batchDir(v),
-            (statsCol +: statsCols).distinct)
+            (statsCol +: statsCols).distinct, bloomCols)
         }
       val lines = metaForNext(spark, root, v - 1, prev,
         schemaLine(prev).getOrElse(
@@ -1133,7 +1210,8 @@ object Txn {
   def commitMerge(spark: SparkSession, root: String, source: DataFrame,
       keyCol: String, partitionBy: Seq[String] = Nil,
       maxRetries: Int = 5, statsCol: Option[String] = None,
-      mergeSchema: Boolean = false, statsCols: Seq[String] = Nil): Int = {
+      mergeSchema: Boolean = false, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Int = {
     val src = source.cache()
     try {
       val counts = src.agg(
@@ -1161,7 +1239,7 @@ object Txn {
             .join(keyRows, Seq(keyCol), "left_anti")
             .unionByName(src, allowMissingColumns = mergeSchema)
         val staged = stageBatch(spark, root, survivors, partitionBy,
-          batchDir(v), (statsCol.toSeq ++ statsCols).distinct)
+          batchDir(v), (statsCol.toSeq ++ statsCols).distinct, bloomCols)
         // mergeSchema commits the EVOLVED UNION (committed fields, in
         // their committed types, plus src-only additions) — committing
         // src.schema would silently NARROW the table when the source

@@ -1160,6 +1160,183 @@ class TxnSpec extends SparkSpec {
     assert(Txn.filesForRange(spark, root, 4d, 6d).size == 1)
   }
 
+  test("bloom stats: point-key delete opens only candidate files where every range spans the domain") {
+    val root = freshRoot()
+    // interleave keys so EVERY file's [min, max] covers ~the whole
+    // domain — range pruning alone keeps all 16 files; the per-file
+    // bloom is the only metadata that can narrow a point-key delete
+    val df = spark.range(16000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(16, col("k") % 16) // one residue class per file
+    Txn.commitOverwrite(spark, root, df, statsCol = Some("k"),
+      bloomCols = Seq("k"))
+    val files = Txn.snapshotFiles(spark, root, 1)
+    assert(files.size >= 12, s"fixture not fragmented: ${files.size}")
+    val e = Txn.snapshotEntries(spark, root, 1)
+    assert(e.forall(_.bloomFor("k").isDefined), "bloom missing from manifest")
+    // 3 scattered keys live in ≤3 files; bloom fpp adds at most noise
+    Txn.commitDelete(spark, root,
+      Seq(5L, 1000L, 12345L).toDF("k"), "k",
+      statsCol = Some("k"), bloomCols = Seq("k"))
+    val raw = Txn.rawManifestLines0(spark, root, 2)
+    val rms = raw.count(_.startsWith("#rm:"))
+    assert(rms <= 4, s"bloom did not prune the point-key delete: $rms " +
+      s"of ${files.size} files rewritten")
+    assert(rms >= 1, "delete touched nothing")
+    val got = Txn.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == (0L until 16000L).toSet -- Set(5L, 1000L, 12345L))
+    // rewritten survivors re-record blooms, so the NEXT point delete
+    // still prunes
+    assert(Txn.snapshotEntries(spark, root, 2)
+      .forall(_.bloomFor("k").isDefined), "restage dropped blooms")
+    // a key present in NO file (all-zero probe paths included) is a
+    // clean no-op commit — nothing restaged
+    Txn.commitDelete(spark, root, Seq(999999L).toDF("k"), "k",
+      statsCol = Some("k"), bloomCols = Seq("k"))
+    assert(Txn.rawManifestLines0(spark, root, 3)
+      .count(_.startsWith("#rm:")) == 0, "absent key rewrote files")
+  }
+
+  test("race soak: concurrent merges and deletes on overlapping keys — serializable or loudly refused") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      spark.range(1000).select(col("id").as("k"), lit(0L).as("v"))
+        .repartitionByRange(10, col("k")), statsCol = Some("k"))
+    // 8 ops with DELIBERATELY overlapping key windows: merges stamp a
+    // unique marker, deletes remove a window. Every op must either
+    // LAND (return a version) or THROW ConcurrentWriteException —
+    // silence (landing while losing its effect) is the lost-update
+    // anomaly this pins down.
+    val ops: Seq[(String, Seq[Long], Long)] = (0 until 8).map { i =>
+      val keys = (i * 110L) until (i * 110L + 160L) // overlaps neighbors
+      if (i % 2 == 0) ("merge", keys, 2000L + i) else ("delete", keys, 0L)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val results = Await.result(Future.sequence(ops.map { case (kind, keys, marker) =>
+        Future {
+          try {
+            val v = kind match {
+              case "merge" => Txn.commitMerge(spark, root,
+                keys.toDF("k").withColumn("v", lit(marker)), "k",
+                statsCol = Some("k"), maxRetries = 64)
+              case _ => Txn.commitDelete(spark, root, keys.toDF("k"), "k",
+                statsCol = Some("k"), maxRetries = 64)
+            }
+            Right((v, kind, keys, marker))
+          } catch {
+            case e: Txn.ConcurrentWriteException => Left(e)
+          } // anything else propagates and fails the spec
+        }
+      }), 4.minutes)
+      val landed = results.collect { case Right(r) => r }.sortBy(_._1)
+      // versions are unique — the claim lock holds under merge/delete
+      assert(landed.map(_._1).distinct.size == landed.size,
+        s"two row-level commits claimed one version: ${landed.map(_._1)}")
+      // SERIALIZABILITY: the table equals the landed ops replayed in
+      // version order over the base — nothing applied out of order,
+      // no landed op lost, no refused op half-applied
+      val state = scala.collection.mutable.Map[Long, Long](
+        (0L until 1000L).map(_ -> 0L): _*)
+      landed.foreach {
+        case (_, "merge", keys, marker) => keys.foreach(state(_) = marker)
+        case (_, _, keys, _) => keys.foreach(state.remove)
+      }
+      val got = Txn.read(spark, root).select("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == state.toMap,
+        s"state diverged from version-order replay: ${
+          (got.toSet diff state.toSet).take(5)} / ${
+          (state.toSet diff got.toSet).take(5)}")
+      // the storm made progress: at least the first writer landed
+      assert(landed.nonEmpty)
+    } finally pool.shutdown()
+  }
+
+  test("optimize: one verb folds a messy history to clean layout, bounded log, zero orphans") {
+    val root = freshRoot()
+    // messy history: a fragmented base, 8 fragment appends, a crashed
+    // committer's orphan batch + temp manifest
+    Txn.commitOverwrite(spark, root,
+      spark.range(0, 400).select(col("id").as("k"), (col("id") % 3).as("p"))
+        .repartition(6), partitionBy = Seq("p"), statsCol = Some("k"))
+    (1 to 8).foreach { i =>
+      Txn.commitAppend(spark, root,
+        spark.range(400L + i * 10, 410L + i * 10)
+          .select(col("id").as("k"), (col("id") % 3).as("p")),
+        partitionBy = Seq("p"), statsCol = Some("k"))
+    }
+    val f = fs(root)
+    spark.range(5).select(col("id").as("k"), lit(0L).as("p"))
+      .write.parquet(s"$root/data/b-orphan") // crashed stage, never published
+    val os = f.create(new Path(s"$root/_manifests/.tmp-crashed"), false)
+    os.write("junk\n".getBytes("UTF-8")); os.close()
+    val expect = Txn.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet
+
+    val report = Txn.optimize(spark, root, partitionBy = Seq("p"),
+      statsCol = Some("k"), keepLast = 3, retentionMs = 0)
+    // layout: one file per partition value
+    val head = Txn.snapshotFiles(spark, root, report.version)
+    assert(head.size == 3, s"not folded to one file per partition: $head")
+    // log bounded to the window; tail gone
+    val versions = f.listStatus(new Path(s"$root/_manifests"))
+      .map(_.getPath.getName).filter(_.endsWith(".manifest"))
+    assert(versions.length == 3, s"log not bounded: ${versions.toSeq.sorted}")
+    assert(report.expired.nonEmpty)
+    // zero orphans: the crashed batch's data files, the temp manifest,
+    // and the pre-fold fragments are all gone; live files all
+    // referenced (the emptied b-orphan DIR falls on the next vacuum —
+    // its mtime was refreshed by this sweep's own deletions)
+    assert(f.listStatus(new Path(s"$root/data/b-orphan"))
+      .forall(_.getPath.getName.startsWith("_")), "orphan data survived")
+    assert(!f.exists(new Path(s"$root/_manifests/.tmp-crashed")))
+    assert(report.filesRemoved > 0)
+    val onDisk = {
+      val it = f.listFiles(new Path(s"$root/data"), true)
+      val base = new Path(s"$root/data").toUri.getPath
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+          out += st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      }
+      out.toSet
+    }
+    // everything on disk is referenced by a SURVIVING manifest
+    val surviving = (report.version - 2 to report.version)
+      .flatMap(v => Txn.snapshotFiles(spark, root, v)).toSet
+    assert(onDisk.subsetOf(surviving), s"orphans: ${onDisk -- surviving}")
+    // the data is exactly what it was before maintenance
+    assert(Txn.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == expect)
+    // zorder path: same verb, clustered layout, result invariant
+    val r2 = Txn.optimize(spark, root, numFiles = 2,
+      zorderBy = Some(("k", "p")), keepLast = 2, retentionMs = 0)
+    assert(Txn.read(spark, root, Some(r2.version)).select("k").collect()
+      .map(_.getLong(0)).toSet == expect)
+    assert(!f.exists(new Path(s"$root/data/b-orphan")),
+      "emptied orphan batch dir not reclaimed by the following vacuum")
+  }
+
+  test("bloom primitive: zero false negatives, bounded false positives") {
+    import graft.functions.Bloom
+    val buf = new Array[Byte](8192 / 8)
+    (0 until 1000).foreach(i => Bloom.add(buf, i.toDouble, 7))
+    assert((0 until 1000).forall(i => Bloom.mightContain(buf, i.toDouble, 7)),
+      "false negative — the prune would silently drop live rows")
+    // m/n = 8.2 bits/key, k=7 → ~2% fpp; 5x headroom against flake
+    val fp = (100000 until 110000).count(i =>
+      Bloom.mightContain(buf, i.toDouble, 7))
+    assert(fp < 1000, s"false-positive rate degenerate: $fp / 10000")
+  }
+
   test("stats: NULL counts follow the CAST semantics the prunes evaluate") {
     val root = freshRoot()
     // 'oops' casts to NULL as double — a pre-cast null count would
