@@ -829,6 +829,24 @@ object QueriesLlm {
         .toDF().select(col("id"), col("byte_len"), col("width"),
           col("height"))),
 
+    // the JPEG decode path (r14 pure-JVM baseline T.81 codec),
+    // driver-gated like mm_decode: poisoned metadata means the dims
+    // can only come from a real SOF0 parse through the full marker /
+    // DQT / DHT grammar — a decoder rejecting to the stub branch
+    // emits -1 and hash-fails. byte_len is NOT pinned: the entropy-
+    // coded length is content-dependent (Huffman), the documented
+    // reason THIS gate pins dims while ppm/bmp also pin lengths;
+    // pixel fidelity is spec-pinned against the JDK's ImageIO as an
+    // independent reference (JpegCodecSpec). Empty texts excluded
+    // (a w=0 frame is rejected by design, the BMP convention)
+    "mm_decode_jpeg" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+        Multimodal.attachBinary(
+            documents(s, d).where(octet_length(col("text")) > 0),
+            "doc_id", "text", format = "jpeg")
+          .withColumn("width", lit(-1)).withColumn("height", lit(-1)))
+        .toDF().select(col("id"), col("width"), col("height"))),
+
     // frame-level shared-footage detection: 256-byte frames, phash per
     // frame, cross-doc band join — packed (doc, frame) units ride the
     // rep-collapsed sketch machinery unchanged
@@ -2629,6 +2647,23 @@ object QueriesLlm {
     // raster, odd ids the 54-byte BMP headers + h rows of w BGR
     // triples padded to 4 bytes — both from the formats' PUBLISHED
     // layouts, both only reachable through a real header parse
+    // dims only — recomputed from the encoder's shape arithmetic over
+    // the utf-8 byte length; reachable solely through a real baseline
+    // JPEG parse (metadata poisoned gate-side)
+    "mm_decode_jpeg" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
+        |d AS (
+        |  SELECT doc_id, L,
+        |    CASE WHEN L % 4 = 0 THEN 4
+        |         WHEN L % 3 = 0 THEN 3
+        |         WHEN L % 2 = 0 THEN 2 ELSE 1 END AS h
+        |  FROM m)
+        |SELECT doc_id AS id, CAST(L // h AS INT) AS width,
+        |  CAST(h AS INT) AS height
+        |FROM d""".stripMargin,
+
     "mm_decode_bmp" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents

@@ -51,8 +51,8 @@ object Multimodal {
     * spec-pinned with a non-ASCII row). */
   def attachBinary(df: DataFrame, idCol: String, textCol: String,
       format: String = "ppm"): DataFrame = {
-    require(Set("ppm", "bmp", "mixed")(format),
-      s"attachBinary: format must be ppm | bmp | mixed, got '$format'")
+    require(Set("ppm", "bmp", "jpeg", "mixed")(format),
+      s"attachBinary: format must be ppm | bmp | jpeg | mixed, got '$format'")
     val spark = df.sparkSession
     val enc = encode(col(textCol), "UTF-8")
     val len = octet_length(enc)
@@ -66,21 +66,27 @@ object Multimodal {
     // yields a w=0 header the decoder rejects by design), or "mixed"
     // (even ids PPM, odd ids BMP — one table exercising BOTH real
     // decoders, the mm_decode_bmp gate's shape)
-    val isPpm = format match {
-      case "ppm" => lit(true)
-      case "bmp" => lit(false)
-      case "mixed" => col(idCol).cast("long") % 2 === 0
+    // "jpeg" routes through the r14 baseline codec — same shape rule,
+    // lossy pixels (±2, the all-ones-quant floor) but EXACT header
+    // dims, which is what the dims-pinning decode gates consume
+    val kind = format match {
+      case "ppm" => lit("ppm")
+      case "bmp" => lit("bmp")
+      case "jpeg" => lit("jpeg")
+      case "mixed" =>
+        when(col(idCol).cast("long") % 2 === 0, lit("ppm"))
+          .otherwise(lit("bmp"))
     }
     df.select(
       col(idCol).cast("long").as("id"),
       lit("image").as("modality"),
-      when(isPpm, graft.plans.GraftFunctions.ppmEncode(spark, enc))
+      when(kind === "ppm", graft.plans.GraftFunctions.ppmEncode(spark, enc))
+        .when(kind === "jpeg", graft.plans.GraftFunctions.jpegEncode(spark, enc))
         .otherwise(graft.plans.GraftFunctions.bmpEncode(spark, enc))
         .as("payload"),
       (len / h).cast("int").as("width"),
       h.cast("int").as("height"),
-      when(isPpm, lit("image/ppm")).otherwise(lit("image/bmp"))
-        .as("format"))
+      concat(lit("image/"), kind).as("format"))
   }
 
   /** Expression-level (codegen'd) lightweight features — no decode.

@@ -199,6 +199,10 @@ object GraftFunctions {
       require(exprs.length == 1, s"$BmpEncodeName expects 1 argument")
       BmpEncode(exprs.head)
     }, "built-in")
+    reg.createOrReplaceTempFunction(JpegEncodeName, exprs => {
+      require(exprs.length == 1, s"$JpegEncodeName expects 1 argument")
+      JpegEncode(exprs.head)
+    }, "built-in")
     reg.createOrReplaceTempFunction(DotName, exprs => {
       require(exprs.length == 2, s"$DotName expects 2 arguments")
       DotProduct(exprs.head, exprs(1))
@@ -260,11 +264,20 @@ object GraftFunctions {
 
   val BmpEncodeName = "graft_bmp_encode"
 
+  val JpegEncodeName = "graft_jpeg_encode"
+
   /** Native gray-buffer → binary 24-bit BMP encode (registers on the
     * session). */
   def bmpEncode(spark: SparkSession, gray: Column): Column = {
     register(spark)
     call_function(BmpEncodeName, gray)
+  }
+
+  /** Native gray-buffer → baseline grayscale JPEG encode (registers
+    * on the session). */
+  def jpegEncode(spark: SparkSession, gray: Column): Column = {
+    register(spark)
+    call_function(JpegEncodeName, gray)
   }
 
   val VecDigestName = "graft_vec_digest"

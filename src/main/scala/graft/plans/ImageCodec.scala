@@ -40,6 +40,8 @@ object ImageCodec {
       case ('P', '6') => decodePnm(bytes, channels = 3)
       case ('P', '5') => decodePnm(bytes, channels = 1)
       case ('B', 'M') => decodeBmp(bytes)
+      case (a, b) if (a & 0xff) == 0xff && (b & 0xff) == 0xd8 =>
+        JpegCodec.decode(bytes) // baseline sequential JPEG (r14)
       case _ => None
     }
   }

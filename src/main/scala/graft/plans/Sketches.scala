@@ -526,6 +526,25 @@ final case class BmpEncode(child: Expression)
     copy(child = newChild)
 }
 
+/** binary gray buffer → binary baseline grayscale JPEG (same shape
+  * rule as [[PpmEncode]] — [[JpegCodec.encodeJpegGray]], all-ones
+  * quantization: the format's distortion floor). */
+final case class JpegEncode(child: Expression)
+    extends UnaryExpression with BinaryInput {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_jpeg_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    JpegCodec.encodeJpegGray(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.JpegCodec.encodeJpegGray($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** binary payload → bigint 60-bit difference-hash (native). */
 final case class DHash60(child: Expression)
     extends UnaryExpression with BinaryInput {
