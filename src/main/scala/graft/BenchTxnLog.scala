@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measured-claim main for the r14 delta-log manifest format: "commit
+  * metadata cost is O(touched files), not O(table files)" is a design
+  * statement until the bytes are counted. This stages a table, drives
+  * N small appends (the streaming-publish cadence shape), and reports
+  * the RAW manifest size written per commit across the run — flat
+  * under the delta log, linear in table size under the pre-r14 full
+  * rewrite — plus where the sidecar checkpoints landed, the cost of a
+  * head resolution at the end of the run, and a CDF read over the
+  * tail. One JSON line, the BenchZipf discipline.
+  *
+  * Usage: runMain graft.BenchTxnLog [nCommits] [rowsPerCommit] */
+object BenchTxnLog {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200)
+    val rows = args.lift(1).map(_.toInt).getOrElse(100)
+    val root = "/tmp/graft_rt/bench_txnlog"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val spark = BenchSession.build()
+    import graft.operators.Txn
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def manifestBytes(v: Int): Long =
+      f.getFileStatus(new org.apache.hadoop.fs.Path(
+        f"$root/_manifests/v$v%05d.manifest")).getLen
+
+    Txn.commitOverwrite(spark, root,
+      spark.range(rows.toLong).select(col("id").as("k"),
+        (col("id") % 7).as("x")), statsCol = Some("k"))
+    val t0 = System.nanoTime()
+    (1 to n).foreach { i =>
+      Txn.commitAppend(spark, root,
+        spark.range(i * 1000L, i * 1000L + rows).coalesce(1)
+          .select(col("id").as("k"), (col("id") % 7).as("x")),
+        statsCol = Some("k"))
+    }
+    val appendSec = (System.nanoTime() - t0) / 1e9
+    val sizes = (2 to n + 1).map(manifestBytes)
+    val checkpoints = f.listStatus(new org.apache.hadoop.fs.Path(
+        s"$root/_manifests")).map(_.getPath.getName)
+      .count(_.endsWith(".checkpoint"))
+    // head resolution + a snapshot read + a tail CDF read on the deep log
+    val t1 = System.nanoTime()
+    val head = Txn.currentVersion(spark, root)
+    val headSec = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val nRows = Txn.read(spark, root).count()
+    val readSec = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val tail = Txn.readChangesCdf(spark, root, head - 5).count()
+    val cdfSec = (System.nanoTime() - t3) / 1e9
+    def fmt(v: Double) = f"$v%.3f"
+    val sorted = sizes.sorted
+    // flatness check: last-decile median vs first-decile median — the
+    // pre-r14 format grows this ratio linearly with n
+    val d = math.max(1, n / 10)
+    val firstMed = sizes.take(d).sorted.apply(d / 2)
+    val lastMed = sizes.takeRight(d).sorted.apply(d / 2)
+    println(s"""{"commits":$n,"rows_per_commit":$rows,""" +
+      s""""append_sec_total":${fmt(appendSec)},""" +
+      s""""manifest_bytes_p50":${sorted(n / 2)},""" +
+      s""""manifest_bytes_max":${sorted.last},""" +
+      s""""first_decile_median":$firstMed,"last_decile_median":$lastMed,""" +
+      s""""growth_ratio":${fmt(lastMed.toDouble / firstMed)},""" +
+      s""""checkpoints":$checkpoints,"head":$head,""" +
+      s""""head_resolve_sec":${fmt(headSec)},""" +
+      s""""snapshot_rows":$nRows,"snapshot_read_sec":${fmt(readSec)},""" +
+      s""""cdf_tail_rows":$tail,"cdf_tail_sec":${fmt(cdfSec)}}""")
+    spark.stop()
+  }
+}

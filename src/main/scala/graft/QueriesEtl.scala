@@ -856,6 +856,32 @@ object QueriesEtl {
         .unionByName(agg(graft.operators.Txn.read(s, root, Some(1)), "pre"))
     }),
 
+    // POINT-KEY snapshot read (Txn.readKeys — the GDPR "show me this
+    // user's rows" / serving-path lookup): commit an INTERLEAVED
+    // layout (user_id % 8 per file, so every file's [min,max] spans
+    // the whole domain and range stats alone prune NOTHING), record
+    // blooms, then read a scattered key set — candidates come from
+    // the bloom probe, the exact semi-join keeps the result
+    // layout-independent, and the oracle is the plain IN filter. A
+    // bloom false-negative (skipping a file that holds a key) shows
+    // up as missing rows and hash-fails
+    "etl_txn_pointread" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txnpr_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, root,
+        ev.repartitionByRange(8, col("user_id") % 8),
+        statsCol = Some("user_id"), bloomCols = Seq("user_id"))
+      val keys = ev.where(col("user_id") % 97 === 5)
+        .select("user_id").distinct()
+      graft.operators.Txn.readKeys(s, root, keys, "user_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
+    }),
+
     // CHANGE DATA FEED across rewrite commits: readChangesCdf derives
     // insert/delete rows per commit from manifest file-set deltas —
     // the consumer contract plain readChanges documents away (a
@@ -1689,6 +1715,14 @@ object QueriesEtl {
     // the odd half inserted; v3 compact = self-cancelling
     // delete+insert of everything; v4 copy-on-write delete (no stats
     // → all files rewrite) = everything deleted, survivors reinserted
+    // the plain IN filter — the point read must return exactly the
+    // keyed users' rows however the interleaved files overlap
+    "etl_txn_pointread" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events WHERE user_id % 97 = 5
+        |GROUP BY 1""".stripMargin,
+
     "etl_txn_cdf" ->
       """WITH agg AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

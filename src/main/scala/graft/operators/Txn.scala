@@ -1367,6 +1367,17 @@ object Txn {
 
   private def readFiles(spark: SparkSession, root: String,
       rels: Seq[String]): DataFrame = {
+    // UNPARTITIONED snapshots (no k=v path segment anywhere) read as
+    // ONE relation with parquet schema merging — the per-batch union
+    // below builds O(contributing commits) scan relations, which on a
+    // streaming-publish table (hundreds of small appends between
+    // compactions) makes plan size, not data, the read cost
+    // (BenchTxnLog measured 201 relations before this fast path).
+    // mergeSchema gives the same NULL-fill evolution semantics the
+    // union path provides per file-group.
+    if (!rels.exists(_.split('/').exists(_.contains('='))))
+      return spark.read.option("mergeSchema", "true")
+        .parquet(rels.map(r => s"$root/data/$r"): _*)
     val byBatch = rels.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
     byBatch.map { case (batch, fs0) =>
       spark.read.option("basePath", s"$root/data/$batch")
@@ -1448,6 +1459,48 @@ object Txn {
   def readWhere(spark: SparkSession, root: String, statsCol: String,
       lo: Double, hi: Double, version: Option[Int] = None): DataFrame =
     readWhereAll(spark, root, Seq((statsCol, lo, hi)), version)
+
+  /** Candidate files for a POINT-KEY lookup: every file whose recorded
+    * `keyCol` range can contain a key AND whose bloom (when recorded)
+    * answers maybe — the read-side twin of [[commitDelete]]'s
+    * touched-file pruning. Distributed: the keys frame is never
+    * collected, only matched file paths come back. Any key the stats
+    * surface cannot reason about (TRY_CAST to double is NULL — a
+    * non-numeric key on a numeric-stats table) falls back to ALL
+    * files: pruning is an optimization, never a filter. */
+  def filesForKeys(spark: SparkSession, root: String, keys: DataFrame,
+      keyCol: String, version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion(spark, root))
+    require(v >= 1, s"Txn.filesForKeys: no committed version at $root")
+    val entries = snapshotEntries(spark, root, v)
+    val keyRows = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
+      .distinct()
+    val unprunable = keyRows
+      .where(col(keyCol).try_cast("double").isNull).limit(1).count() > 0
+    if (unprunable) entries.map(_.path)
+    else touchedFiles(spark, entries, keyRows, keyCol).toSeq.sorted
+  }
+
+  /** POINT-KEY snapshot read — `SELECT * WHERE keyCol IN (keys)`, the
+    * serving-path lookup (and the read half of the GDPR flow: show me
+    * this user's rows): opens ONLY [[filesForKeys]]' candidates —
+    * with per-file blooms recorded, a k-key lookup on a 100 TB table
+    * whose every [min,max] spans the key domain opens ≤ k files plus
+    * false positives instead of the table — then an exact semi-join
+    * on the ORIGINAL key column keeps the result independent of how
+    * files overlap. NULL keys match nothing (SQL IN semantics). */
+  def readKeys(spark: SparkSession, root: String, keys: DataFrame,
+      keyCol: String, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, root))
+    require(v >= 1, s"Txn.readKeys: no committed version at $root")
+    val keyRows = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
+      .distinct()
+    val files = filesForKeys(spark, root, keys, keyCol, Some(v))
+    if (files.isEmpty)
+      emptyFrame(spark, root, snapshotLines(spark, root, v))
+    else readFiles(spark, root, files)
+      .join(keyRows, Seq(keyCol), "left_semi")
+  }
 
   /** INCREMENTAL CHANGE READ: the rows ADDED between `sinceVersion`
     * (exclusive) and `untilVersion` (inclusive, default head) — the

@@ -1325,6 +1325,32 @@ class TxnSpec extends SparkSpec {
       "emptied orphan batch dir not reclaimed by the following vacuum")
   }
 
+  test("readKeys: point lookup opens only bloom candidates; exact across overlap; safe fallback") {
+    val root = freshRoot()
+    val df = spark.range(16000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(16, col("k") % 16) // every range spans the domain
+    Txn.commitOverwrite(spark, root, df, statsCol = Some("k"),
+      bloomCols = Seq("k"))
+    val keys = Seq(5L, 1000L, 12345L).toDF("k")
+    val cand = Txn.filesForKeys(spark, root, keys, "k")
+    assert(cand.size <= 4 && cand.nonEmpty,
+      s"point lookup not bloom-pruned: ${cand.size} of 16 files")
+    val got = Txn.readKeys(spark, root, keys, "k")
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(got == Set(5L -> 5L, 1000L -> (1000L % 7), 12345L -> (12345L % 7)))
+    // absent key: zero candidates, empty typed frame with the schema
+    val none = Txn.readKeys(spark, root, Seq(999999L).toDF("k"), "k")
+    assert(none.count() == 0 && none.columns.toSet == Set("k", "v"))
+    // a key the stats surface cannot reason about (cast-null) falls
+    // back to ALL files — pruning never becomes a filter (file count
+    // compared to the actual layout: range sampling occasionally
+    // merges two residue classes into one file)
+    val mixed = Seq("5", "oops").toDF("k")
+    assert(Txn.filesForKeys(spark, root, mixed, "k").size ==
+      Txn.snapshotFiles(spark, root, 1).size)
+  }
+
   test("bloom primitive: zero false negatives, bounded false positives") {
     import graft.functions.Bloom
     val buf = new Array[Byte](8192 / 8)
