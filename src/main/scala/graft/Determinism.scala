@@ -35,7 +35,14 @@ object Determinism {
     * so "same hash both runs" means "the driver would see the same
     * table either run". */
   def hashOf(df: DataFrame): String = {
-    val rows = df.collect().map(_.mkString("")).sorted
+    // fields join on \u0001 with an explicit NULL sentinel: Row.mkString
+    // renders null as "null", so a null field and the literal string
+    // "null" hashed identically — exactly the kind of mismatch the
+    // sweep exists to catch (r14 advice)
+    val rows = df.collect().map(_.toSeq.map {
+      case null => "\u0000N"
+      case v => v.toString
+    }.mkString("\u0001")).sorted
     val md = java.security.MessageDigest.getInstance("md5")
     rows.foreach { r => md.update(r.getBytes("UTF-8")); md.update(10.toByte) }
     md.digest().map("%02x".format(_)).mkString

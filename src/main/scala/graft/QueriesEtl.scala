@@ -882,6 +882,37 @@ object QueriesEtl {
             .as("sum_val"))
     }),
 
+    // STRING-KEYED point pruning (r15) — the realistic GDPR shape:
+    // uids are strings ("u-<id>"), which TRY_CAST sends to NULL, so
+    // the r14 double-only stats surface recorded nothing and (worse)
+    // the write path's all-zero bloom made commitDelete silently KEEP
+    // every row (r14 advice). Same interleaved layout as
+    // etl_txn_pointread (string [min,max] spans the domain → the raw-
+    // UTF8 bloom is load-bearing): a string-keyed delete lands first
+    // (any surviving %10==3 row hash-fails the gate), then the point
+    // read opens only bloom candidates + the exact semi-join
+    "etl_txn_pointread_str" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txnprs_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d).select(
+        concat(lit("u-"), col("user_id").cast("string")).as("uid"),
+        col("event_type"), col("value"), col("user_id"))
+      graft.operators.Txn.commitOverwrite(s, root,
+        ev.repartitionByRange(8, col("user_id") % 8).drop("user_id"),
+        statsCol = Some("uid"), bloomCols = Seq("uid"))
+      val forget = ev.where(col("user_id") % 10 === 3)
+        .select("uid").distinct()
+      graft.operators.Txn.commitDelete(s, root, forget, "uid",
+        statsCol = Some("uid"), bloomCols = Seq("uid"))
+      val keys = ev.where(col("user_id") % 97 === 5)
+        .select("uid").distinct()
+      graft.operators.Txn.readKeys(s, root, keys, "uid")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
+    }),
+
     // CHANGE DATA FEED across rewrite commits: readChangesCdf derives
     // insert/delete rows per commit from manifest file-set deltas —
     // the consumer contract plain readChanges documents away (a
@@ -1721,6 +1752,15 @@ object QueriesEtl {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
         |FROM events WHERE user_id % 97 = 5
+        |GROUP BY 1""".stripMargin,
+
+    // string-keyed twin: the %10==3 uids were GDPR-deleted first, so
+    // the point read returns the keyed users MINUS the forgotten ones
+    // — a silent no-op delete (the r14 string-key bug) hash-fails
+    "etl_txn_pointread_str" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events WHERE user_id % 97 = 5 AND user_id % 10 <> 3
         |GROUP BY 1""".stripMargin,
 
     "etl_txn_cdf" ->

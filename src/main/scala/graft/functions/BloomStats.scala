@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, IntegerType, StringType}
 
 /** Per-file BLOOM FILTER stats for the Txn manifest — the point-key
   * pruning Delta/Iceberg add for exactly the shape min/max cannot
@@ -32,9 +32,16 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType
   * `XXH64(doubleToLongBits(value), seed = hash index)` — one
   * deterministic function, no seed tables to drift.
   *
-  * Values hash AFTER the stats surface's TRY_CAST-to-double, matching
-  * every other stats consumer's semantics (cast-null values are never
-  * added and never probed — NULL keys don't match row predicates).
+  * NUMERIC values hash AFTER the stats surface's TRY_CAST-to-double,
+  * matching every other stats consumer's semantics (cast-null values
+  * are never added and never probed — NULL keys don't match row
+  * predicates). STRING values (r15) hash their raw UTF-8 bytes
+  * (`XXH64.hashUTF8String`) — the realistic GDPR key is a UUID/string
+  * user id, which TRY_CAST sends to NULL, so a double-only bloom
+  * records nothing and every point read/delete on such a table falls
+  * back to opening EVERY file. Both [[BloomAgg]] and the probe
+  * dispatch on the child's type, so one function pair serves both
+  * shapes without a seed table to drift.
   *
   * Sizing: `mBits` is a per-table knob (the manifest line grows by
   * ~mBits/6 base64 chars per file). ~10 bits per expected distinct
@@ -78,13 +85,47 @@ object Bloom {
     }
     true
   }
+
+  private def posUtf8(v: org.apache.spark.unsafe.types.UTF8String,
+      seed: Int, mBits: Int): Int =
+    Math.floorMod(XXH64.hashUTF8String(v, seed.toLong),
+      mBits.toLong).toInt
+
+  /** String-key add: OR `v`'s k positions (raw UTF-8 byte hash) into
+    * `buf` — the shape TRY_CAST-to-double cannot serve (UUID/string
+    * ids cast to NULL and would never be recorded). */
+  def addUtf8(buf: Array[Byte],
+      v: org.apache.spark.unsafe.types.UTF8String, k: Int): Unit = {
+    val m = buf.length * 8
+    var i = 0
+    while (i < k) {
+      val p = posUtf8(v, i, m)
+      buf(p >> 3) = (buf(p >> 3) | (1 << (p & 7))).toByte
+      i += 1
+    }
+  }
+
+  /** String-key membership probe — [[mightContain]]'s UTF-8 twin,
+    * same codegen-callable shape. */
+  def mightContainUtf8(buf: Array[Byte],
+      v: org.apache.spark.unsafe.types.UTF8String, k: Int): Boolean = {
+    val m = buf.length * 8
+    var i = 0
+    while (i < k) {
+      val p = posUtf8(v, i, m)
+      if ((buf(p >> 3) & (1 << (p & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** One-pass bloom aggregate: `bloom_agg(value)` → binary buffer.
   * NULL inputs are skipped (a NULL key never matches a point
   * predicate, mirroring the min/max convention). Buffers merge by
   * byte-wise OR, so partial aggregation is exact and map-side
-  * combinable. */
+  * combinable. A DOUBLE child hashes `doubleToLongBits`; a STRING
+  * child hashes raw UTF-8 bytes (r15 — the GDPR string-id shape). */
 final case class BloomAgg(child: Expression, mBits: Int, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Byte]] {
@@ -97,17 +138,25 @@ final case class BloomAgg(child: Expression, mBits: Int, k: Int,
   override def prettyName: String = "graft_bloom_agg"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == DoubleType || child.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects a double child, got " +
+      s"$prettyName expects a double or string child, got " +
         child.dataType.simpleString)
+
+  private lazy val isString = child.dataType == StringType
 
   override def createAggregationBuffer(): Array[Byte] =
     new Array[Byte](mBits / 8)
 
   override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
     val v = child.eval(row)
-    if (v != null) Bloom.add(buf, v.asInstanceOf[Double], k)
+    if (v != null) {
+      if (isString)
+        Bloom.addUtf8(buf,
+          v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+      else Bloom.add(buf, v.asInstanceOf[Double], k)
+    }
     buf
   }
 
@@ -129,33 +178,44 @@ final case class BloomAgg(child: Expression, mBits: Int, k: Int,
       c: IndexedSeq[Expression]): BloomAgg = copy(child = c.head)
 }
 
-/** Codegen'd membership probe: `(bloom binary, value double, k int) →
-  * boolean`. Sits inside the touched-file candidate join, so it stays
-  * in the codegen stage rather than round-tripping an interpreted
-  * lambda per (key, file) pair; `k` is a column because each manifest
-  * entry carries its own hash count. */
+/** Codegen'd membership probe: `(bloom binary, value double|string,
+  * k int) → boolean`. Sits inside the touched-file candidate join, so
+  * it stays in the codegen stage rather than round-tripping an
+  * interpreted lambda per (key, file) pair; `k` is a column because
+  * each manifest entry carries its own hash count. The value's type
+  * picks the hash at ANALYSIS time (double bits vs raw UTF-8 bytes),
+  * matching [[BloomAgg]]'s build-side dispatch. */
 final case class BloomMightContain(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_contains"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (first.dataType == BinaryType && second.dataType == DoubleType &&
+    if (first.dataType == BinaryType &&
+        (second.dataType == DoubleType || second.dataType == StringType) &&
         third.dataType == IntegerType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (binary, double, int), got " +
+      s"$prettyName expects (binary, double|string, int), got " +
         s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
         s"${third.dataType.simpleString})")
 
+  private lazy val isString = second.dataType == StringType
+
   override def nullSafeEval(buf: Any, v: Any, k: Any): Any =
-    Bloom.mightContain(buf.asInstanceOf[Array[Byte]],
+    if (isString)
+      Bloom.mightContainUtf8(buf.asInstanceOf[Array[Byte]],
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        k.asInstanceOf[Int])
+    else Bloom.mightContain(buf.asInstanceOf[Array[Byte]],
       v.asInstanceOf[Double], k.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
+      ev: ExprCode): ExprCode = {
+    val fn = if (isString) "mightContainUtf8" else "mightContain"
     nullSafeCodeGen(ctx, ev, (buf, v, k) =>
-      s"${ev.value} = graft.functions.Bloom.mightContain($buf, $v, $k);")
+      s"${ev.value} = graft.functions.Bloom.$fn($buf, $v, $k);")
+  }
 
   override protected def withNewChildrenInternal(a: Expression,
       b: Expression, c: Expression): BloomMightContain =

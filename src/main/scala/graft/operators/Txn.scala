@@ -415,7 +415,9 @@ object Txn {
     * read-side range APIs but never by row-level commit pruning. */
   final case class Entry(path: String, stats: Map[String, (Double, Double)],
       nulls: Map[String, Long] = Map.empty,
-      blooms: Map[String, (Int, Array[Byte])] = Map.empty) {
+      blooms: Map[String, (Int, Array[Byte])] = Map.empty,
+      strStats: Map[String, (String, String)] = Map.empty,
+      strBlooms: Map[String, (Int, Array[Byte])] = Map.empty) {
     /** Recorded range of `c`, falling back to a legacy unnamed range. */
     def statsFor(c: String): Option[(Double, Double)] =
       stats.get(c).orElse(stats.get(""))
@@ -430,6 +432,14 @@ object Txn {
       * bit buffer); the point-key prune gate
       * ([[graft.functions.Bloom]], r14+ manifests). */
     def bloomFor(c: String): Option[(Int, Array[Byte])] = blooms.get(c)
+    /** STRING min/max recorded for `c` (r15+ manifests,
+      * `c:str:b64lo:b64hi:nulls` fields) — binary UTF8 ordering, the
+      * Iceberg string-bound shape: a string-typed stats column records
+      * its raw bounds instead of TRY_CAST-to-double NULLs. */
+    def strStatsFor(c: String): Option[(String, String)] = strStats.get(c)
+    /** String-key bloom recorded for `c` (r15+, `c:bfs:k:b64` fields —
+      * raw UTF-8 byte hashing; the GDPR UUID/user-id prune gate). */
+    def strBloomFor(c: String): Option[(Int, Array[Byte])] = strBlooms.get(c)
   }
 
   /** Manifest file `v` VERBATIM — meta lines plus, for a delta
@@ -486,11 +496,24 @@ object Txn {
         case arr if arr.length >= 2 =>
           val blooms =
             scala.collection.mutable.Map.empty[String, (Int, Array[Byte])]
+          val strBloomsM =
+            scala.collection.mutable.Map.empty[String, (Int, Array[Byte])]
+          val strStatsM =
+            scala.collection.mutable.Map.empty[String, (String, String)]
+          val strNullsM = scala.collection.mutable.Map.empty[String, Long]
+          def b64dec(x: String) = java.util.Base64.getDecoder.decode(x)
           val fields = arr.tail.flatMap { f =>
             f.split(':') match {
-              case Array(c, "bf", k, b64) => // bloom field (r14+)
-                blooms(c) = (k.toInt,
-                  java.util.Base64.getDecoder.decode(b64))
+              case Array(c, "bf", k, b64) => // numeric bloom (r14+)
+                blooms(c) = (k.toInt, b64dec(b64))
+                None
+              case Array(c, "bfs", k, b64) => // string bloom (r15+)
+                strBloomsM(c) = (k.toInt, b64dec(b64))
+                None
+              case Array(c, "str", lo, hi, n) => // string range (r15+)
+                strStatsM(c) = (new String(b64dec(lo), "UTF-8"),
+                  new String(b64dec(hi), "UTF-8"))
+                strNullsM(c) = n.toLong
                 None
               case Array(c, lo, hi) =>
                 Some((c, (lo.toDouble, hi.toDouble), None: Option[Long]))
@@ -500,8 +523,9 @@ object Txn {
             }
           }
           Entry(arr(0), fields.map(t => t._1 -> t._2).toMap,
-            fields.collect { case (c, _, Some(n)) => c -> n }.toMap,
-            blooms.toMap)
+            fields.collect { case (c, _, Some(n)) => c -> n }.toMap ++
+              strNullsM,
+            blooms.toMap, strStatsM.toMap, strBloomsM.toMap)
         case _ => sys.error(s"Txn: malformed manifest line: $line")
       }
     }
@@ -575,7 +599,7 @@ object Txn {
     if (paths.isEmpty) return Nil
     if (statsCols.isEmpty && bloomCols.isEmpty) paths
     else {
-      // The WHOLE stats surface (this pass, every prune predicate,
+      // The NUMERIC stats surface (this pass, every prune predicate,
       // commitDeleteWhere's row filter) evaluates TRY_CAST(c AS
       // DOUBLE) — total under ANSI mode, and one consistent
       // semantics: a non-numeric string value IS null everywhere.
@@ -584,15 +608,34 @@ object Txn {
       // rows and let commitDeleteWhere's metadata-only whole-file
       // drop silently delete rows the row-level filter keeps
       // (r13 advice).
-      val aggs = statsCols.flatMap(c => Seq(
-        min(col(c).try_cast("double")).as(s"__lo_$c"),
-        max(col(c).try_cast("double")).as(s"__hi_$c"),
-        count(when(col(c).try_cast("double").isNull, 1)).as(s"__nn_$c"))) ++
+      //
+      // A STRING-TYPED declared column takes the string path instead
+      // (r15): raw min/max in binary UTF8 order + a raw-byte bloom —
+      // under the double cast a UUID/user-id column records NOTHING
+      // (every value casts NULL; r14 even recorded an all-zero bloom
+      // that made point deletes silently no-op, the r14-advice bug),
+      // so the realistic GDPR key shape never pruned. Type dispatch
+      // happens on the read-back schema — the same frame the
+      // aggregates evaluate over.
+      val src = spark.read.parquet(dir)
+      def isStr(c: String): Boolean =
+        src.schema(c).dataType == org.apache.spark.sql.types.StringType
+      val aggs = statsCols.flatMap { c =>
+        if (isStr(c)) Seq(
+          min(col(c)).as(s"__lo_$c"),
+          max(col(c)).as(s"__hi_$c"),
+          count(when(col(c).isNull, 1)).as(s"__nn_$c"))
+        else Seq(
+          min(col(c).try_cast("double")).as(s"__lo_$c"),
+          max(col(c).try_cast("double")).as(s"__hi_$c"),
+          count(when(col(c).try_cast("double").isNull, 1)).as(s"__nn_$c"))
+      } ++
         // bloom bits ride the SAME single pass — one more map-side-
         // combinable aggregate per declared bloom column
         bloomCols.map(c => graft.functions.BloomStats.agg(spark,
-          col(c).try_cast("double"), bloomBits).as(s"__bf_$c"))
-      val stats = spark.read.parquet(dir)
+          if (isStr(c)) col(c) else col(c).try_cast("double"),
+          bloomBits).as(s"__bf_$c"))
+      val stats = src
         .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect() // bounded by file count — manifest metadata, not data
@@ -622,16 +665,35 @@ object Txn {
           // No range recorded = "cannot skip", the safe direction.
           val fields = statsCols.zipWithIndex.flatMap { case (c, i) =>
             if (r.isNullAt(1 + 3 * i) || r.isNullAt(2 + 3 * i)) None
-            else {
+            else if (isStr(c)) {
+              // string bounds ship base64'd (the field grammar is
+              // ':'/tab-delimited; base64's alphabet avoids both) —
+              // but a long-string stats column would bloat the
+              // manifest per file, so bounds past 256 UTF-8 bytes
+              // record no range (the bloom still prunes; Iceberg
+              // solves this with truncate+increment, which is subtle
+              // to get right across code points — skipping is the
+              // conservative option)
+              val (lo, hi) = (r.getString(1 + 3 * i), r.getString(2 + 3 * i))
+              val (lb, hb) = (lo.getBytes("UTF-8"), hi.getBytes("UTF-8"))
+              if (lb.length > 256 || hb.length > 256) None
+              else {
+                val e = java.util.Base64.getEncoder
+                Some(s"$c:str:${e.encodeToString(lb)}:" +
+                  s"${e.encodeToString(hb)}:${r.getLong(3 + 3 * i)}")
+              }
+            } else {
               val (lo, hi) = (r.getDouble(1 + 3 * i), r.getDouble(2 + 3 * i))
               if (lo.isNaN || hi.isNaN) None
               else Some(s"$c:$lo:$hi:${r.getLong(3 + 3 * i)}")
             }
           } ++ bloomCols.zipWithIndex.map { case (c, j) =>
-            // an all-cast-null column yields an all-zero filter, which
-            // correctly answers "no non-null key is in this file"
+            // an all-(cast-)null column yields an all-zero filter,
+            // which correctly answers "no non-null key is in this
+            // file"
             val b = r.getAs[Array[Byte]](1 + 3 * statsCols.size + j)
-            s"$c:bf:${graft.functions.Bloom.DefaultHashes}:" +
+            val tag = if (isStr(c)) "bfs" else "bf"
+            s"$c:$tag:${graft.functions.Bloom.DefaultHashes}:" +
               java.util.Base64.getEncoder.encodeToString(b)
           }
           rel -> fields
@@ -864,10 +926,17 @@ object Txn {
     * routes one file per partition value ([[AnnIndex.compactIvfPq]]'s
     * layout). Old files become time-travel history — [[vacuum]] (with
     * its retention window) reclaims them when the versions age out.
-    * Returns the new version. */
+    * Returns the new version.
+    *
+    * Concurrency contract: publishes EXACTLY ONCE against the head it
+    * read — any commit landing mid-rewrite throws
+    * [[ConcurrentWriteException]] (a blind retry would restage the
+    * stale frame and erase the racer's rows, the lost-update anomaly;
+    * Delta's OPTIMIZE aborts on the same conflict). Rerunning the
+    * verb on the new head is always safe — it is pure layout. */
   def compact(spark: SparkSession, root: String,
       partitionBy: Seq[String] = Nil, numFiles: Int = 1,
-      statsCol: Option[String] = None, maxRetries: Int = 5,
+      statsCol: Option[String] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     val v0 = currentVersion(spark, root)
@@ -994,9 +1063,11 @@ object Txn {
     * NULL coordinates sort together and simply record no stats. Cost:
     * one agg + one range exchange (sampled boundaries) + the commit's
     * stats pass; at 100 TB this is the periodic maintenance job that
-    * keeps multi-column skip-scans effective as data accretes. */
+    * keeps multi-column skip-scans effective as data accretes.
+    * Same concurrency contract as [[compact]]: publishes exactly once,
+    * throws [[ConcurrentWriteException]] on a mid-rewrite racer. */
   def compactZOrder(spark: SparkSession, root: String, xCol: String,
-      yCol: String, numFiles: Int, maxRetries: Int = 5): Int = {
+      yCol: String, numFiles: Int): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     val v0 = currentVersion(spark, root)
     require(v0 >= 1, s"Txn.compactZOrder: no committed version at $root")
@@ -1027,38 +1098,74 @@ object Txn {
     * collected; only matched file PATHS come back (≤ file count). */
   private def touchedFiles(spark: SparkSession, entries: Seq[Entry],
       keyRows: DataFrame, keyCol: String): Set[String] = {
-    // an entry prunes by whatever it RECORDED for keyCol: range,
-    // bloom, or both (each test independently conservative, so the
-    // conjunction is too). Entries recording neither — including NaN
-    // range bounds (legacy pre-r14 manifests), unusable under JVM
-    // comparisons — rewrite unconditionally: pruning stays an
-    // optimization, never a filter. The bloom answers the shape range
-    // stats cannot: a high-cardinality uniform key (the GDPR-delete
-    // user id) where every file's [min,max] spans the whole domain.
+    // An entry prunes by whatever it RECORDED for keyCol — numeric
+    // range/bloom (TRY_CAST-to-double semantics), string range/bloom
+    // (raw UTF8 order/bytes, r15), or any mix; every test is
+    // independently conservative, so their conjunction is too. The
+    // bloom answers the shape range stats cannot: a high-cardinality
+    // uniform key (the GDPR-delete user id) where every file's
+    // [min,max] spans the whole domain.
+    //
+    // PER-KEY soundness guards (r14 advice — the write-side twin of
+    // filesForKeys' old global fallback):
+    //  - a NUMERIC test can exclude only a key whose own TRY_CAST is
+    //    non-NULL: a matching row's cast equals the key's cast, so a
+    //    cast-null key (string user ids) says nothing about what the
+    //    numeric stats recorded — r14 let such keys match no
+    //    range/bloom and a GDPR delete silently kept every row;
+    //  - a STRING test applies only when the key column IS
+    //    string-typed: probing raw-byte stats with a casted
+    //    non-string key would compare different renderings of one
+    //    value ("7.0" vs "7") and false-skip.
+    // Entries recording nothing usable — including NaN range bounds
+    // (legacy pre-r14 manifests), unusable under JVM comparisons —
+    // rewrite unconditionally: pruning stays an optimization, never
+    // a filter.
     def range(e: Entry): Option[(Double, Double)] =
       e.namedStats(keyCol).filter { case (mn, mx) =>
         !mn.isNaN && !mx.isNaN }
+    val keyIsString = keyRows.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.StringType
     val (informed, blind) = entries.partition(e =>
-      range(e).isDefined || e.bloomFor(keyCol).isDefined)
+      range(e).isDefined || e.bloomFor(keyCol).isDefined ||
+        (keyIsString && (e.strStatsFor(keyCol).isDefined ||
+          e.strBloomFor(keyCol).isDefined)))
     if (informed.isEmpty) entries.map(_.path).toSet
     else {
       val files = spark.createDataFrame(informed.map { e =>
         val r = range(e)
         val b = e.bloomFor(keyCol)
+        val sr = if (keyIsString) e.strStatsFor(keyCol) else None
+        val sb = if (keyIsString) e.strBloomFor(keyCol) else None
         (e.path,
           r.map(t => java.lang.Double.valueOf(t._1)).orNull,
           r.map(t => java.lang.Double.valueOf(t._2)).orNull,
           b.map(_._2).orNull,
-          b.map(t => java.lang.Integer.valueOf(t._1)).orNull)
-      }).toDF("__p", "__mn", "__mx", "__bf", "__bk")
-      val probe = graft.functions.BloomStats.mightContain(spark,
-        col("__bf"), col("__k"), col("__bk"))
-      val hit = keyRows
-        .select(col(keyCol).try_cast("double").as("__k"))
-        .join(broadcast(files),
-          (col("__mn").isNull ||
-            (col("__k") >= col("__mn") && col("__k") <= col("__mx"))) &&
-            (col("__bf").isNull || probe))
+          b.map(t => java.lang.Integer.valueOf(t._1)).orNull,
+          sr.map(_._1).orNull,
+          sr.map(_._2).orNull,
+          sb.map(_._2).orNull,
+          sb.map(t => java.lang.Integer.valueOf(t._1)).orNull)
+      }).toDF("__p", "__mn", "__mx", "__bf", "__bk",
+        "__slo", "__shi", "__sbf", "__sbk")
+      val keyed = keyRows.select(
+        col(keyCol).try_cast("double").as("__kd"),
+        (if (keyIsString) col(keyCol).cast("string")
+         else lit(null).cast("string")).as("__ks"))
+      // exclusion predicates: each must PROVE absence to fire; every
+      // null (no key rendering, no recorded stat) falls to false
+      val numExclude = col("__kd").isNotNull && (
+        (col("__mn").isNotNull &&
+          (col("__kd") < col("__mn") || col("__kd") > col("__mx"))) ||
+          (col("__bf").isNotNull && !graft.functions.BloomStats
+            .mightContain(spark, col("__bf"), col("__kd"), col("__bk"))))
+      val strExclude = col("__ks").isNotNull && (
+        (col("__slo").isNotNull &&
+          (col("__ks") < col("__slo") || col("__ks") > col("__shi"))) ||
+          (col("__sbf").isNotNull && !graft.functions.BloomStats
+            .mightContain(spark, col("__sbf"), col("__ks"), col("__sbk"))))
+      val hit = keyed
+        .join(broadcast(files), !(numExclude || strExclude))
         .select("__p").distinct()
         .collect().map(_.getString(0)).toSet
       blind.map(_.path).toSet ++ hit
@@ -1461,13 +1568,16 @@ object Txn {
     readWhereAll(spark, root, Seq((statsCol, lo, hi)), version)
 
   /** Candidate files for a POINT-KEY lookup: every file whose recorded
-    * `keyCol` range can contain a key AND whose bloom (when recorded)
-    * answers maybe — the read-side twin of [[commitDelete]]'s
-    * touched-file pruning. Distributed: the keys frame is never
-    * collected, only matched file paths come back. Any key the stats
-    * surface cannot reason about (TRY_CAST to double is NULL — a
-    * non-numeric key on a numeric-stats table) falls back to ALL
-    * files: pruning is an optimization, never a filter. */
+    * `keyCol` stats (numeric range/bloom over TRY_CAST-to-double, or
+    * string range/bloom over raw UTF8 — r15) can contain a key — the
+    * read-side twin of [[commitDelete]]'s touched-file pruning, ONE
+    * shared routine since r15 so the two sides cannot drift.
+    * Distributed: the keys frame is never collected, only matched
+    * file paths come back. Soundness guards are PER KEY (see
+    * touchedFiles): a key the stats surface cannot reason about
+    * (cast-null on a numeric-stats table, non-string key against
+    * string stats) excludes nothing and keeps every informed file a
+    * candidate — pruning is an optimization, never a filter. */
   def filesForKeys(spark: SparkSession, root: String, keys: DataFrame,
       keyCol: String, version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion(spark, root))
@@ -1475,10 +1585,7 @@ object Txn {
     val entries = snapshotEntries(spark, root, v)
     val keyRows = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
       .distinct()
-    val unprunable = keyRows
-      .where(col(keyCol).try_cast("double").isNull).limit(1).count() > 0
-    if (unprunable) entries.map(_.path)
-    else touchedFiles(spark, entries, keyRows, keyCol).toSeq.sorted
+    touchedFiles(spark, entries, keyRows, keyCol).toSeq.sorted
   }
 
   /** POINT-KEY snapshot read — `SELECT * WHERE keyCol IN (keys)`, the

@@ -457,6 +457,14 @@ object JpegCodec {
       else if (len % 4 == 0) 4 else if (len % 3 == 0) 3
       else if (len % 2 == 0) 2 else 1
     val w = len / h
+    // SOF0 stores dims as u16 — a longer buffer would silently
+    // truncate the written width to w mod 65536 while the entropy
+    // data is built from the true w: a structurally valid but corrupt
+    // stream, violating the codec's reject-don't-guess discipline
+    // (r14 advice). Fail loudly instead.
+    require(w <= 65535 && h <= 65535,
+      s"encodeJpegGray: ${len}B buffer shapes to ${w}x$h, which " +
+        "overflows JPEG's u16 SOF dimensions — split the payload")
     val out = new java.io.ByteArrayOutputStream(len + 1024)
     def b(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { b(v >> 8); b(v) }

@@ -1365,19 +1365,168 @@ class TxnSpec extends SparkSpec {
 
   test("stats: NULL counts follow the CAST semantics the prunes evaluate") {
     val root = freshRoot()
-    // 'oops' casts to NULL as double — a pre-cast null count would
-    // record 0 and let the metadata-only whole-file drop delete it
-    val df = Seq(("1", "a"), ("2", "b"), ("oops", "keep"))
+    // NUMERIC column holding real NULLs: nulls ride the same cast
+    // surface every prune evaluates, so the metadata-only whole-file
+    // drop (which demands nulls == 0) cannot delete the NULL row the
+    // row-level filter keeps (r13 advice)
+    val num = Seq(Some(1d), Some(2d), None)
+      .zip(Seq("a", "b", "keep"))
       .toDF("x", "tag").coalesce(1)
-    Txn.commitOverwrite(spark, root, df, statsCol = Some("x"))
+    Txn.commitOverwrite(spark, root, num, statsCol = Some("x"))
     val e = Txn.snapshotEntries(spark, root, 1)
     assert(e.head.nullsFor("x").contains(1L),
-      s"cast-null row not counted: ${e.head}")
-    // the whole range [1,2] covers the file's recorded [min,max], but
-    // the cast-null row must SURVIVE the predicate delete
+      s"null row not counted: ${e.head}")
     Txn.commitDeleteWhere(spark, root, "x", 1d, 2d)
     val got = Txn.read(spark, root).select("tag").collect()
       .map(_.getString(0)).toSet
-    assert(got == Set("keep"), s"cast-null row deleted by metadata: $got")
+    assert(got == Set("keep"), s"null row deleted by metadata: $got")
+
+    // STRING column (r15): takes the string-stats path, so the r13
+    // hazard's original shape — non-numeric strings cast-NULL under a
+    // NUMERIC range — is structurally gone: no numeric range is
+    // recorded at all, the file can never be metadata-dropped, and
+    // the cast-null row survives via the row-level filter
+    val root2 = freshRoot()
+    val str = Seq(("1", "a"), ("2", "b"), ("oops", "keep"))
+      .toDF("x", "tag").coalesce(1)
+    Txn.commitOverwrite(spark, root2, str, statsCol = Some("x"))
+    val e2 = Txn.snapshotEntries(spark, root2, 1)
+    assert(e2.head.strStatsFor("x").isDefined &&
+      e2.head.namedStats("x").isEmpty,
+      s"string stats column recorded a numeric range: ${e2.head}")
+    Txn.commitDeleteWhere(spark, root2, "x", 1d, 2d)
+    val got2 = Txn.read(spark, root2).select("tag").collect()
+      .map(_.getString(0)).toSet
+    assert(got2 == Set("keep"), s"cast-null row deleted: $got2")
+  }
+
+  // ---- string-key stats (r15): raw-UTF8 blooms + string min/max ----
+
+  test("string keys: interleaved layout prunes point reads AND deletes via the raw-byte bloom") {
+    val root = freshRoot()
+    // "u-<id>" casts to NULL as double — under r14's double-only
+    // stats this table recorded nothing usable and a point delete
+    // silently no-op'd (r14 advice). Interleave on id % 16 so every
+    // file's STRING [min,max] also spans ~the whole uid domain: the
+    // bfs bloom is the only metadata that can narrow anything.
+    val df = spark.range(16000)
+      .select(concat(lit("u-"), col("id").cast("string")).as("k"),
+        (col("id") % 7).as("v"), col("id").as("id0"))
+      .repartitionByRange(16, col("id0") % 16)
+      .drop("id0")
+    Txn.commitOverwrite(spark, root, df, statsCol = Some("k"),
+      bloomCols = Seq("k"))
+    val e = Txn.snapshotEntries(spark, root, 1)
+    assert(e.forall(_.strBloomFor("k").isDefined),
+      s"string bloom missing from manifest: ${e.head}")
+    assert(e.forall(_.strStatsFor("k").isDefined),
+      s"string range missing from manifest: ${e.head}")
+    assert(e.forall(en => en.bloomFor("k").isEmpty &&
+      en.namedStats("k").isEmpty),
+      "string column must not also record double-cast stats")
+    val files = Txn.snapshotFiles(spark, root, 1)
+    assert(files.size >= 12, s"fixture not fragmented: ${files.size}")
+    // point READ: 3 scattered uids live in ≤3 files + bloom fpp noise
+    val keys = Seq("u-5", "u-1000", "u-12345").toDF("k")
+    val cand = Txn.filesForKeys(spark, root, keys, "k")
+    assert(cand.size <= 4 && cand.nonEmpty,
+      s"string point lookup not bloom-pruned: ${cand.size} of " +
+        s"${files.size}")
+    val got = Txn.readKeys(spark, root, keys, "k")
+      .select("k", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(got == Set("u-5" -> 5L, "u-1000" -> (1000L % 7),
+      "u-12345" -> (12345L % 7)))
+    // point DELETE: prunes to the candidates AND actually removes the
+    // rows (the r14 silent-no-op regression)
+    Txn.commitDelete(spark, root, keys, "k",
+      statsCol = Some("k"), bloomCols = Seq("k"))
+    val rms = Txn.rawManifestLines0(spark, root, 2)
+      .count(_.startsWith("#rm:"))
+    assert(rms <= 4 && rms >= 1,
+      s"string point delete not bloom-pruned: $rms of ${files.size}")
+    assert(Txn.read(spark, root).where(
+      col("k").isin("u-5", "u-1000", "u-12345")).count() == 0,
+      "string-keyed delete silently kept rows (r14 advice bug)")
+    assert(Txn.read(spark, root).count() == 16000 - 3)
+  }
+
+  test("string keys: legacy all-zero DOUBLE bloom on a string column stays blind (no silent no-op)") {
+    val root = freshRoot()
+    val df = spark.range(100)
+      .select(concat(lit("u-"), col("id").cast("string")).as("k"),
+        (col("id") % 7).as("v"))
+      .coalesce(2)
+    Txn.commitOverwrite(spark, root, df)
+    // doctor the manifest into the r14 shape: an all-zero NUMERIC
+    // bloom recorded for the string column (what r14 staging wrote
+    // when every value cast NULL)
+    val zero = java.util.Base64.getEncoder
+      .encodeToString(new Array[Byte](8192))
+    val p = new Path(s"$root/_manifests/v00001.manifest")
+    val f = fs(root)
+    val in = f.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList finally in.close()
+    val doctored = lines.map(l =>
+      if (l.startsWith("#")) l else s"$l\tk:bf:7:$zero")
+    f.delete(p, false)
+    val os = f.create(p, false)
+    try os.write((doctored.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally os.close()
+    assert(Txn.snapshotEntries(spark, root, 1)
+      .forall(_.bloomFor("k").isDefined), "doctoring failed")
+    // cast-null string keys cannot be excluded by a numeric bloom —
+    // every informed file must stay a candidate...
+    val keys = Seq("u-5", "u-50").toDF("k")
+    assert(Txn.filesForKeys(spark, root, keys, "k").size ==
+      Txn.snapshotFiles(spark, root, 1).size,
+      "numeric bloom excluded cast-null string keys")
+    // ...and the delete must actually delete
+    Txn.commitDelete(spark, root, keys, "k")
+    assert(Txn.read(spark, root).count() == 98,
+      "legacy manifest shape made the delete a silent no-op")
+  }
+
+  test("string stats: a SORTED string layout prunes by range alone; long bounds are skipped") {
+    val root = freshRoot()
+    // zero-padded uids sort lexically == numerically, so a range-
+    // partitioned layout gives each file a narrow string [min,max]
+    val df = spark.range(8000)
+      .select(concat(lit("u-"), lpad(col("id").cast("string"), 6, "0"))
+        .as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("k"))
+    Txn.commitOverwrite(spark, root, df, statsCol = Some("k"))
+    val files = Txn.snapshotFiles(spark, root, 1)
+    val cand = Txn.filesForKeys(spark, root,
+      Seq("u-000005", "u-007999").toDF("k"), "k")
+    assert(cand.size <= 2 && cand.nonEmpty,
+      s"string range did not prune a sorted layout: ${cand.size} of " +
+        s"${files.size}")
+    // bounds past 256 UTF-8 bytes: no range recorded (the manifest
+    // must not bloat per-file), pruning falls back to blind
+    val root2 = freshRoot()
+    val long = Seq(("x" * 300, 1L), ("y" * 300, 2L)).toDF("k", "v")
+      .coalesce(1)
+    Txn.commitOverwrite(spark, root2, long, statsCol = Some("k"))
+    val e2 = Txn.snapshotEntries(spark, root2, 1)
+    assert(e2.head.strStatsFor("k").isEmpty,
+      s"oversized string bound recorded: ${e2.head}")
+    assert(Txn.readKeys(spark, root2, Seq("x" * 300).toDF("k"), "k")
+      .count() == 1)
+  }
+
+  test("string bloom primitive: zero false negatives, bounded false positives") {
+    import graft.functions.Bloom
+    import org.apache.spark.unsafe.types.UTF8String
+    val buf = new Array[Byte](8192 / 8)
+    (0 until 1000).foreach(i =>
+      Bloom.addUtf8(buf, UTF8String.fromString(s"u-$i"), 7))
+    assert((0 until 1000).forall(i =>
+      Bloom.mightContainUtf8(buf, UTF8String.fromString(s"u-$i"), 7)),
+      "false negative — the prune would silently drop live rows")
+    val fp = (100000 until 110000).count(i =>
+      Bloom.mightContainUtf8(buf, UTF8String.fromString(s"u-$i"), 7))
+    assert(fp < 1000, s"false-positive rate degenerate: $fp / 10000")
   }
 }
