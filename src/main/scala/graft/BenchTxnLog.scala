@@ -53,6 +53,33 @@ object BenchTxnLog {
     val t3 = System.nanoTime()
     val tail = Txn.readChangesCdf(spark, root, head - 5).count()
     val cdfSec = (System.nanoTime() - t3) / 1e9
+
+    // ---- PARTITIONED twin (r15): the hive-layout case the r14 flat
+    // fast path did NOT cover — with partition dirs nested inside
+    // batch dirs a 200-append table read one scan relation per commit
+    // (the verdict's remaining O(commits) read). The re-rooted
+    // data/k=v/b<v>-* staging must keep the snapshot read FLAT in
+    // commit count: report the relation count alongside the time so
+    // the claim is a measurement.
+    val proot = "/tmp/graft_rt/bench_txnlog_part"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(proot))
+    Txn.commitOverwrite(spark, proot,
+      spark.range(rows.toLong).select(col("id").as("k"),
+        (col("id") % 4).cast("string").as("p")),
+      partitionBy = Seq("p"), statsCol = Some("k"))
+    val pt0 = System.nanoTime()
+    (1 to n).foreach { i =>
+      Txn.commitAppend(spark, proot,
+        spark.range(i * 1000L, i * 1000L + rows).coalesce(1)
+          .select(col("id").as("k"), (col("id") % 4).cast("string").as("p")),
+        partitionBy = Seq("p"), statsCol = Some("k"))
+    }
+    val pAppendSec = (System.nanoTime() - pt0) / 1e9
+    val pt1 = System.nanoTime()
+    val pdf = Txn.read(spark, proot)
+    val pRows = pdf.count()
+    val pReadSec = (System.nanoTime() - pt1) / 1e9
+    val pRels = pdf.queryExecution.optimizedPlan.collectLeaves().size
     def fmt(v: Double) = f"$v%.3f"
     val sorted = sizes.sorted
     // flatness check: last-decile median vs first-decile median — the
@@ -69,7 +96,11 @@ object BenchTxnLog {
       s""""checkpoints":$checkpoints,"head":$head,""" +
       s""""head_resolve_sec":${fmt(headSec)},""" +
       s""""snapshot_rows":$nRows,"snapshot_read_sec":${fmt(readSec)},""" +
-      s""""cdf_tail_rows":$tail,"cdf_tail_sec":${fmt(cdfSec)}}""")
+      s""""cdf_tail_rows":$tail,"cdf_tail_sec":${fmt(cdfSec)},""" +
+      s""""part_append_sec_total":${fmt(pAppendSec)},""" +
+      s""""part_snapshot_rows":$pRows,""" +
+      s""""part_snapshot_read_sec":${fmt(pReadSec)},""" +
+      s""""part_scan_relations":$pRels}""")
     spark.stop()
   }
 }

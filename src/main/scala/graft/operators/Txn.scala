@@ -12,10 +12,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * a table is a directory convention
   *
   * {{{
-  *   root/data/b00001-3f9a2c1d/…   // each commit attempt's files,
-  *                                 // version + random suffix — UNIQUE
-  *                                 // per attempt, so racing committers
-  *                                 // can never stage into one directory
+  *   root/data/b00001-3f9a2c1d/…        // unpartitioned commit: its own
+  *                                      // batch dir, version + random
+  *                                      // suffix — UNIQUE per attempt, so
+  *                                      // racing committers never stage
+  *                                      // into one directory
+  *   root/data/k=v/b00002-9c41ab7e-…    // partitioned commit (r15):
+  *                                      // partition dirs OUTSIDE the batch
+  *                                      // segment, files attempt-unique by
+  *                                      // batch-tag PREFIX — one basePath
+  *                                      // spans every commit, so snapshot
+  *                                      // reads stay ONE scan relation
   *   root/_manifests/v00001.manifest
   * }}}
   *
@@ -565,12 +572,34 @@ object Txn {
     }
   }
 
-  /** Write `df`'s files under a fresh ATTEMPT-UNIQUE batch dir; returns
-    * their manifest lines (root-relative path, plus TAB-separated
+  /** Write `df`'s files under attempt-unique names; returns their
+    * manifest lines (root-relative path, plus TAB-separated
     * `col:min:max` per declared stats column) WITHOUT publishing
     * anything. However many columns are declared, stats come from ONE
     * distributed pass grouped by input_file_name — the driver receives
-    * only (file, min1, max1, ...), bounded by file count. */
+    * only (file, min1, max1, ...), bounded by file count.
+    *
+    * LAYOUT (r15): an UNPARTITIONED batch lands under its own batch
+    * dir `data/<batchTag>/part-*`; a PARTITIONED batch is RE-ROOTED so
+    * the partition dirs sit OUTSIDE the batch segment —
+    * `data/k=v/<batchTag>-part-*` — because that is what lets a
+    * snapshot spanning hundreds of commits read as ONE scan relation
+    * (a single `basePath = data` recovers the partition columns for
+    * every commit at once; with partition dirs nested INSIDE per-batch
+    * dirs, Spark's partition discovery sees a conflicting structure
+    * and the read degrades to one relation PER commit — BenchTxnLog
+    * measured 201 relations making plan size, not data, the read cost
+    * on a 200-append table). Files stay attempt-unique via the
+    * batchTag prefix (version + random suffix), so racing committers
+    * still cannot collide; the write goes to a hidden
+    * `data/.stage-<batchTag>/` dir first and each part file renames
+    * into its partition dir — O(files) namespace ops, the same order
+    * as the listing this method already does (on an object store the
+    * rename is a copy; Delta/Iceberg avoid it by naming files at write
+    * time, which Spark's partitionBy writer does not expose).
+    * A crash mid-rename leaves unreferenced files only — [[vacuum]]
+    * reclaims both the stage dir and any moved-but-unpublished files
+    * past retention, exactly like a lost batch dir. */
   private def stageBatch(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String], batchTag: String,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
@@ -579,21 +608,44 @@ object Txn {
       require(!c.contains(':') && !c.contains('\t') && c.nonEmpty,
         s"stats column name must be a plain identifier (no ':'/tab): '$c'")
     }
-    val dir = s"$root/data/$batchTag"
+    val f = fs(spark, root)
+    val base = new Path(s"$root/data").toUri.getPath
+    val dir = if (partitionBy.isEmpty) s"$root/data/$batchTag"
+      else s"$root/data/.stage-$batchTag"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dir)
-    val f = fs(spark, root)
-    val it = f.listFiles(new Path(dir), true)
-    val base = new Path(s"$root/data").toUri.getPath
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
-        out += st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+    def listParts(d: String): Seq[Path] = {
+      val it = f.listFiles(new Path(d), true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+          out += st.getPath
+      }
+      out.toSeq.sortBy(_.toUri.getPath)
     }
-    val paths = out.toSeq.sorted
+    val paths: Seq[String] =
+      if (partitionBy.isEmpty)
+        listParts(dir).map(_.toUri.getPath.stripPrefix(base)
+          .stripPrefix("/"))
+      else {
+        val stageBase = new Path(dir).toUri.getPath
+        val moved = listParts(dir).map { p =>
+          val rel = p.toUri.getPath.stripPrefix(stageBase).stripPrefix("/")
+          val segs = rel.split('/')
+          val target = (segs.init :+ s"$batchTag-${segs.last}")
+            .mkString("/")
+          val tp = new Path(s"$root/data/$target")
+          f.mkdirs(tp.getParent)
+          if (!f.rename(p, tp))
+            sys.error(s"Txn: failed to place staged file $p at $tp")
+          target
+        }
+        f.delete(new Path(dir), true) // only _SUCCESS/empty dirs remain
+        moved.sorted
+      }
     // an empty frame stages zero part files — nothing to list or stat;
     // the snapshot stays readable through its #schema line
     if (paths.isEmpty) return Nil
@@ -616,8 +668,14 @@ object Txn {
       // that made point deletes silently no-op, the r14-advice bug),
       // so the realistic GDPR key shape never pruned. Type dispatch
       // happens on the read-back schema — the same frame the
-      // aggregates evaluate over.
-      val src = spark.read.parquet(dir)
+      // aggregates evaluate over. A partitioned batch's files were
+      // re-rooted above, so they read back by explicit path with the
+      // data dir as basePath (recovering partition columns, the same
+      // shape the snapshot read uses).
+      val src =
+        if (partitionBy.isEmpty) spark.read.parquet(dir)
+        else spark.read.option("basePath", s"$root/data")
+          .parquet(paths.map(r => s"$root/data/$r"): _*)
       def isStr(c: String): Boolean =
         src.schema(c).dataType == org.apache.spark.sql.types.StringType
       val aggs = statsCols.flatMap { c =>
@@ -1445,16 +1503,14 @@ object Txn {
   }
 
   /** Snapshot read: the table at `version` (default: current head).
-    * Reads EXACTLY the manifest's files. Files are grouped by their
-    * batch directory and each group reads with ITS batch dir as
-    * basePath (recovering partition-directory columns); groups union
-    * by name — one scan relation per contributing commit, the same
-    * shape Delta/Iceberg readers produce per file-group. Spark's
-    * partition discovery cannot take one basePath across batch dirs
-    * (the non-`k=v` batch segment between root and the partition dirs
-    * reads as a conflicting structure). An EMPTY snapshot (overwrite
-    * with a frame that matched nothing) reads as an empty frame with
-    * the committed `#schema`. */
+    * Reads EXACTLY the manifest's files — as ONE scan relation for
+    * flat layouts and for r15's re-rooted partition layout
+    * (`data/k=v/b<v>-part-*`, one `basePath = data` across every
+    * commit), regardless of how many commits contributed; only legacy
+    * pre-r15 partitioned batches (partition dirs nested inside batch
+    * dirs) still read one relation per batch (see readFiles). An
+    * EMPTY snapshot (overwrite with a frame that matched nothing)
+    * reads as an empty frame with the committed `#schema`. */
   def read(spark: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, root))
@@ -1474,26 +1530,44 @@ object Txn {
 
   private def readFiles(spark: SparkSession, root: String,
       rels: Seq[String]): DataFrame = {
-    // UNPARTITIONED snapshots (no k=v path segment anywhere) read as
-    // ONE relation with parquet schema merging — the per-batch union
-    // below builds O(contributing commits) scan relations, which on a
-    // streaming-publish table (hundreds of small appends between
-    // compactions) makes plan size, not data, the read cost
-    // (BenchTxnLog measured 201 relations before this fast path).
-    // mergeSchema gives the same NULL-fill evolution semantics the
-    // union path provides per file-group.
-    if (!rels.exists(_.split('/').exists(_.contains('='))))
-      return spark.read.option("mergeSchema", "true")
-        .parquet(rels.map(r => s"$root/data/$r"): _*)
-    val byBatch = rels.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-    byBatch.map { case (batch, fs0) =>
-      spark.read.option("basePath", s"$root/data/$batch")
-        .parquet(fs0.map(r => s"$root/data/$r"): _*)
-    // allowMissingColumns = schema evolution across commits: an append
-    // that ADDS a column must not make older snapshots' files
-    // unreadable — missing columns read as NULL (parquet mergeSchema
-    // semantics, per file-group instead of per footer)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    // Snapshots read as the FEWEST scan relations the layout allows —
+    // one relation per contributing commit makes plan size, not data,
+    // the read cost on a streaming-publish table (BenchTxnLog measured
+    // 201 relations / 16.5s for 20k rows before the r14 flat fast
+    // path; the r15 re-rooted partition layout extends the same fix to
+    // partitioned tables). Three file groups:
+    //  - FLAT files (no k=v segment): one relation, no basePath;
+    //  - RE-ROOTED partitioned files (r15 staging — the partition dir
+    //    is the FIRST segment, `k=v/b<v>-part-*`): one relation with
+    //    `basePath = data`, so Spark's own partition discovery
+    //    recovers the partition columns across every commit at once;
+    //  - LEGACY partitioned files (pre-r15 — partition dirs nested
+    //    inside batch dirs) keep the one-relation-per-batch shape,
+    //    because no single basePath spans batch segments (Spark reads
+    //    the non-k=v batch dir as a conflicting structure).
+    // mergeSchema on the single-relation groups gives the same
+    // NULL-fill evolution semantics the union path provides per
+    // file-group; allowMissingColumns unions the groups for the same
+    // reason (an append that ADDS a column must not make older files
+    // unreadable).
+    val (partitioned, flat) =
+      rels.partition(_.split('/').exists(_.contains('=')))
+    val (rooted, legacy) =
+      partitioned.partition(_.takeWhile(_ != '/').contains('='))
+    val groups =
+      (if (flat.isEmpty) Nil
+       else Seq(spark.read.option("mergeSchema", "true")
+         .parquet(flat.map(r => s"$root/data/$r"): _*))) ++
+      (if (rooted.isEmpty) Nil
+       else Seq(spark.read.option("mergeSchema", "true")
+         .option("basePath", s"$root/data")
+         .parquet(rooted.map(r => s"$root/data/$r"): _*))) ++
+      legacy.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+        .map { case (batch, fs0) =>
+          spark.read.option("basePath", s"$root/data/$batch")
+            .parquet(fs0.map(r => s"$root/data/$r"): _*)
+        }
+    groups.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The snapshot's files that can intersect EVERY `(col, lo, hi)`

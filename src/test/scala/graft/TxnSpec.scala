@@ -1516,6 +1516,81 @@ class TxnSpec extends SparkSpec {
       .count() == 1)
   }
 
+  // ---- r15 re-rooted partition layout: single-relation snapshots ----
+
+  test("partitioned snapshots read as ONE scan relation regardless of commit count") {
+    val root = freshRoot()
+    def batch(i: Int) = spark.range(i * 100L, i * 100L + 100)
+      .select(col("id").as("k"), (col("id") % 3).cast("string").as("p"))
+      .coalesce(1)
+    Txn.commitOverwrite(spark, root, batch(0), Seq("p"),
+      statsCol = Some("k"))
+    (1 to 12).foreach(i =>
+      Txn.commitAppend(spark, root, batch(i), Seq("p"),
+        statsCol = Some("k")))
+    // files live under data/p=<v>/b<ver>-… — partition dir OUTSIDE
+    // the batch segment, attempt-unique via the batch-tag prefix
+    val files = Txn.snapshotFiles(spark, root, 13)
+    assert(files.forall(_.matches("p=[0-9]/b\\d{5}-[0-9a-f]{8}-.*\\.parquet")),
+      s"unexpected layout: ${files.take(3)}")
+    val df = Txn.read(spark, root)
+    assert(df.queryExecution.optimizedPlan.collectLeaves().size == 1,
+      "13-commit partitioned snapshot did not read as one relation")
+    assert(df.count() == 1300)
+    // partition column survives with correct values (basePath = data;
+    // discovery infers the narrowest type, so compare as string —
+    // the same inference the per-batch legacy path applied)
+    assert(df.groupBy(col("p").cast("string").as("p")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("0" -> 434, "1" -> 433, "2" -> 433))
+    // time travel still exact
+    assert(Txn.read(spark, root, Some(1)).count() == 100)
+    // point-key pruning works against the re-rooted layout
+    val cand = Txn.filesForKeys(spark, root, Seq(5L).toDF("k"), "k")
+    assert(cand.size < files.size, "range stats lost in re-rooted layout")
+  }
+
+  test("mixed legacy + re-rooted + flat layouts union correctly in one snapshot") {
+    val root = freshRoot()
+    // legacy batch: partition dirs nested INSIDE the batch dir (pre-r15
+    // staging) — injected exactly as a pre-upgrade table would hold it
+    Seq((1L, "a"), (2L, "b")).toDF("k", "p")
+      .write.partitionBy("p").parquet(s"$root/data/b00001-0ld0ld00")
+    val f = fs(root)
+    val legacy = {
+      val it = f.listFiles(new Path(s"$root/data/b00001-0ld0ld00"), true)
+      val base = new Path(s"$root/data").toUri.getPath
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          out += st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      }
+      out.toSeq.sorted
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType)))
+    f.mkdirs(new Path(s"$root/_manifests"))
+    val os = f.create(new Path(s"$root/_manifests/v00001.manifest"), false)
+    os.write((s"#schema:${schema.json}\n" + legacy.mkString("\n") + "\n")
+      .getBytes("UTF-8")); os.close()
+    // re-rooted partitioned append + a flat (unpartitioned) append
+    Txn.commitAppend(spark, root, Seq((3L, "c")).toDF("k", "p"), Seq("p"))
+    Txn.commitAppend(spark, root, Seq((4L, "d")).toDF("k", "p"))
+    val got = Txn.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
+      s"mixed-layout snapshot wrong: $got")
+    // and CDF over the mixed history stays exact
+    val delta = Txn.readChangesCdf(spark, root, 1).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(delta == Set(3L, 4L))
+  }
+
   test("string bloom primitive: zero false negatives, bounded false positives") {
     import graft.functions.Bloom
     import org.apache.spark.unsafe.types.UTF8String
