@@ -979,18 +979,23 @@ object QueriesEtl {
           "pre"))
     }),
 
-    // SCHEMA EVOLUTION through the manifest: v1 lands (event_type, n);
-    // the v2 append ADDS sum_val under the EXPLICIT mergeSchema=true
-    // gate (an un-flagged drifting append throws at commit — TxnSpec) —
-    // the snapshot read fills the new column NULL for v1's files, and
-    // v1 itself stays readable in its original shape
+    // SCHEMA EVOLUTION through the manifest: v1 lands (event_type, n)
+    // with n committed as INT; the v2 append ADDS sum_val AND WIDENS
+    // n to BIGINT under the EXPLICIT mergeSchema=true gate (r15 — an
+    // un-flagged drifting append throws at commit; an incompatible
+    // retype throws even under the flag — TxnSpec). The snapshot read
+    // fills the new column NULL for v1's files and reads v1's int n
+    // UP to the widened long (explicit-schema parquet promotion); v1
+    // itself stays readable in its original int shape. The oracle
+    // emits BIGINT counts for BOTH halves, so a failed widening (n
+    // int vs bigint) schema-fails the gate
     "etl_txn_evolve" -> ((s, d) => {
       val root = s"/tmp/graft_rt/txnev_${d.replace('/', '_')}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       val ev = Tables.events(s, d)
       val v1 = ev.where(col("user_id") % 2 === 0)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).cast("int").as("n"))
       graft.operators.Txn.commitOverwrite(s, root, v1)
       val v2 = ev.where(col("user_id") % 2 === 1)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"),

@@ -848,7 +848,16 @@ object Txn {
     retry(spark, root, maxRetries) { v =>
       val prev = headMetaLines(spark, root, v - 1)
       if (!mergeSchema) requireSameSchema(prev, df, "commitAppend")
-      metaForNext(spark, root, v - 1, prev, df.schema,
+      // mergeSchema commits the EVOLVED schema (committed ∪ batch,
+      // types widened where the batch is wider) — committing df.schema
+      // verbatim would silently NARROW the table when the batch lacks
+      // committed columns, and would flip-flop types across appends
+      val schema =
+        if (!mergeSchema) df.schema
+        else schemaLine(prev)
+          .map(evolveSchema(_, df.schema, "commitAppend"))
+          .getOrElse(df.schema)
+      metaForNext(spark, root, v - 1, prev, schema,
           kind = "append") ++
         deltaLines(v - 1, Nil,
           stageBatch(spark, root, df, partitionBy, batchDir(v),
@@ -869,6 +878,71 @@ object Txn {
           s"${a.toSeq.sortBy(_._1).mkString(", ")}; batch has " +
           s"${b.toSeq.sortBy(_._1).mkString(", ")}")
     }
+
+  // ---- schema evolution: add-column + type WIDENING (r15) ------------
+  // mergeSchema=true commits evolve the #schema line through
+  // [[evolveSchema]]: new columns append (the r10 behavior), and a
+  // batch column WIDER than its committed counterpart widens the
+  // committed type (int→long, float→double, int→double, decimal
+  // growth — the Delta type-widening set). Old files stay readable
+  // because snapshot reads pass the committed schema EXPLICITLY to the
+  // parquet reader, which up-casts narrow physical types at scan time
+  // (Spark 4 widening promotion) and NULL-fills missing columns —
+  // mergeSchema footer-merging would refuse an int/long mix outright,
+  // which is also why reads stopped using it wherever a #schema line
+  // exists. Time travel still returns each version's original types
+  // (read(v) uses v's OWN schema line). Everything else — rename,
+  // narrowing the COMMITTED type, string→int — stays a loud reject:
+  // those are writer bugs, not evolution.
+
+  import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType,
+    FloatType, IntegerType, LongType, ShortType}
+
+  private val intChain: Seq[DataType] =
+    Seq(ByteType, ShortType, IntegerType, LongType)
+
+  /** True when a value of `from` reads up losslessly as `to` AND the
+    * parquet reader performs that promotion at scan time (verified
+    * set; long→double is excluded — lossy past 2^53). */
+  private[graft] def widensTo(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (f, t) if intChain.contains(f) && intChain.contains(t) =>
+        intChain.indexOf(f) < intChain.indexOf(t)
+      case (FloatType, DoubleType) => true
+      case (f, DoubleType) if intChain.contains(f) && f != LongType => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision - t.scale >= f.precision - f.scale &&
+          t.scale >= f.scale &&
+          (t.precision > f.precision || t.scale > f.scale)
+      case _ => false
+    }
+
+  /** The evolved #schema for a mergeSchema=true write: committed
+    * fields in committed order (widened where the batch is wider;
+    * unchanged where the batch is narrower — the batch's files read
+    * up), then batch-only fields appended. Incompatible retypes throw
+    * at the COMMIT point, where they can still fail loudly. */
+  private def evolveSchema(committed: StructType, batch: StructType,
+      who: String): StructType = {
+    val byName = batch.fields.map(f => f.name -> f).toMap
+    val kept = committed.fields.map { cf =>
+      byName.get(cf.name) match {
+        case None => cf
+        case Some(bf) if bf.dataType == cf.dataType => cf
+        case Some(bf) if widensTo(cf.dataType, bf.dataType) =>
+          cf.copy(dataType = bf.dataType)
+        case Some(bf) if widensTo(bf.dataType, cf.dataType) => cf
+        case Some(bf) => sys.error(
+          s"$who: incompatible type change for column '${cf.name}': " +
+            s"${cf.dataType.simpleString} -> ${bf.dataType.simpleString}" +
+            " — mergeSchema evolves add-column and widenings " +
+            "(byte/short/int->long, float->double, int->double, " +
+            "decimal growth) only; rename/narrow/retype is a writer bug")
+      }
+    }
+    StructType(kept ++
+      batch.fields.filterNot(f => committed.fieldNames.contains(f.name)))
+  }
 
   /** IDEMPOTENT tagged append — the exactly-once streaming-sink
     * primitive (Delta's txnAppId/txnVersion dedup): the committed-tag
@@ -1270,7 +1344,8 @@ object Txn {
       val staged =
         if (touched.isEmpty) Nil
         else {
-          val survivors = readFiles(spark, root, touched.toSeq.sorted)
+          val survivors = readFiles(spark, root, touched.toSeq.sorted,
+              schemaLine(prev))
             .join(keyRows, Seq(keyCol), "left_anti")
           stageBatch(spark, root, survivors, partitionBy, batchDir(v),
             (statsCol.toSeq ++ statsCols).distinct, bloomCols)
@@ -1337,7 +1412,8 @@ object Txn {
       val staged =
         if (boundary.isEmpty) Nil
         else {
-          val survivors = readFiles(spark, root, boundary.sorted)
+          val survivors = readFiles(spark, root, boundary.sorted,
+              schemaLine(prev))
             .where(c.isNull || c < lo || c > hi)
           stageBatch(spark, root, survivors, partitionBy, batchDir(v),
             (statsCol +: statsCols).distinct, bloomCols)
@@ -1395,28 +1471,31 @@ object Txn {
         require(v >= 2, s"Txn.commitMerge: no committed version at $root")
         val prev = headMetaLines(spark, root, v - 1)
         if (!mergeSchema) requireSameSchema(prev, src, "commitMerge")
+        // mergeSchema commits the EVOLVED UNION (committed fields —
+        // types widened where the source is wider, r15 — plus
+        // src-only additions) — committing src.schema would silently
+        // NARROW the table when the source lacks columns the target
+        // has (allowed by unionByName allowMissingColumns), making a
+        // later strict append throw spurious drift and an
+        // empty-snapshot read lose columns (r12 advice; Delta's merge
+        // evolution commits the union). Computed BEFORE staging so an
+        // incompatible retype fails loudly instead of letting the
+        // union coerce (string+int would silently widen to string).
+        val evolved = schemaLine(prev).fold(src.schema) { committed =>
+          if (!mergeSchema) committed
+          else evolveSchema(committed, src.schema, "commitMerge")
+        }
         val touched =
           touchedFiles(spark, snapshotEntries(spark, root, v - 1),
             keyRows, keyCol)
         val survivors =
           if (touched.isEmpty) src
-          else readFiles(spark, root, touched.toSeq.sorted)
+          else readFiles(spark, root, touched.toSeq.sorted,
+              schemaLine(prev).map(_ => evolved))
             .join(keyRows, Seq(keyCol), "left_anti")
             .unionByName(src, allowMissingColumns = mergeSchema)
         val staged = stageBatch(spark, root, survivors, partitionBy,
           batchDir(v), (statsCol.toSeq ++ statsCols).distinct, bloomCols)
-        // mergeSchema commits the EVOLVED UNION (committed fields, in
-        // their committed types, plus src-only additions) — committing
-        // src.schema would silently NARROW the table when the source
-        // lacks columns the target has (allowed by unionByName
-        // allowMissingColumns), making a later strict append throw
-        // spurious drift and an empty-snapshot read lose columns
-        // (r12 advice; Delta's merge evolution commits the union).
-        val evolved = schemaLine(prev).fold(src.schema) { committed =>
-          if (!mergeSchema) committed
-          else StructType(committed.fields ++ src.schema.fields
-            .filterNot(f => committed.fieldNames.contains(f.name)))
-        }
         metaForNext(spark, root, v - 1, prev, evolved,
           kind = "merge") ++
           deltaLines(v - 1, touched.toSeq.sorted, staged)
@@ -1518,7 +1597,7 @@ object Txn {
     val lines = snapshotLines(spark, root, v)
     val rels = lines.filterNot(isMeta).map(linePath)
     if (rels.isEmpty) emptyFrame(spark, root, lines)
-    else readFiles(spark, root, rels)
+    else readFiles(spark, root, rels, schemaLine(lines))
   }
 
   private def emptyFrame(spark: SparkSession, root: String,
@@ -1529,7 +1608,7 @@ object Txn {
   }
 
   private def readFiles(spark: SparkSession, root: String,
-      rels: Seq[String]): DataFrame = {
+      rels: Seq[String], schema: Option[StructType] = None): DataFrame = {
     // Snapshots read as the FEWEST scan relations the layout allows —
     // one relation per contributing commit makes plan size, not data,
     // the read cost on a streaming-publish table (BenchTxnLog measured
@@ -1540,31 +1619,45 @@ object Txn {
     //  - RE-ROOTED partitioned files (r15 staging — the partition dir
     //    is the FIRST segment, `k=v/b<v>-part-*`): one relation with
     //    `basePath = data`, so Spark's own partition discovery
-    //    recovers the partition columns across every commit at once;
+    //    recovers the partition columns across every commit at once
+    //    (grouped by partition-column signature — two eras partitioned
+    //    on DIFFERENT columns cannot share one discovery);
     //  - LEGACY partitioned files (pre-r15 — partition dirs nested
     //    inside batch dirs) keep the one-relation-per-batch shape,
     //    because no single basePath spans batch segments (Spark reads
     //    the non-k=v batch dir as a conflicting structure).
-    // mergeSchema on the single-relation groups gives the same
-    // NULL-fill evolution semantics the union path provides per
-    // file-group; allowMissingColumns unions the groups for the same
-    // reason (an append that ADDS a column must not make older files
-    // unreadable).
+    //
+    // SCHEMA: when the caller passes the snapshot's committed #schema,
+    // every group reads with it EXPLICITLY — the parquet reader
+    // NULL-fills missing columns and up-casts narrower physical types
+    // (Spark 4 widening promotion), which is what makes r15 type
+    // widening readable AND removes the per-file footer read
+    // mergeSchema pays; partition values cast to the committed type
+    // instead of re-inferring per read. Without a schema (pre-schema
+    // manifests), mergeSchema keeps the old NULL-fill semantics —
+    // footer merging refuses an int/long mix, so widened tables
+    // always carry a schema line (every r15 writer records one).
+    // allowMissingColumns unions the groups for the same reason.
     val (partitioned, flat) =
       rels.partition(_.split('/').exists(_.contains('=')))
     val (rooted, legacy) =
       partitioned.partition(_.takeWhile(_ != '/').contains('='))
+    def rd = schema.fold(spark.read.option("mergeSchema", "true"))(s =>
+      // nullable everywhere: older files may lack columns entirely
+      spark.read.schema(
+        StructType(s.fields.map(_.copy(nullable = true)))))
+    def partSig(r: String): String = r.split('/').init
+      .filter(_.contains('=')).map(_.takeWhile(_ != '=')).mkString(",")
     val groups =
       (if (flat.isEmpty) Nil
-       else Seq(spark.read.option("mergeSchema", "true")
-         .parquet(flat.map(r => s"$root/data/$r"): _*))) ++
-      (if (rooted.isEmpty) Nil
-       else Seq(spark.read.option("mergeSchema", "true")
-         .option("basePath", s"$root/data")
-         .parquet(rooted.map(r => s"$root/data/$r"): _*))) ++
+       else Seq(rd.parquet(flat.map(r => s"$root/data/$r"): _*))) ++
+      rooted.groupBy(partSig).toSeq.sortBy(_._1).map { case (_, fs0) =>
+        rd.option("basePath", s"$root/data")
+          .parquet(fs0.map(r => s"$root/data/$r"): _*)
+      } ++
       legacy.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
         .map { case (batch, fs0) =>
-          spark.read.option("basePath", s"$root/data/$batch")
+          rd.option("basePath", s"$root/data/$batch")
             .parquet(fs0.map(r => s"$root/data/$r"): _*)
         }
     groups.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1628,9 +1721,10 @@ object Txn {
     val v = version.getOrElse(currentVersion(spark, root))
     require(v >= 1, s"Txn.readWhereAll: no committed version at $root")
     val files = filesForPreds(spark, root, preds, Some(v))
+    val lines = snapshotLines(spark, root, v)
     val base =
-      if (files.isEmpty) emptyFrame(spark, root, snapshotLines(spark, root, v))
-      else readFiles(spark, root, files)
+      if (files.isEmpty) emptyFrame(spark, root, lines)
+      else readFiles(spark, root, files, schemaLine(lines))
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.where(col(c).try_cast("double") >= lo && col(c).try_cast("double") <= hi)
     }
@@ -1677,9 +1771,9 @@ object Txn {
     val keyRows = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
       .distinct()
     val files = filesForKeys(spark, root, keys, keyCol, Some(v))
-    if (files.isEmpty)
-      emptyFrame(spark, root, snapshotLines(spark, root, v))
-    else readFiles(spark, root, files)
+    val lines = snapshotLines(spark, root, v)
+    if (files.isEmpty) emptyFrame(spark, root, lines)
+    else readFiles(spark, root, files, schemaLine(lines))
       .join(keyRows, Seq(keyCol), "left_semi")
   }
 
@@ -1707,7 +1801,7 @@ object Txn {
     val added = untilLines.filterNot(isMeta).map(linePath)
       .filterNot(before)
     if (added.isEmpty) emptyFrame(spark, root, untilLines)
-    else readFiles(spark, root, added)
+    else readFiles(spark, root, added, schemaLine(untilLines))
   }
 
   /** CHANGE DATA FEED across ALL commit kinds — the rewrite-safe
@@ -1745,8 +1839,14 @@ object Txn {
     val empty = emptyFrame(spark, root, untilLines)
       .withColumn("_change_type", lit("").cast("string"))
       .withColumn("_commit_version", lit(0))
+    // every step reads under UNTIL's committed schema (the
+    // Delta/Iceberg CDF contract: change rows carry the table's
+    // current shape — older files NULL-fill missing columns and read
+    // narrow types up); without it, a removed-set spanning a widening
+    // commit would hand mergeSchema an unmergeable int/long mix
+    val schema = schemaLine(untilLines)
     steps.map { case (kind, v, fs0) =>
-      readFiles(spark, root, fs0)
+      readFiles(spark, root, fs0, schema)
         .withColumn("_change_type", lit(kind))
         .withColumn("_commit_version", lit(v))
     }.foldLeft(empty)(_.unionByName(_, allowMissingColumns = true))

@@ -1516,6 +1516,89 @@ class TxnSpec extends SparkSpec {
       .count() == 1)
   }
 
+  // ---- r15 schema evolution: type widening --------------------------
+
+  test("type widening: int->long, float->double, decimal growth evolve; old files read up; time travel keeps original types") {
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val v1 = spark.range(3).selectExpr("cast(id as int) as k",
+      "cast(id as float) as x", "cast(id as decimal(5,2)) as m")
+    Txn.commitOverwrite(spark, root, v1)
+    // a WIDER batch evolves the committed schema under mergeSchema
+    val v2 = spark.range(3, 6).selectExpr("cast(id as long) as k",
+      "cast(id as double) as x", "cast(id as decimal(12,4)) as m")
+    Txn.commitAppend(spark, root, v2, mergeSchema = true)
+    val head = Txn.read(spark, root)
+    assert(head.schema("k").dataType == LongType &&
+      head.schema("x").dataType == DoubleType &&
+      head.schema("m").dataType == DecimalType(12, 4),
+      s"schema not widened: ${head.schema.simpleString}")
+    // v1's NARROW files read up into the widened snapshot
+    assert(head.select("k").collect().map(_.getLong(0)).toSet ==
+      (0L until 6L).toSet)
+    assert(head.select(sum("m")).head().getDecimal(0)
+      .compareTo(new java.math.BigDecimal("15.0")) == 0)
+    // time travel returns v1's ORIGINAL types
+    val old = Txn.read(spark, root, Some(1))
+    assert(old.schema("k").dataType == IntegerType &&
+      old.schema("x").dataType == FloatType &&
+      old.schema("m").dataType == DecimalType(5, 2),
+      s"time travel lost original types: ${old.schema.simpleString}")
+    // a NARROWER later batch is accepted as data (reads up), and the
+    // committed schema stays wide — no flip-flop
+    Txn.commitAppend(spark, root,
+      spark.range(6, 8).selectExpr("cast(id as int) as k",
+        "cast(id as float) as x", "cast(id as decimal(5,2)) as m"),
+      mergeSchema = true)
+    val head3 = Txn.read(spark, root)
+    assert(head3.schema("k").dataType == LongType, "schema flip-flopped")
+    assert(head3.count() == 8)
+    // CDF across the widening commits carries the until-schema
+    val cdf = Txn.readChangesCdf(spark, root, 0)
+    assert(cdf.schema("k").dataType == LongType)
+    assert(cdf.where(col("_change_type") === "insert").count() == 8)
+    // row-level delete across mixed-width files
+    Txn.commitDelete(spark, root, Seq(1L, 7L).toDF("k"), "k")
+    assert(Txn.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(0L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("type widening: incompatible retypes reject loudly; strict mode still rejects widening") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      spark.range(3).selectExpr("cast(id as int) as k",
+        "cast(id as string) as s"))
+    // incompatible retype under mergeSchema: loud reject
+    val e1 = intercept[RuntimeException] {
+      Txn.commitAppend(spark, root,
+        spark.range(3).selectExpr("cast(id as int) as k", "id as s"),
+        mergeSchema = true)
+    }
+    assert(e1.getMessage.contains("incompatible type change"),
+      e1.getMessage)
+    // widen k to long, then append a NARROWER (int) batch: accepted
+    // as data (its files read up), and the committed schema must stay
+    // long — never narrow, never flip-flop
+    Txn.commitAppend(spark, root,
+      spark.range(3, 5).selectExpr("id as k", "cast(id as string) as s"),
+      mergeSchema = true)
+    Txn.commitAppend(spark, root,
+      spark.range(5, 6).selectExpr("cast(id as int) as k",
+        "cast(id as string) as s"),
+      mergeSchema = true)
+    assert(Txn.read(spark, root).schema("k").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "committed schema narrowed or flip-flopped")
+    assert(Txn.read(spark, root).count() == 6)
+    // strict mode: ANY drift — including a widening — throws
+    val e3 = intercept[IllegalArgumentException] {
+      Txn.commitAppend(spark, root,
+        spark.range(6, 7).selectExpr("cast(id as decimal(20,0)) as k",
+          "cast(id as string) as s"))
+    }
+    assert(e3.getMessage.contains("schema drift"), e3.getMessage)
+  }
+
   // ---- r15 re-rooted partition layout: single-relation snapshots ----
 
   test("partitioned snapshots read as ONE scan relation regardless of commit count") {
