@@ -262,6 +262,55 @@ object QueriesStream {
         .agg(count(lit(1)).as("n"),
           expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
             .as("sum_val"))
+    }),
+
+    // ENGINE-NATIVE streaming source over the same exactly-once core
+    // (r15): `readStream.format("graft-txn")` — commit versions as
+    // offsets, micro-batches = per-commit CDF spans, and the cursor is
+    // SPARK'S OWN offset log under checkpointLocation (no hand-rolled
+    // drain loop). Same history as stream_txn_tail — one semantics,
+    // third machinery, SHARED oracle: the first AvailableNow run
+    // drains v1..v2 into a parquet file sink, the history then extends
+    // (compact + copy-on-write delete) and the SAME checkpoint resumes
+    // through Spark's offset log, and a third run with no new commits
+    // must append nothing. A re-fed span, a lost batch, or a cursor
+    // that drifts hash-fails against the recomputed per-commit feed
+    "stream_txn_source" -> ((s, d) => {
+      val base = s"/tmp/graft_rt/ssrc_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val src = s"$base/src"; val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, src,
+        ev.where(col("user_id") % 2 === 0))                        // v1
+      graft.operators.Txn.commitAppend(s, src,
+        ev.where(col("user_id") % 2 === 1))                        // v2
+      def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val q = s.readStream.format("graft-txn").option("path", src)
+          .option("maxCommitsPerTrigger", "1").load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(); q
+      }
+      drain()
+      graft.operators.Txn.compact(s, src, numFiles = 2)            // v3
+      graft.operators.Txn.commitDelete(s, src,
+        ev.where(col("user_id") % 10 === 3).select("user_id").distinct(),
+        "user_id")                                                 // v4
+      // record the resumed run's executed plan (real batches) for the
+      // PlanHygiene streaming sweep — the final caught-up drain runs
+      // no batch and would record an empty shell
+      Streaming.recordPlan("stream_txn_source", drain())
+      drain() // caught up: Spark's offset log must add nothing
+      s.read.parquet(out)
+        .groupBy(col("_change_type").as("change"),
+          col("_commit_version").as("v"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
     })
   )
 
@@ -279,6 +328,35 @@ object QueriesStream {
     // full rewrite minus the purged users — a lost/duplicated batch
     // or a re-fed rewrite breaks a slice
     "stream_txn_tail" ->
+      """WITH agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |  FROM events GROUP BY 1)
+        |SELECT 'insert' AS change, CAST(1 AS INTEGER) AS v, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events WHERE user_id % 2 = 0 GROUP BY 3
+        |UNION ALL
+        |SELECT 'insert', CAST(2 AS INTEGER), event_type,
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |FROM events WHERE user_id % 2 = 1 GROUP BY 3
+        |UNION ALL
+        |SELECT 'delete', CAST(3 AS INTEGER), event_type, n, sum_val FROM agg
+        |UNION ALL
+        |SELECT 'insert', CAST(3 AS INTEGER), event_type, n, sum_val FROM agg
+        |UNION ALL
+        |SELECT 'delete', CAST(4 AS INTEGER), event_type, n, sum_val FROM agg
+        |UNION ALL
+        |SELECT 'insert', CAST(4 AS INTEGER), event_type,
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |FROM events WHERE user_id % 10 <> 3 GROUP BY 3""".stripMargin,
+
+    // identical feed, third machinery (readStream.format("graft-txn")
+    // through Spark's own offset log) — shares stream_txn_tail's
+    // recomputed per-commit CDF oracle verbatim
+    "stream_txn_source" ->
       """WITH agg AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val

@@ -1852,6 +1852,27 @@ object Txn {
     }.foldLeft(empty)(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** [[readChangesCdf]] as bare per-step frames WITHOUT the typed
+    * empty-frame fold seed — the streaming source's shape: its
+    * micro-batch plan may contain only file relations (the seed's RDD
+    * leaf cannot be re-flagged streaming), and "no steps" maps to the
+    * source's own empty streaming frame. Same span semantics and
+    * until-schema contract as the public read. */
+  private[graft] def cdfStepFrames(spark: SparkSession, root: String,
+      sinceVersion: Int, untilVersion: Int): Seq[DataFrame] = {
+    require(sinceVersion >= 0 && untilVersion >= sinceVersion,
+      s"cdfStepFrames: bad version range $sinceVersion..$untilVersion")
+    val schema = schemaLine(snapshotLines(spark, root, untilVersion))
+    ((sinceVersion + 1) to untilVersion).flatMap { v =>
+      val (added, removed) = fileDiff(spark, root, v)
+      Seq(("insert", v, added), ("delete", v, removed))
+    }.filter(_._3.nonEmpty).map { case (kind, v, fs0) =>
+      readFiles(spark, root, fs0, schema)
+        .withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(v))
+    }
+  }
+
   /** EXPIRE the oldest manifests, keeping the newest `keepLast`
     * versions time-travelable — the Delta log-retention / Iceberg
     * `expire_snapshots` maintenance verb, and the bound that keeps a

@@ -27,7 +27,7 @@ object Streaming {
     * executions (covered by the batch sweep shapes they reuse). */
   val lastPlans = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def recordPlan(label: String,
+  private[graft] def recordPlan(label: String,
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try {
       val baos = new java.io.ByteArrayOutputStream()
