@@ -37,26 +37,30 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * plus TAB-separated `col:min:max:nulls` per declared stats column
   * ([[readWhere]]/[[readWhereAll]] file skipping, row-level commit
   * pruning, [[commitDeleteWhere]]'s read-free file drops). Commits
-  * write ALL data files first, then publish by writing the manifest
-  * to a hidden temp name and renaming it to `v<next>.manifest`. The
-  * rename is the commit point:
+  * write ALL data files first, then publish through the ONE storage
+  * primitive the protocol needs — [[TxnLogStore.putIfAbsent]]
+  * ("create `v<next>.manifest` unless it exists, atomically"; r15
+  * seam, default impl = temp write + rename-no-overwrite). That
+  * claim is the commit point:
   *
-  *  - ATOMIC VISIBILITY — the Hadoop FileSystem rename contract makes
+  *  - ATOMIC VISIBILITY — putIfAbsent's all-or-nothing contract makes
   *    the manifest appear fully-written or not at all; data files it
   *    references are already complete. Torn reads are impossible BY
   *    CONSTRUCTION, not by timing.
-  *  - OPTIMISTIC CONCURRENCY — Hadoop rename REFUSES an existing
-  *    destination (pinned empirically by TxnRenameProbe), so two
-  *    racing committers cannot both win one version number; the loser
-  *    re-reads the head and restages against the next version
-  *    (Delta/Iceberg's commit protocol shape). On HDFS the refusal is
-  *    atomic server-side; on LOCAL filesystems it is an exists-check
-  *    over clobbering rename(2), so the claim is additionally
-  *    serialized in-JVM (`localClaimLock` — Delta's LocalLogStore
-  *    draws the same single-machine boundary). LIMITATION: object
-  *    stores without atomic rename-no-overwrite (S3 without a
-  *    consistency layer) need an external lock or a DynamoDB-style
-  *    log — the same boundary Delta draws.
+  *  - OPTIMISTIC CONCURRENCY — putIfAbsent REFUSES an existing
+  *    destination, so two racing committers cannot both win one
+  *    version number; the loser re-reads the head and restages
+  *    against the next version (Delta/Iceberg's commit protocol
+  *    shape). The default [[HadoopRenameLogStore]]: on HDFS the
+  *    rename refusal is atomic server-side; on LOCAL filesystems it
+  *    is an exists-check over clobbering rename(2), so the claim is
+  *    additionally serialized in-JVM (Delta's LocalLogStore draws the
+  *    same single-machine boundary; TxnRenameProbe pins the
+  *    contract). OBJECT STORES implement putIfAbsent directly as a
+  *    conditional PUT (S3 If-None-Match, GCS generation-match-0) —
+  *    TxnLogStoreSpec proves the protocol is exactly-once on a store
+  *    offering only that, and breaks on one that clobbers: the seam
+  *    IS the correctness boundary.
   *  - TIME TRAVEL — previous manifests (and the files they reference,
   *    which commits never delete) remain readable: `read(root, v)` is a
   *    snapshot read at version v, the file-layer form of
@@ -184,15 +188,12 @@ object Txn {
   private def writeCheckpointIfAbsent(spark: SparkSession, root: String,
       v: Int, dataLines: Seq[String]): Unit = {
     val f = fs(spark, root)
-    val target = checkpointPath(root, v)
-    if (f.exists(target)) return
     f.mkdirs(manifestDir(root))
-    val tmp = new Path(manifestDir(root),
-      s".tmp-${java.util.UUID.randomUUID().toString}")
-    val os = f.create(tmp, false)
-    try os.write(dataLines.map(_ + "\n").mkString.getBytes("UTF-8"))
-    finally os.close()
-    if (!f.rename(tmp, target)) f.delete(tmp, false) // racer wrote same bytes
+    // same seam as the commit point; a lost race means a racer wrote
+    // the identical bytes (pure function of the committed chain)
+    logStore.putIfAbsent(f, checkpointPath(root, v),
+      dataLines.map(_ + "\n").mkString.getBytes("UTF-8"))
+    ()
   }
 
   /** Post-publish checkpoint roll: if `v`'s delta chain has reached
@@ -294,15 +295,12 @@ object Txn {
   private def writeTagsFileIfAbsent(spark: SparkSession, root: String,
       w: Int, tags: Seq[String]): Unit = {
     val f = fs(spark, root)
-    val target = tagsFilePath(root, w)
-    if (f.exists(target)) return
     f.mkdirs(manifestDir(root))
-    val tmp = new Path(manifestDir(root),
-      s".tmp-${java.util.UUID.randomUUID().toString}")
-    val os = f.create(tmp, false)
-    try os.write((tags.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally os.close()
-    if (!f.rename(tmp, target)) f.delete(tmp, false) // racer wrote same bytes
+    // same seam as the commit point; a lost race means a racer wrote
+    // the identical bytes (pure function of committed manifest w)
+    logStore.putIfAbsent(f, tagsFilePath(root, w),
+      (tags.mkString("\n") + "\n").getBytes("UTF-8"))
+    ()
   }
 
   /** Meta lines for the NEXT commit built on `prevLines` (the head the
@@ -771,16 +769,62 @@ object Txn {
   private def batchDir(v: Int): String =
     f"b$v%05d-" + java.util.UUID.randomUUID().toString.take(8)
 
-  /** JVM-global claim lock for `file:` URIs. Hadoop's LOCAL rename
-    * refusal of an existing destination is an exists-check followed by
-    * java.io.File.renameTo — POSIX rename(2), which CLOBBERS — so two
-    * same-JVM committers racing that window can BOTH win one version
-    * number (observed once as a double-claim in the six-thread soak:
-    * the TxnRenameProbe contract holds single-threaded but is not a
-    * CAS). HDFS-class filesystems refuse atomically server-side and
-    * never take the lock; cross-JVM local racers stay out of scope —
-    * the same single-machine boundary Delta's LocalLogStore draws. */
-  private val localClaimLock = new Object
+  // ---- commit seam: the ONE atomicity the protocol needs (r15) -------
+  // Everything the commit protocol requires of storage is a single
+  // primitive: CREATE THIS FILE UNLESS IT EXISTS, atomically — S3's
+  // conditional PUT (If-None-Match), GCS's x-goog-if-generation-match:0,
+  // HDFS's server-side rename-no-overwrite all provide it. Extracting
+  // it as [[TxnLogStore.putIfAbsent]] makes that dependency a stated
+  // contract instead of an implementation detail buried in publish():
+  // TxnLogStoreSpec proves the protocol commits exactly once on a
+  // store offering ONLY conditional-put (no rename at all), and that
+  // a store which CLOBBERS instead of refusing breaks it — i.e. the
+  // boundary is exactly this method. Deployment note: on S3, implement
+  // putIfAbsent with a conditional PUT (one call); the default
+  // Hadoop-rename impl below covers HDFS-class stores and local
+  // filesystems (with the in-JVM claim lock — cross-PROCESS local
+  // writers remain out of scope, the Delta LocalLogStore boundary).
+
+  /** Storage seam for the commit point: atomically create `target`
+    * with `content` — true iff THIS call created it. Implementations
+    * must be atomic (a lost racer sees false, never a torn file);
+    * content visibility must be all-or-nothing. */
+  trait TxnLogStore {
+    def putIfAbsent(f: FileSystem, target: Path,
+        content: Array[Byte]): Boolean
+  }
+
+  /** Default store: write a hidden temp file, then rename-no-overwrite
+    * onto `target` — the rename IS the claim. On HDFS the refusal is
+    * atomic server-side; Hadoop's LOCAL rename refusal is an
+    * exists-check over clobbering rename(2) (POSIX), so two same-JVM
+    * committers racing that window could BOTH win (observed once in
+    * the six-thread soak; TxnRenameProbe pins the single-threaded
+    * contract) — `file:` URIs additionally serialize the
+    * exists+rename pair in-JVM. Cross-JVM local racers stay out of
+    * scope — the same single-machine boundary Delta's LocalLogStore
+    * draws. */
+  object HadoopRenameLogStore extends TxnLogStore {
+    private val localClaimLock = new Object
+    override def putIfAbsent(f: FileSystem, target: Path,
+        content: Array[Byte]): Boolean = {
+      if (f.exists(target)) return false
+      val tmp = new Path(target.getParent,
+        s".tmp-${java.util.UUID.randomUUID().toString}")
+      val os = f.create(tmp, false)
+      try os.write(content) finally os.close()
+      def claim(): Boolean = !f.exists(target) && f.rename(tmp, target)
+      val local = f.getUri.getScheme == null || f.getUri.getScheme == "file"
+      val won = if (local) localClaimLock.synchronized(claim()) else claim()
+      if (!won) f.delete(tmp, false)
+      won
+    }
+  }
+
+  /** The active store — injectable (TxnLogStoreSpec swaps in a
+    * conditional-put-only fake and a deliberately broken clobbering
+    * one); production code never reassigns it. */
+  @volatile private[graft] var logStore: TxnLogStore = HadoopRenameLogStore
 
   /** Atomically publish `lines` as version `v` (expects `v` free).
     * Returns false when another committer already took `v`. */
@@ -788,22 +832,11 @@ object Txn {
       lines: Seq[String]): Boolean = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
-    val target = manifestPath(root, v)
-    if (f.exists(target)) return false
-    val tmp = new Path(manifestDir(root),
-      s".tmp-${java.util.UUID.randomUUID().toString}")
-    val os = f.create(tmp, false)
-    try os.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally os.close()
-    // rename-no-overwrite IS the commit point (see the object scaladoc
-    // and TxnRenameProbe for the exact contract and its object-store
-    // limitation); on `file:` the exists+rename pair is serialized
-    // in-JVM (see localClaimLock)
-    def claim(): Boolean = !f.exists(target) && f.rename(tmp, target)
-    val local = f.getUri.getScheme == null || f.getUri.getScheme == "file"
-    val won = if (local) localClaimLock.synchronized(claim()) else claim()
-    if (!won) f.delete(tmp, false)
-    else { // best-effort advisories, after the commit point
+    // putIfAbsent IS the commit point (see the commit-seam section and
+    // TxnRenameProbe for the default store's exact contract)
+    val won = logStore.putIfAbsent(f, manifestPath(root, v),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    if (won) { // best-effort advisories, after the commit point
       writeLatestHint(spark, root, v)
       maybeCheckpoint(spark, root, v)
     }
