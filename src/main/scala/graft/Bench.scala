@@ -105,6 +105,16 @@ object Bench {
     // "errors") instead of folding a near-zero elapsed time into the
     // results as a phantom speedup.
     //
+    // CONTENDED boxes (r14 verdict #6): when the run STARTS on a
+    // loaded box (loadavg > the same 1.0 bar the `contended` flag
+    // uses), two samples aren't enough — neighbor noise inflated
+    // untouched keys 2-5× across r7-r14 and every round-over-round
+    // delta needed forensic adjudication against history. Under
+    // contention each key takes a THIRD sample and records the MEDIAN
+    // (robust to one inflated sample where min-of-2 still carries it),
+    // plus per-key [min,max] spread in BENCH_DETAIL so the judge reads
+    // the noise band directly instead of reconstructing it.
+    //
     // Per-key isolation (r9 verdict #2): every round since r7 a few
     // untouched keys read 2-5× their standalone RunOne time in the
     // driver bench — heap garbage and cached relations left by an
@@ -113,16 +123,23 @@ object Bench {
     // (outside any timed region — per-query times and their sum are
     // unaffected except for losing the neighbor noise) puts each key
     // on the same starting heap RunOne gives it.
-    val results = ordered.map { case (name, fn) =>
+    val contendedRun = loadStart > 1.0
+    val nSamples = if (contendedRun) 3 else 2
+    val sampled = ordered.map { case (name, fn) =>
       spark.catalog.clearCache()
       System.gc()
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to nSamples).flatMap { _ =>
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
-      }
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      }.sorted
+      val value =
+        if (times.isEmpty) -1.0
+        else if (contendedRun) times(times.size / 2) // median
+        else times.head // min
+      (name, value, times)
     }
+    val results = sampled.map { case (name, value, _) => name -> value }
     // ---- E-group steady-state: rows/sec through streaming pipelines.
     // The per-query numbers above time AvailableNow micro-batch runs over
     // the small sf tables, which is mostly setup cost; this pushes a
@@ -154,16 +171,25 @@ object Bench {
       s""""telemetry":{"loadavg_start":${fmt(loadStart)},""" +
         s""""loadavg_end":${fmt(loadavg())},""" +
         s""""cores":${Runtime.getRuntime.availableProcessors()},""" +
-        s""""contended":${loadStart > 1.0}}"""
+        s""""contended":$contendedRun,""" +
+        s""""samples_per_key":$nSamples,""" +
+        s""""aggregation":"${if (contendedRun) "median" else "min"}"}"""
     val qmap = results.toMap
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // contended runs record each key's sample band so round-over-round
+    // deltas carry their own noise evidence (r14 verdict #6)
+    val spread =
+      if (!contendedRun) ""
+      else sampled.collect { case (k, _, ts) if ts.nonEmpty =>
+        "\"" + k + s"""\":[${fmt(ts.head)},${fmt(ts.last)}]"""
+      }.mkString(""""spread":{""", ",", "},")
     val detailPath = "BENCH_DETAIL.json"
     val detailJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""queries":$detail,"errors":${failed.mkString("[", ",", "]")},""" +
+        s""""queries":$detail,$spread"errors":${failed.mkString("[", ",", "]")},""" +
         s""""stream_tput":$tput,$telemetry,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")

@@ -84,13 +84,18 @@ object Determinism {
 /** Selfcheck-loop main: sweep the FULL gate inventory (or a substring
   * filter) for partitioning-dependent results.
   *
-  * Usage: runMain graft.DeterminismCheck [sfDir] [keySubstring]
+  * Usage: runMain graft.DeterminismCheck [sfDir] [substr[,substr...]]
+  * (comma-separated substrings OR together — r15: the selfcheck loop
+  * runs the window/interval/asof/sessionize families at sf0.1 in
+  * addition to the full sf0.001 sweep, because larger data exercises
+  * more partition boundaries and spill paths than the toy SF does).
   * Prints one JSON line: {"checked":N,"mismatches":["k", ...]}. */
 object DeterminismCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val subs = args.lift(1).map(_.split(',').map(_.trim).toSeq)
     val keys = SparkEntry.queries.keys.toSeq.sorted
-      .filter(k => args.lift(1).forall(k.contains))
+      .filter(k => subs.forall(_.exists(k.contains)))
     val spark = BenchSession.build()
     val bad = Determinism.sweep(spark, keys, sfDir)
     bad.foreach { case (k, a, b) =>
