@@ -882,6 +882,39 @@ object QueriesEtl {
             .as("sum_val"))
     }),
 
+    // PARTITION-SCOPED compaction (r15 — Delta's OPTIMIZE WHERE): a
+    // hot partition accretes small files across three fragmented
+    // partitioned commits; compactWhere folds ONLY that partition
+    // (other partitions' manifest lines carry verbatim — TxnSpec pins
+    // the byte-identity and the file-count collapse) as one atomic
+    // commit. The head read must equal the plain recompute: a fold
+    // that loses, duplicates, or cross-contaminates partitions
+    // hash-fails
+    "etl_txn_compact_where" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txncw_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, root,
+        ev.where(col("user_id") % 3 === 0).repartition(4),
+        partitionBy = Seq("event_type"), statsCol = Some("user_id"))
+      graft.operators.Txn.commitAppend(s, root,
+        ev.where(col("user_id") % 3 === 1).repartition(4),
+        partitionBy = Seq("event_type"), statsCol = Some("user_id"))
+      graft.operators.Txn.commitAppend(s, root,
+        ev.where(col("user_id") % 3 === 2).repartition(4),
+        partitionBy = Seq("event_type"), statsCol = Some("user_id"))
+      val hot = ev.select("event_type").distinct()
+        .orderBy("event_type").head().getString(0)
+      graft.operators.Txn.compactWhere(s, root, "event_type", Seq(hot),
+        statsCol = Some("user_id"))
+      graft.operators.Txn.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
+    }),
+
     // STRING-KEYED point pruning (r15) — the realistic GDPR shape:
     // uids are strings ("u-<id>"), which TRY_CAST sends to NULL, so
     // the r14 double-only stats surface recorded nothing and (worse)
@@ -1758,6 +1791,12 @@ object QueriesEtl {
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
         |FROM events WHERE user_id % 97 = 5
         |GROUP BY 1""".stripMargin,
+
+    // partition-scoped fold is pure layout: head == plain recompute
+    "etl_txn_compact_where" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1""".stripMargin,
 
     // string-keyed twin: the %10==3 uids were GDPR-deleted first, so
     // the point read returns the keyed users MINUS the forgotten ones

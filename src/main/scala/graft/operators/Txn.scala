@@ -1114,6 +1114,55 @@ object Txn {
       (statsCol.toSeq ++ statsCols).distinct, "compact", bloomCols)
   }
 
+  /** PARTITION-SCOPED compaction — Delta's `OPTIMIZE WHERE partition
+    * IN (...)`, the maintenance verb big tables actually run: at
+    * 100 TB nobody rewrites the table to fold one hot partition's
+    * small-file accretion (a streaming-ingest day partition, say);
+    * this rewrites ONLY the files under the named partition values —
+    * matched by their writer-encoded `col=value` path segment, so
+    * values needing escaping compare in the encoding the writer used —
+    * and carries every other partition's manifest lines VERBATIM (the
+    * untouched bytes never move, spec-pinned). One atomic commit with
+    * the same exactly-once contract as [[compact]]: a concurrent
+    * commit landing mid-rewrite throws [[ConcurrentWriteException]]
+    * (rerun on the new head — pure layout). Values absent from the
+    * table no-op without committing (returns the current head).
+    * Stats/blooms re-record for the rewritten files. */
+  def compactWhere(spark: SparkSession, root: String, partitionCol: String,
+      values: Seq[String], numFiles: Int = 1,
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Int = {
+    require(values.nonEmpty, "Txn.compactWhere: no partition values")
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    val v0 = currentVersion(spark, root)
+    require(v0 >= 1, s"Txn.compactWhere: no committed version at $root")
+    val segs = values.map(v => partitionCol + "=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v)).toSet
+    val lines = snapshotLines(spark, root, v0)
+    val touched = lines.filterNot(isMeta).map(linePath)
+      .filter(_.split('/').exists(segs.contains))
+    if (touched.isEmpty) return v0 // nothing under those partitions
+    val v = v0 + 1
+    val prev = headMetaLines(spark, root, v0)
+    val folded = readFiles(spark, root, touched, schemaLine(lines))
+      // one partition value per selected dir already — numFiles sizes
+      // WITHIN each rewritten partition via a second-level repartition
+      .repartition(numFiles, col(partitionCol))
+    val schema = schemaLine(lines).getOrElse(
+      sys.error(s"Txn.compactWhere: no #schema line at $root"))
+    val staged = stageBatch(spark, root, folded, Seq(partitionCol),
+      batchDir(v), (statsCol.toSeq ++ statsCols).distinct, bloomCols)
+    raceOnce.get().foreach { hook => raceOnce.set(None); hook() }
+    val out = metaForNext(spark, root, v0, prev, schema,
+      kind = "compact_where") ++ deltaLines(v0, touched, staged)
+    if (!publish(spark, root, v, out))
+      throw new ConcurrentWriteException(
+        s"Txn.compactWhere at $root: a concurrent commit landed after " +
+          s"v$v0 during the rewrite — rerun on the new head")
+    v
+  }
+
   /** Publish a FULL REWRITE of snapshot `readV` as version readV + 1,
     * throwing [[ConcurrentWriteException]] when any commit landed
     * after `readV` — layout maintenance ([[compact]]/

@@ -1599,6 +1599,69 @@ class TxnSpec extends SparkSpec {
     assert(e3.getMessage.contains("schema drift"), e3.getMessage)
   }
 
+  test("compactWhere: folds ONLY the named partitions; others carry byte-verbatim; conflicts abort") {
+    val root = freshRoot()
+    def batch(lo: Long) = spark.range(lo, lo + 60)
+      .select(col("id").as("k"),
+        (col("id") % 3).cast("string").as("p"))
+      .repartition(4)
+    Txn.commitOverwrite(spark, root, batch(0), Seq("p"),
+      statsCol = Some("k"))
+    (1 to 3).foreach(i => Txn.commitAppend(spark, root, batch(i * 100L),
+      Seq("p"), statsCol = Some("k")))
+    val before = Txn.snapshotLines0(spark, root, 4).filterNot(_.startsWith("#"))
+    val hotBefore = before.filter(_.split('/').contains("p=1"))
+    val coldBefore = before.filterNot(_.split('/').contains("p=1"))
+    assert(hotBefore.size >= 4, s"fixture not fragmented: $hotBefore")
+    val expect = Txn.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet
+    val v = Txn.compactWhere(spark, root, "p", Seq("1"),
+      statsCol = Some("k"))
+    assert(v == 5)
+    val after = Txn.snapshotLines0(spark, root, 5).filterNot(_.startsWith("#"))
+    val hotAfter = after.filter(_.split('/').contains("p=1"))
+    assert(hotAfter.size == 1,
+      s"hot partition not folded: ${hotAfter.size} files")
+    assert(after.filterNot(_.split('/').contains("p=1")) == coldBefore,
+      "untouched partitions' manifest lines must carry BYTE-verbatim")
+    assert(Txn.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == expect, "fold changed the data")
+    // stats re-recorded on the folded file → skip-scan still prunes
+    assert(Txn.snapshotEntries(spark, root, 5)
+      .filter(_.path.split('/').contains("p=1"))
+      .forall(_.namedStats("k").isDefined), "folded file lost stats")
+    // absent partition value: no-op WITHOUT a new commit
+    assert(Txn.compactWhere(spark, root, "p", Seq("zzz")) == 5)
+    // a racing commit mid-rewrite aborts loudly (lost-update guard)
+    Txn.raceOnce.set(Some(() => {
+      Txn.commitAppend(spark, root,
+        Seq((9999L, "1")).toDF("k", "p"), Seq("p"), statsCol = Some("k"))
+    }))
+    intercept[Txn.ConcurrentWriteException] {
+      Txn.compactWhere(spark, root, "p", Seq("1"), statsCol = Some("k"))
+    }
+    // the racer's row survived (nothing clobbered); rerun succeeds
+    assert(Txn.read(spark, root).where(col("k") === 9999).count() == 1)
+    Txn.compactWhere(spark, root, "p", Seq("1"), statsCol = Some("k"))
+    assert(Txn.read(spark, root).where(col("k") === 9999).count() == 1)
+  }
+
+  test("compactWhere: escaped partition values match the writer's path encoding") {
+    val root = freshRoot()
+    // 'a:b' needs path escaping (Spark writes p=a%3Ab)
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, "a:b"), (2L, "a:b"), (3L, "plain")).toDF("k", "p")
+        .repartition(3), Seq("p"))
+    Txn.commitAppend(spark, root,
+      Seq((4L, "a:b")).toDF("k", "p"), Seq("p"))
+    val v = Txn.compactWhere(spark, root, "p", Seq("a:b"))
+    val hot = Txn.snapshotFiles(spark, root, v)
+      .filter(_.split('/').exists(_.startsWith("p=a")))
+    assert(hot.size == 1, s"escaped partition not folded: $hot")
+    assert(Txn.read(spark, root).where(col("p") === "a:b")
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
   // ---- r15 re-rooted partition layout: single-relation snapshots ----
 
   test("partitioned snapshots read as ONE scan relation regardless of commit count") {
