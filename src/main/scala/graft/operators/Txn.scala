@@ -1250,12 +1250,18 @@ object Txn {
   def optimize(spark: SparkSession, root: String, numFiles: Int = 1,
       partitionBy: Seq[String] = Nil,
       zorderBy: Option[(String, String)] = None,
+      where: Option[(String, Seq[String])] = None,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, keepLast: Int = Int.MaxValue,
       retentionMs: Long = 24L * 3600 * 1000): OptimizeReport = {
-    val v = zorderBy match {
-      case Some((x, y)) => compactZOrder(spark, root, x, y, numFiles)
-      case None => compact(spark, root, partitionBy, numFiles, statsCol,
+    require(where.isEmpty || zorderBy.isEmpty,
+      "optimize: `where` (partition-scoped fold) and `zorderBy` are " +
+        "exclusive — z-clustering is a whole-table layout")
+    val v = (zorderBy, where) match {
+      case (Some((x, y)), _) => compactZOrder(spark, root, x, y, numFiles)
+      case (_, Some((c, vals))) => compactWhere(spark, root, c, vals,
+        numFiles, statsCol, statsCols, bloomCols)
+      case _ => compact(spark, root, partitionBy, numFiles, statsCol,
         statsCols = statsCols, bloomCols = bloomCols)
     }
     val expired =

@@ -1646,6 +1646,41 @@ class TxnSpec extends SparkSpec {
     assert(Txn.read(spark, root).where(col("k") === 9999).count() == 1)
   }
 
+  test("re-rooted layout: partition predicates prune at planning (PartitionFilters, not a full scan)") {
+    val root = freshRoot()
+    (0 to 3).foreach { i =>
+      Txn.commitAppend(spark, root,
+        spark.range(i * 10L, i * 10L + 10)
+          .select(col("id").as("k"), (col("id") % 4).cast("string").as("p")),
+        Seq("p"), statsCol = Some("k"))
+    }
+    val pruned = Txn.read(spark, root).where(col("p") === "1")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("p")),
+      s"partition predicate not pushed to partition pruning:\n$plan")
+    assert(pruned.count() == 10)
+  }
+
+  test("vacuum reclaims a crashed .stage dir past retention") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, "a")).toDF("k", "p"), Seq("p"))
+    // simulate a committer that crashed AFTER the partitioned write
+    // but BEFORE any rename: the stage dir holds real part files
+    Seq((9L, "z")).toDF("k", "p").write.partitionBy("p")
+      .parquet(s"$root/data/.stage-b00099-deadbeef")
+    val f = fs(root)
+    val before = Txn.read(spark, root).count()
+    assert(Txn.vacuum(spark, root) == 0, "retention must spare young orphans")
+    val removed = Txn.vacuum(spark, root, olderThanMs = 0L)
+    assert(removed >= 1, "crashed stage files not reclaimed")
+    assert(!f.exists(new Path(s"$root/data/.stage-b00099-deadbeef")),
+      "crashed stage dir not removed")
+    assert(Txn.read(spark, root).count() == before)
+  }
+
   test("compactWhere: escaped partition values match the writer's path encoding") {
     val root = freshRoot()
     // 'a:b' needs path escaping (Spark writes p=a%3Ab)
