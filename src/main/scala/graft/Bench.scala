@@ -135,7 +135,11 @@ object Bench {
       }.sorted
       val value =
         if (times.isEmpty) -1.0
-        else if (contendedRun) times(times.size / 2) // median
+        // lower median — with a FULL sample set this is the true
+        // median; when a sample errored out, (size-1)/2 falls to the
+        // LOWER survivor instead of letting one noise-inflated sample
+        // carry the key's value labeled "median" (r15 review)
+        else if (contendedRun) times((times.size - 1) / 2)
         else times.head // min
       (name, value, times)
     }

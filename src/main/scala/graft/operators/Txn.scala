@@ -191,7 +191,7 @@ object Txn {
     f.mkdirs(manifestDir(root))
     // same seam as the commit point; a lost race means a racer wrote
     // the identical bytes (pure function of the committed chain)
-    logStore.putIfAbsent(f, checkpointPath(root, v),
+    activeStore.putIfAbsent(f, checkpointPath(root, v),
       dataLines.map(_ + "\n").mkString.getBytes("UTF-8"))
     ()
   }
@@ -298,7 +298,7 @@ object Txn {
     f.mkdirs(manifestDir(root))
     // same seam as the commit point; a lost race means a racer wrote
     // the identical bytes (pure function of committed manifest w)
-    logStore.putIfAbsent(f, tagsFilePath(root, w),
+    activeStore.putIfAbsent(f, tagsFilePath(root, w),
       (tags.mkString("\n") + "\n").getBytes("UTF-8"))
     ()
   }
@@ -543,6 +543,15 @@ object Txn {
     * + manifest suffix). */
   def committedTags(spark: SparkSession, root: String, v: Int): Seq[String] =
     resolveTags(spark, root, snapshotLines(spark, root, v))
+
+  /** Version `v`'s committed `#schema` — ONE small manifest read (the
+    * meta block rides every manifest verbatim; no data-chain
+    * resolution, no scan construction). None only for pre-schema
+    * manifests. The cheap path stream attachment and schema-only
+    * callers should take instead of `read(...).schema`. */
+  def committedSchema(spark: SparkSession, root: String,
+      v: Int): Option[StructType] =
+    schemaLine(rawLines(spark, root, v))
 
   /** One surviving-version row of [[history]]. `kind` is the commit
     * verb recorded at publish time ("" for pre-r13 manifests);
@@ -821,10 +830,27 @@ object Txn {
     }
   }
 
-  /** The active store — injectable (TxnLogStoreSpec swaps in a
-    * conditional-put-only fake and a deliberately broken clobbering
-    * one); production code never reassigns it. */
-  @volatile private[graft] var logStore: TxnLogStore = HadoopRenameLogStore
+  /** The deployment store — reassign ONCE at startup to plug in an
+    * object-store impl (e.g. an S3 conditional-put store); never
+    * toggled at runtime. */
+  @volatile var logStore: TxnLogStore = HadoopRenameLogStore
+
+  /** TEST SEAM: thread-confined store override (the raceOnce
+    * discipline — ScalaTest suites share one JVM and run in PARALLEL,
+    * so swapping the global `logStore` would route UNRELATED suites'
+    * commits through a fake/broken store for the window; observed
+    * failure class pinned at raceOnce). INHERITABLE so a spec's own
+    * worker pool — whose threads are created inside the test — sees
+    * the override, while pre-existing threads of other suites never
+    * do. Never set outside tests. */
+  private[graft] val logStoreOverride:
+      InheritableThreadLocal[Option[TxnLogStore]] =
+    new InheritableThreadLocal[Option[TxnLogStore]] {
+      override def initialValue(): Option[TxnLogStore] = None
+    }
+
+  private def activeStore: TxnLogStore =
+    logStoreOverride.get().getOrElse(logStore)
 
   /** Atomically publish `lines` as version `v` (expects `v` free).
     * Returns false when another committer already took `v`. */
@@ -834,7 +860,7 @@ object Txn {
     f.mkdirs(manifestDir(root))
     // putIfAbsent IS the commit point (see the commit-seam section and
     // TxnRenameProbe for the default store's exact contract)
-    val won = logStore.putIfAbsent(f, manifestPath(root, v),
+    val won = activeStore.putIfAbsent(f, manifestPath(root, v),
       (lines.mkString("\n") + "\n").getBytes("UTF-8"))
     if (won) { // best-effort advisories, after the commit point
       writeLatestHint(spark, root, v)
@@ -1145,10 +1171,14 @@ object Txn {
     if (touched.isEmpty) return v0 // nothing under those partitions
     val v = v0 + 1
     val prev = headMetaLines(spark, root, v0)
+    // ROUND-ROBIN into numFiles tasks: the partitionBy writer then
+    // splits each task by value, so every rewritten partition folds to
+    // AT MOST numFiles files. Hashing on the partition column here
+    // would send each value to ONE task regardless of numFiles — a
+    // 50 GB hot partition would fold to a single 50 GB file and lose
+    // all read parallelism (r15 review).
     val folded = readFiles(spark, root, touched, schemaLine(lines))
-      // one partition value per selected dir already — numFiles sizes
-      // WITHIN each rewritten partition via a second-level repartition
-      .repartition(numFiles, col(partitionCol))
+      .repartition(numFiles)
     val schema = schemaLine(lines).getOrElse(
       sys.error(s"Txn.compactWhere: no #schema line at $root"))
     val staged = stageBatch(spark, root, folded, Seq(partitionCol),
@@ -1917,35 +1947,27 @@ object Txn {
     require(sinceVersion >= 0 && until >= sinceVersion,
       s"readChangesCdf: bad version range $sinceVersion..$until")
     val untilLines = snapshotLines(spark, root, until)
-    // per-commit diffs come straight off each delta manifest's own
-    // add/rm action lines (O(touched) per commit); only full-listing
-    // commits (overwrite/compact) pay a resolved-set difference
-    val steps = ((sinceVersion + 1) to until).flatMap { v =>
-      val (added, removed) = fileDiff(spark, root, v)
-      Seq(("insert", v, added), ("delete", v, removed))
-    }.filter(_._3.nonEmpty)
     val empty = emptyFrame(spark, root, untilLines)
       .withColumn("_change_type", lit("").cast("string"))
       .withColumn("_commit_version", lit(0))
-    // every step reads under UNTIL's committed schema (the
-    // Delta/Iceberg CDF contract: change rows carry the table's
-    // current shape — older files NULL-fill missing columns and read
-    // narrow types up); without it, a removed-set spanning a widening
-    // commit would hand mergeSchema an unmergeable int/long mix
-    val schema = schemaLine(untilLines)
-    steps.map { case (kind, v, fs0) =>
-      readFiles(spark, root, fs0, schema)
-        .withColumn("_change_type", lit(kind))
-        .withColumn("_commit_version", lit(v))
-    }.foldLeft(empty)(_.unionByName(_, allowMissingColumns = true))
+    cdfStepFrames(spark, root, sinceVersion, until)
+      .foldLeft(empty)(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** [[readChangesCdf]] as bare per-step frames WITHOUT the typed
-    * empty-frame fold seed — the streaming source's shape: its
-    * micro-batch plan may contain only file relations (the seed's RDD
-    * leaf cannot be re-flagged streaming), and "no steps" maps to the
-    * source's own empty streaming frame. Same span semantics and
-    * until-schema contract as the public read. */
+  /** [[readChangesCdf]]'s per-step frames, WITHOUT the typed
+    * empty-frame fold seed — the ONE copy of the CDF step
+    * construction (the batch read folds these over its seed; the
+    * streaming source unions them bare, because the seed's RDD leaf
+    * cannot be re-flagged streaming and "no steps" maps to the
+    * source's own empty streaming frame). Per-commit diffs come
+    * straight off each delta manifest's own add/rm action lines
+    * (O(touched) per commit); only full-listing commits
+    * (overwrite/compact) pay a resolved-set difference. Every step
+    * reads under UNTIL's committed schema (the Delta/Iceberg CDF
+    * contract: change rows carry the table's current shape — older
+    * files NULL-fill missing columns and read narrow types up);
+    * without it, a removed-set spanning a widening commit would hand
+    * mergeSchema an unmergeable int/long mix. */
   private[graft] def cdfStepFrames(spark: SparkSession, root: String,
       sinceVersion: Int, untilVersion: Int): Seq[DataFrame] = {
     require(sinceVersion >= 0 && untilVersion >= sinceVersion,
@@ -2082,15 +2104,28 @@ object Txn {
         }
       }
     }
-    // abandoned batch directories (losers of commit races, vacuumed
-    // histories) would otherwise accumulate forever holding only
-    // _SUCCESS/hidden markers the file sweep skips (r10 advice):
-    // remove a b<ver>-<uuid> dir when it holds NO live or data file
-    // at all and is past the retention window — a mid-commit stage
-    // dir always holds young data files, so it is never eligible
+    // abandoned batch/stage directories (losers of commit races,
+    // vacuumed histories, crashed partitioned stages) would otherwise
+    // accumulate forever holding only _SUCCESS/hidden markers the
+    // file sweep skips (r10 advice): remove such a dir when it holds
+    // NO live or data file at all and is past the retention window —
+    // a mid-commit stage dir always holds young data files, so it is
+    // never eligible. ATTEMPT-SCOPED DIRS ONLY (`b<ver>-…` /
+    // `.stage-…`): a SHARED partition dir (`k=v`, r15 layout) is
+    // never deleted even when empty, because a concurrent partitioned
+    // commit may be renaming a just-staged young file INTO it between
+    // this sweep's scan and the recursive delete — the scan's
+    // emptiness is stale the moment it returns for a dir more than
+    // one writer can target, so the "always holds young files" shield
+    // only holds for dirs exactly one attempt writes (r15 review). An
+    // empty partition dir is harmless: bounded by partition
+    // cardinality and reused by the next commit to that value.
+    def attemptScoped(name: String): Boolean = !name.contains('=')
     if (f.exists(dataDir)) {
       val base = dataDir.toUri.getPath
-      f.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
+      f.listStatus(dataDir)
+        .filter(d => d.isDirectory && attemptScoped(d.getPath.getName))
+        .foreach { d =>
         val it2 = f.listFiles(d.getPath, true)
         var hasData = false
         while (it2.hasNext && !hasData) {

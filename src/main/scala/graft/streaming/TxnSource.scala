@@ -119,13 +119,21 @@ final class TxnSource(spark: SparkSession, root: String,
 
 object TxnSource {
   /** The stream schema: the table's committed schema at attach time
-    * plus the CDF meta columns. */
+    * plus the CDF meta columns. ONE small manifest read
+    * ([[Txn.committedSchema]]) — never a snapshot-scan construction;
+    * `read().schema` remains only as the pre-schema-manifest fallback.
+    * (Attachment reads this twice — sourceSchema and createSource —
+    * so a mergeSchema commit racing that window can, like
+    * FileStreamSource's own double-resolve, surface as an analysis
+    * error at batch 0; re-attach picks up the evolved schema.) */
   def schemaFor(spark: SparkSession, root: String): StructType = {
     val head = Txn.currentVersion(spark, root)
     require(head >= 1,
       s"graft-txn source: no committed version at $root — create the " +
         "table (one commit) before attaching a stream")
-    StructType(Txn.read(spark, root, Some(head)).schema.fields ++ Seq(
+    val committed = Txn.committedSchema(spark, root, head)
+      .getOrElse(Txn.read(spark, root, Some(head)).schema)
+    StructType(committed.fields ++ Seq(
       StructField("_change_type", StringType),
       StructField("_commit_version", IntegerType)))
   }

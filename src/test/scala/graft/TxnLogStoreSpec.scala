@@ -53,10 +53,15 @@ class TxnLogStoreSpec extends SparkSpec {
     }
   }
 
+  /** Thread-confined store swap (the raceOnce discipline): suites
+    * share one JVM and run in parallel, so a GLOBAL swap would route
+    * unrelated suites' commits through the fake for the window. The
+    * override is inheritable, so this spec's own worker pools —
+    * created inside the body — see it; other suites' threads never
+    * do. */
   private def withStore[T](s: Txn.TxnLogStore)(body: => T): T = {
-    val prev = Txn.logStore
-    Txn.logStore = s
-    try body finally Txn.logStore = prev
+    Txn.logStoreOverride.set(Some(s))
+    try body finally Txn.logStoreOverride.set(None)
   }
 
   test("conditional-put-only store: concurrent appends stay exactly-once (no rename anywhere)") {
@@ -123,7 +128,7 @@ class TxnLogStoreSpec extends SparkSpec {
       val lines = Txn.rawManifestLines0(spark, root, a)
       val f = new Path(root).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      val won = Txn.logStore.putIfAbsent(f,
+      val won = ClobberStore.putIfAbsent(f,
         new Path(f"$root/_manifests/v$a%05d.manifest"),
         (lines.mkString("\n") + "\n").getBytes("UTF-8"))
       assert(won, "clobbering store should (wrongly) claim success — " +

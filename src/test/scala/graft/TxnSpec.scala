@@ -1632,6 +1632,14 @@ class TxnSpec extends SparkSpec {
       .forall(_.namedStats("k").isDefined), "folded file lost stats")
     // absent partition value: no-op WITHOUT a new commit
     assert(Txn.compactWhere(spark, root, "p", Seq("zzz")) == 5)
+    // numFiles sizes WITHIN the rewritten partition (round-robin tasks
+    // × partitionBy split — hashing on the partition column would fold
+    // a hot partition to ONE file regardless, r15 review)
+    val v2 = Txn.compactWhere(spark, root, "p", Seq("0"), numFiles = 2,
+      statsCol = Some("k"))
+    assert(Txn.snapshotFiles(spark, root, v2)
+      .count(_.split('/').contains("p=0")) == 2,
+      "numFiles did not size the rewritten partition")
     // a racing commit mid-rewrite aborts loudly (lost-update guard)
     Txn.raceOnce.set(Some(() => {
       Txn.commitAppend(spark, root,
