@@ -882,6 +882,31 @@ object QueriesEtl {
             .as("sum_val"))
     }),
 
+    // STRING-RANGE skip-scan (r15): the date-string slice — the
+    // dominant selective predicate on real time-keyed tables is a
+    // VARCHAR day/month key, which the double-cast stats surface
+    // cannot serve. Commit a day-range-partitioned layout with string
+    // min/max recorded, then read a 10-day slice through
+    // readWhereStr: only files whose recorded UTF8-order [min,max]
+    // intersects the slice are opened (TxnSpec pins the file count);
+    // the residual predicate keeps the result exact however files
+    // overlap, and the oracle recomputes the slice from raw ts
+    "etl_txn_skipscan_str" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txnsks_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d).select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, root,
+        ev.repartitionByRange(8, col("day")), statsCol = Some("day"))
+      graft.operators.Txn.readWhereStr(s, root, "day",
+          "2024-01-10", "2024-01-19")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
+    }),
+
     // PARTITION-SCOPED compaction (r15 — Delta's OPTIMIZE WHERE): a
     // hot partition accretes small files across three fragmented
     // partitioned commits; compactWhere folds ONLY that partition
@@ -1790,6 +1815,14 @@ object QueriesEtl {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
         |FROM events WHERE user_id % 97 = 5
+        |GROUP BY 1""".stripMargin,
+
+    // the string-range slice recomputed from raw timestamps
+    "etl_txn_skipscan_str" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-19'
         |GROUP BY 1""".stripMargin,
 
     // partition-scoped fold is pure layout: head == plain recompute

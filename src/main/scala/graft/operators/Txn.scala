@@ -1853,6 +1853,58 @@ object Txn {
       lo: Double, hi: Double, version: Option[Int] = None): DataFrame =
     readWhereAll(spark, root, Seq((statsCol, lo, hi)), version)
 
+  /** Unsigned UTF-8 byte comparison — EXACTLY the ordering Spark's
+    * UTF8String uses for string min/max and comparisons, replicated
+    * for the driver-side range prune. Scala's String compare (UTF-16
+    * code units) disagrees for non-BMP code points, and a disagreement
+    * in the skip direction would silently drop in-range rows. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The snapshot's files whose recorded STRING range for `c` can
+    * intersect [lo, hi] (binary UTF8 order, the collation the string
+    * stats were collected under) — files recording no string range
+    * for `c` always survive: skipping is an optimization, never a
+    * filter. */
+  def filesForStrRange(spark: SparkSession, root: String, c: String,
+      lo: String, hi: String, version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion(spark, root))
+    require(v >= 1, s"Txn.filesForStrRange: no committed version at $root")
+    snapshotEntries(spark, root, v).collect {
+      case e if e.strStatsFor(c).forall { case (mn, mx) =>
+        utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0 } => e.path
+    }
+  }
+
+  /** STRING-RANGE skip-scan — `SELECT * WHERE c BETWEEN lo AND hi` on
+    * a string stats column: the date-string / id-prefix slice shape
+    * (a `day` column laid out by range folds a month's query to the
+    * month's files — at 100 TB the dominant slice predicate is very
+    * often a STRING date). Reads only [[filesForStrRange]]'s
+    * survivors, then applies the exact residual predicate (binary
+    * UTF8 comparison both sides), so the result is exact however
+    * files overlap; NULLs never match (SQL BETWEEN). */
+  def readWhereStr(spark: SparkSession, root: String, c: String,
+      lo: String, hi: String, version: Option[Int] = None): DataFrame = {
+    require(utf8Cmp(lo, hi) <= 0, s"readWhereStr: empty range [$lo, $hi]")
+    val v = version.getOrElse(currentVersion(spark, root))
+    require(v >= 1, s"Txn.readWhereStr: no committed version at $root")
+    val files = filesForStrRange(spark, root, c, lo, hi, Some(v))
+    val lines = snapshotLines(spark, root, v)
+    val base =
+      if (files.isEmpty) emptyFrame(spark, root, lines)
+      else readFiles(spark, root, files, schemaLine(lines))
+    base.where(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
+
   /** Candidate files for a POINT-KEY lookup: every file whose recorded
     * `keyCol` stats (numeric range/bloom over TRY_CAST-to-double, or
     * string range/bloom over raw UTF8 — r15) can contain a key — the

@@ -1780,6 +1780,36 @@ class TxnSpec extends SparkSpec {
     assert(delta == Set(3L, 4L))
   }
 
+  test("readWhereStr: string-range slice opens only overlapping files; stats-less files survive") {
+    val root = freshRoot()
+    // day-keyed layout: range partitioning gives each file a narrow
+    // string [min,max] in UTF8 order
+    val df = spark.range(3000).select(
+      concat(lit("2024-01-"), lpad(((col("id") % 30) + 1).cast("string"),
+        2, "0")).as("day"),
+      col("id").as("k"))
+      .repartitionByRange(10, col("day"))
+    Txn.commitOverwrite(spark, root, df, statsCol = Some("day"))
+    val all = Txn.snapshotFiles(spark, root, 1)
+    val cand = Txn.filesForStrRange(spark, root, "day",
+      "2024-01-10", "2024-01-12")
+    assert(cand.size < all.size && cand.nonEmpty,
+      s"string range did not prune: ${cand.size} of ${all.size}")
+    val got = Txn.readWhereStr(spark, root, "day",
+      "2024-01-10", "2024-01-12")
+    assert(got.count() == 300, s"slice wrong: ${got.count()}")
+    assert(got.select(min("day"), max("day")).head().toSeq ==
+      Seq("2024-01-10", "2024-01-12"))
+    // an out-of-domain slice opens nothing and returns a typed empty
+    val none = Txn.readWhereStr(spark, root, "day", "2025-", "2025-z")
+    assert(none.count() == 0 && none.columns.toSet == Set("day", "k"))
+    // a stats-less append stays a candidate: skipping never filters
+    Txn.commitAppend(spark, root,
+      Seq(("2024-01-11", 999999L)).toDF("day", "k"))
+    assert(Txn.readWhereStr(spark, root, "day",
+      "2024-01-10", "2024-01-12").count() == 301)
+  }
+
   test("string bloom primitive: zero false negatives, bounded false positives") {
     import graft.functions.Bloom
     import org.apache.spark.unsafe.types.UTF8String
