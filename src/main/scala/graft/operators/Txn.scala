@@ -1322,19 +1322,58 @@ object Txn {
     val v0 = currentVersion(spark, root)
     require(v0 >= 1, s"Txn.compactZOrder: no committed version at $root")
     val head = read(spark, root, Some(v0))
-    val r = head.agg(
-      min(col(xCol).try_cast("double")), max(col(xCol).try_cast("double")),
-      min(col(yCol).try_cast("double")), max(col(yCol).try_cast("double"))).head()
-    def q(c: String, lo: Double, hi: Double): Column = {
+    // STRING cluster columns (r15) map to a numeric curve coordinate:
+    // strip the column's GLOBAL COMMON PREFIX (the shared prefix of
+    // its min and max bounds — every value between them shares it by
+    // byte-order transitivity; without this step a "2024-01-XX" day
+    // column collapses to ONE coordinate because the discriminating
+    // bytes sit past the shared prefix), then read the next 7 UTF-8
+    // bytes as an unsigned integer, zero-padded on the RIGHT so
+    // shorter strings order correctly ("ab" < "b" must hold). The
+    // mapping preserves binary UTF8 ORDER — the same collation the
+    // string min/max stats record — so [[readWhereStr]] prunes the
+    // clustered rectangles. Strings sharing prefix+7 bytes collapse
+    // to one coordinate (locality only — exactness always comes from
+    // the residual predicate). Pre-r15 this branch silently fell back
+    // to a plain repartition (every string value try_cast to NULL).
+    val strCols = Seq(xCol, yCol).distinct.filter(c =>
+      head.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val prefixLen: Map[String, Int] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val aggs = strCols.flatMap(c =>
+          Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+        val r0 = head.agg(aggs.head, aggs.tail: _*).head()
+        strCols.zipWithIndex.map { case (c, i) =>
+          val p =
+            if (r0.isNullAt(2 * i) || r0.isNullAt(2 * i + 1)) 0
+            else {
+              val a = r0.getString(2 * i).getBytes("UTF-8")
+              val b = r0.getString(2 * i + 1).getBytes("UTF-8")
+              var j = 0
+              while (j < a.length && j < b.length && a(j) == b(j)) j += 1
+              j
+            }
+          c -> p
+        }.toMap
+      }
+    def zNum(c: String): Column =
+      if (strCols.contains(c))
+        expr(s"CAST(conv(hex(rpad(substring(encode(`$c`, 'UTF-8'), " +
+          s"${prefixLen(c) + 1}, 7), 7, x'00')), 16, 10) AS DOUBLE)")
+      else col(c).try_cast("double")
+    val (zx, zy) = (zNum(xCol), zNum(yCol))
+    val r = head.agg(min(zx), max(zx), min(zy), max(zy)).head()
+    def q(z: Column, lo: Double, hi: Double): Column = {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      least(floor((col(c).try_cast("double") - lit(lo)) / lit(span) * 65535.0),
+      least(floor((z - lit(lo)) / lit(span) * 65535.0),
         lit(65535.0)).cast("long")
     }
     val clustered =
       if (r.isNullAt(0) || r.isNullAt(2)) head.repartition(numFiles)
       else graft.functions.ZOrder.clusterBy(head,
-        q(xCol, r.getDouble(0), r.getDouble(1)),
-        q(yCol, r.getDouble(2), r.getDouble(3)), numFiles)
+        q(zx, r.getDouble(0), r.getDouble(1)),
+        q(zy, r.getDouble(2), r.getDouble(3)), numFiles)
     commitRewriteAt(spark, root, clustered, v0, Nil,
       Seq(xCol, yCol), "zorder")
   }

@@ -108,6 +108,38 @@ class TxnSourceSpec extends SparkSpec {
       "pre-evolution row not NULL-filled")
   }
 
+  test("ProcessingTime: a LIVE stream picks up commits landing after start") {
+    val base = freshBase()
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    Txn.commitOverwrite(spark, src, Seq((1L, "a")).toDF("k", "tag"))
+    val q = spark.readStream.format("graft-txn").option("path", src)
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(200)).start()
+    try {
+      // v1 arrives
+      eventually(10000)(spark.read.parquet(out).count() == 1)
+      // commits landing AFTER start flow through (fixedHead stays
+      // unset outside AvailableNow — the head is re-read per trigger)
+      Txn.commitAppend(spark, src, Seq((2L, "b")).toDF("k", "tag"))
+      Txn.commitAppend(spark, src, Seq((3L, "c")).toDF("k", "tag"))
+      eventually(15000)(spark.read.parquet(out).count() == 3)
+      assert(spark.read.parquet(out)
+        .where(col("_change_type") === "insert")
+        .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  private def eventually(timeoutMs: Long)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline &&
+        !(try cond catch { case _: Throwable => false }))
+      Thread.sleep(100)
+    assert(try cond catch { case _: Throwable => false },
+      "condition not met within timeout")
+  }
+
   test("attaching to an empty root fails loudly") {
     val base = freshBase()
     val e = intercept[RuntimeException] {

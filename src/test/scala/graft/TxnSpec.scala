@@ -1780,6 +1780,41 @@ class TxnSpec extends SparkSpec {
     assert(delta == Set(3L, 4L))
   }
 
+  test("compactZOrder on a STRING x NUMERIC pair: both axes prune after the rewrite") {
+    val root = freshRoot()
+    // interleave both axes so the pre-zorder layout prunes NOTHING:
+    // day strings and values scattered across every file
+    val df = spark.range(16000).select(
+      concat(lit("2024-01-"),
+        lpad(((col("id") % 30) + 1).cast("string"), 2, "0")).as("day"),
+      (col("id") % 997).cast("double").as("v"),
+      col("id").as("k"))
+      .repartitionByRange(16, col("id") % 16)
+      .drop("k")
+    Txn.commitOverwrite(spark, root, df, statsCols = Seq("day", "v"))
+    val before = Txn.filesForStrRange(spark, root, "day",
+      "2024-01-10", "2024-01-12")
+    assert(before.size == Txn.snapshotFiles(spark, root, 1).size,
+      "fixture must start unprunable")
+    Txn.compactZOrder(spark, root, "day", "v", numFiles = 16)
+    val all = Txn.snapshotFiles(spark, root, 2)
+    assert(all.size >= 12, s"zorder produced too few files: ${all.size}")
+    // day slice (string axis) opens a strict subset
+    val dayCand = Txn.filesForStrRange(spark, root, "day",
+      "2024-01-10", "2024-01-12")
+    assert(dayCand.size < all.size && dayCand.nonEmpty,
+      s"string axis not clustered: ${dayCand.size} of ${all.size}")
+    // value slice (numeric axis) opens a strict subset
+    val vCand = Txn.filesForPreds(spark, root, Seq(("v", 0d, 100d)))
+    assert(vCand.size < all.size && vCand.nonEmpty,
+      s"numeric axis not clustered: ${vCand.size} of ${all.size}")
+    // and the slices stay exact: day d holds the id % 30 == d-1 rows;
+    // 16000 = 30*533 + 10, so residue 9 (day 10) has 534 rows and
+    // residues 10,11 (days 11,12) have 533 each
+    assert(Txn.readWhereStr(spark, root, "day",
+      "2024-01-10", "2024-01-12").count() == 534 + 533 + 533)
+  }
+
   test("readWhereStr: string-range slice opens only overlapping files; stats-less files survive") {
     val root = freshRoot()
     // day-keyed layout: range partitioning gives each file a narrow
