@@ -43,6 +43,36 @@ object ZOrder {
     spread16(x.cast("long"))
       .bitwiseOR(shiftleft(spread16(y.cast("long")), 1))
 
+  /** ORDER-PRESERVING numeric coordinate of a STRING column (r15 — the
+    * string half of ZORDER BY (day, value)): skip `skipPrefix` UTF-8
+    * bytes (the caller strips the column's global common prefix, else
+    * a "2024-01-XX" day key collapses to one coordinate), read the
+    * next 7 bytes as an unsigned integer, zero-padding short strings
+    * on the RIGHT so "ab" < "b" still holds after the mapping. Pure
+    * Column DSL (substring/hex/rpad/conv — padding the HEX string with
+    * '0' pairs is byte-identical to padding the binary with 0x00), so
+    * it is injection-safe for any column expression and reproducible
+    * by any engine. Monotone in binary UTF8 order — the collation the
+    * string min/max stats record — with strings sharing prefix+7
+    * bytes collapsing together (locality, not exactness; residual
+    * predicates stay exact). */
+  def stringCoord(s: Column, skipPrefix: Int): Column =
+    conv(rpad(hex(substring(encode(s, "UTF-8"), skipPrefix + 1, 7)),
+      14, "0"), 16, 10).cast("double")
+
+  /** Driver-side twin of [[stringCoord]] — bit-identical by
+    * construction (same bytes, same unsigned read), for computing
+    * coordinate BOUNDS from already-known min/max strings without a
+    * second data pass. */
+  def stringCoordValue(s: String, skipPrefix: Int): Double = {
+    val b = s.getBytes("UTF-8")
+    val seven = java.util.Arrays.copyOfRange(b,
+      math.min(skipPrefix, b.length),
+      math.min(skipPrefix + 7, b.length))
+    val padded = java.util.Arrays.copyOf(seven, 7)
+    BigInt(1, padded).toDouble
+  }
+
   /** Rewrite `df` into a Z-clustered layout on (x, y): range-partition
     * by the Morton code into `numFiles` tasks and sort inside each.
     * One range exchange; every output file then holds a contiguous

@@ -1302,18 +1302,31 @@ object Txn {
 
   /** Z-CLUSTERED compaction — Delta's `OPTIMIZE ... ZORDER BY (x, y)`
     * as one atomic rewrite: the head snapshot re-lays out along the
-    * Morton curve of two numeric columns ([[graft.functions.ZOrder]]),
-    * recording BOTH columns' per-file stats. Where a plain [[compact]]
-    * leaves each file spanning the full domain of everything but the
-    * sort column, every Z-clustered file covers a small RECTANGLE of
-    * the (x, y) domain — so [[readWhereAll]] predicates on either or
-    * both columns prune to a handful of files (spec-pinned file
-    * counts). Coordinates quantize to 16-bit by min/max scaling (one
-    * aggregate pass — locality-preserving, unlike a hash bucket);
-    * NULL coordinates sort together and simply record no stats. Cost:
-    * one agg + one range exchange (sampled boundaries) + the commit's
-    * stats pass; at 100 TB this is the periodic maintenance job that
-    * keeps multi-column skip-scans effective as data accretes.
+    * Morton curve of two columns — NUMERIC (TRY_CAST-to-double
+    * coordinates) or STRING (r15: order-preserving byte coordinates,
+    * see below) — recording BOTH columns' per-file stats. Where a
+    * plain [[compact]] leaves each file spanning the full domain of
+    * everything but the sort column, every Z-clustered file covers a
+    * small RECTANGLE of the (x, y) domain — so [[readWhereAll]] /
+    * [[readWhereStr]] predicates on either or both columns prune to a
+    * handful of files (spec-pinned file counts). Coordinates quantize
+    * to 16-bit by min/max scaling (locality-preserving, unlike a hash
+    * bucket); NULL coordinates sort together and simply record no
+    * stats. Cost: ONE aggregate pass (string bounds reuse the same
+    * pass — the coordinate mapping is monotone, so its bounds are
+    * computed on the driver from the raw string min/max) + one range
+    * exchange (sampled boundaries) + the commit's stats pass; at
+    * 100 TB this is the periodic maintenance job that keeps
+    * multi-column skip-scans effective as data accretes.
+    *
+    * STRING axes ([[graft.functions.ZOrder.stringCoord]]): strip the
+    * column's GLOBAL COMMON PREFIX (the shared prefix of its min and
+    * max — every value between them shares it by byte-order
+    * transitivity; without the strip a "2024-01-XX" day column
+    * collapses to ONE coordinate), then the next 7 UTF-8 bytes read
+    * as an unsigned integer. Pre-r15, string columns cast to NULL and
+    * silently degraded to a plain repartition.
+    *
     * Same concurrency contract as [[compact]]: publishes exactly once,
     * throws [[ConcurrentWriteException]] on a mid-rewrite racer. */
   def compactZOrder(spark: SparkSession, root: String, xCol: String,
@@ -1322,58 +1335,42 @@ object Txn {
     val v0 = currentVersion(spark, root)
     require(v0 >= 1, s"Txn.compactZOrder: no committed version at $root")
     val head = read(spark, root, Some(v0))
-    // STRING cluster columns (r15) map to a numeric curve coordinate:
-    // strip the column's GLOBAL COMMON PREFIX (the shared prefix of
-    // its min and max bounds — every value between them shares it by
-    // byte-order transitivity; without this step a "2024-01-XX" day
-    // column collapses to ONE coordinate because the discriminating
-    // bytes sit past the shared prefix), then read the next 7 UTF-8
-    // bytes as an unsigned integer, zero-padded on the RIGHT so
-    // shorter strings order correctly ("ab" < "b" must hold). The
-    // mapping preserves binary UTF8 ORDER — the same collation the
-    // string min/max stats record — so [[readWhereStr]] prunes the
-    // clustered rectangles. Strings sharing prefix+7 bytes collapse
-    // to one coordinate (locality only — exactness always comes from
-    // the residual predicate). Pre-r15 this branch silently fell back
-    // to a plain repartition (every string value try_cast to NULL).
-    val strCols = Seq(xCol, yCol).distinct.filter(c =>
-      head.schema(c).dataType == org.apache.spark.sql.types.StringType)
-    val prefixLen: Map[String, Int] =
-      if (strCols.isEmpty) Map.empty
-      else {
-        val aggs = strCols.flatMap(c =>
-          Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
-        val r0 = head.agg(aggs.head, aggs.tail: _*).head()
-        strCols.zipWithIndex.map { case (c, i) =>
-          val p =
-            if (r0.isNullAt(2 * i) || r0.isNullAt(2 * i + 1)) 0
-            else {
-              val a = r0.getString(2 * i).getBytes("UTF-8")
-              val b = r0.getString(2 * i + 1).getBytes("UTF-8")
-              var j = 0
-              while (j < a.length && j < b.length && a(j) == b(j)) j += 1
-              j
-            }
-          c -> p
-        }.toMap
-      }
-    def zNum(c: String): Column =
-      if (strCols.contains(c))
-        expr(s"CAST(conv(hex(rpad(substring(encode(`$c`, 'UTF-8'), " +
-          s"${prefixLen(c) + 1}, 7), 7, x'00')), 16, 10) AS DOUBLE)")
-      else col(c).try_cast("double")
-    val (zx, zy) = (zNum(xCol), zNum(yCol))
-    val r = head.agg(min(zx), max(zx), min(zy), max(zy)).head()
+    def isStr(c: String): Boolean =
+      head.schema(c).dataType == org.apache.spark.sql.types.StringType
+    val cols = Seq(xCol, yCol)
+    val aggs = cols.flatMap { c =>
+      if (isStr(c)) Seq(min(col(c)), max(col(c)))
+      else Seq(min(col(c).try_cast("double")),
+        max(col(c).try_cast("double")))
+    }
+    val r = head.agg(aggs.head, aggs.tail: _*).head()
+    // per axis: (coordinate column, its lo/hi) — string coordinate
+    // bounds come from the monotone mapping applied to the raw string
+    // bounds ON THE DRIVER (stringCoordValue is stringCoord's
+    // bit-identical twin), so no second data pass
+    def axis(c: String, i: Int): Option[(Column, Double, Double)] =
+      if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+      else if (isStr(c)) {
+        val (mn, mx) = (r.getString(2 * i), r.getString(2 * i + 1))
+        val (a, b) = (mn.getBytes("UTF-8"), mx.getBytes("UTF-8"))
+        var j = 0
+        while (j < a.length && j < b.length && a(j) == b(j)) j += 1
+        Some((graft.functions.ZOrder.stringCoord(col(c), j),
+          graft.functions.ZOrder.stringCoordValue(mn, j),
+          graft.functions.ZOrder.stringCoordValue(mx, j)))
+      } else Some((col(c).try_cast("double"),
+        r.getDouble(2 * i), r.getDouble(2 * i + 1)))
     def q(z: Column, lo: Double, hi: Double): Column = {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
       least(floor((z - lit(lo)) / lit(span) * 65535.0),
         lit(65535.0)).cast("long")
     }
-    val clustered =
-      if (r.isNullAt(0) || r.isNullAt(2)) head.repartition(numFiles)
-      else graft.functions.ZOrder.clusterBy(head,
-        q(zx, r.getDouble(0), r.getDouble(1)),
-        q(zy, r.getDouble(2), r.getDouble(3)), numFiles)
+    val clustered = (axis(xCol, 0), axis(yCol, 1)) match {
+      case (Some((zx, xlo, xhi)), Some((zy, ylo, yhi))) =>
+        graft.functions.ZOrder.clusterBy(head,
+          q(zx, xlo, xhi), q(zy, ylo, yhi), numFiles)
+      case _ => head.repartition(numFiles)
+    }
     commitRewriteAt(spark, root, clustered, v0, Nil,
       Seq(xCol, yCol), "zorder")
   }
@@ -1892,21 +1889,14 @@ object Txn {
       lo: Double, hi: Double, version: Option[Int] = None): DataFrame =
     readWhereAll(spark, root, Seq((statsCol, lo, hi)), version)
 
-  /** Unsigned UTF-8 byte comparison — EXACTLY the ordering Spark's
-    * UTF8String uses for string min/max and comparisons, replicated
-    * for the driver-side range prune. Scala's String compare (UTF-16
-    * code units) disagrees for non-BMP code points, and a disagreement
-    * in the skip direction would silently drop in-range rows. */
-  private def utf8Cmp(a: String, b: String): Int = {
-    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
-    var i = 0
-    while (i < x.length && i < y.length) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  /** THE ordering Spark's string min/max and comparisons use —
+    * UTF8String's own binary comparator, not a re-implementation
+    * (Scala's String compare works in UTF-16 code units and disagrees
+    * past the BMP; a disagreement in the skip direction would
+    * silently drop in-range rows). */
+  private def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** The snapshot's files whose recorded STRING range for `c` can
     * intersect [lo, hi] (binary UTF8 order, the collation the string
@@ -1930,10 +1920,11 @@ object Txn {
     * often a STRING date). Reads only [[filesForStrRange]]'s
     * survivors, then applies the exact residual predicate (binary
     * UTF8 comparison both sides), so the result is exact however
-    * files overlap; NULLs never match (SQL BETWEEN). */
+    * files overlap; NULLs never match (SQL BETWEEN), and an inverted
+    * range returns the typed empty result exactly like the numeric
+    * siblings (SQL BETWEEN semantics — never a throw). */
   def readWhereStr(spark: SparkSession, root: String, c: String,
       lo: String, hi: String, version: Option[Int] = None): DataFrame = {
-    require(utf8Cmp(lo, hi) <= 0, s"readWhereStr: empty range [$lo, $hi]")
     val v = version.getOrElse(currentVersion(spark, root))
     require(v >= 1, s"Txn.readWhereStr: no committed version at $root")
     val files = filesForStrRange(spark, root, c, lo, hi, Some(v))

@@ -268,6 +268,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.toSeq == cases.map { case (x, y) => mortonRef(x, y) })
   }
 
+  test("stringCoord: order-preserving, prefix-strip aware, bit-identical to its driver twin") {
+    import graft.functions.ZOrder
+    import spark.implicits._
+    // tricky orderings: shorter-is-prefix ("ab" < "b" after padding),
+    // multi-byte UTF-8, equal-past-7-bytes collapse, empty string
+    val vals = Seq("", "a", "ab", "aba", "b", "zz", "ませ", "まa",
+      "2024-01-05", "2024-01-15", "2024-01-30", "longprefix1",
+      "longprefix2")
+    for (skip <- Seq(0, 5)) {
+      val engine = vals.toDF("s")
+        .select(ZOrder.stringCoord(col("s"), skip).as("c"))
+        .collect().map(_.getDouble(0))
+      val driver = vals.map(ZOrder.stringCoordValue(_, skip))
+      assert(engine.toSeq == driver,
+        s"engine/driver coordinate mismatch at skip=$skip")
+    }
+    // monotone in binary UTF8 order (skip=0): sort by coordinate must
+    // never INVERT a strict byte-order relation (ties allowed — the
+    // 7-byte collapse)
+    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val sorted = vals.sortWith((a, b) => u8(a).compareTo(u8(b)) < 0)
+    val coords = sorted.map(ZOrder.stringCoordValue(_, 0))
+    assert(coords.zip(coords.tail).forall { case (a, b) => a <= b },
+      s"coordinate order inverted: ${sorted.zip(coords)}")
+  }
+
   test("clusterBy yields range-disjoint, internally sorted z-partitions") {
     import graft.functions.ZOrder
     val df = Tables.orders(spark, sf0001)

@@ -3,13 +3,15 @@ package graft
 import graft.operators.Txn
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.concurrent.Eventually
+import org.scalatest.time.{Millis, Seconds, Span}
 
 /** The `graft-txn` V1 streaming source: commit versions as offsets,
   * per-commit CDF micro-batches, Spark's OWN checkpoint as the
   * cursor. Recovery runs through the REAL offset log (a second
   * AvailableNow run on the same checkpointLocation), not a simulated
   * cursor. */
-class TxnSourceSpec extends SparkSpec {
+class TxnSourceSpec extends SparkSpec with Eventually {
   import spark.implicits._
 
   private def freshBase(): String =
@@ -117,27 +119,25 @@ class TxnSourceSpec extends SparkSpec {
       .writeStream.format("parquet").option("path", out)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime(200)).start()
+    def settled(n: Long): Unit =
+      eventually(timeout(Span(20, Seconds)), interval(Span(200, Millis))) {
+        assert(
+          (try spark.read.parquet(out).count() catch {
+            case _: org.apache.spark.sql.AnalysisException => 0L
+          }) == n)
+      }
     try {
       // v1 arrives
-      eventually(10000)(spark.read.parquet(out).count() == 1)
+      settled(1)
       // commits landing AFTER start flow through (fixedHead stays
       // unset outside AvailableNow — the head is re-read per trigger)
       Txn.commitAppend(spark, src, Seq((2L, "b")).toDF("k", "tag"))
       Txn.commitAppend(spark, src, Seq((3L, "c")).toDF("k", "tag"))
-      eventually(15000)(spark.read.parquet(out).count() == 3)
+      settled(3)
       assert(spark.read.parquet(out)
         .where(col("_change_type") === "insert")
         .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
     } finally q.stop()
-  }
-
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Unit = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (System.currentTimeMillis() < deadline &&
-        !(try cond catch { case _: Throwable => false }))
-      Thread.sleep(100)
-    assert(try cond catch { case _: Throwable => false },
-      "condition not met within timeout")
   }
 
   test("attaching to an empty root fails loudly") {
