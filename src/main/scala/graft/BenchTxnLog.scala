@@ -101,6 +101,57 @@ object BenchTxnLog {
       s""""part_snapshot_rows":$pRows,""" +
       s""""part_snapshot_read_sec":${fmt(pReadSec)},""" +
       s""""part_scan_relations":$pRels}""")
+
+    // ---- HIGH-FILE-COUNT prune twin (r16): the measured claim behind
+    // the parquet checkpoint sidecar — "prune cost and driver bytes
+    // stay flat-ish in file count". Stage a bloom-recorded table whose
+    // file count crosses 10k (every file's [min,max] interleaved so
+    // the 8 KiB/file bloom is what prunes), roll a checkpoint, then
+    // time a point-key prune: pre-r16 this parsed ~(files × 8 KiB) of
+    // base64 onto the driver per prune; now the text checkpoint (the
+    // only per-prune driver read) carries no bloom bytes and the bloom
+    // probe runs as a Spark job over the cpq sidecar.
+    val bigN = args.lift(2).map(_.toInt).getOrElse(graft.operators.Txn
+      .checkpointEvery + 1)
+    val filesPer = args.lift(3).map(_.toInt).getOrElse(600)
+    val broot = "/tmp/graft_rt/bench_txnlog_files"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(broot))
+    def batch(i: Int) = spark.range(i * 100000L, i * 100000L + 20000L)
+      .select(col("id").as("k"), (col("id") % 7).as("x"))
+      .repartition(filesPer) // round-robin: every file spans the range
+    Txn.commitOverwrite(spark, broot, batch(0),
+      statsCol = Some("k"), bloomCols = Seq("k"))
+    val bt0 = System.nanoTime()
+    (1 to bigN).foreach { i =>
+      Txn.commitAppend(spark, broot, batch(i),
+        statsCol = Some("k"), bloomCols = Seq("k"))
+    }
+    val bAppendSec = (System.nanoTime() - bt0) / 1e9
+    val bHead = Txn.currentVersion(spark, broot)
+    val nFiles = Txn.snapshotFiles(spark, broot, bHead).size
+    val mdir = new org.apache.hadoop.fs.Path(s"$broot/_manifests")
+    val textBytes = f.listStatus(mdir)
+      .filter(s => s.getPath.getName.endsWith(".checkpoint"))
+      .map(_.getLen).maxOption.getOrElse(0L)
+    val cpqBytes = f.listStatus(mdir)
+      .filter(_.getPath.getName.endsWith(".cpq"))
+      .map(s => f.getContentSummary(s.getPath).getLength)
+      .maxOption.getOrElse(0L)
+    import spark.implicits._
+    val keys = Seq(7L, 100007L, 500009L).toDF("k")
+    val bt1 = System.nanoTime()
+    val cand = Txn.filesForKeys(spark, broot, keys, "k")
+    val pruneSec = (System.nanoTime() - bt1) / 1e9
+    val bt2 = System.nanoTime()
+    val pointRows = Txn.readKeys(spark, broot, keys, "k").count()
+    val pointSec = (System.nanoTime() - bt2) / 1e9
+    println(s"""{"files_total":$nFiles,"files_commits":${bigN + 1},""" +
+      s""""files_append_sec_total":${fmt(bAppendSec)},""" +
+      s""""text_checkpoint_bytes":$textBytes,""" +
+      s""""cpq_checkpoint_bytes":$cpqBytes,""" +
+      s""""prune_candidates":${cand.size},""" +
+      s""""prune_sec":${fmt(pruneSec)},""" +
+      s""""point_rows":$pointRows,"point_read_sec":${fmt(pointSec)}}""")
     spark.stop()
   }
 }

@@ -182,9 +182,28 @@ object Txn {
     }
   }
 
+  /** Strip bloom fields (`c:bf:` / `c:bfs:`) from a data line — TEXT
+    * checkpoints drop them (r16): a bloom is ~11 KB of base64 PER FILE
+    * per column, so a 1M-file table's text checkpoint would be ~11 GB
+    * read onto the driver by every snapshot resolution. Blooms live in
+    * the PARQUET checkpoint sidecar (read as a Spark job by the prune
+    * surfaces) and in each commit's own delta add lines (O(touched));
+    * ranges/nulls/string bounds — the small fields driver-side
+    * consumers (commitDeleteWhere's metadata drop) actually use — stay
+    * in the text. Everything else (`__dv`, stats) is semantic and is
+    * never stripped. */
+  private def stripBloomFields(line: String): String =
+    if (!line.contains(":bf")) line // covers both :bf: and :bfs:
+    else line.split('\t').filterNot { field =>
+      val a = field.split(':')
+      a.length == 4 && (a(1) == "bf" || a(1) == "bfs")
+    }.mkString("\t")
+
   /** Write version `v`'s resolved data lines as a sidecar checkpoint —
     * deterministic bytes (pure function of the committed chain), so a
-    * racer's identical write losing the rename changes nothing. */
+    * racer's identical write losing the rename changes nothing. Bloom
+    * fields are stripped (see [[stripBloomFields]]); the parquet
+    * sidecar written alongside carries them for the prune surfaces. */
   private def writeCheckpointIfAbsent(spark: SparkSession, root: String,
       v: Int, dataLines: Seq[String]): Unit = {
     val f = fs(spark, root)
@@ -192,9 +211,142 @@ object Txn {
     // same seam as the commit point; a lost race means a racer wrote
     // the identical bytes (pure function of the committed chain)
     activeStore.putIfAbsent(f, checkpointPath(root, v),
-      dataLines.map(_ + "\n").mkString.getBytes("UTF-8"))
+      dataLines.map(stripBloomFields(_) + "\n").mkString.getBytes("UTF-8"))
     ()
   }
+
+  // ---- parquet checkpoint sidecar: distributed stats resolution ------
+  // The text manifest chain bounds the WALK, but until r16 nothing
+  // bounded the driver MATERIALIZATION: every prune parsed the full
+  // resolved listing — 8 KiB of bloom bits per file per column — into
+  // a driver-side Seq[Entry] (at 1M files × 2 bloom columns that is
+  // ~16 GB resident per prune). Delta solves this with
+  // checkpoint.parquet read as a Spark job; Iceberg with manifest-list
+  // avro. Same shape here: each checkpoint roll ALSO writes the
+  // resolved entries as a parquet directory `c<v>.cpq` (path + typed
+  // stats/bloom/dv columns), and [[entriesFrame]] resolves any
+  // snapshot's entries AS A DATAFRAME — parquet base + the small delta
+  // tail — so the prune surfaces (touchedFiles, filesForKeys,
+  // filesForPreds, filesForRange, filesForStrRange) run as Spark jobs
+  // where bloom bytes stay on executors and candidate PATHS are the
+  // only collect. Tables without a parquet checkpoint yet (young, or
+  // legacy text-only) resolve through a driver-parsed local frame —
+  // identical prune semantics, today's cost.
+
+  import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType,
+    MapType, StringType, StructField}
+
+  private def parquetCheckpointPath(root: String, v: Int) =
+    new Path(manifestDir(root), f"c$v%05d.cpq")
+
+  /** The entries-frame schema — one row per data file. */
+  private[graft] val entriesFrameSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("nstats", MapType(StringType, StructType(Seq(
+      StructField("lo", org.apache.spark.sql.types.DoubleType),
+      StructField("hi", org.apache.spark.sql.types.DoubleType),
+      StructField("nulls", org.apache.spark.sql.types.LongType))))),
+    StructField("blooms", MapType(StringType, StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("bits", BinaryType))))),
+    StructField("sstats", MapType(StringType, StructType(Seq(
+      StructField("lo", StringType),
+      StructField("hi", StringType),
+      StructField("nulls", org.apache.spark.sql.types.LongType))))),
+    StructField("sblooms", MapType(StringType, StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("bits", BinaryType))))),
+    StructField("dvs", ArrayType(StringType))))
+
+  private def entryToRow(e: Entry): Row = Row(
+    e.path,
+    e.stats.map { case (c, (lo, hi)) =>
+      c -> Row(lo, hi, e.nulls.get(c).map(Long.box).orNull) },
+    e.blooms.map { case (c, (k, b)) => c -> Row(k, b) },
+    e.strStats.map { case (c, (lo, hi)) =>
+      c -> Row(lo, hi, e.nulls.get(c).map(Long.box).orNull) },
+    e.strBlooms.map { case (c, (k, b)) => c -> Row(k, b) },
+    e.dvs)
+
+  private def entriesToFrame(spark: SparkSession,
+      entries: Seq[Entry]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(entries.map(entryToRow).asJava,
+      entriesFrameSchema)
+  }
+
+  /** Snapshot `v`'s entries AS A DATAFRAME ([[entriesFrameSchema]]):
+    * walk the delta chain to the nearest full listing — preferring the
+    * PARQUET checkpoint (read distributedly, bloom bytes never on the
+    * driver) over the text one — then replay each step's removes
+    * (anti-filter) and adds (parsed from the step's OWN raw add lines,
+    * so recent files keep their blooms even though text checkpoints
+    * strip them). The prune surfaces run over this frame as Spark
+    * jobs; only candidate paths are ever collected. */
+  private[graft] def entriesFrame(spark: SparkSession, root: String,
+      v: Int): DataFrame = {
+    val f = fs(spark, root)
+    val steps =
+      scala.collection.mutable.ArrayBuffer.empty[(Set[String], Seq[String])]
+    var cur = v
+    var base: DataFrame = null
+    while (base == null) {
+      val pq = parquetCheckpointPath(root, cur)
+      val tc = checkpointPath(root, cur)
+      if (f.exists(pq))
+        base = spark.read.schema(entriesFrameSchema).parquet(pq.toString)
+      else if (f.exists(tc)) {
+        // text checkpoint without a parquet twin (legacy table, or the
+        // best-effort parquet roll failed): driver-parse — post-r16
+        // text carries no bloom bytes, so this stays small; pre-r16
+        // text still parses its blooms (nothing lost on old tables)
+        val in = f.open(tc)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+        base = entriesToFrame(spark, lines.map(parseEntryLine))
+      } else {
+        val raw = rawLines(spark, root, cur)
+        baseOf(raw) match {
+          case None =>
+            base = entriesToFrame(spark,
+              raw.filterNot(isMeta).map(parseEntryLine))
+          case Some(w) =>
+            steps += ((rmPaths(raw).toSet, raw.filterNot(isMeta)))
+            cur = w
+        }
+      }
+    }
+    steps.reverseIterator.foldLeft(base) { case (acc, (rm, adds)) =>
+      val kept =
+        if (rm.isEmpty) acc
+        else acc.where(!col("path").isInCollection(rm))
+      if (adds.isEmpty) kept
+      else kept.unionByName(
+        entriesToFrame(spark, adds.map(parseEntryLine)))
+    }
+  }
+
+  /** Roll version `v`'s resolved entries as a parquet checkpoint
+    * sidecar — advisory like the text one (a failed roll only means
+    * prunes keep resolving through older checkpoints + a longer delta
+    * tail), content a pure function of the committed chain. Written
+    * to a hidden temp dir then dir-renamed-no-overwrite: a lost racer
+    * wrote identical logical content. MUST run BEFORE the text
+    * checkpoint roll at `v` (the text twin strips blooms; resolving
+    * through it would strip them from the parquet sidecar too). */
+  private def writeParquetCheckpointIfAbsent(spark: SparkSession,
+      root: String, v: Int): Unit =
+    try {
+      val f = fs(spark, root)
+      val target = parquetCheckpointPath(root, v)
+      if (f.exists(target)) return
+      val tmp = new Path(manifestDir(root),
+        s".tmpcpq-${java.util.UUID.randomUUID().toString}")
+      entriesFrame(spark, root, v).write.parquet(tmp.toString)
+      if (f.exists(target) || !f.rename(tmp, target))
+        f.delete(tmp, true) // racer won — identical content, fine
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Post-publish checkpoint roll: if `v`'s delta chain has reached
     * [[checkpointEvery]] steps without a materialized full listing,
@@ -215,9 +367,13 @@ object Txn {
           case Some(w) => depth += 1; cur = w
         }
       }
-      if (depth >= checkpointEvery)
+      if (depth >= checkpointEvery) {
+        // parquet FIRST: its resolution must see the raw chain (delta
+        // add lines carry blooms; the text twin strips them)
+        writeParquetCheckpointIfAbsent(spark, root, v)
         writeCheckpointIfAbsent(spark, root, v,
           resolvedData(spark, root, v))
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Version `v`'s exact file-set diff vs `v-1`: (added, removed).
@@ -422,7 +578,8 @@ object Txn {
       nulls: Map[String, Long] = Map.empty,
       blooms: Map[String, (Int, Array[Byte])] = Map.empty,
       strStats: Map[String, (String, String)] = Map.empty,
-      strBlooms: Map[String, (Int, Array[Byte])] = Map.empty) {
+      strBlooms: Map[String, (Int, Array[Byte])] = Map.empty,
+      dvs: Seq[String] = Nil) {
     /** Recorded range of `c`, falling back to a legacy unnamed range. */
     def statsFor(c: String): Option[(Double, Double)] =
       stats.get(c).orElse(stats.get(""))
@@ -488,52 +645,58 @@ object Txn {
   private[graft] def rawManifestLines0(spark: SparkSession, root: String,
       v: Int): Seq[String] = rawLines(spark, root, v)
 
-  /** Manifest DATA entries of snapshot `v`
+  /** Parse ONE manifest data line into an [[Entry]]
     * (path [TAB col:min:max[:nulls]]... | legacy path TAB min TAB max). */
+  private def parseEntryLine(line: String): Entry =
+    line.split('\t') match {
+      case Array(p) => Entry(p, Map.empty)
+      case Array(p, lo, hi)
+          if !lo.contains(':') && !hi.contains(':') =>
+        Entry(p, Map("" -> (lo.toDouble, hi.toDouble))) // legacy unnamed
+      case arr if arr.length >= 2 =>
+        val blooms =
+          scala.collection.mutable.Map.empty[String, (Int, Array[Byte])]
+        val strBloomsM =
+          scala.collection.mutable.Map.empty[String, (Int, Array[Byte])]
+        val strStatsM =
+          scala.collection.mutable.Map.empty[String, (String, String)]
+        val strNullsM = scala.collection.mutable.Map.empty[String, Long]
+        val dvsM = scala.collection.mutable.ArrayBuffer.empty[String]
+        def b64dec(x: String) = java.util.Base64.getDecoder.decode(x)
+        val fields = arr.tail.flatMap { f =>
+          f.split(':') match {
+            case Array("__dv", b64) => // deletion-vector sidecar (r16+)
+              dvsM += new String(b64dec(b64), "UTF-8")
+              None
+            case Array(c, "bf", k, b64) => // numeric bloom (r14+)
+              blooms(c) = (k.toInt, b64dec(b64))
+              None
+            case Array(c, "bfs", k, b64) => // string bloom (r15+)
+              strBloomsM(c) = (k.toInt, b64dec(b64))
+              None
+            case Array(c, "str", lo, hi, n) => // string range (r15+)
+              strStatsM(c) = (new String(b64dec(lo), "UTF-8"),
+                new String(b64dec(hi), "UTF-8"))
+              strNullsM(c) = n.toLong
+              None
+            case Array(c, lo, hi) =>
+              Some((c, (lo.toDouble, hi.toDouble), None: Option[Long]))
+            case Array(c, lo, hi, n) =>
+              Some((c, (lo.toDouble, hi.toDouble), Some(n.toLong)))
+            case _ => sys.error(s"Txn: malformed stats field '$f': $line")
+          }
+        }
+        Entry(arr(0), fields.map(t => t._1 -> t._2).toMap,
+          fields.collect { case (c, _, Some(n)) => c -> n }.toMap ++
+            strNullsM,
+          blooms.toMap, strStatsM.toMap, strBloomsM.toMap, dvsM.toSeq)
+      case _ => sys.error(s"Txn: malformed manifest line: $line")
+    }
+
+  /** Manifest DATA entries of snapshot `v`. */
   def snapshotEntries(spark: SparkSession, root: String,
       v: Int): Seq[Entry] =
-    snapshotLines(spark, root, v).filterNot(isMeta).map { line =>
-      line.split('\t') match {
-        case Array(p) => Entry(p, Map.empty)
-        case Array(p, lo, hi)
-            if !lo.contains(':') && !hi.contains(':') =>
-          Entry(p, Map("" -> (lo.toDouble, hi.toDouble))) // legacy unnamed
-        case arr if arr.length >= 2 =>
-          val blooms =
-            scala.collection.mutable.Map.empty[String, (Int, Array[Byte])]
-          val strBloomsM =
-            scala.collection.mutable.Map.empty[String, (Int, Array[Byte])]
-          val strStatsM =
-            scala.collection.mutable.Map.empty[String, (String, String)]
-          val strNullsM = scala.collection.mutable.Map.empty[String, Long]
-          def b64dec(x: String) = java.util.Base64.getDecoder.decode(x)
-          val fields = arr.tail.flatMap { f =>
-            f.split(':') match {
-              case Array(c, "bf", k, b64) => // numeric bloom (r14+)
-                blooms(c) = (k.toInt, b64dec(b64))
-                None
-              case Array(c, "bfs", k, b64) => // string bloom (r15+)
-                strBloomsM(c) = (k.toInt, b64dec(b64))
-                None
-              case Array(c, "str", lo, hi, n) => // string range (r15+)
-                strStatsM(c) = (new String(b64dec(lo), "UTF-8"),
-                  new String(b64dec(hi), "UTF-8"))
-                strNullsM(c) = n.toLong
-                None
-              case Array(c, lo, hi) =>
-                Some((c, (lo.toDouble, hi.toDouble), None: Option[Long]))
-              case Array(c, lo, hi, n) =>
-                Some((c, (lo.toDouble, hi.toDouble), Some(n.toLong)))
-              case _ => sys.error(s"Txn: malformed stats field '$f': $line")
-            }
-          }
-          Entry(arr(0), fields.map(t => t._1 -> t._2).toMap,
-            fields.collect { case (c, _, Some(n)) => c -> n }.toMap ++
-              strNullsM,
-            blooms.toMap, strStatsM.toMap, strBloomsM.toMap)
-        case _ => sys.error(s"Txn: malformed manifest line: $line")
-      }
-    }
+    snapshotLines(spark, root, v).filterNot(isMeta).map(parseEntryLine)
 
   /** Data-file paths (relative to `root/data`) of snapshot `v`. */
   def snapshotFiles(spark: SparkSession, root: String, v: Int): Seq[String] =
@@ -1382,8 +1545,9 @@ object Txn {
     * plus every keyCol-ranged entry whose [min,max] can contain a key.
     * The range check is distributed — the keys frame is never
     * collected; only matched file PATHS come back (≤ file count). */
-  private def touchedFiles(spark: SparkSession, entries: Seq[Entry],
+  private def touchedFiles(spark: SparkSession, root: String, v: Int,
       keyRows: DataFrame, keyCol: String): Set[String] = {
+    val entriesDf = entriesFrame(spark, root, v)
     // An entry prunes by whatever it RECORDED for keyCol — numeric
     // range/bloom (TRY_CAST-to-double semantics), string range/bloom
     // (raw UTF8 order/bytes, r15), or any mix; every test is
@@ -1407,55 +1571,58 @@ object Txn {
     // (legacy pre-r14 manifests), unusable under JVM comparisons —
     // rewrite unconditionally: pruning stays an optimization, never
     // a filter.
-    def range(e: Entry): Option[(Double, Double)] =
-      e.namedStats(keyCol).filter { case (mn, mx) =>
-        !mn.isNaN && !mx.isNaN }
     val keyIsString = keyRows.schema(keyCol).dataType ==
       org.apache.spark.sql.types.StringType
-    val (informed, blind) = entries.partition(e =>
-      range(e).isDefined || e.bloomFor(keyCol).isDefined ||
-        (keyIsString && (e.strStatsFor(keyCol).isDefined ||
-          e.strBloomFor(keyCol).isDefined)))
-    if (informed.isEmpty) entries.map(_.path).toSet
-    else {
-      val files = spark.createDataFrame(informed.map { e =>
-        val r = range(e)
-        val b = e.bloomFor(keyCol)
-        val sr = if (keyIsString) e.strStatsFor(keyCol) else None
-        val sb = if (keyIsString) e.strBloomFor(keyCol) else None
-        (e.path,
-          r.map(t => java.lang.Double.valueOf(t._1)).orNull,
-          r.map(t => java.lang.Double.valueOf(t._2)).orNull,
-          b.map(_._2).orNull,
-          b.map(t => java.lang.Integer.valueOf(t._1)).orNull,
-          sr.map(_._1).orNull,
-          sr.map(_._2).orNull,
-          sb.map(_._2).orNull,
-          sb.map(t => java.lang.Integer.valueOf(t._1)).orNull)
-      }).toDF("__p", "__mn", "__mx", "__bf", "__bk",
-        "__slo", "__shi", "__sbf", "__sbk")
-      val keyed = keyRows.select(
-        col(keyCol).try_cast("double").as("__kd"),
-        (if (keyIsString) col(keyCol).cast("string")
-         else lit(null).cast("string")).as("__ks"))
-      // exclusion predicates: each must PROVE absence to fire; every
-      // null (no key rendering, no recorded stat) falls to false
-      val numExclude = col("__kd").isNotNull && (
-        (col("__mn").isNotNull &&
-          (col("__kd") < col("__mn") || col("__kd") > col("__mx"))) ||
-          (col("__bf").isNotNull && !graft.functions.BloomStats
-            .mightContain(spark, col("__bf"), col("__kd"), col("__bk"))))
-      val strExclude = col("__ks").isNotNull && (
-        (col("__slo").isNotNull &&
-          (col("__ks") < col("__slo") || col("__ks") > col("__shi"))) ||
-          (col("__sbf").isNotNull && !graft.functions.BloomStats
-            .mightContain(spark, col("__sbf"), col("__ks"), col("__sbk"))))
-      val hit = keyed
-        .join(broadcast(files), !(numExclude || strExclude))
-        .select("__p").distinct()
-        .collect().map(_.getString(0)).toSet
-      blind.map(_.path).toSet ++ hit
-    }
+    // ONE projection over the entries frame (r16: a Spark job over the
+    // parquet checkpoint + delta tail — bloom bytes stay on executors;
+    // see the parquet-checkpoint section): per file, keyCol's usable
+    // range (NaN bounds — legacy manifests — null out, the no-stats
+    // fallback), bloom, and — string keys only — string range/bloom.
+    val ns = col("nstats")(keyCol)
+    val validRange = ns.isNotNull && !isnan(ns("lo")) && !isnan(ns("hi"))
+    val files = entriesDf.select(
+      col("path").as("__p"),
+      when(validRange, ns("lo")).as("__mn"),
+      when(validRange, ns("hi")).as("__mx"),
+      col("blooms")(keyCol)("bits").as("__bf"),
+      col("blooms")(keyCol)("k").as("__bk"),
+      (if (keyIsString) col("sstats")(keyCol)("lo")
+       else lit(null).cast("string")).as("__slo"),
+      (if (keyIsString) col("sstats")(keyCol)("hi")
+       else lit(null).cast("string")).as("__shi"),
+      (if (keyIsString) col("sblooms")(keyCol)("bits")
+       else lit(null).cast("binary")).as("__sbf"),
+      (if (keyIsString) col("sblooms")(keyCol)("k")
+       else lit(null).cast("int")).as("__sbk"))
+    val informedCond = col("__mn").isNotNull || col("__bf").isNotNull ||
+      col("__slo").isNotNull || col("__sbf").isNotNull
+    val keyed = keyRows.select(
+      col(keyCol).try_cast("double").as("__kd"),
+      (if (keyIsString) col(keyCol).cast("string")
+       else lit(null).cast("string")).as("__ks"))
+    // exclusion predicates: each must PROVE absence to fire; every
+    // null (no key rendering, no recorded stat) falls to false
+    val numExclude = col("__kd").isNotNull && (
+      (col("__mn").isNotNull &&
+        (col("__kd") < col("__mn") || col("__kd") > col("__mx"))) ||
+        (col("__bf").isNotNull && !graft.functions.BloomStats
+          .mightContain(spark, col("__bf"), col("__kd"), col("__bk"))))
+    val strExclude = col("__ks").isNotNull && (
+      (col("__slo").isNotNull &&
+        (col("__ks") < col("__slo") || col("__ks") > col("__shi"))) ||
+        (col("__sbf").isNotNull && !graft.functions.BloomStats
+          .mightContain(spark, col("__sbf"), col("__ks"), col("__sbk"))))
+    // the KEYS side broadcasts — a point-read/forget key set is small
+    // by contract, while the files side is O(table files) carrying
+    // 8 KiB blooms (pre-r16 this broadcast went the other way, which
+    // at 1M files would ship gigabytes to every executor); file rows
+    // stream through the nested-loop probe and only PATHS come back
+    val hit = files.where(informedCond)
+      .join(broadcast(keyed), !(numExclude || strExclude))
+      .select("__p")
+    val blind = files.where(!informedCond).select("__p")
+    blind.union(hit).distinct()
+      .collect().map(_.getString(0)).toSet
   }
 
   /** COPY-ON-WRITE row-level DELETE (Delta/Iceberg's most-used write
@@ -1492,9 +1659,7 @@ object Txn {
         "Txn.commitDelete") { v =>
       require(v >= 2, s"Txn.commitDelete: no committed version at $root")
       val prev = headMetaLines(spark, root, v - 1)
-      val touched =
-        touchedFiles(spark, snapshotEntries(spark, root, v - 1),
-          keyRows, keyCol)
+      val touched = touchedFiles(spark, root, v - 1, keyRows, keyCol)
       val staged =
         if (touched.isEmpty) Nil
         else {
@@ -1639,9 +1804,7 @@ object Txn {
           if (!mergeSchema) committed
           else evolveSchema(committed, src.schema, "commitMerge")
         }
-        val touched =
-          touchedFiles(spark, snapshotEntries(spark, root, v - 1),
-            keyRows, keyCol)
+        val touched = touchedFiles(spark, root, v - 1, keyRows, keyCol)
         val survivors =
           if (touched.isEmpty) src
           else readFiles(spark, root, touched.toSeq.sorted,
@@ -1829,14 +1992,18 @@ object Txn {
       version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion(spark, root))
     require(v >= 1, s"Txn.filesForPreds: no committed version at $root")
-    snapshotEntries(spark, root, v).collect {
-      // a NaN bound (legacy manifests) means "cannot skip" — same
-      // no-stats fallback as touchedFiles
-      case e if preds.forall { case (c, lo, hi) =>
-        e.statsFor(c).forall { case (mn, mx) =>
-          mn.isNaN || mx.isNaN || (mx >= lo && mn <= hi) }
-      } => e.path
-    }
+    // a Spark job over the entries frame (r16) — per predicate a file
+    // survives when it records no usable range for the column (a NaN
+    // bound — legacy manifests — means "cannot skip", the same
+    // no-stats fallback as touchedFiles; a legacy UNNAMED range
+    // answers any column) or the range overlaps [lo, hi]
+    val cond = preds.map { case (c, lo, hi) =>
+      val st = coalesce(col("nstats")(c), col("nstats")(""))
+      st.isNull || isnan(st("lo")) || isnan(st("hi")) ||
+        (st("hi") >= lit(lo) && st("lo") <= lit(hi))
+    }.reduce(_ && _)
+    entriesFrame(spark, root, v).where(cond)
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** Single-predicate form of [[filesForPreds]], kept for callers on
@@ -1852,11 +2019,12 @@ object Txn {
       hi: Double, version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion(spark, root))
     require(v >= 1, s"Txn.filesForRange: no committed version at $root")
-    snapshotEntries(spark, root, v).collect {
-      case e if e.stats.size != 1 => e.path
-      case e if e.stats.values.exists { case (mn, mx) =>
-        mn.isNaN || mx.isNaN || (mx >= lo && mn <= hi) } => e.path
-    }
+    val keep = size(map_keys(col("nstats"))) =!= 1 ||
+      exists(map_values(col("nstats")), st =>
+        isnan(st("lo")) || isnan(st("hi")) ||
+          (st("hi") >= lit(lo) && st("lo") <= lit(hi)))
+    entriesFrame(spark, root, v).where(keep)
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** SKIP-SCAN snapshot read under a CONJUNCTION of range predicates:
@@ -1907,10 +2075,15 @@ object Txn {
       lo: String, hi: String, version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion(spark, root))
     require(v >= 1, s"Txn.filesForStrRange: no committed version at $root")
-    snapshotEntries(spark, root, v).collect {
-      case e if e.strStatsFor(c).forall { case (mn, mx) =>
-        utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0 } => e.path
-    }
+    // Spark's own string comparison IS binary UTF8 order (the
+    // collation the stats were collected under — utf8Cmp delegates to
+    // the same UTF8String.compareTo), so running the overlap test as
+    // a Spark job over the entries frame cannot disagree with the
+    // residual predicate's skip direction
+    val ss = col("sstats")(c)
+    entriesFrame(spark, root, v)
+      .where(ss.isNull || (ss("hi") >= lit(lo) && ss("lo") <= lit(hi)))
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** STRING-RANGE skip-scan — `SELECT * WHERE c BETWEEN lo AND hi` on
@@ -1950,10 +2123,9 @@ object Txn {
       keyCol: String, version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion(spark, root))
     require(v >= 1, s"Txn.filesForKeys: no committed version at $root")
-    val entries = snapshotEntries(spark, root, v)
     val keyRows = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
       .distinct()
-    touchedFiles(spark, entries, keyRows, keyCol).toSeq.sorted
+    touchedFiles(spark, root, v, keyRows, keyCol).toSeq.sorted
   }
 
   /** POINT-KEY snapshot read — `SELECT * WHERE keyCol IN (keys)`, the
@@ -2114,9 +2286,11 @@ object Txn {
     // are always v-1) and stops there, so expiry never strands a
     // resolvable snapshot
     survivors.minOption.foreach { s =>
-      if (!f.exists(checkpointPath(root, s)))
+      if (!f.exists(checkpointPath(root, s))) {
+        writeParquetCheckpointIfAbsent(spark, root, s)
         writeCheckpointIfAbsent(spark, root, s,
           resolvedData(spark, root, s))
+      }
     }
     // consolidate: every base a survivor references must have its
     // tags file on disk before the fallback chain disappears
@@ -2151,6 +2325,15 @@ object Txn {
         expSet.contains(w)
       }
       .foreach(f.delete(_, false))
+    // ...and their parquet twins (directories)
+    f.listStatus(manifestDir(root))
+      .filter(_.getPath.getName.matches("c\\d+\\.cpq"))
+      .map(_.getPath)
+      .filter { p =>
+        val w = p.getName.stripPrefix("c").stripSuffix(".cpq").toInt
+        expSet.contains(w)
+      }
+      .foreach(f.delete(_, true))
     expiring
   }
 

@@ -1845,6 +1845,57 @@ class TxnSpec extends SparkSpec {
       "2024-01-10", "2024-01-12").count() == 301)
   }
 
+  test("parquet checkpoint: blooms survive the roll distributed; text twin strips them") {
+    val root = freshRoot()
+    // interleaved layout (id % 4 per file) so every v1 file's [min,max]
+    // spans the whole domain — the bloom is the ONLY thing that prunes
+    Txn.commitOverwrite(spark, root,
+      spark.range(400).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(4, col("id") % 4),
+      statsCol = Some("k"), bloomCols = Seq("k"))
+    (1 to Txn.checkpointEvery + 2).foreach { i =>
+      Txn.commitAppend(spark, root,
+        spark.range(1000L * i, 1000L * i + 50).coalesce(1)
+          .select(col("id").as("k"), (col("id") % 7).as("v")),
+        statsCol = Some("k"), bloomCols = Seq("k"))
+    }
+    val f = fs(root)
+    val names = f.listStatus(new Path(s"$root/_manifests"))
+      .map(_.getPath.getName)
+    val cpqs = names.filter(_.matches("c\\d+\\.cpq"))
+    assert(cpqs.nonEmpty, "no parquet checkpoint rolled")
+    val cpv = cpqs.map(_.stripPrefix("c").stripSuffix(".cpq").toInt).min
+    // the text twin at the same version carries NO bloom bytes (the
+    // r16 driver-residency bound: 8 KiB/file/column stays in parquet)
+    val tcPath = new Path(f"$root/_manifests/c$cpv%05d.checkpoint")
+    assert(f.exists(tcPath), "text checkpoint missing beside the parquet one")
+    val text = {
+      val in = f.open(tcPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(!text.contains(":bf"), "text checkpoint still carries bloom bytes")
+    // pre-checkpoint files' blooms now live ONLY in the cpq — the
+    // point prune must still open ~1 of v1's 4 interleaved files
+    val total = Txn.snapshotFiles(spark, root,
+      Txn.currentVersion(spark, root)).size
+    val cand = Txn.filesForKeys(spark, root, Seq(7L).toDF("k"), "k")
+    assert(cand.size <= 2,
+      s"bloom did not prune through the parquet checkpoint: " +
+        s"${cand.size} of $total")
+    assert(Txn.readKeys(spark, root, Seq(7L).toDF("k"), "k").count() == 1)
+    // advisory, never semantic: with the cpq gone the prune degrades
+    // to range-only (all 4 interleaved v1 files candidates) but the
+    // read stays exact
+    cpqs.foreach(n => f.delete(new Path(s"$root/_manifests/$n"), true))
+    val cand2 = Txn.filesForKeys(spark, root, Seq(7L).toDF("k"), "k")
+    assert(cand2.size >= 4 && cand2.toSet.subsetOf(
+      Txn.snapshotFiles(spark, root,
+        Txn.currentVersion(spark, root)).toSet),
+      s"conservative fallback wrong: ${cand2.size}")
+    assert(Txn.readKeys(spark, root, Seq(7L).toDF("k"), "k").count() == 1)
+  }
+
   test("string bloom primitive: zero false negatives, bounded false positives") {
     import graft.functions.Bloom
     import org.apache.spark.unsafe.types.UTF8String
