@@ -856,6 +856,36 @@ object QueriesEtl {
         .unionByName(agg(graft.operators.Txn.read(s, root, Some(1)), "pre"))
     }),
 
+    // MERGE-ON-READ delete via DELETION VECTORS (r16) — one semantics,
+    // second mechanism: same forget flow as etl_txn_forget (shared
+    // oracle verbatim), but the delete commit rewrites ZERO data files
+    // (TxnSpec pins that) — it publishes the forgotten keys as a small
+    // sidecar and annotates only the bloom-candidate files' manifest
+    // lines; every read anti-masks. At 100 TB this turns a scattered
+    // GDPR delete from rewrite-amplified copy-on-write into
+    // O(deleted keys) + one manifest commit
+    "etl_txn_forget_dv" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txnfgdv_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, root,
+        ev.repartitionByRange(8, col("user_id")),
+        statsCol = Some("user_id"), bloomCols = Seq("user_id"))
+      val forget = ev.where(col("user_id") % 10 === 3)
+        .select("user_id").distinct()
+      graft.operators.Txn.commitDeleteDv(s, root, forget, "user_id")
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+              .as("sum_val"))
+          .select(lit(tag).as("slice"), col("event_type"), col("n"),
+            col("sum_val"))
+      agg(graft.operators.Txn.read(s, root), "head")
+        .unionByName(agg(graft.operators.Txn.read(s, root, Some(1)), "pre"))
+    }),
+
     // POINT-KEY snapshot read (Txn.readKeys — the GDPR "show me this
     // user's rows" / serving-path lookup): commit an INTERLEAVED
     // layout (user_id % 8 per file, so every file's [min,max] spans
@@ -1064,6 +1094,44 @@ object QueriesEtl {
       graft.operators.Txn.commitAppend(s, root, v2, mergeSchema = true)
       graft.operators.Txn.read(s, root)
         .select(col("event_type"), col("n"), col("sum_val"))
+    }),
+
+    // COLUMN MAPPING (r16 — rename as metadata, the Delta/Iceberg
+    // column-id shape): renameColumn publishes a manifest-only commit
+    // (#schema carries the new logical name, #colmap maps it to the
+    // stable physical storage name — TxnSpec pins zero data-file
+    // churn); the head reads BOTH eras' files under the new name
+    // (old files match by physical name, stats/bloom pruning
+    // translates), a post-rename append writes under the new name,
+    // and v1 still time-travels under the OLD name — both slices
+    // recomputed by the oracle
+    "etl_txn_rename" -> ((s, d) => {
+      val root = s"/tmp/graft_rt/txnrn_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.operators.Txn.commitOverwrite(s, root,
+        ev.where(col("user_id") % 2 === 0)
+          .repartitionByRange(4, col("user_id")),
+        statsCol = Some("value"))                                  // v1
+      graft.operators.Txn.renameColumn(s, root, "value", "amount") // v2
+      graft.operators.Txn.commitAppend(s, root,
+        ev.where(col("user_id") % 2 === 1)
+          .withColumnRenamed("value", "amount"),
+        statsCol = Some("amount"))                                 // v3
+      def agg(df: org.apache.spark.sql.DataFrame, c: String, tag: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            expr(s"CAST(ROUND(SUM(CAST($c AS DECIMAL(18,6))), 2) AS DOUBLE)")
+              .as("sum_val"))
+          .select(lit(tag).as("slice"), col("event_type"), col("n"),
+            col("sum_val"))
+      // head: BOTH halves under the NEW name (v1's files have no
+      // physical column named 'amount' — only the mapping finds them);
+      // pre: v1 under its ORIGINAL name
+      agg(graft.operators.Txn.read(s, root), "amount", "head")
+        .unionByName(
+          agg(graft.operators.Txn.read(s, root, Some(1)), "value", "pre"))
     }),
 
     // manifest MULTI-COLUMN STATS + skip-scan (the Iceberg/Delta
@@ -1804,6 +1872,30 @@ object QueriesEtl {
         |SELECT 'pre', event_type, CAST(COUNT(*) AS BIGINT),
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
         |FROM events GROUP BY 2""".stripMargin,
+
+    // one semantics, second mechanism: the DV (merge-on-read) delete
+    // answers the SAME oracle as the copy-on-write etl_txn_forget —
+    // a masked read that leaks a deleted row, or a mask that over-
+    // deletes, hash-fails here
+    "etl_txn_forget_dv" ->
+      """SELECT 'head' AS slice, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events WHERE user_id % 10 <> 3 GROUP BY 2
+        |UNION ALL
+        |SELECT 'pre', event_type, CAST(COUNT(*) AS BIGINT),
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |FROM events GROUP BY 2""".stripMargin,
+
+    // rename is metadata-only and invisible to VALUES: head = both
+    // halves under the new name, pre = the v1 half under the old one
+    "etl_txn_rename" ->
+      """SELECT 'head' AS slice, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 2
+        |UNION ALL
+        |SELECT 'pre', event_type, CAST(COUNT(*) AS BIGINT),
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |FROM events WHERE user_id % 2 = 0 GROUP BY 2""".stripMargin,
 
     // per-commit CDF multisets recomputed from source: v2 append =
     // the odd half inserted; v3 compact = self-cancelling

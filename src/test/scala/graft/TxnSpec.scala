@@ -1896,6 +1896,181 @@ class TxnSpec extends SparkSpec {
     assert(Txn.readKeys(spark, root, Seq(7L).toDF("k"), "k").count() == 1)
   }
 
+  test("deletion vectors: zero rewrites, masked reads, CDF net, compact materializes") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      spark.range(1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(8, col("id")),
+      statsCol = Some("k"), bloomCols = Seq("k"))
+    val filesBefore = Txn.snapshotFiles(spark, root, 1).toSet
+    val forget = spark.range(1000).where(col("id") % 10 === 3)
+      .select(col("id").as("k"))
+    Txn.commitDeleteDv(spark, root, forget, "k")                     // v2
+    // the commit is metadata + sidecar only: every v1 data file is
+    // REFERENCED VERBATIM by v2 (zero rewrites), and the only new
+    // bytes under data/ are the dv sidecar
+    assert(Txn.snapshotFiles(spark, root, 2).toSet == filesBefore,
+      "DV delete rewrote data files")
+    val f = fs(root)
+    val newFiles = {
+      val it = f.listFiles(new Path(s"$root/data"), true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath
+          .stripPrefix(new Path(s"$root/data").toUri.getPath)
+          .stripPrefix("/")
+        if (st.isFile && !st.getPath.getName.startsWith("_") &&
+            !filesBefore.contains(rel)) out += rel
+      }
+      out.toSeq
+    }
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("-dv/")),
+      s"unexpected non-sidecar files staged: $newFiles")
+    // masked reads: head = complement; time travel = full
+    val headKs = Txn.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(headKs == (0L until 1000L).filterNot(_ % 10 == 3).toSet)
+    assert(Txn.read(spark, root, Some(1)).count() == 1000)
+    // point read + skip-scan go through the mask too
+    assert(Txn.readKeys(spark, root, Seq(13L, 14L).toDF("k"), "k")
+      .select("k").collect().map(_.getLong(0)).toSet == Set(14L))
+    assert(Txn.readWhere(spark, root, "k", 10d, 19d).count() == 9)
+    // CDF across the DV commit: multiset net = exactly the masked rows
+    val cdf = Txn.readChangesCdf(spark, root, 1, Some(2)).cache()
+    val del = cdf.where(col("_change_type") === "delete")
+      .groupBy("k").count()
+    val ins = cdf.where(col("_change_type") === "insert")
+      .groupBy("k").count()
+    val net = del.as("d").join(ins.as("i"), Seq("k"), "left_outer")
+      .where(col("d.count") > coalesce(col("i.count"), lit(0L)))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(net == (0L until 1000L).filter(_ % 10 == 3).toSet,
+      "CDF net of the DV commit is not the deleted rows")
+    cdf.unpersist()
+    // a SECOND dv delete stacks; a later merge must not resurrect
+    Txn.commitDeleteDv(spark, root,
+      Seq(14L).toDF("k"), "k")                                       // v3
+    assert(!Txn.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet.exists(k => k == 14L || k % 10 == 3))
+    Txn.commitMerge(spark, root,
+      Seq((500L, 999L)).toDF("k", "v"), "k",
+      statsCol = Some("k"), bloomCols = Seq("k"))                    // v4
+    val afterMerge = Txn.read(spark, root).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(afterMerge(500L) == 999L && !afterMerge.contains(503L) &&
+      !afterMerge.contains(14L), "merge resurrected DV-masked rows")
+    // compact materializes the masks away: fresh lines carry no __dv
+    Txn.compact(spark, root, numFiles = 2)                           // v5
+    assert(!Txn.snapshotLines0(spark, root, 5).exists(_.contains("__dv")),
+      "compact did not materialize the DVs")
+    assert(Txn.read(spark, root).count() ==
+      1000 - 100 - 1 + (if (afterMerge.contains(500L)) 0 else 1))
+    // vacuum keeps the sidecar while v2/v3 survive (time travel), and
+    // reclaims it once those manifests expire
+    Txn.vacuum(spark, root, olderThanMs = 0)
+    assert(Txn.read(spark, root, Some(3)).count() == 899)
+    // keepLast=1: v4 (merge) still carries dv refs on its untouched
+    // files, so only the fully-compacted v5 may survive for the
+    // sidecar to become reclaimable
+    Txn.expireManifests(spark, root, keepLast = 1)
+    Txn.vacuum(spark, root, olderThanMs = 0)
+    val leftover = {
+      val it = f.listFiles(new Path(s"$root/data"), true)
+      var dv = 0
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.toUri.getPath.contains("-dv/") &&
+            !st.getPath.getName.startsWith("_")) dv += 1
+      }
+      dv
+    }
+    assert(leftover == 0, s"expired DV sidecar not reclaimed: $leftover")
+  }
+
+  test("column mapping: rename is metadata-only; prunes translate; drop cannot resurrect") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      spark.range(400).select(col("id").as("k"), (col("id") * 2).as("value"))
+        .repartitionByRange(4, col("id")),
+      statsCols = Seq("k", "value"), bloomCols = Seq("k"))           // v1
+    val filesV1 = Txn.snapshotFiles(spark, root, 1).toSet
+    Txn.renameColumn(spark, root, "value", "amount")                 // v2
+    // metadata-only: identical file set, no new data files
+    assert(Txn.snapshotFiles(spark, root, 2).toSet == filesV1,
+      "rename touched data files")
+    assert(Txn.read(spark, root).columns.toSeq == Seq("k", "amount"))
+    assert(Txn.read(spark, root).where(col("amount") === 20).count() == 1)
+    // time travel: v1 keeps its original name
+    assert(Txn.read(spark, root, Some(1)).columns.toSeq ==
+      Seq("k", "value"))
+    // stats recorded pre-rename prune under the NEW logical name
+    val cand = Txn.filesForPreds(spark, root, Seq(("amount", 0d, 100d)))
+    assert(cand.size < filesV1.size && cand.nonEmpty,
+      s"post-rename prune lost the old stats: ${cand.size}")
+    assert(Txn.readWhere(spark, root, "amount", 0d, 100d).count() == 51)
+    // appends under the new name mix eras transparently; point prune
+    // (bloom under physical name) still serves both eras
+    Txn.commitAppend(spark, root,
+      spark.range(1000, 1400)
+        .select(col("id").as("k"), (col("id") * 2).as("amount")),
+      statsCols = Seq("k", "amount"), bloomCols = Seq("k"))          // v3
+    assert(Txn.read(spark, root).count() == 800)
+    assert(Txn.readKeys(spark, root, Seq(7L, 1007L).toDF("k"), "k")
+      .count() == 2)
+    // row-level delete across both eras under the new name
+    Txn.commitDelete(spark, root,
+      Seq(20L, 1020L).toDF("k"), "k", statsCols = Seq("k", "amount"),
+      bloomCols = Seq("k"))                                          // v4
+    assert(Txn.read(spark, root).count() == 798)
+    // rename to an existing logical name throws; plain-name gate
+    intercept[IllegalArgumentException](
+      Txn.renameColumn(spark, root, "amount", "k"))
+    // DROP hides the column without touching bytes; re-adding the
+    // same logical name maps to a FRESH physical, so the old bytes
+    // can never resurrect (old files read NULL for the new column)
+    val filesV4 = Txn.snapshotFiles(spark, root, 4).toSet
+    Txn.dropColumn(spark, root, "amount")                            // v5
+    assert(Txn.snapshotFiles(spark, root, 5).toSet == filesV4)
+    assert(Txn.read(spark, root).columns.toSeq == Seq("k"))
+    Txn.commitAppend(spark, root,
+      Seq((5000L, 123L)).toDF("k", "amount"), mergeSchema = true)    // v6
+    val byK = Txn.read(spark, root).select("k", "amount").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(byK(5000L).contains(123L), "new column value lost")
+    assert(byK(7L).isEmpty,
+      "dropped column's bytes resurrected under a re-added name")
+    // the collision path: drop a column stored under ITS OWN name,
+    // re-add the same logical — it must map to a FRESH physical
+    // (v6's bytes stay dead), the #physdrop retirement
+    Txn.dropColumn(spark, root, "amount")                            // v7
+    Txn.commitAppend(spark, root,
+      Seq((6000L, 9L)).toDF("k", "amount"), mergeSchema = true)      // v8
+    val byK2 = Txn.read(spark, root).select("k", "amount").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(byK2(6000L).contains(9L))
+    assert(byK2(5000L).isEmpty, "retired physical name resurrected")
+    // rename + DV interplay: sidecars key on the physical name, so a
+    // delete before a rename still masks after it
+    val root2 = freshRoot()
+    Txn.commitOverwrite(spark, root2,
+      spark.range(100).select(col("id").as("u"), (col("id") % 5).as("x")),
+      statsCol = Some("u"))
+    Txn.commitDeleteDv(spark, root2, Seq(42L).toDF("u"), "u")
+    Txn.renameColumn(spark, root2, "u", "uid")
+    assert(Txn.read(spark, root2).where(col("uid") === 42).count() == 0,
+      "DV mask lost across a rename")
+    assert(Txn.read(spark, root2).count() == 99)
+    // dropping the DV key column is refused until a rewrite
+    intercept[IllegalArgumentException](
+      Txn.dropColumn(spark, root2, "uid"))
+    Txn.compact(spark, root2, numFiles = 1)
+    Txn.dropColumn(spark, root2, "uid")
+    assert(Txn.read(spark, root2).columns.toSeq == Seq("x"))
+  }
+
   test("string bloom primitive: zero false negatives, bounded false positives") {
     import graft.functions.Bloom
     import org.apache.spark.unsafe.types.UTF8String
