@@ -36,3 +36,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Txn's thread-local test seams (log-store override, race hooks) are
+// consulted ONLY under this flag — production JVMs never read them,
+// so a leaked override can't reroute real commits.
+Test / javaOptions += "-Dgraft.txn.test-seams=true"

@@ -1059,6 +1059,19 @@ object QueriesEtl {
         perUser(ev.where(col("user_id") % 2 === 0))
           .withColumn("n", col("n") + 1000), "user_id",
         statsCol = Some("user_id"))
+      // CONDITIONAL clauses (r16 — Delta's WHEN MATCHED AND cond THEN
+      // DELETE / UPDATE SET subset): a %5 changeset deletes matched
+      // %10 users, bumps the rest by +5000 on n ONLY (sum_val keeps
+      // the target's value — a SET that leaked into other columns
+      // hash-fails), and still inserts unmatched users
+      graft.operators.Txn.commitMerge(s, root,
+        perUser(ev.where(col("user_id") % 5 === 0)), "user_id",
+        statsCol = Some("user_id"),
+        whenMatched = Seq(
+          graft.operators.Txn.WhenMatched(
+            condition = Some("s.user_id % 10 = 0"), delete = true),
+          graft.operators.Txn.WhenMatched(
+            set = Map("n" -> "t.n + 5000"))))
       def slice(df: org.apache.spark.sql.DataFrame, tag: String) =
         df.select(lit(tag).as("slice"), col("user_id"), col("n"),
           col("sum_val"))
@@ -1214,8 +1227,8 @@ object QueriesEtl {
         .select(col("user_id"), col("event_type"), col("value"))
       graft.operators.Txn.commitOverwrite(s, root,
         ev.repartitionByRange(8, col("user_id")))
-      graft.operators.Txn.compactZOrder(s, root, "user_id", "value",
-        numFiles = 8)
+      graft.operators.Txn.compactZOrder(s, root,
+        Seq("user_id", "value"), numFiles = 8) // the N-column API (r16)
       graft.operators.Txn.readWhereAll(s, root,
           Seq(("user_id", 200d, 400d), ("value", 10d, 60d)))
         .groupBy(col("event_type"))
@@ -1851,14 +1864,25 @@ object QueriesEtl {
 
     // merged head = changeset rows (even users) + untouched base rows
     // (odd, non-multiple-of-3); pre = the base recompute
+    // v2 replace-all merge then v3 conditional clauses: matched %10
+    // users delete, other matched %5 users bump n by 5000 (sum_val
+    // untouched), unmatched %5 users (odd multiples of 15) insert
     "etl_txn_merge" ->
       """WITH per AS (
         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
-        |  FROM events GROUP BY 1)
+        |  FROM events GROUP BY 1),
+        |v2 AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN n + 1000 ELSE n END AS n, sum_val
+        |  FROM per WHERE user_id % 2 = 0 OR user_id % 3 <> 0)
         |SELECT 'head' AS slice, user_id,
-        |  CASE WHEN user_id % 2 = 0 THEN n + 1000 ELSE n END AS n, sum_val
-        |FROM per WHERE user_id % 2 = 0 OR user_id % 3 <> 0
+        |  CASE WHEN user_id % 5 = 0 THEN n + 5000 ELSE n END AS n, sum_val
+        |FROM v2 WHERE user_id % 10 <> 0
+        |UNION ALL
+        |SELECT 'head', user_id, n, sum_val FROM per
+        |WHERE user_id % 5 = 0
+        |  AND NOT (user_id % 2 = 0 OR user_id % 3 <> 0)
         |UNION ALL
         |SELECT 'pre', user_id, n, sum_val FROM per
         |WHERE user_id % 3 <> 0""".stripMargin,

@@ -311,6 +311,43 @@ object QueriesStream {
         .agg(count(lit(1)).as("n"),
           expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
             .as("sum_val"))
+    }),
+
+    // ENGINE-NATIVE streaming SINK (r16): the write half of the
+    // graft-txn pair — `writeStream.format("graft-txn")` lands each
+    // micro-batch as ONE idempotent tagged Txn commit
+    // (tag = <txnAppId>-<batchId>, the Delta DeltaSink discipline).
+    // Same oracle as stream_txn_publish (one semantics, native
+    // machinery instead of a hand-rolled foreachBatch): after the
+    // drain, batch 0's tag is REPLAYED with an arbitrary payload —
+    // the head must not move (a re-delivered batch appends nothing)
+    "stream_txn_sink" -> ((s, d) => {
+      val base = s"/tmp/graft_rt/stsk_${d.replace('/', '_')}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val stage = s"$base/in"; val table = s"$base/table"
+      Tables.events(s, d).repartition(3)
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream.format("graft-txn")
+        .option("path", table).option("txnAppId", "sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Streaming.recordPlan("stream_txn_sink", q)
+      val head = graft.operators.Txn.currentVersion(s, table)
+      val replay = graft.operators.Txn.commitAppendIdempotent(
+        s, table, s.read.parquet(stage).limit(1), "sink-0")
+      require(replay.isEmpty &&
+        graft.operators.Txn.currentVersion(s, table) == head,
+        "replayed micro-batch commit was not idempotent")
+      graft.operators.Txn.read(s, table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)")
+            .as("sum_val"))
     })
   )
 
@@ -318,6 +355,13 @@ object QueriesStream {
     // the published Txn table must hold the stream's rows exactly once:
     // a replayed batch doubling counts, or a torn/lost batch, mismatches
     "stream_txn_publish" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // the native sink shares the publish oracle verbatim — one
+    // semantics, second (engine-API) machinery
+    "stream_txn_sink" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1""".stripMargin,

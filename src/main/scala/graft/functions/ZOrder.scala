@@ -85,4 +85,40 @@ object ZOrder {
       .sortWithinPartitions("graft_z")
       .drop("graft_z")
   }
+
+  /** Generic k-way spread: bit j of `v`'s low `b` bits moves to bit
+    * j·k — a b-term shift-or chain (all int64 ops, codegen'd; the
+    * 2-way magic-mask chain above is the hand-unrolled special case).
+    * b ≤ 21 keeps k = 3 inside one int64. */
+  private def spreadK(v: Column, b: Int, k: Int): Column =
+    (0 until b).map(j =>
+      shiftleft(shiftright(v, j).bitwiseAND(lit(1L)), j * k))
+      .reduce(_ bitwiseOR _)
+
+  /** Morton code of k coordinates (k ≥ 2), each in [0, 2^bitsPer):
+    * coordinate i occupies bit positions i, i+k, i+2k, … — ZORDER BY
+    * over ANY column count, not just pairs. bitsPer·k must fit an
+    * int64; callers quantize via min/max scaling exactly as for the
+    * 2-column form. For k = 2 with 16-bit coordinates this equals
+    * [[interleave16]] bit for bit (spec-pinned). */
+  def interleaveK(coords: Seq[Column], bitsPer: Int): Column = {
+    require(coords.size >= 2, s"need >= 2 coordinates: ${coords.size}")
+    require(bitsPer >= 1 && bitsPer * coords.size <= 63,
+      s"bitsPer * k must fit an int64: $bitsPer * ${coords.size}")
+    coords.zipWithIndex.map { case (c, i) =>
+      shiftleft(spreadK(c.cast("long"), bitsPer, coords.size), i)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** k-column [[clusterBy]]: range-partition + sort by the k-way
+    * Morton code — one range exchange, every output file a tight
+    * k-rectangle of the quantized domain. */
+  def clusterByK(df: DataFrame, coords: Seq[Column], bitsPer: Int,
+      numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    df.withColumn("graft_z", interleaveK(coords, bitsPer))
+      .repartitionByRange(numFiles, col("graft_z"))
+      .sortWithinPartitions("graft_z")
+      .drop("graft_z")
+  }
 }

@@ -1098,8 +1098,18 @@ object Txn {
       override def initialValue(): Option[TxnLogStore] = None
     }
 
+  /** Test seams are consulted ONLY under `-Dgraft.txn.test-seams=true`
+    * (set by the build for forked test JVMs): the override is an
+    * InheritableThreadLocal, so a long-lived pool spawned while one
+    * was set would inherit it permanently — gating on the property
+    * means a production JVM can never route a commit through a leaked
+    * fake store (r15 advice). */
+  private[graft] val testSeamsEnabled: Boolean =
+    java.lang.Boolean.getBoolean("graft.txn.test-seams")
+
   private def activeStore: TxnLogStore =
-    logStoreOverride.get().getOrElse(logStore)
+    if (testSeamsEnabled) logStoreOverride.get().getOrElse(logStore)
+    else logStore
 
   /** Atomically publish `lines` as version `v` (expects `v` free).
     * Returns false when another committer already took `v`. */
@@ -1487,9 +1497,20 @@ object Txn {
   def compactWhere(spark: SparkSession, root: String, partitionCol: String,
       values: Seq[String], numFiles: Int = 1,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Int = {
+      bloomCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Int = {
     require(values.nonEmpty, "Txn.compactWhere: no partition values")
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    // a MULTI-COLUMN-partitioned table must restage under its FULL
+    // spec, or the rewritten files silently lose the other partition
+    // path segments (reads stay correct via the mixed-layout union,
+    // but layout/pruning on those columns degrades — r15 advice);
+    // default = the scoping column alone, the single-column layout
+    val restageBy =
+      if (partitionBy.nonEmpty) partitionBy else Seq(partitionCol)
+    require(restageBy.contains(partitionCol),
+      s"Txn.compactWhere: partitionBy $restageBy must include the " +
+        s"scoping column '$partitionCol'")
     val v0 = currentVersion(spark, root)
     require(v0 >= 1, s"Txn.compactWhere: no committed version at $root")
     val lines = snapshotLines(spark, root, v0)
@@ -1514,7 +1535,7 @@ object Txn {
       .repartition(numFiles)
     val schema = schemaLine(lines).getOrElse(
       sys.error(s"Txn.compactWhere: no #schema line at $root"))
-    val staged = stageBatch(spark, root, folded, Seq(partitionCol),
+    val staged = stageBatch(spark, root, folded, restageBy,
       batchDir(v), (statsCol.toSeq ++ statsCols).distinct, bloomCols,
       colmap = colmapOf(lines))
     raceOnce.get().foreach { hook => raceOnce.set(None); hook() }
@@ -1619,17 +1640,21 @@ object Txn {
   def optimize(spark: SparkSession, root: String, numFiles: Int = 1,
       partitionBy: Seq[String] = Nil,
       zorderBy: Option[(String, String)] = None,
+      zorderByCols: Seq[String] = Nil,
       where: Option[(String, Seq[String])] = None,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, keepLast: Int = Int.MaxValue,
       retentionMs: Long = 24L * 3600 * 1000): OptimizeReport = {
-    require(where.isEmpty || zorderBy.isEmpty,
-      "optimize: `where` (partition-scoped fold) and `zorderBy` are " +
+    val zcols = zorderBy.map(p => Seq(p._1, p._2))
+      .getOrElse(zorderByCols)
+    require(where.isEmpty || zcols.isEmpty,
+      "optimize: `where` (partition-scoped fold) and z-ordering are " +
         "exclusive — z-clustering is a whole-table layout")
-    val v = (zorderBy, where) match {
-      case (Some((x, y)), _) => compactZOrder(spark, root, x, y, numFiles)
+    val v = (zcols, where) match {
+      case (cs, _) if cs.nonEmpty => compactZOrder(spark, root, cs, numFiles)
       case (_, Some((c, vals))) => compactWhere(spark, root, c, vals,
-        numFiles, statsCol, statsCols, bloomCols)
+        numFiles, statsCol, statsCols, bloomCols,
+        partitionBy = partitionBy)
       case _ => compact(spark, root, partitionBy, numFiles, statsCol,
         statsCols = statsCols, bloomCols = bloomCols)
     }
@@ -1669,14 +1694,27 @@ object Txn {
     * Same concurrency contract as [[compact]]: publishes exactly once,
     * throws [[ConcurrentWriteException]] on a mid-rewrite racer. */
   def compactZOrder(spark: SparkSession, root: String, xCol: String,
-      yCol: String, numFiles: Int): Int = {
+      yCol: String, numFiles: Int): Int =
+    compactZOrder(spark, root, Seq(xCol, yCol), numFiles)
+
+  /** N-COLUMN Z-order (r16): `ZORDER BY (c1, …, ck)` for any k ≥ 2 —
+    * each axis quantizes to ⌊63/k⌋ bits (capped at 16, the 2-column
+    * precision) by min/max scaling and the rewrite range-partitions on
+    * the k-way Morton code ([[graft.functions.ZOrder.interleaveK]]),
+    * so every output file covers a small k-RECTANGLE and a predicate
+    * on ANY clustered column prunes (3-axis subset-opening pinned in
+    * TxnSpec). String and numeric axes mix freely (same
+    * coordinate mapping as the 2-column form). */
+  def compactZOrder(spark: SparkSession, root: String,
+      cols: Seq[String], numFiles: Int): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    require(cols.size >= 2 && cols.size == cols.distinct.size,
+      s"Txn.compactZOrder: need >= 2 distinct cluster columns: $cols")
     val v0 = currentVersion(spark, root)
     require(v0 >= 1, s"Txn.compactZOrder: no committed version at $root")
     val head = read(spark, root, Some(v0))
     def isStr(c: String): Boolean =
       head.schema(c).dataType == org.apache.spark.sql.types.StringType
-    val cols = Seq(xCol, yCol)
     val aggs = cols.flatMap { c =>
       if (isStr(c)) Seq(min(col(c)), max(col(c)))
       else Seq(min(col(c).try_cast("double")),
@@ -1699,19 +1737,20 @@ object Txn {
           graft.functions.ZOrder.stringCoordValue(mx, j)))
       } else Some((col(c).try_cast("double"),
         r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    val bitsPer = math.min(16, 63 / cols.size)
+    val top = (1L << bitsPer) - 1
     def q(z: Column, lo: Double, hi: Double): Column = {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      least(floor((z - lit(lo)) / lit(span) * 65535.0),
-        lit(65535.0)).cast("long")
+      least(floor((z - lit(lo)) / lit(span) * top.toDouble),
+        lit(top.toDouble)).cast("long")
     }
-    val clustered = (axis(xCol, 0), axis(yCol, 1)) match {
-      case (Some((zx, xlo, xhi)), Some((zy, ylo, yhi))) =>
-        graft.functions.ZOrder.clusterBy(head,
-          q(zx, xlo, xhi), q(zy, ylo, yhi), numFiles)
-      case _ => head.repartition(numFiles)
-    }
-    commitRewriteAt(spark, root, clustered, v0, Nil,
-      Seq(xCol, yCol), "zorder")
+    val axes = cols.zipWithIndex.map { case (c, i) => axis(c, i) }
+    val clustered =
+      if (axes.forall(_.isDefined)) {
+        val coords = axes.flatten.map { case (z, lo, hi) => q(z, lo, hi) }
+        graft.functions.ZOrder.clusterByK(head, coords, bitsPer, numFiles)
+      } else head.repartition(numFiles) // an all-NULL axis: plain fold
+    commitRewriteAt(spark, root, clustered, v0, Nil, cols, "zorder")
   }
 
   /** Files a row-level commit must rewrite: every entry WITHOUT stats
@@ -2061,11 +2100,28 @@ object Txn {
     * unless `mergeSchema = true` (schema evolution via the same
     * unionByName NULL-fill path appends use). Returns the new
     * version; prior versions stay time-travelable. */
+  /** One WHEN MATCHED clause for [[commitMerge]] — Delta's conditional
+    * merge shape. `condition` is a SQL boolean over the matched pair
+    * (target row aliased `t`, source row `s` — e.g. "s.ts > t.ts");
+    * None fires unconditionally. `delete = true` removes the matched
+    * target row; otherwise `set` maps TARGET columns to expressions
+    * over t/s ("t.n + 1", "s.value"), with an EMPTY set meaning
+    * replace-all (every source column overwrites, target-only columns
+    * null — the unconditional merge's semantics). Clauses evaluate in
+    * order; the first whose condition holds decides; a matched pair no
+    * clause claims keeps the target row unchanged. */
+  final case class WhenMatched(condition: Option[String] = None,
+      delete: Boolean = false, set: Map[String, String] = Map.empty)
+
   def commitMerge(spark: SparkSession, root: String, source: DataFrame,
       keyCol: String, partitionBy: Seq[String] = Nil,
       maxRetries: Int = 5, statsCol: Option[String] = None,
       mergeSchema: Boolean = false, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Int = {
+      bloomCols: Seq[String] = Nil,
+      whenMatched: Seq[WhenMatched] = Nil): Int = {
+    require(whenMatched.isEmpty || !mergeSchema,
+      "commitMerge: whenMatched clauses and mergeSchema are exclusive " +
+        "— evolve the schema in a separate commit first")
     val src = source.cache()
     try {
       val counts = src.agg(
@@ -2083,7 +2139,18 @@ object Txn {
           "Txn.commitMerge") { v =>
         require(v >= 2, s"Txn.commitMerge: no committed version at $root")
         val prev = headMetaLines(spark, root, v - 1)
-        if (!mergeSchema) requireSameSchema(prev, src, "commitMerge")
+        // a CLAUSE merge's source may be a slim changeset (key + the
+        // columns its SET expressions read) — require it a SUBSET of
+        // the committed schema instead of equal; the unconditional
+        // path keeps the strict gate
+        if (whenMatched.nonEmpty)
+          schemaLine(prev).foreach { committed =>
+            val bad = src.columns.filterNot(committed.fieldNames.contains)
+            require(bad.isEmpty,
+              s"commitMerge: source columns ${bad.mkString(", ")} not " +
+                "in the table schema (clause merges cannot add columns)")
+          }
+        else if (!mergeSchema) requireSameSchema(prev, src, "commitMerge")
         // mergeSchema commits the EVOLVED UNION (committed fields —
         // types widened where the source is wider, r15 — plus
         // src-only additions) — committing src.schema would silently
@@ -2100,15 +2167,69 @@ object Txn {
         }
         val cm = evolveColmap(colmapOf(prev), physDrops(prev),
           schemaLine(prev), evolved, v)
+        whenMatched.foreach(_.set.keys.foreach(k =>
+          require(evolved.fieldNames.contains(k),
+            s"commitMerge: SET targets unknown column '$k'")))
         val touched = touchedFiles(spark, root, v - 1, keyRows, keyCol)
+        def touchedTarget() = readMasked(spark, root,
+          touched.toSeq.sorted,
+          dvByPath(snapshotLines(spark, root, v - 1).filterNot(isMeta)),
+          schemaLine(prev).map(_ => evolved), cm)
+        val srcCols = src.columns.toSet
+        // project a source-only frame onto the table schema (clause
+        // merges allow a slim changeset; absent columns insert NULL)
+        def insertsFrom(unmatched: DataFrame): DataFrame =
+          unmatched.select(evolved.fields.map(f =>
+            (if (srcCols(f.name)) col(s"`${f.name}`")
+             else lit(null)).cast(f.dataType).as(f.name)).toSeq: _*)
         val survivors =
-          if (touched.isEmpty) src
-          else readMasked(spark, root, touched.toSeq.sorted,
-              dvByPath(snapshotLines(spark, root, v - 1)
-                .filterNot(isMeta)),
-              schemaLine(prev).map(_ => evolved), cm)
-            .join(keyRows, Seq(keyCol), "left_anti")
-            .unionByName(src, allowMissingColumns = mergeSchema)
+          if (whenMatched.isEmpty) {
+            if (touched.isEmpty) src
+            else touchedTarget()
+              .join(keyRows, Seq(keyCol), "left_anti")
+              .unionByName(src, allowMissingColumns = mergeSchema)
+          } else if (touched.isEmpty) insertsFrom(src)
+          else {
+            // CLAUSE merge: decide each matched (t, s) pair by the
+            // first clause whose condition holds — delete drops the
+            // row, update overlays SET expressions (empty SET =
+            // replace-all); unclaimed pairs and unmatched target rows
+            // keep the target row; source rows matching nothing
+            // insert. A NULL-valued condition never fires (SQL WHERE
+            // semantics), so a row cannot be dropped by a null.
+            val target = touchedTarget()
+            val joined = target.alias("t").join(src.alias("s"),
+              col(s"t.`$keyCol`") === col(s"s.`$keyCol`"), "left_outer")
+            val matchedC = col(s"s.`$keyCol`").isNotNull
+            val conds = whenMatched.map(w => matchedC &&
+              w.condition.map(e => coalesce(expr(e), lit(false)))
+                .getOrElse(lit(true)))
+            val fires = conds.zipWithIndex.map { case (c, i) =>
+              conds.take(i).foldLeft(c)((acc, prior) => acc && !prior) }
+            val killed = whenMatched.zip(fires)
+              .collect { case (w, f) if w.delete => f }
+              .foldLeft(lit(false))(_ || _)
+            def outCol(f: StructField): Column = {
+              val keep = col(s"t.`${f.name}`")
+              whenMatched.zip(fires).reverse.foldLeft(keep) {
+                case (acc, (w, fire)) =>
+                  if (w.delete) acc
+                  else {
+                    val v0 =
+                      if (w.set.nonEmpty) w.set.get(f.name).map(expr)
+                        .getOrElse(keep)
+                      else if (srcCols(f.name)) col(s"s.`${f.name}`")
+                      else lit(null)
+                    when(fire, v0.cast(f.dataType)).otherwise(acc)
+                  }
+              }.as(f.name)
+            }
+            val kept = joined.where(!killed)
+              .select(evolved.fields.map(outCol).toSeq: _*)
+            kept.unionByName(insertsFrom(
+              src.join(target.select(col(keyCol)), Seq(keyCol),
+                "left_anti")))
+          }
         val staged = stageBatch(spark, root, survivors, partitionBy,
           batchDir(v), (statsCol.toSeq ++ statsCols).distinct, bloomCols,
           colmap = cm)
@@ -2517,7 +2638,17 @@ object Txn {
     * that actually changed per commit, never a table rescan; applying
     * inserts minus deletes as multisets reproduces exactly
     * snapshot(until) from snapshot(since) (spec + gate-pinned).
-    * Rows in files carried VERBATIM across commits never appear. */
+    * Rows in files carried VERBATIM across commits never appear.
+    *
+    * Schema across the span (the Delta CDF contract): every step reads
+    * under UNTIL's committed schema — change rows carry the table's
+    * CURRENT shape, older files NULL-fill missing columns and narrow
+    * types read up. Consequently a span crossing an OVERWRITE that
+    * incompatibly RETYPED a column (int → string) throws at the
+    * parquet scan (the old era's physical type cannot read as the new
+    * one), and old-era columns absent from UNTIL's schema are dropped
+    * from the change rows — read such histories in two spans split at
+    * the overwrite, each under its own era's schema. */
   def readChangesCdf(spark: SparkSession, root: String, sinceVersion: Int,
       untilVersion: Option[Int] = None): DataFrame = {
     val until = untilVersion.getOrElse(currentVersion(spark, root))

@@ -106,7 +106,12 @@ final class TxnSource(spark: SparkSession, root: String,
         .emptyStreamingFrame(spark, schema)
     val cdf = steps.reduce(_.unionByName(_, allowMissingColumns = true))
     // project onto the STREAM's fixed schema: columns added upstream
-    // mid-stream NULL-fill, renames/retypes fail loudly at the cast
+    // mid-stream NULL-fill; a renamed column NULL-fills too (its old
+    // name vanished); a mid-stream WIDENING (int → long) is cast back
+    // down to the attach-time type — in-range values narrow silently,
+    // and only an actually-overflowing value throws under ANSI.
+    // Consumers wanting the evolved shape restart the query (the
+    // restart re-resolves the schema; spec-pinned).
     val projected = cdf.select(schema.fields.map { f =>
       if (cdf.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType).as(f.name)
@@ -139,15 +144,64 @@ object TxnSource {
   }
 }
 
+/** ENGINE-NATIVE streaming SINK over a [[Txn]] table —
+  * `writeStream.format("graft-txn").option("path", root)` — the write
+  * half of the source above, completing the pair so a Txn → transform
+  * → Txn pipeline is pure engine API with zero hand-rolled foreachBatch
+  * loops. Each micro-batch is ONE [[Txn.commitAppendIdempotent]] with
+  * tag `<appId>-<batchId>`: Spark's offset log prevents re-DELIVERY of
+  * a committed batch, and the manifest's `#txn` tag set prevents
+  * re-COMMIT of a delivered-then-crashed one (the write could land
+  * before the sink's progress does), so the pair is exactly-once end
+  * to end — Delta's DeltaSink txnVersion/appId discipline. `appId`
+  * comes from `.option("txnAppId", ...)` (falling back to the query's
+  * checkpointLocation, which is exactly as stable as the batch-id
+  * sequence itself); distinct queries writing one table need distinct
+  * appIds. Append output mode only — Update/Complete would need
+  * merge/overwrite semantics a log-structured table sink should get
+  * from an explicit foreachBatch + commitMerge instead. */
+final class TxnStreamSink(spark: SparkSession, root: String,
+    appId: String, partitionBy: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the incremental frame re-wraps as a batch frame (SqlShims — the
+    // sink-side twin of the source's isStreaming re-flag)
+    val batch = org.apache.spark.sql.graft.SqlShims
+      .asBatchFrame(spark, data)
+    Txn.commitAppendIdempotent(spark, root, batch,
+      s"$appId-$batchId", partitionBy)
+    ()
+  }
+  override def toString: String = s"TxnStreamSink[$root]"
+}
+
 /** `format("graft-txn")` registration (service-loaded through
   * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister). */
 final class TxnSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
   override def shortName(): String = "graft-txn"
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", sys.error(
       "graft-txn source requires .option(\"path\", <txn table root>)"))
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-txn sink supports Append output mode only, got $outputMode " +
+        "— aggregating queries should land through foreachBatch + " +
+        "commitMerge (a log-structured append sink cannot upsert)")
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(sys.error("graft-txn sink requires a stable identity " +
+        "for its idempotence tags: .option(\"txnAppId\", <id>) or a " +
+        "checkpointLocation"))
+    new TxnStreamSink(sqlContext.sparkSession, rootOf(parameters),
+      appId, partitionColumns)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,

@@ -37,6 +37,21 @@ object SqlShims {
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
   }
 
+  /** Re-materialize a STREAMING micro-batch frame as a BATCH frame a
+    * V1 `Sink.addBatch` can hand to batch writers — the one seam a
+    * sink needs, mirroring [[asStreamingFrame]]: the incremental
+    * frame's physical rows re-wrap over its executed RDD (rows copied
+    * out of the reused unsafe buffers), dropping the isStreaming flag
+    * so `df.write`/Txn commits accept it (Spark's own console/foreach
+    * sinks and delta-spark's DeltaSink do exactly this re-wrap). */
+  def asBatchFrame(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = spark.asInstanceOf[SparkSession]
+    s.internalCreateDataFrame(
+      df.queryExecution.toRdd.map(_.copy()), df.schema,
+      isStreaming = false)
+  }
+
   /** An empty streaming-flagged frame with `schema` — the no-change
     * micro-batch. */
   def emptyStreamingFrame(spark: org.apache.spark.sql.SparkSession,

@@ -140,6 +140,56 @@ class TxnSourceSpec extends SparkSpec with Eventually {
     } finally q.stop()
   }
 
+  test("native sink: Txn→Txn pipeline exactly-once across kill-and-resume") {
+    val base = freshBase()
+    val src = s"$base/src"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+    Txn.commitOverwrite(spark, src,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "tag"))                  // v1
+    Txn.commitAppend(spark, src, Seq((3L, "c")).toDF("k", "tag"))  // v2
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft-txn").option("path", src)
+        .option("maxCommitsPerTrigger", "1").load()
+        .writeStream.format("graft-txn").option("path", dst)
+        .option("txnAppId", "p").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    pump()
+    val d1 = Txn.read(spark, dst)
+    assert(d1.where(col("_change_type") === "insert").count() == 3)
+    val head1 = Txn.currentVersion(spark, dst)
+    // redelivery simulation — a crash BETWEEN the table commit and the
+    // sink's progress write re-runs addBatch with the same batch id;
+    // the manifest's own tag set must short-circuit it
+    assert(Txn.commitAppendIdempotent(spark, dst, d1.limit(1), "p-0")
+      .isEmpty)
+    assert(Txn.currentVersion(spark, dst) == head1)
+    // extend the SOURCE table; resume through BOTH real logs (the
+    // query checkpoint's offset log + the sink table's tag set)
+    Txn.commitAppend(spark, src, Seq((4L, "d")).toDF("k", "tag"))  // v3
+    pump()
+    val d2 = Txn.read(spark, dst)
+    assert(d2.where(col("_commit_version") <= 2).count() == 3,
+      "resume re-fed an already-sunk span")
+    assert(d2.where(col("_commit_version") === 3).select("k").as[Long]
+      .collect().toSet == Set(4L))
+    // caught up: a third run lands no rows
+    pump()
+    assert(Txn.read(spark, dst).count() == d2.count())
+    // Append-only contract is loud
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-txn").option("path", src).load()
+        .groupBy(col("tag")).count()
+        .writeStream.format("graft-txn").option("path", s"$base/agg")
+        .option("txnAppId", "x")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    assert(e.getMessage.contains("Append output mode only") ||
+      e.getMessage.contains("Complete"), e.getMessage)
+  }
+
   test("attaching to an empty root fails loudly") {
     val base = freshBase()
     val e = intercept[RuntimeException] {

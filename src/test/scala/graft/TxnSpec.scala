@@ -2071,6 +2071,82 @@ class TxnSpec extends SparkSpec {
     assert(Txn.read(spark, root2).columns.toSeq == Seq("x"))
   }
 
+  test("conditional merge: first-match-wins clauses — delete, subset update, insert") {
+    val root = freshRoot()
+    Txn.commitOverwrite(spark, root,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+        .toDF("k", "n", "tag"),
+      statsCol = Some("k"))
+    // slim changeset (no `tag` column): clause merges take a subset
+    val cs = Seq((1L, 100L), (2L, 200L), (9L, 900L)).toDF("k", "n")
+    Txn.commitMerge(spark, root, cs, "k", whenMatched = Seq(
+      Txn.WhenMatched(condition = Some("t.k = 1"), delete = true),
+      Txn.WhenMatched(condition = Some("s.n > t.n * 5"),
+        set = Map("n" -> "s.n + t.n"))))
+    val got = Txn.read(spark, root).select("k", "n", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    // k=1 deleted; k=2 fires the SET (200 > 100) — n updated, tag
+    // KEPT; k=3 untouched; k=9 unmatched — inserted, tag null
+    assert(got == Set((2L, 220L, "b"), (3L, 30L, "c"), (9L, 900L, null)),
+      s"clause merge wrong: $got")
+    // a matched pair NO clause claims keeps the target row (and is
+    // not re-inserted)
+    Txn.commitMerge(spark, root, Seq((2L, 1L)).toDF("k", "n"), "k",
+      whenMatched = Seq(Txn.WhenMatched(
+        condition = Some("s.n > t.n"), set = Map("n" -> "s.n"))))
+    assert(Txn.read(spark, root).where(col("k") === 2)
+      .select("n").head().getLong(0) == 220L)
+    assert(Txn.read(spark, root).count() == 3)
+    // a NULL-valued condition never fires (no silent delete-by-null)
+    Txn.commitMerge(spark, root, Seq((3L, 5L)).toDF("k", "n"), "k",
+      whenMatched = Seq(Txn.WhenMatched(
+        condition = Some("s.n > CAST(NULL AS BIGINT)"), delete = true)))
+    assert(Txn.read(spark, root).where(col("k") === 3).count() == 1)
+    // source columns outside the schema reject loudly
+    intercept[IllegalArgumentException] {
+      Txn.commitMerge(spark, root, Seq((3L, 5L)).toDF("k", "extra"),
+        "k", whenMatched = Seq(Txn.WhenMatched(delete = true)))
+    }
+  }
+
+  test("N-column Z-order: 3-axis clustering prunes every axis") {
+    val root = freshRoot()
+    // interleaved (round-robin) layout: every file spans all 3 axes,
+    // so nothing prunes before the rewrite
+    val df = spark.range(4096).select(
+      (col("id") % 16).as("x"),
+      (floor(col("id") / 16).cast("long") % 16).as("y"),
+      (floor(col("id") / 256).cast("long") % 16).as("z"),
+      col("id").as("k"))
+      .repartition(8)
+    Txn.commitOverwrite(spark, root, df, statsCols = Seq("x", "y", "z"))
+    val all = Txn.snapshotFiles(spark, root, 1).size
+    assert(Txn.filesForPreds(spark, root, Seq(("x", 0d, 3d))).size == all,
+      "fixture not interleaved")
+    Txn.compactZOrder(spark, root, Seq("x", "y", "z"), numFiles = 8)
+    for (c <- Seq("x", "y", "z")) {
+      val cand = Txn.filesForPreds(spark, root, Seq((c, 0d, 3d)))
+      assert(cand.size < all && cand.nonEmpty,
+        s"3-axis z-order does not prune $c: ${cand.size} of $all")
+    }
+    // conjunctive slice opens the corner, and the result stays exact
+    val both = Txn.filesForPreds(spark, root,
+      Seq(("x", 0d, 3d), ("y", 0d, 3d)))
+    assert(both.size <= Txn.filesForPreds(spark, root,
+      Seq(("x", 0d, 3d))).size)
+    assert(Txn.readWhereAll(spark, root,
+      Seq(("x", 0d, 3d), ("y", 0d, 3d))).count() == 4 * 4 * 16)
+    // the 2-column generic path is bit-identical to the magic-mask
+    // interleave16 (the k = 2 special case)
+    val probe = spark.range(1000).select(
+      (col("id") * 131 % 65536).as("a"), (col("id") * 31 % 65536).as("b"))
+    val diff = probe.where(
+      graft.functions.ZOrder.interleaveK(Seq(col("a"), col("b")), 16) =!=
+        graft.functions.ZOrder.interleave16(col("a"), col("b"))).count()
+    assert(diff == 0, s"interleaveK(k=2) drifts from interleave16: $diff")
+  }
+
   test("string bloom primitive: zero false negatives, bounded false positives") {
     import graft.functions.Bloom
     import org.apache.spark.unsafe.types.UTF8String
