@@ -327,6 +327,37 @@ object Txn {
     }
   }
 
+  /** True when snapshot `v`'s chain resolves through a PARQUET
+    * checkpoint — the signal that entry stats are too big to sit on
+    * the driver (bloom bytes live only there post-roll). */
+  private def hasParquetBase(spark: SparkSession, root: String,
+      v: Int): Boolean = {
+    val f = fs(spark, root)
+    var cur = v
+    while (true) {
+      if (f.exists(parquetCheckpointPath(root, cur))) return true
+      if (f.exists(checkpointPath(root, cur))) return false
+      baseOf(rawLines(spark, root, cur)) match {
+        case None => return false
+        case Some(w) => cur = w
+      }
+    }
+    false
+  }
+
+  /** Entry resolution for the prune surfaces, in whichever mode the
+    * table's size warrants: `Right(frame)` once a parquet checkpoint
+    * anchors the chain (prunes run as Spark jobs — bloom bytes never
+    * driver-resident), `Left(entries)` before one exists (young or
+    * text-only tables — the text chain is driver-parsed anyway, so a
+    * metadata-only prune loop beats paying a Spark job per call). One
+    * semantics, two costs; both sides share the same conservative
+    * rules. */
+  private def resolveEntries(spark: SparkSession, root: String,
+      v: Int): Either[Seq[Entry], DataFrame] =
+    if (hasParquetBase(spark, root, v)) Right(entriesFrame(spark, root, v))
+    else Left(snapshotEntries(spark, root, v))
+
   /** Roll version `v`'s resolved entries as a parquet checkpoint
     * sidecar — advisory like the text one (a failed roll only means
     * prunes keep resolving through older checkpoints + a longer delta
@@ -2431,14 +2462,24 @@ object Txn {
     // no-stats fallback as touchedFiles; a legacy UNNAMED range
     // answers any column) or the range overlaps [lo, hi]
     val cm = colmapOf(rawLines(spark, root, v))
-    val cond = preds.map { case (c0, lo, hi) =>
-      val c = physName(cm, c0) // stats keys are physical
-      val st = coalesce(col("nstats")(c), col("nstats")(""))
-      st.isNull || isnan(st("lo")) || isnan(st("hi")) ||
-        (st("hi") >= lit(lo) && st("lo") <= lit(hi))
-    }.reduce(_ && _)
-    entriesFrame(spark, root, v).where(cond)
-      .select("path").collect().map(_.getString(0)).toSeq.sorted
+    resolveEntries(spark, root, v) match {
+      case Left(entries) =>
+        entries.collect {
+          case e if preds.forall { case (c0, lo, hi) =>
+            e.statsFor(physName(cm, c0)).forall { case (mn, mx) =>
+              mn.isNaN || mx.isNaN || (mx >= lo && mn <= hi) }
+          } => e.path
+        }.sorted
+      case Right(df) =>
+        val cond = preds.map { case (c0, lo, hi) =>
+          val c = physName(cm, c0) // stats keys are physical
+          val st = coalesce(col("nstats")(c), col("nstats")(""))
+          st.isNull || isnan(st("lo")) || isnan(st("hi")) ||
+            (st("hi") >= lit(lo) && st("lo") <= lit(hi))
+        }.reduce(_ && _)
+        df.where(cond)
+          .select("path").collect().map(_.getString(0)).toSeq.sorted
+    }
   }
 
   /** Single-predicate form of [[filesForPreds]], kept for callers on
@@ -2454,12 +2495,21 @@ object Txn {
       hi: Double, version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion(spark, root))
     require(v >= 1, s"Txn.filesForRange: no committed version at $root")
-    val keep = size(map_keys(col("nstats"))) =!= 1 ||
-      exists(map_values(col("nstats")), st =>
-        isnan(st("lo")) || isnan(st("hi")) ||
-          (st("hi") >= lit(lo) && st("lo") <= lit(hi)))
-    entriesFrame(spark, root, v).where(keep)
-      .select("path").collect().map(_.getString(0)).toSeq.sorted
+    resolveEntries(spark, root, v) match {
+      case Left(entries) =>
+        entries.collect {
+          case e if e.stats.size != 1 => e.path
+          case e if e.stats.values.exists { case (mn, mx) =>
+            mn.isNaN || mx.isNaN || (mx >= lo && mn <= hi) } => e.path
+        }.sorted
+      case Right(df) =>
+        val keep = size(map_keys(col("nstats"))) =!= 1 ||
+          exists(map_values(col("nstats")), st =>
+            isnan(st("lo")) || isnan(st("hi")) ||
+              (st("hi") >= lit(lo) && st("lo") <= lit(hi)))
+        df.where(keep)
+          .select("path").collect().map(_.getString(0)).toSeq.sorted
+    }
   }
 
   /** SKIP-SCAN snapshot read under a CONJUNCTION of range predicates:
@@ -2517,11 +2567,18 @@ object Txn {
     // the same UTF8String.compareTo), so running the overlap test as
     // a Spark job over the entries frame cannot disagree with the
     // residual predicate's skip direction
-    val ss = col("sstats")(
-      physName(colmapOf(rawLines(spark, root, v)), c))
-    entriesFrame(spark, root, v)
-      .where(ss.isNull || (ss("hi") >= lit(lo) && ss("lo") <= lit(hi)))
-      .select("path").collect().map(_.getString(0)).toSeq.sorted
+    val cp = physName(colmapOf(rawLines(spark, root, v)), c)
+    resolveEntries(spark, root, v) match {
+      case Left(entries) =>
+        entries.collect {
+          case e if e.strStatsFor(cp).forall { case (mn, mx) =>
+            utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0 } => e.path
+        }.sorted
+      case Right(df) =>
+        val ss = col("sstats")(cp)
+        df.where(ss.isNull || (ss("hi") >= lit(lo) && ss("lo") <= lit(hi)))
+          .select("path").collect().map(_.getString(0)).toSeq.sorted
+    }
   }
 
   /** STRING-RANGE skip-scan — `SELECT * WHERE c BETWEEN lo AND hi` on
