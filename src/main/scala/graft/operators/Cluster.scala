@@ -148,22 +148,36 @@ object Cluster {
     * float inputs, rounded at 9 and summed as DECIMAL(38,9) —
     * order-independent on any engine and partitioning
     * ([[labelOutliers]]' centroid discipline). The pair expansion is
-    * row-local (nested transform over the tail slice) — no self-join,
-    * no double-explode shuffle. */
-  def gram(df: DataFrame, vecCol: String): DataFrame =
-    df.where(col(vecCol).isNotNull)
-      .select(explode(expr(
-        s"""flatten(transform($vecCol, (vi, i) ->
-           |  transform(slice($vecCol, i + 1, size($vecCol) - i), (vj, k) ->
-           |    struct(i AS i, i + k AS j,
-           |      CAST(ROUND(CAST(vi AS DOUBLE) * CAST(vj AS DOUBLE), 9)
-           |        AS DECIMAL(38,9)) AS p))))""".stripMargin)).as("c"))
-      .select(col("c.i"), col("c.j"), col("c.p"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n_vecs"),
-        expr("CAST(ROUND(CAST(SUM(p) AS DOUBLE), 6) AS DOUBLE)").as("g"))
-      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
-        col("n_vecs"), col("g"))
+    * row-local inside [[graft.plans.GramAgg]] — no self-join, no
+    * d²-per-row explode, no Σ·d² shuffle rows: each partition collapses
+    * to ONE d(d+1)/2-cell integer buffer in the scan stage and partials
+    * merge by exact integer adds (bit-identical to the former
+    * round→DECIMAL(38,9)→SUM SQL form; GramAgg's scaladoc carries the
+    * proof obligations, ClusterSpec + the oracle pin the outputs).
+    *
+    * Small-input parallelism: a single-file embedding table arrives as
+    * one scan partition, serializing the per-vector update loop. When
+    * the scan has fewer partitions than the session's default
+    * parallelism the vectors are spread with one round-robin
+    * repartition first — at any real scale the scan already has more
+    * partitions than cores and the branch is a no-op, so no payload
+    * shuffle is ever ADDED at 100 TB (the buffer merge, not the input,
+    * is the only thing that crosses the wire there). */
+  def gram(df: DataFrame, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.where(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("__v"))
+    val defaultPar = spark.sparkContext.defaultParallelism
+    val spread =
+      if (in.rdd.getNumPartitions < defaultPar) in.repartition(defaultPar)
+      else in
+    spread
+      .agg(graft.plans.GraftFunctions.gramAgg(spark, col("__v")).as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        col("c.n").as("n_vecs"),
+        expr("CAST(ROUND(CAST(c.s AS DOUBLE), 6) AS DOUBLE)").as("g"))
+  }
 
   /** Per-class centroid-distance outliers: for each label, the vectors
     * in the lowest `frac` tail of cosine-to-own-label-centroid (at

@@ -220,6 +220,10 @@ object GraftFunctions {
         _.eval().asInstanceOf[Number].intValue())
       AudioFp(exprs.head, fb, fo, dt, qd)
     }, "built-in")
+    reg.createOrReplaceTempFunction(GramAggName, exprs => {
+      require(exprs.length == 1, s"$GramAggName expects 1 argument")
+      GramAgg(exprs.head).toAggregateExpression()
+    }, "built-in")
   }
 
   val DotName = "graft_dot"
@@ -348,6 +352,16 @@ object GraftFunctions {
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function(CosineName, a.cast("array<double>"), b.cast("array<double>"))
+  }
+
+  val GramAggName = "graft_gram_agg"
+
+  /** Native one-pass Gram-triangle aggregate (registers on the
+    * session): array<double> vectors → one array<struct<i,j,n,s>> of
+    * d(d+1)/2 cells. See [[GramAgg]] for the exactness contract. */
+  def gramAgg(spark: SparkSession, vec: Column): Column = {
+    register(spark)
+    call_function(GramAggName, vec.cast("array<double>"))
   }
 }
 
