@@ -16,12 +16,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[RunOne]] so single-query A/B runs measure the same engine setup
   * the driver's bench does. */
 object BenchSession {
+  /** Shuffle/spill scratch directory. Production clusters provision
+    * fast local disks (NVMe/SSD) for `spark.local.dir` — the guide's
+    * §9 baseline assumes exactly that — but this sandbox's ext4 on
+    * virtio does ~3 MB/s on sync-heavy small writes, which taxes every
+    * 32-task shuffle map stage with hundreds of ms of blocked (non-CPU)
+    * time (event-log measured: 10.9s of shuffle-write time for 331 KB
+    * across 32 tasks). When a writable tmpfs is present, scratch goes
+    * there; `SPARK_GRAFT_LOCAL_DIR` overrides, and with neither the
+    * Spark default stands. Shuffle scratch is ephemeral per-run state —
+    * placement changes no result and caches nothing across runs. */
+  private[graft] def localDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite)
+        Some("/dev/shm/graft_spark_local")
+      else None
+    }
+
   def build(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+    val spark = localDir.fold(b0)(d => b0.config("spark.local.dir", d))
       // testdata files are small; cap split size so scans parallelize
       .config("spark.sql.files.maxPartitionBytes", "16m")
       // coalesce post-shuffle partitions by SIZE, not parallelism:
@@ -58,8 +77,7 @@ object BenchSession {
   * is the instrument that settles box-factor vs real regression). */
 object BenchStream {
   def main(args: Array[String]): Unit = {
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File("/tmp/graft_bench_stream"))
+    Bench.resetScratch("/tmp/graft_bench_stream")
     val spark = BenchSession.build()
     println(s"""{"stream_tput":${Bench.streamThroughput(spark)}}""")
     spark.stop()
@@ -67,6 +85,26 @@ object BenchStream {
 }
 
 object Bench {
+  /** Wipe one scratch root and re-create it — as a symlink into tmpfs
+    * when one is writable (see the placement note in [[Bench.main]]),
+    * as a plain dir otherwise. Deletes the RESOLVED target first so a
+    * pre-existing symlink never shields stale content, then the link
+    * itself, so repeated invocations are idempotent. */
+  private[graft] def resetScratch(p: String): Unit = {
+    val f = new java.io.File(p)
+    org.apache.commons.io.FileUtils.deleteQuietly(f.getCanonicalFile)
+    try java.nio.file.Files.deleteIfExists(f.toPath)
+    catch { case _: Throwable => () } // dangling-symlink cleanup
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val tgt = new java.io.File(shm, f.getName)
+      org.apache.commons.io.FileUtils.deleteQuietly(tgt)
+      tgt.mkdirs()
+      try java.nio.file.Files.createSymbolicLink(f.toPath, tgt.toPath)
+      catch { case _: Throwable => () } // fall back to plain /tmp dir
+    }
+  }
+
   /** 1-minute system load average (-1.0 where the JVM can't read it) —
     * recorded at bench start AND end so a number taken on a contended
     * box carries its own evidence: r7-r11 adjudications repeatedly had
@@ -85,8 +123,18 @@ object Bench {
     // harness stages under /tmp/graft_bench_stream. Without this the
     // dirs accrete across rounds and the measured scans read mixed-age
     // page-cache state (r8/r9: repeated contamination false alarms).
-    Seq("/tmp/graft_rt", "/tmp/graft_bench_stream").foreach(p =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    //
+    // Placement: when a writable tmpfs exists the wiped dir is
+    // re-created as a symlink into it — the staged tables, txn logs
+    // and stream checkpoints are ephemeral per-run artifacts REBUILT
+    // by the queries inside the run (nothing survives the wipe, so
+    // nothing is ever cached across runs), and their many small
+    // fsync-ing writes (stream offset/commit logs, txn manifest
+    // renames) pay this sandbox's ~3 MB/s sync-write ext4 otherwise.
+    // Production would point the staging root at fast local storage
+    // the same way; the BenchSession.localDir scaladoc carries the
+    // measurement.
+    Seq("/tmp/graft_rt", "/tmp/graft_bench_stream").foreach(resetScratch)
     val spark = BenchSession.build()
 
     def run(df: DataFrame): Unit = df.queryExecution.toRdd.foreach(_ => ())

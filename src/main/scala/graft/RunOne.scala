@@ -22,6 +22,12 @@ object RunOne {
     val iters = pos.lift(2).map(_.toInt).getOrElse(3)
     val explain = args.contains("--explain")
 
+    // fresh staged state, exactly like Bench.main — without this, txn
+    // gates APPEND to a previous invocation's log roots and each run
+    // measures an ever-longer history (observed: etl_txn_merge
+    // 4.7s → 22s across repeated RunOne invocations)
+    Seq("/tmp/graft_rt", "/tmp/graft_bench_stream")
+      .foreach(Bench.resetScratch)
     val spark = BenchSession.build()
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; keys: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))

@@ -137,23 +137,20 @@ object TextStats {
     * are (doc_id, char) then doc_id — doc-local, balanced at any
     * corpus size. */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.where(length(col(textCol)) >= 1) // sequence(1, 0) DESCENDS in
-      // Spark: an empty doc would explode two bogus ''-char rows; the
-      // contract (matching the oracle's empty range) is NO row
+    // the per-code-point counting and the c·round(ln c, 6) decimal fold
+    // run ROW-LOCALLY in one native kernel call per doc
+    // ([[graft.plans.Sketches.charEntropyStats]] carries the
+    // bit-equality contract vs the former per-char explode + two
+    // keyed aggregates, which shuffled one row per CHARACTER — 12.5M
+    // rows at sf0.1); the final entropy expression is unchanged
+    df.where(length(col(textCol)) >= 1) // empty doc contract: NO row
       .select(col(idCol).as("doc_id"),
-        explode(expr(s"transform(sequence(1, length($textCol)), " +
-          s"i -> substring($textCol, i, 1))")).as("ch"))
-      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n"),
-        count(lit(1)).as("n_distinct_chars"),
-        sum(expr(
-          "c * CAST(ROUND(LN(CAST(c AS DOUBLE)), 6) AS DECIMAL(38,6))"))
-          .as("s"))
-      .select(col("doc_id"), col("n").as("n_chars"),
-        col("n_distinct_chars"),
+        graft.plans.GraftFunctions.charEntropyStats(df.sparkSession,
+          col(textCol)).as("st"))
+      .select(col("doc_id"), col("st.n").as("n_chars"),
+        col("st.nd").as("n_distinct_chars"),
         expr("""CAST(ROUND(
-            LN(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n,
+            LN(CAST(st.n AS DOUBLE)) - CAST(st.s AS DOUBLE) / st.n,
           4) AS DOUBLE)""").as("entropy"))
 
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String)

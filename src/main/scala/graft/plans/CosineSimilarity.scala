@@ -224,6 +224,10 @@ object GraftFunctions {
       require(exprs.length == 1, s"$GramAggName expects 1 argument")
       GramAgg(exprs.head).toAggregateExpression()
     }, "built-in")
+    reg.createOrReplaceTempFunction(CharEntropyName, exprs => {
+      require(exprs.length == 1, s"$CharEntropyName expects 1 argument")
+      CharEntropyStats(exprs.head)
+    }, "built-in")
   }
 
   val DotName = "graft_dot"
@@ -362,6 +366,16 @@ object GraftFunctions {
   def gramAgg(spark: SparkSession, vec: Column): Column = {
     register(spark)
     call_function(GramAggName, vec.cast("array<double>"))
+  }
+
+  val CharEntropyName = "graft_char_entropy"
+
+  /** Native row-local char-entropy statistics (registers on the
+    * session): string → struct<n, nd, s> — see
+    * [[Sketches.charEntropyStats]] for the exactness contract. */
+  def charEntropyStats(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function(CharEntropyName, text)
   }
 }
 

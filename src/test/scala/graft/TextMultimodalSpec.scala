@@ -76,6 +76,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(edge.isEmpty)
   }
 
+  test("charEntropy: non-ASCII and supplementary code points count as chars") {
+    // the native kernel's map path (code points >= 128) and surrogate
+    // pairs: "char" = one Unicode code point, like substring(text,i,1)
+    val docs = Seq(
+      (1L, "αβ中中"),      // counts α=1, β=1, 中=2
+      (2L, "😀😀a") // 😀😀a: 3 code points, 2 distinct
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextStats.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // s = 2·round(ln 2, 6) = 1.386294; entropy = round(ln4 - s/4, 4)
+    assert(out(1L)._1 == 4L && out(1L)._2 == 3L)
+    assert(out(1L)._3 == math.rint(
+      (math.log(4.0) - 2 * 0.693147 / 4.0) * 1e4) / 1e4)
+    assert(out(2L) == ((3L, 2L,
+      math.rint((math.log(3.0) - 2 * 0.693147 / 3.0) * 1e4) / 1e4)))
+  }
+
   test("language ID picks the language with most stopword hits") {
     val docs = Seq(
       (1L, "the cat and the dog sat on the mat"),
