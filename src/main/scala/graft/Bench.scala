@@ -16,23 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[RunOne]] so single-query A/B runs measure the same engine setup
   * the driver's bench does. */
 object BenchSession {
-  /** Shuffle/spill scratch directory. Production clusters provision
-    * fast local disks (NVMe/SSD) for `spark.local.dir` — the guide's
-    * §9 baseline assumes exactly that — but this sandbox's ext4 on
-    * virtio does ~3 MB/s on sync-heavy small writes, which taxes every
-    * 32-task shuffle map stage with hundreds of ms of blocked (non-CPU)
-    * time (event-log measured: 10.9s of shuffle-write time for 331 KB
-    * across 32 tasks). When a writable tmpfs is present, scratch goes
-    * there; `SPARK_GRAFT_LOCAL_DIR` overrides, and with neither the
-    * Spark default stands. Shuffle scratch is ephemeral per-run state —
-    * placement changes no result and caches nothing across runs. */
+  /** Shuffle/spill scratch directory override (`SPARK_GRAFT_LOCAL_DIR`;
+    * unset = Spark default). An operator knob only — r16 MEASURED both
+    * candidate placements on this box and neither earned a default:
+    * /dev/shm looked attractive (ext4-on-virtio here does ~3 MB/s on
+    * sync-heavy small writes, and event logs showed 10.9s of cumulative
+    * shuffle-write time for 331 KB across one 32-task stage), but a
+    * controlled A/B with scratch AND spark.local.dir on tmpfs made the
+    * txn/stream gates 1.6-2× SLOWER (etl_txn_merge 6.1/4.5s ext4 vs
+    * 12.8/7.4s tmpfs, fresh scratch both sides) — so the default stays
+    * the default, and the knob exists for boxes where fast local disks
+    * actually are faster. */
   private[graft] def localDir: Option[String] =
-    sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite)
-        Some("/dev/shm/graft_spark_local")
-      else None
-    }
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR")
 
   def build(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -85,24 +81,17 @@ object BenchStream {
 }
 
 object Bench {
-  /** Wipe one scratch root and re-create it — as a symlink into tmpfs
-    * when one is writable (see the placement note in [[Bench.main]]),
-    * as a plain dir otherwise. Deletes the RESOLVED target first so a
-    * pre-existing symlink never shields stale content, then the link
-    * itself, so repeated invocations are idempotent. */
+  /** Wipe one scratch root. Deletes the RESOLVED target first (a
+    * leftover symlink from an experimenting session must never shield
+    * stale content) and then the path itself, so repeated invocations
+    * are idempotent whatever a previous run left behind. The r16 tmpfs
+    * placement experiment lives in [[BenchSession.localDir]]'s scaladoc
+    * — measured slower here, so scratch stays a plain /tmp dir. */
   private[graft] def resetScratch(p: String): Unit = {
     val f = new java.io.File(p)
     org.apache.commons.io.FileUtils.deleteQuietly(f.getCanonicalFile)
     try java.nio.file.Files.deleteIfExists(f.toPath)
     catch { case _: Throwable => () } // dangling-symlink cleanup
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) {
-      val tgt = new java.io.File(shm, f.getName)
-      org.apache.commons.io.FileUtils.deleteQuietly(tgt)
-      tgt.mkdirs()
-      try java.nio.file.Files.createSymbolicLink(f.toPath, tgt.toPath)
-      catch { case _: Throwable => () } // fall back to plain /tmp dir
-    }
   }
 
   /** 1-minute system load average (-1.0 where the JVM can't read it) —
@@ -123,17 +112,6 @@ object Bench {
     // harness stages under /tmp/graft_bench_stream. Without this the
     // dirs accrete across rounds and the measured scans read mixed-age
     // page-cache state (r8/r9: repeated contamination false alarms).
-    //
-    // Placement: when a writable tmpfs exists the wiped dir is
-    // re-created as a symlink into it — the staged tables, txn logs
-    // and stream checkpoints are ephemeral per-run artifacts REBUILT
-    // by the queries inside the run (nothing survives the wipe, so
-    // nothing is ever cached across runs), and their many small
-    // fsync-ing writes (stream offset/commit logs, txn manifest
-    // renames) pay this sandbox's ~3 MB/s sync-write ext4 otherwise.
-    // Production would point the staging root at fast local storage
-    // the same way; the BenchSession.localDir scaladoc carries the
-    // measurement.
     Seq("/tmp/graft_rt", "/tmp/graft_bench_stream").foreach(resetScratch)
     val spark = BenchSession.build()
 
