@@ -81,17 +81,27 @@ object BenchStream {
 }
 
 object Bench {
-  /** Wipe one scratch root. Deletes the RESOLVED target first (a
-    * leftover symlink from an experimenting session must never shield
-    * stale content) and then the path itself, so repeated invocations
-    * are idempotent whatever a previous run left behind. The r16 tmpfs
-    * placement experiment lives in [[BenchSession.localDir]]'s scaladoc
-    * — measured slower here, so scratch stays a plain /tmp dir. */
+  /** Wipe one scratch root with NOFOLLOW semantics: a symlink at the
+    * path is removed AS A LINK (never followed — these are fixed names
+    * under sticky-bit /tmp, and following a planted link would aim a
+    * recursive delete at an arbitrary directory); a real directory is
+    * removed recursively. Removing the link alone already guarantees a
+    * fresh real dir gets created, so stale target content can never be
+    * read. Fails loudly if the path survives cleanup — a silently
+    * unwiped root re-creates the 4.7s→22s txn-history accretion bug
+    * this wipe exists to prevent. The r16 tmpfs placement experiment
+    * lives in [[BenchSession.localDir]]'s scaladoc — measured slower
+    * here, so scratch stays a plain /tmp dir. */
   private[graft] def resetScratch(p: String): Unit = {
-    val f = new java.io.File(p)
-    org.apache.commons.io.FileUtils.deleteQuietly(f.getCanonicalFile)
-    try java.nio.file.Files.deleteIfExists(f.toPath)
-    catch { case _: Throwable => () } // dangling-symlink cleanup
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.isSymbolicLink(path))
+      java.nio.file.Files.deleteIfExists(path)
+    else
+      org.apache.commons.io.FileUtils.deleteQuietly(path.toFile)
+    if (java.nio.file.Files.exists(path,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      throw new java.io.IOException(
+        s"scratch root $p survived cleanup; refusing to run against stale state")
   }
 
   /** 1-minute system load average (-1.0 where the JVM can't read it) —

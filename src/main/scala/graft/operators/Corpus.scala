@@ -954,15 +954,16 @@ object Corpus {
   def hashEmbed(df: DataFrame, idCol: String, textCol: String,
       dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= 4096, "dim must be in [2, 4096]")
+    // r17: the (doc_id, dim) aggregation is entirely WITHIN-doc, so it
+    // folds row-locally — one native kernel call per doc emits the
+    // nonzero cells directly and the old per-token explode plus the
+    // (doc_id, dim) groupBy Exchange are gone outright (guide §2.4).
+    // Same tokenizer (lowercase whitespace), same md5-60-bit h, same
+    // pmod/sign-bit arithmetic — see Sketches.hashEmbedCells.
     df.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h",
-        expr("CAST(CONV(SUBSTRING(MD5(tok), 1, 15), 16, 10) AS BIGINT)"))
-      .select(col("doc_id"), pmod(col("h"), lit(dim)).cast("int").as("dim"),
-        expr("IF(((h >> 12) & 1) = 1, 1, -1)").as("sgn"))
-      .groupBy("doc_id", "dim")
-      .agg(sum(col("sgn")).as("v"))
-      .where(col("v") =!= 0)
+        explode(graft.plans.GraftFunctions.hashEmbedCells(df.sparkSession,
+          col(textCol), dim)).as("c"))
+      .select(col("doc_id"), col("c.d").as("dim"), col("c.v").as("v"))
   }
 
   /** Fill-in-the-middle split (Bavarian et al. 2022): each document

@@ -633,23 +633,28 @@ object Dedup {
       groupCol: String, n: Int = 2, minJaccard: Double = 0.3,
       dfBudget: Long = plainFormDfBudget): DataFrame = {
     val spark = df.sparkSession
+    // fused posting build (r17): tokenize→shingle→dedupe→key-hash in
+    // ONE native kernel call per doc — replaces the interpreted
+    // split/filter HOF chain, the per-gram explode of STRING rows, and
+    // the per-posting-row concat_ws+xxhash64. Values are identical by
+    // construction (see Sketches.gramKeys); size(gh) is the same
+    // distinct-gram count size(g) carried, and `size(gh) >= 1` keeps
+    // exactly the docs `size(tokens) >= n` kept (≥ n tokens ⟺ ≥ 1
+    // gram; NULL text → NULL gh → dropped either way).
     val grams = df
-      .select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"),
-        TextAnalysis.tokens(col(textCol)).as("w"))
-      .where(size(col("w")) >= n)
-      .select(col("id"), col("grp"),
-        GraftFunctions.shingles(spark, col("w"), n).as("g"))
+      .select(col(idCol).cast("long").as("id"),
+        GraftFunctions.gramKeys(spark, col(groupCol), col(textCol), n)
+          .as("gh"))
+      .where(size(col("gh")) >= 1)
     val posting = grams
       .select(
         when(col("id").isNull || col("id") < 0L || col("id") >= (1L << 43) ||
-             size(col("g")).cast("long") >= (1L << 20),
+             size(col("gh")).cast("long") >= (1L << 20),
           expr("raise_error('ngramJaccardPairs: id/n_g out of packable range')")
             .cast("long"))
           .otherwise(shiftleft(col("id"), 20)
-            .bitwiseOR(size(col("g")).cast("long"))).as("pk"),
-        col("grp"), explode(col("g")).as("gram"))
-      .select(col("pk"),
-        xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
+            .bitwiseOR(size(col("gh")).cast("long"))).as("pk"),
+        explode(col("gh")).as("gk"))
     // a.pk < b.pk ⟺ a.id < b.id: id occupies the high bits, and equal
     // ids (same doc, same n_g) compare equal, which < excludes.
     // lossless prune: jac >= t implies inter >= t·union, and inter <=
@@ -1073,23 +1078,22 @@ object Dedup {
       groupCol: String, n: Int = 2, minContainment: Double = 0.8,
       dfBudget: Long = plainFormDfBudget): DataFrame = {
     val spark = df.sparkSession
+    // fused posting build — same r17 kernel as ngramJaccardPairs (see
+    // the contract note there; values identical by construction)
     val grams = df
-      .select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"),
-        TextAnalysis.tokens(col(textCol)).as("w"))
-      .where(size(col("w")) >= n)
-      .select(col("id"), col("grp"),
-        GraftFunctions.shingles(spark, col("w"), n).as("g"))
+      .select(col(idCol).cast("long").as("id"),
+        GraftFunctions.gramKeys(spark, col(groupCol), col(textCol), n)
+          .as("gh"))
+      .where(size(col("gh")) >= 1)
     val posting = grams
       .select(
         when(col("id").isNull || col("id") < 0L || col("id") >= (1L << 43) ||
-             size(col("g")).cast("long") >= (1L << 20),
+             size(col("gh")).cast("long") >= (1L << 20),
           expr("raise_error('ngramContainmentPairs: id/n_g out of packable range')")
             .cast("long"))
           .otherwise(shiftleft(col("id"), 20)
-            .bitwiseOR(size(col("g")).cast("long"))).as("pk"),
-        col("grp"), explode(col("g")).as("gram"))
-      .select(col("pk"),
-        xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
+            .bitwiseOR(size(col("gh")).cast("long"))).as("pk"),
+        explode(col("gh")).as("gk"))
     def ng(c: Column): Column = c.bitwiseAND(lit((1L << 20) - 1))
     // hint-free + declared gk partitioning (r12), for the same reason
     // as ngramJaccardPairs: the posting self-join must stay spillable
@@ -1146,17 +1150,18 @@ object Dedup {
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 2, s"substringDedup: k must be >= 2, got $k")
+    // r17: the per-window md5-60-bit hashes come from ONE native
+    // kernel call per doc (position order, so posexplode yields the
+    // identical (pos, gh) rows) — replacing the interpreted
+    // transform+array_join+MD5+CONV chain and the per-window STRING
+    // rows feeding the explode. See Sketches.winHashes.
     val toks = df.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("w"))
     val wins = toks
       .where(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(w) - $k), " +
-          s"i -> array_join(slice(w, i + 1, $k), ' '))"))
-        .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"),
-        expr("CAST(CONV(SUBSTRING(MD5(gram), 1, 15), 16, 10) AS BIGINT)")
-          .as("gh"))
+      .select(col("doc_id"),
+        posexplode(graft.plans.GraftFunctions.winHashes(df.sparkSession,
+          col("w"), k)).as(Seq("pos", "gh")))
     // global occurrence count ≥ 2 — a within-doc repeat is a duplicate
     // too (the paper's semantics); the count's group key is the 60-bit
     // hash, never the window text

@@ -214,15 +214,20 @@ object TextStats {
   def duplicateNgramFraction(df: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
+    // r17 fused posting build: one native kernel call per doc yields
+    // the PER-DOC-DISTINCT md5 n-gram digests (16-byte binary, 1:1
+    // with the old hex strings), so (doc_id, g) rows leave the explode
+    // already unique — the old global `.distinct()` Exchange that
+    // deduped them is gone outright (guide §2.4), and the remaining
+    // cross-doc shuffle carries 16-byte digests instead of 32-char hex
+    // strings. Values identical: same tokenizer (split(' '), empties
+    // dropped, NO lowercase), same md5 keying — see Sketches.md5GramSet.
     val grams = df
       .select(col(idCol).as("doc_id"),
-        expr(s"filter(split(${textCol}, ' '), x -> x <> '')").as("w"))
-      .where(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${n - 1}), " +
-          s"i -> md5(array_join(slice(w, i, $n), ' ')))")).as("g"))
-      .distinct() // per-doc distinct: multiplicity inside a doc is
-                  // repetitionSignals' business, not contamination's
+        graft.plans.GraftFunctions.md5GramSet(df.sparkSession,
+          col(textCol), n).as("gs"))
+      .where(size(col("gs")) >= 1)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
     val docsPerGram = grams.groupBy("g")
       .agg(count(lit(1)).as("nd")) // grams is (doc_id,g)-distinct
     grams.join(docsPerGram, "g")

@@ -150,6 +150,10 @@ object GraftFunctions {
   val MinHashName = "graft_minhash_sig"
   val SimHashName = "graft_simhash64"
   val ShinglesName = "graft_shingles"
+  val GramKeysName = "graft_gram_keys"
+  val Md5GramSetName = "graft_md5_gram_set"
+  val WinHashesName = "graft_win_hashes"
+  val HashEmbedCellsName = "graft_hash_embed_cells"
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -174,6 +178,28 @@ object GraftFunctions {
       require(exprs.length == 2 && exprs(1).foldable,
         s"$ShinglesName expects (array<string>, const int)")
       WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+    }, "built-in")
+    reg.createOrReplaceTempFunction(GramKeysName, exprs => {
+      require(exprs.length == 3 && exprs(2).foldable,
+        s"$GramKeysName expects (string, string, const int)")
+      GramKeys(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue())
+    }, "built-in")
+    reg.createOrReplaceTempFunction(Md5GramSetName, exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        s"$Md5GramSetName expects (string, const int)")
+      Md5GramSet(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+    }, "built-in")
+    reg.createOrReplaceTempFunction(WinHashesName, exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        s"$WinHashesName expects (array<string>, const int)")
+      WinHashes(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+    }, "built-in")
+    reg.createOrReplaceTempFunction(HashEmbedCellsName, exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        s"$HashEmbedCellsName expects (string, const int)")
+      HashEmbedCells(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())
     }, "built-in")
     reg.createOrReplaceTempFunction(VecDigestName, exprs => {
       require(exprs.length == 1, s"$VecDigestName expects 1 argument")
@@ -336,6 +362,47 @@ object GraftFunctions {
   def shingles(spark: SparkSession, tokens: Column, k: Int): Column = {
     register(spark)
     call_function(ShinglesName, tokens, org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Native fused posting-key column for the plain inverted-index
+    * dedup forms (registers on the session): per row, the distinct
+    * word k-grams of `text` hashed with the group column folded in —
+    * array<bigint> of xxhash64("grp|gram"), value-identical to
+    * `xxhash64(concat_ws("|", grp, gram))` over exploded
+    * `graft_shingles(tokens(text), k)` (see [[Sketches.gramKeys]]).
+    * The NULL-group fold mirrors concat_ws, which SKIPS nulls. */
+  def gramKeys(spark: SparkSession, grp: Column, text: Column, k: Int): Column = {
+    register(spark)
+    val prefix = org.apache.spark.sql.functions.when(grp.isNull,
+        org.apache.spark.sql.functions.lit(""))
+      .otherwise(org.apache.spark.sql.functions.concat(
+        grp.cast("string"), org.apache.spark.sql.functions.lit("|")))
+    call_function(GramKeysName, prefix, text,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Native distinct md5 word n-gram digests (registers on the
+    * session); see [[Sketches.md5GramSet]]. */
+  def md5GramSet(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function(Md5GramSetName, text,
+      org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Native 60-bit md5 window hashes in position order (registers on
+    * the session); see [[Sketches.winHashes]]. */
+  def winHashes(spark: SparkSession, tokens: Column, k: Int): Column = {
+    register(spark)
+    call_function(WinHashesName, tokens,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Native row-local feature-hash cells (registers on the session);
+    * see [[Sketches.hashEmbedCells]]. */
+  def hashEmbedCells(spark: SparkSession, text: Column, dim: Int): Column = {
+    register(spark)
+    call_function(HashEmbedCellsName, text,
+      org.apache.spark.sql.functions.lit(dim))
   }
 
   /** Native minhash signature column (registers on the session). */

@@ -2,7 +2,7 @@ package graft.plans
 
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -103,6 +103,267 @@ object Sketches {
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Fused posting-key kernel for the plain inverted-index dedup forms
+    * ([[graft.operators.Dedup.ngramJaccardPairs]] /
+    * `ngramContainmentPairs`): (keyPrefix, text) → array<bigint> of
+    * xxhash64(keyPrefix ++ gram) for each DISTINCT word k-gram, in one
+    * pass over the text bytes. Value-identical to the chain it
+    * replaces — `xxhash64(concat_ws("|", grp, gram))` over
+    * `explode(graft_shingles(filter(split(lower(text), " "), t -> t <>
+    * ''), k))` — by construction:
+    *  - lowercase is [[UTF8String.toLowerCase]], the same call
+    *    `lower()` makes;
+    *  - `split(s, " ")` splits on single 0x20 bytes (a space never
+    *    occurs inside a UTF-8 multibyte sequence), and the `t <> ''`
+    *    filter drops the empties consecutive/leading/trailing spaces
+    *    produce — so scanning for 0x20-separated non-empty byte runs
+    *    yields the identical token list;
+    *  - grams dedupe on their BYTES (k tokens space-joined), exactly
+    *    [[wordShingles]]' LinkedHashSet — never on the hash, so a
+    *    64-bit collision between distinct grams still contributes two
+    *    array entries (same count `size(g)` the packed key carries);
+    *  - the key hash is [[XXH64]] seed-42 over keyPrefix ++ gram
+    *    bytes, the bytes `concat_ws` would have built (callers pass
+    *    keyPrefix = "grp|", or "" for a NULL group — concat_ws skips
+    *    nulls).
+    * Output array length == distinct gram count (the n_g the packed
+    * posting key needs); fewer than k tokens → empty array. */
+  def gramKeys(keyPrefix: UTF8String, text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    // tokenize: spans of non-0x20 bytes
+    var cap = 32
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var ntok = 0
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == 0x20) i += 1
+      else {
+        val s = i
+        while (i < n && bytes(i) != 0x20) i += 1
+        if (ntok == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(ntok) = s; ends(ntok) = i; ntok += 1
+      }
+    }
+    if (ntok < k) return new GenericArrayData(Array.emptyLongArray)
+    val pre = keyPrefix.getBytes
+    val preLen = pre.length
+    // one reusable buffer: [prefix][gram]; the gram region doubles as
+    // the dedup probe (wrapped, copy only on first occurrence)
+    var maxGram = 0
+    i = 0
+    while (i <= ntok - k) {
+      var len = k - 1
+      var j = 0
+      while (j < k) { len += ends(i + j) - starts(i + j); j += 1 }
+      if (len > maxGram) maxGram = len
+      i += 1
+    }
+    val buf = new Array[Byte](preLen + maxGram)
+    System.arraycopy(pre, 0, buf, 0, preLen)
+    val seen = new java.util.HashSet[UTF8String](ntok * 2)
+    var out = new Array[Long](ntok - k + 1)
+    var nout = 0
+    i = 0
+    while (i <= ntok - k) {
+      var pos = preLen
+      var j = 0
+      while (j < k) {
+        if (j > 0) { buf(pos) = 0x20; pos += 1 }
+        val tl = ends(i + j) - starts(i + j)
+        System.arraycopy(bytes, starts(i + j), buf, pos, tl)
+        pos += tl
+        j += 1
+      }
+      val gramLen = pos - preLen
+      // membership probe wraps the reusable buffer (no allocation);
+      // the stored copy is taken only on first occurrence
+      if (!seen.contains(UTF8String.fromBytes(buf, preLen, gramLen))) {
+        seen.add(UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(buf, preLen, pos)))
+        out(nout) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(buf,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+        nout += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, nout))
+  }
+
+  /** Shared byte-level whitespace tokenizer: spans of non-0x20 bytes
+    * (split(" ") + drop-empties, byte-exact — see [[gramKeys]]).
+    * Returns packed spans: [s0,e0,s1,e1,...], length 2·ntok. */
+  private def tokenSpans(bytes: Array[Byte]): Array[Int] = {
+    val n = bytes.length
+    var cap = 64
+    var spans = new Array[Int](cap)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == 0x20) i += 1
+      else {
+        val s = i
+        while (i < n && bytes(i) != 0x20) i += 1
+        if (m + 2 > cap) { cap *= 2; spans = java.util.Arrays.copyOf(spans, cap) }
+        spans(m) = s; spans(m + 1) = i; m += 2
+      }
+    }
+    java.util.Arrays.copyOf(spans, m)
+  }
+
+  /** Top 60 bits of an md5 digest — the value of
+    * `CAST(CONV(SUBSTRING(MD5(x), 1, 15), 16, 10) AS BIGINT)` (15 hex
+    * chars = the digest's first 7.5 bytes = big-endian u64 >>> 4). */
+  private def md5Top60(d: Array[Byte]): Long = {
+    var u = 0L
+    var i = 0
+    while (i < 8) { u = (u << 8) | (d(i) & 0xffL); i += 1 }
+    u >>> 4
+  }
+
+  /** Row-local kernel for
+    * [[graft.operators.TextStats.duplicateNgramFraction]]: text →
+    * array of the DISTINCT md5 digests (16-byte binary) of its word
+    * n-grams, tokenized like `filter(split(text, ' '), x -> x <> '')`
+    * (NO lowercase — that form never lowercased) and keyed like
+    * `md5(array_join(slice(w, i, n), ' '))` (the digest bytes are the
+    * hex string's value 1:1). Because the array is per-doc distinct,
+    * the caller's old global `.distinct()` Exchange is dropped
+    * outright — (doc, digest) rows come out of the explode already
+    * unique. Fewer than n tokens → empty array. */
+  def md5GramSet(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val spans = tokenSpans(bytes)
+    val ntok = spans.length / 2
+    if (ntok < n) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    var maxGram = 0
+    var i = 0
+    while (i <= ntok - n) {
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += spans(2 * (i + j) + 1) - spans(2 * (i + j)); j += 1 }
+      if (len > maxGram) maxGram = len
+      i += 1
+    }
+    val buf = new Array[Byte](maxGram)
+    val seen = new java.util.LinkedHashSet[java.nio.ByteBuffer](ntok * 2)
+    i = 0
+    while (i <= ntok - n) {
+      var pos = 0
+      var j = 0
+      while (j < n) {
+        if (j > 0) { buf(pos) = 0x20; pos += 1 }
+        val s = spans(2 * (i + j)); val tl = spans(2 * (i + j) + 1) - s
+        System.arraycopy(bytes, s, buf, pos, tl)
+        pos += tl
+        j += 1
+      }
+      md.reset()
+      md.update(buf, 0, pos)
+      seen.add(java.nio.ByteBuffer.wrap(md.digest()))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().array(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Row-local kernel for [[graft.operators.Dedup.substringDedup]]:
+    * tokens (array<string>, the caller's lowercased token column) →
+    * array<long> of the 60-bit md5 window hashes in POSITION order —
+    * element i is `CAST(CONV(SUBSTRING(MD5(array_join(slice(w, i+1,
+    * k), ' ')), 1, 15), 16, 10) AS BIGINT)`, so `posexplode` yields
+    * the identical (pos, gh) rows the interpreted
+    * transform+md5+conv chain produced. Fewer than k tokens → empty
+    * array (callers gate on `size(w) >= k` anyway). */
+  def winHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val ntok = tokens.numElements()
+    if (ntok < k) return new GenericArrayData(Array.emptyLongArray)
+    val md = md5Local.get()
+    val toks = new Array[UTF8String](ntok)
+    var i = 0
+    while (i < ntok) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    val out = new Array[Long](ntok - k + 1)
+    var maxGram = 0
+    i = 0
+    while (i <= ntok - k) {
+      var len = k - 1
+      var j = 0
+      while (j < k) { len += toks(i + j).numBytes(); j += 1 }
+      if (len > maxGram) maxGram = len
+      i += 1
+    }
+    val buf = new Array[Byte](maxGram)
+    i = 0
+    while (i <= ntok - k) {
+      var pos = 0
+      var j = 0
+      while (j < k) {
+        if (j > 0) { buf(pos) = 0x20; pos += 1 }
+        val t = toks(i + j)
+        t.writeToMemory(buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += t.numBytes()
+        j += 1
+      }
+      md.reset()
+      md.update(buf, 0, pos)
+      out(i) = md5Top60(md.digest())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Row-local fold for [[graft.operators.Corpus.hashEmbed]]: text →
+    * array<struct<d int, v bigint>> of the doc's NONZERO feature-hash
+    * cells, ascending d. Per token t of `tokens(text)` (lowercase
+    * whitespace tokens — [[gramKeys]]' byte-exact tokenization over
+    * `lower(text)`), h = md5-60-bit(t), d = h mod dim, sgn = bit 12 of
+    * h, v(d) = Σ sgn. The old form exploded one row per TOKEN and paid
+    * a (doc_id, dim) groupBy Exchange for an aggregation that is
+    * entirely WITHIN-doc — this computes the same cells row-locally,
+    * removing that shuffle outright (guide §2.4). */
+  def hashEmbedCells(text: UTF8String, dim: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val spans = tokenSpans(bytes)
+    val ntok = spans.length / 2
+    val md = md5Local.get()
+    val acc = new Array[Long](dim)
+    var i = 0
+    while (i < ntok) {
+      md.reset()
+      md.update(bytes, spans(2 * i), spans(2 * i + 1) - spans(2 * i))
+      val h = md5Top60(md.digest())
+      val d = (h % dim).toInt // h >= 0, so % == pmod
+      acc(d) += (if (((h >> 12) & 1L) == 1L) 1L else -1L)
+      i += 1
+    }
+    var nz = 0
+    i = 0
+    while (i < dim) { if (acc(i) != 0L) nz += 1; i += 1 }
+    val out = new Array[Any](nz)
+    var o = 0
+    i = 0
+    while (i < dim) {
+      if (acc(i) != 0L) {
+        out(o) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](i, acc(i)))
+        o += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Hyperplane-LSH bucket: same deterministic LCG plane family as
@@ -480,6 +741,104 @@ final case class WordShingles(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.Sketches.wordShingles($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** (string keyPrefix, string text) → array<bigint> distinct word
+  * k-gram posting keys in one fused pass (native; value contract in
+  * [[Sketches.gramKeys]]). NULL text → NULL row (the `size(...) >= 1`
+  * caller filter then drops it, matching the old `size(tokens) >= n`
+  * gate); callers fold a NULL group column into keyPrefix = "". */
+final case class GramKeys(prefix: Expression, text: Expression, k: Int)
+    extends BinaryExpression {
+  override def left: Expression = prefix
+  override def right: Expression = text
+  override def checkInputDataTypes(): TypeCheckResult =
+    (prefix.dataType, text.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, string), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_keys"
+
+  override def nullSafeEval(p: Any, t: Any): Any =
+    Sketches.gramKeys(p.asInstanceOf[UTF8String],
+      t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, t) =>
+      s"${ev.value} = graft.plans.Sketches.gramKeys($p, $t, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(prefix = newLeft, text = newRight)
+}
+
+/** string text → array<binary> distinct word n-gram md5 digests
+  * (native; see [[Sketches.md5GramSet]]). */
+final case class Md5GramSet(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "graft_md5_gram_set"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.md5GramSet(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Sketches.md5GramSet($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<bigint> 60-bit md5 window hashes in
+  * position order (native; see [[Sketches.winHashes]]). */
+final case class WinHashes(child: Expression, k: Int)
+    extends UnaryExpression with StringArrayInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_win_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.winHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Sketches.winHashes($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** string text → array<struct<d int, v bigint>> nonzero feature-hash
+  * cells (native; see [[Sketches.hashEmbedCells]]). */
+final case class HashEmbedCells(child: Expression, dim: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", IntegerType, nullable = false),
+    StructField("v", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_hash_embed_cells"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.hashEmbedCells(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Sketches.hashEmbedCells($c, $dim);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -34,6 +34,118 @@ class SketchesSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native gram-keys equal the tokens→shingles→concat_ws→xxhash64 chain exactly") {
+    // multi-space runs, leading/trailing spaces, uppercase, non-ASCII,
+    // repeated grams (dedup), a doc below the k-token floor, NULL group
+    // and NULL text — every edge the SQL chain defines behavior for
+    val docs = Seq(
+      ("en", "The quick  brown FOX the quick brown fox"),
+      ("en", "  a b  "),
+      ("fr", "déjà vu déjà vu déjà"),
+      (null.asInstanceOf[String], "x y z"),
+      ("en", "single"),
+      ("en", null.asInstanceOf[String])
+    ).toDF("grp", "text")
+    for (k <- Seq(2, 3)) {
+      val ref = docs.select(col("grp"),
+          graft.functions.TextAnalysis.tokens(col("text")).as("w"))
+        .where(size(col("w")) >= k)
+        .select(col("grp"),
+          GraftFunctions.shingles(spark, col("w"), k).as("g"))
+        .select(col("grp"), size(col("g")).as("n_g"),
+          explode(col("g")).as("gram"))
+        .select(col("grp"), col("n_g"),
+          xxhash64(concat_ws("|", col("grp"), col("gram"))).as("gk"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val native = docs.select(col("grp"),
+          GraftFunctions.gramKeys(spark, col("grp"), col("text"), k).as("gh"))
+        .where(size(col("gh")) >= 1)
+        .select(col("grp"), size(col("gh")).as("n_g"),
+          explode(col("gh")).as("gk"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      assert(native.sortBy(t => (Option(t._1).getOrElse(""), t._3)).toSeq ==
+        ref.sortBy(t => (Option(t._1).getOrElse(""), t._3)).toSeq, s"k=$k")
+    }
+  }
+
+  test("native md5 gram set equals the transform+md5 chain with per-doc distinct") {
+    val docs = Seq(
+      ("d1", "a b c a b c a b"),     // repeated grams → dedup
+      ("d2", "  Mixed CASE  kept "), // NO lowercase in this form
+      ("d3", "one two"),
+      ("d4", "short"),               // below the 3-token floor
+      ("d5", null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val n = 3
+    val ref = docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> md5(array_join(slice(w, i, $n), ' ')))")).as("g"))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val native = docs
+      .select(col("doc_id"),
+        explode(GraftFunctions.md5GramSet(spark, col("text"), n)).as("g"))
+      .select(col("doc_id"), hex(col("g")).as("g"))
+      .collect().map(r => (r.getString(0), r.getString(1).toLowerCase)).sorted
+    assert(native.toSeq == ref.toSeq)
+  }
+
+  test("native window hashes equal the transform+md5+conv chain in position order") {
+    val docs = Seq(
+      ("d1", "The quick brown fox jumps over the lazy dog the quick brown fox"),
+      ("d2", "a a a a a a"),
+      ("d3", "just four tokens here")
+    ).toDF("doc_id", "text")
+    val k = 5
+    def toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val ref = docs.select(col("doc_id"), toks.as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), " +
+          s"i -> array_join(slice(w, i + 1, $k), ' '))"))
+        .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        expr("CAST(CONV(SUBSTRING(MD5(gram), 1, 15), 16, 10) AS BIGINT)")
+          .as("gh"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+    val native = docs.select(col("doc_id"), toks.as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.winHashes(spark, col("w"), k))
+          .as(Seq("pos", "gh")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+    assert(native.toSeq == ref.toSeq)
+  }
+
+  test("native hash-embed cells equal the per-token explode + groupBy fold") {
+    val docs = Seq(
+      ("d1", "the quick brown fox the quick sign flip sign flip"),
+      ("d2", "Solo"),
+      ("d3", ""),
+      ("d4", null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val dim = 64
+    val ref = docs.select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("h",
+        expr("CAST(CONV(SUBSTRING(MD5(tok), 1, 15), 16, 10) AS BIGINT)"))
+      .select(col("doc_id"), pmod(col("h"), lit(dim)).cast("int").as("dim"),
+        expr("IF(((h >> 12) & 1) = 1, 1, -1)").as("sgn"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("sgn")).as("v"))
+      .where(col("v") =!= 0)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+    val native = docs.select(col("doc_id"),
+        explode(GraftFunctions.hashEmbedCells(spark, col("text"), dim)).as("c"))
+      .select(col("doc_id"), col("c.d"), col("c.v"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+    assert(native.toSeq == ref.toSeq)
+  }
+
   test("native lsh bucket equals the HOF LCG formulation exactly") {
     val vecs = Seq(
       Seq(1.0, 0.0, 0.5, -0.25), Seq(-0.3, 0.7, 0.1, 0.9)
